@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Session facade (reference Session: endpoint + credentials + feature flags,
+ * vastdb/session.py:20-70). Here a session wraps a tuned SparkSession;
+ * "endpoints" become executor parallelism, credentials are the cluster's own.
+ *
+ * Config posture for scale (SURVEY §4.2): AQE on (runtime re-plan, skew-join
+ * splitting), shuffle partitions sized to cores in local mode (a real cluster
+ * would size to 2-3× total cores), broadcast threshold left at default so
+ * dimension tables broadcast automatically.
+ */
+object GraftSession {
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    tune(SparkSession.builder().master(s"local[$cores]"), cores).getOrCreate()
+
+  def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.sql.ui.explainMode", "formatted")
+      .config("spark.ui.enabled", "false")
+}

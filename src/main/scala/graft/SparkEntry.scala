@@ -1,13 +1,466 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ops.Relational
+import graft.functions.Distances
+import graft.scan.Pred
+
+/**
+ * Driver contract: `queries` is the operator inventory (one entry per
+ * implemented operator from SURVEY.md §2), `oracleSql` the DuckDB-equivalent
+ * SQL the driver hash-compares against at sf0.01.
+ *
+ * Determinism rules used throughout:
+ *  - every query ends in a total ORDER BY (ties broken by a key column) so
+ *    row order is identical in Spark output and DuckDB output;
+ *  - double aggregations go through exact decimal(38,6) summation on BOTH
+ *    sides (`dsum`) — decimal addition is order-independent, so Spark's
+ *    partial/final aggregation over an arbitrary partitioning matches
+ *    DuckDB's single-threaded sum bit-for-bit after the final cast to double;
+ *  - NULL sort position pinned with NULLS FIRST (Spark's ASC default).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---------- helpers ----------
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark has no type for:
+      // read the raw int64 (legacy conf) and truncate ns → µs TimestampType,
+      // exactly what DuckDB does on read (so oracle values agree).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else s.read.parquet(s"$dir/$name.parquet")
+
+  /** Order-independent exact sum of a double expression → double. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast("double")
+  /** Oracle-side spelling of `dsum`. */
+  private def DSUM(sql: String): String =
+    s"CAST(SUM(CAST(($sql) AS DECIMAL(38,6))) AS DOUBLE)"
+
+  private case class Q(name: String,
+                       fn: (SparkSession, String) => DataFrame,
+                       oracle: Option[String])
+
+  // ---------- operator inventory ----------
+
+  private lazy val defs: Seq[Q] = Seq(
+
+    // ---- S1/P1: scan with projection + filter pushdown (SURVEY §2.1 S1, §2.2 P1)
+    Q("s1_scan_project",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_quantity") < 24 &&
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |FROM lineitem
+             |WHERE l_quantity < 24 AND l_shipdate >= TIMESTAMP '1996-01-01'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- P3: all six comparison ops in one conjunction (SURVEY §2.2 P3)
+    Q("p3_comparisons",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_linestatus") =!= "F" &&
+          col("l_discount") > 0.02 && col("l_tax") <= 0.06 &&
+          col("l_quantity") >= 10 && col("l_partkey") < 150)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_discount", "l_tax")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_discount, l_tax
+             |FROM lineitem
+             |WHERE l_returnflag = 'R' AND l_linestatus <> 'F'
+             |  AND l_discount > 0.02 AND l_tax <= 0.06
+             |  AND l_quantity >= 10 AND l_partkey < 150
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- P4: isin (reference expands to OR-of-equals, vastdb/_internal.py:233-234)
+    Q("p4_isin",
+      (s, dir) => t(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_orderpriority")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderpriority FROM orders
+             |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- P5: isnull / is_valid (vastdb/_internal.py:238-247); testdata has no
+    //      physical nulls so nulls are derived with nullif to exercise the path
+    Q("p5_isnull",
+      (s, dir) => t(s, dir, "lineitem")
+        .select(nullif(col("l_discount"), lit(0.0)).as("d"), col("l_orderkey"))
+        .agg(count(when(col("d").isNull, 1)).as("n_null"),
+             count(when(col("d").isNotNull, 1)).as("n_valid")),
+      Some("""SELECT COUNT(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 END) AS n_null,
+             |       COUNT(CASE WHEN NULLIF(l_discount, 0.0) IS NOT NULL THEN 1 END) AS n_valid
+             |FROM lineitem""".stripMargin)),
+
+    // ---- P6: between → >= AND <= (vastdb/_internal.py:594-599)
+    Q("p6_between",
+      (s, dir) => t(s, dir, "events")
+        .filter(col("ts").between(lit("2024-01-05").cast("timestamp"),
+                                  lit("2024-01-07").cast("timestamp")))
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id, event_type FROM events
+             |WHERE ts BETWEEN TIMESTAMP '2024-01-05' AND TIMESTAMP '2024-01-07'
+             |ORDER BY event_id""".stripMargin)),
+
+    // ---- P7: startswith → UTF-8 range rewrite (vastdb/util.py:162-169)
+    Q("p7_startswith",
+      (s, dir) => t(s, dir, "part")
+        .filter(Pred.compileStrict(Pred.StartsWith(Pred.Ref("p_name"), "small")))
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_name FROM part
+             |WHERE p_name LIKE 'small%' ORDER BY p_partkey""".stripMargin)),
+
+    // ---- P8: contains → match_substring (vastdb/_internal.py:591-592)
+    Q("p8_contains",
+      (s, dir) => t(s, dir, "part")
+        .filter(Pred.compileStrict(Pred.Contains(Pred.Ref("p_name"), "wid")))
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_name FROM part
+             |WHERE p_name LIKE '%wid%' ORDER BY p_partkey""".stripMargin)),
+
+    // ---- P9: struct sub-field predicate (vastdb/_internal.py:269-305) —
+    //      struct built from the events.props JSON blob (blob-expansion shape,
+    //      SURVEY §2.10 D11), then filtered on the sub-field
+    Q("p9_struct_field",
+      (s, dir) => t(s, dir, "events")
+        .withColumn("p", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .filter(col("p.k") > 80)
+        .select(col("event_id"), col("p.k").as("k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events
+             |WHERE CAST(props->>'$.k' AS INT) > 80
+             |ORDER BY event_id""".stripMargin)),
+
+    // ---- P12: trivial predicate False → empty relation with correct schema
+    //      (vastdb/table.py:485-489; Catalyst folds to empty LocalRelation)
+    Q("p12_trivial_false",
+      (s, dir) => t(s, dir, "region").filter(lit(false))
+        .select("r_regionkey", "r_name"),
+      Some("SELECT r_regionkey, r_name FROM region WHERE 1 = 0")),
+
+    // ---- P13: predicate-only count (columns=[], vastdb/_internal.py:2590)
+    Q("p13_count_only",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "A")
+        .agg(count(lit(1)).as("n")),
+      Some("SELECT COUNT(*) AS n FROM lineitem WHERE l_returnflag = 'A'")),
+
+    // ---- L1/L3: top-k = ORDER BY + LIMIT → TakeOrderedAndProject
+    Q("l3_topk",
+      (s, dir) => Relational.topK(t(s, dir, "orders"), 25,
+          col("o_totalprice").desc, col("o_orderkey").asc)
+        .select("o_orderkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin)),
+
+    // ---- L4: data-at-rest ordering (Elysium sort, vastdb/table.py:996-1008):
+    //      global range-partitioned sort — write path uses the same plan
+    Q("l4_global_sort",
+      (s, dir) => t(s, dir, "lineitem")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"),
+      Some("""SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+             |FROM lineitem
+             |ORDER BY l_shipdate, l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- J*: all seven wire-IR JoinKind values (SURVEY §2.3) ----
+    Q("j1_join_inner",
+      (s, dir) => Relational.join(t(s, dir, "lineitem"), t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"), "Inner")
+        .groupBy("o_orderstatus")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+             count(lit(1)).as("n"))
+        .orderBy("o_orderstatus"),
+      Some(s"""SELECT o_orderstatus,
+              |  ${DSUM("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+              |  COUNT(*) AS n
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    Q("j2_join_left",
+      (s, dir) => Relational.join(t(s, dir, "customer"), t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "LeftOuter")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
+    Q("j3_join_right",
+      (s, dir) => Relational.join(t(s, dir, "orders"), t(s, dir, "customer"),
+          col("c_custkey") === col("o_custkey"), "RightOuter")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+             |FROM orders RIGHT JOIN customer ON c_custkey = o_custkey
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
+    Q("j4_join_full",
+      (s, dir) => {
+        val usedNations = t(s, dir, "customer").select(col("c_nationkey")).distinct()
+        Relational.join(usedNations, t(s, dir, "nation"),
+            col("c_nationkey") === col("n_nationkey"), "FullOuter")
+          .select(col("c_nationkey"), col("n_nationkey"), col("n_name"))
+          .orderBy(asc_nulls_first("n_nationkey"), asc_nulls_first("c_nationkey"))
+      },
+      Some("""SELECT c_nationkey, n_nationkey, n_name
+             |FROM (SELECT DISTINCT c_nationkey FROM customer) u
+             |FULL JOIN nation ON c_nationkey = n_nationkey
+             |ORDER BY n_nationkey NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin)),
+
+    Q("j5_join_semi",
+      (s, dir) => Relational.join(t(s, dir, "customer"),
+          t(s, dir, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "LeftSemi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("j6_join_anti",
+      (s, dir) => Relational.join(t(s, dir, "customer"),
+          t(s, dir, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "Anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("j7_join_cross",
+      (s, dir) => Relational.join(t(s, dir, "region"),
+          t(s, dir, "orders").select(col("o_orderstatus")).distinct(),
+          lit(true), "Cross")
+        .select("r_name", "o_orderstatus")
+        .orderBy("r_name", "o_orderstatus"),
+      Some("""SELECT r_name, o_orderstatus
+             |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) o
+             |ORDER BY r_name, o_orderstatus""".stripMargin)),
+
+    // ---- A*: aggregation layer (SURVEY §2.4; delegated to DuckDB/PyArrow
+    //      in the reference, native hash-agg here) ----
+    Q("a1_agg_groupby",  // TPC-H Q1 shape
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+             dsum(col("l_extendedprice")).as("sum_base_price"),
+             dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+             (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+             count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  ${DSUM("l_quantity")} AS sum_qty,
+              |  ${DSUM("l_extendedprice")} AS sum_base_price,
+              |  ${DSUM("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+              |  ${DSUM("l_quantity")} / COUNT(*) AS avg_qty,
+              |  COUNT(*) AS count_order
+              |FROM lineitem
+              |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+              |GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Q("a2_agg_distinct",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("nd_parts"),
+             countDistinct(col("l_suppkey")).as("nd_supps"),
+             min(col("l_quantity")).as("min_qty"),
+             max(col("l_quantity")).as("max_qty"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  COUNT(DISTINCT l_partkey) AS nd_parts,
+             |  COUNT(DISTINCT l_suppkey) AS nd_supps,
+             |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("a3_agg_rollup",
+      (s, dir) => t(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+      Some(s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+              |  ${DSUM("o_totalprice")} AS total
+              |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+              |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
+    Q("a4_agg_cube",
+      (s, dir) => t(s, dir, "events")
+        .cube(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+        .orderBy(asc_nulls_first("event_type"), asc_nulls_first("d")),
+      Some(s"""SELECT event_type, DATE_TRUNC('day', ts) AS d, COUNT(*) AS n,
+              |  ${DSUM("value")} AS v
+              |FROM events GROUP BY CUBE (event_type, DATE_TRUNC('day', ts))
+              |ORDER BY event_type NULLS FIRST, d NULLS FIRST""".stripMargin)),
+
+    // ---- W*: window functions (SURVEY §2.5, IR WindowCall) ----
+    Q("w1_window_rank",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("rk", rank().over(w))
+          .filter(col("rn") <= 5)
+          .select("o_orderstatus", "rn", "rk", "o_orderkey", "o_totalprice")
+          .orderBy("o_orderstatus", "rn")
+      },
+      Some("""SELECT o_orderstatus, rn, rk, o_orderkey, o_totalprice FROM (
+             |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+             |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+             |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             |    RANK()       OVER (PARTITION BY o_orderstatus
+             |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+             |  FROM orders) x
+             |WHERE rn <= 5 ORDER BY o_orderstatus, rn""".stripMargin)),
+
+    Q("w2_window_running_sum",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .filter(col("o_custkey") < 30)
+          .withColumn("run_total",
+            sum(col("o_totalprice").cast(DecimalType(38, 6))).over(w).cast("double"))
+          .select("o_custkey", "o_orderkey", "run_total")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+             |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |    AS run_total
+             |FROM orders WHERE o_custkey < 30
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    Q("w3_window_lag_lead",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, dir, "events")
+          .filter(col("user_id") < 20)
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .select("user_id", "event_id", "event_type", "prev_type", "next_type")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, event_type,
+             |  LAG(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+             |  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+             |FROM events WHERE user_id < 20
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // ---- SO*: set operations (SURVEY §2.7, IR SetOpKind) ----
+    Q("so1_union_all",
+      (s, dir) => Relational.union(
+          t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+            .select("o_orderkey", "o_totalprice"),
+          t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+            .select("o_orderkey", "o_totalprice"))
+        .orderBy("o_orderkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+             |UNION ALL
+             |SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 450000
+             |ORDER BY o_orderkey, o_totalprice""".stripMargin)),
+
+    Q("so2_intersect",
+      (s, dir) => Relational.intersect(
+          t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+            .select("o_custkey"),
+          t(s, dir, "orders").filter(col("o_orderpriority") === "5-LOW")
+            .select("o_custkey"))
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |INTERSECT
+             |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+             |ORDER BY o_custkey""".stripMargin)),
+
+    Q("so3_except",
+      (s, dir) => Relational.except(
+          t(s, dir, "customer").select("c_custkey"),
+          t(s, dir, "orders").select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey FROM customer
+             |EXCEPT
+             |SELECT o_custkey FROM orders
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- V*: vector search (SURVEY §2.8) — metric l2sq / ip over the
+    //      embeddings table; query vector = row vec_id=0, joined in via
+    //      broadcast (no driver-side collect)
+    Q("v1_vector_topk_l2sq",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+        e.crossJoin(broadcast(q))
+          .withColumn("d", round(Distances.l2sq(col("embedding"), col("qvec")), 2))
+          .orderBy(col("d").asc, col("vec_id").asc)
+          .limit(20)
+          .select("vec_id", "d")
+      },
+      Some("""SELECT vec_id,
+             |  ROUND(CAST(list_distance(embedding, q.qvec) AS DOUBLE)
+             |        * CAST(list_distance(embedding, q.qvec) AS DOUBLE), 2) AS d
+             |FROM embeddings
+             |CROSS JOIN (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
+             |ORDER BY d, vec_id LIMIT 20""".stripMargin)),
+
+    Q("v2_vector_topk_ip",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+        e.crossJoin(broadcast(q))
+          .withColumn("ip", round(Distances.ip(col("embedding"), col("qvec")), 2))
+          .orderBy(col("ip").desc, col("vec_id").asc)
+          .limit(20)
+          .select("vec_id", "ip")
+      },
+      Some("""SELECT vec_id,
+             |  ROUND(CAST(list_inner_product(embedding, q.qvec) AS DOUBLE), 2) AS ip
+             |FROM embeddings
+             |CROSS JOIN (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
+             |ORDER BY ip DESC, vec_id LIMIT 20""".stripMargin))
+  )
+
+  // ---------- driver contract ----------
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows > 0):
+    * pricing-summary join of the three biggest tables. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+           count(lit(1)).as("n_lines"))
+      .orderBy("c_mktsegment")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    defs.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -1,0 +1,192 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftglue.Glue
+import org.apache.spark.sql.types._
+
+/**
+ * Vector distance expressions for the vector-search path.
+ *
+ * The reference exposes two metrics on fixed-size-list float columns —
+ * `l2sq` (squared L2) and `ip` (inner product) — consumed by a generated
+ * `ORDER BY dist LIMIT k` query (vastdb/_adbc.py:133-159,
+ * vastdb/tests/test_vector_search.py:14-15, 80-146). Here they are native
+ * Catalyst expressions with whole-stage codegen (`doGenCode` emits a tight
+ * primitive loop, no boxing), so a brute-force top-k stays inside
+ * WholeStageCodegen and Spark plans it as TakeOrderedAndProject — a true
+ * distributed top-k (per-partition heap + driver merge), which is the
+ * 100 TB-safe shape for k ≪ n.
+ *
+ * Elements may be float or double arrays; accumulation is double.
+ */
+abstract class VectorFold extends BinaryExpression with Serializable {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>/array<double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  protected def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** scala fold step given x=left(i), y=right(i): returns new acc */
+  protected def step(acc: Double, x: Double, y: Double): Double
+  /** java source for the loop body; acc/x/y are double variable names */
+  protected def stepCode(acc: String, x: String, y: String): String
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val lf = isFloat(left)
+    val rf = isFloat(right)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+      acc = step(acc, x, y)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (isFloat(left)) "getFloat" else "getDouble"
+    val rGet = if (isFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.$lGet($i);
+         |  double $y = (double) $b.$rGet($i);
+         |  ${stepCode(acc, x, y)}
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+}
+
+/** Squared Euclidean distance — reference metric `l2sq`. */
+case class L2SquaredDistance(left: Expression, right: Expression) extends VectorFold {
+  override def prettyName: String = "l2sq"
+  protected def step(acc: Double, x: Double, y: Double): Double = {
+    val d = x - y; acc + d * d
+  }
+  protected def stepCode(acc: String, x: String, y: String): String = {
+    val d = s"d_$acc"
+    s"double $d = $x - $y; $acc += $d * $d;"
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Inner product — reference metric `ip` (similarity; negate for distance). */
+case class InnerProduct(left: Expression, right: Expression) extends VectorFold {
+  override def prettyName: String = "ip"
+  protected def step(acc: Double, x: Double, y: Double): Double = acc + x * y
+  protected def stepCode(acc: String, x: String, y: String): String =
+    s"$acc += $x * $y;"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Cosine similarity — extension metric for embedding near-dup detection. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim requires array<float>/array<double> inputs")
+  }
+
+  private def isFloat(e: Expression) =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val lf = isFloat(left); val rf = isFloat(right)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (isFloat(left)) "getFloat" else "getDouble"
+    val rGet = if (isFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double x = (double) $a.$lGet($i);
+         |  double y = (double) $b.$rGet($i);
+         |  $dot += x * y; $na += x * x; $nb += y * y;
+         |}
+         |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 : $dot / java.lang.Math.sqrt($na * $nb);
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+object Distances {
+  /** Squared L2 distance between two float/double array columns. */
+  def l2sq(a: Column, b: Column): Column =
+    Glue.column(L2SquaredDistance(Glue.expression(a), Glue.expression(b)))
+  /** Inner product (higher = more similar). */
+  def ip(a: Column, b: Column): Column =
+    Glue.column(InnerProduct(Glue.expression(a), Glue.expression(b)))
+  /** Cosine similarity in [-1, 1]. */
+  def cosineSim(a: Column, b: Column): Column =
+    Glue.column(CosineSimilarity(Glue.expression(a), Glue.expression(b)))
+
+  /** Register SQL names (reference server exposes `array_distance`,
+    * vastdb/tests/test_vector_search.py:14-15). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = Glue.registry(spark)
+    reg.createOrReplaceTempFunction("l2sq", es => L2SquaredDistance(es(0), es(1)), "builtin")
+    reg.createOrReplaceTempFunction("array_distance", es => L2SquaredDistance(es(0), es(1)), "builtin")
+    reg.createOrReplaceTempFunction("inner_product", es => InnerProduct(es(0), es(1)), "builtin")
+    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimilarity(es(0), es(1)), "builtin")
+  }
+}
