@@ -438,7 +438,231 @@ object SparkEntry {
              |  ROUND(CAST(list_inner_product(embedding, q.qvec) AS DOUBLE), 2) AS ip
              |FROM embeddings
              |CROSS JOIN (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
-             |ORDER BY ip DESC, vec_id LIMIT 20""".stripMargin))
+             |ORDER BY ip DESC, vec_id LIMIT 20""".stripMargin)),
+
+    // ---- D1-D3: DML semantics (SURVEY §2.10) as row-set transforms; the
+    //      storage copy-on-write path is exercised in the catalog specs ----
+    Q("d1_update_where",
+      (s, dir) => graft.dml.Dml.updateWhere(t(s, dir, "lineitem"),
+          col("l_returnflag") === "R",
+          Map("l_discount" -> lit(0.0)))
+        .select("l_orderkey", "l_linenumber", "l_discount", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CASE WHEN l_returnflag = 'R' THEN 0.0 ELSE l_discount END AS l_discount,
+             |  l_returnflag
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("d2_delete_where",
+      (s, dir) => graft.dml.Dml.deleteWhere(t(s, dir, "orders"),
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_orderdate")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderdate FROM orders
+             |WHERE NOT COALESCE(o_orderdate < TIMESTAMP '1997-01-01', FALSE)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    Q("d3_rowid_assignment",
+      (s, dir) => graft.dml.Dml.withRowIds(t(s, dir, "documents"), Seq("doc_id"))
+        .select("_row_id", "doc_id")
+        .orderBy("_row_id"),
+      Some("""SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS _row_id, doc_id
+             |FROM documents ORDER BY _row_id""".stripMargin)),
+
+    // ---- TA*: text analysis for training-data pipelines ----
+    Q("ta1_token_stats",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.llm.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          graft.llm.TextAnalysis.bpeTokenEstimate(col("text")).as("n_tokens_bpe_est"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+             |  GREATEST(CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT),
+             |           CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT)) AS n_tokens_bpe_est
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("ta2_quality_score",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.llm.TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+          graft.llm.TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+          graft.llm.TextAnalysis.qualityScore(col("text")).as("quality_score"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  ROUND((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[[:punct:]]', '', 'g')))
+             |        * 1.0 / GREATEST(LENGTH(text), 1), 6) AS punct_ratio,
+             |  ROUND(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+             |          w -> w IN ('the','a','of','and','to','in','is','it','for','on')))
+             |        * 1.0 / GREATEST(LEN(STRING_SPLIT(text, ' ')), 1), 6) AS stopword_ratio,
+             |  CAST(CAST(LEAST(LENGTH(text), 500) / 500.0 AS DECIMAL(18,6)) * 0.3
+             |    + CAST(1.0 - ROUND((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[[:punct:]]', '', 'g')))
+             |            * 1.0 / GREATEST(LENGTH(text), 1), 6) AS DECIMAL(18,6)) * 0.2
+             |    + CAST(ROUND(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+             |          w -> w IN ('the','a','of','and','to','in','is','it','for','on')))
+             |        * 1.0 / GREATEST(LEN(STRING_SPLIT(text, ' ')), 1), 6) AS DECIMAL(18,6)) * 0.5
+             |    AS DOUBLE) AS quality_score
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("ta3_langid",  // heuristic — not SQL-expressible, rows-only gate
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.llm.TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+      None),
+
+    Q("ta4_fingerprint",  // engine-specific 64-bit hash — rows-only gate
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.llm.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id"),
+      None),
+
+    // ---- DD*: deduplication suite over `documents` ----
+    Q("dd1_exact_groups",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id"),
+      Some("""SELECT MD5(text) AS content_hash, MIN(doc_id) AS keep_id,
+             |       COUNT(*) AS n_copies
+             |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
+
+    Q("dd2_minhash_lsh",  // LSH candidate generation — rows-only gate
+      (s, dir) => graft.llm.Dedup.minhashPairs(t(s, dir, "documents"),
+          "doc_id", "text", k = 64, bands = 16, threshold = 0.5)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    Q("dd3_ngram_jaccard",
+      (s, dir) => graft.llm.Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+          "doc_id", "text", blockCol = "lang", threshold = 0.6,
+          leftFilter = col("doc_id") < 250)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH s AS (SELECT doc_id, lang,
+             |             LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS st
+             |           FROM documents)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  ROUND(CAST(LEN(LIST_INTERSECT(a.st, b.st)) AS DOUBLE)
+             |        / (LEN(a.st) + LEN(b.st) - LEN(LIST_INTERSECT(a.st, b.st))), 6)
+             |    AS jaccard
+             |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |WHERE a.doc_id < 250
+             |  AND ROUND(CAST(LEN(LIST_INTERSECT(a.st, b.st)) AS DOUBLE)
+             |        / (LEN(a.st) + LEN(b.st) - LEN(LIST_INTERSECT(a.st, b.st))), 6) >= 0.6
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("dd4_simhash",  // banded hamming candidates — rows-only gate
+      (s, dir) => graft.llm.Dedup.simhashPairs(t(s, dir, "documents"),
+          "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    Q("dd5_embed_cosine_pairs",
+      (s, dir) => graft.llm.Dedup.embeddingCosinePairs(t(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.4,
+          leftFilter = col("vec_id") < 250)
+        .orderBy("id_a", "id_b"),
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+             |                               CAST(b.embedding AS DOUBLE[])), 6) AS cos
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE a.vec_id < 250
+             |  AND ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+             |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- SS*: similarity search ----
+    Q("ss1_knn_join",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        graft.llm.Similarity.knnJoin(e, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10)
+          .orderBy("q_id", "knn_rank")
+      },
+      Some("""SELECT q_id, knn_rank, n_id FROM (
+             |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             |      ORDER BY LIST_DISTANCE(CAST(c.embedding AS DOUBLE[]),
+             |                             CAST(q.embedding AS DOUBLE[])), c.vec_id)
+             |      AS knn_rank
+             |  FROM embeddings c
+             |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+             |  WHERE c.vec_id <> q.vec_id) x
+             |WHERE knn_rank <= 10 ORDER BY q_id, knn_rank""".stripMargin)),
+
+    Q("ss2_ann_lsh",  // approximate — rows-only gate; recall tested in specs
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        graft.llm.Similarity.annLsh(e, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, dim = 64)
+          .orderBy("q_id", "knn_rank")
+      },
+      None),
+
+    // ---- MM*: multimodal binary-column plumbing ----
+    Q("mm1_binary_meta",
+      (s, dir) => {
+        val withBin = t(s, dir, "documents")
+          .withColumn("media", col("text").cast("binary"))
+        graft.llm.Multimodal.withMediaMeta(withBin, "media", "text/plain")
+          .select(col("doc_id"),
+            col("media_meta.n_bytes").as("n_bytes"),
+            col("media_meta.checksum").as("checksum"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+             |  MD5(text) AS checksum
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("mm2_feature_extract",  // stubbed decoder — rows-only gate
+      (s, dir) => graft.llm.Multimodal.extractFeatures(
+          t(s, dir, "documents").withColumn("media", col("text").cast("binary")),
+          "doc_id", "media")
+        .orderBy("id"),
+      None),
+
+    // ---- EV*: event/streaming layer (batch-equivalent of the Structured
+    //      Streaming transforms; streaming execution tested in specs) ----
+    Q("ev1_tumbling_window",
+      (s, dir) => graft.streaming.Events.tumblingStats(t(s, dir, "events"), "1 hour")
+        .orderBy(col("window_start"), col("event_type")),
+      Some(s"""SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS window_start,
+              |  event_type, COUNT(*) AS n, ${DSUM("value")} AS total_value
+              |FROM events GROUP BY 1, 2
+              |ORDER BY window_start, event_type""".stripMargin)),
+
+    Q("ev2_sessionize",
+      (s, dir) => graft.streaming.Events.sessionizeBatch(t(s, dir, "events"), 30)
+        .groupBy("user_id")
+        .agg(max(col("session_seq")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, CAST(MAX(session_seq) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+             |FROM (
+             |  SELECT user_id,
+             |    SUM(CASE WHEN prev_ts IS NULL
+             |             OR EPOCH_US(ts) - EPOCH_US(prev_ts) > 1800000000
+             |        THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS session_seq
+             |  FROM (SELECT user_id, ts, event_id,
+             |          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |        FROM events) a) b
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    Q("ev3_dedup_keep_first",
+      (s, dir) => graft.streaming.Events.dedupKeepFirstBatch(
+          t(s, dir, "events"), Seq("user_id", "event_type"))
+        .select("user_id", "event_type", "event_id")
+        .orderBy("user_id", "event_type"),
+      Some("""SELECT user_id, event_type, event_id FROM (
+             |  SELECT user_id, event_type, event_id,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+             |                       ORDER BY ts, event_id) AS rn
+             |  FROM events) x
+             |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin))
   )
 
   // ---------- driver contract ----------

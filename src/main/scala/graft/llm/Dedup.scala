@@ -1,0 +1,164 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Distances
+
+/**
+ * Deduplication operators for training-data pipelines, each designed for the
+ * 100 TB shape:
+ *
+ *  - exact:       one hash-shuffle on a 16-byte digest (never on raw text).
+ *  - minhash LSH: signatures computed map-side (k hashes over shingles as
+ *                 column expressions, no UDF); candidate generation is an
+ *                 equi-join on (band, bandHash) — a key-partitioned shuffle
+ *                 whose width is bounded by band collision rate, never the
+ *                 O(n²) cross join.
+ *  - simhash:     64-bit signature map-side; candidates via banded chunks
+ *                 (pigeonhole: hamming ≤ d pairs share ≥ one of d+1 chunks).
+ *  - n-gram jaccard: exact verifier — only ever run on a candidate set or a
+ *                 bounded slice, not the full corpus.
+ *  - embedding cosine: codegen'd cosine over a blocked candidate join.
+ */
+object Dedup {
+
+  /** Exact dedup, keep-first: content-hash shuffle, row_number == 1.
+    * At scale the shuffle key is md5(text) (fixed 16 bytes), so text skew
+    * doesn't produce key skew beyond true duplicate mass. */
+  def exactKeepFirst(df: DataFrame, textCol: String, orderCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(orderCol).asc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Word n-gram shingles of size `n` as an array column. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(text, " ")
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** k-permutation minhash signature (array<long> of length k), computed
+    * entirely map-side: sig[i] = min over shingles of xxhash64(shingle, i). */
+  def minhashSignature(text: Column, k: Int = 64, shingleN: Int = 3): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingles(text, shingleN),
+        s => xxhash64(s, i))))
+
+  /** Estimated jaccard from two signatures: matching-position fraction. */
+  def estJaccard(sigA: Column, sigB: Column, k: Int): Column =
+    round(aggregate(zip_with(sigA, sigB, (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / k, 6)
+
+  /**
+   * MinHash + LSH near-duplicate pairs.
+   * bands·rowsPerBand must equal k. Returns (idA, idB, est_jaccard) with
+   * idA < idB and est_jaccard ≥ threshold.
+   */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 64, bands: Int = 16, threshold: Double = 0.7,
+                   shingleN: Int = 3): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sigs = df.select(col(idCol).as("id"),
+        minhashSignature(col(textCol), k, shingleN).as("sig"))
+      .localCheckpoint(false) // signatures are reused on both sides of the join
+    val banded = sigs.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * r + 1, lit(r))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    val a = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        estJaccard(col("sig_a"), col("sig_b"), k).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** 64-bit simhash of the word multiset: per-word xxhash64, bit-voting. */
+  def simhash(text: Column): Column = {
+    val hashes = transform(split(text, " "), w => xxhash64(w))
+    // votes[i] = sum over words of (bit i set ? +1 : -1)
+    val votes = aggregate(hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (v, i) => v + when(call_function("shiftrightunsigned", h, i).bitwiseAND(1) === 1, 1).otherwise(-1)))
+    // pack sign bits back into a long
+    aggregate(zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Simhash near-dup candidate pairs with hamming distance ≤ maxHamming,
+    * banded into (maxHamming+1) 16-bit chunks (pigeonhole guarantee for
+    * maxHamming ≤ 3). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val chunks = 4 // 4 × 16-bit chunks of the 64-bit signature
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+      .localCheckpoint(false)
+    val banded = sigs.select(col("id"), col("sim"),
+        posexplode(transform(sequence(lit(0), lit(chunks - 1)),
+          c => call_function("shiftrightunsigned", col("sim"), c * 16).bitwiseAND(0xFFFFL))))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "chunk_val")
+    val a = banded.select(col("chunk"), col("chunk_val"),
+      col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = banded.select(col("chunk"), col("chunk_val"),
+      col("id").as("id_b"), col("sim").as("sim_b"))
+    val hamming = aggregate(
+      transform(sequence(lit(0), lit(63)),
+        i => call_function("shiftrightunsigned", col("sim_a").bitwiseXOR(col("sim_b")), i)
+          .bitwiseAND(1).cast("int")),
+      lit(0), (acc, x) => acc + x)
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram (word-set) jaccard pairs within a blocking key — the
+    * brute-force verifier. `blockCol` bounds the join (e.g. language);
+    * `leftFilter` optionally restricts the probe side. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, threshold: Double,
+                        leftFilter: Column = lit(true)): DataFrame = {
+    val sets = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      array_distinct(split(col(textCol), " ")).as("st"))
+    val a = sets.filter(leftFilter)
+      .select(col("blk"), col("id").as("id_a"), col("st").as("st_a"))
+    val b = sets.select(col("blk"), col("id").as("id_b"), col("st").as("st_b"))
+    val inter = size(array_intersect(col("st_a"), col("st_b")))
+    val jac = round(inter.cast("double") /
+      (size(col("st_a")) + size(col("st_b")) - inter), 6)
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jac)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Embedding near-dup pairs by cosine similarity ≥ threshold over a
+    * bounded probe set (brute-force verifier; LSH path in Similarity). */
+  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double,
+                           leftFilter: Column = lit(true)): DataFrame = {
+    val a = df.filter(leftFilter)
+      .select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(Distances.cosineSim(col("v_a"), col("v_b")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

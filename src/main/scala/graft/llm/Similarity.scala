@@ -1,0 +1,100 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Distances
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ * Two paths, per the scale plan:
+ *  - brute-force top-k: codegen'd distance + TakeOrderedAndProject — exact,
+ *    one full scan, the right baseline for ad-hoc queries;
+ *  - hyperplane-LSH bucketed ANN: deterministic random projections computed
+ *    map-side; candidate generation is an equi-join on bucket signatures so
+ *    the O(n²) pair space never materializes. At 100 TB, signatures+ids are
+ *    a small side table and the per-bucket joins are key-partitioned.
+ */
+object Similarity {
+
+  /** Exact top-k nearest neighbors of each query row (knn join).
+    * `queries` and `corpus` both carry (idCol, vecCol); the smaller side
+    * (queries) is broadcast, distances stay in one codegen stage, and
+    * per-query ranking is a window over the bounded candidate set. */
+  def knnJoin(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              metric: String = "l2sq"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val dist = metric match {
+      case "l2sq" => Distances.l2sq(col("q_vec"), col("n_vec"))
+      case "ip" => -Distances.ip(col("q_vec"), col("n_vec"))
+      case "cosine" => -Distances.cosineSim(col("q_vec"), col("n_vec"))
+      case m => throw new IllegalArgumentException(s"unknown metric $m")
+    }
+    val w = Window.partitionBy("q_id").orderBy(col("_d").asc, col("n_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id")) // exclude self BEFORE ranking
+      .withColumn("_d", dist)
+      .withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+      .select(col("q_id"), col("knn_rank"), col("n_id"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: plane p, dim j component is a
+    * zero-mean value derived from a hash — reproducible across runs/engines
+    * with no RNG state. */
+  private def hyperplane(p: Int, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      j => (pmod(xxhash64(lit(p) * dim + j), lit(2000001L)) - 1000000L)
+        .cast("double") / 1000000.0)
+
+  /** Bit-signature of `planes` hyperplane signs, packed into a long.
+    * `planeOffset` selects an independent plane family (one per LSH table).
+    * Plane indices are structural (known at plan time) so the bit masks are
+    * Scala constants, not runtime shifts. */
+  def lshSignature(vec: Column, planes: Int, dim: Int, planeOffset: Int = 0): Column =
+    (0 until planes).map { p =>
+      when(Distances.ip(vec, hyperplane_cached(planeOffset + p, dim)) >= 0,
+        lit(1L << p)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  // hyperplanes are loop-invariant; keep one Column per (p, dim)
+  private val planeCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, Int), Column]
+  private def hyperplane_cached(p: Int, dim: Int): Column =
+    planeCache.getOrElseUpdate((p, dim), hyperplane(p, dim))
+
+  /**
+   * Approximate NN via multi-table hyperplane LSH: `tables` independent
+   * signatures of `planes` bits each; rows sharing any (table, signature)
+   * with a query are candidates; exact distance ranks the candidates.
+   * Recall grows with tables; cost is bounded by bucket occupancy, not n².
+   */
+  def annLsh(corpus: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int, dim: Int,
+             planes: Int = 12, tables: Int = 4): DataFrame = {
+    // Each table uses an independent hyperplane family (offset t*planes) —
+    // xor-style decorrelation of a single signature would be a bijection per
+    // table and add no recall.
+    def signed(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+          posexplode(array((0 until tables).map(t =>
+            lshSignature(col(vecCol), planes, dim, t * planes)): _*)))
+        .withColumnRenamed("pos", "tbl")
+        .withColumnRenamed("col", "sig")
+    val c = signed(corpus, "n_id", "n_vec")
+    val q = signed(queries, "q_id", "q_vec")
+    val cands = c.join(q, Seq("tbl", "sig"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "q_vec", "n_id", "n_vec").distinct()
+    val w = Window.partitionBy("q_id").orderBy(col("_d").asc, col("n_id").asc)
+    cands
+      .withColumn("_d", Distances.l2sq(col("q_vec"), col("n_vec")))
+      .withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+      .select(col("q_id"), col("knn_rank"), col("n_id"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Streaming operators over the `events` table (net-new vs the reference —
+ * it has no streaming abstractions, SURVEY §1.1 last row; its closest shape
+ * is the paginated record-batch result stream).
+ *
+ * Each transform is written against an unbounded DataFrame: applied to
+ * `spark.readStream` input it runs under Structured Streaming with
+ * watermark-bounded state; applied to a batch DataFrame it computes the same
+ * answer (used by the correctness oracle). Batch-only variants (window
+ * functions over event-time) live in the *Batch methods.
+ */
+object Events {
+
+  /** Tumbling-window counts/sums per event type. Streaming-safe: watermark
+    * bounds state; append mode emits closed windows only. */
+  def tumblingStats(events: DataFrame, width: String,
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(38,6)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding-window counts. */
+  def slidingCounts(events: DataFrame, width: String, slide: String,
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Session windows per user (gap-based), streaming-native. */
+  def sessionStats(events: DataFrame, gap: String,
+                   watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+
+  /** Streaming dedup within the watermark horizon. */
+  def dedupWithinWatermark(events: DataFrame, watermark: String,
+                           keys: Seq[String]): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Batch sessionization with explicit session ids (gap > `gapMinutes`
+    * starts a new session) — the window-function formulation, exact and
+    * oracle-checkable; the streaming path uses session_window above. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    events
+      .withColumn("_prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("_new_session",
+        when(col("_prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("_prev_ts")) > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum(col("_new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_prev_ts", "_new_session")
+  }
+
+  /** Batch keep-first dedup by key ordered by event time. */
+  def dedupKeepFirstBatch(events: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("ts"), col("event_id"))
+    events.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+}

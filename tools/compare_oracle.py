@@ -32,8 +32,10 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         return v
     for c in df.columns:
         df[c] = df[c].map(canon)
+    # uniform string dtype so int32/int64/hugeint etc. compare by value
+    df = df.astype(str)
     if len(df) > 0:
-        df = df.sort_values(by=list(df.columns), key=lambda s: s.map(str))
+        df = df.sort_values(by=list(df.columns))
     return df.reset_index(drop=True)
 
 
