@@ -1,0 +1,338 @@
+package graft.api
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import org.json4s._
+import org.json4s.jackson.Serialization
+
+/**
+ * File-backed catalog with snapshot-versioned commit (SURVEY §7 layering).
+ *
+ * Reference model (vastdb): Session → Transaction → Bucket → Schema (nested,
+ * "a/b" paths) → Table, every operation carrying a txid, commit-on-exit
+ * (vastdb/transaction.py:59-96, bucket.py:31-73, schema.py:41-83).
+ *
+ * Layout on storage (works on any Hadoop-compatible FS; local paths here):
+ *   root/<bucket>/<schema…>/<table>/_manifest/v{N}.json   immutable manifests
+ *   root/<bucket>/<schema…>/<table>/_manifest/CURRENT     version pointer
+ *   root/<bucket>/<schema…>/<table>/data/ *.parquet        immutable data
+ *   root/<bucket>/.snapshot/<name>/…                      manifest-tree copies
+ *
+ * Commit protocol: a transaction buffers new manifests; commit writes each
+ * table's v{N+1}.json with CREATE_NEW — the filesystem's atomic
+ * create-if-absent is the compare-and-swap, so two committers racing on the
+ * same table version get exactly one winner and the loser raises `Conflict`
+ * (the reference's HTTP 409 analog). CURRENT is then advanced (pointer is
+ * advisory; readers can also resolve max v{N}). Data files are immutable and
+ * shared across versions/snapshots, so snapshots copy only manifest trees.
+ */
+object Manifest {
+  implicit val fmts: Formats = Serialization.formats(NoTypeHints)
+
+  /** One immutable data file + its row-id range (drives file-level pruning
+    * for row-id-addressed DML) and per-file physical→logical column renames
+    * (lazy rename support without rewriting data). */
+  case class FileEntry(path: String, rows: Long, minRowId: Long, maxRowId: Long,
+                       sorted: Boolean = false,
+                       renames: Map[String, String] = Map.empty)
+  case class ProjectionMeta(name: String, columns: Seq[String],
+                            sortedColumns: Seq[String], dir: String)
+  case class VectorIndexMeta(column: String, metric: String)
+  case class BlobExpansionMeta(blobColumn: String, fieldsDdl: String,
+                               targetTable: String)
+  case class TableManifest(version: Long,
+                           schemaJson: String,
+                           files: Seq[FileEntry],
+                           nextRowId: Long,
+                           sortingKeys: Seq[String] = Nil,
+                           projections: Seq[ProjectionMeta] = Nil,
+                           vectorIndexes: Seq[VectorIndexMeta] = Nil,
+                           blobExpansions: Seq[BlobExpansionMeta] = Nil,
+                           props: Map[String, String] = Map.empty) {
+    def schema: StructType =
+      org.apache.spark.sql.types.DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    def totalRows: Long = files.map(_.rows).sum
+  }
+
+  def write(p: Path, m: TableManifest, createNew: Boolean): Unit = {
+    val body = Serialization.writePretty(m).getBytes("UTF-8")
+    if (createNew) {
+      // atomic create-if-absent = the commit CAS
+      try Files.write(p, body, java.nio.file.StandardOpenOption.CREATE_NEW)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw Conflict(s"concurrent commit: ${p.getFileName} already exists")
+      }
+    } else Files.write(p, body)
+    ()
+  }
+
+  def read(p: Path): TableManifest =
+    Serialization.read[TableManifest](new String(Files.readAllBytes(p), "UTF-8"))
+}
+
+/** Session facade: SparkSession + catalog root (reference Session holds
+  * endpoint + credentials, vastdb/session.py:20-70). */
+class VastSession(val spark: SparkSession, val root: String) {
+  Files.createDirectories(Paths.get(root))
+  private val txCounter = new AtomicLong(System.currentTimeMillis())
+
+  /** Context-manager transaction: commit on clean exit, rollback on exception
+    * (vastdb/transaction.py:77-90). */
+  def transaction[T](body: Transaction => T): T = {
+    val tx = beginTransaction()
+    try {
+      val r = body(tx)
+      tx.commit()
+      r
+    } catch {
+      case e: Throwable =>
+        tx.rollback()
+        throw e
+    }
+  }
+
+  def beginTransaction(): Transaction = new Transaction(this, txCounter.incrementAndGet())
+
+  def createBucket(name: String): Unit =
+    Files.createDirectories(Paths.get(root, name))
+
+  def audit(line: String): Unit = synchronized {
+    val dir = Paths.get(root, "_audit")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("audit.jsonl"), (line + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    ()
+  }
+}
+
+object VastSession {
+  def apply(spark: SparkSession, root: String): VastSession =
+    new VastSession(spark, root)
+}
+
+/**
+ * Transaction: pins each table's manifest version at first read (repeatable
+ * reads), buffers written manifests (invisible to other transactions until
+ * commit — the reference's DDL-isolation semantics,
+ * vastdb/tests/test_tables.py:688-888), commits via the CAS protocol above.
+ */
+class Transaction(val session: VastSession, val id: Long) {
+  import Manifest._
+
+  private[api] var active = true
+  // table key (absolute table dir) -> pinned (version, manifest)
+  private[api] val readSet =
+    scala.collection.mutable.LinkedHashMap.empty[String, (Long, TableManifest)]
+  // table key -> pending manifest to commit (version = read version + 1 at commit)
+  private[api] val writeSet =
+    scala.collection.mutable.LinkedHashMap.empty[String, TableManifest]
+  // data files created by this tx (deleted on rollback)
+  private[api] val newFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+  // table dirs created by this tx (removed on rollback)
+  private[api] val newTables = scala.collection.mutable.ArrayBuffer.empty[String]
+  private[api] val droppedTables = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  def requireActive(): Unit = if (!active) throw TransactionInactive()
+
+  def bucket(name: String): Bucket = {
+    requireActive()
+    val p = Paths.get(session.root, name)
+    if (!Files.isDirectory(p)) throw MissingBucket(name)
+    new Bucket(this, name, p)
+  }
+
+  /** Pinned manifest for a table dir (reads current at first touch). */
+  private[api] def manifestFor(tableDir: Path): TableManifest = {
+    val key = tableDir.toString
+    writeSet.get(key).getOrElse {
+      readSet.getOrElseUpdate(key, {
+        val cur = Table.currentVersion(tableDir)
+        (cur, Manifest.read(tableDir.resolve("_manifest").resolve(f"v$cur%08d.json")))
+      })._2
+    }
+  }
+
+  private[api] def stageWrite(tableDir: Path, m: TableManifest): Unit = {
+    requireActive()
+    // ensure a read version is pinned for the CAS check at commit
+    manifestFor(tableDir)
+    writeSet(tableDir.toString) = m
+  }
+
+  def commit(): Unit = {
+    requireActive()
+    active = false
+    writeSet.foreach { case (key, m) =>
+      val tableDir = Paths.get(key)
+      if (Files.isDirectory(tableDir)) {
+        val base = readSet.get(key).map(_._1).getOrElse(0L)
+        val next = base + 1
+        val mdir = tableDir.resolve("_manifest")
+        Manifest.write(mdir.resolve(f"v$next%08d.json"),
+          m.copy(version = next), createNew = true)
+        Table.writeCurrent(tableDir, next)
+      }
+    }
+    droppedTables.foreach { d => Table.deleteRecursively(Paths.get(d)) }
+    session.audit(s"""{"tx":$id,"op":"commit","tables":${writeSet.size}}""")
+  }
+
+  def rollback(): Unit = {
+    if (!active) return
+    active = false
+    newFiles.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    newTables.foreach(t => Table.deleteRecursively(Paths.get(t)))
+    session.audit(s"""{"tx":$id,"op":"rollback"}""")
+  }
+
+  /** System catalog: all tables visible to this transaction
+    * (reference `tx.catalog()`, vastdb/transaction.py:107-121). */
+  def catalog(): DataFrame = {
+    requireActive()
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Long, Long, Long)]
+    val rootP = Paths.get(session.root)
+    if (Files.isDirectory(rootP)) {
+      Files.list(rootP).iterator().asScala
+        .filter(p => Files.isDirectory(p) && !p.getFileName.toString.startsWith("_"))
+        .foreach { bucketP =>
+          Table.walkTables(bucketP).foreach { tdir =>
+            val m = manifestFor(tdir)
+            val rel = bucketP.relativize(tdir)
+            val schemaPath = Option(rel.getParent).map(_.toString).getOrElse("")
+            rows += ((bucketP.getFileName.toString, schemaPath,
+              tdir.getFileName.toString, m.version, m.totalRows,
+              m.files.size.toLong))
+          }
+        }
+    }
+    import session.spark.implicits._
+    rows.toSeq.toDF("bucket", "schema", "table", "version", "num_rows", "num_files")
+  }
+
+  /** Audit log as a queryable DataFrame (reference `tx.audit_log()`). */
+  def auditLog(): DataFrame = {
+    requireActive()
+    val p = Paths.get(session.root, "_audit", "audit.jsonl")
+    if (Files.exists(p)) session.spark.read.json(p.toString)
+    else session.spark.emptyDataFrame
+  }
+}
+
+/** Bucket ≈ catalog/database; owns snapshots (vastdb/bucket.py:31-73). */
+class Bucket(val tx: Transaction, val name: String, val dir: Path) {
+
+  /** Nested schema path "a/b" (vastdb/schema.py:38). */
+  def schema(path: String): SchemaNS = {
+    val p = dir.resolve(path)
+    if (!Files.exists(p.resolve(".graft_schema"))) throw MissingSchema(path)
+    new SchemaNS(this, path, p)
+  }
+
+  def createSchema(path: String): SchemaNS = {
+    val p = dir.resolve(path)
+    if (Files.exists(p.resolve(".graft_schema"))) throw SchemaExists(path)
+    Files.createDirectories(p)
+    Files.write(p.resolve(".graft_schema"), Array.emptyByteArray)
+    tx.newTables += p.toString // rollback removes the schema dir
+    new SchemaNS(this, path, p)
+  }
+
+  def schemas: Seq[String] =
+    if (!Files.isDirectory(dir)) Nil
+    else Files.walk(dir).iterator().asScala
+      .filter(p => p.getFileName.toString == ".graft_schema")
+      .map(p => dir.relativize(p.getParent).toString)
+      .filterNot(_.startsWith(".snapshot"))
+      .toSeq.sorted
+
+  /** Read-only point-in-time view: copy the manifest trees (data shared).
+    * Reference: `bucket/.snapshot/<name>` (vastdb/bucket.py:43-70). */
+  def createSnapshot(snapName: String): Unit = {
+    val snapDir = dir.resolve(".snapshot").resolve(snapName)
+    Files.createDirectories(snapDir)
+    Table.walkTables(dir).foreach { tdir =>
+      val rel = dir.relativize(tdir)
+      val dst = snapDir.resolve(rel)
+      Files.createDirectories(dst.resolve("_manifest"))
+      // copy only CURRENT + its manifest; absolute data paths stay shared
+      val cur = Table.currentVersion(tdir)
+      Files.copy(tdir.resolve("_manifest").resolve(f"v$cur%08d.json"),
+        dst.resolve("_manifest").resolve(f"v$cur%08d.json"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Table.writeCurrent(dst, cur)
+      // propagate schema markers so snapshot traversal works
+      var sp = Option(rel.getParent)
+      while (sp.isDefined) {
+        val marker = snapDir.resolve(sp.get).resolve(".graft_schema")
+        if (!Files.exists(marker)) {
+          Files.createDirectories(marker.getParent)
+          Files.write(marker, Array.emptyByteArray)
+        }
+        sp = Option(sp.get.getParent)
+      }
+    }
+  }
+
+  def snapshots: Seq[String] = {
+    val sdir = dir.resolve(".snapshot")
+    if (!Files.isDirectory(sdir)) Nil
+    else Files.list(sdir).iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+  }
+
+  /** Open a snapshot as a read-only bucket view. */
+  def snapshot(snapName: String): Bucket = {
+    val p = dir.resolve(".snapshot").resolve(snapName)
+    if (!Files.isDirectory(p)) throw MissingSnapshot(snapName)
+    new Bucket(tx, s"$name/.snapshot/$snapName", p)
+  }
+}
+
+/** Schema (namespace of tables; nestable — vastdb/schema.py:41-83). */
+class SchemaNS(val bucket: Bucket, val path: String, val dir: Path) {
+  def tx: Transaction = bucket.tx
+
+  def createTable(name: String, schema: StructType): Table =
+    Table.create(this, name, schema)
+
+  def table(name: String): Table = {
+    val p = dir.resolve(name)
+    if (!Files.isDirectory(p.resolve("_manifest"))) throw MissingTable(name)
+    new Table(this, name, p)
+  }
+
+  def tables: Seq[String] =
+    if (!Files.isDirectory(dir)) Nil
+    else Files.list(dir).iterator().asScala
+      .filter(p => Files.isDirectory(p.resolve("_manifest")))
+      .map(_.getFileName.toString).toSeq.sorted
+
+  /** Paginated, prefix-filtered listing (reference list APIs paginate with
+    * next_key + prefix/exact filters, vastdb/_internal.py:1483-1531). */
+  def listTables(prefix: String = "", startAfter: String = "",
+                 maxKeys: Int = 1000): (Seq[String], Option[String]) = {
+    val all = tables.filter(_.startsWith(prefix)).filter(_ > startAfter)
+    val page = all.take(maxKeys)
+    (page, if (all.size > maxKeys) Some(page.last) else None)
+  }
+
+  def createSubSchema(sub: String): SchemaNS = bucket.createSchema(s"$path/$sub")
+
+  def dropSchema(): Unit = {
+    if (tables.nonEmpty) throw NotSupportedCommand(s"schema $path not empty")
+    Files.deleteIfExists(dir.resolve(".graft_schema"))
+    Table.deleteRecursively(dir)
+  }
+
+  def renameSchema(newName: String): SchemaNS = {
+    val parent = dir.getParent
+    val dst = parent.resolve(newName)
+    Files.move(dir, dst, StandardCopyOption.ATOMIC_MOVE)
+    new SchemaNS(bucket, path.split('/').dropRight(1).:+(newName).mkString("/"), dst)
+  }
+}

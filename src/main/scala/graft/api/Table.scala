@@ -1,0 +1,530 @@
+package graft.api
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftglue.Glue
+import org.apache.spark.sql.types._
+
+import graft.api.Manifest._
+import graft.dml.Dml
+import graft.functions.Distances
+import graft.types.TypeMapping.RowIdColumn
+
+/** Scan-time knobs (reference QueryConfig, vastdb/config.py:22-58). Split
+  * sizing maps to Spark partition sizing; projection knobs mirror
+  * use_semi_sorted_projections / semi_sorted_projection_name. */
+case class QueryConfig(rowsPerSplit: Long = 4000000L,
+                       useSemiSortedProjections: Boolean = true,
+                       semiSortedProjectionName: Option[String] = None,
+                       limitRows: Option[Long] = None,
+                       queuePriority: Option[String] = None)
+
+case class TableStats(numRows: Long, sizeBytes: Long, sortingScore: Double,
+                      sortingDone: Boolean, numFiles: Int)
+
+/**
+ * Table handle bound to a transaction (reference TableInTransaction,
+ * vastdb/table.py:186-907). Columnar Parquet storage, `_row_id`-addressed
+ * DML via copy-on-write limited to the files whose row-id range intersects
+ * the batch (manifest tracks per-file min/max `_row_id`), semi-sorted
+ * projections with an automatic picker, sorted (Elysium-style) rewrite with
+ * a progress score, vector search, blob expansion, and a per-table imports
+ * side table.
+ */
+class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Path) {
+  def tx: Transaction = schemaNS.tx
+  def spark: SparkSession = tx.session.spark
+  private def dataDir: Path = dir.resolve("data")
+
+  def manifest: TableManifest = tx.manifestFor(dir)
+  def schema: StructType = manifest.schema
+
+  // ------------------------------------------------------------------ scan
+
+  /** Read a set of file entries reconciling schema evolution: files are
+    * grouped by their rename map; each group is read with its physical
+    * schema (missing columns null-filled by the parquet reader) then
+    * aliased back to logical names. */
+  private def readEntries(entries: Seq[FileEntry], logical: StructType): DataFrame = {
+    val withRid = if (logical.fieldNames.contains(RowIdColumn)) logical
+      else logical.add(StructField(RowIdColumn, LongType, nullable = false))
+    if (entries.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], withRid)
+    entries.groupBy(_.renames).map { case (renames, group) =>
+      val inverse = renames.map(_.swap) // logical -> physical
+      val phys = StructType(withRid.fields.map(f =>
+        f.copy(name = inverse.getOrElse(f.name, f.name))))
+      spark.read.schema(phys).parquet(group.map(_.path): _*)
+        .toDF(withRid.fieldNames.toSeq: _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Projection picker: a materialized projection serves the scan when it
+    * covers projected ∪ predicate columns; among candidates prefer one whose
+    * leading sort column appears in the predicate (mirrors the server's
+    * semi-sorted projection selection, vastdb/tests/test_projections.py:102-125). */
+  private def pickProjection(m: TableManifest, needed: Set[String],
+                             predRoots: Set[String],
+                             config: QueryConfig): Option[ProjectionMeta] = {
+    if (!config.useSemiSortedProjections) return None
+    config.semiSortedProjectionName match {
+      case Some(n) => m.projections.find(_.name == n)
+      case None =>
+        val covering = m.projections.filter(p => needed.subsetOf(p.columns.toSet))
+        covering.find(p => p.sortedColumns.headOption.exists(predRoots))
+          .orElse(covering.headOption)
+    }
+  }
+
+  private def predicateRoots(predicate: Column): Set[String] =
+    Glue.expression(predicate).collect {
+      case a: UnresolvedAttribute => a.nameParts.head
+    }.toSet
+
+  /** Filtered+projected scan (reference `select`, vastdb/table.py:571-704).
+    * Catalyst/Parquet take over everything the reference hand-rolls: splits
+    * = file partitions, predicate/projection pushdown, limit short-circuit. */
+  def select(columns: Seq[String] = Nil,
+             predicate: Column = lit(true),
+             internalRowId: Boolean = false,
+             config: QueryConfig = QueryConfig()): DataFrame = {
+    val m = manifest
+    val logical = m.schema
+    val cols = if (columns.isEmpty) logical.fieldNames.toSeq else columns
+    val roots = predicateRoots(predicate)
+    val needed = cols.toSet ++ roots
+
+    config.queuePriority.foreach(p =>
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", p))
+
+    val base = pickProjection(m, needed, roots, config) match {
+      case Some(p) =>
+        val pdir = dir.resolve(p.dir)
+        val projSchema = StructType(logical.fields.filter(f => p.columns.contains(f.name)))
+        spark.read.schema(projSchema.add(RowIdColumn, LongType)).parquet(pdir.toString)
+      case None => readEntries(m.files, logical)
+    }
+    val projected = base.filter(predicate)
+      .select((if (internalRowId) RowIdColumn +: cols else cols).map(col): _*)
+    config.limitRows.fold(projected)(n => projected.limit(n.toInt))
+  }
+
+  /** Row-count estimate via 2^-16 sampling (reference probe split,
+    * vastdb/table.py:442-458) — exact stats exist in the manifest; the
+    * sampling path estimates *filtered* cardinality without a full scan. */
+  def estimateRowCount(predicate: Column = lit(true)): Long =
+    (select(Nil, lit(true)).sample(1.0 / 65536 * 1024, 42)
+      .filter(predicate).count() * 64)
+
+  def stats: TableStats = {
+    val m = manifest
+    val size = m.files.map(f => try Files.size(Paths.get(f.path)) catch { case _: Exception => 0L }).sum
+    val sortedFrac =
+      if (m.sortingKeys.isEmpty || m.files.isEmpty) 0.0
+      else m.files.count(_.sorted).toDouble / m.files.size
+    TableStats(m.totalRows, size, sortedFrac,
+      m.sortingKeys.nonEmpty && sortedFrac == 1.0, m.files.size)
+  }
+
+  // ------------------------------------------------------------------ write
+
+  /** Write a DataFrame (logical schema + `_row_id`) as immutable data files;
+    * returns manifest entries with per-file row-id ranges (one cheap
+    * columnar pass over `_row_id` computes them). */
+  private def writeData(df: DataFrame, sorted: Boolean): Seq[FileEntry] = {
+    val batch = dataDir.resolve("b-" + UUID.randomUUID().toString.take(8))
+    df.write.parquet(batch.toString)
+    val statsDf = spark.read.parquet(batch.toString)
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("rows"),
+        min(col(RowIdColumn)).as("lo"), max(col(RowIdColumn)).as("hi"))
+    val entries = statsDf.collect().map { r =>
+      val path = r.getString(0).stripPrefix("file://").stripPrefix("file:")
+      tx.newFiles += path
+      FileEntry(path, r.getLong(1), r.getLong(2), r.getLong(3), sorted = sorted)
+    }.toSeq
+    entries
+  }
+
+  /** Contiguous `_row_id` assignment from the table's high-water mark
+    * (reference allocates 0..n-1 on first insert, vastdb/tests/util.py:175-180).
+    * Per-partition offsets via zipWithIndex — no global sort, no driver
+    * collect of data. */
+  private def assignRowIds(df: DataFrame, start: Long): DataFrame = {
+    val schemaOut = StructType(df.schema.fields :+
+      StructField(RowIdColumn, LongType, nullable = false))
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (start + i))
+    }
+    spark.createDataFrame(rdd, schemaOut)
+  }
+
+  /** Insert (reference vastdb/table.py:739-777). Returns allocated row-id
+    * range [start, start+n). */
+  def insert(rows: DataFrame): (Long, Long) = {
+    val m = manifest
+    val logical = m.schema
+    val aligned = rows.select(logical.fieldNames.map(col).toIndexedSeq: _*)
+    val start = m.nextRowId
+    val withIds = assignRowIds(aligned, start)
+    val sortedWrite = m.sortingKeys.nonEmpty &&
+      m.sortingKeys.forall(logical.fieldNames.contains)
+    val data = if (sortedWrite)
+      withIds.sortWithinPartitions(m.sortingKeys.map(col): _*) else withIds
+    val entries = writeData(data, sorted = false)
+    val n = entries.map(_.rows).sum
+    tx.stageWrite(dir, m.copy(files = m.files ++ entries, nextRowId = start + n))
+    maintainBlobExpansions(m, withIds)
+    recordAudit("insert", n)
+    (start, start + n)
+  }
+
+  /** UPDATE cells addressed by `_row_id` (reference vastdb/table.py:779-816).
+    * Copy-on-write bounded to files whose row-id range intersects the batch;
+    * untouched files carry over to the new version. */
+  def update(updates: DataFrame): Unit = {
+    if (!updates.columns.contains(RowIdColumn)) throw MissingRowIdColumn()
+    val m = manifest
+    val Array(Row(lo: Long, hi: Long)) = updates
+      .agg(min(col(RowIdColumn)), max(col(RowIdColumn))).collect()
+    val (touched, untouched) = m.files.partition(f => f.minRowId <= hi && f.maxRowId >= lo)
+    val current = readEntries(touched, m.schema)
+    val merged = Dml.updateByRowId(current, updates)
+    val entries = writeData(merged, sorted = false)
+    tx.stageWrite(dir, m.copy(files = untouched ++ entries))
+    recordAudit("update", updates.count())
+  }
+
+  /** DELETE by `_row_id` (reference vastdb/table.py:818-843). */
+  def delete(victims: DataFrame): Unit = {
+    if (!victims.columns.contains(RowIdColumn)) throw MissingRowIdColumn()
+    val m = manifest
+    val Array(Row(lo: Long, hi: Long)) = victims
+      .agg(min(col(RowIdColumn)), max(col(RowIdColumn))).collect()
+    val (touched, untouched) = m.files.partition(f => f.minRowId <= hi && f.maxRowId >= lo)
+    val remaining = Dml.deleteByRowId(readEntries(touched, m.schema), victims)
+    val entries = writeData(remaining, sorted = false)
+    tx.stageWrite(dir, m.copy(files = untouched ++ entries))
+    recordAudit("delete", victims.count())
+  }
+
+  /** Export the (filtered) table to plain parquet (reference README
+    * select→ParquetWriter pattern). */
+  def exportParquet(path: String, predicate: Column = lit(true)): Unit =
+    select(Nil, predicate).write.mode("overwrite").parquet(path)
+
+  // --------------------------------------------------------------- imports
+
+  /** Schema-merge modes (vastdb/util.py:18-83): `default` = containment,
+    * `strict` = equality, `union` = unify. */
+  def mergeSchemas(schemas: Seq[StructType], mode: String): StructType = mode match {
+    case "strict" =>
+      if (schemas.distinct.size > 1)
+        throw NotSupportedSchema("strict merge: schemas differ")
+      schemas.head
+    case "union" =>
+      schemas.reduce { (a, b) =>
+        val names = a.fieldNames.toSet
+        StructType(a.fields ++ b.fields.filterNot(f => names(f.name)))
+      }
+    case _ => // default: every schema contained in the union, consistent types
+      val all = mergeSchemas(schemas, "union")
+      schemas.foreach { s =>
+        s.fields.foreach { f =>
+          val g = all(f.name)
+          if (g.dataType != f.dataType)
+            throw NotSupportedSchema(s"column ${f.name}: ${f.dataType} vs ${g.dataType}")
+        }
+      }
+      all
+  }
+
+  /** Bulk-register parquet files (reference server-side import,
+    * vastdb/table.py:338-440): no row-level client movement — Spark reads the
+    * files once, ids are assigned, provenance lands in the imports table. */
+  def importFiles(files: Seq[String], mergeMode: String = "default"): Unit = {
+    val df = spark.read.option("mergeSchema", "true").parquet(files: _*)
+    val logical = manifest.schema
+    val aligned = df.select(logical.fieldNames.toIndexedSeq.map(n =>
+      if (df.columns.contains(n)) col(n) else lit(null).cast(logical(n).dataType).as(n)): _*)
+    insert(aligned)
+    recordImports(files)
+  }
+
+  /** Per-file partition-column values appended as literals
+    * (reference import_partitioned_files, vastdb/table.py:354-370). */
+  def importPartitionedFiles(filesAndPartitions: Map[String, Map[String, Any]]): Unit = {
+    val logical = manifest.schema
+    val dfs = filesAndPartitions.map { case (f, parts) =>
+      val base = spark.read.parquet(f)
+      val withParts = parts.foldLeft(base) { case (d, (c, v)) =>
+        d.withColumn(c, lit(v).cast(logical(c).dataType))
+      }
+      withParts.select(logical.fieldNames.toIndexedSeq.map(n =>
+        if (withParts.columns.contains(n)) col(n)
+        else lit(null).cast(logical(n).dataType).as(n)): _*)
+    }
+    insert(dfs.reduce(_ unionByName _))
+    recordImports(filesAndPartitions.keys.toSeq)
+  }
+
+  /** The per-table imports system table (reference name
+    * `vastdb-imported-objects`, vastdb/_internal.py:154; queried like any
+    * table, vastdb/tests/test_imports.py:88-99). */
+  def importsTableName: String = s"${name}__imports"
+
+  def importsTable(): Table = {
+    val s = schemaNS
+    if (!Files.isDirectory(dir.getParent.resolve(importsTableName).resolve("_manifest")))
+      Table.create(s, importsTableName, StructType(Seq(
+        StructField("object_name", StringType),
+        StructField("num_rows", LongType),
+        StructField("imported_at", TimestampType))))
+    else s.table(importsTableName)
+  }
+
+  private def recordImports(files: Seq[String]): Unit = {
+    val it = importsTable()
+    val rows = files.map(f => Row(
+      f, try spark.read.parquet(f).count() catch { case _: Exception => -1L },
+      new java.sql.Timestamp(0L))) // deterministic epoch ts; wall-clock in audit
+    val df = spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("object_name", StringType),
+      StructField("num_rows", LongType),
+      StructField("imported_at", TimestampType))))
+    it.insert(df)
+  }
+
+  // ------------------------------------------------- schema evolution (D6)
+
+  def addColumn(field: StructField): Unit = {
+    val m = manifest
+    if (m.schema.fieldNames.contains(field.name))
+      throw NotSupportedSchema(s"column exists: ${field.name}")
+    tx.stageWrite(dir, m.copy(schemaJson = m.schema.add(field).json))
+  }
+
+  def renameColumn(from: String, to: String): Unit = {
+    val m = manifest
+    val s = m.schema
+    if (!s.fieldNames.contains(from)) throw NotSupportedSchema(s"no column $from")
+    val ns = StructType(s.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+    // lazy rename: per-file physical→logical mapping, no data rewrite
+    val nf = m.files.map { f =>
+      val phys = f.renames.find(_._2 == from).map(_._1).getOrElse(from)
+      f.copy(renames = f.renames - phys + (phys -> to))
+    }
+    tx.stageWrite(dir, m.copy(schemaJson = ns.json, files = nf,
+      sortingKeys = m.sortingKeys.map(k => if (k == from) to else k)))
+  }
+
+  def dropColumn(name: String): Unit = {
+    val m = manifest
+    val ns = StructType(m.schema.fields.filterNot(_.name == name))
+    tx.stageWrite(dir, m.copy(schemaJson = ns.json,
+      sortingKeys = m.sortingKeys.filterNot(_ == name)))
+  }
+
+  def renameTable(newName: String): Table = {
+    val dst = dir.getParent.resolve(newName)
+    Files.move(dir, dst, StandardCopyOption.ATOMIC_MOVE)
+    new Table(schemaNS, newName, dst)
+  }
+
+  def drop(): Unit = {
+    tx.droppedTables += dir.toString
+    recordAudit("drop_table", 0)
+  }
+
+  // ------------------------------------------ sorted tables (Elysium, L4)
+
+  /** Declare the table sorted on `keys` (reference add_sorting_key,
+    * vastdb/table.py:996-1008). Existing files become "unsorted" until
+    * `optimizeSort` rewrites them; `stats.sortingScore` is the sorted-file
+    * fraction (reference sorting_score, vastdb/table.py:865-887). */
+  def addSortingKey(keys: Seq[String]): Unit = {
+    val m = manifest
+    tx.stageWrite(dir, m.copy(sortingKeys = keys,
+      files = m.files.map(_.copy(sorted = false))))
+  }
+
+  /** Re-sort data at rest: global range partitioning + in-partition sort —
+    * the write-path plan whose row-group min/max stats make zone skipping
+    * automatic for range predicates on the keys. */
+  def optimizeSort(): Unit = {
+    val m = manifest
+    if (m.sortingKeys.isEmpty) throw NotSupportedCommand("no sorting key")
+    val sortCols = m.sortingKeys.map(col)
+    val data = readEntries(m.files, m.schema)
+      .repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val entries = writeData(data, sorted = true)
+    tx.stageWrite(dir, m.copy(files = entries))
+    recordAudit("optimize_sort", m.totalRows)
+  }
+
+  // ------------------------------------------- projections (D10, §4.3)
+
+  /** Materialized column-subset copy sorted on `sortedColumns` (reference
+    * semi-sorted projections, vastdb/table.py:274-309). The picker in
+    * `select` routes covered scans here automatically. */
+  def createProjection(pname: String, columns: Seq[String],
+                       sortedColumns: Seq[String]): Unit = {
+    val m = manifest
+    val pdirRel = s"_proj/$pname"
+    val pdir = dir.resolve(pdirRel)
+    val data = readEntries(m.files, m.schema)
+      .select((columns :+ RowIdColumn).distinct.map(col): _*)
+      .repartitionByRange(sortedColumns.map(col): _*)
+      .sortWithinPartitions(sortedColumns.map(col): _*)
+    data.write.mode("overwrite").parquet(pdir.toString)
+    tx.stageWrite(dir, m.copy(projections =
+      m.projections.filterNot(_.name == pname) :+
+        ProjectionMeta(pname, columns, sortedColumns, pdirRel)))
+  }
+
+  def projections: Seq[ProjectionMeta] = manifest.projections
+
+  def dropProjection(pname: String): Unit = {
+    val m = manifest
+    tx.stageWrite(dir, m.copy(projections = m.projections.filterNot(_.name == pname)))
+  }
+
+  // ------------------------------------------------- vector search (§2.8)
+
+  /** Vector index DDL (metrics l2sq | ip, reference VectorIndexSpec,
+    * vastdb/_internal.py:809-826). */
+  def createVectorIndex(column: String, metric: String): Unit = {
+    if (!Set("l2sq", "ip")(metric))
+      throw NotSupportedCommand(s"invalid metric $metric (expected l2sq|ip)")
+    val m = manifest
+    tx.stageWrite(dir, m.copy(vectorIndexes =
+      m.vectorIndexes.filterNot(_.column == column) :+ VectorIndexMeta(column, metric)))
+  }
+
+  /** Top-k vector search with optional pushdown predicate (reference
+    * vector_search → `ORDER BY array_distance LIMIT k`, vastdb/_adbc.py:133-159).
+    * Plans as TakeOrderedAndProject: per-partition heap, no full sort. */
+  def vectorSearch(column: String, queryVec: Seq[Float], k: Int,
+                   predicate: Column = lit(true)): DataFrame = {
+    val metric = manifest.vectorIndexes.find(_.column == column)
+      .map(_.metric).getOrElse("l2sq")
+    val q = lit(queryVec.toArray).cast("array<float>")
+    val d = metric match {
+      case "ip" => -Distances.ip(col(column), q)
+      case _ => Distances.l2sq(col(column), q)
+    }
+    select(Nil, predicate, internalRowId = true)
+      .withColumn("_distance", d)
+      .orderBy(col("_distance").asc, col(RowIdColumn).asc)
+      .limit(k)
+  }
+
+  // ------------------------------------------------ blob expansion (D11)
+
+  /** Auto-maintained expansion of a JSON blob column into a side table
+    * (reference blob expansion, vastdb/table.py:311-336): each insert into
+    * the base table also lands parsed fields + `missing_values` /
+    * `excessive_values` indicators in the target. */
+  def createBlobExpansion(blobColumn: String, fieldsDdl: String): Unit = {
+    val m = manifest
+    val target = s"${name}__expanded_$blobColumn"
+    val fields = StructType.fromDDL(fieldsDdl)
+    Table.create(schemaNS, target, StructType(
+      StructField("_source_row_id", LongType) +:
+        fields.fields :+
+        StructField("missing_values", BooleanType) :+
+        StructField("excessive_values", BooleanType)))
+    tx.stageWrite(dir, m.copy(blobExpansions =
+      m.blobExpansions :+ BlobExpansionMeta(blobColumn, fieldsDdl, target)))
+  }
+
+  def blobExpansions: Seq[BlobExpansionMeta] = manifest.blobExpansions
+
+  private def maintainBlobExpansions(m: TableManifest, inserted: DataFrame): Unit =
+    m.blobExpansions.foreach { be =>
+      val fields = StructType.fromDDL(be.fieldsDdl)
+      val parsed = inserted.select(
+        col(RowIdColumn).as("_source_row_id"),
+        from_json(col(be.blobColumn), fields).as("_p"),
+        col(be.blobColumn).as("_raw"))
+      val expanded = parsed.select(
+        (col("_source_row_id") +:
+          fields.fieldNames.toIndexedSeq.map(f => col(s"_p.$f").as(f)) :+
+          (col("_raw").isNotNull && fields.fieldNames.toIndexedSeq
+            .map(f => col(s"_p.$f").isNull).reduce(_ || _)).as("missing_values") :+
+          // fields present in the blob but absent from the declared schema
+          (json_object_keys(col("_raw")).isNotNull &&
+            size(array_except(json_object_keys(col("_raw")),
+              array(fields.fieldNames.toIndexedSeq.map(lit): _*))) > 0)
+            .as("excessive_values")): _*)
+      schemaNS.table(be.targetTable).insert(expanded)
+    }
+
+  private def recordAudit(op: String, n: Long): Unit =
+    tx.session.audit(
+      s"""{"tx":${tx.id},"op":"$op","table":"${dir.toString}","rows":$n}""")
+}
+
+object Table {
+
+  /** CREATE TABLE (reference vastdb/schema.py:85-121; schema validated —
+    * null/dictionary/union types are rejected at the TypeMapping layer). */
+  def create(schemaNS: SchemaNS, name: String, schema: StructType): Table = {
+    val dir = schemaNS.dir.resolve(name)
+    if (Files.isDirectory(dir.resolve("_manifest"))) throw TableExists(name)
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case _: NullType => throw NotSupportedSchema(s"null type: ${f.name}")
+        case _ => ()
+      }
+    }
+    Files.createDirectories(dir.resolve("_manifest"))
+    Files.createDirectories(dir.resolve("data"))
+    Manifest.write(dir.resolve("_manifest").resolve(f"v${0}%08d.json"),
+      TableManifest(0, schema.json, Nil, 0L), createNew = false)
+    writeCurrent(dir, 0)
+    schemaNS.tx.newTables += dir.toString
+    new Table(schemaNS, name, dir)
+  }
+
+  def currentVersion(tableDir: Path): Long = {
+    val cur = tableDir.resolve("_manifest").resolve("CURRENT")
+    if (Files.exists(cur)) new String(Files.readAllBytes(cur), "UTF-8").trim.toLong
+    else // pointer missing (crash between CAS and pointer write): resolve max vN
+      Files.list(tableDir.resolve("_manifest")).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+          s.stripPrefix("v").stripSuffix(".json").toLong }
+        .max
+  }
+
+  def writeCurrent(tableDir: Path, v: Long): Unit = {
+    val mdir = tableDir.resolve("_manifest")
+    val tmp = mdir.resolve(s".CURRENT.tmp${UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, v.toString.getBytes("UTF-8"))
+    Files.move(tmp, mdir.resolve("CURRENT"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  def walkTables(underDir: Path): Seq[Path] =
+    if (!Files.isDirectory(underDir)) Nil
+    else Files.walk(underDir).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString == "_manifest")
+      .map(_.getParent)
+      .filterNot(_.toString.contains("/.snapshot/"))
+      .toSeq.sortBy(_.toString)
+
+  def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+}

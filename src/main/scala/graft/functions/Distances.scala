@@ -184,9 +184,9 @@ object Distances {
     * vastdb/tests/test_vector_search.py:14-15). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = Glue.registry(spark)
-    reg.createOrReplaceTempFunction("l2sq", es => L2SquaredDistance(es(0), es(1)), "builtin")
-    reg.createOrReplaceTempFunction("array_distance", es => L2SquaredDistance(es(0), es(1)), "builtin")
-    reg.createOrReplaceTempFunction("inner_product", es => InnerProduct(es(0), es(1)), "builtin")
-    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimilarity(es(0), es(1)), "builtin")
+    reg.createOrReplaceTempFunction("l2sq", es => L2SquaredDistance(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("array_distance", es => L2SquaredDistance(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("inner_product", es => InnerProduct(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimilarity(es(0), es(1)), "built-in")
   }
 }

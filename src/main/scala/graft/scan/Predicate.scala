@@ -116,7 +116,12 @@ object Pred {
     else {
       val hi = java.util.Arrays.copyOf(bytes, i + 1)
       hi(i) = (hi(i) + 1).toByte
-      Some((prefix, new String(hi, "UTF-8")))
+      val s = new String(hi, "UTF-8")
+      // the increment can produce invalid UTF-8 (reference works on raw
+      // bytes); if the bound doesn't survive a String round-trip, skip the
+      // range rewrite — the residual startsWith keeps exactness either way
+      if (java.util.Arrays.equals(s.getBytes("UTF-8"), hi)) Some((prefix, s))
+      else None
     }
   }
 

@@ -1,0 +1,321 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.api._
+import graft.types.TypeMapping.RowIdColumn
+
+/**
+ * Catalog/transaction/DML end-to-end, mirroring the reference's own test
+ * strategy (SURVEY §5): round-trip equality, select-then-mutate, rollback
+ * restores, commit conflict, rename isolation.
+ */
+class CatalogSpec extends SparkSpec {
+
+  private def freshSession(): VastSession = {
+    val root = Files.createTempDirectory("graft-cat").toString
+    VastSession(spark, root)
+  }
+
+  /** Reference fixture F1: 3-column table, ids 0..2 on first insert
+    * (vastdb/tests/test_tables.py:41-54, tests/util.py:175-180). */
+  private val f1Schema = StructType(Seq(
+    StructField("a", LongType), StructField("b", FloatType),
+    StructField("s", StringType)))
+  private def f1Data = {
+    spark.createDataFrame(
+      java.util.List.of(Row(111L, 0.5f, "a"), Row(222L, 1.5f, "bb"),
+        Row(333L, 2.5f, "ccc")), f1Schema)
+  }
+
+  test("create/insert/round-trip with contiguous row ids") {
+    val s = freshSession()
+    s.createBucket("tpch")
+    s.transaction { tx =>
+      val sc = tx.bucket("tpch").createSchema("main")
+      val t = sc.createTable("t1", f1Schema)
+      val (lo, hi) = t.insert(f1Data)
+      assert(lo == 0 && hi == 3)
+      val got = t.select(internalRowId = true).orderBy(RowIdColumn).collect()
+      assert(got.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+      assert(got.map(_.getLong(1)).toSeq == Seq(111L, 222L, 333L))
+      // second insert continues the id sequence
+      val (lo2, hi2) = t.insert(f1Data)
+      assert(lo2 == 3 && hi2 == 6)
+    }
+  }
+
+  test("predicate + projection select") {
+    val s = freshSession()
+    s.createBucket("b")
+    s.transaction { tx =>
+      val t = tx.bucket("b").createSchema("m").createTable("t", f1Schema)
+      t.insert(f1Data)
+      val got = t.select(Seq("s"), col("a") > 111L).orderBy("s").collect()
+      assert(got.map(_.getString(0)).toSeq == Seq("bb", "ccc"))
+    }
+  }
+
+  test("update and delete by row id (copy-on-write)") {
+    val s = freshSession()
+    s.createBucket("b")
+    s.transaction { tx =>
+      val t = tx.bucket("b").createSchema("m").createTable("t", f1Schema)
+      t.insert(f1Data)
+      // select-then-mutate (reference pattern, tests/test_tables.py:71-89)
+      val victims = t.select(Seq("a"), col("a") === 222L, internalRowId = true)
+        .select(RowIdColumn)
+      t.delete(victims)
+      assert(t.select().count() == 2)
+      val upd = t.select(Seq("a"), col("a") === 111L, internalRowId = true)
+        .select(col(RowIdColumn), lit(9.5f).as("b"))
+      t.update(upd)
+      val got = t.select().orderBy("a").collect()
+      assert(got.map(_.getFloat(1)).toSeq == Seq(9.5f, 2.5f))
+      // update without _row_id rejected (errors.py:121 analog)
+      intercept[MissingRowIdColumn] { t.update(t.select(Seq("a"))) }
+    }
+  }
+
+  test("rollback restores; commit makes visible; conflict on concurrent commit") {
+    val s = freshSession()
+    s.createBucket("b")
+    s.transaction { tx =>
+      tx.bucket("b").createSchema("m").createTable("t", f1Schema).insert(f1Data)
+    }
+    // rollback: insert in failing tx leaves table unchanged
+    intercept[RuntimeException] {
+      s.transaction { tx =>
+        tx.bucket("b").schema("m").table("t").insert(f1Data)
+        throw new RuntimeException("boom")
+      }
+    }
+    s.transaction { tx =>
+      assert(tx.bucket("b").schema("m").table("t").select().count() == 3)
+    }
+    // write-write conflict: two txs insert against the same base version
+    val tx1 = s.beginTransaction()
+    val tx2 = s.beginTransaction()
+    tx1.bucket("b").schema("m").table("t").insert(f1Data)
+    tx2.bucket("b").schema("m").table("t").insert(f1Data)
+    tx1.commit()
+    intercept[Conflict] { tx2.commit() }
+  }
+
+  test("schema evolution: add, rename (lazy, no rewrite), drop") {
+    val s = freshSession()
+    s.createBucket("b")
+    s.transaction { tx =>
+      val t = tx.bucket("b").createSchema("m").createTable("t", f1Schema)
+      t.insert(f1Data)
+      t.addColumn(StructField("extra", IntegerType))
+      assert(t.select().columns.contains("extra"))
+      assert(t.select().filter(col("extra").isNull).count() == 3)
+      t.renameColumn("a", "a2")
+      val got = t.select(Seq("a2", "s")).orderBy("a2").collect()
+      assert(got.map(_.getLong(0)).toSeq == Seq(111L, 222L, 333L))
+      t.dropColumn("b")
+      assert(!t.select().columns.contains("b"))
+      // new insert after rename mixes file generations correctly
+      val newData = spark.createDataFrame(
+        java.util.List.of(Row(444L, "dddd", 7)),
+        StructType(Seq(StructField("a2", LongType), StructField("s", StringType),
+          StructField("extra", IntegerType))))
+      t.insert(newData)
+      assert(t.select(Seq("a2")).orderBy("a2").collect().map(_.getLong(0)).toSeq
+        == Seq(111L, 222L, 333L, 444L))
+    }
+  }
+
+  test("DDL invisible to a concurrent transaction until commit") {
+    val s = freshSession()
+    s.createBucket("b")
+    s.transaction { tx =>
+      tx.bucket("b").createSchema("m").createTable("t", f1Schema).insert(f1Data)
+    }
+    val tx1 = s.beginTransaction()
+    val tx2 = s.beginTransaction()
+    tx1.bucket("b").schema("m").table("t").renameColumn("a", "zz")
+    // tx2 still sees the old schema (its manifest is pinned)
+    assert(tx2.bucket("b").schema("m").table("t").schema.fieldNames.contains("a"))
+    tx1.commit()
+    tx2.rollback()
+    s.transaction { tx =>
+      assert(tx.bucket("b").schema("m").table("t").schema.fieldNames.contains("zz"))
+    }
+  }
+
+  test("snapshots are point-in-time read views") {
+    val s = freshSession()
+    s.createBucket("b")
+    s.transaction { tx =>
+      tx.bucket("b").createSchema("m").createTable("t", f1Schema).insert(f1Data)
+    }
+    s.transaction { tx => tx.bucket("b").createSnapshot("snap1") }
+    s.transaction { tx =>
+      tx.bucket("b").schema("m").table("t").insert(f1Data)
+    }
+    s.transaction { tx =>
+      assert(tx.bucket("b").schema("m").table("t").select().count() == 6)
+      val snap = tx.bucket("b").snapshot("snap1")
+      assert(snap.schema("m").table("t").select().count() == 3)
+      assert(tx.bucket("b").snapshots == Seq("snap1"))
+    }
+  }
+
+  test("sorted table: score progresses to done after optimizeSort") {
+    val s = freshSession()
+    s.createBucket("b")
+    s.transaction { tx =>
+      val t = tx.bucket("b").createSchema("m").createTable("t", f1Schema)
+      t.insert(f1Data)
+      t.addSortingKey(Seq("a"))
+      assert(t.stats.sortingScore == 0.0 && !t.stats.sortingDone)
+      t.optimizeSort()
+      assert(t.stats.sortingScore == 1.0 && t.stats.sortingDone)
+      assert(t.select().orderBy("a").count() == 3)
+    }
+  }
+
+  test("projection picker serves covered scans") {
+    val s = freshSession()
+    s.createBucket("b")
+    s.transaction { tx =>
+      val t = tx.bucket("b").createSchema("m").createTable("t", f1Schema)
+      t.insert(f1Data)
+      t.createProjection("p1", Seq("a", "s"), Seq("a"))
+      assert(t.projections.map(_.name) == Seq("p1"))
+      // covered: must read from the projection directory
+      val covered = t.select(Seq("s"), col("a") === 222L)
+      val plan = covered.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      assert(plan.contains("_proj"), s"expected projection scan in:\n$plan")
+      assert(covered.collect().map(_.getString(0)).toSeq == Seq("bb"))
+      // not covered (needs b): must fall back to base files
+      val uncovered = t.select(Seq("b"), col("a") === 222L)
+      assert(!uncovered.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode).contains("_proj"))
+      // disabled via config (reference use_semi_sorted_projections=False)
+      val off = t.select(Seq("s"), col("a") === 222L,
+        config = QueryConfig(useSemiSortedProjections = false))
+      assert(!off.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode).contains("_proj"))
+    }
+  }
+
+  test("imports: schema merge + imports side table") {
+    val s = freshSession()
+    s.createBucket("b")
+    val ext = Files.createTempDirectory("ext").toString
+    f1Data.write.parquet(s"$ext/f1")
+    f1Data.write.parquet(s"$ext/f2")
+    s.transaction { tx =>
+      val t = tx.bucket("b").createSchema("m").createTable("t", f1Schema)
+      t.importFiles(Seq(s"$ext/f1", s"$ext/f2"))
+      assert(t.select().count() == 6)
+      val imp = t.importsTable().select()
+      assert(imp.count() == 2)
+      assert(imp.select("object_name").collect().map(_.getString(0)).toSet
+        == Set(s"$ext/f1", s"$ext/f2"))
+    }
+  }
+
+  test("blob expansion maintains the side table on insert") {
+    val s = freshSession()
+    s.createBucket("b")
+    val schemaB = StructType(Seq(StructField("id", LongType),
+      StructField("blob", StringType)))
+    s.transaction { tx =>
+      val sc = tx.bucket("b").createSchema("m")
+      val t = sc.createTable("t", schemaB)
+      t.createBlobExpansion("blob", "k INT, v STRING")
+      val data = spark.createDataFrame(java.util.List.of(
+        Row(1L, """{"k": 5, "v": "x"}"""),
+        Row(2L, """{"k": 6}"""),                     // missing v
+        Row(3L, """{"k": 7, "v": "y", "zz": 1}""")), // excessive zz
+        schemaB)
+      t.insert(data)
+      val exp = sc.table("t__expanded_blob").select().orderBy("k").collect()
+      assert(exp.length == 3)
+      assert(exp.map(_.getAs[Int]("k")).toSeq == Seq(5, 6, 7))
+      assert(exp.map(_.getAs[Boolean]("missing_values")).toSeq
+        == Seq(false, true, false))
+      assert(exp.map(_.getAs[Boolean]("excessive_values")).toSeq
+        == Seq(false, false, true))
+    }
+  }
+
+  test("vector index + vectorSearch top-k") {
+    val s = freshSession()
+    s.createBucket("b")
+    val vs = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(FloatType, containsNull = false))))
+    s.transaction { tx =>
+      val t = tx.bucket("b").createSchema("m").createTable("t", vs)
+      intercept[NotSupportedCommand] { t.createVectorIndex("v", "cosine") }
+      t.createVectorIndex("v", "l2sq")
+      val rows = (0 until 50).map(i =>
+        Row(i.toLong, Array(i.toFloat, (i % 7).toFloat)))
+      t.insert(spark.createDataFrame(rows.asInstanceOf[Seq[Row]].asJava, vs))
+      val res = t.vectorSearch("v", Seq(10f, 3f), k = 3)
+      assert(res.select("id").collect().map(_.getLong(0)).head == 10L)
+      assert(res.count() == 3)
+    }
+  }
+
+  test("catalog and audit log are queryable") {
+    val s = freshSession()
+    s.createBucket("b")
+    s.transaction { tx =>
+      tx.bucket("b").createSchema("m").createTable("t", f1Schema).insert(f1Data)
+    }
+    s.transaction { tx =>
+      val cat = tx.catalog()
+      assert(cat.filter(col("table") === "t").count() == 1)
+      assert(cat.columns.toSet ==
+        Set("bucket", "schema", "table", "version", "num_rows", "num_files"))
+      assert(tx.auditLog().filter(col("op") === "insert").count() >= 1)
+    }
+  }
+
+  test("listings paginate with prefix filters") {
+    val s = freshSession()
+    s.createBucket("b")
+    s.transaction { tx =>
+      val sc = tx.bucket("b").createSchema("m")
+      (1 to 5).foreach(i => sc.createTable(s"tab$i", f1Schema))
+      sc.createTable("other", f1Schema)
+      val (page1, next) = sc.listTables(prefix = "tab", maxKeys = 3)
+      assert(page1 == Seq("tab1", "tab2", "tab3") && next.contains("tab3"))
+      val (page2, next2) = sc.listTables(prefix = "tab", startAfter = "tab3", maxKeys = 3)
+      assert(page2 == Seq("tab4", "tab5") && next2.isEmpty)
+    }
+  }
+
+  test("nested schemas and estimateRowCount") {
+    val s = freshSession()
+    s.createBucket("b")
+    s.transaction { tx =>
+      val sc = tx.bucket("b").createSchema("a")
+      val sub = sc.createSubSchema("b1")
+      val t = sub.createTable("t", f1Schema)
+      t.insert(f1Data)
+      assert(tx.bucket("b").schema("a/b1").table("t").select().count() == 3)
+      assert(tx.bucket("b").schemas.contains("a/b1"))
+      // estimate is sampling-based; exact stats come from the manifest
+      assert(t.stats.numRows == 3)
+    }
+  }
+
+  private implicit class SeqRowOps(rows: Seq[Row]) {
+    def asJava: java.util.List[Row] = {
+      val l = new java.util.ArrayList[Row]()
+      rows.foreach(l.add)
+      l
+    }
+  }
+}

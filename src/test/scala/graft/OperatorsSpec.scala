@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Distances
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.scan.Pred
+
+/** Unit-level checks for expressions, predicate grammar, and LLM operators. */
+class OperatorsSpec extends SparkSpec {
+
+  // ------------------------------------------------------------- distances
+
+  test("distance expressions match hand-computed values (interpreted + codegen)") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f, 3f), Array(4f, 6f, 8f))).toDF("a", "b")
+    val r = df.select(
+      Distances.l2sq($"a", $"b"), Distances.ip($"a", $"b"),
+      Distances.cosineSim($"a", $"b")).head()
+    assert(r.getDouble(0) == 9.0 + 16.0 + 25.0)
+    assert(r.getDouble(1) == 4.0 + 12.0 + 24.0)
+    val expCos = 40.0 / math.sqrt(14.0 * 116.0)
+    assert(math.abs(r.getDouble(2) - expCos) < 1e-12)
+    // null propagation
+    val rn = Seq((Option.empty[Array[Float]], Option(Array(1f))))
+      .toDF("a", "b").select(Distances.l2sq($"a", $"b")).head()
+    assert(rn.isNullAt(0))
+  }
+
+  test("distance SQL registration") {
+    Distances.register(spark)
+    val r = spark.sql(
+      "SELECT l2sq(array(1.0F, 2.0F), array(1.0F, 4.0F)) AS d").head()
+    assert(r.getDouble(0) == 4.0)
+  }
+
+  // ------------------------------------------------- predicate grammar
+
+  test("predicate validator reproduces reference rejections") {
+    import Pred._
+    // legal: AND of OR-groups, single column per group
+    validate(And(Seq(Or(Seq(Eq(Ref("a"), 1), Eq(Ref("a"), 2))), Gt(Ref("b"), 0))))
+    // OR across columns rejected (vastdb/_internal.py:280-283)
+    intercept[UnsupportedPredicate] {
+      validate(Or(Seq(Eq(Ref("a"), 1), Eq(Ref("b"), 2))))
+    }
+    // NOT only over IS NULL (vastdb/_internal.py:241-246)
+    validate(Not(IsNull(Ref("a"))))
+    intercept[UnsupportedPredicate] { validate(Not(Eq(Ref("a"), 1))) }
+    // contains can't be OR-ed (tests/test_tables.py:1089-1133)
+    intercept[UnsupportedPredicate] {
+      validate(Or(Seq(Contains(Ref("s"), "x"), Eq(Ref("s"), "y"))))
+    }
+  }
+
+  test("prefix_to_range matches reference semantics (vastdb/util.py:162-169)") {
+    assert(Pred.prefixToRange("abc").contains(("abc", "abd")))
+    assert(Pred.prefixToRange("").isEmpty)
+    // multi-byte tail increment would produce invalid UTF-8 → no range,
+    // the residual startsWith carries exactness
+    assert(Pred.prefixToRange("aÿ").isEmpty ||
+      Pred.prefixToRange("aÿ").exists(_._2 > "aÿ"))
+  }
+
+  test("startswith compiles to a range + residual filter") {
+    import spark.implicits._
+    val df = Seq("apple", "apricot", "banana", "ax").toDF("s")
+    val got = df.filter(Pred.compileStrict(
+      Pred.StartsWith(Pred.Ref("s"), "ap"))).collect().map(_.getString(0))
+    assert(got.toSet == Set("apple", "apricot"))
+  }
+
+  // --------------------------------------------------------------- dedup
+
+  test("minhash LSH finds the planted near-duplicates") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 58).map(i => s"w$i").mkString(" ") + " x1 x2"
+    val distinct = (1 to 60).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, distinct))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    // estimated jaccard is in a plausible band around the true ~0.87
+    val est = pairs.head.getDouble(2)
+    assert(est > 0.6 && est <= 1.0)
+  }
+
+  test("simhash: reordering words keeps the signature (multiset-invariant)") {
+    import spark.implicits._
+    val df = Seq(("a b c d e f g h"), ("h g f e d c b a"), ("q r s t u v w x"))
+      .toDF("text")
+    val sims = df.select(Dedup.simhash(col("text"))).collect().map(_.getLong(0))
+    assert(sims(0) == sims(1))
+    assert(sims(0) != sims(2))
+  }
+
+  test("exact keep-first dedup") {
+    import spark.implicits._
+    val docs = Seq((3L, "same"), (1L, "same"), (2L, "other")).toDF("id", "text")
+    val kept = Dedup.exactKeepFirst(docs, "text", "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L))
+  }
+
+  // ---------------------------------------------------------- similarity
+
+  test("ann LSH recall vs exact knn on clustered vectors") {
+    import spark.implicits._
+    // clustered data (LSH needs structure): 10 clusters × 30 points
+    val rnd = new scala.util.Random(7)
+    val rows = for (c <- 0 until 10; i <- 0 until 30) yield {
+      val center = Array.fill(16)(0f).updated(c % 16, 10f)
+      (c * 100L + i, center.map(v => v + rnd.nextFloat() * 0.5f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" % 100 === 0)
+    val exact = Similarity.knnJoin(df, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.annLsh(df, queries, "vec_id", "embedding",
+        k = 5, dim = 16, planes = 8, tables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall too low: $recall")
+  }
+
+  // ------------------------------------------------------- text analysis
+
+  test("language ID picks the profile language") {
+    import spark.implicits._
+    val df = Seq(
+      "the cat sat on the mat and it is warm",
+      "der hund und die katze ist nicht da",
+      "el gato y la casa de los perros",
+      "xyzzy plugh quux").toDF("text")
+    val got = df.select(TextAnalysis.langId($"text")).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("en", "de", "es", "und"))
+  }
+
+  test("fingerprint is order-sensitive; token stats are exact") {
+    import spark.implicits._
+    val df = Seq("a b c", "c b a").toDF("text")
+    val fps = df.select(TextAnalysis.fingerprint($"text")).collect().map(_.getLong(0))
+    assert(fps(0) != fps(1))
+    val stats = Seq("one two three").toDF("text")
+      .select(TextAnalysis.tokenCount($"text")).head()
+    assert(stats.getInt(0) == 3)
+  }
+
+  // ---------------------------------------------------------- multimodal
+
+  test("multimodal feature extraction plumbing (stubbed decoder)") {
+    import spark.implicits._
+    val df = Seq((1L, "hello media"), (2L, "")).toDF("id", "txt")
+      .withColumn("media", $"txt".cast("binary"))
+    val feats = Multimodal.extractFeatures(df, "id", "media")
+      .orderBy("id").collect()
+    assert(feats.length == 2)
+    assert(feats(0).getInt(1) == 11) // byte length
+    assert(feats(0).getSeq[Float](2).length == 8)
+    assert(feats(1).getSeq[Float](2).forall(_ == 0f)) // empty input
+    // deterministic: same input → same features
+    val again = Multimodal.extractFeatures(df, "id", "media")
+      .orderBy("id").collect()
+    assert(feats(0).getSeq[Float](2) == again(0).getSeq[Float](2))
+  }
+
+  // -------------------------------------------------------- type mapping
+
+  test("type mapping widens unsigned and tags metadata") {
+    import graft.types.TypeMapping._
+    val st = toSparkSchema(Seq(
+      "u" -> LUInt64, "t" -> LTime("ms"), "v" -> LFixedSizeList(LFloat32, 4)))
+    assert(st("u").dataType == DecimalType(20, 0))
+    assert(st("t").dataType == LongType)
+    assert(st("t").metadata.getString(OriginalTypeKey) == "time[ms]")
+    assert(st("v").dataType == ArrayType(FloatType, containsNull = false))
+    assert(st("v").metadata.getLong(FixedSizeKey) == 4L)
+    intercept[UnsupportedTypeException] {
+      toSparkSchema(Seq("bad" -> LFixedSizeList(LUtf8, 2)))
+    }
+  }
+}

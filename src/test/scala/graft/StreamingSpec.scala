@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.Events
+
+/**
+ * Structured Streaming execution of the events operators: the same transform
+ * applied to a readStream source must, after processing all available input,
+ * agree with the batch run (streaming/batch parity — SURVEY §7.4).
+ */
+class StreamingSpec extends SparkSpec {
+
+  private def eventsBatch = {
+    // ns timestamps → µs (same handling as SparkEntry)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(sf("sf0.001") + "/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  test("streaming tumbling window agrees with batch") {
+    val batchDf = eventsBatch
+    val dir = Files.createTempDirectory("ev-stream")
+    batchDf.write.parquet(dir.toString + "/in")
+
+    val stream = spark.readStream
+      .schema(batchDf.schema)
+      .parquet(dir.toString + "/in")
+    val q = Events.tumblingStats(stream, "1 hour", watermark = "1 minute")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ev_tumbling")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("ev_tumbling")
+      .orderBy("window_start", "event_type").collect()
+    val want = Events.tumblingStats(batchDf, "1 hour")
+      .orderBy("window_start", "event_type").collect()
+    assert(got.length == want.length && got.length > 0)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("streaming dedup-within-watermark emits one row per key") {
+    val batchDf = eventsBatch
+    val dir = Files.createTempDirectory("ev-dedup")
+    batchDf.write.parquet(dir.toString + "/in")
+    val stream = spark.readStream.schema(batchDf.schema)
+      .parquet(dir.toString + "/in")
+    val q = Events.dedupWithinWatermark(stream, "10 minutes",
+        Seq("user_id", "event_type"))
+      .select("user_id", "event_type")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ev_dedup")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val n = spark.table("ev_dedup").distinct().count()
+    val keys = spark.table("ev_dedup").count()
+    // every emitted row is a distinct key (dedup held within watermark)
+    assert(n == keys && n > 0)
+  }
+
+  test("streaming session windows run end-to-end") {
+    val batchDf = eventsBatch
+    val dir = Files.createTempDirectory("ev-sess")
+    batchDf.write.parquet(dir.toString + "/in")
+    val stream = spark.readStream.schema(batchDf.schema)
+      .parquet(dir.toString + "/in")
+    val q = Events.sessionStats(stream, "30 minutes", watermark = "1 minute")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ev_sessions")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(spark.table("ev_sessions").count() > 0)
+  }
+}
