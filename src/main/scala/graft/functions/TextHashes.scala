@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftglue.Glue
+import org.apache.spark.sql.types._
+
+/**
+ * Native signature expressions for the dedup operators.
+ *
+ * These exist for throughput: building signatures from SQL higher-order
+ * functions (`transform`/`aggregate` lambdas) costs ~1µs per lambda
+ * invocation interpreted — k=64 hashes × ~80 shingles × row count is tens of
+ * millions of invocations per small corpus, hours at 100 TB. A single
+ * expression call per row runs the whole k×n loop in Java at hash speed.
+ *
+ * MinHash uses the standard double-hashing construction
+ * sig_i = min over shingles of (h1(s) + i·h2(s)) — two xxhash64 passes per
+ * shingle instead of k.
+ */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val s = arr.getUTF8String(j)
+        val h1 = XxHash64Function.hash(s, StringType, 42L)
+        val h2 = XxHash64Function.hash(s, StringType, 1000003L) | 1L // odd step
+        var h = h1
+        var i = 0
+        while (i < k) {
+          if (h < out(i)) out(i) = h
+          h += h2
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** 64-bit simhash of a word array: per-word xxhash64, bit voting, sign pack.
+  * Multiset-invariant (word order doesn't matter). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(j), StringType, 42L)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
+      }
+      j += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) > 0) sig |= (1L << i)
+      i += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object TextHashes {
+  def minhashSignature(shingles: Column, k: Int): Column =
+    Glue.column(MinHashSignature(Glue.expression(shingles), k))
+  def simhash64(words: Column): Column =
+    Glue.column(SimHash64(Glue.expression(words)))
+}

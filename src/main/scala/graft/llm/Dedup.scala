@@ -41,12 +41,12 @@ object Dedup {
     array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
-  /** k-permutation minhash signature (array<long> of length k), computed
-    * entirely map-side: sig[i] = min over shingles of xxhash64(shingle, i). */
-  def minhashSignature(text: Column, k: Int = 64, shingleN: Int = 3): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingles(text, shingleN),
-        s => xxhash64(s, i))))
+  /** k-permutation minhash signature (array<long> of length k) over a
+    * shingle-array column — native expression (graft.functions.MinHashSignature);
+    * the equivalent higher-order-function formulation costs µs per lambda
+    * invocation interpreted, a ~100× slowdown at corpus scale. */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    graft.functions.TextHashes.minhashSignature(shingleCol, k)
 
   /** Estimated jaccard from two signatures: matching-position fraction. */
   def estJaccard(sigA: Column, sigB: Column, k: Int): Column =
@@ -63,39 +63,38 @@ object Dedup {
                    shingleN: Int = 3): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val sigs = df.select(col(idCol).as("id"),
-        minhashSignature(col(textCol), k, shingleN).as("sig"))
-      .localCheckpoint(false) // signatures are reused on both sides of the join
-    val banded = sigs.select(col("id"), col("sig"),
+    val sigs = df
+      .withColumn("_sh", shingles(col(textCol), shingleN)) // tokenized ONCE
+      .select(col(idCol).as("id"), minhashSignature(col("_sh"), k).as("sig"))
+      .localCheckpoint(false) // reused on both sides of two joins
+    // candidate generation carries only (band, band_hash, id) — the wide
+    // signature arrays never enter the candidate shuffle or the distinct
+    val banded = sigs.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * r + 1, lit(r))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
-    val a = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_hash"))
+    val pairs = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("band_hash"), col("id").as("id_b")),
+        Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    // estimation: join signatures back by id (key-partitioned equi-joins;
+    // broadcast automatically when the signature table is small)
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         estJaccard(col("sig_a"), col("sig_b"), k).as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** 64-bit simhash of the word multiset: per-word xxhash64, bit-voting. */
-  def simhash(text: Column): Column = {
-    val hashes = transform(split(text, " "), w => xxhash64(w))
-    // votes[i] = sum over words of (bit i set ? +1 : -1)
-    val votes = aggregate(hashes,
-      array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
-        (v, i) => v + when(call_function("shiftrightunsigned", h, i).bitwiseAND(1) === 1, 1).otherwise(-1)))
-    // pack sign bits back into a long
-    aggregate(zip_with(votes, sequence(lit(0), lit(63)),
-        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  /** 64-bit simhash of the word multiset: per-word xxhash64, bit-voting —
+    * native expression (graft.functions.SimHash64) for the same reason as
+    * minhashSignature. */
+  def simhash(text: Column): Column =
+    graft.functions.TextHashes.simhash64(split(text, " "))
 
   /** Simhash near-dup candidate pairs with hamming distance ≤ maxHamming,
     * banded into (maxHamming+1) 16-bit chunks (pigeonhole guarantee for
