@@ -662,7 +662,60 @@ object SparkEntry {
              |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
              |                       ORDER BY ts, event_id) AS rn
              |  FROM events) x
-             |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin))
+             |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)),
+
+    // ---- X*: wire-IR expression vocabulary (SURVEY §2.9 — Cast, CaseWhen,
+    //      ArraySubscript/Slice, MapKey, LiteralRelation) ----
+    Q("x1_cast_case",
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("price_dec"),
+          col("o_orderkey").cast("string").as("key_str"),
+          when(col("o_totalprice") > 300000, "high")
+            .when(col("o_totalprice") > 100000, "mid")
+            .otherwise("low").as("bucket"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+             |  CAST(o_orderkey AS VARCHAR) AS key_str,
+             |  CASE WHEN o_totalprice > 300000 THEN 'high'
+             |       WHEN o_totalprice > 100000 THEN 'mid'
+             |       ELSE 'low' END AS bucket
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    Q("x2_array_ops",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          element_at(split(col("text"), " "), 1).as("first_word"),
+          concat_ws(" ", slice(split(col("text"), " "), 2, 3)).as("words_2_to_4"),
+          size(split(col("text"), " ")).as("n_words"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  STRING_SPLIT(text, ' ')[1] AS first_word,
+             |  ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[2:4], ' ') AS words_2_to_4,
+             |  LEN(STRING_SPLIT(text, ' ')) AS n_words
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("x3_map_key",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"),
+          element_at(from_json(col("props"),
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.IntegerType)), "k").as("k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(props->>'$.k' AS INT) AS k
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    Q("x4_literal_relation",
+      (s, _) => {
+        import s.implicits._
+        Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+          .toDF("id", "label").orderBy("id")
+      },
+      Some("""SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'alpha'),
+             |  (CAST(2 AS BIGINT), 'beta'), (CAST(3 AS BIGINT), 'gamma'))
+             |  t(id, label) ORDER BY id""".stripMargin))
   )
 
   // ---------- driver contract ----------
