@@ -141,6 +141,21 @@ object SparkEntry {
              |WHERE CAST(props->>'$.k' AS INT) > 80
              |ORDER BY event_id""".stripMargin)),
 
+    // ---- P10: fixed-size-list (vector column) element predicates
+    //      (vastdb/_internal.py:293-300 re-types FSL as list; here element
+    //      access composes freely)
+    Q("p10_fsl_predicate",
+      (s, dir) => t(s, dir, "embeddings")
+        .filter(element_at(col("embedding"), 1) > 0.1f &&
+          element_at(col("embedding"), 2) < 0.0f)
+        .select(col("vec_id"),
+          round(element_at(col("embedding"), 1).cast("double"), 4).as("e1"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id, ROUND(CAST(embedding[1] AS DOUBLE), 4) AS e1
+             |FROM embeddings
+             |WHERE embedding[1] > 0.1 AND embedding[2] < 0.0
+             |ORDER BY vec_id""".stripMargin)),
+
     // ---- P12: trivial predicate False → empty relation with correct schema
     //      (vastdb/table.py:485-489; Catalyst folds to empty LocalRelation)
     Q("p12_trivial_false",
@@ -309,6 +324,12 @@ object SparkEntry {
               |FROM events GROUP BY CUBE (event_type, DATE_TRUNC('day', ts))
               |ORDER BY event_type NULLS FIRST, d NULLS FIRST""".stripMargin)),
 
+    Q("a5_approx_distinct",  // HLL sketch — engine-specific estimate, rows-only
+      (s, dir) => t(s, dir, "lineitem")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+             countDistinct(col("l_partkey")).as("exact_parts")),
+      None),
+
     // ---- W*: window functions (SURVEY §2.5, IR WindowCall) ----
     Q("w1_window_rank",
       (s, dir) => {
@@ -474,10 +495,12 @@ object SparkEntry {
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"),
           graft.llm.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          graft.llm.TextAnalysis.regexTokenCount(col("text")).as("n_tokens_regex"),
           graft.llm.TextAnalysis.bpeTokenEstimate(col("text")).as("n_tokens_bpe_est"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
              |  LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+             |  LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_tokens_regex,
              |  GREATEST(CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT),
              |           CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT)) AS n_tokens_bpe_est
              |FROM documents ORDER BY doc_id""".stripMargin)),

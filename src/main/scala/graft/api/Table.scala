@@ -116,6 +116,25 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     config.limitRows.fold(projected)(n => projected.limit(n.toInt))
   }
 
+  /** Split-wise scan: one DataFrame per row-id range, for callers that
+    * manage their own parallelism (reference select_splits for Trino-style
+    * engine integration, vastdb/table.py:536-569). Under Spark the normal
+    * path is a single DataFrame — partitioning is the engine's job — so each
+    * split here is just a row-id-range predicate over the same files, which
+    * parquet row-group stats prune. */
+  def selectSplits(numSplits: Int,
+                   columns: Seq[String] = Nil,
+                   predicate: Column = lit(true)): Seq[DataFrame] = {
+    val m = manifest
+    val hi = m.nextRowId
+    val per = math.max(1L, (hi + numSplits - 1) / numSplits)
+    (0L until numSplits.toLong).map { i =>
+      val lo = i * per
+      select(columns, predicate, internalRowId = true)
+        .filter(col(RowIdColumn) >= lo && col(RowIdColumn) < math.min(hi, lo + per))
+    }
+  }
+
   /** Row-count estimate via 2^-16 sampling (reference probe split,
     * vastdb/table.py:442-458) — exact stats exist in the manifest; the
     * sampling path estimates *filtered* cardinality without a full scan. */

@@ -54,6 +54,39 @@ object Multimodal {
   }
 
   /**
+   * STUB resize ???: stands in for image resize (decode → scale → re-encode).
+   * Deterministic fake: truncate/pad the byte stream proportionally to the
+   * area ratio so output size tracks the requested dimensions. Replace the
+   * body with a real codec; the per-row contract (bytes in, bytes out,
+   * target dims) is what the pipeline plumbing depends on.
+   */
+  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val target = math.max(1, math.min(bytes.length.toLong, w.toLong * h / 64).toInt)
+    java.util.Arrays.copyOf(bytes, target)
+  }
+
+  /**
+   * STUB frame sampling ???: stands in for video frame extraction — returns
+   * every `everyN`-th 256-byte "frame" of the stream. Real impl: demux +
+   * decode keyframes. The operator shape (one media object → array of
+   * frames) is the contract used by downstream explode() pipelines.
+   */
+  def frameSampleStub(bytes: Array[Byte], everyN: Int): Array[Array[Byte]] = {
+    val frame = 256
+    val n = math.max(0, bytes.length / frame)
+    (0 until n by math.max(1, everyN)).map { i =>
+      java.util.Arrays.copyOfRange(bytes, i * frame, (i + 1) * frame)
+    }.toArray
+  }
+
+  /** Column-level plumbing for resizeStub: the same proportional truncation
+    * as a native expression, so the common path needs no round-trip through
+    * Scala objects. */
+  def resized(df: DataFrame, binCol: String, w: Int, h: Int): DataFrame =
+    df.withColumn(s"${binCol}_resized",
+      substring(col(binCol), 1, math.max(1, w * h / 64)))
+
+  /**
    * Distributed feature extraction: mapPartitions over (id, binary) so each
    * task amortizes decoder init (a real codec loads models/dictionaries
    * once per partition, not per row) and rows stream through without

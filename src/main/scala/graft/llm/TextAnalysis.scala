@@ -20,6 +20,12 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Word-piece regex token count (BPE-ish pre-tokenization: letter runs,
+    * digit runs, single punctuation — the GPT-2 pre-tokenizer shape without
+    * the merges table). */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+
   /** BPE-ish subword-count estimate: word-piece regex split + a chars/4
     * correction for long words (the standard fast approximation when a real
     * tokenizer isn't available executor-side). */
