@@ -21,7 +21,7 @@ import org.apache.spark.sql.types._
  * sig_i = min over shingles of (h1(s) + i·h2(s)) — two xxhash64 passes per
  * shingle instead of k.
  */
-case class MinHashSignature(child: Expression, k: Int)
+case class MinHashSignature(child: Expression, k: Int, shingleN: Int = 1)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
@@ -32,24 +32,35 @@ case class MinHashSignature(child: Expression, k: Int)
       s"minhash_signature requires array<string>, got ${other.simpleString}")
   }
 
+  /** Input is the TOKEN array; shingles of `shingleN` consecutive tokens are
+    * built inline (one reused buffer, no intermediate array column — the
+    * HOF shingle pipeline costs ~µs per concat interpreted). Duplicated
+    * shingles don't affect a min, so no distinct pass is needed. */
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val out = new Array[Long](k)
     java.util.Arrays.fill(out, Long.MaxValue)
     val n = arr.numElements()
+    val last = math.max(0, n - shingleN)
+    val sb = new java.lang.StringBuilder(64)
     var j = 0
-    while (j < n) {
-      if (!arr.isNullAt(j)) {
-        val s = arr.getUTF8String(j)
-        val h1 = XxHash64Function.hash(s, StringType, 42L)
-        val h2 = XxHash64Function.hash(s, StringType, 1000003L) | 1L // odd step
-        var h = h1
-        var i = 0
-        while (i < k) {
-          if (h < out(i)) out(i) = h
-          h += h2
-          i += 1
-        }
+    while (j <= last) {
+      sb.setLength(0)
+      var m = 0
+      while (m < shingleN && j + m < n) {
+        if (m > 0) sb.append(' ')
+        if (!arr.isNullAt(j + m)) sb.append(arr.getUTF8String(j + m).toString)
+        m += 1
+      }
+      val s = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      val h1 = XxHash64Function.hash(s, StringType, 42L)
+      val h2 = XxHash64Function.hash(s, StringType, 1000003L) | 1L // odd step
+      var h = h1
+      var i = 0
+      while (i < k) {
+        if (h < out(i)) out(i) = h
+        h += h2
+        i += 1
       }
       j += 1
     }
@@ -101,8 +112,12 @@ case class SimHash64(child: Expression)
 }
 
 object TextHashes {
+  /** Signature over pre-built shingle strings (shingleN = 1). */
   def minhashSignature(shingles: Column, k: Int): Column =
     Glue.column(MinHashSignature(Glue.expression(shingles), k))
+  /** Fused tokens→shingles→signature (preferred hot path). */
+  def minhashFromTokens(tokens: Column, k: Int, shingleN: Int): Column =
+    Glue.column(MinHashSignature(Glue.expression(tokens), k, shingleN))
   def simhash64(words: Column): Column =
     Glue.column(SimHash64(Glue.expression(words)))
 }

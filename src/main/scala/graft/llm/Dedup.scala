@@ -64,8 +64,9 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val sigs = df
-      .withColumn("_sh", shingles(col(textCol), shingleN)) // tokenized ONCE
-      .select(col(idCol).as("id"), minhashSignature(col("_sh"), k).as("sig"))
+      .select(col(idCol).as("id"),
+        graft.functions.TextHashes.minhashFromTokens(
+          split(col(textCol), " "), k, shingleN).as("sig"))
       .localCheckpoint(false) // reused on both sides of two joins
     // candidate generation carries only (band, band_hash, id) — the wide
     // signature arrays never enter the candidate shuffle or the distinct
