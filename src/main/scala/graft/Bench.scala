@@ -78,6 +78,21 @@ object Bench {
           .withColumn("d", graft.functions.Distances.l2sq(col("embedding"), col("qvec")))
           .orderBy("d").limit(20))
       }),
+      "tpch_q3" -> (() => mat(t("customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(t("orders"), col("c_custkey") === col("o_custkey"))
+        .join(t("lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .orderBy(col("rev").desc).limit(10))),
+      "asof_join" -> (() => {
+        val ev = t("events")
+        val p = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id", "ts").agg(max(col("event_id")).as("v_id"))
+        mat(graft.ops.Relational.asOfJoin(p, v, "user_id", "ts", "ts", Seq("v_id")))
+      }),
       "dedup_minhash" -> (() => mat(graft.llm.Dedup.minhashPairs(
         t("documents"), "doc_id", "text", k = 64, bands = 16, threshold = 0.5))),
       "text_analyze" -> (() => mat(graft.llm.TextAnalysis.analyze(t("documents")))),

@@ -687,6 +687,66 @@ object SparkEntry {
              |  FROM events) x
              |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)),
 
+    Q("ev4_asof_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy("user_id", "ts")
+          .agg(max(col("event_id")).as("v_event_id"))
+        Relational.asOfJoin(purchases, views, "user_id", "ts", "ts",
+            Seq("v_event_id"))
+          .select("event_id", "user_id", "asof_v_event_id")
+          .orderBy("event_id")
+      },
+      Some("""WITH v AS (SELECT user_id, ts, MAX(event_id) AS v_event_id
+             |           FROM events WHERE event_type = 'view'
+             |           GROUP BY user_id, ts),
+             |     p AS (SELECT user_id, ts, event_id FROM events
+             |           WHERE event_type = 'purchase')
+             |SELECT p.event_id, p.user_id, v.v_event_id AS asof_v_event_id
+             |FROM p ASOF LEFT JOIN v
+             |  ON p.user_id = v.user_id AND v.ts <= p.ts
+             |ORDER BY p.event_id""".stripMargin)),
+
+    Q("ev5_sliding_window",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+        .orderBy("window_start", "event_type"),
+      Some("""SELECT ws AS window_start, event_type, COUNT(*) AS n FROM (
+             |  SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS ws, event_type FROM events
+             |  UNION ALL
+             |  SELECT TIME_BUCKET(INTERVAL '1 hour', ts, INTERVAL '30 minutes') AS ws,
+             |         event_type FROM events) x
+             |GROUP BY ws, event_type ORDER BY window_start, event_type""".stripMargin)),
+
+    // ---- composite: TPC-H Q3 shape (join tree + agg + top-k) ----
+    Q("q_tpch_q3",
+      (s, dir) => t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .join(t(s, dir, "lineitem"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10),
+      Some(s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+              |  ${DSUM("l_extendedprice * (1.0 - l_discount)")} AS revenue
+              |FROM customer
+              |JOIN orders ON c_custkey = o_custkey
+              |  AND o_orderdate < TIMESTAMP '1998-01-01'
+              |JOIN lineitem ON l_orderkey = o_orderkey
+              |  AND l_shipdate > TIMESTAMP '1998-01-01'
+              |WHERE c_mktsegment = 'BUILDING'
+              |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+              |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
     // ---- X*: wire-IR expression vocabulary (SURVEY §2.9 — Cast, CaseWhen,
     //      ArraySubscript/Slice, MapKey, LiteralRelation) ----
     Q("x1_cast_case",

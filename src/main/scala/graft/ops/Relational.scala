@@ -49,6 +49,43 @@ object Relational {
   def intersect(l: DataFrame, r: DataFrame): DataFrame = l.intersect(r)
   def except(l: DataFrame, r: DataFrame): DataFrame = l.except(r)
 
+  /**
+   * As-of join (time-series point-in-time lookup): for each left row, the
+   * latest right row with rightTime <= leftTime per key. Composed from
+   * built-ins (preference (a) over a custom SparkPlan): union the two sides
+   * tagged, sort within key by time, and carry the last seen right values
+   * forward with a running window — one shuffle on (key), no range
+   * explosion, scales as a single sort-based pass.
+   *
+   * `right` must be unique per (key, time); pre-dedupe if not.
+   * `rightCols` are the right-side value columns to carry.
+   */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+               key: String, leftTime: String, rightTime: String,
+               rightCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val leftTagged = left.withColumn("_t", col(leftTime))
+      .withColumn("_is_left", lit(1))
+    val rightTagged = rightCols.foldLeft(
+        right.select((key +: rightTime +: rightCols).distinct.map(col): _*)) {
+        (d, c) => d.withColumnRenamed(c, s"_r_$c")
+      }
+      .withColumnRenamed(rightTime, "_t")
+      .withColumn("_is_left", lit(0))
+    val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
+    // right rows sort before left rows at equal time (asof is inclusive)
+    val w = Window.partitionBy(key).orderBy(col("_t").asc, col("_is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(unioned) { (d, c) =>
+      d.withColumn(s"_asof_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
+    }
+    val out = carried.filter(col("_is_left") === 1)
+      .drop("_t", "_is_left")
+    rightCols.foldLeft(out) { (d, c) =>
+      d.drop(s"_r_$c").withColumnRenamed(s"_asof_$c", s"asof_$c")
+    }
+  }
+
   /** Distributed top-k: orderBy+limit plans as TakeOrderedAndProject
     * (per-partition heaps, no global sort) — the only ORDER BY the
     * reference system itself supports is exactly this shape

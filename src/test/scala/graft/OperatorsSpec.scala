@@ -127,6 +127,23 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH recall too low: $recall")
   }
 
+  // ------------------------------------------------------------ asof join
+
+  test("asOfJoin: latest right row at-or-before left time; null before first") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 20L, 50L))
+      .toDF("event_id", "k", "t_l")
+    val right = Seq((10L, 100L, "a"), (10L, 200L, "b"), (20L, 60L, "c"))
+      .toDF("k", "t_r", "v")
+    val got = graft.ops.Relational
+      .asOfJoin(left, right, "k", "t_l", "t_r", Seq("v"))
+      .select("event_id", "asof_v").orderBy("event_id").collect()
+    // t=100 matches right at exactly 100 (inclusive); t=205 → latest is 200;
+    // t=50 precedes all right rows for k=20 → null
+    assert(got.map(r => Option(r.getString(1))).toSeq ==
+      Seq(Some("a"), Some("b"), None))
+  }
+
   // ------------------------------------------------------- text analysis
 
   test("language ID picks the profile language") {
