@@ -68,6 +68,58 @@ object Similarity {
     planeCache.getOrElseUpdate((p, dim), hyperplane(p, dim))
 
   /**
+   * IVF (inverted-file) index: a coarse quantizer partitions the corpus by
+   * nearest centroid; queries probe only the `nprobe` nearest cells.
+   *
+   * Centroids are chosen deterministically (hash-ordered sample — at scale,
+   * swap for k-means|| refinement over the same sample). Assignment is a
+   * broadcast join against the centroid table (C ≈ √n rows), so the corpus
+   * is scanned once with a codegen'd distance — the 100 TB shape: cluster
+   * the data at rest by `centroid_id` (partition/bucket) and a query touches
+   * nprobe partitions instead of the full corpus.
+   */
+  def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+               nCentroids: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = corpus
+      .select(col(idCol).as("c_src"), col(vecCol).as("c_vec"))
+      .orderBy(xxhash64(col("c_src")))
+      .limit(nCentroids)
+      .withColumn("centroid_id",
+        row_number().over(Window.orderBy(col("c_src"))).cast("long"))
+      .select("centroid_id", "c_vec")
+    val byCell = Window.partitionBy(col(idCol)).orderBy(col("_d").asc, col("centroid_id").asc)
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .withColumn("_d", Distances.l2sq(col(vecCol), col("c_vec")))
+      .withColumn("_rn", row_number().over(byCell))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+    (centroids, assigned)
+  }
+
+  /** IVF search: rank `nprobe` nearest cells per query, then exact top-k
+    * inside the probed cells only. */
+  def ivfSearch(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val byQ = Window.partitionBy("q_id").orderBy(col("_cd").asc, col("centroid_id").asc)
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("_cd", Distances.l2sq(col("q_vec"), col("c_vec")))
+      .withColumn("_crn", row_number().over(byQ))
+      .filter(col("_crn") <= nprobe)
+      .select("q_id", "q_vec", "centroid_id")
+    val w = Window.partitionBy("q_id").orderBy(col("_d").asc, col("n_id").asc)
+    probed.join(assigned.select(col(idCol).as("n_id"),
+        col(vecCol).as("n_vec"), col("centroid_id")), Seq("centroid_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("_d", Distances.l2sq(col("q_vec"), col("n_vec")))
+      .withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+      .select(col("q_id"), col("knn_rank"), col("n_id"))
+  }
+
+  /**
    * Approximate NN via multi-table hyperplane LSH: `tables` independent
    * signatures of `planes` bits each; rows sharing any (table, signature)
    * with a query are candidates; exact distance ranks the candidates.

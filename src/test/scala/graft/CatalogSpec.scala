@@ -311,6 +311,31 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("parallel transactions on distinct tables commit independently") {
+    val s = freshSession()
+    s.createBucket("b")
+    s.transaction { tx =>
+      val sc = tx.bucket("b").createSchema("m")
+      (0 until 4).foreach(i => sc.createTable(s"t$i", f1Schema))
+    }
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futures = (0 until 4).map { i =>
+      Future {
+        s.transaction { tx =>
+          tx.bucket("b").schema("m").table(s"t$i").insert(f1Data)
+        }
+      }
+    }
+    Await.result(Future.sequence(futures), 120.seconds)
+    s.transaction { tx =>
+      (0 until 4).foreach { i =>
+        assert(tx.bucket("b").schema("m").table(s"t$i").select().count() == 3)
+      }
+    }
+  }
+
   private implicit class SeqRowOps(rows: Seq[Row]) {
     def asJava: java.util.List[Row] = {
       val l = new java.util.ArrayList[Row]()

@@ -127,6 +127,26 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH recall too low: $recall")
   }
 
+  test("ivf recall vs exact knn on clustered vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = for (c <- 0 until 10; i <- 0 until 30) yield {
+      val center = Array.fill(16)(0f).updated(c % 16, 10f)
+      (c * 100L + i, center.map(v => v + rnd.nextFloat() * 0.5f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" % 100 === 0)
+    val exact = Similarity.knnJoin(df, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val (centroids, assigned) =
+      Similarity.ivfIndex(df, "vec_id", "embedding", nCentroids = 20)
+    val approx = Similarity.ivfSearch(assigned, centroids, queries,
+        "vec_id", "embedding", k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall too low: $recall")
+  }
+
   // ------------------------------------------------------------ asof join
 
   test("asOfJoin: latest right row at-or-before left time; null before first") {
