@@ -99,6 +99,21 @@ object Bench {
       "events_window" -> (() => mat(graft.streaming.Events.tumblingStats(
         t("events"), "1 hour"))))
 
+    // sorted-layout comparison (Elysium write path): one range-partitioned
+    // sorted copy of lineitem; the same selective range scan then prunes
+    // row groups via min/max stats instead of reading everything
+    val sortedDir = "/tmp/graft_bench_sorted_lineitem"
+    t("lineitem").repartitionByRange(8, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate")
+      .write.mode("overwrite").parquet(sortedDir)
+    val shipLo = lit("1998-03-01").cast("timestamp")
+    val shipHi = lit("1998-03-08").cast("timestamp")
+    val sortedScans: Seq[(String, () => Unit)] = Seq(
+      "scan_range_unsorted" -> (() => mat(t("lineitem")
+        .filter(col("l_shipdate").between(shipLo, shipHi)))),
+      "scan_range_sorted" -> (() => mat(spark.read.parquet(sortedDir)
+        .filter(col("l_shipdate").between(shipLo, shipHi)))))
+
     // warmup: one tiny end-to-end pass per distinct input compiles codegen,
     // loads footers, and spins executor threads
     mat(t("lineitem").limit(1))
@@ -110,7 +125,7 @@ object Bench {
     // best of 2 runs per query: the second run benefits from warm file
     // metadata + JIT, matching steady-state throughput (first-run cost is
     // already isolated by the warmup block above)
-    val results = queries.map { case (name, fn) =>
+    val results = (queries ++ sortedScans).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try fn() catch { case e: Throwable =>
