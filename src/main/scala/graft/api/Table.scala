@@ -265,16 +265,54 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       all
   }
 
-  /** Bulk-register parquet files (reference server-side import,
-    * vastdb/table.py:338-440): no row-level client movement — Spark reads the
-    * files once, ids are assigned, provenance lands in the imports table. */
-  def importFiles(files: Seq[String], mergeMode: String = "default"): Unit = {
-    val df = spark.read.option("mergeSchema", "true").parquet(files: _*)
+  /** Read a manifest version other than the pinned one (time travel across
+    * the retained manifest history; snapshots give named aliases). */
+  def selectAt(version: Long, columns: Seq[String] = Nil,
+               predicate: Column = lit(true)): DataFrame = {
+    val p = dir.resolve("_manifest").resolve(f"v$version%08d.json")
+    if (!Files.exists(p)) throw MissingTable(s"$name@v$version")
+    val m = Manifest.read(p)
+    val cols = if (columns.isEmpty) m.schema.fieldNames.toSeq else columns
+    readEntries(m.files, m.schema).filter(predicate).select(cols.map(col): _*)
+  }
+
+  /** Compact small files (copy-on-write engines accrete them with every
+    * DML version): rewrites any run of files smaller than `targetRows`
+    * into full-size files, keeping `_row_id`s and big files untouched.
+    * At 100 TB this is the periodic maintenance that keeps scan task
+    * counts and footer overhead bounded. */
+  def compact(targetRows: Long = 4000000L): Unit = {
+    val m = manifest
+    val (small, big) = m.files.partition(_.rows < targetRows)
+    if (small.size <= 1) return
+    val merged = readEntries(small, m.schema)
+      .repartition(math.max(1, (small.map(_.rows).sum / targetRows).toInt))
+    val entries = writeData(merged, sorted = false)
+    tx.stageWrite(dir, m.copy(files = big ++ entries))
+    recordAudit("compact", small.map(_.rows).sum)
+  }
+
+  /** Bulk-register data files (reference server-side import,
+    * vastdb/table.py:338-440; the wire ImportDataRequest carries a per-file
+    * `format` field): no row-level client movement — Spark reads the files
+    * once, ids are assigned, provenance lands in the imports table.
+    * Formats: parquet (default), csv, json, orc. */
+  def importFiles(files: Seq[String], mergeMode: String = "default",
+                  format: String = "parquet",
+                  options: Map[String, String] = Map.empty): Unit = {
+    val reader = spark.read.options(options)
+    val df = format match {
+      case "parquet" => reader.option("mergeSchema", "true").parquet(files: _*)
+      case "csv" => reader.option("header", "true").schema(manifest.schema).csv(files: _*)
+      case "json" => reader.schema(manifest.schema).json(files: _*)
+      case "orc" => reader.option("mergeSchema", "true").orc(files: _*)
+      case other => throw NotSupportedCommand(s"import format $other")
+    }
     val logical = manifest.schema
     val aligned = df.select(logical.fieldNames.toIndexedSeq.map(n =>
       if (df.columns.contains(n)) col(n) else lit(null).cast(logical(n).dataType).as(n)): _*)
     insert(aligned)
-    recordImports(files)
+    recordImports(files, format)
   }
 
   /** Per-file partition-column values appended as literals
@@ -309,10 +347,20 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     else s.table(importsTableName)
   }
 
-  private def recordImports(files: Seq[String]): Unit = {
+  private def recordImports(files: Seq[String], format: String = "parquet"): Unit = {
     val it = importsTable()
+    def countOf(f: String): Long =
+      try {
+        val r = format match {
+          case "csv" => spark.read.option("header", "true").csv(f)
+          case "json" => spark.read.json(f)
+          case "orc" => spark.read.orc(f)
+          case _ => spark.read.parquet(f)
+        }
+        r.count()
+      } catch { case _: Exception => -1L }
     val rows = files.map(f => Row(
-      f, try spark.read.parquet(f).count() catch { case _: Exception => -1L },
+      f, countOf(f),
       new java.sql.Timestamp(0L))) // deterministic epoch ts; wall-clock in audit
     val df = spark.createDataFrame(rows.asJava, StructType(Seq(
       StructField("object_name", StringType),

@@ -311,6 +311,54 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("time travel: selectAt reads any retained version") {
+    val s = freshSession()
+    s.createBucket("b")
+    s.transaction { tx =>
+      tx.bucket("b").createSchema("m").createTable("t", f1Schema).insert(f1Data)
+    }
+    s.transaction { tx =>
+      tx.bucket("b").schema("m").table("t").insert(f1Data)
+    }
+    s.transaction { tx =>
+      val t = tx.bucket("b").schema("m").table("t")
+      assert(t.select().count() == 6)
+      assert(t.selectAt(1).count() == 3)
+      assert(t.selectAt(0).count() == 0)
+      intercept[MissingTable] { t.selectAt(99) }
+    }
+  }
+
+  test("compaction merges small files, preserves rows and ids") {
+    val s = freshSession()
+    s.createBucket("b")
+    s.transaction { tx =>
+      val t = tx.bucket("b").createSchema("m").createTable("t", f1Schema)
+      (1 to 5).foreach(_ => t.insert(f1Data)) // 5 small file batches
+      val before = t.manifest.files.size
+      t.compact(targetRows = 1000L)
+      assert(t.manifest.files.size < before)
+      val got = t.select(internalRowId = true)
+      assert(got.count() == 15)
+      assert(got.select(types.TypeMapping.RowIdColumn).distinct().count() == 15)
+    }
+  }
+
+  test("csv and json import formats") {
+    val s = freshSession()
+    s.createBucket("b")
+    val ext = Files.createTempDirectory("ext2").toString
+    f1Data.write.option("header", "true").csv(s"$ext/c")
+    f1Data.write.json(s"$ext/j")
+    s.transaction { tx =>
+      val t = tx.bucket("b").createSchema("m").createTable("t", f1Schema)
+      t.importFiles(Seq(s"$ext/c"), format = "csv")
+      t.importFiles(Seq(s"$ext/j"), format = "json")
+      assert(t.select().count() == 6)
+      assert(t.select(Seq("a"), col("a") === 111L).count() == 2)
+    }
+  }
+
   test("parallel transactions on distinct tables commit independently") {
     val s = freshSession()
     s.createBucket("b")
