@@ -186,10 +186,24 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
   }
 
   /** Insert (reference vastdb/table.py:739-777). Returns allocated row-id
-    * range [start, start+n). */
+    * range [start, start+n). If the batch already carries `_row_id`, those
+    * ids are used verbatim (the reference's external `vastdb_rowid` path,
+    * vastdb/schema.py:90-92, tests/test_tables.py:1055-1073) and the
+    * high-water mark advances past their max. */
   def insert(rows: DataFrame): (Long, Long) = {
     val m = manifest
     val logical = m.schema
+    if (rows.columns.contains(RowIdColumn)) {
+      val aligned = rows.select(
+        (RowIdColumn +: logical.fieldNames.toIndexedSeq).map(col): _*)
+      val entries = writeData(aligned, sorted = false)
+      val hi = entries.map(_.maxRowId).max + 1
+      tx.stageWrite(dir, m.copy(files = m.files ++ entries,
+        nextRowId = math.max(m.nextRowId, hi)))
+      maintainBlobExpansions(m, aligned)
+      recordAudit("insert", entries.map(_.rows).sum)
+      return (entries.map(_.minRowId).min, hi)
+    }
     val aligned = rows.select(logical.fieldNames.map(col).toIndexedSeq: _*)
     val start = m.nextRowId
     val withIds = assignRowIds(aligned, start)

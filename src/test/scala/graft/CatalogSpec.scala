@@ -311,6 +311,23 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("external row ids honored; allocation resumes past them") {
+    val s = freshSession()
+    s.createBucket("b")
+    s.transaction { tx =>
+      val t = tx.bucket("b").createSchema("m").createTable("t", f1Schema)
+      val withIds = f1Data.withColumn(RowIdColumn,
+        col("a") * 10) // 1110, 2220, 3330
+      val (lo, hi) = t.insert(withIds)
+      assert(lo == 1110L && hi == 3331L)
+      // auto-allocation continues past the external max
+      val (lo2, _) = t.insert(f1Data)
+      assert(lo2 == 3331L)
+      assert(t.select(internalRowId = true)
+        .select(RowIdColumn).distinct().count() == 6)
+    }
+  }
+
   test("time travel: selectAt reads any retained version") {
     val s = freshSession()
     s.createBucket("b")
