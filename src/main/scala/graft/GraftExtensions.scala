@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/**
+ * SparkSessionExtensions entry point — the deployment shape for the engine's
+ * custom expressions (`spark.sql.extensions=graft.GraftExtensions`, or
+ * `SparkSession.builder().withExtensions(new GraftExtensions)`), so SQL-only
+ * users get the vector/text functions without touching the Scala API.
+ * `Distances.register` remains for imperative registration on an existing
+ * session.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    def inject(name: String, usage: String)(b: Seq[Expression] => Expression): Unit =
+      e.injectFunction((FunctionIdentifier(name), info(name, usage), b))
+
+    inject("l2sq", "l2sq(a, b) - squared L2 distance between float arrays") {
+      es => L2SquaredDistance(es(0), es(1))
+    }
+    inject("array_distance", "array_distance(a, b) - squared L2 distance (reference SQL name)") {
+      es => L2SquaredDistance(es(0), es(1))
+    }
+    inject("inner_product", "inner_product(a, b) - dot product of float arrays") {
+      es => InnerProduct(es(0), es(1))
+    }
+    inject("cosine_sim", "cosine_sim(a, b) - cosine similarity of float arrays") {
+      es => CosineSimilarity(es(0), es(1))
+    }
+    inject("minhash_signature", "minhash_signature(tokens, k, n) - k-hash minhash over n-gram shingles") {
+      es =>
+        val k = es(1).eval().asInstanceOf[Int]
+        val n = es(2).eval().asInstanceOf[Int]
+        MinHashSignature(es(0), k, n)
+    }
+    inject("simhash64", "simhash64(tokens) - 64-bit simhash of a word array") {
+      es => SimHash64(es(0))
+    }
+  }
+}
