@@ -723,6 +723,42 @@ object SparkEntry {
              |         event_type FROM events) x
              |GROUP BY ws, event_type ORDER BY window_start, event_type""".stripMargin)),
 
+    Q("so4_union_by_name",
+      (s, dir) => Relational.unionByName(
+          t(s, dir, "customer").select(col("c_custkey").as("key"), col("c_name").as("name")),
+          t(s, dir, "supplier").select(col("s_name").as("name"), col("s_suppkey").as("key"),
+            col("s_acctbal").as("bal")))
+        .orderBy(asc_nulls_first("key"), asc_nulls_first("name"), asc_nulls_first("bal")),
+      Some("""SELECT * FROM (
+             |  SELECT c_custkey AS key, c_name AS name, NULL::DOUBLE AS bal FROM customer
+             |  UNION ALL BY NAME
+             |  SELECT s_name AS name, s_suppkey AS key, s_acctbal AS bal FROM supplier)
+             |ORDER BY key NULLS FIRST, name NULLS FIRST, bal NULLS FIRST""".stripMargin)),
+
+    // ---- composite: TPC-H Q3/Q5 shapes (join trees + agg + top-k) ----
+    Q("q_tpch_q5",
+      (s, dir) => t(s, dir, "region").filter(col("r_name") === "ASIA")
+        .join(t(s, dir, "nation"), col("n_regionkey") === col("r_regionkey"))
+        .join(t(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc),
+      Some(s"""SELECT n_name,
+              |  ${DSUM("l_extendedprice * (1.0 - l_discount)")} AS revenue
+              |FROM region
+              |JOIN nation ON n_regionkey = r_regionkey
+              |JOIN customer ON c_nationkey = n_nationkey
+              |JOIN orders ON o_custkey = c_custkey
+              |JOIN lineitem ON l_orderkey = o_orderkey
+              |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+              |WHERE r_name = 'ASIA'
+              |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
+
     // ---- composite: TPC-H Q3 shape (join tree + agg + top-k) ----
     Q("q_tpch_q3",
       (s, dir) => t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
