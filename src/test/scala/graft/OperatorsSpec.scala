@@ -164,6 +164,49 @@ class OperatorsSpec extends SparkSpec {
       Seq(Some("a"), Some("b"), None))
   }
 
+  test("asOfJoin fuzz: 200 random rows match direct per-row lookup") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val left = (0 until 200).map(i =>
+      (i.toLong, (rnd.nextInt(8)).toLong, rnd.nextInt(1000).toLong))
+    val right = (0 until 150).map(i =>
+      ((rnd.nextInt(8)).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq // unique (k,t)
+    val got = graft.ops.Relational.asOfJoin(
+        left.toDF("event_id", "k", "t_l"),
+        right.toDF("k", "t_r", "val"),
+        "k", "t_l", "t_r", Seq("val"))
+      .select("event_id", "asof_val").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    left.foreach { case (id, k, t) =>
+      val want = right.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+      assert(got(id) == want, s"row $id (k=$k, t=$t)")
+    }
+  }
+
+  test("minhash estimate tracks true jaccard within statistical bounds") {
+    import spark.implicits._
+    // word-level shingles (n=1): sets with controlled overlap
+    def doc(ids: Range): String = ids.map(i => s"w$i").mkString(" ")
+    val pairs = Seq(
+      (doc(0 until 100), doc(0 until 100), 1.0),      // j = 1
+      (doc(0 until 100), doc(50 until 150), 1.0 / 3), // j = 50/150
+      (doc(0 until 100), doc(80 until 180), 0.1111),  // j = 20/180
+    )
+    pairs.zipWithIndex.foreach { case ((a, b, trueJ), i) =>
+      val df = Seq((1L, a), (2L, b)).toDF("id", "text")
+      val sigs = df.select(
+        graft.functions.TextHashes.minhashFromTokens(
+          split(col("text"), " "), 64, 1).as("sig"))
+        .collect().map(_.getSeq[Long](0))
+      val est = sigs(0).zip(sigs(1)).count { case (x, y) => x == y } / 64.0
+      // 4σ bound at k=64: sqrt(j(1-j)/64)*4 <= 0.25
+      assert(math.abs(est - trueJ) < 0.25, s"pair $i: est=$est true=$trueJ")
+    }
+  }
+
   // ------------------------------------------------------- text analysis
 
   test("language ID picks the profile language") {
