@@ -324,6 +324,30 @@ object SparkEntry {
               |FROM events GROUP BY CUBE (event_type, DATE_TRUNC('day', ts))
               |ORDER BY event_type NULLS FIRST, d NULLS FIRST""".stripMargin)),
 
+    Q("a6_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+                |FROM orders_v
+                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+                |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+             |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
+    Q("a7_percentile",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+             round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) AS median_qty,
+             |  ROUND(QUANTILE_CONT(l_quantity, 0.9), 6) AS p90_qty
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     Q("a5_approx_distinct",  // HLL sketch — engine-specific estimate, rows-only
       (s, dir) => t(s, dir, "lineitem")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
@@ -825,6 +849,42 @@ object SparkEntry {
         .orderBy("event_id"),
       Some("""SELECT event_id, CAST(props->>'$.k' AS INT) AS k
              |FROM events ORDER BY event_id""".stripMargin)),
+
+    Q("x5_string_funcs",
+      (s, dir) => t(s, dir, "part")
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          trim(col("p_name")).as("tr"),
+          substring(col("p_name"), 1, 4).as("sub4"),
+          regexp_replace(col("p_name"), " ", "_").as("snake"),
+          lpad(col("p_brand"), 12, "*").as("padded"),
+          length(col("p_type")).as("type_len"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, UPPER(p_name) AS up, TRIM(p_name) AS tr,
+             |  SUBSTRING(p_name, 1, 4) AS sub4,
+             |  REPLACE(p_name, ' ', '_') AS snake,
+             |  LPAD(p_brand, 12, '*') AS padded,
+             |  LENGTH(p_type) AS type_len
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    Q("x6_datetime_funcs",
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+          datediff(lit("2002-01-01").cast("date"),
+            col("o_orderdate").cast("date")).as("days_to_2002"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
+             |  CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS m,
+             |  CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS d,
+             |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+             |  CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT)
+             |    AS days_to_2002
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
     Q("x4_literal_relation",
       (s, _) => {
