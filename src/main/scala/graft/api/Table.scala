@@ -529,6 +529,46 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
 
   def blobExpansions: Seq[BlobExpansionMeta] = manifest.blobExpansions
 
+  /** Alter an expansion's declared fields (reference alter±columns,
+    * vastdb/table.py:1152-1215): future inserts parse the new field set;
+    * the target table gains any new columns (null-backfilled). */
+  def alterBlobExpansion(blobColumn: String, newFieldsDdl: String): Unit = {
+    val m = manifest
+    val be = m.blobExpansions.find(_.blobColumn == blobColumn)
+      .getOrElse(throw NotSupportedCommand(s"no blob expansion on $blobColumn"))
+    val target = schemaNS.table(be.targetTable)
+    val newFields = StructType.fromDDL(newFieldsDdl)
+    newFields.fields.filterNot(f => target.schema.fieldNames.contains(f.name))
+      .foreach(target.addColumn)
+    tx.stageWrite(dir, m.copy(blobExpansions =
+      m.blobExpansions.map(x => if (x.blobColumn == blobColumn)
+        x.copy(fieldsDdl = newFieldsDdl) else x)))
+  }
+
+  def dropBlobExpansion(blobColumn: String): Unit = {
+    val m = manifest
+    m.blobExpansions.find(_.blobColumn == blobColumn).foreach { be =>
+      schemaNS.table(be.targetTable).drop()
+    }
+    tx.stageWrite(dir, m.copy(blobExpansions =
+      m.blobExpansions.filterNot(_.blobColumn == blobColumn)))
+  }
+
+  /** Projection row/size stats (reference projection stats RPC,
+    * vastdb/_internal.py:2404-2484). */
+  def projectionStats(pname: String): TableStats = {
+    val p = manifest.projections.find(_.name == pname)
+      .getOrElse(throw NotSupportedCommand(s"no projection $pname"))
+    val pdir = dir.resolve(p.dir)
+    val files = if (Files.isDirectory(pdir))
+      Files.walk(pdir).iterator().asScala
+        .filter(f => f.toString.endsWith(".parquet")).toSeq
+    else Nil
+    val size = files.map(f => try Files.size(f) catch { case _: Exception => 0L }).sum
+    val rows = spark.read.parquet(pdir.toString).count()
+    TableStats(rows, size, 1.0, sortingDone = true, files.size)
+  }
+
   private def maintainBlobExpansions(m: TableManifest, inserted: DataFrame): Unit =
     m.blobExpansions.foreach { be =>
       val fields = StructType.fromDDL(be.fieldsDdl)

@@ -249,6 +249,42 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("blob expansion alter adds fields; drop removes target") {
+    val s = freshSession()
+    s.createBucket("b")
+    val schemaB = StructType(Seq(StructField("id", LongType),
+      StructField("blob", StringType)))
+    s.transaction { tx =>
+      val sc = tx.bucket("b").createSchema("m")
+      val t = sc.createTable("t", schemaB)
+      t.createBlobExpansion("blob", "k INT")
+      t.insert(spark.createDataFrame(
+        java.util.List.of(Row(1L, """{"k": 5, "v": "x"}""")), schemaB))
+      t.alterBlobExpansion("blob", "k INT, v STRING")
+      t.insert(spark.createDataFrame(
+        java.util.List.of(Row(2L, """{"k": 6, "v": "y"}""")), schemaB))
+      val exp = sc.table("t__expanded_blob").select().orderBy("k")
+      assert(exp.columns.contains("v"))
+      val vs = exp.collect().map(r => Option(r.getAs[String]("v")))
+      assert(vs.toSeq == Seq(None, Some("y"))) // old row null-backfilled
+      t.dropBlobExpansion("blob")
+      assert(t.blobExpansions.isEmpty)
+    }
+  }
+
+  test("scan limit and projection stats") {
+    val s = freshSession()
+    s.createBucket("b")
+    s.transaction { tx =>
+      val t = tx.bucket("b").createSchema("m").createTable("t", f1Schema)
+      t.insert(f1Data)
+      assert(t.select(config = QueryConfig(limitRows = Some(2L))).count() == 2)
+      t.createProjection("p", Seq("a"), Seq("a"))
+      val ps = t.projectionStats("p")
+      assert(ps.numRows == 3 && ps.sizeBytes > 0)
+    }
+  }
+
   test("vector index + vectorSearch top-k") {
     val s = freshSession()
     s.createBucket("b")
