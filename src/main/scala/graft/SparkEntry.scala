@@ -641,8 +641,10 @@ object SparkEntry {
     Q("ss2_ann_lsh",  // approximate — rows-only gate; recall tested in specs
       (s, dir) => {
         val e = t(s, dir, "embeddings")
+        // 8-bit buckets × 8 tables: random (cluster-free) embeddings still
+        // yield enough bucket collisions for a meaningful candidate set
         graft.llm.Similarity.annLsh(e, e.filter(col("vec_id") < 5),
-            "vec_id", "embedding", k = 10, dim = 64)
+            "vec_id", "embedding", k = 10, dim = 64, planes = 8, tables = 8)
           .orderBy("q_id", "knn_rank")
       },
       None),
