@@ -88,6 +88,42 @@ class NestedTypesSpec extends SparkSpec {
     }
   }
 
+  test("randomized fixed-size-list grid: element types × null probability round-trip") {
+    // reference: parametrized type × nullability grids with randomized data
+    // (vastdb/tests/test_fixed_list.py:20-78,115-127)
+    val s = freshSession()
+    s.createBucket("b")
+    val rnd = new scala.util.Random(5)
+    val elemTypes: Seq[(LogicalType, () => Any)] = Seq(
+      (LFloat32, () => rnd.nextFloat()),
+      (LFloat64, () => rnd.nextDouble()),
+      (LInt32, () => rnd.nextInt()),
+      (LInt64, () => rnd.nextLong()))
+    s.transaction { tx =>
+      val sc = tx.bucket("b").createSchema("m")
+      for (((et, gen), idx) <- elemTypes.zipWithIndex; nullP <- Seq(0.0, 0.3)) {
+        val t = sc.createTable(s"fsl_${idx}_${(nullP * 10).toInt}", Seq(
+          "id" -> LInt64, "v" -> LFixedSizeList(et, 4)))
+        val rows = (0 until 20).map { i =>
+          val arr = if (rnd.nextDouble() < nullP) null
+            else (0 until 4).map(_ => gen()).toArray
+          Row(i.toLong, arr)
+        }
+        val l = new java.util.ArrayList[Row](); rows.foreach(l.add)
+        t.insert(spark.createDataFrame(l, t.schema))
+        val got = t.select().orderBy("id").collect()
+        assert(got.length == 20)
+        rows.zip(got).foreach { case (want, g) =>
+          val wv = want.get(1)
+          if (wv == null) assert(g.isNullAt(1))
+          else assert(g.getSeq[Any](1).toSeq == wv.asInstanceOf[Array[_]].toSeq)
+        }
+        // fixed-size metadata survives the round trip
+        assert(t.schema("v").metadata.getLong(FixedSizeKey) == 4L)
+      }
+    }
+  }
+
   test("rejected schemas: null type and invalid FSL element") {
     val s = freshSession()
     s.createBucket("b")
