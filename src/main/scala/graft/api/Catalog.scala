@@ -215,6 +215,34 @@ class Transaction(val session: VastSession, val id: Long) {
     rows.toSeq.toDF("bucket", "schema", "table", "version", "num_rows", "num_files")
   }
 
+  /** Register every table visible to this transaction as a Spark temp view
+    * named `<bucket>_<schema>_<table>` (nested '/' → '_'), so plain
+    * `spark.sql` can query the catalog at this transaction's snapshot.
+    * (A DataSource-V2 TableCatalog is the heavier long-term shape; views
+    * pin the same manifests this transaction reads.) */
+  def registerViews(): Seq[String] = {
+    requireActive()
+    val rootP = Paths.get(session.root)
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (Files.isDirectory(rootP)) {
+      Files.list(rootP).iterator().asScala
+        .filter(p => Files.isDirectory(p) && !p.getFileName.toString.startsWith("_"))
+        .foreach { bucketP =>
+          Table.walkTables(bucketP).foreach { tdir =>
+            val rel = bucketP.relativize(tdir).toString.replace('/', '_')
+            val view = s"${bucketP.getFileName}_$rel"
+            val schemaPath = Option(bucketP.relativize(tdir).getParent)
+              .map(_.toString).getOrElse("")
+            val tbl = new Bucket(this, bucketP.getFileName.toString, bucketP)
+              .schema(schemaPath).table(tdir.getFileName.toString)
+            tbl.select().createOrReplaceTempView(view)
+            names += view
+          }
+        }
+    }
+    names.toSeq
+  }
+
   /** Audit log as a queryable DataFrame (reference `tx.audit_log()`). */
   def auditLog(): DataFrame = {
     requireActive()

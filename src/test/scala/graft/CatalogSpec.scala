@@ -318,6 +318,21 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("registerViews exposes tables to spark.sql at the tx snapshot") {
+    val s = freshSession()
+    s.createBucket("bk")
+    s.transaction { tx =>
+      tx.bucket("bk").createSchema("m").createTable("t", f1Schema).insert(f1Data)
+    }
+    s.transaction { tx =>
+      val views = tx.registerViews()
+      assert(views.contains("bk_m_t"))
+      val got = spark.sql("SELECT s FROM bk_m_t WHERE a >= 222 ORDER BY s")
+        .collect().map(_.getString(0))
+      assert(got.toSeq == Seq("bb", "ccc"))
+    }
+  }
+
   test("listings paginate with prefix filters") {
     val s = freshSession()
     s.createBucket("b")
