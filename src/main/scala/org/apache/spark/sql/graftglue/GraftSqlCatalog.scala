@@ -1,0 +1,106 @@
+package org.apache.spark.sql.graftglue
+
+import java.nio.file.{Files, Paths}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.api.Manifest
+
+/**
+ * DataSource-V2 TableCatalog over the graft manifest store, so plain SQL can
+ * address catalog tables natively:
+ *
+ *   spark.conf.set("spark.sql.catalog.graft", classOf[GraftSqlCatalog].getName)
+ *   spark.conf.set("spark.sql.catalog.graft.root", "/path/to/root")
+ *   spark.sql("SELECT * FROM graft.bucket.schema.table WHERE ...")
+ *
+ * Reads resolve the table's CURRENT manifest and delegate scanning to
+ * Spark's own ParquetTable (full pushdown/pruning/vectorization). Read-only:
+ * writes must go through the transactional API so manifests stay authoritative
+ * — the returned table advertises BATCH_READ only. Tables carrying lazy
+ * per-file renames are not addressable here (use `Transaction.registerViews`);
+ * the limitation is reported explicitly.
+ */
+class GraftSqlCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"spark.sql.catalog.$name.root must point at the graft root dir"))
+  }
+
+  override def name(): String = catalogName
+
+  private def tableDir(ident: Identifier) =
+    Paths.get((root +: ident.namespace().toSeq :+ ident.name()).mkString("/"))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = Paths.get((root +: namespace.toSeq).mkString("/"))
+    if (!Files.isDirectory(dir)) return Array.empty
+    Files.list(dir).iterator().asScala
+      .filter(p => Files.isDirectory(p.resolve("_manifest")))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    Files.isDirectory(tableDir(ident).resolve("_manifest"))
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val cur = graft.api.Table.currentVersion(dir)
+    val m = Manifest.read(dir.resolve("_manifest").resolve(f"v$cur%08d.json"))
+    if (m.files.exists(_.renames.nonEmpty))
+      throw new UnsupportedOperationException(
+        s"table $ident has lazily-renamed columns; query it via " +
+          "Transaction.registerViews or Table.select")
+    val schema = StructType(m.schema.fields :+
+      StructField("_row_id", LongType, nullable = false))
+    val paths = m.files.map(_.path).toList
+    val parquet = ParquetTable(ident.toString, SparkSession.active,
+      CaseInsensitiveStringMap.empty(), paths, Some(schema),
+      classOf[ParquetFileFormat])
+    new ReadOnlyTable(parquet)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "writes go through the transactional graft API (manifest-versioned)")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("use the transactional graft API")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException("use the transactional graft API")
+
+  override def renameTable(old: Identifier, next: Identifier): Unit =
+    throw new UnsupportedOperationException("use the transactional graft API")
+}
+
+/** Read-only delegate: exposes only BATCH_READ from the wrapped file table. */
+private[graftglue] class ReadOnlyTable(delegate: ParquetTable)
+    extends Table with SupportsRead {
+  override def name(): String = delegate.name
+  override def schema(): StructType = delegate.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    delegate.newScanBuilder(options)
+}

@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.api._
+
+/** SQL addressing of catalog tables through the DataSource-V2 catalog. */
+class SqlCatalogSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("a", LongType), StructField("s", StringType)))
+
+  test("SELECT through spark.sql(\"... FROM graft.bucket.schema.table\")") {
+    val root = Files.createTempDirectory("graft-sqlcat").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    s.transaction { tx =>
+      val t = tx.bucket("bk").createSchema("m").createTable("t", schema)
+      t.insert(spark.createDataFrame(java.util.List.of(
+        Row(1L, "one"), Row(2L, "two"), Row(3L, "three")), schema))
+    }
+    spark.conf.set("spark.sql.catalog.graft",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", root)
+    val df = spark.sql("SELECT s, _row_id FROM graft.bk.m.t WHERE a >= 2 ORDER BY s")
+    val got = df.collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("three", "two"))
+    // predicate pushdown reaches the parquet scan through DSv2
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(a,2)"), s"no pushdown in:\n$plan")
+    // catalog enumeration + read-only enforcement
+    assert(spark.sql("SHOW TABLES IN graft.bk.m").collect()
+      .map(_.getString(1)).contains("t"))
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft.bk.m.t VALUES (9, 'x', 9)")
+    }
+  }
+}
