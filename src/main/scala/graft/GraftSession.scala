@@ -16,6 +16,15 @@ object GraftSession {
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
     tune(SparkSession.builder().master(s"local[$cores]"), cores).getOrCreate()
 
+  /** Streaming posture for large state (100 TB events): RocksDB-backed
+    * state store with changelog checkpointing — heap state stores OOM once
+    * keyed state outgrows executors. */
+  def tuneStreaming(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+
   def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
     b.appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)

@@ -34,12 +34,19 @@ import org.json4s.jackson.Serialization
 object Manifest {
   implicit val fmts: Formats = Serialization.formats(NoTypeHints)
 
+  /** Per-file, per-column zone map: min/max string-encoded with the
+    * comparison kind ("long" = integral/timestamp-micros, "double",
+    * "string"). Maintained for sorting-key columns — where sorted layout
+    * makes ranges disjoint and pruning actually pays. */
+  case class ColStat(min: String, max: String, kind: String)
+
   /** One immutable data file + its row-id range (drives file-level pruning
-    * for row-id-addressed DML) and per-file physical→logical column renames
-    * (lazy rename support without rewriting data). */
+    * for row-id-addressed DML), per-column zone maps, and per-file
+    * physical→logical column renames (lazy rename, no data rewrite). */
   case class FileEntry(path: String, rows: Long, minRowId: Long, maxRowId: Long,
                        sorted: Boolean = false,
-                       renames: Map[String, String] = Map.empty)
+                       renames: Map[String, String] = Map.empty,
+                       colStats: Map[String, ColStat] = Map.empty)
   case class ProjectionMeta(name: String, columns: Seq[String],
                             sortedColumns: Seq[String], dir: String)
   case class VectorIndexMeta(column: String, metric: String)

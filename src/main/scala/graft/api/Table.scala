@@ -84,9 +84,43 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
   }
 
   private def predicateRoots(predicate: Column): Set[String] =
-    Glue.expression(predicate).collect {
-      case a: UnresolvedAttribute => a.nameParts.head
-    }.toSet
+    Glue.referencedRoots(predicate)
+
+  /** Zone-map file pruning: drop files whose per-column min/max provably
+    * can't satisfy a top-level range constraint (constraints extracted from
+    * the unresolved Column tree by Glue.rangeConstraints). Conservative —
+    * missing stats keep the file; exactness comes from the scan's own
+    * filter. */
+  private[graft] def pruneByZoneMaps(entries: Seq[FileEntry],
+                                     predicate: Column): Seq[FileEntry] = {
+    val cons = Glue.rangeConstraints(predicate)
+    if (cons.isEmpty) return entries
+    def normalize(v: Any): Option[Any] = v match {
+      case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+      case other => Option(other)
+    }
+    entries.filter { f =>
+      cons.forall { case (c, op, raw) =>
+        (f.colStats.get(c), normalize(raw)) match {
+          case (Some(st), Some(v)) =>
+            def cmpTo(bound: String): Int = st.kind match {
+              case "long" => v.asInstanceOf[Number].longValue.compareTo(bound.toLong)
+              case "double" => v.asInstanceOf[Number].doubleValue.compareTo(bound.toDouble)
+              case _ => v.toString.compareTo(bound)
+            }
+            try op match {
+              case ">" => cmpTo(st.max) < 0
+              case ">=" => cmpTo(st.max) <= 0
+              case "<" => cmpTo(st.min) > 0
+              case "<=" => cmpTo(st.min) >= 0
+              case "=" => cmpTo(st.min) >= 0 && cmpTo(st.max) <= 0
+              case _ => true
+            } catch { case _: Exception => true } // type mismatch → keep
+          case _ => true
+        }
+      }
+    }
+  }
 
   /** Filtered+projected scan (reference `select`, vastdb/table.py:571-704).
     * Catalyst/Parquet take over everything the reference hand-rolls: splits
@@ -109,7 +143,7 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
         val pdir = dir.resolve(p.dir)
         val projSchema = StructType(logical.fields.filter(f => p.columns.contains(f.name)))
         spark.read.schema(projSchema.add(RowIdColumn, LongType)).parquet(pdir.toString)
-      case None => readEntries(m.files, logical)
+      case None => readEntries(pruneByZoneMaps(m.files, predicate), logical)
     }
     val projected = base.filter(predicate)
       .select((if (internalRowId) RowIdColumn +: cols else cols).map(col): _*)
@@ -154,20 +188,51 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
 
   // ------------------------------------------------------------------ write
 
+  /** Kind + normalized column for zone-map stats over a data type. */
+  private def statKind(dt: DataType): Option[String] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => Some("long")
+    case FloatType | DoubleType => Some("double")
+    case StringType => Some("string")
+    case TimestampType | DateType => Some("long") // micros / days
+    case _ => None
+  }
+
+  private def statCol(name: String, dt: DataType): Column = dt match {
+    case TimestampType => unix_micros(col(name))
+    case DateType => datediff(col(name), lit("1970-01-01").cast("date"))
+    case _ => col(name)
+  }
+
   /** Write a DataFrame (logical schema + `_row_id`) as immutable data files;
-    * returns manifest entries with per-file row-id ranges (one cheap
-    * columnar pass over `_row_id` computes them). */
+    * returns manifest entries with per-file row-id ranges and zone maps for
+    * the sorting-key columns (one cheap columnar stats pass). */
   private def writeData(df: DataFrame, sorted: Boolean): Seq[FileEntry] = {
     val batch = dataDir.resolve("b-" + UUID.randomUUID().toString.take(8))
     df.write.parquet(batch.toString)
+    val zoneCols: Seq[(String, String)] = manifest.sortingKeys
+      .flatMap { k =>
+        df.schema.fields.find(_.name == k)
+          .flatMap(f => statKind(f.dataType).map(kind => (k, kind)))
+      }
+    val zoneAggs = zoneCols.flatMap { case (k, _) =>
+      val c = statCol(k, df.schema(k).dataType)
+      Seq(min(c).cast("string").as(s"__mn_$k"), max(c).cast("string").as(s"__mx_$k"))
+    }
     val statsDf = spark.read.parquet(batch.toString)
       .groupBy(input_file_name().as("f"))
       .agg(count(lit(1)).as("rows"),
-        min(col(RowIdColumn)).as("lo"), max(col(RowIdColumn)).as("hi"))
+        (Seq(min(col(RowIdColumn)).as("lo"), max(col(RowIdColumn)).as("hi"))
+          ++ zoneAggs): _*)
     val entries = statsDf.collect().map { r =>
       val path = r.getString(0).stripPrefix("file://").stripPrefix("file:")
       tx.newFiles += path
-      FileEntry(path, r.getLong(1), r.getLong(2), r.getLong(3), sorted = sorted)
+      val stats = zoneCols.flatMap { case (k, kind) =>
+        val mn = r.getAs[String](s"__mn_$k")
+        val mx = r.getAs[String](s"__mx_$k")
+        if (mn == null || mx == null) None else Some(k -> ColStat(mn, mx, kind))
+      }.toMap
+      FileEntry(path, r.getAs[Long]("rows"), r.getAs[Long]("lo"),
+        r.getAs[Long]("hi"), sorted = sorted, colStats = stats)
     }.toSeq
     entries
   }

@@ -181,6 +181,30 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("zone-map pruning drops files outside the predicate range on sorted tables") {
+    val s = freshSession()
+    s.createBucket("b")
+    s.transaction { tx =>
+      val t = tx.bucket("b").createSchema("m").createTable("t", f1Schema)
+      t.addSortingKey(Seq("a"))
+      // three disjoint ranges of `a`, inserted as separate file batches
+      def batch(lo: Long): Unit = {
+        val rows = (lo until lo + 10).map(i => Row(i, i.toFloat, s"r$i"))
+        val l = new java.util.ArrayList[Row](); rows.foreach(l.add)
+        t.insert(spark.createDataFrame(l, f1Schema))
+      }
+      batch(0); batch(100); batch(200)
+      val all = t.manifest.files
+      assert(all.forall(_.colStats.contains("a")))
+      val pruned = t.pruneByZoneMaps(all, col("a") >= 100L && col("a") < 110L)
+      assert(pruned.size < all.size, s"no pruning: ${all.size} files kept")
+      // results identical to the unpruned scan
+      assert(t.select(Seq("a"), col("a") >= 100L && col("a") < 110L).count() == 10)
+      // equality constraint prunes to a single range
+      assert(t.pruneByZoneMaps(all, col("a") === 205L).size < all.size)
+    }
+  }
+
   test("projection picker serves covered scans") {
     val s = freshSession()
     s.createBucket("b")
