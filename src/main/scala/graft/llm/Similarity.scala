@@ -79,22 +79,39 @@ object Similarity {
    * nprobe partitions instead of the full corpus.
    */
   def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-               nCentroids: Int): (DataFrame, DataFrame) = {
+               nCentroids: Int, refineIters: Int = 0): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val centroids = corpus
+    def assign(cents: DataFrame): DataFrame = {
+      val byCell = Window.partitionBy(col(idCol))
+        .orderBy(col("_d").asc, col("centroid_id").asc)
+      corpus.crossJoin(broadcast(cents))
+        .withColumn("_d", Distances.l2sq(col(vecCol), col("c_vec")))
+        .withColumn("_rn", row_number().over(byCell))
+        .filter(col("_rn") === 1)
+        .select(col(idCol), col(vecCol), col("centroid_id"))
+    }
+    // seed: deterministic hash-ordered sample; then optional Lloyd
+    // iterations (k-means): each moves centroids to the per-cell mean —
+    // one corpus pass per iteration, no collect
+    var centroids = corpus
       .select(col(idCol).as("c_src"), col(vecCol).as("c_vec"))
       .orderBy(xxhash64(col("c_src")))
       .limit(nCentroids)
       .withColumn("centroid_id",
         row_number().over(Window.orderBy(col("c_src"))).cast("long"))
       .select("centroid_id", "c_vec")
-    val byCell = Window.partitionBy(col(idCol)).orderBy(col("_d").asc, col("centroid_id").asc)
-    val assigned = corpus.crossJoin(broadcast(centroids))
-      .withColumn("_d", Distances.l2sq(col(vecCol), col("c_vec")))
-      .withColumn("_rn", row_number().over(byCell))
-      .filter(col("_rn") === 1)
-      .select(col(idCol), col(vecCol), col("centroid_id"))
-    (centroids, assigned)
+    for (_ <- 0 until refineIters) {
+      val means = assign(centroids)
+        .select(col("centroid_id"), posexplode(col(vecCol)))
+        .groupBy("centroid_id", "pos")
+        .agg(avg(col("col")).as("m"))
+        .groupBy("centroid_id")
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m").cast("float")).as("c_vec"))
+      centroids = means.localCheckpoint(true) // cut the growing lineage
+    }
+    (centroids, assign(centroids))
   }
 
   /** IVF search: rank `nprobe` nearest cells per query, then exact top-k

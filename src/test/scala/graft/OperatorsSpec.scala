@@ -145,6 +145,14 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.9, s"IVF recall too low: $recall")
+    // k-means refinement: recall with FEWER probes must still hold
+    val (c2, a2) =
+      Similarity.ivfIndex(df, "vec_id", "embedding", nCentroids = 20, refineIters = 2)
+    val approx2 = Similarity.ivfSearch(a2, c2, queries,
+        "vec_id", "embedding", k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall2 = (exact & approx2).size.toDouble / exact.size
+    assert(recall2 >= 0.9, s"refined IVF recall too low: $recall2")
   }
 
   // ------------------------------------------------------------ asof join
