@@ -666,9 +666,14 @@ object SparkEntry {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     Q("mm2_feature_extract",  // stubbed decoder — rows-only gate
+      // Scalar columns only: the driver's pandas-side sort can't factorize an
+      // array<float> column, so fold the feature vector into an xxhash64.
       (s, dir) => graft.llm.Multimodal.extractFeatures(
           t(s, dir, "documents").withColumn("media", col("text").cast("binary")),
           "doc_id", "media")
+        .select(col("id"), col("n_bytes"),
+          xxhash64(transform(col("features"), f => round(f.cast("double"), 4)))
+            .as("feat_hash"))
         .orderBy("id"),
       None),
 
@@ -814,14 +819,18 @@ object SparkEntry {
     Q("x1_cast_case",
       (s, dir) => t(s, dir, "orders")
         .select(col("o_orderkey"),
-          col("o_totalprice").cast("decimal(18,2)").as("price_dec"),
+          // floor(x*100)/100 makes the double tie-free at 2 decimals: Spark
+          // casts double→decimal via the shortest string repr (HALF_UP on
+          // ties) while DuckDB rounds the exact binary value, so raw price
+          // ties hash-diverge. Floor of the same double agrees bit-for-bit.
+          (floor(col("o_totalprice") * 100) / 100).cast("decimal(18,2)").as("price_dec"),
           col("o_orderkey").cast("string").as("key_str"),
           when(col("o_totalprice") > 300000, "high")
             .when(col("o_totalprice") > 100000, "mid")
             .otherwise("low").as("bucket"))
         .orderBy("o_orderkey"),
       Some("""SELECT o_orderkey,
-             |  CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+             |  CAST(FLOOR(o_totalprice * 100) / 100 AS DECIMAL(18,2)) AS price_dec,
              |  CAST(o_orderkey AS VARCHAR) AS key_str,
              |  CASE WHEN o_totalprice > 300000 THEN 'high'
              |       WHEN o_totalprice > 100000 THEN 'mid'
