@@ -23,8 +23,21 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Cap the forked heap at 31g: past ~32g HotSpot silently drops
+// CompressedOops (every object pointer doubles), which slows
+// allocation-heavy paths several-fold and balloons GC — observed as a
+// 30x bench regression when run with a ~90g heap. Nothing here needs >31g.
+val forkedHeap: String = {
+  val req = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+  val gb = "^([0-9]+)[gG]$".r
+  req match {
+    case gb(n) if n.toInt > 31 => "31g"
+    case other => other
+  }
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx$forkedHeap",
+  "-XX:+UseCompressedOops",
 )

@@ -111,6 +111,41 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Count of positions where two equal-length long-array signatures agree —
+  * the minhash jaccard estimator numerator. The HOF formulation
+  * (`zip_with` + `aggregate`) costs ~2k interpreted lambda invocations per
+  * candidate pair (k=64); this is one call running a tight primitive loop. */
+case class SignatureMatchCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "signature_match_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"signature_match_count requires two array<bigint>, got " +
+          s"${l.simpleString} / ${r.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var matches = 0
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) matches += 1
+      i += 1
+    }
+    java.lang.Integer.valueOf(matches)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 object TextHashes {
   /** Signature over pre-built shingle strings (shingleN = 1). */
   def minhashSignature(shingles: Column, k: Int): Column =
@@ -120,4 +155,6 @@ object TextHashes {
     Glue.column(MinHashSignature(Glue.expression(tokens), k, shingleN))
   def simhash64(words: Column): Column =
     Glue.column(SimHash64(Glue.expression(words)))
+  def signatureMatchCount(sigA: Column, sigB: Column): Column =
+    Glue.column(SignatureMatchCount(Glue.expression(sigA), Glue.expression(sigB)))
 }

@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graftglue.Glue
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Single-pass text statistics: token count, POSIX-punct char count, stopword
+ * count, stopword-profile language vote, and the order-sensitive rolling
+ * fingerprint — one expression call per row instead of five interpreted
+ * higher-order-function pipelines (each HOF lambda costs ~1µs interpreted;
+ * tokens × languages × rows made `text_analyze` a 50s outlier at sf0.1).
+ *
+ * Every field is defined to be BIT-IDENTICAL to the column-formula it
+ * replaces (graft/llm/TextAnalysis.scala), so the DuckDB-oracled queries
+ * (`ta1`/`ta2`) keep hashing equal:
+ *  - tokens = regex-split on " " with limit -1, exactly `split(text, ' ')`
+ *    (delegates to UTF8String.split like Spark's StringSplit);
+ *  - n_punct counts chars matching Java regex `\p{Punct}` (ASCII-only
+ *    ranges), equal to `length(x) - length(regexp_replace(x,"[\\p{Punct}]",""))`;
+ *  - n_stop counts case-sensitive members of the 10-word stopword list,
+ *    equal to `size(filter(tokens, isin(...)))`;
+ *  - fingerprint chains `acc = xxhash64(acc, word)` with seed 42, equal to
+ *    `aggregate(tokens, 0L, (acc, w) => xxhash64(acc, w))`;
+ *  - lang scores each profile by DISTINCT lowercase-token matches and picks
+ *    the max with ties broken by lexicographically larger language code
+ *    (the `sort_array(desc)` struct ordering it replaces), "und" on zero.
+ */
+case class TokenStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import TokenStats._
+
+  override def dataType: DataType = schema
+  override def prettyName: String = "token_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_stats requires string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val text = v.asInstanceOf[UTF8String]
+    val tokens = text.split(space, -1)
+
+    // punct chars: single pass over UTF-8 bytes; \p{Punct} is ASCII-only and
+    // UTF-8 continuation bytes are >= 0x80, so byte ranges are exact.
+    var nPunct = 0
+    val nBytes = text.numBytes()
+    var b = 0
+    while (b < nBytes) {
+      val c = text.getByte(b) & 0xFF
+      if ((c >= 0x21 && c <= 0x2F) || (c >= 0x3A && c <= 0x40) ||
+          (c >= 0x5B && c <= 0x60) || (c >= 0x7B && c <= 0x7E)) nPunct += 1
+      b += 1
+    }
+
+    var nStop = 0
+    var fp = 0L
+    val scores = new Array[Int](langNames.length)
+    // distinct-match bitmap: profile word index -> already counted
+    val seen = new Array[Boolean](profileWords.length)
+    var j = 0
+    while (j < tokens.length) {
+      val w = tokens(j)
+      if (w != null) {
+        if (stopSet.contains(w)) nStop += 1
+        // acc' = xxhash64(acc, w): children hashed in order with seed 42
+        val h1 = XxHash64Function.hash(java.lang.Long.valueOf(fp), LongType, 42L)
+        fp = XxHash64Function.hash(w, StringType, h1)
+        val idx = profileIndex.get(w.toLowerCase)
+        if (idx != null && !seen(idx.intValue())) {
+          seen(idx.intValue()) = true
+          val langs = profileLangs(idx.intValue())
+          var m = 0
+          while (m < langs.length) { scores(langs(m)) += 1; m += 1 }
+        }
+      }
+      j += 1
+    }
+
+    var bestScore = -1
+    var bestLang = ""
+    var li = 0
+    while (li < langNames.length) {
+      if (scores(li) > bestScore ||
+          (scores(li) == bestScore && langNames(li) > bestLang)) {
+        bestScore = scores(li)
+        bestLang = langNames(li)
+      }
+      li += 1
+    }
+    val lang = if (bestScore > 0) bestLang else "und"
+
+    InternalRow(tokens.length, nPunct, nStop,
+      UTF8String.fromString(lang), fp)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object TokenStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("fingerprint", LongType, nullable = false)))
+
+  private val space = UTF8String.fromString(" ")
+
+  /** Same list as TextAnalysis.stopwords (case-sensitive membership). */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+  /** Same profiles as TextAnalysis.langProfiles (distinct-token voting). */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una", "por", "con", "para", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "une", "est", "dans", "pour", "que"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "个"))
+
+  private val stopSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    stopwords.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  val langNames: Array[String] = langProfiles.map(_._1).toArray
+
+  /** All distinct profile words; a word may vote for several languages. */
+  private val profileWords: Array[UTF8String] =
+    langProfiles.flatMap(_._2).distinct.map(UTF8String.fromString).toArray
+
+  private val profileIndex: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer]()
+    profileWords.zipWithIndex.foreach { case (w, i) => m.put(w, i) }
+    m
+  }
+
+  private val profileLangs: Array[Array[Int]] =
+    profileWords.map { w =>
+      val s = w.toString
+      langProfiles.zipWithIndex.collect {
+        case ((_, words), li) if words.contains(s) => li
+      }.toArray
+    }
+
+  def tokenStats(text: Column): Column =
+    Glue.column(TokenStats(Glue.expression(text)))
+}

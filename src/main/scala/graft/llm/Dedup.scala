@@ -48,10 +48,13 @@ object Dedup {
   def minhashSignature(shingleCol: Column, k: Int): Column =
     graft.functions.TextHashes.minhashSignature(shingleCol, k)
 
-  /** Estimated jaccard from two signatures: matching-position fraction. */
+  /** Estimated jaccard from two signatures: matching-position fraction.
+    * Native position-match count (graft.functions.SignatureMatchCount) — the
+    * HOF form (`zip_with` + `aggregate`) costs ~2k interpreted lambda calls
+    * per candidate pair, which made the LSH verifier the bench bottleneck. */
   def estJaccard(sigA: Column, sigB: Column, k: Int): Column =
-    round(aggregate(zip_with(sigA, sigB, (a, b) => when(a === b, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x).cast("double") / k, 6)
+    round(graft.functions.TextHashes.signatureMatchCount(sigA, sigB)
+      .cast("double") / k, 6)
 
   /**
    * MinHash + LSH near-duplicate pairs.
@@ -70,9 +73,11 @@ object Dedup {
       .localCheckpoint(false) // reused on both sides of two joins
     // candidate generation carries only (band, band_hash, id) — the wide
     // signature arrays never enter the candidate shuffle or the distinct
+    // bands statically unrolled into a literal array of native expressions —
+    // transform(sequence(...)) would be `bands` interpreted lambdas per row
     val banded = sigs.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * r + 1, lit(r))))))
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(slice(col("sig"), b * r + 1, r))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
     val pairs = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
@@ -106,19 +111,17 @@ object Dedup {
     val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
       .localCheckpoint(false)
     val banded = sigs.select(col("id"), col("sim"),
-        posexplode(transform(sequence(lit(0), lit(chunks - 1)),
-          c => call_function("shiftrightunsigned", col("sim"), c * 16).bitwiseAND(0xFFFFL))))
+        posexplode(array((0 until chunks).map(c =>
+          call_function("shiftrightunsigned", col("sim"), lit(c * 16))
+            .bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_val")
     val a = banded.select(col("chunk"), col("chunk_val"),
       col("id").as("id_a"), col("sim").as("sim_a"))
     val b = banded.select(col("chunk"), col("chunk_val"),
       col("id").as("id_b"), col("sim").as("sim_b"))
-    val hamming = aggregate(
-      transform(sequence(lit(0), lit(63)),
-        i => call_function("shiftrightunsigned", col("sim_a").bitwiseXOR(col("sim_b")), i)
-          .bitwiseAND(1).cast("int")),
-      lit(0), (acc, x) => acc + x)
+    // popcount of the XOR — codegen'd builtin, vs 64 interpreted lambdas/pair
+    val hamming = bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int")
     a.join(b, Seq("chunk", "chunk_val"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming.as("hamming"))

@@ -3,14 +3,19 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TokenStats.tokenStats
+
 /**
  * Text-analysis operators for training-data pipelines (north-star extension;
  * no analog in the reference SDK — its `documents`-shaped workloads delegate
  * everything past scan to the client).
  *
- * All operators are pure column expressions (whole-stage codegen'd, no UDFs),
- * so they scale linearly with no shuffle: at 100 TB these run map-side in the
- * same stage as the parquet scan.
+ * All operators are pure column expressions (no UDFs), so they scale linearly
+ * with no shuffle: at 100 TB these run map-side in the same stage as the
+ * parquet scan. Anything that iterates tokens goes through the native
+ * single-pass `TokenStats` expression (graft/functions/TokenStats.scala) —
+ * interpreted higher-order-function lambdas cost ~1µs each, which made the
+ * token loops a 50s bench outlier at sf0.1.
  */
 object TextAnalysis {
 
@@ -34,76 +39,69 @@ object TextAnalysis {
 
   /** Punctuation character ratio (0..1, 6-dp rounded for stability). */
   def punctRatio(text: Column): Column =
-    round(
-      (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double")
-        / greatest(length(text), lit(1)), 6)
+    punctRatioFrom(tokenStats(text), text)
 
-  private val stopwords =
-    Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+  private def punctRatioFrom(st: Column, text: Column): Column =
+    round(st.getField("n_punct").cast("double")
+      / greatest(length(text), lit(1)), 6)
 
   /** Fraction of tokens that are (English) stopwords. */
-  def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
-    round(
-      size(filter(toks, w => w.isin(stopwords.map(lit): _*))).cast("double")
-        / greatest(size(toks), lit(1)), 6)
-  }
+  def stopwordRatio(text: Column): Column =
+    stopwordRatioFrom(tokenStats(text))
+
+  private def stopwordRatioFrom(st: Column): Column =
+    round(st.getField("n_stop").cast("double")
+      / greatest(st.getField("n_tokens"), lit(1)), 6)
 
   /** Composite quality score in [0,1] from length/punct/stopword signals.
     * The weighted blend runs in exact decimal arithmetic (weights are
     * decimal literals), so any engine computing the same formula gets a
     * bit-identical double — a 6-dp-rounded double blend would diverge at
     * rounding boundaries. */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    qualityScoreFrom(tokenStats(text), text)
+
+  private def qualityScoreFrom(st: Column, text: Column): Column = {
     val dec = "decimal(18,6)"
     val lenNorm = (least(length(text), lit(500)).cast("double") / 500.0).cast(dec)
     val d3 = lit(new java.math.BigDecimal("0.3"))
     val d2 = lit(new java.math.BigDecimal("0.2"))
     val d5 = lit(new java.math.BigDecimal("0.5"))
-    (lenNorm * d3 + (lit(1.0) - punctRatio(text)).cast(dec) * d2 +
-      stopwordRatio(text).cast(dec) * d5).cast("double")
+    (lenNorm * d3 + (lit(1.0) - punctRatioFrom(st, text)).cast(dec) * d2 +
+      stopwordRatioFrom(st).cast(dec) * d5).cast("double")
   }
 
   /** Language-ID by stopword-profile voting: score each language by how many
-    * of its characteristic function words appear; argmax wins, 'und'
-    * (undetermined) when no profile matches. Deterministic n-gram-free
-    * heuristic — swap profiles for character n-grams per language as needed. */
-  private val langProfiles: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "for", "with"),
-    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"),
-    "es" -> Seq("el", "la", "de", "que", "los", "una", "por", "con", "para", "es"),
-    "fr" -> Seq("le", "la", "et", "les", "des", "une", "est", "dans", "pour", "que"),
-    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "个"))
-
-  def langId(text: Column): Column = {
-    val toks = array_distinct(tokens(lower(text)))
-    val scored = langProfiles.map { case (lang, words) =>
-      struct(
-        size(array_intersect(toks, array(words.map(lit): _*))).as("score"),
-        lit(lang).as("lang"))
-    }
-    // array_max on struct(score, lang): lexicographic, ties broken by lang
-    // name descending replaced with stable smallest-lang order via sort_array
-    val best = element_at(
-      sort_array(array(scored: _*), asc = false), 1)
-    when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
-  }
+    * of its characteristic function words appear (distinct matches); argmax
+    * wins with ties broken toward the lexicographically larger code, 'und'
+    * (undetermined) when no profile matches. Profiles live in
+    * `TokenStats.langProfiles`. */
+  def langId(text: Column): Column = tokenStats(text).getField("lang")
 
   /** Order-sensitive document fingerprint: rolling hash chaining each word
     * into the accumulator (Karp-Rabin shape, overflow-free under ANSI mode).
     * Same text → same 64-bit fingerprint; any reordering changes it
     * (unlike set-based minhash). */
   def fingerprint(text: Column): Column =
-    aggregate(tokens(text), lit(0L), (acc, w) => xxhash64(acc, w))
-  /** All analysis columns for a documents-like table. */
+    tokenStats(text).getField("fingerprint")
+
+  /** All analysis columns for a documents-like table — the TokenStats struct
+    * is materialized ONCE per row and every token-derived column reads from
+    * it (CollapseProject keeps the multi-referenced non-cheap alias in its
+    * own Project, so the pass isn't duplicated). */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    df.withColumn("n_tokens", tokenCount(t))
-      .withColumn("n_tokens_bpe_est", bpeTokenEstimate(t))
-      .withColumn("punct_ratio", punctRatio(t))
-      .withColumn("stopword_ratio", stopwordRatio(t))
-      .withColumn("quality_score", qualityScore(t))
-      .withColumn("lang_pred", langId(t))
-      .withColumn("fingerprint", fingerprint(t))
+    val ts = col("__token_stats")
+    df.withColumn("__token_stats", tokenStats(t))
+      .withColumn("n_tokens", ts.getField("n_tokens"))
+      .withColumn("n_tokens_bpe_est",
+        greatest(ceil(length(t) / 4).cast("long"),
+          ts.getField("n_tokens").cast("long")))
+      .withColumn("punct_ratio", punctRatioFrom(ts, t))
+      .withColumn("stopword_ratio", stopwordRatioFrom(ts))
+      .withColumn("quality_score", qualityScoreFrom(ts, t))
+      .withColumn("lang_pred", ts.getField("lang"))
+      .withColumn("fingerprint", ts.getField("fingerprint"))
+      .drop("__token_stats")
   }
 }
