@@ -47,8 +47,13 @@ object Manifest {
                        sorted: Boolean = false,
                        renames: Map[String, String] = Map.empty,
                        colStats: Map[String, ColStat] = Map.empty)
+  /** `stale` flips on any base-table DML so the picker stops serving the
+    * projection until `refreshProjection` rebuilds it (the reference
+    * maintains semi-sorted projections transparently server-side; here
+    * maintenance is an explicit — and restartable — rebuild). */
   case class ProjectionMeta(name: String, columns: Seq[String],
-                            sortedColumns: Seq[String], dir: String)
+                            sortedColumns: Seq[String], dir: String,
+                            stale: Boolean = false)
   case class VectorIndexMeta(column: String, metric: String)
   case class BlobExpansionMeta(blobColumn: String, fieldsDdl: String,
                                targetTable: String)
@@ -144,6 +149,19 @@ class Transaction(val session: VastSession, val id: Long) {
   // table dirs created by this tx (removed on rollback)
   private[api] val newTables = scala.collection.mutable.ArrayBuffer.empty[String]
   private[api] val droppedTables = scala.collection.mutable.ArrayBuffer.empty[String]
+  // staged directory renames (table or schema), src -> dst: nothing moves on
+  // disk until commit, so concurrent transactions keep seeing the old name
+  // and rollback is a no-op (reference rename isolation,
+  // vastdb/tests/test_tables.py:688-757)
+  private[api] val pendingRenames =
+    scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+  /** A table dir is visible unless another still-uncommitted transaction
+    * created it (`.pending` marker written by Table.create, removed at
+    * commit). */
+  private[api] def visibleTable(tableDir: Path): Boolean =
+    !Files.exists(tableDir.resolve("_manifest").resolve(".pending")) ||
+      newTables.contains(tableDir.toString)
 
   def requireActive(): Unit = if (!active) throw TransactionInactive()
 
@@ -172,19 +190,42 @@ class Transaction(val session: VastSession, val id: Long) {
     writeSet(tableDir.toString) = m
   }
 
+  /** Two-phase commit: phase 1 CAS-writes every staged manifest (no pointers
+    * move); a Conflict on ANY table deletes the manifests already written in
+    * this commit and rolls the whole transaction back — no partial commit.
+    * Phase 2 (cannot conflict) advances CURRENT pointers, reveals tables
+    * created here, applies staged renames, and performs drops. */
   def commit(): Unit = {
     requireActive()
-    active = false
-    writeSet.foreach { case (key, m) =>
-      val tableDir = Paths.get(key)
-      if (Files.isDirectory(tableDir)) {
-        val base = readSet.get(key).map(_._1).getOrElse(0L)
-        val next = base + 1
-        val mdir = tableDir.resolve("_manifest")
-        Manifest.write(mdir.resolve(f"v$next%08d.json"),
-          m.copy(version = next), createNew = true)
-        Table.writeCurrent(tableDir, next)
+    val written = scala.collection.mutable.ArrayBuffer.empty[(Path, Long)]
+    try {
+      writeSet.foreach { case (key, m) =>
+        val tableDir = Paths.get(key)
+        if (Files.isDirectory(tableDir)) {
+          val base = readSet.get(key).map(_._1).getOrElse(0L)
+          val next = base + 1
+          Manifest.write(tableDir.resolve("_manifest").resolve(f"v$next%08d.json"),
+            m.copy(version = next), createNew = true)
+          written += ((tableDir, next))
+        }
       }
+    } catch {
+      case e: Conflict =>
+        written.foreach { case (tdir, next) =>
+          Files.deleteIfExists(tdir.resolve("_manifest").resolve(f"v$next%08d.json"))
+        }
+        rollback() // still active: removes staged data files + created tables
+        throw e
+    }
+    active = false
+    written.foreach { case (tdir, next) => Table.writeCurrent(tdir, next) }
+    newTables.foreach { t =>
+      Files.deleteIfExists(Paths.get(t).resolve("_manifest").resolve(".pending"))
+    }
+    pendingRenames.foreach { case (src, dst) =>
+      val s = Paths.get(src)
+      if (Files.exists(s))
+        Files.move(s, Paths.get(dst), StandardCopyOption.ATOMIC_MOVE)
     }
     droppedTables.foreach { d => Table.deleteRecursively(Paths.get(d)) }
     session.audit(s"""{"tx":$id,"op":"commit","tables":${writeSet.size}}""")
@@ -208,7 +249,7 @@ class Transaction(val session: VastSession, val id: Long) {
       Files.list(rootP).iterator().asScala
         .filter(p => Files.isDirectory(p) && !p.getFileName.toString.startsWith("_"))
         .foreach { bucketP =>
-          Table.walkTables(bucketP).foreach { tdir =>
+          Table.walkTables(bucketP).filter(visibleTable).foreach { tdir =>
             val m = manifestFor(tdir)
             val rel = bucketP.relativize(tdir)
             val schemaPath = Option(rel.getParent).map(_.toString).getOrElse("")
@@ -235,7 +276,7 @@ class Transaction(val session: VastSession, val id: Long) {
       Files.list(rootP).iterator().asScala
         .filter(p => Files.isDirectory(p) && !p.getFileName.toString.startsWith("_"))
         .foreach { bucketP =>
-          Table.walkTables(bucketP).foreach { tdir =>
+          Table.walkTables(bucketP).filter(visibleTable).foreach { tdir =>
             val rel = bucketP.relativize(tdir).toString.replace('/', '_')
             val view = s"${bucketP.getFileName}_$rel"
             val schemaPath = Option(bucketP.relativize(tdir).getParent)
@@ -265,6 +306,11 @@ class Bucket(val tx: Transaction, val name: String, val dir: Path) {
   /** Nested schema path "a/b" (vastdb/schema.py:38). */
   def schema(path: String): SchemaNS = {
     val p = dir.resolve(path)
+    if (tx.pendingRenames.contains(p.toString)) throw MissingSchema(path)
+    tx.pendingRenames.find(_._2 == p.toString) match {
+      case Some((src, _)) => return new SchemaNS(this, path, Paths.get(src))
+      case None => ()
+    }
     if (!Files.exists(p.resolve(".graft_schema"))) throw MissingSchema(path)
     new SchemaNS(this, path, p)
   }
@@ -291,7 +337,7 @@ class Bucket(val tx: Transaction, val name: String, val dir: Path) {
   def createSnapshot(snapName: String): Unit = {
     val snapDir = dir.resolve(".snapshot").resolve(snapName)
     Files.createDirectories(snapDir)
-    Table.walkTables(dir).foreach { tdir =>
+    Table.walkTables(dir).filter(tx.visibleTable).foreach { tdir =>
       val rel = dir.relativize(tdir)
       val dst = snapDir.resolve(rel)
       Files.createDirectories(dst.resolve("_manifest"))
@@ -344,15 +390,32 @@ class SchemaNS(val bucket: Bucket, val path: String, val dir: Path) {
 
   def table(name: String): Table = {
     val p = dir.resolve(name)
+    // renamed away by this transaction → gone under the old name
+    if (tx.pendingRenames.contains(p.toString)) throw MissingTable(name)
+    // renamed-to by this transaction → serve from the source dir (the move
+    // happens at commit) under the new name
+    tx.pendingRenames.find(_._2 == p.toString) match {
+      case Some((src, _)) => return new Table(this, name, Paths.get(src))
+      case None => ()
+    }
     if (!Files.isDirectory(p.resolve("_manifest"))) throw MissingTable(name)
+    if (!tx.visibleTable(p)) throw MissingTable(name)
     new Table(this, name, p)
   }
 
-  def tables: Seq[String] =
-    if (!Files.isDirectory(dir)) Nil
-    else Files.list(dir).iterator().asScala
-      .filter(p => Files.isDirectory(p.resolve("_manifest")))
-      .map(_.getFileName.toString).toSeq.sorted
+  def tables: Seq[String] = {
+    val disk =
+      if (!Files.isDirectory(dir)) Nil
+      else Files.list(dir).iterator().asScala
+        .filter(p => Files.isDirectory(p.resolve("_manifest")) &&
+          tx.visibleTable(p) && !tx.pendingRenames.contains(p.toString))
+        .map(_.getFileName.toString).toSeq
+    val renamedIn = tx.pendingRenames.collect {
+      case (_, dst) if Paths.get(dst).getParent == dir =>
+        Paths.get(dst).getFileName.toString
+    }
+    (disk ++ renamedIn).toSeq.sorted
+  }
 
   /** Paginated, prefix-filtered listing (reference list APIs paginate with
     * next_key + prefix/exact filters, vastdb/_internal.py:1483-1531). */
@@ -371,10 +434,15 @@ class SchemaNS(val bucket: Bucket, val path: String, val dir: Path) {
     Table.deleteRecursively(dir)
   }
 
+  /** Staged rename: recorded in the transaction and applied (one atomic
+    * directory move) at commit — invisible to concurrent transactions,
+    * no-op on rollback. The returned handle keeps reading the source dir
+    * until then. */
   def renameSchema(newName: String): SchemaNS = {
-    val parent = dir.getParent
-    val dst = parent.resolve(newName)
-    Files.move(dir, dst, StandardCopyOption.ATOMIC_MOVE)
-    new SchemaNS(bucket, path.split('/').dropRight(1).:+(newName).mkString("/"), dst)
+    tx.requireActive()
+    val dst = dir.getParent.resolve(newName)
+    if (Files.exists(dst)) throw SchemaExists(newName)
+    tx.pendingRenames(dir.toString) = dst.toString
+    new SchemaNS(bucket, path.split('/').dropRight(1).:+(newName).mkString("/"), dir)
   }
 }

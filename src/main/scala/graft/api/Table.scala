@@ -45,6 +45,28 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
   def manifest: TableManifest = tx.manifestFor(dir)
   def schema: StructType = manifest.schema
 
+  /** Root against which RELATIVE data/projection paths resolve. Normally the
+    * table dir itself (so a staged rename can move the whole dir atomically
+    * at commit); for a snapshot handle — which copies only manifest trees —
+    * paths resolve against the original table dir, sharing its immutable
+    * data files. Absolute paths (legacy manifests) pass through. */
+  private def dataRoot: Path = {
+    val s = dir.toString
+    val i = s.indexOf("/.snapshot/")
+    if (i < 0) dir
+    else {
+      val rest = s.substring(i + "/.snapshot/".length)
+      val rel = rest.indexOf('/') match {
+        case -1 => ""
+        case j => rest.substring(j + 1)
+      }
+      Paths.get(s.substring(0, i)).resolve(rel)
+    }
+  }
+
+  private[api] def resolveDataPath(p: String): String =
+    if (p.startsWith("/")) p else dataRoot.resolve(p).toString
+
   // ------------------------------------------------------------------ scan
 
   /** Read a set of file entries reconciling schema evolution: files are
@@ -61,7 +83,7 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       val inverse = renames.map(_.swap) // logical -> physical
       val phys = StructType(withRid.fields.map(f =>
         f.copy(name = inverse.getOrElse(f.name, f.name))))
-      spark.read.schema(phys).parquet(group.map(_.path): _*)
+      spark.read.schema(phys).parquet(group.map(e => resolveDataPath(e.path)): _*)
         .toDF(withRid.fieldNames.toSeq: _*)
     }.reduce(_ unionByName _)
   }
@@ -74,10 +96,14 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
                              predRoots: Set[String],
                              config: QueryConfig): Option[ProjectionMeta] = {
     if (!config.useSemiSortedProjections) return None
+    // stale projections (base table mutated since the last build/refresh)
+    // never serve a scan — even when named explicitly — since they'd return
+    // missing/deleted/old rows; the base scan is the correct fallback.
+    val fresh = m.projections.filterNot(_.stale)
     config.semiSortedProjectionName match {
-      case Some(n) => m.projections.find(_.name == n)
+      case Some(n) => fresh.find(_.name == n)
       case None =>
-        val covering = m.projections.filter(p => needed.subsetOf(p.columns.toSet))
+        val covering = fresh.filter(p => needed.subsetOf(p.columns.toSet))
         covering.find(p => p.sortedColumns.headOption.exists(predRoots))
           .orElse(covering.headOption)
     }
@@ -106,7 +132,11 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
             def cmpTo(bound: String): Int = st.kind match {
               case "long" => v.asInstanceOf[Number].longValue.compareTo(bound.toLong)
               case "double" => v.asInstanceOf[Number].doubleValue.compareTo(bound.toDouble)
-              case _ => v.toString.compareTo(bound)
+              // UTF-8 binary order, matching the Spark min/max that produced
+              // the stats — String.compareTo (UTF-16 code units) disagrees on
+              // supplementary-plane chars and could prune matching files
+              case _ => org.apache.spark.unsafe.types.UTF8String.fromString(v.toString)
+                .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(bound))
             }
             try op match {
               case ">" => cmpTo(st.max) < 0
@@ -138,16 +168,32 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     config.queuePriority.foreach(p =>
       spark.sparkContext.setLocalProperty("spark.scheduler.pool", p))
 
+    // rowsPerSplit → partition sizing (reference QueryConfig.rows_per_split,
+    // vastdb/config.py:50): rows × the manifest's observed bytes/row becomes
+    // the file-partition byte target. Session-scoped conf — Spark sizes file
+    // partitions from spark.sql.files.maxPartitionBytes at plan time.
+    if (config.rowsPerSplit != QueryConfig().rowsPerSplit && m.files.nonEmpty) {
+      val probe = m.files.head
+      val bytes = try Files.size(Paths.get(resolveDataPath(probe.path)))
+        catch { case _: Exception => 0L }
+      if (bytes > 0 && probe.rows > 0) {
+        val target = math.max(1L << 16,
+          config.rowsPerSplit * math.max(1L, bytes / math.max(1L, probe.rows)))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", target)
+      }
+    }
+
     val base = pickProjection(m, needed, roots, config) match {
       case Some(p) =>
-        val pdir = dir.resolve(p.dir)
+        val pdir = resolveDataPath(p.dir)
         val projSchema = StructType(logical.fields.filter(f => p.columns.contains(f.name)))
-        spark.read.schema(projSchema.add(RowIdColumn, LongType)).parquet(pdir.toString)
+        spark.read.schema(projSchema.add(RowIdColumn, LongType)).parquet(pdir)
       case None => readEntries(pruneByZoneMaps(m.files, predicate), logical)
     }
     val projected = base.filter(predicate)
       .select((if (internalRowId) RowIdColumn +: cols else cols).map(col): _*)
-    config.limitRows.fold(projected)(n => projected.limit(n.toInt))
+    config.limitRows.fold(projected)(n =>
+      projected.limit(math.min(n, Int.MaxValue.toLong).toInt))
   }
 
   /** Split-wise scan: one DataFrame per row-id range, for callers that
@@ -169,16 +215,27 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     }
   }
 
-  /** Row-count estimate via 2^-16 sampling (reference probe split,
-    * vastdb/table.py:442-458) — exact stats exist in the manifest; the
-    * sampling path estimates *filtered* cardinality without a full scan. */
-  def estimateRowCount(predicate: Column = lit(true)): Long =
-    (select(Nil, lit(true)).sample(1.0 / 65536 * 1024, 42)
-      .filter(predicate).count() * 64)
+  /** Row-count estimate without touching all the data (reference probe
+    * split, vastdb/table.py:442-458): trivial predicates answer from the
+    * manifest (zero Spark jobs); filtered estimates prune candidate files by
+    * zone maps, then probe a BOUNDED file subset for selectivity and
+    * extrapolate — cost is O(probe files), not O(table). */
+  def estimateRowCount(predicate: Column = lit(true)): Long = {
+    val m = manifest
+    if (Glue.isLiteralTrue(predicate)) return m.totalRows
+    val pruned = pruneByZoneMaps(m.files, predicate)
+    if (pruned.isEmpty) return 0L
+    val probe = pruned.take(2)
+    val probeRows = probe.map(_.rows).sum
+    if (probeRows == 0) return 0L
+    val matched = readEntries(probe, m.schema).filter(predicate).count()
+    math.round(matched.toDouble / probeRows * pruned.map(_.rows).sum)
+  }
 
   def stats: TableStats = {
     val m = manifest
-    val size = m.files.map(f => try Files.size(Paths.get(f.path)) catch { case _: Exception => 0L }).sum
+    val size = m.files.map(f => try Files.size(Paths.get(resolveDataPath(f.path)))
+      catch { case _: Exception => 0L }).sum
     val sortedFrac =
       if (m.sortingKeys.isEmpty || m.files.isEmpty) 0.0
       else m.files.count(_.sorted).toDouble / m.files.size
@@ -223,15 +280,19 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       .agg(count(lit(1)).as("rows"),
         (Seq(min(col(RowIdColumn)).as("lo"), max(col(RowIdColumn)).as("hi"))
           ++ zoneAggs): _*)
+    val prefix = dir.toString + "/"
     val entries = statsDf.collect().map { r =>
       val path = r.getString(0).stripPrefix("file://").stripPrefix("file:")
-      tx.newFiles += path
+      tx.newFiles += path // rollback cleanup needs the absolute path
+      // manifests store dir-relative paths so a staged rename can move the
+      // whole table dir atomically at commit without breaking entries
+      val rel = if (path.startsWith(prefix)) path.substring(prefix.length) else path
       val stats = zoneCols.flatMap { case (k, kind) =>
         val mn = r.getAs[String](s"__mn_$k")
         val mx = r.getAs[String](s"__mx_$k")
         if (mn == null || mx == null) None else Some(k -> ColStat(mn, mx, kind))
       }.toMap
-      FileEntry(path, r.getAs[Long]("rows"), r.getAs[Long]("lo"),
+      FileEntry(rel, r.getAs[Long]("rows"), r.getAs[Long]("lo"),
         r.getAs[Long]("hi"), sorted = sorted, colStats = stats)
     }.toSeq
     entries
@@ -264,7 +325,8 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       val entries = writeData(aligned, sorted = false)
       val hi = entries.map(_.maxRowId).max + 1
       tx.stageWrite(dir, m.copy(files = m.files ++ entries,
-        nextRowId = math.max(m.nextRowId, hi)))
+        nextRowId = math.max(m.nextRowId, hi),
+        projections = staleProjections(m)))
       maintainBlobExpansions(m, aligned)
       recordAudit("insert", entries.map(_.rows).sum)
       return (entries.map(_.minRowId).min, hi)
@@ -278,11 +340,17 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       withIds.sortWithinPartitions(m.sortingKeys.map(col): _*) else withIds
     val entries = writeData(data, sorted = false)
     val n = entries.map(_.rows).sum
-    tx.stageWrite(dir, m.copy(files = m.files ++ entries, nextRowId = start + n))
+    tx.stageWrite(dir, m.copy(files = m.files ++ entries, nextRowId = start + n,
+      projections = staleProjections(m)))
     maintainBlobExpansions(m, withIds)
     recordAudit("insert", n)
     (start, start + n)
   }
+
+  /** DML invalidates materialized projections (they'd serve missing/deleted/
+    * old rows); `refreshProjection` rebuilds and re-enables them. */
+  private def staleProjections(m: TableManifest): Seq[ProjectionMeta] =
+    m.projections.map(_.copy(stale = true))
 
   /** UPDATE cells addressed by `_row_id` (reference vastdb/table.py:779-816).
     * Copy-on-write bounded to files whose row-id range intersects the batch;
@@ -290,27 +358,39 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
   def update(updates: DataFrame): Unit = {
     if (!updates.columns.contains(RowIdColumn)) throw MissingRowIdColumn()
     val m = manifest
-    val Array(Row(lo: Long, hi: Long)) = updates
+    // one materialization of the batch (cache) feeds the range probe, the
+    // merge, and the audit count — previously three scans of the source
+    val batch = updates.cache()
+    val n = batch.count()
+    if (n == 0) { batch.unpersist(); return }
+    val Array(Row(lo: Long, hi: Long)) = batch
       .agg(min(col(RowIdColumn)), max(col(RowIdColumn))).collect()
     val (touched, untouched) = m.files.partition(f => f.minRowId <= hi && f.maxRowId >= lo)
     val current = readEntries(touched, m.schema)
-    val merged = Dml.updateByRowId(current, updates)
+    val merged = Dml.updateByRowId(current, batch)
     val entries = writeData(merged, sorted = false)
-    tx.stageWrite(dir, m.copy(files = untouched ++ entries))
-    recordAudit("update", updates.count())
+    tx.stageWrite(dir, m.copy(files = untouched ++ entries,
+      projections = staleProjections(m)))
+    batch.unpersist()
+    recordAudit("update", n)
   }
 
   /** DELETE by `_row_id` (reference vastdb/table.py:818-843). */
   def delete(victims: DataFrame): Unit = {
     if (!victims.columns.contains(RowIdColumn)) throw MissingRowIdColumn()
     val m = manifest
-    val Array(Row(lo: Long, hi: Long)) = victims
+    val batch = victims.cache()
+    val n = batch.count()
+    if (n == 0) { batch.unpersist(); return }
+    val Array(Row(lo: Long, hi: Long)) = batch
       .agg(min(col(RowIdColumn)), max(col(RowIdColumn))).collect()
     val (touched, untouched) = m.files.partition(f => f.minRowId <= hi && f.maxRowId >= lo)
-    val remaining = Dml.deleteByRowId(readEntries(touched, m.schema), victims)
+    val remaining = Dml.deleteByRowId(readEntries(touched, m.schema), batch)
     val entries = writeData(remaining, sorted = false)
-    tx.stageWrite(dir, m.copy(files = untouched ++ entries))
-    recordAudit("delete", victims.count())
+    tx.stageWrite(dir, m.copy(files = untouched ++ entries,
+      projections = staleProjections(m)))
+    batch.unpersist()
+    recordAudit("delete", n)
   }
 
   /** Export the (filtered) table to plain parquet (reference README
@@ -428,16 +508,26 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
 
   private def recordImports(files: Seq[String], format: String = "parquet"): Unit = {
     val it = importsTable()
-    def countOf(f: String): Long =
+    // ONE job for all files (group by input_file_name), not a driver-side
+    // loop of per-file count() jobs — N jobs for N files kills bulk imports
+    val counts: Map[String, Long] =
       try {
         val r = format match {
-          case "csv" => spark.read.option("header", "true").csv(f)
-          case "json" => spark.read.json(f)
-          case "orc" => spark.read.orc(f)
-          case _ => spark.read.parquet(f)
+          case "csv" => spark.read.option("header", "true").csv(files: _*)
+          case "json" => spark.read.json(files: _*)
+          case "orc" => spark.read.orc(files: _*)
+          case _ => spark.read.parquet(files: _*)
         }
-        r.count()
-      } catch { case _: Exception => -1L }
+        r.groupBy(input_file_name().as("f")).count().collect()
+          .map(x => x.getString(0).stripPrefix("file://").stripPrefix("file:")
+            -> x.getLong(1)).toMap
+      } catch { case _: Exception => Map.empty }
+    def countOf(f: String): Long = {
+      val abs = Paths.get(f).toAbsolutePath.toString
+      counts.getOrElse(abs,
+        counts.find(_._1.endsWith(abs)).map(_._2)
+          .getOrElse(if (counts.isEmpty) -1L else 0L)) // 0 = present but empty
+    }
     val rows = files.map(f => Row(
       f, countOf(f),
       new java.sql.Timestamp(0L))) // deterministic epoch ts; wall-clock in audit
@@ -478,10 +568,24 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       sortingKeys = m.sortingKeys.filterNot(_ == name)))
   }
 
+  /** Staged rename (reference rename isolation,
+    * vastdb/tests/test_tables.py:688-757): recorded on the transaction and
+    * applied as ONE atomic directory move at commit — concurrent
+    * transactions keep seeing the old name; rollback is a no-op. Data paths
+    * in the current manifest are re-staged dir-relative so they stay valid
+    * after the move (absolute-path entries in historical versions predate
+    * the rename and aren't rewritten). */
   def renameTable(newName: String): Table = {
+    tx.requireActive()
     val dst = dir.getParent.resolve(newName)
-    Files.move(dir, dst, StandardCopyOption.ATOMIC_MOVE)
-    new Table(schemaNS, newName, dst)
+    if (Files.exists(dst)) throw TableExists(newName)
+    val m = manifest
+    val prefix = dir.toString + "/"
+    val relFiles = m.files.map(f =>
+      if (f.path.startsWith(prefix)) f.copy(path = f.path.substring(prefix.length)) else f)
+    if (relFiles != m.files) tx.stageWrite(dir, m.copy(files = relFiles))
+    tx.pendingRenames(dir.toString) = dst.toString
+    new Table(schemaNS, newName, dir)
   }
 
   def drop(): Unit = {
@@ -518,22 +622,48 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
 
   // ------------------------------------------- projections (D10, §4.3)
 
-  /** Materialized column-subset copy sorted on `sortedColumns` (reference
-    * semi-sorted projections, vastdb/table.py:274-309). The picker in
-    * `select` routes covered scans here automatically. */
-  def createProjection(pname: String, columns: Seq[String],
-                       sortedColumns: Seq[String]): Unit = {
+  /** Write one immutable projection data dir (unique name per build, so
+    * concurrent readers on older manifests keep a valid dir) and register
+    * its files for rollback cleanup. Returns the dir, relative to the table
+    * dir. */
+  private def writeProjectionData(pname: String, columns: Seq[String],
+                                  sortedColumns: Seq[String]): String = {
     val m = manifest
-    val pdirRel = s"_proj/$pname"
+    val pdirRel = s"_proj/$pname-${UUID.randomUUID().toString.take(8)}"
     val pdir = dir.resolve(pdirRel)
     val data = readEntries(m.files, m.schema)
       .select((columns :+ RowIdColumn).distinct.map(col): _*)
       .repartitionByRange(sortedColumns.map(col): _*)
       .sortWithinPartitions(sortedColumns.map(col): _*)
     data.write.mode("overwrite").parquet(pdir.toString)
+    // deepest-first so rollback's in-order deletes empty dirs before parents
+    Files.walk(pdir).iterator().asScala.toSeq.reverse
+      .foreach(p => tx.newFiles += p.toString)
+    pdirRel
+  }
+
+  /** Materialized column-subset copy sorted on `sortedColumns` (reference
+    * semi-sorted projections, vastdb/table.py:274-309). The picker in
+    * `select` routes covered scans here automatically. */
+  def createProjection(pname: String, columns: Seq[String],
+                       sortedColumns: Seq[String]): Unit = {
+    val m = manifest
+    val pdirRel = writeProjectionData(pname, columns, sortedColumns)
     tx.stageWrite(dir, m.copy(projections =
       m.projections.filterNot(_.name == pname) :+
         ProjectionMeta(pname, columns, sortedColumns, pdirRel)))
+  }
+
+  /** Rebuild a (stale) projection from the current table state and re-enable
+    * it — the maintenance half of the stale-on-DML protocol. */
+  def refreshProjection(pname: String): Unit = {
+    val m = manifest
+    val p = m.projections.find(_.name == pname)
+      .getOrElse(throw NotSupportedCommand(s"no projection $pname"))
+    val pdirRel = writeProjectionData(pname, p.columns, p.sortedColumns)
+    tx.stageWrite(dir, m.copy(projections = m.projections.map(x =>
+      if (x.name == pname) x.copy(dir = pdirRel, stale = false) else x)))
+    recordAudit("refresh_projection", m.totalRows)
   }
 
   def projections: Seq[ProjectionMeta] = manifest.projections
@@ -624,7 +754,7 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
   def projectionStats(pname: String): TableStats = {
     val p = manifest.projections.find(_.name == pname)
       .getOrElse(throw NotSupportedCommand(s"no projection $pname"))
-    val pdir = dir.resolve(p.dir)
+    val pdir = Paths.get(resolveDataPath(p.dir))
     val files = if (Files.isDirectory(pdir))
       Files.walk(pdir).iterator().asScala
         .filter(f => f.toString.endsWith(".parquet")).toSeq
@@ -677,6 +807,10 @@ object Table {
     Manifest.write(dir.resolve("_manifest").resolve(f"v${0}%08d.json"),
       TableManifest(0, schema.json, Nil, 0L), createNew = false)
     writeCurrent(dir, 0)
+    // invisible to other transactions until commit removes the marker
+    // (reference DDL isolation — created tables are tx-local until commit)
+    Files.write(dir.resolve("_manifest").resolve(".pending"),
+      schemaNS.tx.id.toString.getBytes("UTF-8"))
     schemaNS.tx.newTables += dir.toString
     new Table(schemaNS, name, dir)
   }

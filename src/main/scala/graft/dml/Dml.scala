@@ -36,19 +36,24 @@ object Dml {
     df.filter(!coalesce(cond, lit(false)))
 
   /** Merge a batch of updated cells addressed by `_row_id`: `updates` has
-    * `_row_id` plus a subset of columns; unmatched rows pass through. */
+    * `_row_id` plus a subset of columns; unmatched rows pass through. A
+    * match marker (not coalesce) decides per row, so an explicitly supplied
+    * NULL cell overwrites the stored value — the reference's UPDATE
+    * semantics (supplied values replace, including null). */
   def updateByRowId(df: DataFrame, updates: DataFrame): DataFrame = {
     require(updates.columns.contains(RowIdColumn),
       s"updates must carry $RowIdColumn") // MissingRowIdColumn analog (errors.py:121)
     val upCols = updates.columns.filter(_ != RowIdColumn)
     val renamed = upCols.foldLeft(updates) { (d, c) =>
       d.withColumnRenamed(c, s"__new_$c")
-    }
+    }.withColumn("__matched", lit(true))
     val joined = df.join(renamed, Seq(RowIdColumn), "left")
     upCols.foldLeft(joined) { (d, c) =>
-      d.withColumn(c, coalesce(col(s"__new_$c"), col(c)))
+      d.withColumn(c,
+          when(coalesce(col("__matched"), lit(false)), col(s"__new_$c"))
+            .otherwise(col(c)))
         .drop(s"__new_$c")
-    }
+    }.drop("__matched")
   }
 
   /** DELETE by `_row_id` batch — anti-join. */

@@ -23,6 +23,12 @@ object Glue {
   def catalystExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** True iff the column is the literal TRUE (the no-op predicate). */
+  def isLiteralTrue(c: Column): Boolean = catalystExpression(c) match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(true, _) => true
+    case _ => false
+  }
+
   /** Root column names referenced by a (possibly unresolved) Column. */
   def referencedRoots(c: Column): Set[String] =
     catalystExpression(c).collect {
