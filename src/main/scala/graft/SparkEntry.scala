@@ -819,18 +819,23 @@ object SparkEntry {
     Q("x1_cast_case",
       (s, dir) => t(s, dir, "orders")
         .select(col("o_orderkey"),
-          // floor(x*100)/100 makes the double tie-free at 2 decimals: Spark
-          // casts double→decimal via the shortest string repr (HALF_UP on
-          // ties) while DuckDB rounds the exact binary value, so raw price
-          // ties hash-diverge. Floor of the same double agrees bit-for-bit.
-          (floor(col("o_totalprice") * 100) / 100).cast("decimal(18,2)").as("price_dec"),
+          // the value must stay integral until it's decimal: floor(x*100) of
+          // a double < 2^53 is exact (Spark floor returns LONG), long→decimal
+          // is exact, and decimal*0.01 is exact — so no inexact double is
+          // ever cast to decimal on either side. (floor(x*100)/100 still
+          // diverged: Spark casts the inexact double quotient via its
+          // shortest string repr while DuckDB rounds the binary value.)
+          (floor(col("o_totalprice") * 100).cast("decimal(18,0)")
+            * lit(java.math.BigDecimal.valueOf(1L, 2)))
+            .cast("decimal(18,2)").as("price_dec"),
           col("o_orderkey").cast("string").as("key_str"),
           when(col("o_totalprice") > 300000, "high")
             .when(col("o_totalprice") > 100000, "mid")
             .otherwise("low").as("bucket"))
         .orderBy("o_orderkey"),
       Some("""SELECT o_orderkey,
-             |  CAST(FLOOR(o_totalprice * 100) / 100 AS DECIMAL(18,2)) AS price_dec,
+             |  CAST(CAST(FLOOR(o_totalprice * 100) AS DECIMAL(18,0)) * 0.01
+             |       AS DECIMAL(18,2)) AS price_dec,
              |  CAST(o_orderkey AS VARCHAR) AS key_str,
              |  CASE WHEN o_totalprice > 300000 THEN 'high'
              |       WHEN o_totalprice > 100000 THEN 'mid'

@@ -114,6 +114,33 @@ class VastSession(val spark: SparkSession, val root: String) {
   def createBucket(name: String): Unit =
     Files.createDirectories(Paths.get(root, name))
 
+  /** Remove tables orphaned by a crash between Table.create and commit:
+    * their `.pending` marker (written by Table.create, removed at commit)
+    * makes them permanently invisible AND undroppable through the API. A
+    * marker older than `olderThanMillis` whose creating transaction can no
+    * longer commit (this process has no record of it) is garbage; the
+    * default keeps anything a live long-running transaction could still
+    * reveal. Returns the removed table dirs. */
+  def vacuumPending(olderThanMillis: Long = 24L * 3600 * 1000): Seq[String] = {
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    val rootP = Paths.get(root)
+    if (!Files.isDirectory(rootP)) return Nil
+    Files.list(rootP).iterator().asScala
+      .filter(p => Files.isDirectory(p) && !p.getFileName.toString.startsWith("_"))
+      .flatMap(bucketP => Table.walkTables(bucketP))
+      .filter { tdir =>
+        val marker = tdir.resolve("_manifest").resolve(".pending")
+        Files.exists(marker) &&
+          (try Files.getLastModifiedTime(marker).toMillis < cutoff
+           catch { case _: Exception => false })
+      }
+      .map { tdir =>
+        Table.deleteRecursively(tdir)
+        audit(s"""{"op":"vacuum_pending","table":"${tdir.toString}"}""")
+        tdir.toString
+      }.toSeq
+  }
+
   def audit(line: String): Unit = synchronized {
     val dir = Paths.get(root, "_audit")
     Files.createDirectories(dir)
@@ -190,15 +217,60 @@ class Transaction(val session: VastSession, val id: Long) {
     writeSet(tableDir.toString) = m
   }
 
-  /** Two-phase commit: phase 1 CAS-writes every staged manifest (no pointers
-    * move); a Conflict on ANY table deletes the manifests already written in
-    * this commit and rolls the whole transaction back — no partial commit.
-    * Phase 2 (cannot conflict) advances CURRENT pointers, reveals tables
-    * created here, applies staged renames, and performs drops. */
+  /** Staged renames rewritten through the renames applied BEFORE them (in
+    * staging order): a schema rename staged earlier moves everything under
+    * it, so a table rename inside that schema must execute against the
+    * post-move path — otherwise its src no longer exists at apply time and
+    * the rename would be lost. */
+  private def resolvedRenames: Seq[(String, String)] = {
+    def rewrite(p: String, earlier: Seq[(String, String)]): String =
+      earlier.foldLeft(p) { case (cur, (s, d)) =>
+        if (cur == s) d
+        else if (cur.startsWith(s + "/")) d + cur.substring(s.length)
+        else cur
+      }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    pendingRenames.foreach { case (src, dst) =>
+      out += ((rewrite(src, out.toSeq), rewrite(dst, out.toSeq)))
+    }
+    out.toSeq
+  }
+
+  /** Does `p` exist AFTER the moves in `applied` have (notionally) run?
+    * Maps `p` back through the moves in reverse to its pre-commit path and
+    * checks the real filesystem — lets commit re-validate every staged
+    * rename against current disk state before anything irreversible runs. */
+  private def existsAfter(p: String, applied: Seq[(String, String)]): Boolean = {
+    var cur = p
+    for ((s, d) <- applied.reverse) {
+      if (cur == d) cur = s
+      else if (cur.startsWith(d + "/")) cur = s + cur.substring(d.length)
+      else if (cur == s || cur.startsWith(s + "/")) return false // moved away
+    }
+    Files.exists(Paths.get(cur))
+  }
+
+  /** Two-phase commit: phase 1 re-validates every staged rename against
+    * current disk state (a concurrent commit may have created a destination
+    * since staging) and CAS-writes every staged manifest (no pointers move);
+    * a Conflict on ANY step deletes the manifests already written in this
+    * commit and rolls the whole transaction back — no partial commit.
+    * Phase 2 (validated, cannot conflict) advances CURRENT pointers, reveals
+    * tables created here, applies staged renames, and performs drops; a
+    * rename that still fails there (a true mid-phase-2 race) is a HARD error
+    * naming the partially-applied state, never a silent skip. */
   def commit(): Unit = {
     requireActive()
+    val renames = resolvedRenames
     val written = scala.collection.mutable.ArrayBuffer.empty[(Path, Long)]
     try {
+      renames.zipWithIndex.foreach { case ((src, dst), i) =>
+        val before = renames.take(i)
+        if (!existsAfter(src, before))
+          throw Conflict(s"rename source no longer exists: $src")
+        if (existsAfter(dst, before))
+          throw Conflict(s"rename destination was created concurrently: $dst")
+      }
       writeSet.foreach { case (key, m) =>
         val tableDir = Paths.get(key)
         if (Files.isDirectory(tableDir)) {
@@ -222,10 +294,14 @@ class Transaction(val session: VastSession, val id: Long) {
     newTables.foreach { t =>
       Files.deleteIfExists(Paths.get(t).resolve("_manifest").resolve(".pending"))
     }
-    pendingRenames.foreach { case (src, dst) =>
-      val s = Paths.get(src)
-      if (Files.exists(s))
-        Files.move(s, Paths.get(dst), StandardCopyOption.ATOMIC_MOVE)
+    renames.foreach { case (src, dst) =>
+      try Files.move(Paths.get(src), Paths.get(dst), StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"commit partially applied: manifests are committed but rename " +
+            s"$src -> $dst failed mid-phase-2 (${e.getMessage}); " +
+            "remaining renames/drops were not applied", e)
+      }
     }
     droppedTables.foreach { d => Table.deleteRecursively(Paths.get(d)) }
     session.audit(s"""{"tx":$id,"op":"commit","tables":${writeSet.size}}""")

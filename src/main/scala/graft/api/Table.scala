@@ -73,17 +73,18 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     * grouped by their rename map; each group is read with its physical
     * schema (missing columns null-filled by the parquet reader) then
     * aliased back to logical names. */
-  private def readEntries(entries: Seq[FileEntry], logical: StructType): DataFrame = {
+  private def readEntries(entries: Seq[FileEntry], logical: StructType,
+                          session: SparkSession = spark): DataFrame = {
     val withRid = if (logical.fieldNames.contains(RowIdColumn)) logical
       else logical.add(StructField(RowIdColumn, LongType, nullable = false))
     if (entries.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], withRid)
+      return session.createDataFrame(
+        session.sparkContext.emptyRDD[Row], withRid)
     entries.groupBy(_.renames).map { case (renames, group) =>
       val inverse = renames.map(_.swap) // logical -> physical
       val phys = StructType(withRid.fields.map(f =>
         f.copy(name = inverse.getOrElse(f.name, f.name))))
-      spark.read.schema(phys).parquet(group.map(e => resolveDataPath(e.path)): _*)
+      session.read.schema(phys).parquet(group.map(e => resolveDataPath(e.path)): _*)
         .toDF(withRid.fieldNames.toSeq: _*)
     }.reduce(_ unionByName _)
   }
@@ -165,30 +166,41 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     val roots = predicateRoots(predicate)
     val needed = cols.toSet ++ roots
 
+    // queuePriority → Spark's fair-scheduler pool, which is inherently a
+    // thread-local property consumed at JOB SUBMISSION (i.e. when an action
+    // runs on the returned DataFrame, usually on this same thread) — a
+    // save/restore here would fire before any job is submitted and disable
+    // the feature. Thread-sticky semantics are Spark's own contract for
+    // scheduler pools; it does NOT touch session conf.
     config.queuePriority.foreach(p =>
       spark.sparkContext.setLocalProperty("spark.scheduler.pool", p))
 
     // rowsPerSplit → partition sizing (reference QueryConfig.rows_per_split,
     // vastdb/config.py:50): rows × the manifest's observed bytes/row becomes
-    // the file-partition byte target. Session-scoped conf — Spark sizes file
-    // partitions from spark.sql.files.maxPartitionBytes at plan time.
-    if (config.rowsPerSplit != QueryConfig().rowsPerSplit && m.files.nonEmpty) {
-      val probe = m.files.head
-      val bytes = try Files.size(Paths.get(resolveDataPath(probe.path)))
-        catch { case _: Exception => 0L }
-      if (bytes > 0 && probe.rows > 0) {
-        val target = math.max(1L << 16,
-          config.rowsPerSplit * math.max(1L, bytes / math.max(1L, probe.rows)))
-        spark.conf.set("spark.sql.files.maxPartitionBytes", target)
-      }
-    }
+    // the file-partition byte target. Spark reads maxPartitionBytes lazily at
+    // plan time, so the knob is set on a CLONED session (shared context +
+    // catalog, independent SQLConf) that only this scan's DataFrame is bound
+    // to — the caller's session conf is never mutated.
+    val scanSession: SparkSession =
+      if (config.rowsPerSplit != QueryConfig().rowsPerSplit && m.files.nonEmpty) {
+        val probe = m.files.head
+        val bytes = try Files.size(Paths.get(resolveDataPath(probe.path)))
+          catch { case _: Exception => 0L }
+        if (bytes > 0 && probe.rows > 0) {
+          val target = math.max(1L << 16,
+            config.rowsPerSplit * math.max(1L, bytes / math.max(1L, probe.rows)))
+          Glue.scopedSession(spark,
+            Map("spark.sql.files.maxPartitionBytes" -> target.toString))
+        } else spark
+      } else spark
 
     val base = pickProjection(m, needed, roots, config) match {
       case Some(p) =>
         val pdir = resolveDataPath(p.dir)
         val projSchema = StructType(logical.fields.filter(f => p.columns.contains(f.name)))
-        spark.read.schema(projSchema.add(RowIdColumn, LongType)).parquet(pdir)
-      case None => readEntries(pruneByZoneMaps(m.files, predicate), logical)
+        scanSession.read.schema(projSchema.add(RowIdColumn, LongType)).parquet(pdir)
+      case None =>
+        readEntries(pruneByZoneMaps(m.files, predicate), logical, scanSession)
     }
     val projected = base.filter(predicate)
       .select((if (internalRowId) RowIdColumn +: cols else cols).map(col): _*)
@@ -225,11 +237,20 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     if (Glue.isLiteralTrue(predicate)) return m.totalRows
     val pruned = pruneByZoneMaps(m.files, predicate)
     if (pruned.isEmpty) return 0L
-    val probe = pruned.take(2)
+    // probe a SPREAD of files (first/middle/last), not the head of the list:
+    // predicates correlated with insertion order (e.g. time filters with no
+    // zone stats) would make the two oldest files match 0 rows and collapse
+    // the estimate to 0 even when millions of newer rows match
+    val probe = (if (pruned.size <= 3) pruned
+      else Seq(pruned.head, pruned(pruned.size / 2), pruned.last)).distinct
     val probeRows = probe.map(_.rows).sum
     if (probeRows == 0) return 0L
     val matched = readEntries(probe, m.schema).filter(predicate).count()
-    math.round(matched.toDouble / probeRows * pruned.map(_.rows).sum)
+    val total = pruned.map(_.rows).sum
+    val est = math.round(matched.toDouble / probeRows * total)
+    // zone maps kept these files but the probe matched nothing: floor at 1 —
+    // "about zero" is the right signal, exactly 0 ("provably empty") is not
+    if (matched == 0 && total > 0) 1L else est
   }
 
   def stats: TableStats = {
@@ -519,14 +540,33 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
           case _ => spark.read.parquet(files: _*)
         }
         r.groupBy(input_file_name().as("f")).count().collect()
-          .map(x => x.getString(0).stripPrefix("file://").stripPrefix("file:")
-            -> x.getLong(1)).toMap
+          .map { x =>
+            // input_file_name() is a URL-encoded URI (spaces → %20 etc.) —
+            // decode through java.net.URI so the map keys are plain paths
+            val raw = x.getString(0)
+            val plain = try new java.net.URI(raw).getPath catch {
+              case _: Exception => raw.stripPrefix("file://").stripPrefix("file:")
+            }
+            plain -> x.getLong(1)
+          }.toMap
       } catch { case _: Exception => Map.empty }
     def countOf(f: String): Long = {
       val abs = Paths.get(f).toAbsolutePath.toString
-      counts.getOrElse(abs,
-        counts.find(_._1.endsWith(abs)).map(_._2)
-          .getOrElse(if (counts.isEmpty) -1L else 0L)) // 0 = present but empty
+      counts.get(abs)
+        .orElse(counts.find(_._1.endsWith(abs)).map(_._2))
+        .getOrElse {
+          // missing from the batched result (or the whole batched read
+          // failed): isolate with a per-file count so one unreadable file
+          // can't poison every file's provenance row
+          try {
+            (format match {
+              case "csv" => spark.read.option("header", "true").csv(f)
+              case "json" => spark.read.json(f)
+              case "orc" => spark.read.orc(f)
+              case _ => spark.read.parquet(f)
+            }).count()
+          } catch { case _: Exception => -1L } // -1 = unreadable
+        }
     }
     val rows = files.map(f => Row(
       f, countOf(f),

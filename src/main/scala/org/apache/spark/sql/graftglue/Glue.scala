@@ -23,6 +23,19 @@ object Glue {
   def catalystExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** A clone of `spark` sharing the SparkContext, catalog state, and runtime
+    * conf values, but with an independent SQLConf: scan-scoped knobs (e.g.
+    * `spark.sql.files.maxPartitionBytes`) set on the clone are consulted at
+    * plan time of DataFrames built from it, and never leak into the parent
+    * session. (A save/restore around the read would not work — file-partition
+    * sizing is read lazily when the query is planned, not when the
+    * DataFrame is constructed.) */
+  def scopedSession(spark: SparkSession, confs: Map[String, String]): SparkSession = {
+    val clone = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+    confs.foreach { case (k, v) => clone.conf.set(k, v) }
+    clone
+  }
+
   /** True iff the column is the literal TRUE (the no-op predicate). */
   def isLiteralTrue(c: Column): Boolean = catalystExpression(c) match {
     case org.apache.spark.sql.catalyst.expressions.Literal(true, _) => true

@@ -71,7 +71,11 @@ class GraftSqlCatalog extends TableCatalog {
           "Transaction.registerViews or Table.select")
     val schema = StructType(m.schema.fields :+
       StructField("_row_id", LongType, nullable = false))
-    val paths = m.files.map(_.path).toList
+    // manifests store table-dir-relative data paths (so staged renames can
+    // move the dir atomically); resolve them here exactly like
+    // Table.resolveDataPath — absolute (legacy) entries pass through
+    val paths = m.files.map(f =>
+      if (f.path.startsWith("/")) f.path else dir.resolve(f.path).toString).toList
     val parquet = ParquetTable(ident.toString, SparkSession.active,
       CaseInsensitiveStringMap.empty(), paths, Some(schema),
       classOf[ParquetFileFormat])
