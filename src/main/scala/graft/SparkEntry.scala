@@ -819,23 +819,24 @@ object SparkEntry {
     Q("x1_cast_case",
       (s, dir) => t(s, dir, "orders")
         .select(col("o_orderkey"),
-          // the value must stay integral until it's decimal: floor(x*100) of
-          // a double < 2^53 is exact (Spark floor returns LONG), long→decimal
-          // is exact, and decimal*0.01 is exact — so no inexact double is
-          // ever cast to decimal on either side. (floor(x*100)/100 still
-          // diverged: Spark casts the inexact double quotient via its
-          // shortest string repr while DuckDB rounds the binary value.)
+          // the arithmetic stays integral until it's decimal (floor of a
+          // double < 2^53 is exact, long→decimal exact, decimal*0.01 exact),
+          // and the COMPARED value is the decimal's canonical string: the
+          // harness renders a parquet decimal as Decimal('230.50') but a
+          // DuckDB DECIMAL as float 230.5, so equal decimal VALUES still
+          // hash-diverge on trailing zeros. decimal→string keeps the scale
+          // ("230.50") identically in both engines.
           (floor(col("o_totalprice") * 100).cast("decimal(18,0)")
             * lit(java.math.BigDecimal.valueOf(1L, 2)))
-            .cast("decimal(18,2)").as("price_dec"),
+            .cast("decimal(18,2)").cast("string").as("price_dec"),
           col("o_orderkey").cast("string").as("key_str"),
           when(col("o_totalprice") > 300000, "high")
             .when(col("o_totalprice") > 100000, "mid")
             .otherwise("low").as("bucket"))
         .orderBy("o_orderkey"),
       Some("""SELECT o_orderkey,
-             |  CAST(CAST(FLOOR(o_totalprice * 100) AS DECIMAL(18,0)) * 0.01
-             |       AS DECIMAL(18,2)) AS price_dec,
+             |  CAST(CAST(CAST(FLOOR(o_totalprice * 100) AS DECIMAL(18,0)) * 0.01
+             |       AS DECIMAL(18,2)) AS VARCHAR) AS price_dec,
              |  CAST(o_orderkey AS VARCHAR) AS key_str,
              |  CASE WHEN o_totalprice > 300000 THEN 'high'
              |       WHEN o_totalprice > 100000 THEN 'mid'

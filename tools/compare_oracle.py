@@ -23,8 +23,8 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     def canon(v):
         if isinstance(v, (list,)) or str(type(v)).endswith("ndarray'>"):
             return tuple(round(float(x), 6) for x in v)
-        if hasattr(v, "as_tuple"):  # Decimal
-            return float(v)
+        if hasattr(v, "as_tuple"):  # Decimal — keep exact repr incl. trailing
+            return str(v)           # zeros ("230.50"), the driver is strict
         if isinstance(v, float):
             return round(v, 9) if not math.isnan(v) else "NaN"
         if isinstance(v, pd.Timestamp):
