@@ -122,11 +122,11 @@ object Bench {
     mat(t("embeddings").limit(1))
     mat(t("orders").limit(1))
 
-    // best of 2 runs per query: the second run benefits from warm file
-    // metadata + JIT, matching steady-state throughput (first-run cost is
-    // already isolated by the warmup block above)
+    // best of 3 runs per query: later runs benefit from warm file metadata +
+    // JIT, matching steady-state throughput, and the min is robust to a
+    // concurrent process stealing cores mid-run (observed in harness runs)
     val results = (queries ++ sortedScans).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try fn() catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")

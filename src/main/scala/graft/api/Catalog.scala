@@ -93,6 +93,11 @@ object Manifest {
 class VastSession(val spark: SparkSession, val root: String) {
   Files.createDirectories(Paths.get(root))
   private val txCounter = new AtomicLong(System.currentTimeMillis())
+  // live (begun, not committed/rolled back) transactions: vacuumPending must
+  // never reap a table dir a live transaction could still commit, regardless
+  // of the age cutoff a caller passes
+  private[api] val liveTx =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Transaction]()
 
   /** Context-manager transaction: commit on clean exit, rollback on exception
     * (vastdb/transaction.py:77-90). */
@@ -109,7 +114,11 @@ class VastSession(val spark: SparkSession, val root: String) {
     }
   }
 
-  def beginTransaction(): Transaction = new Transaction(this, txCounter.incrementAndGet())
+  def beginTransaction(): Transaction = {
+    val tx = new Transaction(this, txCounter.incrementAndGet())
+    liveTx.add(tx)
+    tx
+  }
 
   def createBucket(name: String): Unit =
     Files.createDirectories(Paths.get(root, name))
@@ -125,9 +134,13 @@ class VastSession(val spark: SparkSession, val root: String) {
     val cutoff = System.currentTimeMillis() - olderThanMillis
     val rootP = Paths.get(root)
     if (!Files.isDirectory(rootP)) return Nil
-    Files.list(rootP).iterator().asScala
+    // tables a live transaction created are NOT garbage at any age — its
+    // commit would otherwise lose the create with no error
+    val live = liveTx.iterator().asScala.flatMap(_.newTables).toSet
+    Table.listDir(rootP)
       .filter(p => Files.isDirectory(p) && !p.getFileName.toString.startsWith("_"))
       .flatMap(bucketP => Table.walkTables(bucketP))
+      .filterNot(tdir => live(tdir.toString))
       .filter { tdir =>
         val marker = tdir.resolve("_manifest").resolve(".pending")
         Files.exists(marker) &&
@@ -138,7 +151,7 @@ class VastSession(val spark: SparkSession, val root: String) {
         Table.deleteRecursively(tdir)
         audit(s"""{"op":"vacuum_pending","table":"${tdir.toString}"}""")
         tdir.toString
-      }.toSeq
+      }
   }
 
   def audit(line: String): Unit = synchronized {
@@ -270,16 +283,24 @@ class Transaction(val session: VastSession, val id: Long) {
           throw Conflict(s"rename source no longer exists: $src")
         if (existsAfter(dst, before))
           throw Conflict(s"rename destination was created concurrently: $dst")
+        // the destination's parent schema must also survive to phase 2 — a
+        // concurrently-dropped parent would otherwise pass validation here
+        // and fail mid-phase-2 after manifests are already committed
+        val parent = Option(Paths.get(dst).getParent)
+        if (parent.exists(p => !existsAfter(p.toString, before)))
+          throw Conflict(s"rename destination parent no longer exists: ${parent.get}")
       }
       writeSet.foreach { case (key, m) =>
         val tableDir = Paths.get(key)
-        if (Files.isDirectory(tableDir)) {
-          val base = readSet.get(key).map(_._1).getOrElse(0L)
-          val next = base + 1
-          Manifest.write(tableDir.resolve("_manifest").resolve(f"v$next%08d.json"),
-            m.copy(version = next), createNew = true)
-          written += ((tableDir, next))
-        }
+        // a staged write against a dir that vanished (concurrent drop, or an
+        // over-eager vacuum) is a recoverable conflict, never a silent skip
+        if (!Files.isDirectory(tableDir))
+          throw Conflict(s"table dir vanished before commit: $key")
+        val base = readSet.get(key).map(_._1).getOrElse(0L)
+        val next = base + 1
+        Manifest.write(tableDir.resolve("_manifest").resolve(f"v$next%08d.json"),
+          m.copy(version = next), createNew = true)
+        written += ((tableDir, next))
       }
     } catch {
       case e: Conflict =>
@@ -290,6 +311,7 @@ class Transaction(val session: VastSession, val id: Long) {
         throw e
     }
     active = false
+    session.liveTx.remove(this)
     written.foreach { case (tdir, next) => Table.writeCurrent(tdir, next) }
     newTables.foreach { t =>
       Files.deleteIfExists(Paths.get(t).resolve("_manifest").resolve(".pending"))
@@ -310,6 +332,7 @@ class Transaction(val session: VastSession, val id: Long) {
   def rollback(): Unit = {
     if (!active) return
     active = false
+    session.liveTx.remove(this)
     newFiles.foreach(f => Files.deleteIfExists(Paths.get(f)))
     newTables.foreach(t => Table.deleteRecursively(Paths.get(t)))
     session.audit(s"""{"tx":$id,"op":"rollback"}""")
@@ -322,7 +345,7 @@ class Transaction(val session: VastSession, val id: Long) {
     val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Long, Long, Long)]
     val rootP = Paths.get(session.root)
     if (Files.isDirectory(rootP)) {
-      Files.list(rootP).iterator().asScala
+      Table.listDir(rootP)
         .filter(p => Files.isDirectory(p) && !p.getFileName.toString.startsWith("_"))
         .foreach { bucketP =>
           Table.walkTables(bucketP).filter(visibleTable).foreach { tdir =>
@@ -349,7 +372,7 @@ class Transaction(val session: VastSession, val id: Long) {
     val rootP = Paths.get(session.root)
     val names = scala.collection.mutable.ArrayBuffer.empty[String]
     if (Files.isDirectory(rootP)) {
-      Files.list(rootP).iterator().asScala
+      Table.listDir(rootP)
         .filter(p => Files.isDirectory(p) && !p.getFileName.toString.startsWith("_"))
         .foreach { bucketP =>
           Table.walkTables(bucketP).filter(visibleTable).foreach { tdir =>
@@ -402,11 +425,11 @@ class Bucket(val tx: Transaction, val name: String, val dir: Path) {
 
   def schemas: Seq[String] =
     if (!Files.isDirectory(dir)) Nil
-    else Files.walk(dir).iterator().asScala
+    else Table.walkPaths(dir)
       .filter(p => p.getFileName.toString == ".graft_schema")
       .map(p => dir.relativize(p.getParent).toString)
       .filterNot(_.startsWith(".snapshot"))
-      .toSeq.sorted
+      .sorted
 
   /** Read-only point-in-time view: copy the manifest trees (data shared).
     * Reference: `bucket/.snapshot/<name>` (vastdb/bucket.py:43-70). */
@@ -439,7 +462,7 @@ class Bucket(val tx: Transaction, val name: String, val dir: Path) {
   def snapshots: Seq[String] = {
     val sdir = dir.resolve(".snapshot")
     if (!Files.isDirectory(sdir)) Nil
-    else Files.list(sdir).iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+    else Table.listDir(sdir).map(_.getFileName.toString).sorted
   }
 
   /** Open a snapshot as a read-only bucket view. */
@@ -482,10 +505,10 @@ class SchemaNS(val bucket: Bucket, val path: String, val dir: Path) {
   def tables: Seq[String] = {
     val disk =
       if (!Files.isDirectory(dir)) Nil
-      else Files.list(dir).iterator().asScala
+      else Table.listDir(dir)
         .filter(p => Files.isDirectory(p.resolve("_manifest")) &&
           tx.visibleTable(p) && !tx.pendingRenames.contains(p.toString))
-        .map(_.getFileName.toString).toSeq
+        .map(_.getFileName.toString)
     val renamedIn = tx.pendingRenames.collect {
       case (_, dst) if Paths.get(dst).getParent == dir =>
         Paths.get(dst).getFileName.toString

@@ -45,27 +45,9 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
   def manifest: TableManifest = tx.manifestFor(dir)
   def schema: StructType = manifest.schema
 
-  /** Root against which RELATIVE data/projection paths resolve. Normally the
-    * table dir itself (so a staged rename can move the whole dir atomically
-    * at commit); for a snapshot handle — which copies only manifest trees —
-    * paths resolve against the original table dir, sharing its immutable
-    * data files. Absolute paths (legacy manifests) pass through. */
-  private def dataRoot: Path = {
-    val s = dir.toString
-    val i = s.indexOf("/.snapshot/")
-    if (i < 0) dir
-    else {
-      val rest = s.substring(i + "/.snapshot/".length)
-      val rel = rest.indexOf('/') match {
-        case -1 => ""
-        case j => rest.substring(j + 1)
-      }
-      Paths.get(s.substring(0, i)).resolve(rel)
-    }
-  }
+  private def dataRoot: Path = Table.dataRootFor(dir)
 
-  private[api] def resolveDataPath(p: String): String =
-    if (p.startsWith("/")) p else dataRoot.resolve(p).toString
+  private[api] def resolveDataPath(p: String): String = Table.resolvePath(dir, p)
 
   // ------------------------------------------------------------------ scan
 
@@ -248,9 +230,9 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     val matched = readEntries(probe, m.schema).filter(predicate).count()
     val total = pruned.map(_.rows).sum
     val est = math.round(matched.toDouble / probeRows * total)
-    // zone maps kept these files but the probe matched nothing: floor at 1 —
-    // "about zero" is the right signal, exactly 0 ("provably empty") is not
-    if (matched == 0 && total > 0) 1L else est
+    // floor at 1 only when EXTRAPOLATING from a proper subset ("about zero",
+    // not "provably empty"); an exhaustive probe that matched 0 is an exact 0
+    if (matched == 0 && probeRows < total) 1L else est
   }
 
   def stats: TableStats = {
@@ -677,7 +659,7 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       .sortWithinPartitions(sortedColumns.map(col): _*)
     data.write.mode("overwrite").parquet(pdir.toString)
     // deepest-first so rollback's in-order deletes empty dirs before parents
-    Files.walk(pdir).iterator().asScala.toSeq.reverse
+    Table.walkPaths(pdir).reverse
       .foreach(p => tx.newFiles += p.toString)
     pdirRel
   }
@@ -796,8 +778,7 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       .getOrElse(throw NotSupportedCommand(s"no projection $pname"))
     val pdir = Paths.get(resolveDataPath(p.dir))
     val files = if (Files.isDirectory(pdir))
-      Files.walk(pdir).iterator().asScala
-        .filter(f => f.toString.endsWith(".parquet")).toSeq
+      Table.walkPaths(pdir).filter(_.toString.endsWith(".parquet"))
     else Nil
     val size = files.map(f => try Files.size(f) catch { case _: Exception => 0L }).sum
     val rows = spark.read.parquet(pdir.toString).count()
@@ -831,6 +812,45 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
 
 object Table {
 
+  /** Root against which RELATIVE data/projection paths resolve for a table
+    * dir. Normally the dir itself (so a staged rename can move the whole dir
+    * atomically at commit); for a snapshot dir — which copies only manifest
+    * trees — paths resolve against the ORIGINAL table dir, sharing its
+    * immutable data files. */
+  def dataRootFor(dir: Path): Path = {
+    val s = dir.toString
+    val i = s.indexOf("/.snapshot/")
+    if (i < 0) dir
+    else {
+      val rest = s.substring(i + "/.snapshot/".length)
+      val rel = rest.indexOf('/') match {
+        case -1 => ""
+        case j => rest.substring(j + 1)
+      }
+      Paths.get(s.substring(0, i)).resolve(rel)
+    }
+  }
+
+  /** Resolve a manifest data path for `dir` (absolute legacy entries pass
+    * through). Shared by Table.select and the DSv2 SQL catalog so both agree
+    * on snapshot redirection. */
+  def resolvePath(dir: Path, p: String): String =
+    if (p.startsWith("/")) p else dataRootFor(dir).resolve(p).toString
+
+  /** `Files.list` that closes the underlying stream (each open stream holds
+    * a directory handle; a long-lived driver doing catalog maintenance must
+    * not leak them). */
+  def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  /** `Files.walk` that closes the underlying stream. */
+  def walkPaths(p: Path): Seq[Path] = {
+    val s = Files.walk(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   /** CREATE TABLE (reference vastdb/schema.py:85-121; schema validated —
     * null/dictionary/union types are rejected at the TypeMapping layer). */
   def create(schemaNS: SchemaNS, name: String, schema: StructType): Table = {
@@ -859,7 +879,7 @@ object Table {
     val cur = tableDir.resolve("_manifest").resolve("CURRENT")
     if (Files.exists(cur)) new String(Files.readAllBytes(cur), "UTF-8").trim.toLong
     else // pointer missing (crash between CAS and pointer write): resolve max vN
-      Files.list(tableDir.resolve("_manifest")).iterator().asScala
+      listDir(tableDir.resolve("_manifest"))
         .map(_.getFileName.toString)
         .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
           s.stripPrefix("v").stripSuffix(".json").toLong }
@@ -877,14 +897,14 @@ object Table {
 
   def walkTables(underDir: Path): Seq[Path] =
     if (!Files.isDirectory(underDir)) Nil
-    else Files.walk(underDir).iterator().asScala
+    else walkPaths(underDir)
       .filter(p => Files.isDirectory(p) && p.getFileName.toString == "_manifest")
       .map(_.getParent)
       .filterNot(_.toString.contains("/.snapshot/"))
-      .toSeq.sortBy(_.toString)
+      .sortBy(_.toString)
 
   def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      walkPaths(p).reverse.foreach(Files.deleteIfExists(_))
     }
 }

@@ -28,8 +28,9 @@ import graft.api.Manifest
  * Spark's own ParquetTable (full pushdown/pruning/vectorization). Read-only:
  * writes must go through the transactional API so manifests stay authoritative
  * — the returned table advertises BATCH_READ only. Tables carrying lazy
- * per-file renames are not addressable here (use `Transaction.registerViews`);
- * the limitation is reported explicitly.
+ * per-file renames are served by [[RenameUnionTable]] (per-rename-group
+ * parquet scans, unioned positionally), matching the reference's transparent
+ * rename semantics.
  */
 class GraftSqlCatalog extends TableCatalog {
   private var catalogName: String = _
@@ -50,7 +51,7 @@ class GraftSqlCatalog extends TableCatalog {
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = Paths.get((root +: namespace.toSeq).mkString("/"))
     if (!Files.isDirectory(dir)) return Array.empty
-    Files.list(dir).iterator().asScala
+    graft.api.Table.listDir(dir)
       .filter(p => Files.isDirectory(p.resolve("_manifest")))
       .map(p => Identifier.of(namespace, p.getFileName.toString))
       .toArray
@@ -65,21 +66,24 @@ class GraftSqlCatalog extends TableCatalog {
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     val cur = graft.api.Table.currentVersion(dir)
     val m = Manifest.read(dir.resolve("_manifest").resolve(f"v$cur%08d.json"))
-    if (m.files.exists(_.renames.nonEmpty))
-      throw new UnsupportedOperationException(
-        s"table $ident has lazily-renamed columns; query it via " +
-          "Transaction.registerViews or Table.select")
     val schema = StructType(m.schema.fields :+
       StructField("_row_id", LongType, nullable = false))
     // manifests store table-dir-relative data paths (so staged renames can
-    // move the dir atomically); resolve them here exactly like
-    // Table.resolveDataPath — absolute (legacy) entries pass through
-    val paths = m.files.map(f =>
-      if (f.path.startsWith("/")) f.path else dir.resolve(f.path).toString).toList
-    val parquet = ParquetTable(ident.toString, SparkSession.active,
-      CaseInsensitiveStringMap.empty(), paths, Some(schema),
-      classOf[ParquetFileFormat])
-    new ReadOnlyTable(parquet)
+    // move the dir atomically); Table.resolvePath is the shared resolver —
+    // it also redirects snapshot manifest trees to the original data dirs
+    if (m.files.exists(_.renames.nonEmpty)) {
+      // rename-evolved: per-rename-group parquet scans unioned positionally
+      val groups = m.files.groupBy(_.renames).toSeq.map { case (ren, fs) =>
+        (ren, fs.map(f => graft.api.Table.resolvePath(dir, f.path)))
+      }
+      new RenameUnionTable(ident.toString, schema, groups)
+    } else {
+      val paths = m.files.map(f => graft.api.Table.resolvePath(dir, f.path)).toList
+      val parquet = ParquetTable(ident.toString, SparkSession.active,
+        CaseInsensitiveStringMap.empty(), paths, Some(schema),
+        classOf[ParquetFileFormat])
+      new ReadOnlyTable(parquet)
+    }
   }
 
   override def createTable(ident: Identifier, schema: StructType,

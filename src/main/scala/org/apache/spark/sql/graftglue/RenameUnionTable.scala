@@ -1,0 +1,102 @@
+package org.apache.spark.sql.graftglue
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+/**
+ * DSv2 table over a rename-evolved graft table: manifest files are grouped
+ * by their per-file physical→logical rename map; each group is scanned by
+ * Spark's own ParquetTable with the group's PHYSICAL column names requested
+ * in LOGICAL field order, so every group's rows line up positionally with
+ * the logical schema and the union is just partition concatenation — no
+ * per-row projection, no shuffle, vectorized readers preserved.
+ *
+ * (The reference's lazy rename is fully transparent to queries,
+ * /root/reference/vastdb/table.py:1010-1038; this makes the SQL surface
+ * match.) Column pruning is pushed per group (translated through the rename
+ * map). Data filters are NOT pushed to parquet here — Spark re-evaluates
+ * them post-scan, so results stay correct; renamed tables just lose
+ * row-group skipping until `optimizeSort`/compaction rewrites them to the
+ * current names (at which point the single-group fast path applies again).
+ */
+private[graftglue] class RenameUnionTable(
+    tableName: String,
+    logicalSchema: StructType,
+    groups: Seq[(Map[String, String], Seq[String])]) extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = logicalSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = logicalSchema
+      override def pruneColumns(s: StructType): Unit =
+        if (s.nonEmpty) required = s
+      override def build(): Scan = new RenameUnionScan(tableName, required, groups)
+    }
+}
+
+private[graftglue] class RenameUnionScan(
+    tableName: String,
+    required: StructType,
+    groups: Seq[(Map[String, String], Seq[String])]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft rename-union over ${groups.size} file groups"
+
+  // one delegated parquet Batch per rename group, requesting the group's
+  // physical names in the logical field order
+  private lazy val groupBatches: Seq[Batch] = groups.map { case (renames, paths) =>
+    val inverse = renames.map(_.swap) // logical -> physical
+    val phys = StructType(required.fields.map(f =>
+      f.copy(name = inverse.getOrElse(f.name, f.name))))
+    val pt = ParquetTable(tableName, SparkSession.active,
+      CaseInsensitiveStringMap.empty(), paths.toList, Some(phys),
+      classOf[ParquetFileFormat])
+    pt.newScanBuilder(CaseInsensitiveStringMap.empty()).build().toBatch
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    groupBatches.zipWithIndex.flatMap { case (b, gi) =>
+      b.planInputPartitions().map(p => GroupInputPartition(gi, p))
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GroupReaderFactory(groupBatches.map(_.createReaderFactory()).toArray)
+}
+
+/** An input partition tagged with its rename-group index so the factory can
+  * route it to the delegate built with the matching physical schema. */
+private[graftglue] case class GroupInputPartition(group: Int, inner: InputPartition)
+    extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+private[graftglue] class GroupReaderFactory(factories: Array[PartitionReaderFactory])
+    extends PartitionReaderFactory {
+  private def route(p: InputPartition): (PartitionReaderFactory, InputPartition) = {
+    val gp = p.asInstanceOf[GroupInputPartition]
+    (factories(gp.group), gp.inner)
+  }
+  override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val (f, inner) = route(p); f.createReader(inner)
+  }
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
+    val (f, inner) = route(p); f.createColumnarReader(inner)
+  }
+  override def supportColumnarReads(p: InputPartition): Boolean = {
+    val (f, inner) = route(p); f.supportColumnarReads(inner)
+  }
+}

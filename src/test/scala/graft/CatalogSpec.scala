@@ -476,6 +476,62 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("vacuumPending spares live transactions, reaps crashed-process orphans") {
+    val s = freshSession()
+    s.createBucket("b")
+    s.transaction(tx => tx.bucket("b").createSchema("m"))
+    // a crashed process: separate session begins a tx, creates a table,
+    // never commits — this session has no record of it
+    val crashed = VastSession(spark, s.root)
+    crashed.beginTransaction().bucket("b").schema("m").createTable("orphan", f1Schema)
+    // a live long-running tx IN THIS session with an uncommitted create
+    val live = s.beginTransaction()
+    live.bucket("b").schema("m").createTable("keepme", f1Schema)
+    val reaped = s.vacuumPending(olderThanMillis = 0)
+    assert(reaped.exists(_.endsWith("/orphan")), s"orphan not reaped: $reaped")
+    assert(!reaped.exists(_.endsWith("/keepme")), "live tx's table was vacuumed")
+    // the live tx can still commit and reveal its table
+    live.commit()
+    s.transaction { tx =>
+      assert(tx.bucket("b").schema("m").tables.contains("keepme"))
+      assert(!tx.bucket("b").schema("m").tables.contains("orphan"))
+    }
+  }
+
+  test("commit raises Conflict when a staged table dir vanished") {
+    val s = freshSession()
+    s.createBucket("b")
+    s.transaction(tx => tx.bucket("b").createSchema("m")
+      .createTable("t", f1Schema).insert(f1Data))
+    val tx = s.beginTransaction()
+    val t = tx.bucket("b").schema("m").table("t")
+    t.insert(f1Data)
+    Table.deleteRecursively(t.dir) // concurrent drop / over-eager vacuum
+    intercept[Conflict] { tx.commit() }
+  }
+
+  test("rename into a nonexistent parent fails at phase 1 as a Conflict") {
+    val s = freshSession()
+    s.createBucket("b")
+    s.transaction(tx => tx.bucket("b").createSchema("m"))
+    val tx = s.beginTransaction()
+    tx.bucket("b").schema("m").renameSchema("nope/m2") // parent b/nope absent
+    intercept[Conflict] { tx.commit() }
+    // recoverable: nothing moved, original schema intact
+    s.transaction(tx2 => assert(tx2.bucket("b").schemas.contains("m")))
+  }
+
+  test("estimateRowCount: exhaustive probe reports exact zero, not 1") {
+    val s = freshSession()
+    s.createBucket("b")
+    s.transaction { tx =>
+      val t = tx.bucket("b").createSchema("m").createTable("t", f1Schema)
+      t.insert(f1Data) // one file => probe covers everything
+      assert(t.estimateRowCount(col("a") === 999999L) == 0L)
+      assert(t.estimateRowCount(col("a") === 111L) == 1L)
+    }
+  }
+
   private implicit class SeqRowOps(rows: Seq[Row]) {
     def asJava: java.util.List[Row] = {
       val l = new java.util.ArrayList[Row]()

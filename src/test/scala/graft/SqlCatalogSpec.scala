@@ -39,4 +39,33 @@ class SqlCatalogSpec extends SparkSpec {
       spark.sql("INSERT INTO graft.bk.m.t VALUES (9, 'x', 9)")
     }
   }
+
+  test("rename-evolved table answers SQL across mixed physical schemas") {
+    val root = Files.createTempDirectory("graft-sqlcat2").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    s.transaction { tx =>
+      val t = tx.bucket("bk").createSchema("m").createTable("t", schema)
+      t.insert(spark.createDataFrame(java.util.List.of(
+        Row(1L, "one"), Row(2L, "two")), schema))
+      t.renameColumn("s", "label") // files above keep physical name "s"
+    }
+    s.transaction { tx =>
+      // second file group, physically written with the NEW name
+      val t = tx.bucket("bk").schema("m").table("t")
+      t.insert(spark.createDataFrame(java.util.List.of(Row(3L, "three")),
+        StructType(Seq(StructField("a", LongType), StructField("label", StringType)))))
+    }
+    spark.conf.set("spark.sql.catalog.graft2",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.graft2.root", root)
+    val got = spark.sql(
+      "SELECT a, label FROM graft2.bk.m.t WHERE a >= 1 ORDER BY a").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "one"), (2L, "two"), (3L, "three")))
+    // column pruning still reaches each per-group parquet scan
+    val plan = spark.sql("SELECT label FROM graft2.bk.m.t")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ReadSchema: struct<a:bigint,"), s"no pruning in:\n$plan")
+  }
 }
