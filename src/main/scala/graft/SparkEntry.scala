@@ -348,11 +348,18 @@ object SparkEntry {
              |  ROUND(QUANTILE_CONT(l_quantity, 0.9), 6) AS p90_qty
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
-    Q("a5_approx_distinct",  // HLL sketch — engine-specific estimate, rows-only
+    Q("a5_approx_distinct",  // HLL sketch, self-oracled: the estimate itself
+      // is engine-specific, but "within 3×rsd of the exact count" is a
+      // machine-checkable bound DuckDB can assert (its side is always true,
+      // so a bound violation on the Spark side flips the hash red)
       (s, dir) => t(s, dir, "lineitem")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-             countDistinct(col("l_partkey")).as("exact_parts")),
-      None),
+        .agg(approx_count_distinct(col("l_partkey"), 0.05).as("_approx"),
+             countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("exact_parts"),
+          (abs(col("_approx") - col("exact_parts")).cast("double")
+            / col("exact_parts") <= 0.15).as("within_rsd")),
+      Some("""SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+             |       true AS within_rsd FROM lineitem""".stripMargin)),
 
     // ---- W*: window functions (SURVEY §2.5, IR WindowCall) ----
     Q("w1_window_rank",
@@ -575,11 +582,26 @@ object SparkEntry {
              |       COUNT(*) AS n_copies
              |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
 
-    Q("dd2_minhash_lsh",  // LSH candidate generation — rows-only gate
-      (s, dir) => graft.llm.Dedup.minhashPairs(t(s, dir, "documents"),
+    Q("dd2_minhash_lsh",  // planted-duplicate containment, self-oracled:
+      // identical texts have identical minhash signatures, so every band
+      // collides and each planted pair MUST surface (deterministically, not
+      // probabilistically) — a DuckDB-checkable guarantee of the LSH path
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val planted = docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+        val pairs = graft.llm.Dedup.minhashPairs(docs.union(planted),
           "doc_id", "text", k = 64, bands = 16, threshold = 0.5)
-        .orderBy("id_a", "id_b"),
-      None),
+        val found = pairs.filter(col("id_b") === col("id_a") + 1000000)
+          .select(col("id_a").as("doc_id")).withColumn("_f", lit(true))
+        docs.filter(col("doc_id") < 20).select("doc_id")
+          .join(found, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("_f"), lit(false)).as("planted_pair_found"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, true AS planted_pair_found FROM documents
+             |WHERE doc_id < 20 ORDER BY doc_id""".stripMargin)),
 
     Q("dd3_ngram_jaccard",
       (s, dir) => graft.llm.Dedup.ngramJaccardPairs(t(s, dir, "documents"),
@@ -599,11 +621,25 @@ object SparkEntry {
              |        / (LEN(a.st) + LEN(b.st) - LEN(LIST_INTERSECT(a.st, b.st))), 6) >= 0.6
              |ORDER BY id_a, id_b""".stripMargin)),
 
-    Q("dd4_simhash",  // banded hamming candidates — rows-only gate
-      (s, dir) => graft.llm.Dedup.simhashPairs(t(s, dir, "documents"),
+    Q("dd4_simhash",  // planted-duplicate containment, self-oracled (same
+      // argument as dd2: identical text → identical 64-bit simhash → every
+      // 16-bit chunk collides and hamming = 0 ≤ maxHamming)
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val planted = docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+        val pairs = graft.llm.Dedup.simhashPairs(docs.union(planted),
           "doc_id", "text", maxHamming = 3)
-        .orderBy("id_a", "id_b"),
-      None),
+        val found = pairs.filter(col("id_b") === col("id_a") + 1000000)
+          .select(col("id_a").as("doc_id")).withColumn("_f", lit(true))
+        docs.filter(col("doc_id") < 20).select("doc_id")
+          .join(found, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("_f"), lit(false)).as("planted_pair_found"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, true AS planted_pair_found FROM documents
+             |WHERE doc_id < 20 ORDER BY doc_id""".stripMargin)),
 
     Q("dd5_embed_cosine_pairs",
       (s, dir) => graft.llm.Dedup.embeddingCosinePairs(t(s, dir, "embeddings"),
@@ -638,16 +674,46 @@ object SparkEntry {
              |  WHERE c.vec_id <> q.vec_id) x
              |WHERE knn_rank <= 10 ORDER BY q_id, knn_rank""".stripMargin)),
 
-    Q("ss2_ann_lsh",  // approximate — rows-only gate; recall tested in specs
+    Q("ss2_ann_lsh",  // planted-neighbor containment, self-oracled: an
+      // identical planted vector shares every LSH table signature with its
+      // query, so it is ALWAYS a candidate and ranks by distance 0 into the
+      // top-k — deterministic; recall on non-identical vectors is spec-tested
       (s, dir) => {
-        val e = t(s, dir, "embeddings")
-        // 8-bit buckets × 8 tables: random (cluster-free) embeddings still
-        // yield enough bucket collisions for a meaningful candidate set
-        graft.llm.Similarity.annLsh(e, e.filter(col("vec_id") < 5),
-            "vec_id", "embedding", k = 10, dim = 64, planes = 8, tables = 8)
-          .orderBy("q_id", "knn_rank")
+        val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val q = e.filter(col("vec_id") < 5)
+        val planted = q.select((col("vec_id") + 1000000).as("vec_id"),
+          col("embedding"))
+        val res = graft.llm.Similarity.annLsh(e.union(planted), q,
+          "vec_id", "embedding", k = 10, dim = 64, planes = 8, tables = 8)
+        res.groupBy("q_id")
+          .agg(max(when(col("n_id") === col("q_id") + 1000000, 1).otherwise(0))
+            .as("planted_found"))
+          .orderBy("q_id")
       },
-      None),
+      Some("""SELECT vec_id AS q_id, 1 AS planted_found FROM embeddings
+             |WHERE vec_id < 5 ORDER BY q_id""".stripMargin)),
+
+    Q("v3_vector_ivf",  // IVF-routed ANN, self-oracled by planted-neighbor
+      // containment: an identical planted vector lands in the same cell as
+      // the query's nearest centroid (same argmin, same tie-break), which is
+      // always the first probed cell, so it surfaces at distance 0
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val q = e.filter(col("vec_id") < 10)
+        val planted = q.select((col("vec_id") + 1000000).as("vec_id"),
+          col("embedding"))
+        val (centroids, assigned) = graft.llm.Similarity.ivfIndex(
+          e.union(planted), "vec_id", "embedding",
+          nCentroids = 16, refineIters = 1)
+        val res = graft.llm.Similarity.ivfSearch(assigned, centroids, q,
+          "vec_id", "embedding", k = 10, nprobe = 4)
+        res.groupBy("q_id")
+          .agg(max(when(col("n_id") === col("q_id") + 1000000, 1).otherwise(0))
+            .as("planted_found"))
+          .orderBy("q_id")
+      },
+      Some("""SELECT vec_id AS q_id, 1 AS planted_found FROM embeddings
+             |WHERE vec_id < 10 ORDER BY q_id""".stripMargin)),
 
     // ---- MM*: multimodal binary-column plumbing ----
     Q("mm1_binary_meta",

@@ -54,7 +54,16 @@ object Manifest {
   case class ProjectionMeta(name: String, columns: Seq[String],
                             sortedColumns: Seq[String], dir: String,
                             stale: Boolean = false)
-  case class VectorIndexMeta(column: String, metric: String)
+  /** Vector-index metadata. `dir` (table-dir-relative) holds the persisted
+    * IVF structure — `centroids/` (centroid_id, c_vec) and `assigned/`
+    * (_row_id, vec, centroid_id; hive-partitioned BY centroid_id so a search
+    * reads only its probed cells). `stale` flips on base-table DML exactly
+    * like projections: a stale index never serves a search (brute-force
+    * fallback) until `refreshVectorIndex` rebuilds it. dir == "" means
+    * metadata-only (declared on an empty table, or legacy manifests). */
+  case class VectorIndexMeta(column: String, metric: String,
+                             dir: String = "", nCentroids: Int = 0,
+                             stale: Boolean = false)
   case class BlobExpansionMeta(blobColumn: String, fieldsDdl: String,
                                targetTable: String)
   case class TableManifest(version: Long,

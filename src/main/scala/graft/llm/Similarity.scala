@@ -81,15 +81,19 @@ object Similarity {
   def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                nCentroids: Int, refineIters: Int = 0): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    def assign(cents: DataFrame): DataFrame = {
-      val byCell = Window.partitionBy(col(idCol))
-        .orderBy(col("_d").asc, col("centroid_id").asc)
+    // nearest-centroid via min(struct(dist, centroid_id, vec)): lexicographic
+    // struct-min = min distance with centroid_id tie-break — same semantics
+    // as a per-id window, but partial (map-side) aggregation collapses the
+    // n×C cross-join rows to n BEFORE the shuffle; a window would shuffle
+    // all n×C rows on id, which is the difference between feasible and not
+    // at corpus scale
+    def assign(cents: DataFrame): DataFrame =
       corpus.crossJoin(broadcast(cents))
         .withColumn("_d", Distances.l2sq(col(vecCol), col("c_vec")))
-        .withColumn("_rn", row_number().over(byCell))
-        .filter(col("_rn") === 1)
-        .select(col(idCol), col(vecCol), col("centroid_id"))
-    }
+        .groupBy(col(idCol))
+        .agg(min(struct(col("_d"), col("centroid_id"), col(vecCol))).as("_best"))
+        .select(col(idCol), col("_best").getField(vecCol).as(vecCol),
+          col("_best").getField("centroid_id").as("centroid_id"))
     // seed: deterministic hash-ordered sample; then optional Lloyd
     // iterations (k-means): each moves centroids to the per-cell mean —
     // one corpus pass per iteration, no collect

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.api._
+import graft.types.TypeMapping.RowIdColumn
+
+/** Index-backed vector search: createVectorIndex builds a persisted IVF
+  * structure, vectorSearch routes through it with static cell pruning,
+  * full-probe equals exact brute force, predicates compose, and DML stales
+  * the index (exact fallback) until refreshVectorIndex. */
+class VectorIndexSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  private def exactTopK(t: Table, qvec: Seq[Float], k: Int,
+                        pred: org.apache.spark.sql.Column = lit(true)): Seq[Long] =
+    t.select(Nil, pred, internalRowId = true)
+      .withColumn("_d", graft.functions.Distances.l2sq(col("embedding"),
+        lit(qvec.toArray).cast("array<float>")))
+      .orderBy(col("_d").asc, col(RowIdColumn).asc)
+      .limit(k).select("vec_id").collect().map(_.getLong(0)).toSeq
+
+  test("IVF-routed search: cell-pruned plan, exact at full probe, stale-safe") {
+    val root = Files.createTempDirectory("graft-vidx").toString
+    val s = VastSession(spark, root)
+    s.createBucket("b")
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    s.transaction { tx =>
+      val t = tx.bucket("b").createSchema("m").createTable("e", schema)
+      t.insert(emb)
+      t.createVectorIndex("embedding", "l2sq", nCentroids = 16, refineIters = 1)
+    }
+    val qvec: Seq[Float] =
+      emb.filter(col("vec_id") === 0).collect().head.getSeq[Float](1)
+
+    s.transaction { tx =>
+      val t = tx.bucket("b").schema("m").table("e")
+      val exact = exactTopK(t, qvec, 10)
+      // probing every cell must reproduce the exact result
+      val full = t.vectorSearch("embedding", qvec, k = 10, nprobe = 16)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(full == exact, s"full-probe IVF != exact: $full vs $exact")
+      // nprobe=4: the query's own vector (distance 0, same cell) must lead
+      val ivf4 = t.vectorSearch("embedding", qvec, k = 10, nprobe = 4)
+      val got4 = ivf4.select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(got4.head == 0L && got4.size == 10)
+      // the assignment scan is STATICALLY partition-pruned to probed cells
+      val plan = ivf4.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
+        s"no static cell pruning in plan:\n$plan")
+      // predicate composes (filtered search semantics: predicate BEFORE top-k)
+      val pred = col("vec_id") >= 100
+      val predGot = t.vectorSearch("embedding", qvec, 5, pred, nprobe = 16)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(predGot == exactTopK(t, qvec, 5, pred))
+      assert(predGot.forall(_ >= 100))
+    }
+
+    // DML stales the index: search falls back to exact brute force (sees the
+    // new row); refresh re-routes through a rebuilt index
+    s.transaction { tx =>
+      val t = tx.bucket("b").schema("m").table("e")
+      val dup = new java.util.ArrayList[Row]()
+      dup.add(Row(9999L, qvec))
+      t.insert(spark.createDataFrame(dup, schema))
+      assert(t.manifest.vectorIndexes.forall(_.stale))
+      val top2 = t.vectorSearch("embedding", qvec, 2)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(top2 == Set(0L, 9999L), s"stale fallback missed new row: $top2")
+      t.refreshVectorIndex("embedding")
+      assert(t.manifest.vectorIndexes.forall(x => !x.stale && x.dir.nonEmpty))
+      val top2b = t.vectorSearch("embedding", qvec, 2, nprobe = 16)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(top2b == Set(0L, 9999L))
+    }
+  }
+}
