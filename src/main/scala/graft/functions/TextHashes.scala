@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftglue.Glue
 import org.apache.spark.sql.types._
@@ -22,7 +22,7 @@ import org.apache.spark.sql.types._
  * shingle instead of k.
  */
 case class MinHashSignature(child: Expression, k: Int, shingleN: Int = 1)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 
@@ -32,12 +32,20 @@ case class MinHashSignature(child: Expression, k: Int, shingleN: Int = 1)
       s"minhash_signature requires array<string>, got ${other.simpleString}")
   }
 
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  // reference-object call keeps the pipeline in one WholeStageCodegen stage
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhash", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);")
+  }
+
   /** Input is the TOKEN array; shingles of `shingleN` consecutive tokens are
     * built inline (one reused buffer, no intermediate array column — the
     * HOF shingle pipeline costs ~µs per concat interpreted). Duplicated
     * shingles don't affect a min, so no distinct pass is needed. */
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): ArrayData = {
     val out = new Array[Long](k)
     java.util.Arrays.fill(out, Long.MaxValue)
     val n = arr.numElements()
@@ -73,7 +81,7 @@ case class MinHashSignature(child: Expression, k: Int, shingleN: Int = 1)
 /** 64-bit simhash of a word array: per-word xxhash64, bit voting, sign pack.
   * Multiset-invariant (word order doesn't matter). */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
@@ -83,8 +91,14 @@ case class SimHash64(child: Expression)
       s"simhash64 requires array<string>, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     val n = arr.numElements()
     var j = 0
@@ -105,7 +119,7 @@ case class SimHash64(child: Expression)
       if (votes(i) > 0) sig |= (1L << i)
       i += 1
     }
-    java.lang.Long.valueOf(sig)
+    sig
   }
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
@@ -116,7 +130,7 @@ case class SimHash64(child: Expression)
   * (`zip_with` + `aggregate`) costs ~2k interpreted lambda invocations per
   * candidate pair (k=64); this is one call running a tight primitive loop. */
 case class SignatureMatchCount(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "signature_match_count"
 
@@ -129,9 +143,15 @@ case class SignatureMatchCount(left: Expression, right: Expression)
           s"${l.simpleString} / ${r.simpleString}")
     }
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sigMatch", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  def compute(x: ArrayData, y: ArrayData): Int = {
     val n = math.min(x.numElements(), y.numElements())
     var matches = 0
     var i = 0
@@ -139,7 +159,7 @@ case class SignatureMatchCount(left: Expression, right: Expression)
       if (x.getLong(i) == y.getLong(i)) matches += 1
       i += 1
     }
-    java.lang.Integer.valueOf(matches)
+    matches
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftglue.Glue
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -32,7 +32,7 @@ import org.apache.spark.unsafe.types.UTF8String
  *    (the `sort_array(desc)` struct ordering it replaces), "und" on zero.
  */
 case class TokenStats(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   import TokenStats._
 
   override def dataType: DataType = schema
@@ -44,8 +44,19 @@ case class TokenStats(child: Expression)
       s"token_stats requires string, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val text = v.asInstanceOf[UTF8String]
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  /** Generated code calls `compute` on this instance directly (the standard
+    * reference-object pattern, like Spark's own Invoke): the surrounding
+    * pipeline stays inside ONE WholeStageCodegen stage — no CodegenFallback
+    * interpreter boundary — while the per-row loop remains compiled Scala. */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenStats", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.compute($c);")
+  }
+
+  def compute(text: UTF8String): InternalRow = {
     val tokens = text.split(space, -1)
 
     // punct chars: single pass over UTF-8 bytes; \p{Punct} is ASCII-only and
