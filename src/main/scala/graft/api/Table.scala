@@ -978,7 +978,11 @@ object Table {
     Files.createDirectories(dir.resolve("_manifest"))
     Files.createDirectories(dir.resolve("data"))
     Manifest.write(dir.resolve("_manifest").resolve(f"v${0}%08d.json"),
-      TableManifest(0, schema.json, Nil, 0L), createNew = false)
+      TableManifest(0, schema.json, Nil, 0L,
+        // type-mapping tag: reference sorted tables widen $row_id to
+        // decimal128(38,0) (vastdb/table.py:41-44); here ids are identity
+        // (never position-encoding), so int64 everywhere — see COVERAGE.md
+        props = Map("graft.rowid.type" -> "int64")), createNew = false)
     writeCurrent(dir, 0)
     // invisible to other transactions until commit removes the marker
     // (reference DDL isolation — created tables are tx-local until commit)
