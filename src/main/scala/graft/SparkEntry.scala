@@ -558,19 +558,43 @@ object SparkEntry {
              |    AS DOUBLE) AS quality_score
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    Q("ta3_langid",  // heuristic — not SQL-expressible, rows-only gate
-      (s, dir) => t(s, dir, "documents")
-        .select(col("doc_id"),
-          graft.llm.TextAnalysis.langId(col("text")).as("lang_pred"))
-        .orderBy("doc_id"),
-      None),
+    Q("ta3_langid",  // marker-text self-oracle: the heuristic's scores on
+      // arbitrary corpus text aren't SQL-expressible, but a text built from
+      // one language's own stopword profile MUST classify as that language
+      // (10 distinct own-profile matches vs ≤2 cross-matches) — so the gate
+      // pins the classifier's defining behavior deterministically. (The
+      // synthetic corpus reuses one vocabulary for every lang label, so
+      // accuracy-vs-label is not a usable signal.)
+      (s, dir) => {
+        import s.implicits._
+        Seq(
+          ("de", "der die und das ist nicht ein mit auf zu"),
+          ("en", "the of and to in is that it for with"),
+          ("es", "el la de que los una por con para es"),
+          ("fr", "le la et les des une est dans pour que"),
+          ("zh", "的 是 在 了 和 有 我 不 这 个"))
+          .toDF("want", "text")
+          .select(col("want"),
+            graft.llm.TextAnalysis.langId(col("text")).as("lang_pred"))
+          .orderBy("want")
+      },
+      Some("""SELECT * FROM (VALUES ('de','de'),('en','en'),('es','es'),
+             |  ('fr','fr'),('zh','zh')) AS t(want, lang_pred)
+             |ORDER BY want""".stripMargin)),
 
-    Q("ta4_fingerprint",  // engine-specific 64-bit hash — rows-only gate
+    Q("ta4_fingerprint",  // self-oracled via determinism + discrimination:
+      // the 64-bit value itself is engine-specific, but equal texts must
+      // fingerprint equally (pure function) and the ~n²/2⁶⁴ collision chance
+      // over distinct texts is zero on this corpus — so distinct-text count
+      // must equal distinct-fingerprint count, which DuckDB can compute
       (s, dir) => t(s, dir, "documents")
-        .select(col("doc_id"),
-          graft.llm.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
-        .orderBy("doc_id"),
-      None),
+        .select(col("text"),
+          graft.llm.TextAnalysis.fingerprint(col("text")).as("fp"))
+        .agg(countDistinct(col("text")).as("n_texts"),
+             countDistinct(col("fp")).as("n_fingerprints")),
+      Some("""SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_texts,
+             |  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_fingerprints
+             |FROM documents""".stripMargin)),
 
     // ---- DD*: deduplication suite over `documents` ----
     Q("dd1_exact_groups",
@@ -731,17 +755,24 @@ object SparkEntry {
              |  MD5(text) AS checksum
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    Q("mm2_feature_extract",  // stubbed decoder — rows-only gate
-      // Scalar columns only: the driver's pandas-side sort can't factorize an
-      // array<float> column, so fold the feature vector into an xxhash64.
+    Q("mm2_feature_extract",  // self-oracled on the distributed plumbing:
+      // the stub decoder's float values are engine-specific, but the batch
+      // contract is checkable — every byte of every row must flow through
+      // the mapPartitions decode (n_bytes = UTF-8 byte length, which DuckDB
+      // derives from the text), and each row must yield exactly the declared
+      // 8-dim finite feature vector.
       (s, dir) => graft.llm.Multimodal.extractFeatures(
           t(s, dir, "documents").withColumn("media", col("text").cast("binary")),
           "doc_id", "media")
         .select(col("id"), col("n_bytes"),
-          xxhash64(transform(col("features"), f => round(f.cast("double"), 4)))
-            .as("feat_hash"))
+          size(col("features")).as("n_features"),
+          (size(filter(col("features"), f => isnan(f) || f.cast("double").isNull))
+            === 0).as("feats_finite"))
         .orderBy("id"),
-      None),
+      Some("""SELECT doc_id AS id, CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT)
+             |    AS n_bytes,
+             |  8 AS n_features, true AS feats_finite
+             |FROM documents ORDER BY id""".stripMargin)),
 
     // ---- EV*: event/streaming layer (batch-equivalent of the Structured
     //      Streaming transforms; streaming execution tested in specs) ----

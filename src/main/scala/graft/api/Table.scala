@@ -700,10 +700,32 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
 
   def projections: Seq[ProjectionMeta] = manifest.projections
 
+  /** Alter (rename) a projection — metadata-only, the data dir is untouched
+    * (reference projection alter, vastdb/table.py:1090-1138). */
+  def renameProjection(pname: String, newName: String): Unit = {
+    val m = manifest
+    if (m.projections.exists(_.name == newName))
+      throw NotSupportedCommand(s"projection exists: $newName")
+    if (!m.projections.exists(_.name == pname))
+      throw NotSupportedCommand(s"no projection $pname")
+    tx.stageWrite(dir, m.copy(projections = m.projections.map(x =>
+      if (x.name == pname) x.copy(name = newName) else x)))
+  }
+
   def dropProjection(pname: String): Unit = {
     val m = manifest
     tx.stageWrite(dir, m.copy(projections = m.projections.filterNot(_.name == pname)))
   }
+
+  /** Table properties (reference table props alter,
+    * vastdb/_internal.py:1427-1481): merged into the manifest under the
+    * same transactional CAS as any other DDL. */
+  def setProperties(props: Map[String, String]): Unit = {
+    val m = manifest
+    tx.stageWrite(dir, m.copy(props = m.props ++ props))
+  }
+
+  def properties: Map[String, String] = manifest.props
 
   // ------------------------------------------------- vector search (§2.8)
 

@@ -476,6 +476,42 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("selectSplits: disjoint row-id ranges covering the whole table") {
+    val s = freshSession()
+    s.createBucket("b")
+    s.transaction { tx =>
+      val t = tx.bucket("b").createSchema("m").createTable("t", f1Schema)
+      t.insert(f1Data); t.insert(f1Data) // 6 rows, ids 0..5
+      val splits = t.selectSplits(3, columns = Seq("a"))
+      val perSplit = splits.map(_.count())
+      assert(perSplit.sum == 6, s"splits lost/duplicated rows: $perSplit")
+      val allIds = splits.map(_.select(RowIdColumn))
+        .reduce(_ union _).distinct().count()
+      assert(allIds == 6) // distinct == total => ranges are disjoint
+    }
+  }
+
+  test("projection rename (alter) and table properties") {
+    val s = freshSession()
+    s.createBucket("b")
+    s.transaction { tx =>
+      val t = tx.bucket("b").createSchema("m").createTable("t", f1Schema)
+      t.insert(f1Data)
+      // type-mapping tag written at create (COVERAGE row-id design delta)
+      assert(t.properties.get("graft.rowid.type").contains("int64"))
+      t.setProperties(Map("owner" -> "pipeline-a"))
+      assert(t.properties("owner") == "pipeline-a")
+      t.createProjection("p1", Seq("a", "s"), Seq("a"))
+      t.renameProjection("p1", "p2")
+      assert(t.projections.map(_.name) == Seq("p2"))
+      intercept[NotSupportedCommand] { t.renameProjection("nope", "x") }
+      // picker still serves the renamed projection by its new name
+      val df = t.select(Seq("a"), config =
+        QueryConfig(semiSortedProjectionName = Some("p2")))
+      assert(df.count() == 3)
+    }
+  }
+
   test("vacuumPending spares live transactions, reaps crashed-process orphans") {
     val s = freshSession()
     s.createBucket("b")
