@@ -41,6 +41,29 @@ object Relational {
                     kind: String = "inner"): DataFrame =
     fact.join(broadcast(dim), cond, joinKinds.getOrElse(kind, kind))
 
+  /** Equi-join with explicit key salting — for EXTREME skew that AQE's
+    * skew-join splitting can't fix: a hot key whose matching rows on the
+    * other side form one indivisible build bucket, on a pair where the other
+    * side is too large to broadcast. The skewed side gets a deterministic
+    * per-row salt in [0, saltFactor); the other side is replicated once per
+    * salt value, so the hot key's probe rows spread across saltFactor tasks.
+    * Cost: the other side's shuffle volume × saltFactor — use it targeted,
+    * not as a default (AQE handles moderate skew for free). Inner/left only:
+    * an unmatched other-side row would otherwise surface once per salt. */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
+                 saltFactor: Int, kind: String = "inner"): DataFrame = {
+    require(Set("inner", "left", "leftouter")(
+      kind.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left joins, got $kind")
+    require(saltFactor > 1, "saltFactor must be > 1")
+    val salted = skewed.withColumn("_salt",
+      pmod(xxhash64(struct(skewed.columns.map(col).toIndexedSeq: _*)),
+        lit(saltFactor.toLong)).cast("int"))
+    val replicated = other.withColumn("_salt",
+      explode(array((0 until saltFactor).map(i => lit(i)): _*)))
+    salted.join(replicated, Seq(key, "_salt"), kind).drop("_salt")
+  }
+
   /** IR SetOpKind = {Union, Intersection, Difference}
     * (vast_flatbuf/.../SetOpKind.py:6-9). */
   def union(l: DataFrame, r: DataFrame): DataFrame = l.union(r)

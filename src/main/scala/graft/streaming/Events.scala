@@ -117,4 +117,32 @@ object Events {
     events.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
   }
+
+  /**
+   * Structured-Streaming sink into a catalog table: each micro-batch inserts
+   * and advances a batch-id high-water mark in table props inside ONE
+   * transaction, whose manifest CAS makes the pair atomic. foreachBatch
+   * redelivers batches at-least-once on recovery; the high-water-mark skip
+   * turns that into exactly-once table contents — the classic transactional
+   * sink, expressed through the engine's own commit protocol.
+   */
+  def sinkToTable(stream: DataFrame, session: graft.api.VastSession,
+                  bucket: String, schemaPath: String, table: String,
+                  checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        session.transaction { tx =>
+          val t = tx.bucket(bucket).schema(schemaPath).table(table)
+          val last = t.properties.get("graft.stream.lastBatchId")
+            .map(_.toLong).getOrElse(-1L)
+          if (id > last) {
+            t.insert(batch)
+            t.setProperties(Map("graft.stream.lastBatchId" -> id.toString))
+          }
+        }
+        ()
+      }
+      .start()
 }

@@ -271,4 +271,30 @@ class OperatorsSpec extends SparkSpec {
       toSparkSchema(Seq("bad" -> LFixedSizeList(LUtf8, 2)))
     }
   }
+
+  test("saltedJoin matches plain join under a hot key") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    // 90% of probe rows share one key — the canonical skew shape
+    val skewed = (0 until 1000)
+      .map(i => (if (i < 900) 7L else i.toLong % 50, i.toLong))
+      .toDF("k", "payload")
+    val other = (0 until 50).map(i => (i.toLong, s"dim$i")).toDF("k", "attr")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "payload", "attr").orderBy("k", "payload", "attr")
+        .collect().toSeq
+    val plain = canon(skewed.join(other, Seq("k")))
+    val salted = canon(graft.ops.Relational.saltedJoin(skewed, other, "k", 8))
+    assert(salted == plain && plain.nonEmpty)
+    // left join keeps unmatched probe rows exactly once
+    val skewedPlus = skewed.union(Seq((999L, -1L)).toDF("k", "payload"))
+    val leftPlain = canon(skewedPlus.join(other, Seq("k"), "left"))
+    val leftSalted = canon(
+      graft.ops.Relational.saltedJoin(skewedPlus, other, "k", 8, "left"))
+    assert(leftSalted == leftPlain)
+    intercept[IllegalArgumentException] {
+      graft.ops.Relational.saltedJoin(skewed, other, "k", 8, "full")
+    }
+  }
 }

@@ -98,4 +98,34 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination(120000)
     assert(spark.table("ev_sessions").count() > 0)
   }
+
+  test("sinkToTable commits micro-batches transactionally, exactly once") {
+    import graft.api._
+    import org.apache.spark.sql.types._
+    val batchDf = eventsBatch.select("event_id", "user_id", "event_type")
+      .limit(200)
+    val dir = Files.createTempDirectory("ev-sink")
+    batchDf.write.parquet(dir.toString + "/in")
+
+    val root = Files.createTempDirectory("graft-sink").toString
+    val vs = VastSession(spark, root)
+    vs.createBucket("b")
+    vs.transaction(tx => tx.bucket("b").createSchema("m").createTable("sunk",
+      StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType)))))
+
+    val stream = spark.readStream.schema(batchDf.schema)
+      .parquet(dir.toString + "/in")
+    val q = Events.sinkToTable(stream, vs, "b", "m", "sunk",
+      dir.toString + "/ckpt")
+    q.processAllAvailable()
+    q.stop()
+
+    vs.transaction { tx =>
+      val t = tx.bucket("b").schema("m").table("sunk")
+      assert(t.select().count() == 200)
+      // high-water mark recorded in the SAME commit as the insert
+      assert(t.properties.get("graft.stream.lastBatchId").exists(_.toLong >= 0))
+    }
+  }
 }
