@@ -476,6 +476,26 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("rowsPerSplit shapes scan partitions without leaking session conf") {
+    val s = freshSession()
+    s.createBucket("b")
+    s.transaction { tx =>
+      val t = tx.bucket("b").createSchema("m").createTable("t", StructType(Seq(
+        StructField("id", LongType), StructField("pad", StringType))))
+      import spark.implicits._
+      t.insert(spark.range(200000)
+        .select(col("id"), lpad(col("id").cast("string"), 64, "x").as("pad")))
+      val before = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+      val base = t.select(Seq("id")).rdd.getNumPartitions
+      val shaped = t.select(Seq("id"),
+        config = QueryConfig(rowsPerSplit = 100)).rdd.getNumPartitions
+      // smaller split target => strictly more file partitions ...
+      assert(shaped > base, s"rowsPerSplit ignored: $shaped vs $base")
+      // ... and the caller's session conf is untouched (scan-scoped clone)
+      assert(spark.conf.getOption("spark.sql.files.maxPartitionBytes") == before)
+    }
+  }
+
   test("selectSplits: disjoint row-id ranges covering the whole table") {
     val s = freshSession()
     s.createBucket("b")
