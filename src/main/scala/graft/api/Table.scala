@@ -589,8 +589,24 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       val phys = f.renames.find(_._2 == from).map(_._1).getOrElse(from)
       f.copy(renames = f.renames - phys + (phys -> to))
     }
+    // projections/vector indexes referencing the column: their metadata moves
+    // to the new name but their DATA files still carry the old physical name
+    // (they have no per-file rename map) — mark stale so the picker/router
+    // falls back to the base table until a refresh rewrites them under the
+    // new name. Serving them as-is would null-fill the renamed column.
+    val np = m.projections.map { p =>
+      if (p.columns.contains(from) || p.sortedColumns.contains(from))
+        p.copy(columns = p.columns.map(c => if (c == from) to else c),
+          sortedColumns = p.sortedColumns.map(c => if (c == from) to else c),
+          stale = true)
+      else p
+    }
+    val nv = m.vectorIndexes.map { v =>
+      if (v.column == from) v.copy(column = to, stale = true) else v
+    }
     tx.stageWrite(dir, m.copy(schemaJson = ns.json, files = nf,
-      sortingKeys = m.sortingKeys.map(k => if (k == from) to else k)))
+      sortingKeys = m.sortingKeys.map(k => if (k == from) to else k),
+      projections = np, vectorIndexes = nv))
   }
 
   def dropColumn(name: String): Unit = {

@@ -81,5 +81,22 @@ class VectorIndexSpec extends SparkSpec {
         .select("vec_id").collect().map(_.getLong(0)).toSet
       assert(top2b == Set(0L, 9999L))
     }
+
+    // renaming the indexed column moves the metadata to the new name but
+    // stales the index (its data files carry the old physical name); search
+    // under the new name stays correct via brute force until refresh
+    s.transaction { tx =>
+      val t = tx.bucket("b").schema("m").table("e")
+      t.renameColumn("embedding", "vec")
+      val meta = t.manifest.vectorIndexes.head
+      assert(meta.column == "vec" && meta.stale)
+      val top = t.vectorSearch("vec", qvec, 2)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(top == Set(0L, 9999L))
+      t.refreshVectorIndex("vec")
+      val topIdx = t.vectorSearch("vec", qvec, 2, nprobe = 16)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(topIdx == Set(0L, 9999L))
+    }
   }
 }
