@@ -613,7 +613,14 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     val m = manifest
     val ns = StructType(m.schema.fields.filterNot(_.name == name))
     tx.stageWrite(dir, m.copy(schemaJson = ns.json,
-      sortingKeys = m.sortingKeys.filterNot(_ == name)))
+      sortingKeys = m.sortingKeys.filterNot(_ == name),
+      // metadata referencing the dropped column must go with it: a vector
+      // index on it can never serve again, and a blob expansion on it would
+      // crash the next insert (its parse source is gone). Expansion TARGET
+      // tables hold user data and stay queryable (explicit dropBlobExpansion
+      // removes them); projections keep serving their remaining columns.
+      vectorIndexes = m.vectorIndexes.filterNot(_.column == name),
+      blobExpansions = m.blobExpansions.filterNot(_.blobColumn == name)))
   }
 
   /** Staged rename (reference rename isolation,

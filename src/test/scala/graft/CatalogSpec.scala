@@ -532,6 +532,27 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("dropColumn detaches vector indexes and blob expansions on it") {
+    val s = freshSession()
+    s.createBucket("b")
+    s.transaction { tx =>
+      val t = tx.bucket("b").createSchema("m").createTable("t", StructType(Seq(
+        StructField("id", LongType),
+        StructField("v", ArrayType(FloatType)),
+        StructField("blob", StringType))))
+      t.createVectorIndex("v", "l2sq")
+      t.createBlobExpansion("blob", "x BIGINT")
+      t.dropColumn("v")
+      t.dropColumn("blob")
+      assert(t.manifest.vectorIndexes.isEmpty)
+      assert(t.manifest.blobExpansions.isEmpty)
+      // next insert must not try to parse the dropped blob column
+      t.insert(spark.createDataFrame(java.util.List.of(Row(1L)),
+        StructType(Seq(StructField("id", LongType)))))
+      assert(t.select().count() == 1)
+    }
+  }
+
   test("vacuumPending spares live transactions, reaps crashed-process orphans") {
     val s = freshSession()
     s.createBucket("b")
