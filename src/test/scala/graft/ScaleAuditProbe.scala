@@ -1,0 +1,28 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object ScaleAuditProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.tune(SparkSession.builder().master("local[8]"), 8).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    def audit(name: String): Unit = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      val checks = Seq(
+        "BroadcastHashJoin" -> plan.contains("BroadcastHashJoin"),
+        "SortMergeJoin" -> plan.contains("SortMergeJoin"),
+        "TakeOrderedAndProject" -> plan.contains("TakeOrderedAndProject"),
+        "CartesianProduct" -> plan.contains("CartesianProduct"),
+        "PushedFilters-nonempty" -> "PushedFilters: \\[[A-Z]".r.findFirstIn(plan).isDefined,
+        "Exchange-count" -> false)
+      val exchanges = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+        .findAllIn(plan).size
+      println(f"$name%-22s exch=$exchanges " + checks.filter(_._2).map(_._1).mkString(","))
+    }
+    Seq("q_tpch_q3", "q_tpch_q5", "ev4_asof_join", "dd2_minhash_lsh",
+      "ss1_knn_join", "v1_vector_topk_l2sq", "v3_vector_ivf", "w1_window_rank",
+      "a1_agg_groupby", "l3_topk", "s1_scan_project").foreach(audit)
+    spark.stop()
+  }
+}
