@@ -440,6 +440,15 @@ class Bucket(val tx: Transaction, val name: String, val dir: Path) {
       .filterNot(_.startsWith(".snapshot"))
       .sorted
 
+  /** Paginated, prefix-filtered schema listing (reference list_schemas
+    * pagination, vastdb/_internal.py:1188-1236). */
+  def listSchemas(prefix: String = "", startAfter: String = "",
+                  maxKeys: Int = 1000): (Seq[String], Option[String]) = {
+    val all = schemas.filter(_.startsWith(prefix)).filter(_ > startAfter)
+    val page = all.take(maxKeys)
+    (page, if (all.size > maxKeys) Some(page.last) else None)
+  }
+
   /** Read-only point-in-time view: copy the manifest trees (data shared).
     * Reference: `bucket/.snapshot/<name>` (vastdb/bucket.py:43-70). */
   def createSnapshot(snapName: String): Unit = {

@@ -750,6 +750,17 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
 
   def properties: Map[String, String] = manifest.props
 
+  /** Paginated column listing (reference list_columns pagination,
+    * vastdb/_internal.py:1623-1686): (name, Spark DDL type) pairs,
+    * name-ordered (stable page boundaries), paged by startAfter. */
+  def listColumns(startAfter: String = "",
+                  maxKeys: Int = 1000): (Seq[(String, String)], Option[String]) = {
+    val all = manifest.schema.fields
+      .map(f => (f.name, f.dataType.sql)).sortBy(_._1).filter(_._1 > startAfter)
+    val page = all.take(maxKeys).toSeq
+    (page, if (all.length > maxKeys) Some(page.last._1) else None)
+  }
+
   // ------------------------------------------------- vector search (§2.8)
 
   /** Vector index DDL (metrics l2sq | ip, reference VectorIndexSpec,

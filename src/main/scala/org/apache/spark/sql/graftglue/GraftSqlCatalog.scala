@@ -32,7 +32,7 @@ import graft.api.Manifest
  * parquet scans, unioned positionally), matching the reference's transparent
  * rename semantics.
  */
-class GraftSqlCatalog extends TableCatalog {
+class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var root: String = _
 
@@ -59,6 +59,52 @@ class GraftSqlCatalog extends TableCatalog {
 
   override def tableExists(ident: Identifier): Boolean =
     Files.isDirectory(tableDir(ident).resolve("_manifest"))
+
+  // --- SupportsNamespaces (read-only): buckets are top-level namespaces,
+  //     nested schema dirs (".graft_schema"-marked) are sub-namespaces ---
+
+  private def nsDir(namespace: Array[String]) =
+    Paths.get((root +: namespace.toSeq).mkString("/"))
+
+  override def listNamespaces(): Array[Array[String]] =
+    graft.api.Table.listDir(Paths.get(root))
+      .filter(p => Files.isDirectory(p) && !p.getFileName.toString.startsWith("_"))
+      .map(p => Array(p.getFileName.toString))
+      .toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val dir = nsDir(namespace)
+    if (!Files.isDirectory(dir)) Array.empty
+    else graft.api.Table.listDir(dir)
+      .filter(p => Files.exists(p.resolve(".graft_schema")))
+      .map(p => namespace :+ p.getFileName.toString)
+      .toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length match {
+      case 0 => true
+      case 1 => Files.isDirectory(nsDir(namespace)) // bucket
+      case _ => Files.exists(nsDir(namespace).resolve(".graft_schema"))
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "writes go through the transactional graft API (createBucket/createSchema)")
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("use the transactional graft API")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException("use the transactional graft API")
 
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)

@@ -357,6 +357,24 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("schema and column listings paginate") {
+    val s = freshSession()
+    s.createBucket("b")
+    s.transaction { tx =>
+      val b = tx.bucket("b")
+      Seq("alpha", "beta", "gamma").foreach(b.createSchema)
+      val (page1, next1) = b.schema("alpha").bucket.listSchemas(maxKeys = 2)
+      assert(page1 == Seq("alpha", "beta") && next1.contains("beta"))
+      val (page2, next2) = b.listSchemas(startAfter = next1.get, maxKeys = 2)
+      assert(page2 == Seq("gamma") && next2.isEmpty)
+      val t = b.schema("alpha").createTable("t", f1Schema)
+      val (cols, nextC) = t.listColumns(maxKeys = 2)
+      assert(cols.map(_._1) == Seq("a", "b") && nextC.contains("b"))
+      val (cols2, nextC2) = t.listColumns(startAfter = "b")
+      assert(cols2 == Seq(("s", "STRING")) && nextC2.isEmpty)
+    }
+  }
+
   test("listings paginate with prefix filters") {
     val s = freshSession()
     s.createBucket("b")

@@ -67,5 +67,10 @@ class SqlCatalogSpec extends SparkSpec {
     val plan = spark.sql("SELECT label FROM graft2.bk.m.t")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("ReadSchema: struct<a:bigint,"), s"no pruning in:\n$plan")
+    // namespace enumeration: buckets, then schemas inside
+    assert(spark.sql("SHOW NAMESPACES IN graft2").collect()
+      .map(_.getString(0)).contains("bk"))
+    assert(spark.sql("SHOW NAMESPACES IN graft2.bk").collect()
+      .map(_.getString(0)).exists(_.endsWith("m")))
   }
 }
