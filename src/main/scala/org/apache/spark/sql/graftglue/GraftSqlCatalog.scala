@@ -9,6 +9,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -25,12 +27,12 @@ import graft.api.Manifest
  *   spark.sql("SELECT * FROM graft.bucket.schema.table WHERE ...")
  *
  * Reads resolve the table's CURRENT manifest and delegate scanning to
- * Spark's own ParquetTable (full pushdown/pruning/vectorization). Read-only:
- * writes must go through the transactional API so manifests stay authoritative
- * — the returned table advertises BATCH_READ only. Tables carrying lazy
- * per-file renames are served by [[RenameUnionTable]] (per-rename-group
- * parquet scans, unioned positionally), matching the reference's transparent
- * rename semantics.
+ * Spark's own ParquetTable (full pushdown/pruning/vectorization). Tables
+ * carrying lazy per-file renames are served by [[RenameUnionTable]]
+ * (per-rename-group parquet scans, unioned positionally), matching the
+ * reference's transparent rename semantics. SQL INSERT appends through the
+ * transactional manifest commit ([[GraftV1Writable]]); DDL and
+ * namespace/table mutation stay API-only so manifests remain authoritative.
  */
 class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
@@ -123,12 +125,14 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
         (ren, fs.map(f => graft.api.Table.resolvePath(dir, f.path)))
       }
       new RenameUnionTable(ident.toString, schema, groups)
+        with GraftV1Writable { val writeRoot = root; val writeIdent = ident }
     } else {
       val paths = m.files.map(f => graft.api.Table.resolvePath(dir, f.path)).toList
       val parquet = ParquetTable(ident.toString, SparkSession.active,
         CaseInsensitiveStringMap.empty(), paths, Some(schema),
         classOf[ParquetFileFormat])
       new ReadOnlyTable(parquet)
+        with GraftV1Writable { val writeRoot = root; val writeIdent = ident }
     }
   }
 
@@ -148,7 +152,8 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException("use the transactional graft API")
 }
 
-/** Read-only delegate: exposes only BATCH_READ from the wrapped file table. */
+/** Scan delegate: BATCH_READ from the wrapped file table (write capability
+  * mixed in via [[GraftV1Writable]] at loadTable). */
 private[graftglue] class ReadOnlyTable(delegate: ParquetTable)
     extends Table with SupportsRead {
   override def name(): String = delegate.name
@@ -157,4 +162,43 @@ private[graftglue] class ReadOnlyTable(delegate: ParquetTable)
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     delegate.newScanBuilder(options)
+}
+
+/**
+ * SQL INSERT routed through the transactional manifest commit: Spark's V1
+ * write bridge hands the materialized insert DataFrame to the driver, where
+ * `Table.insert` performs the DISTRIBUTED parquet write and the transaction's
+ * manifest CAS publishes it atomically — concurrent SQL inserts against the
+ * same table version conflict exactly like API inserts (one wins, one gets
+ * `Conflict`). Append-only; the exposed schema includes `_row_id`, so an
+ * INSERT must supply explicit row ids (the reference's external
+ * `vastdb_rowid` path) or insert through the API, which allocates them.
+ */
+private[graftglue] trait GraftV1Writable extends Table with SupportsWrite {
+  def writeRoot: String
+  def writeIdent: Identifier
+
+  abstract override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.copyOf(super.capabilities())
+    caps.add(TableCapability.V1_BATCH_WRITE)
+    caps
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+            if (overwrite) throw new UnsupportedOperationException(
+              "overwrite not supported; data files are immutable (use DML)")
+            val ns = writeIdent.namespace()
+            val vs = graft.api.VastSession(SparkSession.active, writeRoot)
+            vs.transaction { tx =>
+              tx.bucket(ns.head).schema(ns.tail.mkString("/"))
+                .table(writeIdent.name()).insert(data)
+            }
+            ()
+          }
+      }
+    }
 }

@@ -32,11 +32,19 @@ class SqlCatalogSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") &&
       plan.contains("GreaterThanOrEqual(a,2)"), s"no pushdown in:\n$plan")
-    // catalog enumeration + read-only enforcement
+    // catalog enumeration
     assert(spark.sql("SHOW TABLES IN graft.bk.m").collect()
       .map(_.getString(1)).contains("t"))
-    intercept[Exception] {
-      spark.sql("INSERT INTO graft.bk.m.t VALUES (9, 'x', 9)")
+    // SQL INSERT lands through the transactional manifest commit (explicit
+    // _row_id = the reference's external vastdb_rowid path)
+    spark.sql("INSERT INTO graft.bk.m.t VALUES (9, 'nine', 9)")
+    val after = spark.sql(
+      "SELECT a, s, _row_id FROM graft.bk.m.t WHERE a = 9").collect()
+    assert(after.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((9L, "nine", 9L)))
+    // the API sees the SQL-inserted row under the same manifest version chain
+    s.transaction { tx =>
+      assert(tx.bucket("bk").schema("m").table("t").select().count() == 4)
     }
   }
 
