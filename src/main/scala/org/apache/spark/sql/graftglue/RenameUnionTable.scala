@@ -21,11 +21,12 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
  *
  * (The reference's lazy rename is fully transparent to queries,
  * /root/reference/vastdb/table.py:1010-1038; this makes the SQL surface
- * match.) Column pruning is pushed per group (translated through the rename
- * map). Data filters are NOT pushed to parquet here — Spark re-evaluates
- * them post-scan, so results stay correct; renamed tables just lose
- * row-group skipping until `optimizeSort`/compaction rewrites them to the
- * current names (at which point the single-group fast path applies again).
+ * match.) Column pruning AND data filters are pushed per group, each
+ * translated through the group's rename map (logical attribute names
+ * rewritten to the group's physical names), so parquet row-group skipping
+ * survives renames. Spark still re-evaluates every filter post-scan
+ * (pushFilters returns all filters as residual) — pushdown is a pruning
+ * hint, never a correctness dependency.
  */
 private[graftglue] class RenameUnionTable(
     tableName: String,
@@ -38,26 +39,43 @@ private[graftglue] class RenameUnionTable(
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownRequiredColumns
+        with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
       private var required: StructType = logicalSchema
+      private var toPush: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil
       override def pruneColumns(s: StructType): Unit =
         if (s.nonEmpty) required = s
-      override def build(): Scan = new RenameUnionScan(tableName, required, groups)
+      override def pushFilters(
+          filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+          : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+        toPush = filters
+        filters // everything stays a post-scan filter: pushdown is advisory
+      }
+      override def pushedFilters
+          : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+        Array.empty
+      override def build(): Scan =
+        new RenameUnionScan(tableName, required, groups, toPush)
     }
 }
 
 private[graftglue] class RenameUnionScan(
     tableName: String,
     required: StructType,
-    groups: Seq[(Map[String, String], Seq[String])]) extends Scan with Batch {
+    groups: Seq[(Map[String, String], Seq[String])],
+    filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+    extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft rename-union over ${groups.size} file groups"
+    s"graft rename-union over ${groups.size} file groups, " +
+      s"pushed ${filters.size} filters per group"
 
-  // one delegated parquet Batch per rename group, requesting the group's
-  // physical names in the logical field order
+  // one delegated parquet Batch per rename group: the group's physical names
+  // are requested in logical field order, and each filter is re-addressed to
+  // the physical names so the delegate can translate it into parquet
+  // row-group pruning
   private lazy val groupBatches: Seq[Batch] = groups.map { case (renames, paths) =>
     val inverse = renames.map(_.swap) // logical -> physical
     val phys = StructType(required.fields.map(f =>
@@ -65,7 +83,17 @@ private[graftglue] class RenameUnionScan(
     val pt = ParquetTable(tableName, SparkSession.active,
       CaseInsensitiveStringMap.empty(), paths.toList, Some(phys),
       classOf[ParquetFileFormat])
-    pt.newScanBuilder(CaseInsensitiveStringMap.empty()).build().toBatch
+    val sb = pt.newScanBuilder(CaseInsensitiveStringMap.empty())
+    sb match {
+      case f: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+        val translated = filters.map(_.transform {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+              if inverse.contains(a.name) => a.withName(inverse(a.name))
+        })
+        f.pushFilters(translated)
+      case _ => ()
+    }
+    sb.build().toBatch
   }
 
   override def planInputPartitions(): Array[InputPartition] =

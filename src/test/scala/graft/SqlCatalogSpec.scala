@@ -80,5 +80,11 @@ class SqlCatalogSpec extends SparkSpec {
       .map(_.getString(0)).contains("bk"))
     assert(spark.sql("SHOW NAMESPACES IN graft2.bk").collect()
       .map(_.getString(0)).exists(_.endsWith("m")))
+    // a filter on the RENAMED column answers correctly across both physical
+    // schemas (old files carry "s", new files carry "label")
+    val filtered = spark.sql(
+      "SELECT a FROM graft2.bk.m.t WHERE label = 'one' OR label = 'three'")
+      .collect().map(_.getLong(0)).sorted
+    assert(filtered.toSeq == Seq(1L, 3L))
   }
 }
