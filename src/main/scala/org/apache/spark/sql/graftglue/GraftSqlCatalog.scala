@@ -108,12 +108,28 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
     throw new UnsupportedOperationException("use the transactional graft API")
 
-  override def loadTable(ident: Identifier): Table = {
+  override def loadTable(ident: Identifier): Table =
+    loadAt(ident, graft.api.Table.currentVersion(tableDir(ident)), writable = true)
+
+  /** SQL time travel: `VERSION AS OF n` resolves manifest v{n} — every
+    * retained manifest version is addressable (snapshots are named aliases
+    * over the same mechanism). Historical versions are read-only. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft versions are manifest numbers, got '$version'")
+    }
+    loadAt(ident, v, writable = false)
+  }
+
+  private def loadAt(ident: Identifier, version: Long, writable: Boolean): Table = {
     val dir = tableDir(ident)
     if (!tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
-    val cur = graft.api.Table.currentVersion(dir)
-    val m = Manifest.read(dir.resolve("_manifest").resolve(f"v$cur%08d.json"))
+    val mPath = dir.resolve("_manifest").resolve(f"v$version%08d.json")
+    if (!Files.exists(mPath))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val m = Manifest.read(mPath)
     val schema = StructType(m.schema.fields :+
       StructField("_row_id", LongType, nullable = false))
     // manifests store table-dir-relative data paths (so staged renames can
@@ -124,15 +140,30 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
       val groups = m.files.groupBy(_.renames).toSeq.map { case (ren, fs) =>
         (ren, fs.map(f => graft.api.Table.resolvePath(dir, f.path)))
       }
-      new RenameUnionTable(ident.toString, schema, groups)
-        with GraftV1Writable { val writeRoot = root; val writeIdent = ident }
+      if (writable)
+        new RenameUnionTable(ident.toString, schema, groups)
+          with GraftV1Writable { val writeRoot = root; val writeIdent = ident }
+      else new RenameUnionTable(ident.toString, schema, groups)
     } else {
       val paths = m.files.map(f => graft.api.Table.resolvePath(dir, f.path)).toList
-      val parquet = ParquetTable(ident.toString, SparkSession.active,
-        CaseInsensitiveStringMap.empty(), paths, Some(schema),
-        classOf[ParquetFileFormat])
-      new ReadOnlyTable(parquet)
-        with GraftV1Writable { val writeRoot = root; val writeIdent = ident }
+      val fresh = m.projections.filterNot(_.stale).map(p =>
+        (p.columns.toSet + "_row_id", graft.api.Table.resolvePath(dir, p.dir)))
+      if (fresh.nonEmpty) {
+        // covered scans route to a materialized projection, like the picker
+        // in Table.select (and the reference server's transparent selection)
+        if (writable)
+          new ProjectionRoutingTable(ident.toString, schema, paths, fresh)
+            with GraftV1Writable { val writeRoot = root; val writeIdent = ident }
+        else new ProjectionRoutingTable(ident.toString, schema, paths, fresh)
+      } else {
+        val parquet = ParquetTable(ident.toString, SparkSession.active,
+          CaseInsensitiveStringMap.empty(), paths, Some(schema),
+          classOf[ParquetFileFormat])
+        if (writable)
+          new ReadOnlyTable(parquet)
+            with GraftV1Writable { val writeRoot = root; val writeIdent = ident }
+        else new ReadOnlyTable(parquet)
+      }
     }
   }
 

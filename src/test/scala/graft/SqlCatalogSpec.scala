@@ -46,6 +46,26 @@ class SqlCatalogSpec extends SparkSpec {
     s.transaction { tx =>
       assert(tx.bucket("bk").schema("m").table("t").select().count() == 4)
     }
+    // SQL time travel: VERSION AS OF addresses retained manifest versions
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.bk.m.t VERSION AS OF 1").collect()
+      .head.getLong(0) == 3) // before the SQL INSERT (which committed v2)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.bk.m.t VERSION AS OF 99").collect()
+    }
+    // covered SQL scans route to a fresh projection (picker in the SQL path)
+    s.transaction { tx =>
+      tx.bucket("bk").schema("m").table("t")
+        .createProjection("pa", Seq("a"), Seq("a"))
+    }
+    val viaProj = spark.sql("SELECT a FROM graft.bk.m.t ORDER BY a")
+    val projPlan = viaProj.queryExecution.executedPlan.toString
+    assert(projPlan.contains("_proj/pa-"), s"projection not routed:\n$projPlan")
+    assert(viaProj.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 9L))
+    // uncovered scans still read the base files
+    val viaBase = spark.sql("SELECT a, s FROM graft.bk.m.t")
+      .queryExecution.executedPlan.toString
+    assert(!viaBase.contains("_proj/"), s"base not served:\n$viaBase")
   }
 
   test("rename-evolved table answers SQL across mixed physical schemas") {
