@@ -129,6 +129,11 @@ class VastSession(val spark: SparkSession, val root: String) {
     tx
   }
 
+  /** Reconnect to a live transaction by id (reference transaction GET,
+    * vastdb/_internal.py:1697-1745): None once committed/rolled back. */
+  def getTransaction(id: Long): Option[Transaction] =
+    liveTx.iterator().asScala.find(_.id == id)
+
   def createBucket(name: String): Unit =
     Files.createDirectories(Paths.get(root, name))
 

@@ -66,6 +66,16 @@ class SqlCatalogSpec extends SparkSpec {
     val viaBase = spark.sql("SELECT a, s FROM graft.bk.m.t")
       .queryExecution.executedPlan.toString
     assert(!viaBase.contains("_proj/"), s"base not served:\n$viaBase")
+    // SQL inserts take the same CAS as API commits: an API transaction that
+    // read the pre-INSERT version must conflict after the SQL INSERT lands
+    val apiTx = s.beginTransaction()
+    val apiTable = apiTx.bucket("bk").schema("m").table("t")
+    apiTable.insert(spark.createDataFrame(java.util.List.of(Row(50L, "fifty")),
+      schema))
+    assert(s.getTransaction(apiTx.id).contains(apiTx)) // reference tx GET
+    spark.sql("INSERT INTO graft.bk.m.t VALUES (60, 'sixty', 60)")
+    intercept[Conflict] { apiTx.commit() }
+    assert(s.getTransaction(apiTx.id).isEmpty) // rolled back => not live
   }
 
   test("rename-evolved table answers SQL across mixed physical schemas") {
