@@ -50,17 +50,24 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
   private def tableDir(ident: Identifier) =
     Paths.get((root +: ident.namespace().toSeq :+ ident.name()).mkString("/"))
 
+  /** DDL isolation: a `.pending` marker means an uncommitted transaction
+    * created the table — invisible here exactly as through the API
+    * (`Transaction.visibleTable`) until its commit removes the marker. */
+  private def committed(tdir: java.nio.file.Path): Boolean =
+    Files.isDirectory(tdir.resolve("_manifest")) &&
+      !Files.exists(tdir.resolve("_manifest").resolve(".pending"))
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = Paths.get((root +: namespace.toSeq).mkString("/"))
     if (!Files.isDirectory(dir)) return Array.empty
     graft.api.Table.listDir(dir)
-      .filter(p => Files.isDirectory(p.resolve("_manifest")))
+      .filter(committed)
       .map(p => Identifier.of(namespace, p.getFileName.toString))
       .toArray
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    Files.isDirectory(tableDir(ident).resolve("_manifest"))
+    committed(tableDir(ident))
 
   // --- SupportsNamespaces (read-only): buckets are top-level namespaces,
   //     nested schema dirs (".graft_schema"-marked) are sub-namespaces ---

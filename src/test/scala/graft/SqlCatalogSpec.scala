@@ -76,6 +76,46 @@ class SqlCatalogSpec extends SparkSpec {
     spark.sql("INSERT INTO graft.bk.m.t VALUES (60, 'sixty', 60)")
     intercept[Conflict] { apiTx.commit() }
     assert(s.getTransaction(apiTx.id).isEmpty) // rolled back => not live
+    // DDL isolation: a table created by an uncommitted tx is invisible to SQL
+    val pendTx = s.beginTransaction()
+    pendTx.bucket("bk").schema("m").createTable("pending_t", schema)
+    assert(!spark.sql("SHOW TABLES IN graft.bk.m").collect()
+      .map(_.getString(1)).contains("pending_t"))
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.bk.m.pending_t").collect()
+    }
+    pendTx.commit()
+    assert(spark.sql("SELECT count(*) FROM graft.bk.m.pending_t").collect()
+      .head.getLong(0) == 0)
+  }
+
+  test("rename-evolved table at scale: vectorized read + pushed filters") {
+    val root = Files.createTempDirectory("graft-sqlcat3").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    s.transaction { tx =>
+      val t = tx.bucket("bk").createSchema("m").createTable("li",
+        org.apache.spark.sql.types.StructType(li.schema.fields))
+      t.insert(li)                       // group 1: physical l_returnflag
+      t.renameColumn("l_returnflag", "flag")
+    }
+    s.transaction { tx =>                // group 2: physical flag
+      tx.bucket("bk").schema("m").table("li")
+        .insert(li.withColumnRenamed("l_returnflag", "flag").limit(500))
+    }
+    spark.conf.set("spark.sql.catalog.graft3",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.graft3.root", root)
+    val got = spark.sql(
+      """SELECT flag, count(*) AS n, sum(l_quantity) AS q
+        |FROM graft3.bk.m.li WHERE flag IS NOT NULL GROUP BY flag""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = li.union(li.limit(500))
+      .groupBy("l_returnflag").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want, s"$got vs $want")
   }
 
   test("rename-evolved table answers SQL across mixed physical schemas") {
