@@ -217,6 +217,10 @@ class Transaction(val session: VastSession, val id: Long) {
     !Files.exists(tableDir.resolve("_manifest").resolve(".pending")) ||
       newTables.contains(tableDir.toString)
 
+  /** Reference is_active (vastdb/transaction.py:124-133); `id` is the
+    * active_txid analog. */
+  def isActive: Boolean = active
+
   def requireActive(): Unit = if (!active) throw TransactionInactive()
 
   def bucket(name: String): Bucket = {
@@ -428,14 +432,25 @@ class Bucket(val tx: Transaction, val name: String, val dir: Path) {
     new SchemaNS(this, path, p)
   }
 
-  def createSchema(path: String): SchemaNS = {
+  def createSchema(path: String): SchemaNS = createSchema(path, failIfExists = true)
+
+  /** `failIfExists = false` returns the existing schema instead of raising
+    * (reference create_schema fail_if_exists, vastdb/schema.py:41-52). */
+  def createSchema(path: String, failIfExists: Boolean): SchemaNS = {
     val p = dir.resolve(path)
-    if (Files.exists(p.resolve(".graft_schema"))) throw SchemaExists(path)
+    if (Files.exists(p.resolve(".graft_schema"))) {
+      if (failIfExists) throw SchemaExists(path)
+      return schema(path)
+    }
     Files.createDirectories(p)
     Files.write(p.resolve(".graft_schema"), Array.emptyByteArray)
     tx.newTables += p.toString // rollback removes the schema dir
     new SchemaNS(this, path, p)
   }
+
+  /** Missing-tolerant lookup (reference schema(fail_if_missing=False)). */
+  def schemaOption(path: String): Option[SchemaNS] =
+    try Some(schema(path)) catch { case _: MissingSchema => None }
 
   def schemas: Seq[String] =
     if (!Files.isDirectory(dir)) Nil
@@ -502,6 +517,30 @@ class SchemaNS(val bucket: Bucket, val path: String, val dir: Path) {
 
   def createTable(name: String, schema: StructType): Table =
     Table.create(this, name, schema)
+
+  /** `failIfExists = false` returns the existing table instead of raising
+    * (reference create_table fail_if_exists, vastdb/schema.py:85-121). */
+  def createTable(name: String, schema: StructType,
+                  failIfExists: Boolean): Table =
+    if (!failIfExists && Files.isDirectory(dir.resolve(name).resolve("_manifest")))
+      table(name)
+    else Table.create(this, name, schema)
+
+  /** Missing-tolerant lookup (reference table(fail_if_missing=False)). */
+  def tableOption(name: String): Option[Table] =
+    try Some(table(name)) catch { case _: MissingTable => None }
+
+  /** Infer a merged schema from the parquet files' footers, create the
+    * table, and import them — the reference's README bulk-load helper
+    * (vastdb/util.py:18-43, create_table_from_files). */
+  def createTableFromFiles(name: String, parquetFiles: Seq[String],
+                           mergeMode: String = "default"): Table = {
+    val spark = tx.session.spark
+    val schemas = parquetFiles.map(f => spark.read.parquet(f).schema)
+    val t = Table.create(this, name, Table.mergeSchemas(schemas, mergeMode))
+    t.importFiles(parquetFiles, mergeMode)
+    t
+  }
 
   /** CREATE TABLE from Arrow-like logical types — runs the TypeMapping
     * validator (unsigned widening, time tagging, FSL element rules,

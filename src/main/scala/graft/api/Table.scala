@@ -45,6 +45,23 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
   def manifest: TableManifest = tx.manifestFor(dir)
   def schema: StructType = manifest.schema
 
+  /** Sorting-key columns as schema fields (reference sorted_columns,
+    * vastdb/table.py:265-272). */
+  def sortedColumns: Seq[StructField] = {
+    val m = manifest
+    m.sortingKeys.flatMap(k => m.schema.fields.find(_.name == k))
+  }
+
+  /** Drop this table's pinned manifest so the next access re-reads CURRENT —
+    * the reference's reload_schema/reload_stats (vastdb/table.py:226-250):
+    * an explicit, caller-chosen break of the transaction's repeatable-read
+    * pin to observe concurrent commits. */
+  def reload(): Unit = {
+    tx.requireActive()
+    tx.readSet.remove(dir.toString)
+    ()
+  }
+
   private def dataRoot: Path = Table.dataRootFor(dir)
 
   private[api] def resolveDataPath(p: String): String = Table.resolvePath(dir, p)
@@ -415,27 +432,8 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
 
   /** Schema-merge modes (vastdb/util.py:18-83): `default` = containment,
     * `strict` = equality, `union` = unify. */
-  def mergeSchemas(schemas: Seq[StructType], mode: String): StructType = mode match {
-    case "strict" =>
-      if (schemas.distinct.size > 1)
-        throw NotSupportedSchema("strict merge: schemas differ")
-      schemas.head
-    case "union" =>
-      schemas.reduce { (a, b) =>
-        val names = a.fieldNames.toSet
-        StructType(a.fields ++ b.fields.filterNot(f => names(f.name)))
-      }
-    case _ => // default: every schema contained in the union, consistent types
-      val all = mergeSchemas(schemas, "union")
-      schemas.foreach { s =>
-        s.fields.foreach { f =>
-          val g = all(f.name)
-          if (g.dataType != f.dataType)
-            throw NotSupportedSchema(s"column ${f.name}: ${f.dataType} vs ${g.dataType}")
-        }
-      }
-      all
-  }
+  def mergeSchemas(schemas: Seq[StructType], mode: String): StructType =
+    Table.mergeSchemas(schemas, mode)
 
   /** Read a manifest version other than the pinned one (time travel across
     * the retained manifest history; snapshots give named aliases). */
@@ -980,6 +978,30 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
 }
 
 object Table {
+
+  /** Schema-merge modes (vastdb/util.py:18-83): `default` = containment,
+    * `strict` = equality, `union` = unify. */
+  def mergeSchemas(schemas: Seq[StructType], mode: String): StructType = mode match {
+    case "strict" =>
+      if (schemas.distinct.size > 1)
+        throw NotSupportedSchema("strict merge: schemas differ")
+      schemas.head
+    case "union" =>
+      schemas.reduce { (a, b) =>
+        val names = a.fieldNames.toSet
+        StructType(a.fields ++ b.fields.filterNot(f => names(f.name)))
+      }
+    case _ => // default: every schema contained in the union, consistent types
+      val all = mergeSchemas(schemas, "union")
+      schemas.foreach { s =>
+        s.fields.foreach { f =>
+          val g = all(f.name)
+          if (g.dataType != f.dataType)
+            throw NotSupportedSchema(s"column ${f.name}: ${f.dataType} vs ${g.dataType}")
+        }
+      }
+      all
+  }
 
   /** Root against which RELATIVE data/projection paths resolve for a table
     * dir. Normally the dir itself (so a staged rename can move the whole dir

@@ -357,6 +357,42 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("soft-fail variants, reload, sortedColumns, createTableFromFiles") {
+    val s = freshSession()
+    s.createBucket("b")
+    s.transaction { tx =>
+      val b = tx.bucket("b")
+      val m1 = b.createSchema("m")
+      assert(b.createSchema("m", failIfExists = false).dir == m1.dir)
+      intercept[SchemaExists] { b.createSchema("m") }
+      assert(b.schemaOption("nope").isEmpty)
+      val t1 = m1.createTable("t", f1Schema)
+      assert(m1.createTable("t", f1Schema, failIfExists = false).dir == t1.dir)
+      assert(m1.tableOption("nope").isEmpty)
+      t1.addSortingKey(Seq("a"))
+      assert(t1.sortedColumns.map(_.name) == Seq("a"))
+      // bulk-load helper: infer schema from footers, create, import
+      val dir = Files.createTempDirectory("ctff")
+      spark.createDataFrame(java.util.List.of(Row(1L, 0.5f, "x")), f1Schema)
+        .write.parquet(dir.toString + "/f1")
+      val imported = m1.createTableFromFiles("bulk",
+        Seq(dir.toString + "/f1"))
+      assert(imported.select().count() == 1)
+      assert(imported.schema.fieldNames.toSeq == f1Schema.fieldNames.toSeq)
+    }
+    // reload breaks the repeatable-read pin to see a concurrent commit
+    val txA = s.beginTransaction()
+    assert(txA.isActive)
+    val tA = txA.bucket("b").schema("m").table("t")
+    assert(tA.select().count() == 0) // pins v-current
+    s.transaction(tx => tx.bucket("b").schema("m").table("t").insert(f1Data))
+    assert(tA.select().count() == 0) // still pinned
+    tA.reload()
+    assert(tA.select().count() == 3) // sees the concurrent commit
+    txA.rollback()
+    assert(!txA.isActive)
+  }
+
   test("schema and column listings paginate") {
     val s = freshSession()
     s.createBucket("b")
