@@ -815,6 +815,33 @@ object SparkEntry {
              |  FROM events) x
              |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)),
 
+    Q("ev6_range_join",
+      // interval containment via granule bucketing (ops.Relational.rangeJoin)
+      // — candidates co-locate under a (user, granule) equi-join, never a
+      // theta/cross join; DuckDB computes the same containment directly
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val views = ev.filter(col("event_type") === "view" && col("user_id") < 50)
+          .select(col("event_id").as("v_id"), col("user_id"), col("ts"))
+        val windows = ev.filter(col("event_type") === "purchase" && col("user_id") < 50)
+          .select(col("event_id").as("p_id"), col("user_id"),
+            col("ts").as("lo"), (col("ts") + expr("INTERVAL 2 HOURS")).as("hi"))
+        Relational.rangeJoin(views, windows, "user_id", "ts", "lo", "hi")
+          .groupBy("p_id")
+          .agg(count(lit(1)).as("n_views"), min(col("v_id")).as("first_view"))
+          .orderBy("p_id")
+      },
+      Some("""WITH v AS (SELECT event_id AS v_id, user_id, ts FROM events
+             |           WHERE event_type = 'view' AND user_id < 50),
+             |     p AS (SELECT event_id AS p_id, user_id, ts AS lo,
+             |                  ts + INTERVAL 2 HOUR AS hi FROM events
+             |           WHERE event_type = 'purchase' AND user_id < 50)
+             |SELECT p_id, CAST(COUNT(*) AS BIGINT) AS n_views,
+             |       MIN(v_id) AS first_view
+             |FROM v JOIN p ON v.user_id = p.user_id AND v.ts >= p.lo
+             |  AND v.ts <= p.hi
+             |GROUP BY p_id ORDER BY p_id""".stripMargin)),
+
     Q("ev4_asof_join",
       (s, dir) => {
         val ev = t(s, dir, "events")

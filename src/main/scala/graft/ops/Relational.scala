@@ -73,6 +73,35 @@ object Relational {
   def except(l: DataFrame, r: DataFrame): DataFrame = l.except(r)
 
   /**
+   * Interval (range) join: each `points` row matched to the `intervals` rows
+   * whose [loCol, hiCol] contain its `atCol`, both sides also equi-joined on
+   * `key`. The naive plan is a theta join (O(n·m) comparisons in one task
+   * per key); this formulation BUCKETS time into fixed granules so
+   * candidates co-locate under a key-partitioned equi-join: every interval
+   * explodes to the granules it spans, every point maps to its granule, the
+   * join key is (key, granule), and the exact BETWEEN filter runs on the
+   * bounded candidate set. `granule` trades interval replication (long
+   * intervals span many granules) against candidate width — pick it near the
+   * typical interval length. One shuffle each side, no cross product.
+   */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, key: String,
+                atCol: String, loCol: String, hiCol: String,
+                granuleMicros: Long = 3600000000L): DataFrame = {
+    require(granuleMicros > 0, "granuleMicros must be positive")
+    def bucket(c: Column): Column = floor(unix_micros(c) / granuleMicros)
+    val pts = points.withColumn("_g", bucket(col(atCol)))
+    // an interval appears once per granule it spans; a point lives in exactly
+    // one granule, so each (point, interval) candidate pair joins once —
+    // no post-join dedup needed
+    val ivs = intervals
+      .withColumn("_gr", explode(sequence(bucket(col(loCol)), bucket(col(hiCol)))))
+      .withColumnRenamed(key, "__rkey")
+    pts.join(ivs, col(key) === col("__rkey") && col("_g") === col("_gr"))
+      .filter(col(atCol) >= col(loCol) && col(atCol) <= col(hiCol))
+      .drop("_g", "_gr", "__rkey")
+  }
+
+  /**
    * As-of join (time-series point-in-time lookup): for each left row, the
    * latest right row with rightTime <= leftTime per key. Composed from
    * built-ins (preference (a) over a custom SparkPlan): union the two sides

@@ -297,4 +297,28 @@ class OperatorsSpec extends SparkSpec {
       graft.ops.Relational.saltedJoin(skewed, other, "k", 8, "full")
     }
   }
+
+  test("rangeJoin matches the theta join incl. granule-boundary intervals") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    def ts(m: Long) = new java.sql.Timestamp(m * 60000L)
+    // intervals deliberately crossing and exactly touching granule edges
+    val points = Seq((1L, 10L, ts(59)), (2L, 10L, ts(60)), (3L, 10L, ts(61)),
+      (4L, 20L, ts(200)), (5L, 10L, ts(500)))
+      .toDF("pid", "k", "at")
+    val intervals = Seq((100L, 10L, ts(0), ts(59)), (101L, 10L, ts(60), ts(120)),
+      (102L, 20L, ts(100), ts(300)), (103L, 10L, ts(50), ts(70)))
+      .toDF("iid", "k", "lo", "hi")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "iid").orderBy("pid", "iid").collect().toSeq
+    val naive = canon(points.join(intervals.withColumnRenamed("k", "k2"),
+      col("k") === col("k2") && col("at") >= col("lo") && col("at") <= col("hi")))
+    // granule of 1 hour and of 7 minutes (non-divisor) must both agree
+    for (g <- Seq(3600000000L, 7L * 60000000L)) {
+      val got = canon(graft.ops.Relational.rangeJoin(
+        points, intervals, "k", "at", "lo", "hi", granuleMicros = g))
+      assert(got == naive && naive.nonEmpty, s"granule $g: $got vs $naive")
+    }
+  }
 }
