@@ -119,6 +119,31 @@ object Events {
   }
 
   /**
+   * Stream-stream inner join: views matched to purchases of the same user
+   * within [purchase ts, purchase ts + window]. Both sides carry watermarks
+   * and the join condition bounds event-time distance, so each side's state
+   * store only buffers `watermark + window` worth of rows — the
+   * Structured-Streaming-native formulation of the range join (batch
+   * equivalent: `ops.Relational.rangeJoin`). Applied to batch DataFrames it
+   * computes the same answer (used by the parity spec).
+   */
+  def viewsWithinPurchaseWindow(views: DataFrame, purchases: DataFrame,
+                                window: String,
+                                watermark: String = "10 minutes"): DataFrame = {
+    val v = views
+      .select(col("event_id").as("v_id"), col("user_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    val p = purchases
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    v.join(p, col("user_id") === col("p_user") &&
+        col("v_ts") >= col("p_ts") &&
+        col("v_ts") <= col("p_ts") + expr(s"INTERVAL $window"))
+      .select("p_id", "v_id", "user_id", "p_ts", "v_ts")
+  }
+
+  /**
    * Structured-Streaming sink into a catalog table: each micro-batch inserts
    * and advances a batch-id high-water mark in table props inside ONE
    * transaction, whose manifest CAS makes the pair atomic. foreachBatch

@@ -99,6 +99,32 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("ev_sessions").count() > 0)
   }
 
+  test("stream-stream time-range join agrees with its batch application") {
+    val batchDf = eventsBatch.filter(col("user_id") < 30)
+    val dir = Files.createTempDirectory("ev-ssj")
+    batchDf.write.parquet(dir.toString + "/in")
+    def split(df: org.apache.spark.sql.DataFrame) =
+      (df.filter(col("event_type") === "view"),
+        df.filter(col("event_type") === "purchase"))
+    val stream = spark.readStream.schema(batchDf.schema)
+      .parquet(dir.toString + "/in")
+    val (sv, sp) = split(stream)
+    val q = Events.viewsWithinPurchaseWindow(sv, sp, "2 hours",
+        watermark = "1 minute")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ev_ssj")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val (bv, bp) = split(batchDf)
+    val want = Events.viewsWithinPurchaseWindow(bv, bp, "2 hours")
+      .orderBy("p_id", "v_id").collect()
+    val got = spark.table("ev_ssj").orderBy("p_id", "v_id").collect()
+    assert(got.length == want.length && want.nonEmpty,
+      s"${got.length} vs ${want.length}")
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("sinkToTable commits micro-batches transactionally, exactly once") {
     import graft.api._
     import org.apache.spark.sql.types._
