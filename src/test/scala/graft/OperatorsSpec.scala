@@ -320,5 +320,24 @@ class OperatorsSpec extends SparkSpec {
         points, intervals, "k", "at", "lo", "hi", granuleMicros = g))
       assert(got == naive && naive.nonEmpty, s"granule $g: $got vs $naive")
     }
+    // randomized parity: 300 points x 60 intervals, fixed seed
+    val rnd = new scala.util.Random(42)
+    val rPoints = (0 until 300).map(i =>
+      (i.toLong, rnd.nextInt(5).toLong, ts(rnd.nextInt(10000).toLong)))
+      .toDF("pid", "k", "at")
+    val rIntervals = (0 until 60).map { i =>
+      val lo = rnd.nextInt(10000)
+      (i.toLong + 1000, rnd.nextInt(5).toLong, ts(lo.toLong),
+        ts(lo.toLong + rnd.nextInt(500)))
+    }.toDF("iid", "k", "lo", "hi")
+    def canon2(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "iid").orderBy("pid", "iid").collect().toSeq
+    val rNaive = canon2(rPoints.join(rIntervals.withColumnRenamed("k", "k2"),
+      col("k") === col("k2") && col("at") >= col("lo") && col("at") <= col("hi")))
+    for (g <- Seq(60000000L, 37L * 60000000L)) {
+      val got = canon2(graft.ops.Relational.rangeJoin(
+        rPoints, rIntervals, "k", "at", "lo", "hi", granuleMicros = g))
+      assert(got == rNaive && rNaive.nonEmpty, s"random parity, granule $g")
+    }
   }
 }
