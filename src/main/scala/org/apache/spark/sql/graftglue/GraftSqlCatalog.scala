@@ -9,6 +9,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.catalog.SupportsDelete
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
 import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -212,9 +213,63 @@ private[graftglue] class ReadOnlyTable(delegate: ParquetTable)
  * INSERT must supply explicit row ids (the reference's external
  * `vastdb_rowid` path) or insert through the API, which allocates them.
  */
-private[graftglue] trait GraftV1Writable extends Table with SupportsWrite {
+private[graftglue] trait GraftV1Writable extends Table with SupportsWrite
+    with SupportsDelete {
   def writeRoot: String
   def writeIdent: Identifier
+
+  private def inTx[T](body: graft.api.Table => T): T = {
+    val ns = writeIdent.namespace()
+    val vs = graft.api.VastSession(SparkSession.active, writeRoot)
+    vs.transaction(tx => body(
+      tx.bucket(ns.head).schema(ns.tail.mkString("/")).table(writeIdent.name())))
+  }
+
+  /** V1 Filter -> Column; None marks a filter this surface can't express
+    * (canDeleteWhere then rejects the whole DELETE, per the DSv2 contract). */
+  private def filterToColumn(f: org.apache.spark.sql.sources.Filter)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case StringContains(a, v) => Some(col(a).contains(v))
+      case And(l, r) =>
+        for { lc <- filterToColumn(l); rc <- filterToColumn(r) } yield lc && rc
+      case Or(l, r) =>
+        for { lc <- filterToColumn(l); rc <- filterToColumn(r) } yield lc || rc
+      case Not(c) => filterToColumn(c).map(not)
+      case AlwaysTrue() => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Boolean = filters.forall(f => filterToColumn(f).isDefined)
+
+  /** SQL DELETE WHERE through the same transactional COW path as the API:
+    * victims resolved by `_row_id` under the predicate, file-pruned rewrite,
+    * manifest CAS publish. */
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val pred = filters.flatMap(filterToColumn)
+      .foldLeft(lit(true))(_ && _)
+    inTx { t =>
+      val victims = t.select(Nil, pred, internalRowId = true).select("_row_id")
+      t.delete(victims)
+    }
+  }
 
   abstract override def capabilities(): util.Set[TableCapability] = {
     val caps = util.EnumSet.copyOf(super.capabilities())
@@ -229,12 +284,7 @@ private[graftglue] trait GraftV1Writable extends Table with SupportsWrite {
           (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
             if (overwrite) throw new UnsupportedOperationException(
               "overwrite not supported; data files are immutable (use DML)")
-            val ns = writeIdent.namespace()
-            val vs = graft.api.VastSession(SparkSession.active, writeRoot)
-            vs.transaction { tx =>
-              tx.bucket(ns.head).schema(ns.tail.mkString("/"))
-                .table(writeIdent.name()).insert(data)
-            }
+            inTx(_.insert(data))
             ()
           }
       }

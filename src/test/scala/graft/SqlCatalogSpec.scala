@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 import graft.api._
@@ -87,6 +88,18 @@ class SqlCatalogSpec extends SparkSpec {
     pendTx.commit()
     assert(spark.sql("SELECT count(*) FROM graft.bk.m.pending_t").collect()
       .head.getLong(0) == 0)
+    // SQL DELETE WHERE runs the same transactional COW delete as the API
+    val before = spark.sql("SELECT count(*) FROM graft.bk.m.t").collect()
+      .head.getLong(0)
+    spark.sql("DELETE FROM graft.bk.m.t WHERE a >= 50 AND s LIKE 's%'")
+    val remaining = spark.sql("SELECT a FROM graft.bk.m.t ORDER BY a").collect()
+      .map(_.getLong(0)).toSeq
+    assert(!remaining.contains(60L) && remaining.size == before - 1,
+      s"delete wrong: $remaining")
+    s.transaction { tx => // API view agrees
+      assert(tx.bucket("bk").schema("m").table("t")
+        .select(Seq("a"), col("a") === 60L).count() == 0)
+    }
   }
 
   test("rename-evolved table at scale: vectorized read + pushed filters") {
