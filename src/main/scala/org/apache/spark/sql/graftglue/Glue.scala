@@ -86,6 +86,99 @@ object Glue {
         case (_, _, Some(a), Some(v)) => Seq((a, flip(norm(op)), v))
         case _ => Nil
       }
+    // ---- OR-group envelopes (the reference grammar is AND of OR-groups over
+    // single columns, docs/predicate.md): an OR (or IN-list) whose branches
+    // all constrain ONE column collapses to a [lo, hi] envelope — sound for
+    // pruning because the union of branch regions is contained in it.
+    // Value comparisons are EXACT (long/long, decimal cross-numeric, UTF-8
+    // binary); any doubt yields no envelope rather than a wrong one.
+    def cmpValues(x: Any, y: Any): Option[Int] = (x, y) match {
+      case (a: java.lang.Long, b: java.lang.Long) => Some(a.compareTo(b))
+      case (a: java.lang.Integer, b: java.lang.Integer) => Some(a.compareTo(b))
+      case (a: java.lang.Number, b: java.lang.Number) =>
+        try Some(new java.math.BigDecimal(a.toString)
+          .compareTo(new java.math.BigDecimal(b.toString)))
+        catch { case _: NumberFormatException => None } // NaN/Infinity
+      case (a: org.apache.spark.unsafe.types.UTF8String,
+            b: org.apache.spark.unsafe.types.UTF8String) => Some(a.compareTo(b))
+      case (a: String, b: String) =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)))
+      case _ => None
+    }
+    def extreme(vs: Seq[Any], wantMin: Boolean): Option[Any] =
+      vs.foldLeft(Option(vs.head)) { (acc, v) =>
+        acc.flatMap(a => cmpValues(a, v).map(c =>
+          if ((c <= 0) == wantMin) a else v))
+      }
+    type Env = (String, Option[Any], Option[Any]) // col, lo, hi (None = open)
+    def boundsOfCmp(cs: Seq[(String, String, Any)]): Option[Env] = cs match {
+      case Seq((a, "=", v)) => Some((a, Some(v), Some(v)))
+      case Seq((a, ">", v)) => Some((a, Some(v), None))
+      case Seq((a, ">=", v)) => Some((a, Some(v), None))
+      case Seq((a, "<", v)) => Some((a, None, Some(v)))
+      case Seq((a, "<=", v)) => Some((a, None, Some(v)))
+      case _ => None
+    }
+    def inEnv(args: Seq[Expression]): Option[Env] =
+      for {
+        a <- attrOf(args.head)
+        vs <- args.tail.foldLeft(Option(Seq.empty[Any])) { (acc, e) =>
+          acc.flatMap(s => litOf(e).map(s :+ _))
+        }
+        if vs.nonEmpty
+        lo <- extreme(vs, wantMin = true)
+        hi <- extreme(vs, wantMin = false)
+      } yield (a, Some(lo), Some(hi))
+    def env(e: Expression): Option[Env] = e match {
+      case f: UnresolvedFunction
+          if f.nameParts.lastOption.exists(ops) && f.arguments.size == 2 =>
+        boundsOfCmp(cmp(f.nameParts.last, f.arguments(0), f.arguments(1)))
+      case GreaterThan(l, r) => boundsOfCmp(cmp(">", l, r))
+      case GreaterThanOrEqual(l, r) => boundsOfCmp(cmp(">=", l, r))
+      case LessThan(l, r) => boundsOfCmp(cmp("<", l, r))
+      case LessThanOrEqual(l, r) => boundsOfCmp(cmp("<=", l, r))
+      case EqualTo(l, r) => boundsOfCmp(cmp("=", l, r))
+      case f: UnresolvedFunction
+          if f.nameParts.lastOption.contains("in") && f.arguments.size >= 2 =>
+        inEnv(f.arguments)
+      case In(v, list) => inEnv(v +: list)
+      case InSet(v, _) => None // values already optimized to a set; skip
+      case f: UnresolvedFunction
+          if f.nameParts.lastOption.contains("or") && f.arguments.size == 2 =>
+        orEnv(f.arguments(0), f.arguments(1))
+      case Or(l, r) => orEnv(l, r)
+      case f: UnresolvedFunction
+          if f.nameParts.lastOption.contains("and") && f.arguments.size == 2 =>
+        andEnv(f.arguments(0), f.arguments(1))
+      case And(l, r) => andEnv(l, r)
+      case _ => None
+    }
+    // OR: the union's envelope — lo = min of los (open if either is open)
+    def orEnv(l: Expression, r: Expression): Option[Env] =
+      (env(l), env(r)) match {
+        case (Some((a, lo1, hi1)), Some((b, lo2, hi2))) if a == b =>
+          val lo = for { x <- lo1; y <- lo2; m <- extreme(Seq(x, y), true) } yield m
+          val hi = for { x <- hi1; y <- hi2; m <- extreme(Seq(x, y), false) } yield m
+          if (lo.isEmpty && hi.isEmpty) None else Some((a, lo, hi))
+        case _ => None
+      }
+    // AND: the region is a subset of either child's envelope, so either is a
+    // sound envelope; prefer an intersection when both constrain one column
+    def andEnv(l: Expression, r: Expression): Option[Env] =
+      (env(l), env(r)) match {
+        case (Some((a, lo1, hi1)), Some((b, lo2, hi2))) if a == b =>
+          val lo = (lo1 ++ lo2).reduceOption((x, y) =>
+            extreme(Seq(x, y), wantMin = false).getOrElse(x))
+          val hi = (hi1 ++ hi2).reduceOption((x, y) =>
+            extreme(Seq(x, y), wantMin = true).getOrElse(x))
+          Some((a, lo, hi))
+        case (le, re) => le.orElse(re)
+      }
+    def envConstraints(e: Expression): Seq[(String, String, Any)] =
+      env(e).toSeq.flatMap { case (a, lo, hi) =>
+        lo.map(v => (a, ">=", v)).toSeq ++ hi.map(v => (a, "<=", v)).toSeq
+      }
     def walk(e: Expression): Seq[(String, String, Any)] = e match {
       case And(l, r) => walk(l) ++ walk(r)
       case f: UnresolvedFunction
@@ -99,7 +192,7 @@ object Glue {
       case LessThan(l, r) => cmp("<", l, r)
       case LessThanOrEqual(l, r) => cmp("<=", l, r)
       case EqualTo(l, r) => cmp("=", l, r)
-      case _ => Nil
+      case other => envConstraints(other) // OR-groups and IN-lists
     }
     walk(catalystExpression(c))
   }

@@ -202,6 +202,27 @@ class CatalogSpec extends SparkSpec {
       assert(t.select(Seq("a"), col("a") >= 100L && col("a") < 110L).count() == 10)
       // equality constraint prunes to a single range
       assert(t.pruneByZoneMaps(all, col("a") === 205L).size < all.size)
+      // OR-group / IN-list envelopes (the reference's AND-of-OR-groups
+      // grammar): each collapses to [lo, hi]; every file fully outside the
+      // envelope must be pruned, none inside may be
+      def span(f: Manifest.FileEntry): (Long, Long) =
+        (f.colStats("a").min.toLong, f.colStats("a").max.toLong)
+      def check(pred: org.apache.spark.sql.Column, lo: Long, hi: Long): Unit = {
+        val kept = t.pruneByZoneMaps(all, pred)
+        assert(kept.size < all.size, s"no envelope pruning for $pred")
+        assert(kept.forall { f => val (mn, mx) = span(f); mx >= lo && mn <= hi },
+          s"kept an out-of-envelope file for $pred")
+        assert(all.filter { f => val (mn, mx) = span(f); mx >= lo && mn <= hi }
+          .forall(kept.contains), s"over-pruned for $pred")
+      }
+      check(col("a") === 3L || col("a") === 105L, 3L, 105L)
+      check(col("a").isin(101L, 104L, 108L), 101L, 108L)
+      check(col("a").between(0L, 5L) || col("a").between(200L, 205L), 0L, 205L)
+      // results stay exact through the envelope-pruned scan
+      assert(t.select(Seq("a"), col("a").isin(101L, 108L, 300L)).count() == 2)
+      // different-column OR must NOT prune (no common envelope)
+      assert(t.pruneByZoneMaps(all,
+        col("a") === 3L || col("b") > 1000f).size == all.size)
     }
   }
 
