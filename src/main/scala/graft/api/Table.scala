@@ -404,6 +404,19 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     recordAudit("update", n)
   }
 
+  /** Predicate-addressed UPDATE: SET `assignments` on every row matching
+    * `cond` — the select-then-mutate pattern packaged (victims resolved with
+    * `_row_id`, then the row-id-addressed COW update). */
+  def updateWhere(cond: Column, assignments: Map[String, Column]): Unit = {
+    val victims = select(Nil, cond, internalRowId = true)
+    update(victims.select(
+      col(RowIdColumn) +: assignments.map { case (n, c) => c.as(n) }.toSeq: _*))
+  }
+
+  /** Predicate-addressed DELETE (same packaging). */
+  def deleteWhere(cond: Column): Unit =
+    delete(select(Nil, cond, internalRowId = true).select(col(RowIdColumn)))
+
   /** DELETE by `_row_id` (reference vastdb/table.py:818-843). */
   def delete(victims: DataFrame): Unit = {
     if (!victims.columns.contains(RowIdColumn)) throw MissingRowIdColumn()

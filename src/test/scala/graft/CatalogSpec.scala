@@ -78,6 +78,12 @@ class CatalogSpec extends SparkSpec {
       assert(got.map(_.getFloat(1)).toSeq == Seq(9.5f, 2.5f))
       // update without _row_id rejected (errors.py:121 analog)
       intercept[MissingRowIdColumn] { t.update(t.select(Seq("a"))) }
+      // predicate-addressed forms package select-then-mutate
+      t.updateWhere(col("a") === 333L, Map("b" -> lit(7.5f)))
+      assert(t.select(Seq("b"), col("a") === 333L).collect()
+        .map(_.getFloat(0)).toSeq == Seq(7.5f))
+      t.deleteWhere(col("a") === 333L)
+      assert(t.select().count() == 1)
     }
   }
 
