@@ -700,6 +700,21 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     recordAudit("optimize_sort", m.totalRows)
   }
 
+  /** One-call maintenance — the client-side analog of the reference server's
+    * background work: bring data layout and derived structures back to their
+    * declared state after DML churn. Sorted tables with any unsorted file get
+    * the full re-sort (which subsumes compaction); otherwise small files
+    * compact. Stale projections and vector indexes rebuild. Each step stages
+    * into THIS transaction, so the whole maintenance pass publishes under one
+    * manifest CAS. */
+  def maintain(compactTargetRows: Long = 4000000L): Unit = {
+    val m0 = manifest
+    if (m0.sortingKeys.nonEmpty && m0.files.exists(!_.sorted)) optimizeSort()
+    else compact(compactTargetRows)
+    manifest.projections.filter(_.stale).foreach(p => refreshProjection(p.name))
+    manifest.vectorIndexes.filter(_.stale).foreach(v => refreshVectorIndex(v.column))
+  }
+
   // ------------------------------------------- projections (D10, §4.3)
 
   /** Write one immutable projection data dir (unique name per build, so

@@ -82,6 +82,23 @@ class VectorIndexSpec extends SparkSpec {
       assert(top2b == Set(0L, 9999L))
     }
 
+    // maintain() rebuilds everything stale in one pass under one commit
+    s.transaction { tx =>
+      val t = tx.bucket("b").schema("m").table("e")
+      t.createProjection("pv", Seq("vec_id"), Seq("vec_id"))
+      val extra = new java.util.ArrayList[Row]()
+      extra.add(Row(10000L, qvec))
+      t.insert(spark.createDataFrame(extra, schema)) // stales proj + index
+      assert(t.manifest.projections.forall(_.stale))
+      assert(t.manifest.vectorIndexes.forall(_.stale))
+      t.maintain()
+      assert(t.manifest.projections.forall(!_.stale))
+      assert(t.manifest.vectorIndexes.forall(x => !x.stale && x.dir.nonEmpty))
+      val top3 = t.vectorSearch("embedding", qvec, 3, nprobe = 16)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(top3 == Set(0L, 9999L, 10000L))
+    }
+
     // renaming the indexed column moves the metadata to the new name but
     // stales the index (its data files carry the old physical name); search
     // under the new name stays correct via brute force until refresh
