@@ -149,8 +149,10 @@ class VastSession(val spark: SparkSession, val root: String) {
     val rootP = Paths.get(root)
     if (!Files.isDirectory(rootP)) return Nil
     // tables a live transaction created are NOT garbage at any age — its
-    // commit would otherwise lose the create with no error
-    val live = liveTx.iterator().asScala.flatMap(_.newTables).toSet
+    // commit would otherwise lose the create with no error. Snapshot each
+    // buffer under its lock: the owning thread may be appending concurrently
+    val live = liveTx.iterator().asScala
+      .flatMap(t => t.newTables.synchronized(t.newTables.toList)).toSet
     Table.listDir(rootP)
       .filter(p => Files.isDirectory(p) && !p.getFileName.toString.startsWith("_"))
       .flatMap(bucketP => Table.walkTables(bucketP))
@@ -444,7 +446,7 @@ class Bucket(val tx: Transaction, val name: String, val dir: Path) {
     }
     Files.createDirectories(p)
     Files.write(p.resolve(".graft_schema"), Array.emptyByteArray)
-    tx.newTables += p.toString // rollback removes the schema dir
+    tx.newTables.synchronized { tx.newTables += p.toString } // rollback removes the schema dir
     new SchemaNS(this, path, p)
   }
 
@@ -518,13 +520,15 @@ class SchemaNS(val bucket: Bucket, val path: String, val dir: Path) {
   def createTable(name: String, schema: StructType): Table =
     Table.create(this, name, schema)
 
-  /** `failIfExists = false` returns the existing table instead of raising
-    * (reference create_table fail_if_exists, vastdb/schema.py:85-121). */
+  /** `failIfExists = false` returns the existing VISIBLE table instead of
+    * raising (reference create_table fail_if_exists, vastdb/schema.py:85-121).
+    * A same-named table created by another still-uncommitted transaction is
+    * not visible — creating over it raises TableExists (a genuine conflict),
+    * never returns the other transaction's pending table. */
   def createTable(name: String, schema: StructType,
                   failIfExists: Boolean): Table =
-    if (!failIfExists && Files.isDirectory(dir.resolve(name).resolve("_manifest")))
-      table(name)
-    else Table.create(this, name, schema)
+    if (failIfExists) Table.create(this, name, schema)
+    else tableOption(name).getOrElse(Table.create(this, name, schema))
 
   /** Missing-tolerant lookup (reference table(fail_if_missing=False)). */
   def tableOption(name: String): Option[Table] =
@@ -536,8 +540,16 @@ class SchemaNS(val bucket: Bucket, val path: String, val dir: Path) {
   def createTableFromFiles(name: String, parquetFiles: Seq[String],
                            mergeMode: String = "default"): Table = {
     val spark = tx.session.spark
-    val schemas = parquetFiles.map(f => spark.read.parquet(f).schema)
-    val t = Table.create(this, name, Table.mergeSchemas(schemas, mergeMode))
+    // ONE footer-merging pass for the common modes — a per-file schema read
+    // is a sequential driver job per file, which kills bulk loads; "strict"
+    // genuinely needs per-file schemas for its equality check
+    val merged =
+      if (mergeMode == "strict")
+        Table.mergeSchemas(parquetFiles.map(f => spark.read.parquet(f).schema),
+          mergeMode)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(parquetFiles: _*).schema
+    val t = Table.create(this, name, merged)
     t.importFiles(parquetFiles, mergeMode)
     t
   }

@@ -55,9 +55,15 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
   /** Drop this table's pinned manifest so the next access re-reads CURRENT —
     * the reference's reload_schema/reload_stats (vastdb/table.py:226-250):
     * an explicit, caller-chosen break of the transaction's repeatable-read
-    * pin to observe concurrent commits. */
+    * pin to observe concurrent commits. Refused once this transaction has
+    * staged writes for the table: manifestFor serves the writeSet first, so
+    * a reload would silently not happen — and dropping the read pin would
+    * corrupt the commit's CAS base version. */
   def reload(): Unit = {
     tx.requireActive()
+    if (tx.writeSet.contains(dir.toString))
+      throw NotSupportedCommand(
+        s"reload of $name with staged writes would discard them; commit first")
     tx.readSet.remove(dir.toString)
     ()
   }
@@ -81,8 +87,14 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
         session.sparkContext.emptyRDD[Row], withRid)
     entries.groupBy(_.renames).map { case (renames, group) =>
       val inverse = renames.map(_.swap) // logical -> physical
-      val phys = StructType(withRid.fields.map(f =>
-        f.copy(name = inverse.getOrElse(f.name, f.name))))
+      val phys = StructType(withRid.fields.map { f =>
+        // a physical column claimed by a rename (incl. drop tombstones) must
+        // not be read under a same-named NEW logical column — request a
+        // nonexistent name so the parquet reader null-fills it instead
+        val p = inverse.getOrElse(f.name,
+          if (renames.contains(f.name)) s"__absent_${f.name}" else f.name)
+        f.copy(name = p)
+      })
       session.read.schema(phys).parquet(group.map(e => resolveDataPath(e.path)): _*)
         .toDF(withRid.fieldNames.toSeq: _*)
     }.reduce(_ unionByName _)
@@ -295,7 +307,9 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       val c = statCol(k, df.schema(k).dataType)
       Seq(min(c).cast("string").as(s"__mn_$k"), max(c).cast("string").as(s"__mx_$k"))
     }
-    val statsDf = spark.read.parquet(batch.toString)
+    // schema-pinned read: an EMPTY batch writes no part files and unpinned
+    // inference would throw instead of yielding zero entries
+    val statsDf = spark.read.schema(df.schema).parquet(batch.toString)
       .groupBy(input_file_name().as("f"))
       .agg(count(lit(1)).as("rows"),
         (Seq(min(col(RowIdColumn)).as("lo"), max(col(RowIdColumn)).as("hi"))
@@ -343,6 +357,7 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       val aligned = rows.select(
         (RowIdColumn +: logical.fieldNames.toIndexedSeq).map(col): _*)
       val entries = writeData(aligned, sorted = false)
+      if (entries.isEmpty) return (m.nextRowId, m.nextRowId) // 0-row insert
       val hi = entries.map(_.maxRowId).max + 1
       tx.stageWrite(dir, m.copy(files = m.files ++ entries,
         nextRowId = math.max(m.nextRowId, hi),
@@ -361,6 +376,7 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       withIds.sortWithinPartitions(m.sortingKeys.map(col): _*) else withIds
     val entries = writeData(data, sorted = false)
     val n = entries.map(_.rows).sum
+    if (n == 0) return (start, start) // 0-row insert: nothing to stage
     tx.stageWrite(dir, m.copy(files = m.files ++ entries, nextRowId = start + n,
       projections = staleProjections(m),
       vectorIndexes = staleVectorIndexes(m)))
@@ -637,15 +653,27 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
   def dropColumn(name: String): Unit = {
     val m = manifest
     val ns = StructType(m.schema.fields.filterNot(_.name == name))
-    tx.stageWrite(dir, m.copy(schemaJson = ns.json,
+    // tombstone the PHYSICAL column in every file's rename map: if a column
+    // with the same logical name is later re-added, old files must null-fill
+    // it rather than resurrect the dropped bytes (or crash on a type change).
+    // readEntries refuses to read a physical column claimed by any rename.
+    val tomb = s"__dropped_${name}_${UUID.randomUUID().toString.take(8)}"
+    val nf = m.files.map { f =>
+      val phys = f.renames.find(_._2 == name).map(_._1).getOrElse(name)
+      f.copy(renames = f.renames - phys + (phys -> tomb))
+    }
+    tx.stageWrite(dir, m.copy(schemaJson = ns.json, files = nf,
       sortingKeys = m.sortingKeys.filterNot(_ == name),
       // metadata referencing the dropped column must go with it: a vector
-      // index on it can never serve again, and a blob expansion on it would
-      // crash the next insert (its parse source is gone). Expansion TARGET
-      // tables hold user data and stay queryable (explicit dropBlobExpansion
-      // removes them); projections keep serving their remaining columns.
+      // index on it can never serve again, a blob expansion on it would
+      // crash the next insert (its parse source is gone), and a projection
+      // listing it would wrongly cover a later re-added column of the same
+      // name. Expansion TARGET tables hold user data and stay queryable
+      // (explicit dropBlobExpansion removes them).
       vectorIndexes = m.vectorIndexes.filterNot(_.column == name),
-      blobExpansions = m.blobExpansions.filterNot(_.blobColumn == name)))
+      blobExpansions = m.blobExpansions.filterNot(_.blobColumn == name),
+      projections = m.projections.filterNot(p =>
+        p.columns.contains(name) || p.sortedColumns.contains(name))))
   }
 
   /** Staged rename (reference rename isolation,
@@ -709,8 +737,12 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     * manifest CAS. */
   def maintain(compactTargetRows: Long = 4000000L): Unit = {
     val m0 = manifest
-    if (m0.sortingKeys.nonEmpty && m0.files.exists(!_.sorted)) optimizeSort()
-    else compact(compactTargetRows)
+    if (m0.sortingKeys.nonEmpty) {
+      // compact() would write merged UNSORTED files and degrade the declared
+      // layout — on sorted tables the full re-sort is the only compaction,
+      // and only when something actually violates the sorted state
+      if (m0.files.exists(!_.sorted)) optimizeSort()
+    } else compact(compactTargetRows)
     manifest.projections.filter(_.stale).foreach(p => refreshProjection(p.name))
     manifest.vectorIndexes.filter(_.stale).foreach(v => refreshVectorIndex(v.column))
   }
@@ -892,9 +924,12 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
         val idxRoot = resolveDataPath(x.dir)
         // bounded collect: ≤ nCentroids (≤4096) index-metadata rows — the
         // literal cell list is what makes the partition pruning STATIC
+        // probe cells by the DECLARED metric: for ip, an l2-near centroid is
+        // not the high-inner-product one, and a metric mismatch here makes
+        // whole high-norm cells unreachable (worse than IVF approximation)
         val cells: Seq[Long] = spark.read
           .parquet(Paths.get(idxRoot, "centroids").toString)
-          .withColumn("_cd", Distances.l2sq(col("c_vec"), q))
+          .withColumn("_cd", distOf(col("c_vec")))
           .orderBy(col("_cd").asc, col("centroid_id").asc)
           .limit(nprobe)
           .collect().map(_.getAs[Long]("centroid_id")).toSeq
@@ -1108,7 +1143,7 @@ object Table {
     // (reference DDL isolation — created tables are tx-local until commit)
     Files.write(dir.resolve("_manifest").resolve(".pending"),
       schemaNS.tx.id.toString.getBytes("UTF-8"))
-    schemaNS.tx.newTables += dir.toString
+    schemaNS.tx.newTables.synchronized { schemaNS.tx.newTables += dir.toString }
     new Table(schemaNS, name, dir)
   }
 

@@ -155,7 +155,8 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
     } else {
       val paths = m.files.map(f => graft.api.Table.resolvePath(dir, f.path)).toList
       val fresh = m.projections.filterNot(_.stale).map(p =>
-        (p.columns.toSet + "_row_id", graft.api.Table.resolvePath(dir, p.dir)))
+        (p.columns.toSet + "_row_id", p.sortedColumns.headOption,
+          graft.api.Table.resolvePath(dir, p.dir)))
       if (fresh.nonEmpty) {
         // covered scans route to a materialized projection, like the picker
         // in Table.select (and the reference server's transparent selection)

@@ -29,8 +29,10 @@ private[graftglue] class ProjectionRoutingTable(
     tableName: String,
     logicalSchema: StructType,
     basePaths: Seq[String],
-    // (projection columns incl. _row_id, resolved data dir), fresh only
-    projections: Seq[(Set[String], String)]) extends Table with SupportsRead {
+    // (projection columns incl. _row_id, leading sort column, resolved data
+    // dir), fresh only
+    projections: Seq[(Set[String], Option[String], String)])
+    extends Table with SupportsRead {
 
   override def name(): String = tableName
   override def schema(): StructType = logicalSchema
@@ -56,8 +58,14 @@ private[graftglue] class ProjectionRoutingTable(
 
       override def build(): Scan = {
         val needed = required.fieldNames.toSet
-        val paths = projections.find(_._1.superset(needed)) match {
-          case Some((_, pdir)) => Seq(pdir)
+        // same preference as Table.pickProjection: among covering candidates,
+        // one whose LEADING sort column appears in the pushed filters wins
+        // (its row-group locality is what the filters can exploit)
+        val filterRefs = filters.flatMap(_.references.map(_.name)).toSet
+        val covering = projections.filter(_._1.superset(needed))
+        val paths = covering.find(_._2.exists(filterRefs))
+          .orElse(covering.headOption) match {
+          case Some((_, _, pdir)) => Seq(pdir)
           case None => basePaths
         }
         val pt = ParquetTable(tableName, SparkSession.active,

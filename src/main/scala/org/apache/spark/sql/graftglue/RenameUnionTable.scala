@@ -78,8 +78,13 @@ private[graftglue] class RenameUnionScan(
   // row-group pruning
   private lazy val groupBatches: Seq[Batch] = groups.map { case (renames, paths) =>
     val inverse = renames.map(_.swap) // logical -> physical
-    val phys = StructType(required.fields.map(f =>
-      f.copy(name = inverse.getOrElse(f.name, f.name))))
+    val phys = StructType(required.fields.map { f =>
+      // physical names claimed by a rename (incl. drop tombstones) null-fill
+      // under a same-named new logical column — mirror Table.readEntries
+      val p = inverse.getOrElse(f.name,
+        if (renames.contains(f.name)) s"__absent_${f.name}" else f.name)
+      f.copy(name = p)
+    })
     val pt = ParquetTable(tableName, SparkSession.active,
       CaseInsensitiveStringMap.empty(), paths.toList, Some(phys),
       classOf[ParquetFileFormat])

@@ -613,6 +613,62 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("re-adding a dropped column null-fills old files, never resurrects") {
+    val s = freshSession()
+    s.createBucket("b")
+    s.transaction { tx =>
+      val t = tx.bucket("b").createSchema("m").createTable("t", f1Schema)
+      t.insert(f1Data) // old files physically contain float column b
+      t.dropColumn("b")
+      // re-add same name, DIFFERENT type: old float bytes must not be read
+      t.addColumn(StructField("b", StringType))
+      val got = t.select(Seq("a", "b")).orderBy("a").collect()
+      assert(got.map(_.isNullAt(1)).forall(identity),
+        s"dropped values resurrected: ${got.mkString(",")}")
+      // new inserts land in the new column normally (schema is now a, s, b)
+      val rows = new java.util.ArrayList[Row]()
+      rows.add(Row(999L, "s999", "new"))
+      t.insert(spark.createDataFrame(rows, t.schema))
+      assert(t.select(Seq("b"), col("a") === 999L).collect()
+        .map(_.getString(0)).toSeq == Seq("new"))
+    }
+  }
+
+  test("zero-row inserts are no-ops; reload with staged writes refused") {
+    val s = freshSession()
+    s.createBucket("b")
+    s.transaction { tx =>
+      val t = tx.bucket("b").createSchema("m").createTable("t", f1Schema)
+      val (lo, hi) = t.insert(f1Data.filter(col("a") > 99999L)) // empty
+      assert(lo == hi && t.select().count() == 0)
+      // empty batch WITH explicit row ids too
+      val (lo2, hi2) = t.insert(
+        t.select(internalRowId = true).filter(col("a") > 99999L))
+      assert(lo2 == hi2)
+      t.insert(f1Data)
+      intercept[NotSupportedCommand] { t.reload() } // staged writes present
+    }
+    // reload without staged writes works (covered in the soft-fail test too)
+    s.transaction { tx =>
+      val t = tx.bucket("b").schema("m").table("t")
+      assert(t.select().count() == 3)
+    }
+  }
+
+  test("maintain never un-sorts a fully sorted table") {
+    val s = freshSession()
+    s.createBucket("b")
+    s.transaction { tx =>
+      val t = tx.bucket("b").createSchema("m").createTable("t", f1Schema)
+      t.addSortingKey(Seq("a"))
+      t.insert(f1Data); t.insert(f1Data)
+      t.optimizeSort()
+      assert(t.stats.sortingDone)
+      t.maintain() // must not compact sorted files into unsorted ones
+      assert(t.stats.sortingDone, "maintain degraded the sorted state")
+    }
+  }
+
   test("dropColumn detaches vector indexes and blob expansions on it") {
     val s = freshSession()
     s.createBucket("b")
