@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.api._
+
+/** Soundness property for zone-map pruning (incl. the OR/IN envelopes):
+  * for ANY predicate tree, a pruned scan must return exactly the rows the
+  * in-memory evaluation of the same tree selects — over-pruning silently
+  * loses rows, which is the one failure mode this layer must never have. */
+class ZoneMapPropertySpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("a", LongType), StructField("b", DoubleType)))
+
+  // predicate AST mirrored between Column and in-memory evaluation
+  private sealed trait P
+  private case class Eq(v: Long) extends P
+  private case class Gt(v: Long) extends P
+  private case class Lt(v: Long) extends P
+  private case class Between(lo: Long, hi: Long) extends P
+  private case class IsIn(vs: Seq[Long]) extends P
+  private case class BGt(v: Double) extends P // non-key column, no stats
+  private case class AndP(l: P, r: P) extends P
+  private case class OrP(l: P, r: P) extends P
+
+  private def toColumn(p: P): Column = p match {
+    case Eq(v) => col("a") === v
+    case Gt(v) => col("a") > v
+    case Lt(v) => col("a") < v
+    case Between(lo, hi) => col("a").between(lo, hi)
+    case IsIn(vs) => col("a").isin(vs: _*)
+    case BGt(v) => col("b") > v
+    case AndP(l, r) => toColumn(l) && toColumn(r)
+    case OrP(l, r) => toColumn(l) || toColumn(r)
+  }
+
+  private def eval(p: P, a: Long, b: Double): Boolean = p match {
+    case Eq(v) => a == v
+    case Gt(v) => a > v
+    case Lt(v) => a < v
+    case Between(lo, hi) => a >= lo && a <= hi
+    case IsIn(vs) => vs.contains(a)
+    case BGt(v) => b > v
+    case AndP(l, r) => eval(l, a, b) && eval(r, a, b)
+    case OrP(l, r) => eval(l, a, b) || eval(r, a, b)
+  }
+
+  private def gen(rnd: scala.util.Random, depth: Int): P = {
+    def v() = rnd.nextInt(320).toLong
+    if (depth > 0 && rnd.nextInt(3) > 0) {
+      if (rnd.nextBoolean()) AndP(gen(rnd, depth - 1), gen(rnd, depth - 1))
+      else OrP(gen(rnd, depth - 1), gen(rnd, depth - 1))
+    } else rnd.nextInt(6) match {
+      case 0 => Eq(v())
+      case 1 => Gt(v())
+      case 2 => Lt(v())
+      case 3 => { val lo = v(); Between(lo, lo + rnd.nextInt(50)) }
+      case 4 => IsIn(Seq.fill(1 + rnd.nextInt(4))(v()))
+      case _ => BGt(rnd.nextDouble() * 300)
+    }
+  }
+
+  test("pruned scans equal in-memory evaluation for 120 random trees") {
+    val root = Files.createTempDirectory("graft-zmp").toString
+    val s = VastSession(spark, root)
+    s.createBucket("b")
+    val values = (0L until 10L) ++ (100L until 110L) ++ (200L until 210L) ++
+      (300L until 310L)
+    s.transaction { tx =>
+      val t = tx.bucket("b").createSchema("m").createTable("t", schema)
+      t.addSortingKey(Seq("a"))
+      // four file batches with disjoint ranges => real pruning opportunities
+      values.grouped(10).foreach { batch =>
+        val l = new java.util.ArrayList[Row]()
+        batch.foreach(a => l.add(Row(a, a * 1.5)))
+        t.insert(spark.createDataFrame(l, schema))
+      }
+      val rnd = new scala.util.Random(7)
+      (1 to 120).foreach { i =>
+        val p = gen(rnd, 3)
+        val want = values.filter(a => eval(p, a, a * 1.5)).toSet
+        val got = t.select(Seq("a"), toColumn(p)).collect()
+          .map(_.getLong(0)).toSet
+        assert(got == want, s"tree #$i $p: got ${got.size}, want ${want.size} " +
+          s"(missing ${want -- got}, extra ${got -- want})")
+      }
+    }
+  }
+}
