@@ -23,7 +23,8 @@ case class QueryConfig(rowsPerSplit: Long = 4000000L,
                        useSemiSortedProjections: Boolean = true,
                        semiSortedProjectionName: Option[String] = None,
                        limitRows: Option[Long] = None,
-                       queuePriority: Option[String] = None)
+                       queuePriority: Option[String] = None,
+                       queryId: Option[String] = None)
 
 case class TableStats(numRows: Long, sizeBytes: Long, sortingScore: Double,
                       sortingDone: Boolean, numFiles: Int)
@@ -185,6 +186,14 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     // scheduler pools; it does NOT touch session conf.
     config.queuePriority.foreach(p =>
       spark.sparkContext.setLocalProperty("spark.scheduler.pool", p))
+
+    // queryId → Spark job group (reference QueryConfig.query_id threads an id
+    // through its RPCs for tracing/cancellation; the job group is the engine
+    // analog — UI-visible and cancellable via cancelJobGroup). Thread-sticky
+    // at submission, same contract as the scheduler pool above.
+    config.queryId.foreach(q =>
+      spark.sparkContext.setJobGroup(q, s"graft query $q",
+        interruptOnCancel = false))
 
     // rowsPerSplit → partition sizing (reference QueryConfig.rows_per_split,
     // vastdb/config.py:50): rows × the manifest's observed bytes/row becomes

@@ -574,6 +574,11 @@ class CatalogSpec extends SparkSpec {
       assert(shaped > base, s"rowsPerSplit ignored: $shaped vs $base")
       // ... and the caller's session conf is untouched (scan-scoped clone)
       assert(spark.conf.getOption("spark.sql.files.maxPartitionBytes") == before)
+      // queryId threads into the Spark job group (reference query_id analog)
+      tx.bucket("b").schema("m").table("t")
+        .select(Seq("id"), config = QueryConfig(queryId = Some("q-777")))
+      assert(spark.sparkContext.getLocalProperty("spark.jobGroup.id") == "q-777")
+      spark.sparkContext.clearJobGroup()
     }
   }
 
