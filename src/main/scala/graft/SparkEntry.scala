@@ -596,6 +596,39 @@ object SparkEntry {
              |  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_fingerprints
              |FROM documents""".stripMargin)),
 
+    // ---- CU*: dataset-curation operators over `documents` ----
+    Q("cu1_balanced_sample",
+      // per-group cap (language balancing): first 20 docs per lang — exact,
+      // one windowed pass, DuckDB computes the identical ROW_NUMBER
+      (s, dir) => graft.llm.Curation.balancedSample(
+          t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          "lang", "doc_id", perGroup = 20)
+        .orderBy("lang", "doc_id"),
+      Some("""SELECT doc_id, lang, n_chars FROM (
+             |  SELECT doc_id, lang, n_chars,
+             |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+             |  FROM documents) x WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin)),
+
+    Q("cu2_hash_split",  // deterministic train/test split, self-oracled on
+      // its contract: re-computing yields identical assignments (no RNG
+      // state), every row gets exactly one split, and the test fraction
+      // lands near the requested 10%
+      (s, dir) => {
+        val ids = t(s, dir, "documents").select("doc_id")
+        val a = graft.llm.Curation.hashSplit(ids, "doc_id", testPermille = 100)
+        val b = graft.llm.Curation.hashSplit(ids, "doc_id", testPermille = 100)
+          .withColumnRenamed("split", "split2")
+        a.join(b, "doc_id")
+          .agg(count(lit(1)).as("n_docs"),
+            (sum(when(col("split") === col("split2"), 0).otherwise(1)) === 0)
+              .as("deterministic"),
+            (sum(when(col("split") === "test", 1).otherwise(0)).cast("double")
+              / count(lit(1))).between(0.02, 0.25).as("test_frac_in_bounds"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  true AS deterministic, true AS test_frac_in_bounds
+             |FROM documents""".stripMargin)),
+
     // ---- DD*: deduplication suite over `documents` ----
     Q("dd1_exact_groups",
       (s, dir) => t(s, dir, "documents")
