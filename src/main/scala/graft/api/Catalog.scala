@@ -6,7 +6,8 @@ import java.util.concurrent.atomic.AtomicLong
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions.{col, timestamp_millis}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
 import org.json4s._
 import org.json4s.jackson.Serialization
 
@@ -165,23 +166,88 @@ class VastSession(val spark: SparkSession, val root: String) {
       }
       .map { tdir =>
         Table.deleteRecursively(tdir)
-        audit(s"""{"op":"vacuum_pending","table":"${tdir.toString}"}""")
+        audit("vacuum_pending", table = Some(tdir.toString))
         tdir.toString
       }
   }
 
-  def audit(line: String): Unit = synchronized {
+  /** Typed audit event (reference audit-log table, vastdb/transaction.py:
+    * 107-121: a system table with a pinned column contract, not
+    * schema-on-read). WAL-then-columnar: events append to a JSONL tail
+    * (atomic, no Spark job on the hot path — every insert/commit audits),
+    * and once the tail passes `AuditRollBytes` it rolls into a parquet
+    * segment under `_audit/segments/`, so at 100 TB the audit log itself is
+    * a columnar, predicate-prunable table rather than a giant JSON file. */
+  def audit(op: String, tx: Option[Long] = None, table: Option[String] = None,
+            rows: Option[Long] = None): Unit = synchronized {
     val dir = Paths.get(root, "_audit")
     Files.createDirectories(dir)
-    Files.write(dir.resolve("audit.jsonl"), (line + "\n").getBytes("UTF-8"),
+    def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val line = s"""{"ts":${System.currentTimeMillis()},"tx":${tx.map(_.toString).getOrElse("null")},""" +
+      s""""op":${js(op)},"table":${table.map(js).getOrElse("null")},""" +
+      s""""rows":${rows.map(_.toString).getOrElse("null")}}"""
+    val tail = dir.resolve("audit.jsonl")
+    Files.write(tail, (line + "\n").getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    if (Files.size(tail) > VastSession.AuditRollBytes) rollAuditTail(dir)
     ()
+  }
+
+  /** Roll the JSONL tail (plus any crash-leftover rolling files) into a
+    * parquet segment. Crash-safe without a lock file: the tail is first
+    * atomically renamed (so concurrent appends start a fresh tail), then
+    * converted; a crash between the two leaves a `rolling-*` file that the
+    * next roll — and every `auditLog()` read — still picks up. */
+  private def rollAuditTail(dir: Path): Unit = {
+    val tail = dir.resolve("audit.jsonl")
+    if (Files.exists(tail)) {
+      val staged = dir.resolve(s"rolling-${java.util.UUID.randomUUID().toString.take(8)}.jsonl")
+      try Files.move(tail, staged, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: Exception => () }
+    }
+    val rolling = Table.listDir(dir)
+      .filter(_.getFileName.toString.startsWith("rolling-"))
+    if (rolling.isEmpty) return
+    val segDir = dir.resolve("segments")
+    Files.createDirectories(segDir)
+    rolling.foreach { f =>
+      VastSession.auditTailDf(spark, f)
+        .write.mode("append").parquet(segDir.toString)
+      Files.deleteIfExists(f)
+    }
   }
 }
 
 object VastSession {
   def apply(spark: SparkSession, root: String): VastSession =
     new VastSession(spark, root)
+
+  /** The audit log's pinned column contract (reference
+    * vastdb/transaction.py:107-121): stable regardless of which ops have
+    * been recorded — consumers can depend on it like any system table. */
+  /** Tail size past which `audit` rolls the JSONL into a parquet segment.
+    * Small enough that the tail read stays trivial, large enough that the
+    * roll (a Spark job) is rare relative to audited operations. */
+  val AuditRollBytes: Long = 4L << 20
+
+  val AuditSchema: StructType = StructType(Seq(
+    StructField("ts", TimestampType, nullable = true),
+    StructField("tx", LongType, nullable = true),
+    StructField("op", StringType, nullable = true),
+    StructField("table", StringType, nullable = true),
+    StructField("rows", LongType, nullable = true)))
+
+  /** JSONL tail parsed under an EXPLICIT schema (never inference — the
+    * contract must hold for an empty or partially-written tail too). */
+  private[api] def auditTailDf(spark: SparkSession, p: Path): DataFrame = {
+    val raw = StructType(Seq(
+      StructField("ts", LongType), StructField("tx", LongType),
+      StructField("op", StringType), StructField("table", StringType),
+      StructField("rows", LongType)))
+    spark.read.schema(raw).json(p.toString)
+      .select(timestamp_millis(col("ts")).as("ts"), col("tx"), col("op"),
+        col("table"), col("rows"))
+  }
 }
 
 /**
@@ -346,7 +412,7 @@ class Transaction(val session: VastSession, val id: Long) {
       }
     }
     droppedTables.foreach { d => Table.deleteRecursively(Paths.get(d)) }
-    session.audit(s"""{"tx":$id,"op":"commit","tables":${writeSet.size}}""")
+    session.audit("commit", tx = Some(id), rows = Some(writeSet.size.toLong))
   }
 
   def rollback(): Unit = {
@@ -355,7 +421,7 @@ class Transaction(val session: VastSession, val id: Long) {
     session.liveTx.remove(this)
     newFiles.foreach(f => Files.deleteIfExists(Paths.get(f)))
     newTables.foreach(t => Table.deleteRecursively(Paths.get(t)))
-    session.audit(s"""{"tx":$id,"op":"rollback"}""")
+    session.audit("rollback", tx = Some(id))
   }
 
   /** System catalog: all tables visible to this transaction
@@ -410,12 +476,30 @@ class Transaction(val session: VastSession, val id: Long) {
     names.toSeq
   }
 
-  /** Audit log as a queryable DataFrame (reference `tx.audit_log()`). */
+  /** Audit log as a queryable DataFrame with the PINNED column contract
+    * `VastSession.AuditSchema` — (ts, tx, op, table, rows) — like the
+    * reference's typed audit-log system table (vastdb/transaction.py:
+    * 107-121). Rolled parquet segments union the JSONL tail (and any
+    * crash-leftover rolling files); an empty log still has the schema. */
   def auditLog(): DataFrame = {
     requireActive()
-    val p = Paths.get(session.root, "_audit", "audit.jsonl")
-    if (Files.exists(p)) session.spark.read.json(p.toString)
-    else session.spark.emptyDataFrame
+    val spark = session.spark
+    val dir = Paths.get(session.root, "_audit")
+    val segDir = dir.resolve("segments")
+    val parts = Seq.newBuilder[DataFrame]
+    if (Files.isDirectory(segDir) && Table.listDir(segDir).exists(
+        _.getFileName.toString.endsWith(".parquet")))
+      parts += spark.read.schema(VastSession.AuditSchema).parquet(segDir.toString)
+    if (Files.isDirectory(dir))
+      Table.listDir(dir)
+        .filter { p =>
+          val n = p.getFileName.toString
+          n == "audit.jsonl" || (n.startsWith("rolling-") && n.endsWith(".jsonl"))
+        }
+        .foreach(p => parts += VastSession.auditTailDf(spark, p))
+    parts.result().reduceOption(_.unionAll(_)).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        VastSession.AuditSchema))
   }
 }
 

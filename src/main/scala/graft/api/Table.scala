@@ -301,20 +301,28 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     case _ => col(name)
   }
 
+  /** Longest string value a manifest zone map will store. A truncated MIN
+    * stays a sound lower bound but a truncated MAX is NOT a sound upper
+    * bound, so rather than truncate we DROP string stats for files holding
+    * longer values (e.g. document bodies) — conservative: the file is simply
+    * never pruned on that column. */
+  private val MaxStringStat = 64
+
   /** Write a DataFrame (logical schema + `_row_id`) as immutable data files;
     * returns manifest entries with per-file row-id ranges and zone maps for
-    * the sorting-key columns (one cheap columnar stats pass). */
+    * EVERY primitive column (one columnar stats pass — the same aggregation
+    * regardless of column count), so `pruneByZoneMaps` serves ad-hoc
+    * predicates on unsorted columns, not just the sorting keys. */
   private def writeData(df: DataFrame, sorted: Boolean): Seq[FileEntry] = {
     val batch = dataDir.resolve("b-" + UUID.randomUUID().toString.take(8))
     df.write.parquet(batch.toString)
-    val zoneCols: Seq[(String, String)] = manifest.sortingKeys
-      .flatMap { k =>
-        df.schema.fields.find(_.name == k)
-          .flatMap(f => statKind(f.dataType).map(kind => (k, kind)))
-      }
-    val zoneAggs = zoneCols.flatMap { case (k, _) =>
+    val zoneCols: Seq[(String, String)] = df.schema.fields.toSeq
+      .filter(_.name != RowIdColumn) // row-id range is tracked as lo/hi already
+      .flatMap(f => statKind(f.dataType).map(kind => (f.name, kind)))
+    val zoneAggs = zoneCols.flatMap { case (k, kind) =>
       val c = statCol(k, df.schema(k).dataType)
-      Seq(min(c).cast("string").as(s"__mn_$k"), max(c).cast("string").as(s"__mx_$k"))
+      Seq(min(c).cast("string").as(s"__mn_$k"), max(c).cast("string").as(s"__mx_$k")) ++
+        (if (kind == "string") Seq(max(length(col(k))).as(s"__ln_$k")) else Nil)
     }
     // schema-pinned read: an EMPTY batch writes no part files and unpinned
     // inference would throw instead of yielding zero entries
@@ -333,7 +341,10 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       val stats = zoneCols.flatMap { case (k, kind) =>
         val mn = r.getAs[String](s"__mn_$k")
         val mx = r.getAs[String](s"__mx_$k")
-        if (mn == null || mx == null) None else Some(k -> ColStat(mn, mx, kind))
+        val tooLong = kind == "string" &&
+          Option(r.getAs[Integer](s"__ln_$k")).exists(_ > MaxStringStat)
+        if (mn == null || mx == null || tooLong) None
+        else Some(k -> ColStat(mn, mx, kind))
       }.toMap
       FileEntry(rel, r.getAs[Long]("rows"), r.getAs[Long]("lo"),
         r.getAs[Long]("hi"), sorted = sorted, colStats = stats)
@@ -405,20 +416,64 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
   private def staleVectorIndexes(m: TableManifest): Seq[VectorIndexMeta] =
     m.vectorIndexes.map(_.copy(stale = true))
 
+  /** Exact COW touch set: indices (into `files`) of the files whose row-id
+    * range contains at least one victim id. One distributed pass over the
+    * batch — each victim id stabs the broadcast, lo-sorted interval list by
+    * binary search, O(n log F), instead of the O(n·F) of a nested-loop range
+    * join. Replaces the old global [lo, hi] envelope, under which a sparse
+    * batch at ids {0, 10⁹} intersected every file and rewrote the whole
+    * table. Overlapping ranges (COW rewrites of merged files can overlap)
+    * are handled by the prefix-max walk-back. */
+  private def victimFileIndices(batch: DataFrame, files: Seq[FileEntry]): Set[Int] = {
+    if (files.isEmpty) return Set.empty
+    val byLo = files.zipWithIndex.sortBy(_._1.minRowId)
+    val los = byLo.map(_._1.minRowId).toArray
+    val his = byLo.map(_._1.maxRowId).toArray
+    val origIdx = byLo.map(_._2).toArray
+    // prefixMaxHi(i) = max hi over byLo[0..i]: the stab walks left only while
+    // an earlier-starting interval could still cover the id
+    val prefixMaxHi = new Array[Long](his.length)
+    var run = Long.MinValue
+    for (i <- his.indices) { run = math.max(run, his(i)); prefixMaxHi(i) = run }
+    // explicit broadcast: at 100 TB the manifest is ~10⁵ entries (~3 MB of
+    // bounds); ship it to executors once, not inside every task closure
+    val bounds = spark.sparkContext.broadcast((los, his, origIdx, prefixMaxHi))
+    val stab = udf { (id: Long) =>
+      val (lo, hi, ix, pmax) = bounds.value
+      var p = java.util.Arrays.binarySearch(lo, id)
+      if (p < 0) p = -p - 2
+      else while (p + 1 < lo.length && lo(p + 1) == id) p += 1
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var j = p // all j' <= p have lo(j') <= id
+      while (j >= 0 && pmax(j) >= id) {
+        if (hi(j) >= id) out += ix(j)
+        j -= 1
+      }
+      out.toSeq
+    }
+    // bounded collect: ≤ F distinct file indices, never victim rows
+    val touched = batch.select(explode(stab(col(RowIdColumn))).as("__fi"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    bounds.destroy()
+    touched
+  }
+
   /** UPDATE cells addressed by `_row_id` (reference vastdb/table.py:779-816).
-    * Copy-on-write bounded to files whose row-id range intersects the batch;
-    * untouched files carry over to the new version. */
+    * Copy-on-write bounded to the files that actually CONTAIN a victim id
+    * (exact per-file membership via `victimFileIndices`); untouched files
+    * carry over to the new version. */
   def update(updates: DataFrame): Unit = {
     if (!updates.columns.contains(RowIdColumn)) throw MissingRowIdColumn()
     val m = manifest
-    // one materialization of the batch (cache) feeds the range probe, the
-    // merge, and the audit count — previously three scans of the source
+    // one materialization of the batch (cache) feeds the membership probe,
+    // the merge, and the audit count — previously three scans of the source
     val batch = updates.cache()
     val n = batch.count()
     if (n == 0) { batch.unpersist(); return }
-    val Array(Row(lo: Long, hi: Long)) = batch
-      .agg(min(col(RowIdColumn)), max(col(RowIdColumn))).collect()
-    val (touched, untouched) = m.files.partition(f => f.minRowId <= hi && f.maxRowId >= lo)
+    val touchedIdx = victimFileIndices(batch, m.files)
+    val (touchedZ, untouchedZ) =
+      m.files.zipWithIndex.partition { case (_, i) => touchedIdx(i) }
+    val (touched, untouched) = (touchedZ.map(_._1), untouchedZ.map(_._1))
     val current = readEntries(touched, m.schema)
     val merged = Dml.updateByRowId(current, batch)
     val entries = writeData(merged, sorted = false)
@@ -442,16 +497,18 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
   def deleteWhere(cond: Column): Unit =
     delete(select(Nil, cond, internalRowId = true).select(col(RowIdColumn)))
 
-  /** DELETE by `_row_id` (reference vastdb/table.py:818-843). */
+  /** DELETE by `_row_id` (reference vastdb/table.py:818-843). COW bounded to
+    * the files that actually contain a victim id, like `update`. */
   def delete(victims: DataFrame): Unit = {
     if (!victims.columns.contains(RowIdColumn)) throw MissingRowIdColumn()
     val m = manifest
     val batch = victims.cache()
     val n = batch.count()
     if (n == 0) { batch.unpersist(); return }
-    val Array(Row(lo: Long, hi: Long)) = batch
-      .agg(min(col(RowIdColumn)), max(col(RowIdColumn))).collect()
-    val (touched, untouched) = m.files.partition(f => f.minRowId <= hi && f.maxRowId >= lo)
+    val touchedIdx = victimFileIndices(batch, m.files)
+    val (touchedZ, untouchedZ) =
+      m.files.zipWithIndex.partition { case (_, i) => touchedIdx(i) }
+    val (touched, untouched) = (touchedZ.map(_._1), untouchedZ.map(_._1))
     val remaining = Dml.deleteByRowId(readEntries(touched, m.schema), batch)
     val entries = writeData(remaining, sorted = false)
     tx.stageWrite(dir, m.copy(files = untouched ++ entries,
@@ -921,6 +978,49 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
   def vectorSearch(column: String, queryVec: Seq[Float], k: Int,
                    predicate: Column = lit(true), nprobe: Int = 4): DataFrame = {
     val m = manifest
+    val metric = m.vectorIndexes.find(_.column == column)
+      .map(_.metric).getOrElse("l2sq")
+    val q = lit(queryVec.toArray).cast("array<float>")
+    def distOf(v: Column) = metric match {
+      case "ip" => -Distances.ip(v, q)
+      case _ => Distances.l2sq(v, q)
+    }
+    ivfTopK(column, queryVec, k, predicate, nprobe) match {
+      case Some(top) =>
+        // Materialize the k winners NOW (a bounded collect: exactly the k
+        // rows the caller asked for) so the full-row fetch can prune base
+        // files by their manifest [minRowId, maxRowId] ranges. The fetch
+        // then reads only the files that actually contain a winner — at
+        // 100 TB that's the difference between touching ~k files and
+        // re-scanning the whole table just to hydrate k rows.
+        val winners = top.collect()
+        val ids: Array[Long] = winners.map(_.getLong(0)).sorted
+        def containsWinner(lo: Long, hi: Long): Boolean = {
+          val i = java.util.Arrays.binarySearch(ids, lo)
+          val ins = if (i >= 0) i else -i - 1
+          ins < ids.length && ids(ins) <= hi
+        }
+        val fetchFiles = m.files.filter(f => containsWinner(f.minRowId, f.maxRowId))
+        val winDf = spark.createDataFrame(
+          java.util.Arrays.asList(winners: _*), top.schema)
+        readEntries(fetchFiles, m.schema)
+          .join(broadcast(winDf), Seq(RowIdColumn))
+          .orderBy(col("_distance").asc, col(RowIdColumn).asc)
+      case None =>
+        select(Nil, predicate, internalRowId = true)
+          .withColumn("_distance", distOf(col(column)))
+          .orderBy(col("_distance").asc, col(RowIdColumn).asc)
+          .limit(k)
+    }
+  }
+
+  /** Lazy IVF-routed top-k (`_row_id`, `_distance`) — package-private so
+    * plan tests can assert the static cell pruning of the assignment scan.
+    * None without a fresh index (callers fall back to exact brute force). */
+  private[graft] def ivfTopK(column: String, queryVec: Seq[Float], k: Int,
+                             predicate: Column,
+                             nprobe: Int): Option[DataFrame] = {
+    val m = manifest
     val meta = m.vectorIndexes.find(_.column == column)
     val metric = meta.map(_.metric).getOrElse("l2sq")
     val q = lit(queryVec.toArray).cast("array<float>")
@@ -928,53 +1028,44 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       case "ip" => -Distances.ip(v, q)
       case _ => Distances.l2sq(v, q)
     }
-    meta.filter(x => x.dir.nonEmpty && !x.stale) match {
-      case Some(x) =>
-        val idxRoot = resolveDataPath(x.dir)
-        // bounded collect: ≤ nCentroids (≤4096) index-metadata rows — the
-        // literal cell list is what makes the partition pruning STATIC
-        // probe cells by the DECLARED metric: for ip, an l2-near centroid is
-        // not the high-inner-product one, and a metric mismatch here makes
-        // whole high-norm cells unreachable (worse than IVF approximation)
-        val cells: Seq[Long] = spark.read
-          .parquet(Paths.get(idxRoot, "centroids").toString)
-          .withColumn("_cd", distOf(col("c_vec")))
-          .orderBy(col("_cd").asc, col("centroid_id").asc)
-          .limit(nprobe)
-          .collect().map(_.getAs[Long]("centroid_id")).toSeq
-        // explicit schema pins the hive-partition column to LongType so the
-        // literal isin stays a STATIC partition filter (inference would type
-        // it IntegerType and the implicit cast could defeat pruning)
-        val assignedSchema = StructType(Seq(
-          StructField(RowIdColumn, LongType, nullable = false),
-          StructField(column, m.schema(column).dataType),
-          StructField("centroid_id", LongType)))
-        val probed = spark.read.schema(assignedSchema)
-          .parquet(Paths.get(idxRoot, "assigned").toString)
-          .filter(col("centroid_id").isin(cells: _*))
-          .select(col(RowIdColumn), col(column))
-        val cand =
-          if (Glue.isLiteralTrue(predicate)) probed
-          else {
-            val roots = Glue.referencedRoots(predicate)
-              .filter(m.schema.fieldNames.contains).toSeq
-            val qualifying = select(roots, predicate, internalRowId = true)
-              .select(col(RowIdColumn))
-            probed.join(qualifying, Seq(RowIdColumn), "leftsemi")
-          }
-        val top = cand
-          .withColumn("_distance", distOf(col(column)))
-          .orderBy(col("_distance").asc, col(RowIdColumn).asc)
-          .limit(k)
-          .select(col(RowIdColumn), col("_distance"))
-        select(Nil, lit(true), internalRowId = true)
-          .join(broadcast(top), Seq(RowIdColumn))
-          .orderBy(col("_distance").asc, col(RowIdColumn).asc)
-      case None =>
-        select(Nil, predicate, internalRowId = true)
-          .withColumn("_distance", distOf(col(column)))
-          .orderBy(col("_distance").asc, col(RowIdColumn).asc)
-          .limit(k)
+    meta.filter(x => x.dir.nonEmpty && !x.stale).map { x =>
+      val idxRoot = resolveDataPath(x.dir)
+      // bounded collect: ≤ nCentroids (≤4096) index-metadata rows — the
+      // literal cell list is what makes the partition pruning STATIC
+      // probe cells by the DECLARED metric: for ip, an l2-near centroid is
+      // not the high-inner-product one, and a metric mismatch here makes
+      // whole high-norm cells unreachable (worse than IVF approximation)
+      val cells: Seq[Long] = spark.read
+        .parquet(Paths.get(idxRoot, "centroids").toString)
+        .withColumn("_cd", distOf(col("c_vec")))
+        .orderBy(col("_cd").asc, col("centroid_id").asc)
+        .limit(nprobe)
+        .collect().map(_.getAs[Long]("centroid_id")).toSeq
+      // explicit schema pins the hive-partition column to LongType so the
+      // literal isin stays a STATIC partition filter (inference would type
+      // it IntegerType and the implicit cast could defeat pruning)
+      val assignedSchema = StructType(Seq(
+        StructField(RowIdColumn, LongType, nullable = false),
+        StructField(column, m.schema(column).dataType),
+        StructField("centroid_id", LongType)))
+      val probed = spark.read.schema(assignedSchema)
+        .parquet(Paths.get(idxRoot, "assigned").toString)
+        .filter(col("centroid_id").isin(cells: _*))
+        .select(col(RowIdColumn), col(column))
+      val cand =
+        if (Glue.isLiteralTrue(predicate)) probed
+        else {
+          val roots = Glue.referencedRoots(predicate)
+            .filter(m.schema.fieldNames.contains).toSeq
+          val qualifying = select(roots, predicate, internalRowId = true)
+            .select(col(RowIdColumn))
+          probed.join(qualifying, Seq(RowIdColumn), "leftsemi")
+        }
+      cand
+        .withColumn("_distance", distOf(col(column)))
+        .orderBy(col("_distance").asc, col(RowIdColumn).asc)
+        .limit(k)
+        .select(col(RowIdColumn), col("_distance"))
     }
   }
 
@@ -1059,8 +1150,8 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     }
 
   private def recordAudit(op: String, n: Long): Unit =
-    tx.session.audit(
-      s"""{"tx":${tx.id},"op":"$op","table":"${dir.toString}","rows":$n}""")
+    tx.session.audit(op, tx = Some(tx.id), table = Some(dir.toString),
+      rows = Some(n))
 }
 
 object Table {

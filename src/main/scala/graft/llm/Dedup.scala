@@ -24,6 +24,21 @@ import graft.functions.Distances
  */
 object Dedup {
 
+  /** Materialize a signature table that feeds multiple joins — but only when
+    * it's big enough to be worth it. `localCheckpoint` computes the
+    * signatures once and truncates lineage, at the cost of executor-LOCAL
+    * storage: blocks are not replicated, so losing an executor mid-job fails
+    * the query instead of recomputing (acceptable for batch dedup runs; the
+    * 100 TB route is the persisted signature table `Table.dedupIndex`
+    * maintains under the manifest, which survives executors AND runs).
+    * Below the size cutoff the trade inverts — recomputing a map-side
+    * signature pass 2-3× is cheaper than writing the blocks — so small
+    * inputs keep pure lineage. Plan-time statistics only; no job is run. */
+  private def materializeIfLarge(df: DataFrame): DataFrame = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < BigInt(256L << 20)) df else df.localCheckpoint(eager = false)
+  }
+
   /** Exact dedup, keep-first: content-hash shuffle, row_number == 1.
     * At scale the shuffle key is md5(text) (fixed 16 bytes), so text skew
     * doesn't produce key skew beyond true duplicate mass. */
@@ -66,11 +81,10 @@ object Dedup {
                    shingleN: Int = 3): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val sigs = df
+    val sigs = materializeIfLarge(df
       .select(col(idCol).as("id"),
         graft.functions.TextHashes.minhashFromTokens(
-          split(col(textCol), " "), k, shingleN).as("sig"))
-      .localCheckpoint(false) // reused on both sides of two joins
+          split(col(textCol), " "), k, shingleN).as("sig"))) // reused in 3 joins
     // candidate generation carries only (band, band_hash, id) — the wide
     // signature arrays never enter the candidate shuffle or the distinct
     // bands statically unrolled into a literal array of native expressions —
@@ -108,8 +122,8 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val chunks = 4 // 4 × 16-bit chunks of the 64-bit signature
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
-      .localCheckpoint(false)
+    val sigs = materializeIfLarge(
+      df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim")))
     val banded = sigs.select(col("id"), col("sim"),
         posexplode(array((0 until chunks).map(c =>
           call_function("shiftrightunsigned", col("sim"), lit(c * 16))

@@ -66,10 +66,17 @@ object Events {
    * Custom-state streaming operator: per-user running aggregates via
    * `flatMapGroupsWithState` (the KeyValueGroupedDataset path for semantics
    * windows/aggs can't express). State is one small record per user —
-   * at scale, backed by the RocksDB state store and bounded by processing-
-   * time timeout eviction.
+   * at scale, backed by the RocksDB state store.
+   *
+   * The group iterator is folded in ONE pass with O(1) memory: `n` and
+   * `total` are order-independent, and `last_type` only needs the
+   * (ts, event_id)-maximal row, tracked inline. No `toSeq`/sort — a hot
+   * user with millions of events in a batch never materializes in a task's
+   * heap. Idle users are evicted by a processing-time timeout (streaming
+   * runs only; Spark never fires timeouts in batch execution).
    */
-  def userRunningStats(events: DataFrame): DataFrame = {
+  def userRunningStats(events: DataFrame,
+                       idleTimeout: String = "1 hour"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
@@ -79,17 +86,30 @@ object Events {
       .as[EventRow]
     def update(user: Long, rows: Iterator[EventRow],
                state: GroupState[UserState]): Iterator[UserUpdate] = {
-      val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
       var st = state.getOption.getOrElse(UserState(0L, 0.0, ""))
-      sorted.foreach { r =>
-        st = UserState(st.n + 1, st.total + r.value, r.event_type)
+      var bestTs = Long.MinValue
+      var bestId = Long.MinValue
+      var bestType = st.lastType
+      var any = false
+      rows.foreach { r =>
+        any = true
+        st = UserState(st.n + 1, st.total + r.value, st.lastType)
+        val t = r.ts.getTime
+        if (t > bestTs || (t == bestTs && r.event_id > bestId)) {
+          bestTs = t; bestId = r.event_id; bestType = r.event_type
+        }
       }
-      if (sorted.nonEmpty) state.update(st)
+      if (any) {
+        st = st.copy(lastType = bestType)
+        state.update(st)
+        state.setTimeoutDuration(idleTimeout)
+      }
       Iterator.single(UserUpdate(user, st.n, st.total, st.lastType))
     }
     typed.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update,
-        GroupStateTimeout.NoTimeout())(update)
+        GroupStateTimeout.ProcessingTimeTimeout())(update)
       .toDF()
   }
 

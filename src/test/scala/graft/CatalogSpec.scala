@@ -365,7 +365,12 @@ class CatalogSpec extends SparkSpec {
       assert(cat.filter(col("table") === "t").count() == 1)
       assert(cat.columns.toSet ==
         Set("bucket", "schema", "table", "version", "num_rows", "num_files"))
-      assert(tx.auditLog().filter(col("op") === "insert").count() >= 1)
+      val log = tx.auditLog()
+      // the PINNED audit contract: exact (ts, tx, op, table, rows) shape
+      assert(log.schema == graft.api.VastSession.AuditSchema)
+      assert(log.filter(col("op") === "insert").count() >= 1)
+      assert(log.filter(col("op") === "commit").select("tx").head.get(0) != null)
+      assert(log.filter(col("ts").isNull).count() == 0)
     }
   }
 

@@ -71,4 +71,39 @@ class DmlFuzzSpec extends SparkSpec {
       assert(model.nonEmpty) // the sequence actually built state
     }
   }
+
+  test("sparse victim batch rewrites only the files that contain victims") {
+    val s = VastSession(spark, Files.createTempDirectory("graft-sparse").toString)
+    s.createBucket("b")
+    s.transaction { tx =>
+      val t = tx.bucket("b").createSchema("m").createTable("t", schema)
+      for (b <- 0 until 10) {
+        val l = new java.util.ArrayList[Row]()
+        (0 until 100).foreach(i => l.add(Row((b * 100 + i).toLong, s"b$b-$i")))
+        t.insert(spark.createDataFrame(l, schema).coalesce(1))
+      }
+      val before = t.manifest.files.map(_.path).toSet
+      assert(before.size == 10)
+      // victims at the extreme ends, ids {0, 999}: the old global [lo, hi]
+      // envelope intersected ALL 10 files and rewrote the whole table;
+      // per-file membership must carry 8 files over untouched
+      val u = new java.util.ArrayList[Row]()
+      u.add(Row(0L, -1L)); u.add(Row(999L, -1L))
+      t.update(spark.createDataFrame(u, StructType(Seq(
+        StructField(RowIdColumn, LongType), StructField("v", LongType)))))
+      val after = t.manifest.files.map(_.path).toSet
+      assert((before intersect after).size == 8,
+        s"update rewrote ${(before -- after).size} files, want 2")
+      // delete of one mid-table victim touches exactly one file
+      val d = new java.util.ArrayList[Row](); d.add(Row(500L))
+      t.delete(spark.createDataFrame(d, StructType(Seq(
+        StructField(RowIdColumn, LongType)))))
+      val after2 = t.manifest.files.map(_.path).toSet
+      assert((after intersect after2).size == after.size - 1,
+        s"delete rewrote ${(after -- after2).size} files, want 1")
+      // and the contents are right
+      assert(t.select().count() == 999)
+      assert(t.select(Seq("v"), col("v") === -1L).count() == 2)
+    }
+  }
 }

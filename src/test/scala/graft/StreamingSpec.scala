@@ -84,6 +84,51 @@ class StreamingSpec extends SparkSpec {
     assert(got.join(want, Seq("user_id", "n_events")).count() == want.count())
   }
 
+  test("running stats stay correct for a skewed hot user (no group buffering)") {
+    // one user owns ~100k of 100.2k events in a single micro-batch: the old
+    // rows.toSeq.sortBy materialized that whole group in one task's heap;
+    // the single-pass fold must produce identical output
+    val ev = spark.range(0, 100200).select(
+      col("id").as("event_id"),
+      expr("timestamp_micros(id * 1000000)").as("ts"),
+      when(col("id") < 100000, lit(1L)).otherwise(col("id") % 50 + 100).as("user_id"),
+      concat(lit("t"), col("id") % 7).as("event_type"),
+      (col("id") % 100).cast("double").as("value"))
+    val dir = Files.createTempDirectory("ev-hot")
+    ev.write.parquet(dir.toString + "/in")
+    val stream = spark.readStream.schema(ev.schema).parquet(dir.toString + "/in")
+    val q = Events.userRunningStats(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ev_hot")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    // final state per user (row with max n_events) vs batch ground truth:
+    // count, exact sum, and the event_type of the (ts, event_id)-max row
+    val got = spark.table("ev_hot")
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("n_events").desc)))
+      .filter(col("_rk") === 1)
+      .select("user_id", "n_events", "total_value", "last_type")
+    val want = ev
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"),
+        max(when(col("_rk") === 1, col("event_type"))).as("last_type"))
+    assert(want.count() == 51)
+    assert(got.join(want, Seq("user_id", "n_events", "last_type")).count() == 51,
+      "per-user (count, last_type) diverged from batch ground truth")
+    // totals compared with a tolerance: the fold accumulates doubles in
+    // stream order, batch sum in partition order
+    val diff = got.select(col("user_id"), col("total_value").as("g"))
+      .join(want.select(col("user_id"), col("total_value").as("w")), "user_id")
+      .filter(abs(col("g") - col("w")) > 1e-3).count()
+    assert(diff == 0)
+  }
+
   test("streaming session windows run end-to-end") {
     val batchDf = eventsBatch
     val dir = Files.createTempDirectory("ev-sess")

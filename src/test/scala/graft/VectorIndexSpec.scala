@@ -53,7 +53,10 @@ class VectorIndexSpec extends SparkSpec {
       val got4 = ivf4.select("vec_id").collect().map(_.getLong(0)).toSeq
       assert(got4.head == 0L && got4.size == 10)
       // the assignment scan is STATICALLY partition-pruned to probed cells
-      val plan = ivf4.queryExecution.executedPlan.toString
+      // (asserted on the lazy top-k builder: vectorSearch itself runs it
+      // eagerly so the row fetch can prune base files by the winners)
+      val plan = t.ivfTopK("embedding", qvec, 10, lit(true), nprobe = 4)
+        .get.queryExecution.executedPlan.toString
       assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
         s"no static cell pruning in plan:\n$plan")
       // predicate composes (filtered search semantics: predicate BEFORE top-k)
@@ -114,6 +117,40 @@ class VectorIndexSpec extends SparkSpec {
       val topIdx = t.vectorSearch("vec", qvec, 2, nprobe = 16)
         .select("vec_id").collect().map(_.getLong(0)).toSet
       assert(topIdx == Set(0L, 9999L))
+    }
+  }
+
+  test("indexed search fetches full rows from winner files only") {
+    val root = Files.createTempDirectory("graft-vfetch").toString
+    val s = VastSession(spark, root)
+    s.createBucket("b")
+    s.transaction { tx =>
+      val t = tx.bucket("b").createSchema("m").createTable("e", schema)
+      // 10 single-file batches, each a tight 1-D cluster far from the others
+      for (b <- 0 until 10) {
+        val l = new java.util.ArrayList[Row]()
+        for (i <- 0 until 50)
+          l.add(Row((b * 50 + i).toLong, Seq((b * 1000 + i).toFloat, 0f)))
+        t.insert(spark.createDataFrame(l, schema).coalesce(1))
+      }
+      t.createVectorIndex("embedding", "l2sq", nCentroids = 10, refineIters = 2)
+    }
+    s.transaction { tx =>
+      val t = tx.bucket("b").schema("m").table("e")
+      val nFiles = t.manifest.files.size
+      assert(nFiles >= 10)
+      val res = t.vectorSearch("embedding", Seq(0f, 0f), k = 5, nprobe = 10)
+      assert(res.select("vec_id").collect().map(_.getLong(0)).toSeq ==
+        (0L until 5L))
+      // all 5 winners live in the first batch's file: the row fetch must
+      // scan only the files whose row-id range contains a winner — never
+      // the whole base table (the 100 TB margin this path exists for)
+      val scanned = res.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.length
+      }.sum
+      assert(scanned == 1,
+        s"fetch stage scanned $scanned of $nFiles files, want 1")
     }
   }
 }

@@ -24,7 +24,7 @@ class ZoneMapPropertySpec extends SparkSpec {
   private case class Lt(v: Long) extends P
   private case class Between(lo: Long, hi: Long) extends P
   private case class IsIn(vs: Seq[Long]) extends P
-  private case class BGt(v: Double) extends P // non-key column, no stats
+  private case class BGt(v: Double) extends P // non-key column (also gets stats now)
   private case class AndP(l: P, r: P) extends P
   private case class OrP(l: P, r: P) extends P
 
@@ -89,6 +89,35 @@ class ZoneMapPropertySpec extends SparkSpec {
         assert(got == want, s"tree #$i $p: got ${got.size}, want ${want.size} " +
           s"(missing ${want -- got}, extra ${got -- want})")
       }
+    }
+  }
+
+  test("zone maps prune files on NON-sorting-key columns") {
+    val root = Files.createTempDirectory("graft-zmp2").toString
+    val s = VastSession(spark, root)
+    s.createBucket("b")
+    s.transaction { tx =>
+      // no sorting key at all: stats are collected for every primitive
+      // column at write, so ad-hoc predicates still prune
+      val t = tx.bucket("b").createSchema("m").createTable("t", schema)
+      (0 until 4).foreach { batch =>
+        val l = new java.util.ArrayList[Row]()
+        (0 until 10).foreach { i =>
+          val a = batch * 100L + i
+          l.add(Row(a, a * 1.5))
+        }
+        t.insert(spark.createDataFrame(l, schema).coalesce(1))
+      }
+      assert(t.manifest.files.size == 4)
+      assert(t.manifest.sortingKeys.isEmpty)
+      // predicate on the double column b — only the last batch qualifies
+      val q = t.select(Seq("a"), col("b") > 400.0)
+      assert(q.collect().map(_.getLong(0)).toSet == (300L until 310L).toSet)
+      val scanned = q.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.length
+      }.sum
+      assert(scanned == 1, s"scanned $scanned of 4 files, want 1")
     }
   }
 }
