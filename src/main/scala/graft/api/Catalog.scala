@@ -67,6 +67,16 @@ object Manifest {
                              stale: Boolean = false)
   case class BlobExpansionMeta(blobColumn: String, fieldsDdl: String,
                                targetTable: String)
+  /** Persisted dedup-signature index over a text column: per row a k-hash
+    * minhash (over shingleN-gram shingles, banded into `bands` LSH bands at
+    * query time) plus a 64-bit simhash, stored under `dir` hive-partitioned
+    * by SOURCE FILE basename (`__src=`). Because data files are immutable,
+    * coverage is file-granular and implicitly correct under DML: a COW
+    * rewrite yields new basenames (uncovered → delta recompute at refresh)
+    * and orphans the old partitions (dropped at refresh) — no stale flag,
+    * and a 100 TB corpus never recomputes signatures it already has. */
+  case class DedupIndexMeta(column: String, k: Int = 64, bands: Int = 16,
+                            shingleN: Int = 3, dir: String = "")
   case class TableManifest(version: Long,
                            schemaJson: String,
                            files: Seq[FileEntry],
@@ -75,6 +85,7 @@ object Manifest {
                            projections: Seq[ProjectionMeta] = Nil,
                            vectorIndexes: Seq[VectorIndexMeta] = Nil,
                            blobExpansions: Seq[BlobExpansionMeta] = Nil,
+                           dedupIndexes: Seq[DedupIndexMeta] = Nil,
                            props: Map[String, String] = Map.empty) {
     def schema: StructType =
       org.apache.spark.sql.types.DataType.fromJson(schemaJson).asInstanceOf[StructType]

@@ -125,45 +125,11 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
   private def predicateRoots(predicate: Column): Set[String] =
     Glue.referencedRoots(predicate)
 
-  /** Zone-map file pruning: drop files whose per-column min/max provably
-    * can't satisfy a top-level range constraint (constraints extracted from
-    * the unresolved Column tree by Glue.rangeConstraints). Conservative —
-    * missing stats keep the file; exactness comes from the scan's own
-    * filter. */
+  /** Zone-map file pruning (delegates to [[Table.pruneByZoneMaps]], which
+    * the SQL row-level COW path also uses for static group pruning). */
   private[graft] def pruneByZoneMaps(entries: Seq[FileEntry],
-                                     predicate: Column): Seq[FileEntry] = {
-    val cons = Glue.rangeConstraints(predicate)
-    if (cons.isEmpty) return entries
-    def normalize(v: Any): Option[Any] = v match {
-      case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
-      case other => Option(other)
-    }
-    entries.filter { f =>
-      cons.forall { case (c, op, raw) =>
-        (f.colStats.get(c), normalize(raw)) match {
-          case (Some(st), Some(v)) =>
-            def cmpTo(bound: String): Int = st.kind match {
-              case "long" => v.asInstanceOf[Number].longValue.compareTo(bound.toLong)
-              case "double" => v.asInstanceOf[Number].doubleValue.compareTo(bound.toDouble)
-              // UTF-8 binary order, matching the Spark min/max that produced
-              // the stats — String.compareTo (UTF-16 code units) disagrees on
-              // supplementary-plane chars and could prune matching files
-              case _ => org.apache.spark.unsafe.types.UTF8String.fromString(v.toString)
-                .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(bound))
-            }
-            try op match {
-              case ">" => cmpTo(st.max) < 0
-              case ">=" => cmpTo(st.max) <= 0
-              case "<" => cmpTo(st.min) > 0
-              case "<=" => cmpTo(st.min) >= 0
-              case "=" => cmpTo(st.min) >= 0 && cmpTo(st.max) <= 0
-              case _ => true
-            } catch { case _: Exception => true } // type mismatch → keep
-          case _ => true
-        }
-      }
-    }
-  }
+                                     predicate: Column): Seq[FileEntry] =
+    Table.pruneByZoneMaps(entries, predicate)
 
   /** Filtered+projected scan (reference `select`, vastdb/table.py:571-704).
     * Catalyst/Parquet take over everything the reference hand-rolls: splits
@@ -316,17 +282,26 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
   private def writeData(df: DataFrame, sorted: Boolean): Seq[FileEntry] = {
     val batch = dataDir.resolve("b-" + UUID.randomUUID().toString.take(8))
     df.write.parquet(batch.toString)
-    val zoneCols: Seq[(String, String)] = df.schema.fields.toSeq
+    statsEntries(batch, df.schema, sorted)
+  }
+
+  /** Manifest entries for an already-written parquet dir: per-file row
+    * counts, row-id ranges, and zone maps in one columnar stats pass. Also
+    * serves dirs staged by Spark's own distributed write (SQL row-level
+    * COW via `adoptReplacement`). */
+  private[api] def statsEntries(batch: Path, schema: StructType,
+                                sorted: Boolean): Seq[FileEntry] = {
+    val zoneCols: Seq[(String, String)] = schema.fields.toSeq
       .filter(_.name != RowIdColumn) // row-id range is tracked as lo/hi already
       .flatMap(f => statKind(f.dataType).map(kind => (f.name, kind)))
     val zoneAggs = zoneCols.flatMap { case (k, kind) =>
-      val c = statCol(k, df.schema(k).dataType)
+      val c = statCol(k, schema(k).dataType)
       Seq(min(c).cast("string").as(s"__mn_$k"), max(c).cast("string").as(s"__mx_$k")) ++
         (if (kind == "string") Seq(max(length(col(k))).as(s"__ln_$k")) else Nil)
     }
     // schema-pinned read: an EMPTY batch writes no part files and unpinned
     // inference would throw instead of yielding zero entries
-    val statsDf = spark.read.schema(df.schema).parquet(batch.toString)
+    val statsDf = spark.read.schema(schema).parquet(batch.toString)
       .groupBy(input_file_name().as("f"))
       .agg(count(lit(1)).as("rows"),
         (Seq(min(col(RowIdColumn)).as("lo"), max(col(RowIdColumn)).as("hi"))
@@ -516,6 +491,30 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       vectorIndexes = staleVectorIndexes(m)))
     batch.unpersist()
     recordAudit("delete", n)
+  }
+
+  /** Publish externally-staged parquet files as this table's new contents —
+    * the commit half of the SQL row-level COW (GraftRowLevelOperation):
+    * Spark's own distributed parquet write staged the replacement rows for
+    * the scanned file groups; this computes their manifest entries (stats
+    * pass), carries the UNSCANNED files over verbatim (`keepPaths`,
+    * manifest-relative), and CAS-publishes. `Conflict` if the manifest
+    * version moved past `expectVersion` since the operation's scan pinned
+    * it — the same lost-update protection as two API committers racing. */
+  def adoptReplacement(stagedDir: Path, expectVersion: Long,
+                       keepPaths: Set[String], op: String): Unit = {
+    val m = manifest
+    if (m.version != expectVersion)
+      throw Conflict(s"table $name moved v$expectVersion -> v${m.version} " +
+        "during a row-level operation; retry")
+    val kept = m.files.filter(f => keepPaths(f.path))
+    val schemaWithId = StructType(m.schema.fields :+
+      StructField(RowIdColumn, LongType, nullable = false))
+    val entries = statsEntries(stagedDir, schemaWithId, sorted = false)
+    tx.stageWrite(dir, m.copy(files = kept ++ entries,
+      projections = staleProjections(m),
+      vectorIndexes = staleVectorIndexes(m)))
+    recordAudit(op, entries.map(_.rows).sum)
   }
 
   /** Export the (filtered) table to plain parquet (reference README
@@ -711,9 +710,15 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     val nv = m.vectorIndexes.map { v =>
       if (v.column == from) v.copy(column = to, stale = true) else v
     }
+    // dedup index: signatures are CONTENT-derived and keyed by immutable
+    // source-file basename, not by column name — a pure rename invalidates
+    // nothing, so the metadata just follows the new name (no staling)
+    val nd = m.dedupIndexes.map { d =>
+      if (d.column == from) d.copy(column = to) else d
+    }
     tx.stageWrite(dir, m.copy(schemaJson = ns.json, files = nf,
       sortingKeys = m.sortingKeys.map(k => if (k == from) to else k),
-      projections = np, vectorIndexes = nv))
+      projections = np, vectorIndexes = nv, dedupIndexes = nd))
   }
 
   def dropColumn(name: String): Unit = {
@@ -738,6 +743,7 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       // (explicit dropBlobExpansion removes them).
       vectorIndexes = m.vectorIndexes.filterNot(_.column == name),
       blobExpansions = m.blobExpansions.filterNot(_.blobColumn == name),
+      dedupIndexes = m.dedupIndexes.filterNot(_.column == name),
       projections = m.projections.filterNot(p =>
         p.columns.contains(name) || p.sortedColumns.contains(name))))
   }
@@ -811,6 +817,9 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     } else compact(compactTargetRows)
     manifest.projections.filter(_.stale).foreach(p => refreshProjection(p.name))
     manifest.vectorIndexes.filter(_.stale).foreach(v => refreshVectorIndex(v.column))
+    // incremental by design: covered files are skipped, so this is a no-op
+    // unless DML actually changed the file set
+    manifest.dedupIndexes.foreach(d => refreshDedupIndex(d.column))
   }
 
   // ------------------------------------------- projections (D10, §4.3)
@@ -1069,6 +1078,130 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     }
   }
 
+  // ------------------------------------------- dedup-signature index
+
+  private def srcName(rel: String): String =
+    rel.substring(rel.lastIndexOf('/') + 1)
+
+  /** Declare + build a persisted dedup-signature index on a text column
+    * (minhash + simhash per row; see `Manifest.DedupIndexMeta` for the
+    * file-granular incremental model). */
+  def createDedupIndex(column: String, k: Int = 64, bands: Int = 16,
+                       shingleN: Int = 3): Unit = {
+    require(k % bands == 0, "bands must divide k")
+    val m = manifest
+    if (!m.schema.fieldNames.contains(column))
+      throw NotSupportedCommand(s"no column $column to index")
+    val meta = DedupIndexMeta(column, k, bands, shingleN,
+      dir = s"_dedupidx/$column-${UUID.randomUUID().toString.take(8)}")
+    tx.stageWrite(dir, m.copy(dedupIndexes =
+      m.dedupIndexes.filterNot(_.column == column) :+ meta))
+    buildMissingSignatures(meta, manifest.files)
+  }
+
+  /** Incremental refresh: drop signature partitions whose source file a COW
+    * rewrite replaced, compute signatures ONLY for files not yet covered —
+    * one distributed job over the delta, nothing recomputed for untouched
+    * files. Single-maintainer assumption (like the reference's background
+    * jobs): concurrent refreshes of the same index may duplicate partition
+    * contents. */
+  def refreshDedupIndex(column: String): Unit = {
+    val m = manifest
+    val meta = m.dedupIndexes.find(_.column == column)
+      .getOrElse(throw NotSupportedCommand(s"no dedup index on $column"))
+    val idxDir = dir.resolve(meta.dir)
+    val current = m.files.map(f => srcName(f.path)).toSet
+    val covered = coveredSrcs(idxDir)
+    (covered -- current).foreach(s =>
+      Table.deleteRecursively(idxDir.resolve(s"__src=$s")))
+    buildMissingSignatures(meta,
+      m.files.filterNot(f => covered(srcName(f.path))))
+    recordAudit("refresh_dedup_index", m.totalRows)
+  }
+
+  /** Near-duplicate pairs from the persisted index: covered files read
+    * their signatures (never recomputed), files inserted since the last
+    * refresh compute theirs on the fly — results are always current. */
+  def dedupMinhashPairs(column: String, threshold: Double = 0.7): DataFrame = {
+    val (meta, sigs) = indexSignatures(column)
+    graft.llm.Dedup.minhashPairsFromSigs(
+      sigs.select(col(RowIdColumn).as("id"), col("sig")),
+      meta.k, meta.bands, threshold)
+  }
+
+  /** Simhash variant over the same persisted index. */
+  def dedupSimhashPairs(column: String, maxHamming: Int = 3): DataFrame = {
+    val (_, sigs) = indexSignatures(column)
+    graft.llm.Dedup.simhashPairsFromSigs(
+      sigs.select(col(RowIdColumn).as("id"), col("sim")), maxHamming)
+  }
+
+  private def coveredSrcs(idxDir: Path): Set[String] =
+    if (!Files.isDirectory(idxDir)) Set.empty
+    else Table.listDir(idxDir).map(_.getFileName.toString)
+      .filter(_.startsWith("__src="))
+      .map(_.stripPrefix("__src=")).toSet
+
+  /** ONE distributed job computes signatures for every uncovered file and
+    * hive-partitions them back out by source-file basename (unique: data
+    * file names are uuid-suffixed). */
+  private def buildMissingSignatures(meta: DedupIndexMeta,
+                                     missing: Seq[FileEntry]): Unit = {
+    if (missing.isEmpty) return
+    val idxDir = dir.resolve(meta.dir)
+    val toks = split(col(meta.column), " ")
+    readEntries(missing, manifest.schema)
+      .select(col(RowIdColumn),
+        graft.functions.TextHashes.minhashFromTokens(toks, meta.k, meta.shingleN)
+          .as("sig"),
+        graft.functions.TextHashes.simhash64(toks).as("sim"),
+        element_at(split(input_file_name(), "/"), -1).as("__src"))
+      .write.mode("append").partitionBy("__src").parquet(idxDir.toString)
+    // rollback cleanup for exactly the partitions this tx created
+    missing.foreach { f =>
+      val pdir = idxDir.resolve("__src=" + srcName(f.path))
+      if (Files.isDirectory(pdir))
+        Table.walkPaths(pdir).reverse.foreach(p => tx.newFiles += p.toString)
+    }
+  }
+
+  /** Index-backed signature table for the CURRENT manifest: persisted
+    * partitions (static `__src` partition pruning) unioned with on-the-fly
+    * signatures for not-yet-refreshed files. */
+  private def indexSignatures(column: String): (DedupIndexMeta, DataFrame) = {
+    val m = manifest
+    val meta = m.dedupIndexes.find(_.column == column)
+      .getOrElse(throw NotSupportedCommand(s"no dedup index on $column"))
+    val idxDir = dir.resolve(meta.dir)
+    val sigSchema = StructType(Seq(
+      StructField(RowIdColumn, LongType, nullable = false),
+      StructField("sig", ArrayType(LongType)),
+      StructField("sim", LongType)))
+    val current = m.files.map(f => srcName(f.path)).toSet
+    val covered = coveredSrcs(idxDir).intersect(current)
+    val persisted =
+      if (covered.isEmpty) None
+      else Some(spark.read
+        .schema(sigSchema.add(StructField("__src", StringType)))
+        .parquet(idxDir.toString)
+        .filter(col("__src").isin(covered.toSeq: _*))
+        .drop("__src"))
+    val uncovered = m.files.filterNot(f => covered(srcName(f.path)))
+    val fresh =
+      if (uncovered.isEmpty) None
+      else {
+        val toks = split(col(meta.column), " ")
+        Some(readEntries(uncovered, m.schema).select(col(RowIdColumn),
+          graft.functions.TextHashes.minhashFromTokens(toks, meta.k, meta.shingleN)
+            .as("sig"),
+          graft.functions.TextHashes.simhash64(toks).as("sim")))
+      }
+    val sigs = (persisted.toSeq ++ fresh.toSeq).reduceOption(_.unionByName(_))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], sigSchema))
+    (meta, sigs)
+  }
+
   // ------------------------------------------------ blob expansion (D11)
 
   /** Auto-maintained expansion of a JSON blob column into a side table
@@ -1155,6 +1288,46 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
 }
 
 object Table {
+
+  /** Zone-map file pruning: drop files whose per-column min/max provably
+    * can't satisfy a top-level range constraint (constraints extracted from
+    * the unresolved Column tree by Glue.rangeConstraints). Conservative —
+    * missing stats keep the file; exactness comes from the scan's own
+    * filter (or, for the SQL row-level COW, from whole-file group
+    * replacement: pruning only ever KEEPS whole files, never drops rows). */
+  def pruneByZoneMaps(entries: Seq[FileEntry], predicate: Column): Seq[FileEntry] = {
+    val cons = Glue.rangeConstraints(predicate)
+    if (cons.isEmpty) return entries
+    def normalize(v: Any): Option[Any] = v match {
+      case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+      case other => Option(other)
+    }
+    entries.filter { f =>
+      cons.forall { case (c, op, raw) =>
+        (f.colStats.get(c), normalize(raw)) match {
+          case (Some(st), Some(v)) =>
+            def cmpTo(bound: String): Int = st.kind match {
+              case "long" => v.asInstanceOf[Number].longValue.compareTo(bound.toLong)
+              case "double" => v.asInstanceOf[Number].doubleValue.compareTo(bound.toDouble)
+              // UTF-8 binary order, matching the Spark min/max that produced
+              // the stats — String.compareTo (UTF-16 code units) disagrees on
+              // supplementary-plane chars and could prune matching files
+              case _ => org.apache.spark.unsafe.types.UTF8String.fromString(v.toString)
+                .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(bound))
+            }
+            try op match {
+              case ">" => cmpTo(st.max) < 0
+              case ">=" => cmpTo(st.max) <= 0
+              case "<" => cmpTo(st.min) > 0
+              case "<=" => cmpTo(st.min) >= 0
+              case "=" => cmpTo(st.min) >= 0 && cmpTo(st.max) <= 0
+              case _ => true
+            } catch { case _: Exception => true } // type mismatch → keep
+          case _ => true
+        }
+      }
+    }
+  }
 
   /** Schema-merge modes (vastdb/util.py:18-83): `default` = containment,
     * `strict` = equality, `union` = unify. */

@@ -78,13 +78,19 @@ object Dedup {
    */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 64, bands: Int = 16, threshold: Double = 0.7,
-                   shingleN: Int = 3): DataFrame = {
+                   shingleN: Int = 3): DataFrame =
+    minhashPairsFromSigs(df.select(col(idCol).as("id"),
+      graft.functions.TextHashes.minhashFromTokens(
+        split(col(textCol), " "), k, shingleN).as("sig")), k, bands, threshold)
+
+  /** Same LSH pipeline from a PRECOMPUTED signature table (id, sig) — the
+    * path the persisted dedup index (`Table.dedupMinhashPairs`) takes, so a
+    * 100 TB corpus computes signatures once, not per dedup run. */
+  def minhashPairsFromSigs(sigsIn: DataFrame, k: Int, bands: Int,
+                           threshold: Double): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val sigs = materializeIfLarge(df
-      .select(col(idCol).as("id"),
-        graft.functions.TextHashes.minhashFromTokens(
-          split(col(textCol), " "), k, shingleN).as("sig"))) // reused in 3 joins
+    val sigs = materializeIfLarge(sigsIn) // reused in 3 joins
     // candidate generation carries only (band, band_hash, id) — the wide
     // signature arrays never enter the candidate shuffle or the distinct
     // bands statically unrolled into a literal array of native expressions —
@@ -120,10 +126,15 @@ object Dedup {
     * banded into (maxHamming+1) 16-bit chunks (pigeonhole guarantee for
     * maxHamming ≤ 3). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3): DataFrame =
+    simhashPairsFromSigs(
+      df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim")), maxHamming)
+
+  /** Simhash banding from a PRECOMPUTED signature table (id, sim) — the
+    * persisted-index path, like `minhashPairsFromSigs`. */
+  def simhashPairsFromSigs(sigsIn: DataFrame, maxHamming: Int = 3): DataFrame = {
     val chunks = 4 // 4 × 16-bit chunks of the 64-bit signature
-    val sigs = materializeIfLarge(
-      df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim")))
+    val sigs = materializeIfLarge(sigsIn)
     val banded = sigs.select(col("id"), col("sim"),
         posexplode(array((0 until chunks).map(c =>
           call_function("shiftrightunsigned", col("sim"), lit(c * 16))

@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.api._
+
+/** Persisted dedup-signature index: signatures are computed ONCE per
+  * immutable data file and reused across dedup runs — the property that
+  * makes incremental corpus dedup viable at 100 TB (recomputing minhash over
+  * the whole corpus per run is the anti-pattern this index exists to kill).
+  * Coverage is file-granular: refresh computes only uncovered files and
+  * drops partitions orphaned by COW rewrites. */
+class DedupIndexSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  /** ≥ shingleN tokens, unique per id unless planted as a duplicate. */
+  private def doc(id: Long): String =
+    s"document number $id carries its own distinct words w${id}a w${id}b w${id}c"
+
+  private def insertBatch(t: Table, ids: Seq[(Long, String)]): Unit = {
+    val l = new java.util.ArrayList[Row]()
+    ids.foreach { case (i, txt) => l.add(Row(i, txt)) }
+    t.insert(spark.createDataFrame(l, schema).coalesce(1))
+  }
+
+  /** Snapshot of every part file under the index dir: partition -> files
+    * with sizes and mtimes. Byte-stable across a refresh ⇔ untouched. */
+  private def partState(idxDir: Path): Map[String, Set[(String, Long, Long)]] =
+    Table.listDir(idxDir)
+      .filter(_.getFileName.toString.startsWith("__src="))
+      .map { p =>
+        p.getFileName.toString ->
+          Table.walkPaths(p).filter(Files.isRegularFile(_)).map(f =>
+            (f.getFileName.toString, Files.size(f),
+              Files.getLastModifiedTime(f).toMillis)).toSet
+      }.toMap
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("incremental refresh: delta-only recompute, DML orphan cleanup") {
+    val root = Files.createTempDirectory("graft-didx").toString
+    val s = VastSession(spark, root)
+    s.createBucket("b")
+    // 3 single-file batches; ids 0 and 101 share one text (cross-file dup)
+    s.transaction { tx =>
+      val t = tx.bucket("b").createSchema("m").createTable("d", schema)
+      insertBatch(t, (0L until 100L).map(i => (i, doc(i))))
+      insertBatch(t, (100L until 200L).map(i =>
+        (i, if (i == 101L) doc(0) else doc(i))))
+      insertBatch(t, (200L until 300L).map(i => (i, doc(i))))
+      t.createDedupIndex("text", k = 64, bands = 16)
+    }
+
+    var idxDir: Path = null
+    s.transaction { tx =>
+      val t = tx.bucket("b").schema("m").table("d")
+      val meta = t.manifest.dedupIndexes.head
+      idxDir = Paths.get(root, "b", "m", "d").resolve(meta.dir)
+      assert(meta.column == "text")
+      // one signature partition per data file, fully covered at create
+      assert(partState(idxDir).size == t.manifest.files.size)
+      assert(pairSet(t.dedupMinhashPairs("text")) == Set((0L, 101L)))
+      assert(pairSet(t.dedupSimhashPairs("text")).contains((0L, 101L)))
+    }
+    val afterCreate = partState(idxDir)
+    assert(afterCreate.size == 3)
+
+    // delta insert: pairs are current BEFORE any refresh (on-the-fly union
+    // for the uncovered file), and refresh then persists ONLY the delta —
+    // the three existing partitions stay byte-identical
+    s.transaction { tx =>
+      val t = tx.bucket("b").schema("m").table("d")
+      insertBatch(t, (300L until 350L).map(i =>
+        (i, if (i == 307L) doc(42) else doc(i))))
+      assert(pairSet(t.dedupMinhashPairs("text")) ==
+        Set((0L, 101L), (42L, 307L)))
+      t.refreshDedupIndex("text")
+    }
+    val afterDelta = partState(idxDir)
+    assert(afterDelta.size == 4, s"want 4 partitions, got ${afterDelta.size}")
+    afterCreate.foreach { case (part, files) =>
+      assert(afterDelta(part) == files,
+        s"refresh rewrote already-covered partition $part")
+    }
+    s.transaction { tx =>
+      val t = tx.bucket("b").schema("m").table("d")
+      assert(pairSet(t.dedupMinhashPairs("text")) ==
+        Set((0L, 101L), (42L, 307L)))
+    }
+
+    // COW delete of id 101 rewrites exactly the file holding it: refresh
+    // drops that file's orphaned partition, computes one new one, and the
+    // other covered partitions are again untouched
+    s.transaction { tx =>
+      val t = tx.bucket("b").schema("m").table("d")
+      t.delete(t.select(Seq("doc_id"), col("doc_id") === 101L,
+        internalRowId = true).select("_row_id"))
+      // pre-refresh correctness over the mixed persisted/orphaned state
+      assert(pairSet(t.dedupMinhashPairs("text")) == Set((42L, 307L)))
+      t.refreshDedupIndex("text")
+    }
+    val afterDelete = partState(idxDir)
+    assert(afterDelete.size == 4)
+    val untouched = afterDelta.keySet.intersect(afterDelete.keySet)
+    assert(untouched.size == 3, "exactly one partition should be replaced")
+    untouched.foreach(p => assert(afterDelta(p) == afterDelete(p)))
+    s.transaction { tx =>
+      val t = tx.bucket("b").schema("m").table("d")
+      assert(pairSet(t.dedupMinhashPairs("text")) == Set((42L, 307L)))
+      assert(t.select().count() == 349)
+      // maintain() compacts small files AND refreshes the index in one pass:
+      // the index follows the (new, compacted) file set and stays correct
+      t.maintain()
+    }
+    s.transaction { tx =>
+      val t = tx.bucket("b").schema("m").table("d")
+      assert(partState(idxDir).keySet ==
+        t.manifest.files.map(f => "__src=" +
+          f.path.substring(f.path.lastIndexOf('/') + 1)).toSet)
+      assert(pairSet(t.dedupMinhashPairs("text")) == Set((42L, 307L)))
+    }
+  }
+}

@@ -170,4 +170,82 @@ class SqlCatalogSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted
     assert(filtered.toSeq == Seq(1L, 3L))
   }
+
+  test("SQL UPDATE/MERGE/subquery-DELETE: group COW, file pruning, CAS") {
+    val root = Files.createTempDirectory("graft-sqlupd").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    s.transaction { tx =>
+      val t = tx.bucket("bk").createSchema("m").createTable("u", schema)
+      // 5 single-file batches with disjoint `a` ranges → pruning targets
+      for (b <- 0 until 5) {
+        val l = new java.util.ArrayList[Row]()
+        (0 until 10).foreach(i => l.add(Row(b * 10L + i, s"v$b-$i")))
+        t.insert(spark.createDataFrame(l, schema).coalesce(1))
+      }
+    }
+    spark.conf.set("spark.sql.catalog.graft4",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.graft4.root", root)
+    def files(): Set[String] = {
+      var f: Set[String] = Set.empty
+      s.transaction(tx =>
+        f = tx.bucket("bk").schema("m").table("u").manifest.files.map(_.path).toSet)
+      f
+    }
+    val before = files()
+    assert(before.size == 5)
+
+    spark.sql("UPDATE graft4.bk.m.u SET s = 'updated' WHERE a >= 42 AND a < 45")
+
+    s.transaction { tx =>
+      val t = tx.bucket("bk").schema("m").table("u")
+      // group semantics: NO row lost — non-matching rows in the rewritten
+      // file group and all rows of untouched groups survive
+      assert(t.select().count() == 50)
+      assert(t.select(Seq("s"), col("a").between(42, 44)).collect()
+        .forall(_.getString(0) == "updated"))
+      assert(t.select(Seq("s"), col("a") === 40).head.getString(0) == "v4-0")
+      assert(t.select(Seq("s"), col("a") === 5).head.getString(0) == "v0-5")
+    }
+    // zone-map group pruning: only the one file whose range covers [42,45)
+    // was rewritten; the other 4 carried into the new version verbatim
+    val after = files()
+    assert((before intersect after).size == 4,
+      s"UPDATE rewrote ${(before -- after).size} files, want 1")
+
+    // MERGE INTO through the same row-level machinery
+    spark.sql("""MERGE INTO graft4.bk.m.u t
+      USING (SELECT 7L AS a, 'merged' AS s) src ON t.a = src.a
+      WHEN MATCHED THEN UPDATE SET s = src.s""")
+    s.transaction { tx =>
+      val t = tx.bucket("bk").schema("m").table("u")
+      assert(t.select().count() == 50)
+      assert(t.select(Seq("s"), col("a") === 7).head.getString(0) == "merged")
+    }
+
+    // DELETE with a subquery: canDeleteWhere can't express it, so it runs
+    // through the row-level group COW instead of SupportsDelete
+    spark.sql("""DELETE FROM graft4.bk.m.u
+      WHERE a IN (SELECT a FROM graft4.bk.m.u WHERE s = 'merged')""")
+    s.transaction { tx =>
+      val t = tx.bucket("bk").schema("m").table("u")
+      assert(t.select().count() == 49)
+      assert(t.select(Seq("a"), col("a") === 7).count() == 0)
+    }
+
+    // cross-path conflict: an API transaction that pinned the pre-UPDATE
+    // version must CAS-fail after a SQL UPDATE commits
+    val apiTx = s.beginTransaction()
+    val apiT = apiTx.bucket("bk").schema("m").table("u")
+    apiT.insert(spark.createDataFrame(
+      java.util.List.of(Row(100L, "hundred")), schema))
+    spark.sql("UPDATE graft4.bk.m.u SET s = 'race' WHERE a = 0")
+    intercept[Conflict] { apiTx.commit() }
+    s.transaction { tx =>
+      val t = tx.bucket("bk").schema("m").table("u")
+      assert(t.select(Seq("s"), col("a") === 0).head.getString(0) == "race")
+      assert(t.select(Seq("a"), col("a") === 100).count() == 0) // lost tx rolled back
+    }
+  }
 }
