@@ -37,9 +37,13 @@ object Manifest {
 
   /** Per-file, per-column zone map: min/max string-encoded with the
     * comparison kind ("long" = integral/timestamp-micros, "double",
-    * "string"). Maintained for sorting-key columns — where sorted layout
-    * makes ranges disjoint and pruning actually pays. */
-  case class ColStat(min: String, max: String, kind: String)
+    * "string"). Collected for every primitive column at write time. Long
+    * string values store a truncated MIN (a prefix is always a sound —
+    * merely weaker — lower bound) and set `maxUnbounded` when the stored
+    * max is only a prefix of the true max (a truncated upper bound would
+    * be unsound, so pruning must treat it as +∞). */
+  case class ColStat(min: String, max: String, kind: String,
+                     maxUnbounded: Boolean = false)
 
   /** One immutable data file + its row-id range (drives file-level pruning
     * for row-id-addressed DML), per-column zone maps, and per-file
@@ -190,19 +194,44 @@ class VastSession(val spark: SparkSession, val root: String) {
     * segment under `_audit/segments/`, so at 100 TB the audit log itself is
     * a columnar, predicate-prunable table rather than a giant JSON file. */
   def audit(op: String, tx: Option[Long] = None, table: Option[String] = None,
-            rows: Option[Long] = None): Unit = synchronized {
+            rows: Option[Long] = None): Unit = {
     val dir = Paths.get(root, "_audit")
     Files.createDirectories(dir)
-    def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // full JSON string escaping: control chars (a table name with a newline
+    // must not split the JSONL line into two malformed fragments)
+    def js(s: String) = {
+      val b = new StringBuilder("\"")
+      s.foreach {
+        case '\\' => b.append("\\\\")
+        case '"' => b.append("\\\"")
+        case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+        case c => b.append(c)
+      }
+      b.append('"').toString
+    }
     val line = s"""{"ts":${System.currentTimeMillis()},"tx":${tx.map(_.toString).getOrElse("null")},""" +
       s""""op":${js(op)},"table":${table.map(js).getOrElse("null")},""" +
       s""""rows":${rows.map(_.toString).getOrElse("null")}}"""
     val tail = dir.resolve("audit.jsonl")
-    Files.write(tail, (line + "\n").getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
-    if (Files.size(tail) > VastSession.AuditRollBytes) rollAuditTail(dir)
-    ()
+    val needRoll = synchronized {
+      Files.write(tail, (line + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+      try Files.size(tail) > VastSession.AuditRollBytes
+      catch { case _: Exception => false } // another process moved the tail
+    }
+    // the roll is OPPORTUNISTIC and runs OUTSIDE the append lock (it's a
+    // Spark job — holding the session monitor would stall every concurrent
+    // audit/commit for its duration): audit() is called from inside commit()
+    // after the CAS is already durable, so a roll failure (disk full,
+    // executor loss) must not surface as a commit exception; leftover
+    // tails/rolling files are picked up by the next successful roll and by
+    // every auditLog() read.
+    if (needRoll)
+      try rollLock.synchronized(rollAuditTail(dir))
+      catch { case scala.util.control.NonFatal(_) => () }
   }
+
+  private val rollLock = new Object
 
   /** Roll the JSONL tail (plus any crash-leftover rolling files) into a
     * parquet segment. Crash-safe without a lock file: the tail is first
@@ -255,7 +284,7 @@ object VastSession {
       StructField("ts", LongType), StructField("tx", LongType),
       StructField("op", StringType), StructField("table", StringType),
       StructField("rows", LongType)))
-    spark.read.schema(raw).json(p.toString)
+    spark.read.schema(raw).option("ignoreMissingFiles", "true").json(p.toString)
       .select(timestamp_millis(col("ts")).as("ts"), col("tx"), col("op"),
         col("table"), col("rows"))
   }
@@ -282,6 +311,11 @@ class Transaction(val session: VastSession, val id: Long) {
   // table dirs created by this tx (removed on rollback)
   private[api] val newTables = scala.collection.mutable.ArrayBuffer.empty[String]
   private[api] val droppedTables = scala.collection.mutable.ArrayBuffer.empty[String]
+  // dirs/files whose deletion must wait until the commit is durable (e.g. a
+  // replaced dedup-index dir, signature partitions a staged COW orphaned):
+  // a rollback of the staging transaction must leave them intact because the
+  // COMMITTED manifest still references their contents
+  private[api] val deleteOnCommit = scala.collection.mutable.ArrayBuffer.empty[String]
   // staged directory renames (table or schema), src -> dst: nothing moves on
   // disk until commit, so concurrent transactions keep seeing the old name
   // and rollback is a no-op (reference rename isolation,
@@ -423,7 +457,10 @@ class Transaction(val session: VastSession, val id: Long) {
       }
     }
     droppedTables.foreach { d => Table.deleteRecursively(Paths.get(d)) }
-    session.audit("commit", tx = Some(id), rows = Some(writeSet.size.toLong))
+    deleteOnCommit.foreach { d => Table.deleteRecursively(Paths.get(d)) }
+    // rows stays null here: the pinned contract's `rows` means row counts
+    // (each staged op already audited its own), not staged-table counts
+    session.audit("commit", tx = Some(id))
   }
 
   def rollback(): Unit = {
@@ -498,9 +535,14 @@ class Transaction(val session: VastSession, val id: Long) {
     val dir = Paths.get(session.root, "_audit")
     val segDir = dir.resolve("segments")
     val parts = Seq.newBuilder[DataFrame]
+    // ignoreMissingFiles: a concurrent roll can rename/delete the tail or a
+    // rolling file between this listing and the action that reads it — the
+    // moved rows are in the parquet segments by then, so skipping the
+    // vanished file keeps the union consistent instead of failing the read
     if (Files.isDirectory(segDir) && Table.listDir(segDir).exists(
         _.getFileName.toString.endsWith(".parquet")))
-      parts += spark.read.schema(VastSession.AuditSchema).parquet(segDir.toString)
+      parts += spark.read.schema(VastSession.AuditSchema)
+        .option("ignoreMissingFiles", "true").parquet(segDir.toString)
     if (Files.isDirectory(dir))
       Table.listDir(dir)
         .filter { p =>

@@ -264,15 +264,30 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
   private def statCol(name: String, dt: DataType): Column = dt match {
     case TimestampType => unix_micros(col(name))
     case DateType => datediff(col(name), lit("1970-01-01").cast("date"))
+    // float→double is EXACT and double→string round-trips; casting the
+    // float itself to string would store its shortest decimal form, which
+    // re-parsed as a double shifts the bound and can prune matching files
+    case FloatType => col(name).cast("double")
     case _ => col(name)
   }
 
-  /** Longest string value a manifest zone map will store. A truncated MIN
-    * stays a sound lower bound but a truncated MAX is NOT a sound upper
-    * bound, so rather than truncate we DROP string stats for files holding
-    * longer values (e.g. document bodies) — conservative: the file is simply
-    * never pruned on that column. */
+  /** Longest string value a manifest zone map will store. Longer values
+    * (e.g. document bodies, URLs) keep a truncated-prefix MIN — a prefix is
+    * byte-wise ≤ the original, so still a sound lower bound — and mark the
+    * MAX unbounded (a truncated upper bound would be unsound). Range scans
+    * on long-string sorting keys keep their lower-bound pruning. */
   private val MaxStringStat = 64
+
+  /** Truncate to ≤ MaxStringStat chars without splitting a surrogate pair
+    * (a lone high surrogate re-encodes as U+FFFD, which is not a byte-wise
+    * prefix of the original and would break bound soundness). */
+  private def truncStat(s: String): String =
+    if (s.length <= MaxStringStat) s
+    else {
+      val cut = if (Character.isHighSurrogate(s.charAt(MaxStringStat - 1)))
+        MaxStringStat - 1 else MaxStringStat
+      s.substring(0, cut)
+    }
 
   /** Write a DataFrame (logical schema + `_row_id`) as immutable data files;
     * returns manifest entries with per-file row-id ranges and zone maps for
@@ -294,10 +309,9 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     val zoneCols: Seq[(String, String)] = schema.fields.toSeq
       .filter(_.name != RowIdColumn) // row-id range is tracked as lo/hi already
       .flatMap(f => statKind(f.dataType).map(kind => (f.name, kind)))
-    val zoneAggs = zoneCols.flatMap { case (k, kind) =>
+    val zoneAggs = zoneCols.flatMap { case (k, _) =>
       val c = statCol(k, schema(k).dataType)
-      Seq(min(c).cast("string").as(s"__mn_$k"), max(c).cast("string").as(s"__mx_$k")) ++
-        (if (kind == "string") Seq(max(length(col(k))).as(s"__ln_$k")) else Nil)
+      Seq(min(c).cast("string").as(s"__mn_$k"), max(c).cast("string").as(s"__mx_$k"))
     }
     // schema-pinned read: an EMPTY batch writes no part files and unpinned
     // inference would throw instead of yielding zero entries
@@ -316,9 +330,10 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       val stats = zoneCols.flatMap { case (k, kind) =>
         val mn = r.getAs[String](s"__mn_$k")
         val mx = r.getAs[String](s"__mx_$k")
-        val tooLong = kind == "string" &&
-          Option(r.getAs[Integer](s"__ln_$k")).exists(_ > MaxStringStat)
-        if (mn == null || mx == null || tooLong) None
+        if (mn == null || mx == null) None
+        else if (kind == "string")
+          Some(k -> ColStat(truncStat(mn), truncStat(mx), kind,
+            maxUnbounded = mx.length > MaxStringStat))
         else Some(k -> ColStat(mn, mx, kind))
       }.toMap
       FileEntry(rel, r.getAs[Long]("rows"), r.getAs[Long]("lo"),
@@ -511,7 +526,13 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     val schemaWithId = StructType(m.schema.fields :+
       StructField(RowIdColumn, LongType, nullable = false))
     val entries = statsEntries(stagedDir, schemaWithId, sorted = false)
-    tx.stageWrite(dir, m.copy(files = kept ++ entries,
+    // MERGE can insert rows carrying explicit _row_id above the high-water
+    // mark; advance it past their max (same rule as insert()) or a later API
+    // insert would re-allocate those ids and duplicate them
+    val hi =
+      if (entries.isEmpty) m.nextRowId
+      else math.max(m.nextRowId, entries.map(_.maxRowId).max + 1)
+    tx.stageWrite(dir, m.copy(files = kept ++ entries, nextRowId = hi,
       projections = staleProjections(m),
       vectorIndexes = staleVectorIndexes(m)))
     recordAudit(op, entries.map(_.rows).sum)
@@ -1094,6 +1115,12 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       throw NotSupportedCommand(s"no column $column to index")
     val meta = DedupIndexMeta(column, k, bands, shingleN,
       dir = s"_dedupidx/$column-${UUID.randomUUID().toString.take(8)}")
+    // a replaced index's dir is deleted only once this transaction commits:
+    // until then the COMMITTED manifest still points at it (and a rollback
+    // must leave it serving queries); deferring also stops re-creates from
+    // leaking a full signature copy of the table per call
+    m.dedupIndexes.filter(_.column == column)
+      .foreach(old => tx.deleteOnCommit += dir.resolve(old.dir).toString)
     tx.stageWrite(dir, m.copy(dedupIndexes =
       m.dedupIndexes.filterNot(_.column == column) :+ meta))
     buildMissingSignatures(meta, manifest.files)
@@ -1112,8 +1139,11 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     val idxDir = dir.resolve(meta.dir)
     val current = m.files.map(f => srcName(f.path)).toSet
     val covered = coveredSrcs(idxDir)
+    // `current` may come from a STAGED manifest (refresh inside a larger
+    // transaction): partitions it orphans are deleted only at commit, so a
+    // rollback keeps coverage for files still live in the committed manifest
     (covered -- current).foreach(s =>
-      Table.deleteRecursively(idxDir.resolve(s"__src=$s")))
+      tx.deleteOnCommit += idxDir.resolve(s"__src=$s").toString)
     buildMissingSignatures(meta,
       m.files.filterNot(f => covered(srcName(f.path))))
     recordAudit("refresh_dedup_index", m.totalRows)
@@ -1315,12 +1345,15 @@ object Table {
               case _ => org.apache.spark.unsafe.types.UTF8String.fromString(v.toString)
                 .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(bound))
             }
+            // a truncated string max is only a prefix of the true max —
+            // treat it as +∞ for every upper-bound test
             try op match {
-              case ">" => cmpTo(st.max) < 0
-              case ">=" => cmpTo(st.max) <= 0
+              case ">" => st.maxUnbounded || cmpTo(st.max) < 0
+              case ">=" => st.maxUnbounded || cmpTo(st.max) <= 0
               case "<" => cmpTo(st.min) > 0
               case "<=" => cmpTo(st.min) >= 0
-              case "=" => cmpTo(st.min) >= 0 && cmpTo(st.max) <= 0
+              case "=" => cmpTo(st.min) >= 0 &&
+                (st.maxUnbounded || cmpTo(st.max) <= 0)
               case _ => true
             } catch { case _: Exception => true } // type mismatch → keep
           case _ => true

@@ -397,7 +397,6 @@ private[graftglue] class GraftGroupCowOperation(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters {
       import org.apache.spark.sql.sources.Filter
-      private var residual: Array[Filter] = Array.empty
 
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         // group pruning only — sound because files are either fully
@@ -411,7 +410,6 @@ private[graftglue] class GraftGroupCowOperation(
           cond.foreach(c =>
             scanned = graft.api.Table.pruneByZoneMaps(manifest.files, c))
         }
-        residual = filters
         filters // nothing handled at row level; Spark keeps the semantics
       }
 

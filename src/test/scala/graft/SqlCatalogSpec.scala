@@ -248,4 +248,35 @@ class SqlCatalogSpec extends SparkSpec {
       assert(t.select(Seq("a"), col("a") === 100).count() == 0) // lost tx rolled back
     }
   }
+
+  test("MERGE-inserted explicit _row_id advances the insert high-water mark") {
+    val root = Files.createTempDirectory("graft-sqlhwm").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    s.transaction { tx =>
+      val t = tx.bucket("bk").createSchema("m").createTable("u", schema)
+      val l = new java.util.ArrayList[Row]()
+      (0 until 5).foreach(i => l.add(Row(i.toLong, s"v$i")))
+      t.insert(spark.createDataFrame(l, schema)) // ids 0..4
+    }
+    spark.conf.set("spark.sql.catalog.graft5",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.graft5.root", root)
+    // MERGE can insert a row carrying an explicit _row_id far above the
+    // current high-water mark (the external vastdb_rowid path in SQL form)
+    spark.sql("""MERGE INTO graft5.bk.m.u t
+      USING (SELECT 99L AS a, 'merged' AS s, 100L AS rid) src ON t.a = src.a
+      WHEN NOT MATCHED THEN INSERT (a, s, `_row_id`) VALUES (src.a, src.s, src.rid)""")
+    s.transaction { tx =>
+      val t = tx.bucket("bk").schema("m").table("u")
+      assert(t.select().count() == 6)
+      // a later API insert must allocate ABOVE the merged id, never reuse it
+      val (start, _) = t.insert(spark.createDataFrame(
+        java.util.List.of(Row(7L, "seven")), schema))
+      assert(start >= 101, s"insert allocated row id $start, colliding with merged id 100")
+      val ids = t.select(Nil, org.apache.spark.sql.functions.lit(true), internalRowId = true)
+        .select("_row_id").collect().map(_.getLong(0))
+      assert(ids.distinct.length == ids.length, "duplicate _row_id after MERGE insert")
+    }
+  }
 }

@@ -120,4 +120,52 @@ class ZoneMapPropertySpec extends SparkSpec {
       assert(scanned == 1, s"scanned $scanned of 4 files, want 1")
     }
   }
+
+  test("float zone maps are exact: no pruning of files whose float widens past the bound") {
+    val root = Files.createTempDirectory("graft-zmpf").toString
+    val s = VastSession(spark, root)
+    s.createBucket("b")
+    s.transaction { tx =>
+      val sch = StructType(Seq(StructField("a", LongType), StructField("f", FloatType)))
+      val t = tx.bucket("b").createSchema("m").createTable("t", sch)
+      val l = new java.util.ArrayList[Row]()
+      (0 until 5).foreach(i => l.add(Row(i.toLong, 0.1f)))
+      t.insert(spark.createDataFrame(l, sch).coalesce(1))
+      // 0.1f as a double is 0.100000001...: the predicate f > 0.1 (double)
+      // MATCHES every row. A zone map that stored the float's shortest
+      // string "0.1" would re-parse to exactly 0.1 and wrongly prune the
+      // whole file; bounds are stored as the exact widened double instead.
+      assert(t.select(Seq("a"), col("f") > lit(0.1)).count() == 5)
+    }
+  }
+
+  test("long strings keep a truncated-min lower bound; truncated max never prunes") {
+    val root = Files.createTempDirectory("graft-zmps").toString
+    val s = VastSession(spark, root)
+    s.createBucket("b")
+    s.transaction { tx =>
+      val sch = StructType(Seq(StructField("a", LongType), StructField("u", StringType)))
+      val t = tx.bucket("b").createSchema("m").createTable("t", sch)
+      def url(host: Char, i: Int) = s"https://$host.example.com/" + ("x" * 80) + i
+      // two single-file batches, all values > 64 chars
+      Seq('a', 'z').zipWithIndex.foreach { case (h, b) =>
+        val l = new java.util.ArrayList[Row]()
+        (0 until 10).foreach(i => l.add(Row(b * 10L + i, url(h, i))))
+        t.insert(spark.createDataFrame(l, sch).coalesce(1))
+      }
+      assert(t.manifest.files.size == 2)
+      // correctness: an upper-range predicate must NOT lose rows to a
+      // truncated max (maxUnbounded keeps both files eligible)
+      assert(t.select(Seq("a"), col("u") > "https://y").count() == 10)
+      // effectiveness: the truncated-prefix MIN still prunes a lower-range
+      // predicate down to the one matching file
+      val q = t.select(Seq("a"), col("u") < "https://b")
+      assert(q.collect().map(_.getLong(0)).toSet == (0L until 10L).toSet)
+      val scanned = q.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.length
+      }.sum
+      assert(scanned == 1, s"scanned $scanned of 2 files, want 1")
+    }
+  }
 }
