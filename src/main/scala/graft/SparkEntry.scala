@@ -698,6 +698,49 @@ object SparkEntry {
       Some("""SELECT doc_id, true AS planted_pair_found FROM documents
              |WHERE doc_id < 20 ORDER BY doc_id""".stripMargin)),
 
+    Q("dd6_cc_clusters",  // pairs → transitive CLUSTERS: the distributed
+      // large-star/small-star connected components over the same ngram
+      // jaccard edge set DuckDB recomputes, whose closure a recursive CTE
+      // takes; planted triple-copies guarantee non-trivial components
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+        val base = docs.filter(col("doc_id") < 250)
+          .unionByName(docs.filter(col("doc_id") < 20)
+            .select((col("doc_id") + 1000000).as("doc_id"), col("lang"), col("text")))
+          .unionByName(docs.filter(col("doc_id") < 20)
+            .select((col("doc_id") + 2000000).as("doc_id"), col("lang"), col("text")))
+        val pairs = graft.llm.Dedup.ngramJaccardPairs(base, "doc_id", "text",
+          blockCol = "lang", threshold = 0.6)
+        graft.llm.Dedup.connectedComponents(pairs)
+          .orderBy("id")
+      },
+      Some("""WITH RECURSIVE base AS (
+             |  SELECT doc_id, lang, text FROM documents WHERE doc_id < 250
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, lang, text FROM documents WHERE doc_id < 20
+             |  UNION ALL
+             |  SELECT doc_id + 2000000, lang, text FROM documents WHERE doc_id < 20
+             |), sets AS (
+             |  SELECT doc_id, lang, LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS st
+             |  FROM base
+             |), pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |  WHERE ROUND(CAST(LEN(LIST_INTERSECT(a.st, b.st)) AS DOUBLE)
+             |      / (LEN(a.st) + LEN(b.st) - LEN(LIST_INTERSECT(a.st, b.st))), 6) >= 0.6
+             |), edges AS (
+             |  SELECT id_a AS u, id_b AS v FROM pairs
+             |  UNION
+             |  SELECT id_b, id_a FROM pairs
+             |), reach(id, r) AS (
+             |  SELECT u, v FROM edges
+             |  UNION
+             |  SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.id
+             |)
+             |SELECT CAST(id AS BIGINT) AS id,
+             |       CAST(MIN(LEAST(id, r)) AS BIGINT) AS component
+             |FROM reach GROUP BY id ORDER BY id""".stripMargin)),
+
     Q("dd5_embed_cosine_pairs",
       (s, dir) => graft.llm.Dedup.embeddingCosinePairs(t(s, dir, "embeddings"),
           "vec_id", "embedding", threshold = 0.4,

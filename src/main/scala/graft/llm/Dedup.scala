@@ -175,6 +175,88 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /**
+   * Connected components over an undirected pair list — the step that turns
+   * near-duplicate PAIRS into duplicate CLUSTERS (transitive closure: A~B
+   * and B~C put A, B, C in one cluster even when A~C never surfaced as a
+   * pair, which is exactly what keep-one-per-cluster dedup needs).
+   *
+   * Alternating large-star / small-star (Kiveris et al., "Connected
+   * Components in MapReduce and Beyond", SoCC'14): each round is two
+   * hash-shuffles keyed on node id — no driver-side graph, no O(diameter)
+   * label propagation — and the edge set converges to a forest of stars in
+   * O(log² n) rounds even on pathological chain graphs, so a 100 TB corpus'
+   * pair list never serializes through the driver. Per-round lineage is
+   * truncated with `localCheckpoint` (executor-local blocks; see
+   * `materializeIfLarge` for the trade-off).
+   *
+   * Returns (id, component) for every id appearing in `pairs`, where
+   * component = the smallest id in its cluster.
+   */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+    var edges = pairs
+      .select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    // deterministic edge-set signature: (count, xor of per-edge hashes) —
+    // bit_xor, not sum: ANSI mode makes an overflowing long sum THROW
+    def signature(e: DataFrame): Seq[Any] =
+      e.agg(count(lit(1)), call_function("bit_xor", xxhash64(col("u"), col("v"))))
+        .head().toSeq
+    var prevSig = signature(edges)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star: every neighbor v > u re-links to m = min(N(u) ∪ {u})
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.join(lsMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: orient edges larger→smaller; every smaller neighbor and
+      // u itself re-link to the minimum of the oriented neighborhood
+      val dir = ls.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+      val ssMin = dir.groupBy("u").agg(min("v").as("m"))
+      val ss = dir.join(ssMin, "u")
+        .select(col("v"), col("m"))
+        .union(ssMin.select(col("u").as("v"), col("m")))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint()
+      val sig = signature(ss)
+      converged = sig == prevSig
+      prevSig = sig
+      edges = ss
+      iter += 1
+    }
+    // at the star fixpoint every non-root carries exactly one edge to its
+    // component root; min() keeps the result deterministic even if maxIter
+    // capped a (pathological) run before full convergence
+    val nodes = pairs.select(col(idA).cast("long").as("id"))
+      .union(pairs.select(col(idB).cast("long").as("id")))
+      .distinct()
+    nodes.join(edges.groupBy(col("u").as("id")).agg(min("v").as("component")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Keep-one-per-cluster dedup: drop every row whose id sits in a cluster
+    * under a smaller id (rows never surfacing in `pairs` all survive). */
+  def keepClusterRepresentatives(df: DataFrame, idCol: String,
+                                 pairs: DataFrame): DataFrame = {
+    val dupes = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(dupes, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-dup pairs by cosine similarity ≥ threshold over a
     * bounded probe set (brute-force verifier; LSH path in Similarity). */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,

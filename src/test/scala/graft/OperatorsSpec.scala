@@ -340,4 +340,47 @@ class OperatorsSpec extends SparkSpec {
       assert(got == rNaive && rNaive.nonEmpty, s"random parity, granule $g")
     }
   }
+
+  // --------------------------------------------------- connected components
+
+  test("connectedComponents: chains, stars, singleton-free transitive clusters") {
+    import spark.implicits._
+    // a 40-node chain (worst case for naive propagation), a triangle with a
+    // pendant, an isolated pair, and a self-loop that must be ignored
+    val chain = (0L until 39L).map(i => (i, i + 1))
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L), (102L, 103L))
+    val pair = Seq((200L, 201L))
+    val loop = Seq((300L, 300L))
+    val pairs = (chain ++ tri ++ pair ++ loop).toDF("id_a", "id_b")
+    val got = graft.llm.Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L until 40L).foreach(i => assert(got(i) == 0L, s"chain node $i"))
+    Seq(100L, 101L, 102L, 103L).foreach(i => assert(got(i) == 100L))
+    assert(got(200L) == 200L && got(201L) == 200L)
+    assert(got(300L) == 300L) // self-loop: its own singleton component
+    assert(got.size == 47) // 40 chain + 4 triangle/pendant + 2 pair + 1 loop
+    // brute-force parity on a random graph
+    val rnd = new scala.util.Random(11)
+    val redges = (0 until 120).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    // union-find oracle
+    val parent = scala.collection.mutable.Map((0L until 60L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    redges.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val members = redges.flatMap(e => Seq(e._1, e._2)).distinct
+    val want = members.map(i => i -> members.filter(j => find(j) == find(i)).min).toMap
+    val got2 = graft.llm.Dedup.connectedComponents(redges.toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got2 == want)
+  }
+
+  test("keepClusterRepresentatives keeps min-id per cluster and all unpaired rows") {
+    import spark.implicits._
+    val docs = (0L until 10L).map(i => (i, s"doc$i")).toDF("id", "text")
+    val pairs = Seq((1L, 3L), (3L, 5L), (7L, 8L)).toDF("id_a", "id_b")
+    val kept = graft.llm.Dedup.keepClusterRepresentatives(docs, "id", pairs)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // clusters {1,3,5}→keep 1, {7,8}→keep 7; unpaired 0,2,4,6,9 survive
+    assert(kept == Set(0L, 1L, 2L, 4L, 6L, 7L, 9L))
+  }
 }
