@@ -360,21 +360,39 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     * ids are used verbatim (the reference's external `vastdb_rowid` path,
     * vastdb/schema.py:90-92, tests/test_tables.py:1055-1073) and the
     * high-water mark advances past their max. */
-  def insert(rows: DataFrame): (Long, Long) = {
+  def insert(rows: DataFrame): (Long, Long) = writeBatch(rows, replace = false)
+
+  /** Replace the table's entire contents in ONE transactional step (SQL
+    * INSERT OVERWRITE; truncate = overwrite with an empty batch). Row ids
+    * keep advancing monotonically from the pre-overwrite high-water mark —
+    * ids are never reused, so stale external row-id references can't
+    * silently re-resolve to unrelated rows. */
+  def overwrite(rows: DataFrame): (Long, Long) = writeBatch(rows, replace = true)
+
+  private def writeBatch(rows: DataFrame, replace: Boolean): (Long, Long) = {
     val m = manifest
     val logical = m.schema
+    val op = if (replace) "overwrite" else "insert"
+    def stage(entries: Seq[FileEntry], nextId: Long): Unit =
+      tx.stageWrite(dir, m.copy(
+        files = (if (replace) Seq.empty else m.files) ++ entries,
+        nextRowId = nextId,
+        projections = staleProjections(m),
+        vectorIndexes = staleVectorIndexes(m)))
     if (rows.columns.contains(RowIdColumn)) {
       val aligned = rows.select(
         (RowIdColumn +: logical.fieldNames.toIndexedSeq).map(col): _*)
       val entries = writeData(aligned, sorted = false)
-      if (entries.isEmpty) return (m.nextRowId, m.nextRowId) // 0-row insert
+      if (entries.isEmpty) {
+        // a 0-row overwrite is a TRUNCATE and must still stage; a 0-row
+        // insert stages nothing
+        if (replace) { stage(Nil, m.nextRowId); recordAudit(op, 0) }
+        return (m.nextRowId, m.nextRowId)
+      }
       val hi = entries.map(_.maxRowId).max + 1
-      tx.stageWrite(dir, m.copy(files = m.files ++ entries,
-        nextRowId = math.max(m.nextRowId, hi),
-        projections = staleProjections(m),
-        vectorIndexes = staleVectorIndexes(m)))
+      stage(entries, math.max(m.nextRowId, hi))
       maintainBlobExpansions(m, aligned)
-      recordAudit("insert", entries.map(_.rows).sum)
+      recordAudit(op, entries.map(_.rows).sum)
       return (entries.map(_.minRowId).min, hi)
     }
     val aligned = rows.select(logical.fieldNames.map(col).toIndexedSeq: _*)
@@ -386,12 +404,10 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       withIds.sortWithinPartitions(m.sortingKeys.map(col): _*) else withIds
     val entries = writeData(data, sorted = false)
     val n = entries.map(_.rows).sum
-    if (n == 0) return (start, start) // 0-row insert: nothing to stage
-    tx.stageWrite(dir, m.copy(files = m.files ++ entries, nextRowId = start + n,
-      projections = staleProjections(m),
-      vectorIndexes = staleVectorIndexes(m)))
+    if (n == 0 && !replace) return (start, start) // 0-row insert: nothing to stage
+    stage(entries, start + n)
     maintainBlobExpansions(m, withIds)
-    recordAudit("insert", n)
+    recordAudit(op, n)
     (start, start + n)
   }
 

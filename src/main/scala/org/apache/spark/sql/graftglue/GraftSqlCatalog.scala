@@ -12,7 +12,8 @@ import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownF
 import org.apache.spark.sql.connector.catalog.SupportsDelete
 import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo,
   PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder,
-  RowLevelOperationInfo, V1Write, Write, WriteBuilder, WriterCommitMessage}
+  RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder,
+  WriterCommitMessage}
 import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetTable, ParquetWrite}
@@ -185,20 +186,63 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
+  /** SQL CREATE TABLE / CTAS through the transactional API. Returns a table
+    * whose visible schema is the LOGICAL one (no `_row_id` yet): CTAS
+    * appends by position against the returned object, and its data has no
+    * row-id column — the transactional insert allocates ids. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "writes go through the transactional graft API (manifest-versioned)")
+                           properties: util.Map[String, String]): Table = {
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      "partition transforms: layout is manifest-managed (sorting keys, buckets)")
+    // CTAS from another graft table carries `_row_id` — strip it; the new
+    // table allocates its own ids
+    val logical = StructType(schema.fields.filterNot(_.name == "_row_id"))
+    val ns = ident.namespace()
+    inSession { tx =>
+      tx.bucket(ns.head).schema(ns.tail.mkString("/"))
+        .createTable(ident.name(), logical)
+    }
+    val parquet = ParquetTable(ident.toString, SparkSession.active,
+      CaseInsensitiveStringMap.empty(), Nil, Some(logical),
+      classOf[ParquetFileFormat])
+    new ReadOnlyTable(parquet)
+      with GraftV1Writable { val writeRoot = root; val writeIdent = ident }
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("use the transactional graft API")
+    throw new UnsupportedOperationException(
+      "ALTER runs through the transactional graft API (addColumn/renameColumn/dropColumn)")
 
   override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException("use the transactional graft API")
+    if (!tableExists(ident)) false
+    else {
+      val ns = ident.namespace()
+      inSession { tx =>
+        tx.bucket(ns.head).schema(ns.tail.mkString("/")).table(ident.name()).drop()
+      }
+      true
+    }
 
-  override def renameTable(old: Identifier, next: Identifier): Unit =
-    throw new UnsupportedOperationException("use the transactional graft API")
+  override def renameTable(old: Identifier, next: Identifier): Unit = {
+    // the TO identifier may arrive bare ("c2"), same-namespace, or still
+    // carrying this catalog's name as a namespace prefix — all mean
+    // "same schema, new name"; anything else is a cross-schema move
+    val nextNs = next.namespace().toSeq
+    val sameNs = nextNs.isEmpty || nextNs == old.namespace().toSeq ||
+      nextNs == (catalogName +: old.namespace().toSeq)
+    if (!sameNs)
+      throw new UnsupportedOperationException(
+        "rename across namespaces: move schemas through the graft API")
+    val ns = old.namespace()
+    inSession { tx =>
+      tx.bucket(ns.head).schema(ns.tail.mkString("/")).table(old.name())
+        .renameTable(next.name())
+    }
+  }
+
+  private def inSession[T](body: graft.api.Transaction => T): T =
+    graft.api.VastSession(SparkSession.active, root).transaction(body)
 }
 
 /** Scan delegate: BATCH_READ from the wrapped file table (write capability
@@ -261,17 +305,21 @@ private[graftglue] trait GraftV1Writable extends Table with SupportsWrite
   abstract override def capabilities(): util.Set[TableCapability] = {
     val caps = util.EnumSet.copyOf(super.capabilities())
     caps.add(TableCapability.V1_BATCH_WRITE)
+    caps.add(TableCapability.TRUNCATE) // INSERT OVERWRITE (full-table)
     caps
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder with SupportsTruncate {
+      // INSERT OVERWRITE plans OverwriteByExpression(deleteExpr = true);
+      // Spark's V1 fallback signals it by calling truncate() on the builder
+      private var replaceAll = false
+      override def truncate(): WriteBuilder = { replaceAll = true; this }
       override def build(): V1Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
-            if (overwrite) throw new UnsupportedOperationException(
-              "overwrite not supported; data files are immutable (use DML)")
-            inTx(_.insert(data))
+            if (replaceAll || overwrite) inTx(_.overwrite(data))
+            else inTx(_.insert(data))
             ()
           }
       }

@@ -249,6 +249,80 @@ class SqlCatalogSpec extends SparkSpec {
     }
   }
 
+  test("SQL DDL: CREATE TABLE, CTAS, RENAME, DROP through the transactional API") {
+    val root = Files.createTempDirectory("graft-sqlddl").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    s.transaction { tx => tx.bucket("bk").createSchema("m") }
+    spark.conf.set("spark.sql.catalog.graft7",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.graft7.root", root)
+    // plain CREATE + INSERT + SELECT round trip
+    spark.sql("CREATE TABLE graft7.bk.m.t (a BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft7.bk.m.t SELECT col1, col2, col3 " +
+      "FROM VALUES (1L, 'one', 0L), (2L, 'two', 1L)")
+    assert(spark.sql("SELECT s FROM graft7.bk.m.t ORDER BY a").collect()
+      .map(_.getString(0)).toSeq == Seq("one", "two"))
+    // CTAS: no explicit _row_id in the source — ids are allocated
+    spark.sql("CREATE TABLE graft7.bk.m.c AS " +
+      "SELECT a * 10 AS a10, s FROM graft7.bk.m.t")
+    assert(spark.sql("SELECT a10, _row_id FROM graft7.bk.m.c ORDER BY a10")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((10L, 0L), (20L, 1L)))
+    // the created table is a first-class API table too
+    s.transaction { tx =>
+      val t = tx.bucket("bk").schema("m").table("c")
+      assert(t.manifest.schema.fieldNames.toSeq == Seq("a10", "s"))
+    }
+    // RENAME (staged, transactional) then DROP
+    spark.sql("ALTER TABLE graft7.bk.m.c RENAME TO graft7.bk.m.c2")
+    assert(spark.sql("SELECT COUNT(*) FROM graft7.bk.m.c2").head().getLong(0) == 2)
+    spark.sql("DROP TABLE graft7.bk.m.c2")
+    assert(!spark.catalog.tableExists("graft7.bk.m.c2"))
+    intercept[Exception] { spark.sql("SELECT * FROM graft7.bk.m.c2").collect() }
+  }
+
+  test("INSERT OVERWRITE replaces contents transactionally; ids never reused") {
+    val root = Files.createTempDirectory("graft-sqlovw").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    s.transaction { tx =>
+      val t = tx.bucket("bk").createSchema("m").createTable("u", schema)
+      val l = new java.util.ArrayList[Row]()
+      (0 until 10).foreach(i => l.add(Row(i.toLong, s"old$i")))
+      t.insert(spark.createDataFrame(l, schema)) // ids 0..9
+    }
+    spark.conf.set("spark.sql.catalog.graft6",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.graft6.root", root)
+    // full-table overwrite through SQL (schema exposes _row_id: supply ids
+    // well below the mark — the mark must still never move backwards)
+    spark.sql("""INSERT OVERWRITE graft6.bk.m.u
+      SELECT col1 AS a, col2 AS s, col3 AS `_row_id`
+      FROM VALUES (100L, 'new0', 0L), (101L, 'new1', 1L)""")
+    s.transaction { tx =>
+      val t = tx.bucket("bk").schema("m").table("u")
+      assert(t.select().count() == 2)
+      assert(t.select(Seq("s"), col("a") === 100).head.getString(0) == "new0")
+      // old rows fully gone
+      assert(t.select(Nil, col("a") < 100).count() == 0)
+      // high-water mark survived the overwrite: fresh ids allocate above 10
+      val (start, _) = t.insert(spark.createDataFrame(
+        java.util.List.of(Row(200L, "fresh")), schema))
+      assert(start >= 10, s"row-id high-water mark regressed to $start after overwrite")
+    }
+    // API truncate = overwrite with an empty batch, same transactional step
+    s.transaction { tx =>
+      val t = tx.bucket("bk").schema("m").table("u")
+      t.overwrite(spark.createDataFrame(
+        new java.util.ArrayList[Row](), schema))
+      assert(t.select().count() == 0)
+    }
+    s.transaction { tx =>
+      assert(tx.bucket("bk").schema("m").table("u").select().count() == 0)
+    }
+  }
+
   test("MERGE-inserted explicit _row_id advances the insert high-water mark") {
     val root = Files.createTempDirectory("graft-sqlhwm").toString
     val s = VastSession(spark, root)
