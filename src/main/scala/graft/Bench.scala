@@ -95,6 +95,11 @@ object Bench {
       }),
       "dedup_minhash" -> (() => mat(graft.llm.Dedup.minhashPairs(
         t("documents"), "doc_id", "text", k = 64, bands = 16, threshold = 0.5))),
+      // full dedup pipeline: LSH pairs -> transitive clusters (large-star/
+      // small-star rounds); measures the iterative shuffle cost end-to-end
+      "dedup_clusters" -> (() => mat(graft.llm.Dedup.connectedComponents(
+        graft.llm.Dedup.minhashPairs(t("documents"), "doc_id", "text",
+          k = 64, bands = 16, threshold = 0.5)))),
       "text_analyze" -> (() => mat(graft.llm.TextAnalysis.analyze(t("documents")))),
       "events_window" -> (() => mat(graft.streaming.Events.tumblingStats(
         t("events"), "1 hour"))))

@@ -755,6 +755,28 @@ object SparkEntry {
              |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    Q("dd7_embed_lsh_pairs",  // planted-duplicate containment, self-oracled
+      // (same argument as dd2/ss2: an identical planted vector shares every
+      // LSH table signature, so the pair is ALWAYS a candidate and survives
+      // the exact cosine verify at similarity 1.0 — deterministic)
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val planted = e.filter(col("vec_id") < 20)
+          .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+        val pairs = graft.llm.Dedup.embeddingLshPairs(e.union(planted),
+          "vec_id", "embedding", dim = 64, threshold = 0.99,
+          planes = 8, tables = 4)
+        val found = pairs.filter(col("id_b") === col("id_a") + 1000000)
+          .select(col("id_a").as("vec_id")).withColumn("_f", lit(true))
+        e.filter(col("vec_id") < 20).select("vec_id")
+          .join(found, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("_f"), lit(false)).as("planted_pair_found"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id, true AS planted_pair_found FROM embeddings
+             |WHERE vec_id < 20 ORDER BY vec_id""".stripMargin)),
+
     // ---- SS*: similarity search ----
     Q("ss1_knn_join",
       (s, dir) => {

@@ -61,14 +61,25 @@ object Manifest {
                             stale: Boolean = false)
   /** Vector-index metadata. `dir` (table-dir-relative) holds the persisted
     * IVF structure — `centroids/` (centroid_id, c_vec) and `assigned/`
-    * (_row_id, vec, centroid_id; hive-partitioned BY centroid_id so a search
-    * reads only its probed cells). `stale` flips on base-table DML exactly
-    * like projections: a stale index never serves a search (brute-force
-    * fallback) until `refreshVectorIndex` rebuilds it. dir == "" means
-    * metadata-only (declared on an empty table, or legacy manifests). */
+    * (_row_id, vec; hive-partitioned by SOURCE-FILE basename `__src=` then
+    * `centroid_id=`, so a search statically prunes to its probed cells AND
+    * refresh is file-granular: immutable data files mean a COW rewrite just
+    * orphans old `__src` partitions and leaves new basenames uncovered).
+    * `stale` flips on base-table DML exactly like projections: a stale index
+    * never serves a search (brute-force fallback) until `refreshVectorIndex`.
+    * `builtRows` = table rows at the last FULL k-means build — refresh
+    * re-clusters only when the table has grown/shrunk ~4× past it (cell
+    * balance gone); otherwise it assigns just the uncovered files to the
+    * existing centroids, so steady-state maintenance never rescans the
+    * corpus. dir == "" means metadata-only (declared on an empty table). */
+  /** `dataColumn` = the LOGICAL column name at build time, which is the
+    * physical column name inside the persisted `assigned/` parquet — after
+    * a column RENAME the two diverge and refresh must rebuild fully (the
+    * incremental path would read nulls under the new name). */
   case class VectorIndexMeta(column: String, metric: String,
                              dir: String = "", nCentroids: Int = 0,
-                             stale: Boolean = false)
+                             stale: Boolean = false, builtRows: Long = 0,
+                             dataColumn: String = "")
   case class BlobExpansionMeta(blobColumn: String, fieldsDdl: String,
                                targetTable: String)
   /** Persisted dedup-signature index over a text column: per row a k-hash

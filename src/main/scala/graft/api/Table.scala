@@ -963,26 +963,74 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       throw NotSupportedCommand(s"invalid metric $metric (expected l2sq|ip)")
     val m = manifest
     val built = buildIvf(m, column, nCentroids, refineIters)
+    // the replaced index dir (re-create on the same column) is live in the
+    // committed manifest until this tx commits — defer its deletion
+    m.vectorIndexes.filter(x => x.column == column && x.dir.nonEmpty)
+      .foreach(old => tx.deleteOnCommit += dir.resolve(old.dir).toString)
     tx.stageWrite(dir, m.copy(vectorIndexes =
       m.vectorIndexes.filterNot(_.column == column) :+
         VectorIndexMeta(column, metric, dir = built.map(_._1).getOrElse(""),
-          nCentroids = built.map(_._2).getOrElse(0))))
+          nCentroids = built.map(_._2).getOrElse(0), builtRows = m.totalRows,
+          dataColumn = column)))
   }
 
-  /** Rebuild a (stale) vector index from current table state and re-enable
-    * it — the maintenance half of the stale-on-DML protocol, mirroring
-    * `refreshProjection`. */
+  /** Refresh a (stale) vector index and re-enable it — the maintenance half
+    * of the stale-on-DML protocol, mirroring `refreshProjection`.
+    *
+    * INCREMENTAL by default: data files are immutable, so coverage is
+    * file-granular (`__src=` partitions, same model as the dedup index) —
+    * orphaned partitions (COW-rewritten files) are dropped and only the
+    * UNCOVERED files' rows are assigned to the EXISTING centroids: one
+    * distributed pass over the delta, never the corpus. A full k-means
+    * rebuild happens only when the table's row count drifted ~4× past the
+    * count the centroids were built for (cell balance is gone by then). */
   def refreshVectorIndex(column: String): Unit = {
     val m = manifest
     val meta = m.vectorIndexes.find(_.column == column)
       .getOrElse(throw NotSupportedCommand(s"no vector index on $column"))
-    val built = buildIvf(m, column, meta.nCentroids, refineIters = 2)
-    tx.stageWrite(dir, m.copy(vectorIndexes = m.vectorIndexes.map(x =>
-      if (x.column == column)
-        x.copy(dir = built.map(_._1).getOrElse(""),
-          nCentroids = built.map(_._2).getOrElse(0), stale = false)
-      else x)))
-    recordAudit("refresh_vector_index", m.totalRows)
+    val total = m.totalRows
+    val incremental = meta.dir.nonEmpty && meta.builtRows > 0 &&
+      meta.dataColumn == column && // a renamed column invalidates the layout
+      total <= meta.builtRows * 4 && total >= meta.builtRows / 4
+    if (!incremental) {
+      val built = buildIvf(m, column, meta.nCentroids, refineIters = 2)
+      if (meta.dir.nonEmpty)
+        tx.deleteOnCommit += dir.resolve(meta.dir).toString
+      tx.stageWrite(dir, m.copy(vectorIndexes = m.vectorIndexes.map(x =>
+        if (x.column == column)
+          x.copy(dir = built.map(_._1).getOrElse(""),
+            nCentroids = built.map(_._2).getOrElse(0), stale = false,
+            builtRows = total, dataColumn = column)
+        else x)))
+    } else {
+      val idxDir = dir.resolve(meta.dir)
+      val assignedDir = idxDir.resolve("assigned")
+      val covered = coveredSrcs(assignedDir)
+      val current = m.files.map(f => srcName(f.path)).toSet
+      (covered -- current).foreach(s =>
+        tx.deleteOnCommit += assignedDir.resolve(s"__src=$s").toString)
+      val missing = m.files.filterNot(f => covered(srcName(f.path)))
+      if (missing.nonEmpty) {
+        val centroids = spark.read
+          .parquet(idxDir.resolve("centroids").toString)
+          .select(col("centroid_id"), col("c_vec"))
+        val fresh = graft.llm.Similarity.ivfAssign(
+          readEntries(missing, m.schema)
+            .select(col(RowIdColumn), col(column),
+              element_at(split(input_file_name(), "/"), -1).as("__src")),
+          RowIdColumn, column, centroids)
+        fresh.write.mode("append").partitionBy("__src", "centroid_id")
+          .parquet(assignedDir.toString)
+        missing.foreach { f =>
+          val pdir = assignedDir.resolve("__src=" + srcName(f.path))
+          if (Files.isDirectory(pdir))
+            Table.walkPaths(pdir).reverse.foreach(p => tx.newFiles += p.toString)
+        }
+      }
+      tx.stageWrite(dir, m.copy(vectorIndexes = m.vectorIndexes.map(x =>
+        if (x.column == column) x.copy(stale = false) else x)))
+    }
+    recordAudit("refresh_vector_index", total)
   }
 
   /** Build + persist the IVF structure for `column`; returns (relative dir,
@@ -996,13 +1044,14 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     val c = if (nCentroids > 0) nCentroids
       else math.max(4, math.min(4096, math.round(math.sqrt(total.toDouble)).toInt))
     val vecs = readEntries(m.files, m.schema)
-      .select(col(RowIdColumn), col(column))
+      .select(col(RowIdColumn), col(column),
+        element_at(split(input_file_name(), "/"), -1).as("__src"))
     val (centroids, assigned) =
       graft.llm.Similarity.ivfIndex(vecs, RowIdColumn, column, c, refineIters)
     val rel = s"_vecidx/$column-${UUID.randomUUID().toString.take(8)}"
     val idxDir = dir.resolve(rel)
     centroids.coalesce(1).write.parquet(idxDir.resolve("centroids").toString)
-    assigned.write.partitionBy("centroid_id")
+    assigned.write.partitionBy("__src", "centroid_id")
       .parquet(idxDir.resolve("assigned").toString)
     Table.walkPaths(idxDir).reverse.foreach(p => tx.newFiles += p.toString)
     Some((rel, c))
@@ -1087,17 +1136,27 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
         .orderBy(col("_cd").asc, col("centroid_id").asc)
         .limit(nprobe)
         .collect().map(_.getAs[Long]("centroid_id")).toSeq
-      // explicit schema pins the hive-partition column to LongType so the
-      // literal isin stays a STATIC partition filter (inference would type
-      // it IntegerType and the implicit cast could defeat pruning)
+      // explicit schema pins the hive-partition columns (LongType cell id,
+      // StringType source file) so the literal isin stays a STATIC partition
+      // filter (inference would type centroid_id IntegerType and the
+      // implicit cast could defeat pruning)
       val assignedSchema = StructType(Seq(
         StructField(RowIdColumn, LongType, nullable = false),
         StructField(column, m.schema(column).dataType),
+        StructField("__src", StringType),
         StructField("centroid_id", LongType)))
-      val probed = spark.read.schema(assignedSchema)
-        .parquet(Paths.get(idxRoot, "assigned").toString)
+      val assignedDir = Paths.get(idxRoot, "assigned")
+      var probed = spark.read.schema(assignedSchema)
+        .parquet(assignedDir.toString)
         .filter(col("centroid_id").isin(cells: _*))
-        .select(col(RowIdColumn), col(column))
+      // inside a refreshing transaction, COW-orphaned __src partitions are
+      // still on disk (deleted only at commit) — exclude them; the common
+      // post-commit case has no orphans and adds no filter
+      val covered = coveredSrcs(assignedDir)
+      val current = m.files.map(f => srcName(f.path)).toSet
+      if ((covered -- current).nonEmpty)
+        probed = probed.filter(col("__src").isin(current.toSeq: _*))
+      probed = probed.select(col(RowIdColumn), col(column))
       val cand =
         if (Glue.isLiteralTrue(predicate)) probed
         else {

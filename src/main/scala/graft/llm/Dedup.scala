@@ -258,7 +258,8 @@ object Dedup {
   }
 
   /** Embedding near-dup pairs by cosine similarity ≥ threshold over a
-    * bounded probe set (brute-force verifier; LSH path in Similarity). */
+    * bounded probe set (brute-force verifier; `embeddingLshPairs` is the
+    * corpus-scale route). */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                            threshold: Double,
                            leftFilter: Column = lit(true)): DataFrame = {
@@ -267,6 +268,37 @@ object Dedup {
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(Distances.cosineSim(col("v_a"), col("v_b")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Embedding near-dup PAIRS at corpus scale: multi-table hyperplane-LSH
+    * candidate generation — an equi-join on (table, signature), so the
+    * O(n²) pair space never materializes and the shuffle carries only
+    * (tbl, sig, id) — then exact cosine verification on the bounded
+    * candidate set (vectors re-joined by id, same shape as minhash LSH).
+    * Recall on merely-similar pairs is probabilistic (grows with `tables`);
+    * IDENTICAL vectors collide in every table, so exact duplicates surface
+    * deterministically. */
+  def embeddingLshPairs(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, threshold: Double,
+                        planes: Int = 12, tables: Int = 4): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+        posexplode(array((0 until tables).map(t =>
+          Similarity.lshSignature(col(vecCol), planes, dim, t * planes)): _*)))
+      .withColumnRenamed("pos", "tbl")
+      .withColumnRenamed("col", "sig")
+    val pairs = sigs.select(col("tbl"), col("sig"), col("id").as("id_a"))
+      .join(sigs.select(col("tbl"), col("sig"), col("id").as("id_b")),
+        Seq("tbl", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("cos", round(Distances.cosineSim(col("v_a"), col("v_b")), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")

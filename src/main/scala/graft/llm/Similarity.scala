@@ -78,22 +78,30 @@ object Similarity {
    * the data at rest by `centroid_id` (partition/bucket) and a query touches
    * nprobe partitions instead of the full corpus.
    */
+  /** Assign every corpus row to its nearest centroid. Nearest-centroid via
+    * min(struct(dist, centroid_id, …)): lexicographic struct-min = min
+    * distance with centroid_id tie-break — same semantics as a per-id
+    * window, but partial (map-side) aggregation collapses the n×C
+    * cross-join rows to n BEFORE the shuffle; a window would shuffle all
+    * n×C rows on id, which is the difference between feasible and not at
+    * corpus scale. Extra corpus columns (constant per id) ride along. */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame): DataFrame = {
+    val extras = corpus.columns.toSeq.filterNot(c => c == idCol || c == vecCol)
+    val carried = vecCol +: extras
+    corpus.crossJoin(broadcast(centroids))
+      .withColumn("_d", Distances.l2sq(col(vecCol), col("c_vec")))
+      .groupBy(col(idCol))
+      .agg(min(struct((Seq(col("_d"), col("centroid_id")) ++
+        carried.map(col)): _*)).as("_best"))
+      .select(col(idCol) +: col("_best").getField("centroid_id").as("centroid_id") +:
+        carried.map(c => col("_best").getField(c).as(c)): _*)
+  }
+
   def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                nCentroids: Int, refineIters: Int = 0): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    // nearest-centroid via min(struct(dist, centroid_id, vec)): lexicographic
-    // struct-min = min distance with centroid_id tie-break — same semantics
-    // as a per-id window, but partial (map-side) aggregation collapses the
-    // n×C cross-join rows to n BEFORE the shuffle; a window would shuffle
-    // all n×C rows on id, which is the difference between feasible and not
-    // at corpus scale
-    def assign(cents: DataFrame): DataFrame =
-      corpus.crossJoin(broadcast(cents))
-        .withColumn("_d", Distances.l2sq(col(vecCol), col("c_vec")))
-        .groupBy(col(idCol))
-        .agg(min(struct(col("_d"), col("centroid_id"), col(vecCol))).as("_best"))
-        .select(col(idCol), col("_best").getField(vecCol).as(vecCol),
-          col("_best").getField("centroid_id").as("centroid_id"))
+    def assign(cents: DataFrame): DataFrame = ivfAssign(corpus, idCol, vecCol, cents)
     // seed: deterministic hash-ordered sample; then optional Lloyd
     // iterations (k-means): each moves centroids to the per-cell mean —
     // one corpus pass per iteration, no collect

@@ -120,6 +120,58 @@ class VectorIndexSpec extends SparkSpec {
     }
   }
 
+  test("refreshVectorIndex is file-granular: delta assigned, old cells untouched") {
+    val root = Files.createTempDirectory("graft-vinc").toString
+    val s = VastSession(spark, root)
+    s.createBucket("b")
+    s.transaction { tx =>
+      val t = tx.bucket("b").createSchema("m").createTable("e", schema)
+      for (b <- 0 until 3) {
+        val l = new java.util.ArrayList[Row]()
+        for (i <- 0 until 40)
+          l.add(Row((b * 40 + i).toLong, Seq((b * 100 + i).toFloat, 1f)))
+        t.insert(spark.createDataFrame(l, schema).coalesce(1))
+      }
+      t.createVectorIndex("embedding", "l2sq", nCentroids = 4, refineIters = 1)
+    }
+    // snapshot the persisted assignment partitions (path -> mtime)
+    def assignedParts(): Map[String, Long] = {
+      var idxDir = ""
+      s.transaction { tx =>
+        idxDir = tx.bucket("b").schema("m").table("e").manifest
+          .vectorIndexes.head.dir
+      }
+      val base = java.nio.file.Paths.get(root, "b", "m", "e", idxDir, "assigned")
+      Table.walkPaths(base).filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+    }
+    val before = assignedParts()
+    assert(before.nonEmpty)
+    // insert a delta batch, refresh: index dir unchanged (no re-cluster),
+    // the pre-existing assignment files byte-identical, a new __src added
+    s.transaction { tx =>
+      val t = tx.bucket("b").schema("m").table("e")
+      val metaBefore = t.manifest.vectorIndexes.head
+      val l = new java.util.ArrayList[Row]()
+      for (i <- 0 until 20) l.add(Row((1000 + i).toLong, Seq(50f + i, 1f)))
+      t.insert(spark.createDataFrame(l, schema).coalesce(1))
+      assert(t.manifest.vectorIndexes.head.stale)
+      t.refreshVectorIndex("embedding")
+      val metaAfter = t.manifest.vectorIndexes.head
+      assert(!metaAfter.stale)
+      assert(metaAfter.dir == metaBefore.dir, "incremental refresh must not re-cluster")
+      // search sees the delta rows through the refreshed index
+      val top = t.vectorSearch("embedding", Seq(55f, 1f), k = 3, nprobe = 4)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(top.contains(1005L), s"delta row missing from indexed search: $top")
+    }
+    val after = assignedParts()
+    before.foreach { case (p, mt) =>
+      assert(after.get(p).contains(mt), s"pre-existing assignment rewritten: $p")
+    }
+    assert(after.size > before.size, "no delta partitions were added")
+  }
+
   test("indexed search fetches full rows from winner files only") {
     val root = Files.createTempDirectory("graft-vfetch").toString
     val s = VastSession(spark, root)
