@@ -629,6 +629,39 @@ object SparkEntry {
              |  true AS deterministic, true AS test_frac_in_bounds
              |FROM documents""".stripMargin)),
 
+    Q("cu3_decontaminate",  // eval-set decontamination: corpus docs sharing
+      // any 5-gram with the "benchmark" slice are dropped; DuckDB recomputes
+      // the identical shingle set (same split/slice/cap semantics) and takes
+      // the NOT-EXISTS complement — exact parity, not containment
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val corpus = docs.filter(col("doc_id") < 500)
+        val bench = docs.filter(col("doc_id").between(100, 120)).select("text")
+        graft.llm.Curation.decontaminate(corpus, "doc_id", "text",
+            bench, "text", n = 5)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, STRING_SPLIT(text, ' ') AS l
+             |  FROM documents WHERE doc_id < 500
+             |), bench AS (
+             |  SELECT STRING_SPLIT(text, ' ') AS l
+             |  FROM documents WHERE doc_id BETWEEN 100 AND 120
+             |), cg AS (
+             |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+             |    RANGE(1, GREATEST(LEN(l) - 5, 0) + 2),
+             |    i -> ARRAY_TO_STRING(l[i:i+4], ' ')))) AS g
+             |  FROM corpus
+             |), bg AS (
+             |  SELECT DISTINCT UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+             |    RANGE(1, GREATEST(LEN(l) - 5, 0) + 2),
+             |    i -> ARRAY_TO_STRING(l[i:i+4], ' ')))) AS g
+             |  FROM bench
+             |)
+             |SELECT doc_id FROM corpus
+             |WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g))
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- DD*: deduplication suite over `documents` ----
     Q("dd1_exact_groups",
       (s, dir) => t(s, dir, "documents")

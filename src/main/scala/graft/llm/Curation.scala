@@ -41,4 +41,32 @@ object Curation {
     * curation surface is enumerable as an operator. */
   def qualityGate(df: DataFrame, scoreCol: Column, minScore: Double): DataFrame =
     df.filter(scoreCol >= minScore)
+
+  /** Benchmark DECONTAMINATION: drop corpus documents sharing ≥ `minShared`
+    * distinct word n-grams with ANY benchmark document — the step that keeps
+    * eval sets out of training data.
+    *
+    * Candidate generation is an equi-join on the 64-bit n-gram hash: the
+    * shuffle carries (gram_hash, id), never gram text and never the
+    * corpus × benchmark product; the benchmark side (distinct hashes of a
+    * small eval set) broadcasts. A 64-bit hash collision could flag one
+    * clean doc per ~10¹² distinct-gram pairs — the standard trade at corpus
+    * scale, and the conservative direction (never leaks contamination). */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, benchTextCol: String,
+                    n: Int = 8, minShared: Int = 1): DataFrame = {
+    val cGrams = corpus.select(col(idCol).as("_cid"),
+      explode(Dedup.shingles(col(textCol), n)).as("_g"))
+      .select(col("_cid"), xxhash64(col("_g")).as("_gh"))
+    val bGrams = benchmark
+      .select(explode(Dedup.shingles(col(benchTextCol), n)).as("_g"))
+      .select(xxhash64(col("_g")).as("_gh"))
+      .distinct()
+    val contaminated = cGrams.join(bGrams, Seq("_gh"))
+      .groupBy("_cid")
+      .agg(count_distinct(col("_gh")).as("_shared"))
+      .filter(col("_shared") >= minShared)
+      .select(col("_cid").as(idCol))
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
 }

@@ -374,6 +374,30 @@ class OperatorsSpec extends SparkSpec {
     assert(got2 == want)
   }
 
+  test("decontaminate drops exactly the docs sharing an n-gram with the benchmark") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "a completely different sentence with no overlap here"),
+      (2L, "something that ends with brown fox jumps over it"),
+      (3L, "short text")).toDF("id", "text")
+    val bench = Seq("we saw the brown fox jumps over a fence").toDF("text")
+    // n=3: "brown fox jumps" / "fox jumps over" are shared by docs 0 and 2
+    val kept = graft.llm.Curation.decontaminate(corpus, "id", "text",
+      bench, "text", n = 3).select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+    // minShared=2 still drops both (each shares two distinct grams)
+    val kept2 = graft.llm.Curation.decontaminate(corpus, "id", "text",
+      bench, "text", n = 3, minShared = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(1L, 3L))
+    // minShared=3 keeps everything (no doc shares three distinct grams)
+    val kept3 = graft.llm.Curation.decontaminate(corpus, "id", "text",
+      bench, "text", n = 3, minShared = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept3 == Set(0L, 1L, 2L, 3L))
+  }
+
   test("keepClusterRepresentatives keeps min-id per cluster and all unpaired rows") {
     import spark.implicits._
     val docs = (0L until 10L).map(i => (i, s"doc$i")).toDF("id", "text")
