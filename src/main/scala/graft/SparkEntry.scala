@@ -596,6 +596,35 @@ object SparkEntry {
              |  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_fingerprints
              |FROM documents""".stripMargin)),
 
+    Q("ta5_repetition",  // Gopher-style repetition signals via the native
+      // single-pass RepetitionStats expression; DuckDB recomputes the same
+      // token windows (incl. the 1-token slice-cap "bigram") — exact parity
+      (s, dir) => graft.llm.TextAnalysis.repetitionStats(
+          t(s, dir, "documents").filter(col("doc_id") < 500), "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, STRING_SPLIT(text, ' ') AS l
+             |  FROM documents WHERE doc_id < 500
+             |), w AS (
+             |  SELECT doc_id, LEN(l) AS n_words,
+             |         LEN(LIST_DISTINCT(l)) AS n_distinct
+             |  FROM d
+             |), bg AS (
+             |  SELECT doc_id, UNNEST(LIST_TRANSFORM(
+             |    RANGE(1, GREATEST(LEN(l) - 2, 0) + 2),
+             |    i -> ARRAY_TO_STRING(l[i:i+1], ' '))) AS g
+             |  FROM d
+             |), top AS (
+             |  SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bg FROM (
+             |    SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g
+             |  ) GROUP BY doc_id
+             |)
+             |SELECT w.doc_id, CAST(n_words AS INT) AS n_words,
+             |  ROUND(1 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS dup_word_frac,
+             |  ROUND(CAST(top_c AS DOUBLE) / n_bg, 6) AS top_bigram_frac
+             |FROM w JOIN top ON w.doc_id = top.doc_id
+             |ORDER BY w.doc_id""".stripMargin)),
+
     // ---- CU*: dataset-curation operators over `documents` ----
     Q("cu1_balanced_sample",
       // per-group cap (language balancing): first 20 docs per lang — exact,

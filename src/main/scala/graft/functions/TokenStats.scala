@@ -166,3 +166,75 @@ object TokenStats {
   def tokenStats(text: Column): Column =
     Glue.column(TokenStats(Glue.expression(text)))
 }
+
+/**
+ * Single-pass repetition statistics for Gopher-style quality filtering:
+ * token count, distinct-token count, the most frequent word-bigram's count
+ * and the total bigram count — one compiled pass per row (same
+ * reference-object codegen pattern as [[TokenStats]]; an explode + two-level
+ * aggregation would shuffle every token of a 100 TB corpus instead).
+ *
+ * Bigram identity matches `concat_ws(" ", slice(tokens, i+1, 2))` over
+ * `split(text, " ")` exactly — including the slice CAP at the last token
+ * (a 1-token document yields one 1-word "bigram") — so a DuckDB oracle
+ * recomputing the same windows hashes equal.
+ */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  import RepetitionStats._
+
+  override def dataType: DataType = schema
+  override def prettyName: String = "repetition_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"repetition_stats requires string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("repetitionStats", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.compute($c);")
+  }
+
+  def compute(text: UTF8String): InternalRow = {
+    val tokens = text.split(space, -1)
+    val m = tokens.length
+    val distinct = new java.util.HashSet[UTF8String]()
+    var i = 0
+    while (i < m) { distinct.add(tokens(i)); i += 1 }
+    val counts = new java.util.HashMap[String, Integer]()
+    var top = 0
+    var nbg = 0
+    val last = math.max(m - 2, 0)
+    i = 0
+    while (i <= last) {
+      val g = if (i + 1 < m) tokens(i).toString + " " + tokens(i + 1).toString
+              else tokens(i).toString
+      val c0 = counts.get(g)
+      val c = if (c0 == null) 1 else c0.intValue() + 1
+      counts.put(g, Integer.valueOf(c))
+      if (c > top) top = c
+      nbg += 1
+      i += 1
+    }
+    InternalRow(m, distinct.size, top, nbg)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object RepetitionStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("top_bigram", IntegerType, nullable = false),
+    StructField("n_bigrams", IntegerType, nullable = false)))
+
+  private val space = UTF8String.fromString(" ")
+
+  def repetitionStats(text: Column): Column =
+    Glue.column(RepetitionStats(Glue.expression(text)))
+}

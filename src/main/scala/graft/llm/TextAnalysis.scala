@@ -104,4 +104,21 @@ object TextAnalysis {
       .withColumn("fingerprint", ts.getField("fingerprint"))
       .drop("__token_stats")
   }
+
+  /** Per-document repetition signals (Gopher-style quality filters):
+    * duplicate-word fraction and the most-frequent-bigram share. One native
+    * single-pass expression per row (`RepetitionStats`) — no per-token
+    * shuffle, no interpreted lambdas; a repetitive (low-quality) document
+    * scores high on both. */
+  def repetitionStats(df: DataFrame, idCol: String,
+                      textCol: String = "text"): DataFrame = {
+    val r = graft.functions.RepetitionStats.repetitionStats(col(textCol))
+    df.withColumn("__rep", r)
+      .select(col(idCol),
+        col("__rep.n_words").as("n_words"),
+        round(lit(1.0) - col("__rep.n_distinct").cast("double")
+          / col("__rep.n_words"), 6).as("dup_word_frac"),
+        round(col("__rep.top_bigram").cast("double")
+          / col("__rep.n_bigrams"), 6).as("top_bigram_frac"))
+  }
 }

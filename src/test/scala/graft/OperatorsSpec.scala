@@ -374,6 +374,41 @@ class OperatorsSpec extends SparkSpec {
     assert(got2 == want)
   }
 
+  test("RepetitionStats: native single pass matches the HOF formulation") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a a a a"),                     // all-dup words; "a a" ×3 of 3
+      (1L, "one"),                         // 1 token: one slice-cap "bigram"
+      (2L, "x y x y x"),                   // "x y"×2, "y x"×2 → top 2 of 4
+      (3L, "all distinct words here now")).toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis.repetitionStats(docs, "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got(0L) == ((4, 0.75, 1.0)))
+    assert(got(1L) == ((1, 0.0, 1.0)))
+    assert(got(2L) == ((5, 0.6, 0.5)))
+    assert(got(3L) == ((5, 0.0, 0.25))) // 4 distinct bigrams → top 1/4
+    // parity with the HOF formulation on real corpus text (both plans)
+    val real = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .limit(200)
+    val toks = split(col("text"), " ")
+    val idx = sequence(lit(0), greatest(size(toks) - 2, lit(0)))
+    val bigrams = transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(2))))
+    val perGram = real.select(col("doc_id"), explode(bigrams).as("_g"))
+      .groupBy("doc_id", "_g").count()
+    val refTop = perGram.groupBy("doc_id")
+      .agg(round(max("count").cast("double") / sum("count"), 6).as("ref_top"))
+    val refDup = real.select(col("doc_id"),
+      round(lit(1.0) - size(array_distinct(toks)).cast("double")
+        / size(toks), 6).as("ref_dup"))
+    val native = graft.llm.TextAnalysis.repetitionStats(real, "doc_id")
+    val joined = native.join(refTop, Seq("doc_id")).join(refDup, Seq("doc_id"))
+    assert(joined.filter(!(col("top_bigram_frac") <=> col("ref_top")) ||
+      !(col("dup_word_frac") <=> col("ref_dup"))).count() == 0)
+    assert(joined.count() == 200)
+  }
+
   test("decontaminate drops exactly the docs sharing an n-gram with the benchmark") {
     import spark.implicits._
     val corpus = Seq(
