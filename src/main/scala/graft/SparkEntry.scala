@@ -1195,8 +1195,80 @@ object SparkEntry {
       },
       Some("""SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'alpha'),
              |  (CAST(2 AS BIGINT), 'beta'), (CAST(3 AS BIGINT), 'gamma'))
-             |  t(id, label) ORDER BY id""".stripMargin))
+             |  t(id, label) ORDER BY id""".stripMargin)),
+
+    // ---- PII*: detection/redaction (llm.Pii) — synthetic documents carry
+    // no real PII, so both sides INJECT the same deterministic contact
+    // strings (keyed off doc_id) and must then agree exactly on counts
+    // (pii1) and on the redacted text (pii2). The oracle SQL is BUILT from
+    // Pii.patterns, so pattern edits can't drift the two sides apart.
+    Q("pii1_detect",
+      (s, dir) => graft.llm.Pii.detect(
+          piiInjected(t(s, dir, "documents").filter(col("doc_id") < 600)), "t")
+        .filter(col("has_pii"))
+        .select(Seq(col("doc_id")) ++
+          graft.llm.Pii.patterns.map { case (k, _) =>
+            col(s"n_$k").cast("long").as(s"n_$k") }: _*)
+        .orderBy("doc_id"),
+      Some {
+        val counts = graft.llm.Pii.patterns.map { case (k, pat) =>
+          s"LEN(regexp_extract_all(t, '$pat')) AS n_$k" }.mkString(",\n  ")
+        val any = graft.llm.Pii.patterns.map(p => s"n_${p._1} > 0").mkString(" OR ")
+        s"""WITH inj AS ($piiInjectSql),
+           |c AS (SELECT doc_id,
+           |  $counts
+           |FROM inj)
+           |SELECT * FROM c WHERE $any ORDER BY doc_id""".stripMargin
+      }),
+
+    Q("pii2_redact",
+      (s, dir) => graft.llm.Pii.redact(
+          piiInjected(t(s, dir, "documents").filter(col("doc_id") < 600)), "t")
+        .filter(col("t") =!= col("text_redacted"))
+        .select("doc_id", "text_redacted")
+        .orderBy("doc_id"),
+      Some {
+        // nested regexp_replace in the SAME specific→general order as
+        // Pii.redact's foldLeft ('g' = replace all, Spark's default)
+        val replaced = graft.llm.Pii.patterns.foldLeft("t") {
+          case (expr, (k, pat)) =>
+            s"regexp_replace($expr, '$pat', '${graft.llm.Pii.placeholder(k)}', 'g')"
+        }
+        s"""WITH inj AS ($piiInjectSql)
+           |SELECT doc_id, $replaced AS text_redacted
+           |FROM inj WHERE t <> $replaced ORDER BY doc_id""".stripMargin
+      })
   )
+
+  /** Deterministic PII injection for the pii* gates: appends contact-shaped
+    * strings keyed off doc_id (mod different primes, so kinds overlap on
+    * some docs and miss on others). MUST stay in lockstep with
+    * `piiInjectSql`. */
+  private def piiInjected(d: DataFrame): DataFrame =
+    d.withColumn("t", concat(
+      col("text"),
+      when(col("doc_id") % 5 === 0, concat(lit(" reach me at user"),
+        col("doc_id").cast("string"), lit("@example.com"))).otherwise(""),
+      when(col("doc_id") % 7 === 0, lit(" call 555-123-4567 now")).otherwise(""),
+      when(col("doc_id") % 11 === 0, concat(lit(" host 192.168."),
+        (col("doc_id") % 256).cast("string"), lit(".42"))).otherwise(""),
+      when(col("doc_id") % 13 === 0, concat(lit(" ssn 123-45-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(""),
+      when(col("doc_id") % 17 === 0,
+        lit(" card 4111 1111 1111 1111")).otherwise("")))
+
+  /** DuckDB spelling of `piiInjected` (same doc set, same strings). Written
+    * one-clause-per-line with `||` at LINE END — this string is interpolated
+    * into templates that run `.stripMargin` afterwards, which would strip a
+    * leading `||` down to `|`. */
+  private val piiInjectSql: String =
+    "SELECT doc_id, text ||\n" +
+    "  CASE WHEN doc_id % 5 = 0 THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||\n" +
+    "  CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567 now' ELSE '' END ||\n" +
+    "  CASE WHEN doc_id % 11 = 0 THEN ' host 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.42' ELSE '' END ||\n" +
+    "  CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||\n" +
+    "  CASE WHEN doc_id % 17 = 0 THEN ' card 4111 1111 1111 1111' ELSE '' END AS t\n" +
+    "FROM documents WHERE doc_id < 600"
 
   // ---------- driver contract ----------
 

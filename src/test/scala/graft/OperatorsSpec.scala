@@ -433,6 +433,31 @@ class OperatorsSpec extends SparkSpec {
     assert(kept3 == Set(0L, 1L, 2L, 3L))
   }
 
+  test("pii detect counts and redact placeholders") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "mail a@b.io and c.d@e-f.org, host 10.0.0.1, call 555-123-4567"),
+      (1L, "ssn 123-45-6789 card 4111 1111 1111 1111"),
+      (2L, "clean text with no contact information at all"),
+      (3L, "")).toDF("id", "text")
+    val det = graft.llm.Pii.detect(docs).orderBy("id")
+      .select("n_email", "n_ipv4", "n_cc", "n_ssn", "n_phone", "has_pii")
+      .collect()
+    assert(det(0).toSeq == Seq(2, 1, 0, 0, 1, true))
+    assert(det(1).toSeq == Seq(0, 0, 1, 1, 0, true))
+    assert(det(2).toSeq == Seq(0, 0, 0, 0, 0, false))
+    assert(det(3).toSeq == Seq(0, 0, 0, 0, 0, false))
+    val red = graft.llm.Pii.redact(docs).orderBy("id")
+      .select("text_redacted").as[String].collect()
+    assert(red(0) == "mail <EMAIL> and <EMAIL>, host <IPV4>, call <PHONE>")
+    assert(red(1) == "ssn <SSN> card <CC>")
+    assert(red(2) == "clean text with no contact information at all")
+    // redaction leaves no residual matches of any pattern
+    val again = graft.llm.Pii.detect(
+      graft.llm.Pii.redact(docs).select(col("text_redacted").as("text")))
+    assert(again.filter(col("has_pii")).count() == 0)
+  }
+
   test("keepClusterRepresentatives keeps min-id per cluster and all unpaired rows") {
     import spark.implicits._
     val docs = (0L until 10L).map(i => (i, s"doc$i")).toDF("id", "text")
