@@ -1237,8 +1237,112 @@ object SparkEntry {
         s"""WITH inj AS ($piiInjectSql)
            |SELECT doc_id, $replaced AS text_redacted
            |FROM inj WHERE t <> $replaced ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // ---- BP/CH*: corpus cleaning + context-window prep (llm.Curation) ----
+    Q("bp1_boilerplate",  // C4-style line removal: both sides append the
+      // same newsletter/footer lines (newline-separated) to the single-line
+      // synthetic docs, then lines in ≥ 50 distinct docs must vanish while
+      // per-doc footer lines and the original text survive — exact parity
+      (s, dir) => graft.llm.Curation.removeBoilerplateLines(
+          bpInjected(t(s, dir, "documents").filter(col("doc_id") < 500))
+            .select(col("doc_id"), col("t").as("text")),
+          "doc_id", "text", minDocs = 50)
+        .select(col("doc_id"), col("text").as("text_clean"))
+        .orderBy("doc_id"),
+      Some(s"""WITH inj AS ($bpInjectSql),
+              |d AS (SELECT doc_id, STRING_SPLIT(t, chr(10)) AS l FROM inj),
+              |ln AS (SELECT doc_id, l, UNNEST(RANGE(1, LEN(l) + 1)) AS pos FROM d),
+              |lx AS (SELECT doc_id, pos, l[pos] AS line FROM ln),
+              |boiler AS (SELECT line FROM (
+              |  SELECT line, COUNT(DISTINCT doc_id) AS df FROM lx GROUP BY line
+              |) WHERE df >= 50),
+              |agg AS (SELECT doc_id, STRING_AGG(line, chr(10) ORDER BY pos) AS tc
+              |        FROM lx WHERE line NOT IN (SELECT line FROM boiler)
+              |        GROUP BY doc_id)
+              |SELECT i.doc_id, COALESCE(tc, '') AS text_clean
+              |FROM inj i LEFT JOIN agg USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
+    Q("ch1_chunking",  // token-window chunking: 32-token windows every 24
+      // tokens (8-token overlap); DuckDB recomputes the same window starts
+      // and list slices — exact chunk text, index, and length parity
+      (s, dir) => graft.llm.Curation.chunkByTokens(
+          t(s, dir, "documents").filter(col("doc_id") < 300),
+          "doc_id", "text", chunkTokens = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, STRING_SPLIT(text, ' ') AS l
+             |  FROM documents WHERE doc_id < 300
+             |), s AS (
+             |  SELECT doc_id, l,
+             |    UNNEST(RANGE(0, GREATEST(LEN(l) - 1, 0) + 1, 24)) AS st
+             |  FROM d
+             |)
+             |SELECT doc_id, st // 24 AS chunk_idx,
+             |  CAST(LEAST(LEN(l) - st, 32) AS BIGINT) AS n_tokens,
+             |  ARRAY_TO_STRING(l[st + 1 : st + 32], ' ') AS chunk_text
+             |FROM s ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    Q("ch2_packing",  // boundary packing of the ch1 chunks into 512-token
+      // packs: pack = prefix-tokens-before div 512 over the (doc_id,
+      // chunk_idx) order. Spark computes the prefix sum two-level (bucketed
+      // window + per-bucket offsets); DuckDB's single global window must
+      // produce the IDENTICAL assignment — the parity proves the
+      // decomposition exact, not just plausible
+      (s, dir) => {
+        val chunks = graft.llm.Curation.chunkByTokens(
+          t(s, dir, "documents").filter(col("doc_id") < 300),
+          "doc_id", "text", chunkTokens = 32, stride = 24)
+        graft.llm.Curation.packByBudget(chunks,
+            expr("doc_id div 64"),
+            Seq("doc_id", "chunk_idx"), "n_tokens", budget = 512)
+          .groupBy("pack_id")
+          .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("pack_tokens"))
+          .orderBy("pack_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, STRING_SPLIT(text, ' ') AS l
+             |  FROM documents WHERE doc_id < 300
+             |), s AS (
+             |  SELECT doc_id, l,
+             |    UNNEST(RANGE(0, GREATEST(LEN(l) - 1, 0) + 1, 24)) AS st
+             |  FROM d
+             |), c AS (
+             |  SELECT doc_id, st // 24 AS chunk_idx,
+             |    CAST(LEAST(LEN(l) - st, 32) AS BIGINT) AS n_tokens
+             |  FROM s
+             |), p AS (
+             |  SELECT n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (
+             |    ORDER BY doc_id, chunk_idx
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+             |    AS BIGINT) AS pack_id
+             |  FROM c
+             |)
+             |SELECT pack_id, COUNT(*) AS n_chunks,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+             |FROM p GROUP BY pack_id ORDER BY pack_id""".stripMargin))
   )
+
+  /** Deterministic boilerplate injection for the bp1 gate: appends shared
+    * newsletter/rights lines (≥ 50-doc frequency) and a unique per-doc
+    * footer. MUST stay in lockstep with `bpInjectSql`. */
+  private def bpInjected(d: DataFrame): DataFrame =
+    d.withColumn("t", concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        lit("\nsubscribe to our newsletter today")).otherwise(""),
+      when(col("doc_id") % 4 === 0,
+        lit("\nall rights reserved")).otherwise(""),
+      concat(lit("\ndoc footer "), col("doc_id").cast("string"))))
+
+  /** DuckDB spelling of `bpInjected` (`||` at line end — see piiInjectSql). */
+  private val bpInjectSql: String =
+    "SELECT doc_id, text ||\n" +
+    "  CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'subscribe to our newsletter today' ELSE '' END ||\n" +
+    "  CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'all rights reserved' ELSE '' END ||\n" +
+    "  chr(10) || 'doc footer ' || CAST(doc_id AS VARCHAR) AS t\n" +
+    "FROM documents WHERE doc_id < 500"
 
   /** Deterministic PII injection for the pii* gates: appends contact-shaped
     * strings keyed off doc_id (mod different primes, so kinds overlap on

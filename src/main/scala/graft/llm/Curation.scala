@@ -69,4 +69,96 @@ object Curation {
       .select(col("_cid").as(idCol))
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** C4-style BOILERPLATE removal: any line occurring in ≥ `minDocs`
+    * distinct documents (nav bars, cookie banners, footers) is stripped
+    * from every document; line order inside each doc is preserved and the
+    * cleaned text is reassembled on the original separator.
+    *
+    * Shuffle shape at 100 TB: the line-frequency aggregation carries only
+    * (lineHash, docId) — never line text; the boilerplate set (lines ABOVE
+    * the threshold) is tiny by construction, so the anti-join broadcasts;
+    * reassembly is one shuffle keyed on the doc id. A 64-bit line-hash
+    * collision could strip one extra line per ~10¹² distinct-line pairs —
+    * the conservative direction for training data (never keeps boilerplate).
+    * Documents whose every line is boilerplate come back with empty text. */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                             minDocs: Int, sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, "minDocs must be at least 2")
+    val sepPat = java.util.regex.Pattern.quote(sep)
+    val lines = df
+      .select(col(idCol),
+        posexplode(split(col(textCol), sepPat)).as(Seq("_pos", "_line")))
+      .withColumn("_lh", xxhash64(col("_line")))
+    val boiler = lines.groupBy("_lh")
+      .agg(count_distinct(col(idCol)).as("_df"))
+      .filter(col("_df") >= minDocs)
+      .select("_lh")
+    val kept = lines.join(broadcast(boiler), Seq("_lh"), "left_anti")
+    val cleaned = kept.groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("_pos"), col("_line")))),
+        x => x.getField("_line")), sep).as("_clean"))
+    df.drop(textCol)
+      .join(cleaned, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("_clean"), lit("")))
+      .drop("_clean")
+  }
+
+  /** CHUNKING for context windows: split each document into whitespace-token
+    * windows of `chunkTokens` tokens starting every `stride` tokens
+    * (stride < chunkTokens ⇒ overlapping chunks). Pure map-side HOFs over
+    * the scan — rows explode, bytes stay linear in (overlap factor × input).
+    * Output: (idCol, chunk_idx, n_tokens, chunk_text); the final chunk may
+    * be short (documents are never padded). */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      "need 0 < stride <= chunkTokens")
+    df.withColumn("_w", split(col(textCol), " "))
+      .select(col(idCol), col("_w"),
+        posexplode(sequence(lit(0), greatest(size(col("_w")) - 1, lit(0)),
+          lit(stride))).as(Seq("chunk_idx", "_s")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        least(size(col("_w")) - col("_s"), lit(chunkTokens))
+          .cast("long").as("n_tokens"),
+        array_join(slice(col("_w"), col("_s") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
+  /** Sequence PACKING: assign ordered chunks to consecutive packs by token
+    * budget — chunk → pack `floor(prefixTokensBefore / budget)`, so every
+    * pack holds ≥ budget tokens only through its single straddling chunk
+    * (pack sum < budget + max chunk size). Boundary packing is the
+    * closed-form variant of greedy fill: deterministic for a given total
+    * order, independent of partitioning, and — unlike first-fit — computable
+    * without a sequential pass over 100 TB.
+    *
+    * The prefix sum is two-level so no global window touches the data:
+    * a per-bucket cumulative sum (parallel over `bucketCol`) plus bucket
+    * offsets from a window over ONE ROW PER BUCKET (metadata scale, like
+    * centroid ranking). `bucketCol` must be a coarsening of the leading
+    * `orderCols` (e.g. `doc_id div 64` when ordering by (doc_id, chunk_idx))
+    * so bucket order and row order agree. */
+  def packByBudget(df: DataFrame, bucketCol: Column, orderCols: Seq[String],
+                   tokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val withB = df.withColumn("_bkt", bucketCol)
+    val wLocal = Window.partitionBy("_bkt")
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = withB.withColumn("_before",
+      coalesce(sum(col(tokensCol)).over(wLocal), lit(0L)))
+    val wBuckets = Window.orderBy("_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withB.groupBy("_bkt")
+      .agg(sum(col(tokensCol)).as("_btot"))
+      .withColumn("_boff", coalesce(sum("_btot").over(wBuckets), lit(0L)))
+      .select("_bkt", "_boff")
+    local.join(broadcast(offsets), Seq("_bkt"))
+      // integral `div`, not floor(double /): exact past 2^53 total tokens
+      .withColumn("pack_id", expr(s"(_before + _boff) div ${budget}L"))
+      .drop("_bkt", "_before")
+      .drop("_boff")
+  }
 }

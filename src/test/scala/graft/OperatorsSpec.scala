@@ -458,6 +458,60 @@ class OperatorsSpec extends SparkSpec {
     assert(again.filter(col("has_pii")).count() == 0)
   }
 
+  test("removeBoilerplateLines strips shared lines, keeps order, empties all-boiler docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "unique alpha\ncookie banner\nunique beta"),
+      (1L, "cookie banner\nunique gamma"),
+      (2L, "cookie banner\nfooter line"),
+      (3L, "footer line\ncookie banner"),
+      (4L, "totally original content")).toDF("id", "text")
+    val out = graft.llm.Curation.removeBoilerplateLines(docs, "id", "text", minDocs = 3)
+      .orderBy("id").select("text").as[String].collect()
+    // "cookie banner" in 4 docs (>=3) → stripped; "footer line" in 2 → kept
+    assert(out(0) == "unique alpha\nunique beta")
+    assert(out(1) == "unique gamma")
+    assert(out(2) == "footer line")
+    assert(out(3) == "footer line")
+    assert(out(4) == "totally original content")
+    // every line boilerplate → empty doc survives with empty text
+    val all = Seq((0L, "x\ny"), (1L, "x\ny"), (2L, "x")).toDF("id", "text")
+    val out2 = graft.llm.Curation.removeBoilerplateLines(all, "id", "text", minDocs = 2)
+      .orderBy("id").select("text").as[String].collect()
+    assert(out2.toSeq == Seq("", "", ""))
+  }
+
+  test("chunkByTokens windows + packByBudget boundary packing invariants") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (1L, "a b c"),                                  // 3 tokens
+      (2L, "")).toDF("id", "text")                    // split("") = [""]
+    val ch = graft.llm.Curation.chunkByTokens(docs, "id", "text",
+      chunkTokens = 4, stride = 3).orderBy("id", "chunk_idx")
+    val rows = ch.collect()
+    // doc 0: starts 0,3,6,9 → 4 chunks of 4,4,4,1 tokens
+    val d0 = rows.filter(_.getLong(0) == 0L)
+    assert(d0.map(_.getLong(2)).toSeq == Seq(4L, 4L, 4L, 1L))
+    assert(d0.head.getString(3) == "w1 w2 w3 w4")
+    assert(d0(1).getString(3) == "w4 w5 w6 w7") // 8-token? no: stride 3, overlap 1
+    assert(d0.last.getString(3) == "w10")
+    // doc 1: single chunk, 3 tokens; doc 2: one empty-string token
+    assert(rows.filter(_.getLong(0) == 1L).map(_.getString(3)).toSeq == Seq("a b c"))
+    assert(rows.filter(_.getLong(0) == 2L).map(_.getLong(2)).toSeq == Seq(1L))
+
+    val packed = graft.llm.Curation.packByBudget(ch,
+      expr("id div 2"), Seq("id", "chunk_idx"), "n_tokens", budget = 5)
+    // global order (id, chunk_idx), tokens 4,4,4,1,3,1 → prefix-before
+    // 0,4,8,12,13,16 → packs 0,0,1,2,2,3
+    val packs = packed.orderBy("id", "chunk_idx")
+      .select("pack_id").as[Long].collect().toSeq
+    assert(packs == Seq(0L, 0L, 1L, 2L, 2L, 3L))
+    // invariants: every chunk assigned, packs contiguous from 0
+    assert(packed.count() == 6)
+    assert(packs.distinct.sorted == Seq(0L, 1L, 2L, 3L))
+  }
+
   test("keepClusterRepresentatives keeps min-id per cluster and all unpaired rows") {
     import spark.implicits._
     val docs = (0L until 10L).map(i => (i, s"doc$i")).toDF("id", "text")
