@@ -210,9 +210,45 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
       with GraftV1Writable { val writeRoot = root; val writeIdent = ident }
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER runs through the transactional graft API (addColumn/renameColumn/dropColumn)")
+  /** SQL `ALTER TABLE ... ADD/RENAME/DROP COLUMN` mapped onto the
+    * transactional column-evolution API (the reference's first-class column
+    * DDL verbs, vastdb/table.py:1010-1038): ADD stages a null-filled logical
+    * column, RENAME installs lazy per-file rename maps (no data rewrite),
+    * DROP tombstones the physical column. All changes of one statement land
+    * in ONE transaction — a concurrent commit conflicts atomically, never
+    * half-applies. Top-level columns only: nested-field evolution stays
+    * API-side (manifest schemas are whole-column typed, like the reference's
+    * flat column DDL). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    def topLevel(fieldNames: Array[String]): String = {
+      if (fieldNames.length != 1) throw new UnsupportedOperationException(
+        s"nested column DDL (${fieldNames.mkString(".")}): use the graft API")
+      // `_row_id` is synthesized into the SQL-visible schema (so Spark's
+      // analyzer would resolve DDL against it) but is not a manifest column
+      if (fieldNames.head == "_row_id") throw new UnsupportedOperationException(
+        "_row_id is the engine-managed row address, not an evolvable column")
+      fieldNames.head
+    }
+    val ns = ident.namespace()
+    inSession { tx =>
+      val t = tx.bucket(ns.head).schema(ns.tail.mkString("/")).table(ident.name())
+      changes.foreach {
+        case add: TableChange.AddColumn =>
+          t.addColumn(StructField(topLevel(add.fieldNames()), add.dataType(),
+            add.isNullable()))
+        case ren: TableChange.RenameColumn =>
+          t.renameColumn(topLevel(ren.fieldNames()), ren.newName())
+        case del: TableChange.DeleteColumn =>
+          t.dropColumn(topLevel(del.fieldNames()))
+        case other => throw new UnsupportedOperationException(
+          s"ALTER TABLE change ${other.getClass.getSimpleName}: " +
+            "only ADD/RENAME/DROP COLUMN are supported")
+      }
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     if (!tableExists(ident)) false

@@ -282,6 +282,59 @@ class SqlCatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql("SELECT * FROM graft7.bk.m.c2").collect() }
   }
 
+  test("SQL ALTER TABLE ADD/RENAME/DROP COLUMN through the transactional API") {
+    val root = Files.createTempDirectory("graft-sqlalter").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    s.transaction { tx =>
+      val t = tx.bucket("bk").createSchema("m").createTable("t", schema)
+      t.insert(spark.createDataFrame(java.util.List.of(
+        Row(1L, "one"), Row(2L, "two")), schema))
+    }
+    spark.conf.set("spark.sql.catalog.graft8",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.graft8.root", root)
+    // ADD: new logical column, null-filled for existing files
+    spark.sql("ALTER TABLE graft8.bk.m.t ADD COLUMN score DOUBLE")
+    assert(spark.sql("SELECT score FROM graft8.bk.m.t").collect()
+      .forall(_.isNullAt(0)))
+    spark.sql("INSERT INTO graft8.bk.m.t VALUES (3, 'three', 0.5, 2)")
+    // RENAME: lazy per-file rename maps — old files physically keep "s",
+    // new files write "label"; scans answer across both generations
+    spark.sql("ALTER TABLE graft8.bk.m.t RENAME COLUMN s TO label")
+    spark.sql("INSERT INTO graft8.bk.m.t VALUES (4, 'four', 0.9, 3)")
+    val got = spark.sql(
+      "SELECT a, label FROM graft8.bk.m.t WHERE label IS NOT NULL ORDER BY a")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four")))
+    // DROP: column gone from the SQL schema AND the API manifest
+    spark.sql("ALTER TABLE graft8.bk.m.t DROP COLUMN score")
+    assert(!spark.sql("SELECT * FROM graft8.bk.m.t").schema
+      .fieldNames.contains("score"))
+    s.transaction { tx =>
+      assert(tx.bucket("bk").schema("m").table("t").manifest.schema
+        .fieldNames.toSeq == Seq("a", "label"))
+    }
+    // duplicate ADD surfaces the transactional error; _row_id is guarded
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft8.bk.m.t ADD COLUMN label STRING")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft8.bk.m.t DROP COLUMN _row_id")
+    }
+    // cross-tx isolation: a reader that pinned the pre-ALTER version keeps
+    // its schema; an uncommitted writer conflicts with the committed ALTER
+    val apiTx = s.beginTransaction()
+    val apiT = apiTx.bucket("bk").schema("m").table("t")
+    apiT.addColumn(StructField("extra", LongType))
+    spark.sql("ALTER TABLE graft8.bk.m.t ADD COLUMN other STRING")
+    intercept[Conflict] { apiTx.commit() }
+    s.transaction { tx =>
+      val names = tx.bucket("bk").schema("m").table("t").manifest.schema.fieldNames
+      assert(names.contains("other") && !names.contains("extra"))
+    }
+  }
+
   test("INSERT OVERWRITE replaces contents transactionally; ids never reused") {
     val root = Files.createTempDirectory("graft-sqlovw").toString
     val s = VastSession(spark, root)
