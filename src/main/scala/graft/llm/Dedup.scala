@@ -187,19 +187,30 @@ object Dedup {
    * label propagation — and the edge set converges to a forest of stars in
    * O(log² n) rounds even on pathological chain graphs, so a 100 TB corpus'
    * pair list never serializes through the driver. Per-round lineage is
-   * truncated with `localCheckpoint` (executor-local blocks; see
-   * `materializeIfLarge` for the trade-off).
+   * truncated with a LAZY checkpoint whose materializing action is the
+   * convergence-signature aggregation itself — one driver action per round,
+   * never a separate eager-checkpoint pass plus a signature job.
+   *
+   * Checkpoint durability: `reliable = false` (default) uses
+   * `localCheckpoint` — executor-local, unreplicated blocks; losing an
+   * executor mid-iteration fails the run (fine single-node / short batch).
+   * `reliable = true` routes each round through `Dataset.checkpoint` into
+   * `spark.sparkContext.setCheckpointDir` (HDFS/object store) so a 100 TB
+   * cluster run survives executor loss at the cost of a per-round write.
    *
    * Returns (id, component) for every id appearing in `pairs`, where
    * component = the smallest id in its cluster.
    */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-                          idB: String = "id_b", maxIter: Int = 25): DataFrame = {
-    var edges = pairs
+                          idB: String = "id_b", maxIter: Int = 25,
+                          reliable: Boolean = false): DataFrame = {
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
+    var edges = truncate(pairs
       .select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     // deterministic edge-set signature: (count, xor of per-edge hashes) —
     // bit_xor, not sum: ANSI mode makes an overflowing long sum THROW
     def signature(e: DataFrame): Seq[Any] =
@@ -223,18 +234,23 @@ object Dedup {
           least(col("u"), col("v")).as("v"))
         .filter(col("u") =!= col("v"))
       val ssMin = dir.groupBy("u").agg(min("v").as("m"))
-      val ss = dir.join(ssMin, "u")
+      val ss = truncate(dir.join(ssMin, "u")
         .select(col("v"), col("m"))
         .union(ssMin.select(col("u").as("v"), col("m")))
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
-        .localCheckpoint()
+        .distinct())
+      edges = ss
+      iter += 1
+      // the round's one driver action: computes the signature AND (under
+      // AQE's eager stage materialization, the final stage; otherwise the
+      // whole lineage) the lazy checkpoint it reads through. Checking every
+      // 2nd round was measured SLOWER end-to-end: it saves half the cheap
+      // signature actions but detects the fixpoint up to two full —
+      // expensive — rounds later.
       val sig = signature(ss)
       converged = sig == prevSig
       prevSig = sig
-      edges = ss
-      iter += 1
     }
     // at the star fixpoint every non-root carries exactly one edge to its
     // component root; min() keeps the result deterministic even if maxIter

@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
  * Multimodal column plumbing: media (image/audio/video) as opaque `binary`
  * columns with a typed metadata struct, plus batch-shaped feature extraction.
  *
- * The Spark-side plumbing — schema, partition sizing, per-partition batch
- * processing — is real and tested; the actual codec work is STUBBED behind
- * `decodeStub` (the container has no image/audio libraries). Swapping in a
- * real decoder means replacing only the function body; the operator shape
- * (mapPartitions over (id, bytes) with bounded batches) stays.
+ * Images decode for REAL through the JDK's own codecs (`javax.imageio`:
+ * PNG/JPEG/GIF/BMP — no external libraries needed): pixels → per-channel
+ * means + a luminance grid, the classic cheap visual fingerprint. Audio and
+ * video stay STUBBED behind `decodeStub`/`frameSampleStub` (the JDK ships no
+ * audio/video codecs); swapping in a real decoder means replacing only the
+ * function body — the operator shape (mapPartitions over (id, bytes) with
+ * bounded batches) stays.
  */
 object Multimodal {
 

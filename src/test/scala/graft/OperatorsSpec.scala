@@ -374,6 +374,55 @@ class OperatorsSpec extends SparkSpec {
     assert(got2 == want)
   }
 
+  test("connectedComponents: one driver action per round, no eager checkpoint pass") {
+    import spark.implicits._
+    // 40-node chain: the deterministic worst case — 7 large-star/small-star
+    // rounds to convergence detection (data-dependent but fixed per input)
+    val pairs = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    pairs.count() // warm the scan path outside the counted window
+    // executions by call-site: "head at Dedup" = a convergence-signature
+    // driver action; "localCheckpoint at Dedup" = per-round lazy-checkpoint
+    // registration (under AQE its toRdd materializes the round's stages, so
+    // the round's REAL work runs here — but only once, with no separate
+    // count() pass and no second full-plan action)
+    val sigActions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val allExecs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          allExecs.incrementAndGet()
+          if (s.description.startsWith("head at Dedup")) sigActions.incrementAndGet()
+        case _ =>
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    graft.llm.Dedup.connectedComponents(pairs)
+    // listener bus is async: wait until the count settles
+    var last = -1
+    var same = 0
+    while (same < 4) { // 4 × 250 ms of stability
+      Thread.sleep(250)
+      if (allExecs.get() == last) same += 1
+      else { same = 0; last = allExecs.get() }
+    }
+    spark.sparkContext.removeSparkListener(l)
+    // this chain detects the fixpoint at round 7: the iterative phase runs
+    // exactly 8 signature actions (1 initial + 7 rounds) and 8 job-less
+    // checkpoint registrations = 16 executions. The old eager-per-round
+    // formulation ran a separate full materializing pass per round ON TOP
+    // of the signature action (2 actions with work per round); the bounds
+    // catch that regression while tolerating ±1 round of drift.
+    assert(sigActions.get() >= 3,
+      s"expected an iterative run, saw ${sigActions.get()} signature actions")
+    assert(sigActions.get() <= 10,
+      s"${sigActions.get()} signature actions for a 7-round run: an extra " +
+        "per-round driver action crept back in")
+    assert(allExecs.get() <= 20,
+      s"${allExecs.get()} executions for a 7-round run: more than one " +
+        "materializing action per round is running again")
+  }
+
   test("RepetitionStats: native single pass matches the HOF formulation") {
     import spark.implicits._
     val docs = Seq(
