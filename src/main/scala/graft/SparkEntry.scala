@@ -46,6 +46,25 @@ object SparkEntry {
                        fn: (SparkSession, String) => DataFrame,
                        oracle: Option[String])
 
+  /** Deterministic solid-color 16×16 PNG — test input for the real
+    * javax.imageio decode path (mm2): a solid image's channel means are
+    * closed-form, so the DuckDB oracle can derive the expected features
+    * arithmetically without decoding pixels. */
+  def solidPng(r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   // ---------- operator inventory ----------
 
   private lazy val defs: Seq[Q] = Seq(
@@ -915,24 +934,37 @@ object SparkEntry {
              |  MD5(text) AS checksum
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    Q("mm2_feature_extract",  // self-oracled on the distributed plumbing:
-      // the stub decoder's float values are engine-specific, but the batch
-      // contract is checkable — every byte of every row must flow through
-      // the mapPartitions decode (n_bytes = UTF-8 byte length, which DuckDB
-      // derives from the text), and each row must yield exactly the declared
-      // 8-dim finite feature vector.
-      (s, dir) => graft.llm.Multimodal.extractFeatures(
-          t(s, dir, "documents").withColumn("media", col("text").cast("binary")),
-          "doc_id", "media")
-        .select(col("id"), col("n_bytes"),
-          size(col("features")).as("n_features"),
-          (size(filter(col("features"), f => isnan(f) || f.cast("double").isNull))
-            === 0).as("feats_finite"))
-        .orderBy("id"),
-      Some("""SELECT doc_id AS id, CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT)
-             |    AS n_bytes,
-             |  8 AS n_features, true AS feats_finite
-             |FROM documents ORDER BY id""".stripMargin)),
+    Q("mm2_feature_extract",  // REAL image decode through javax.imageio:
+      // each doc gets a deterministic solid-color 16×16 PNG (channels are
+      // closed-form functions of doc_id), flows through the distributed
+      // mapPartitions decode, and must come back with the exact channel
+      // means the oracle derives arithmetically — an end-to-end proof that
+      // real pixels (not stub bytes) produced the features.
+      (s, dir) => {
+        val png = udf((id: Long) => solidPng(
+          (id % 256).toInt, (id * 7 % 256).toInt, (id * 13 % 256).toInt))
+        graft.llm.Multimodal.extractFeatures(
+            t(s, dir, "documents").filter(col("doc_id") < 200)
+              .withColumn("media", png(col("doc_id"))),
+            "doc_id", "media")
+          .select(col("id"), size(col("features")).as("n_features"),
+            round(element_at(col("features"), 1).cast("double"), 3).as("f_r"),
+            round(element_at(col("features"), 2).cast("double"), 3).as("f_g"),
+            round(element_at(col("features"), 3).cast("double"), 3).as("f_b"),
+            round(element_at(col("features"), 4).cast("double"), 3).as("f_lum"),
+            // solid color ⇒ every grid cell equals the global luminance
+            (element_at(col("features"), 5) === element_at(col("features"), 8))
+              .as("cells_uniform"))
+          .orderBy("id")
+      },
+      Some("""SELECT doc_id AS id, 8 AS n_features,
+             |  ROUND((doc_id % 256) / 255.0, 3) AS f_r,
+             |  ROUND((doc_id * 7 % 256) / 255.0, 3) AS f_g,
+             |  ROUND((doc_id * 13 % 256) / 255.0, 3) AS f_b,
+             |  ROUND(((doc_id % 256) + (doc_id * 7 % 256) + (doc_id * 13 % 256))
+             |    / 3.0 / 255.0, 3) AS f_lum,
+             |  true AS cells_uniform
+             |FROM documents WHERE doc_id < 200 ORDER BY id""".stripMargin)),
 
     // ---- EV*: event/streaming layer (batch-equivalent of the Structured
     //      Streaming transforms; streaming execution tested in specs) ----

@@ -34,12 +34,85 @@ object Multimodal {
   /** Feature row produced by the extractor. */
   final case class MediaFeatures(id: Long, n_bytes: Int, features: Array[Float])
 
+  /** Container sniff by magic bytes: the formats the JDK's ImageIO decodes
+    * without external libraries. */
+  def looksLikeImage(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && (
+      (bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' &&
+        bytes(3) == 'G') ||                                   // PNG
+      (bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) || // JPEG
+      (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') || // GIF
+      (bytes(0) == 'B' && bytes(1) == 'M'))                   // BMP
+
   /**
-   * STUB decoder ???: stands in for image/audio decode + feature extraction
-   * (e.g. resize→CNN embed, or audio frame→fbank). Deterministic fake:
-   * 8 features derived from a rolling byte statistic so tests have stable
-   * expectations. Replace the body with a real codec; the signature
-   * (one media object in, fixed-width float vector out) is the contract.
+   * REAL image decode + feature extraction via the JDK's `javax.imageio`
+   * (PNG/JPEG/GIF/BMP): 8 features in [0,1] —
+   *
+   *   [ meanR, meanG, meanB, meanLum,
+   *     lum(top-left), lum(top-right), lum(bottom-left), lum(bottom-right) ]
+   *
+   * where lum = (r+g+b)/3 and the four cells split the image at floor(w/2) /
+   * floor(h/2) — a fixed-grid downsample, the cheap visual fingerprint that
+   * feeds near-dup blocking and quality gates. Sums accumulate in double so
+   * the float result is exact to ~1e-7 regardless of image size. Returns
+   * None for payloads ImageIO cannot decode (truncated or not an image).
+   */
+  def decodeImage(bytes: Array[Byte]): Option[Array[Float]] =
+    if (!looksLikeImage(bytes)) None
+    else try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth == 0 || img.getHeight == 0) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val sum = new Array[Double](3)
+        val cellLum = new Array[Double](4)
+        val cellN = new Array[Long](4)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xFF
+            val g = (rgb >> 8) & 0xFF
+            val b = rgb & 0xFF
+            sum(0) += r; sum(1) += g; sum(2) += b
+            val cell = (if (y >= (h + 1) / 2) 2 else 0) + (if (x >= (w + 1) / 2) 1 else 0)
+            cellLum(cell) += (r + g + b) / 3.0
+            cellN(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        val feats = new Array[Float](8)
+        feats(0) = (sum(0) / n / 255.0).toFloat
+        feats(1) = (sum(1) / n / 255.0).toFloat
+        feats(2) = (sum(2) / n / 255.0).toFloat
+        feats(3) = ((sum(0) + sum(1) + sum(2)) / 3.0 / n / 255.0).toFloat
+        var c = 0
+        while (c < 4) {
+          feats(4 + c) =
+            if (cellN(c) == 0) feats(3)
+            else (cellLum(c) / cellN(c) / 255.0).toFloat
+          c += 1
+        }
+        Some(feats)
+      }
+    } catch { case _: Exception => None }
+
+  /** Unified per-object decode: real codec for image containers, stub
+    * features for everything else (audio/video/opaque payloads). */
+  def decode(bytes: Array[Byte]): Array[Float] =
+    decodeImage(bytes).getOrElse(decodeStub(bytes))
+
+  /**
+   * STUB decoder ???: stands in for audio/video decode + feature extraction
+   * (e.g. audio frame→fbank); images take the REAL `decodeImage` path above.
+   * Deterministic fake: 8 features derived from a rolling byte statistic so
+   * tests have stable expectations. Replace the body with a real codec; the
+   * signature (one media object in, fixed-width float vector out) is the
+   * contract.
    */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
     val feats = new Array[Float](8)
@@ -101,11 +174,12 @@ object Multimodal {
     val ds: Dataset[MediaFeatures] = df
       .select(col(idCol).cast("long"), col(binCol))
       .mapPartitions { rows =>
-        // per-partition decoder init would go here
+        // per-partition decoder init would go here (ImageIO readers are
+        // looked up per call; a real CNN embedder would load weights once)
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          MediaFeatures(id, bytes.length, decodeStub(bytes))
+          MediaFeatures(id, bytes.length, decode(bytes))
         }
       }
     ds.toDF()

@@ -256,6 +256,39 @@ class OperatorsSpec extends SparkSpec {
     assert(feats(0).getSeq[Float](2) == again(0).getSeq[Float](2))
   }
 
+  test("decodeImage: real javax.imageio decode — channel means and grid cells") {
+    // 4×2 gradient, hand-computable: row 0 = (0,0,0),(40,0,0),(80,0,0),(120,0,0)
+    //                                row 1 = (0,200,0),(40,200,0),(80,200,0),(120,200,0)
+    val img = new java.awt.image.BufferedImage(
+      4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 4; y <- 0 until 2)
+      img.setRGB(x, y, ((x * 40) << 16) | (if (y == 1) 200 << 8 else 0))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val feats = Multimodal.decodeImage(out.toByteArray).get.map(_.toDouble)
+    def ~=(a: Double, b: Double) = math.abs(a - b) < 1e-6
+    assert(~=(feats(0), 60.0 / 255))                   // mean R
+    assert(~=(feats(1), 100.0 / 255))                  // mean G
+    assert(~=(feats(2), 0.0))                          // mean B
+    assert(~=(feats(3), 160.0 / 3 / 255))              // mean luminance
+    // cells split at ceil(w/2)=2, ceil(h/2)=1: TL = {(0,0),(40,0)} etc.
+    assert(~=(feats(4), 20.0 / 3 / 255))               // TL: (0+40)/2 /3
+    assert(~=(feats(5), 100.0 / 3 / 255))              // TR: (80+120)/2 /3
+    assert(~=(feats(6), 220.0 / 3 / 255))              // BL: (200+240)/2 /3
+    assert(~=(feats(7), 300.0 / 3 / 255))              // BR: (280+320)/2 /3
+    // BMP decodes through the same path; non-image payloads return None and
+    // extractFeatures falls back to the stub
+    val bmp = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bmp)
+    val viaBmp = Multimodal.decodeImage(bmp.toByteArray).get
+    assert(feats.zip(viaBmp).forall { case (a, b) => ~=(a, b) })
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+    assert(Multimodal.decode("not an image".getBytes)
+      .sameElements(Multimodal.decodeStub("not an image".getBytes)))
+    // truncated PNG (valid magic, broken stream) must not crash the task
+    assert(Multimodal.decodeImage(out.toByteArray.take(20)).isEmpty)
+  }
+
   // -------------------------------------------------------- type mapping
 
   test("type mapping widens unsigned and tags metadata") {
