@@ -92,6 +92,10 @@ object Manifest {
     * and a 100 TB corpus never recomputes signatures it already has. */
   case class DedupIndexMeta(column: String, k: Int = 64, bands: Int = 16,
                             shingleN: Int = 3, dir: String = "")
+  /** `commitMicros` = wall-clock commit time (epoch µs), stamped by the
+    * commit CAS — drives `TIMESTAMP AS OF` time travel (newest version
+    * committed at or before the asked instant). 0 on manifests from before
+    * the field existed, which sorts them "before any timestamp". */
   case class TableManifest(version: Long,
                            schemaJson: String,
                            files: Seq[FileEntry],
@@ -101,7 +105,8 @@ object Manifest {
                            vectorIndexes: Seq[VectorIndexMeta] = Nil,
                            blobExpansions: Seq[BlobExpansionMeta] = Nil,
                            dedupIndexes: Seq[DedupIndexMeta] = Nil,
-                           props: Map[String, String] = Map.empty) {
+                           props: Map[String, String] = Map.empty,
+                           commitMicros: Long = 0L) {
     def schema: StructType =
       org.apache.spark.sql.types.DataType.fromJson(schemaJson).asInstanceOf[StructType]
     def totalRows: Long = files.map(_.rows).sum
@@ -441,7 +446,8 @@ class Transaction(val session: VastSession, val id: Long) {
         val base = readSet.get(key).map(_._1).getOrElse(0L)
         val next = base + 1
         Manifest.write(tableDir.resolve("_manifest").resolve(f"v$next%08d.json"),
-          m.copy(version = next), createNew = true)
+          m.copy(version = next,
+            commitMicros = System.currentTimeMillis() * 1000L), createNew = true)
         written += ((tableDir, next))
       }
     } catch {

@@ -1518,7 +1518,8 @@ object Table {
         // type-mapping tag: reference sorted tables widen $row_id to
         // decimal128(38,0) (vastdb/table.py:41-44); here ids are identity
         // (never position-encoding), so int64 everywhere — see COVERAGE.md
-        props = Map("graft.rowid.type" -> "int64")), createNew = false)
+        props = Map("graft.rowid.type" -> "int64"),
+        commitMicros = System.currentTimeMillis() * 1000L), createNew = false)
     writeCurrent(dir, 0)
     // invisible to other transactions until commit removes the marker
     // (reference DDL isolation — created tables are tx-local until commit)

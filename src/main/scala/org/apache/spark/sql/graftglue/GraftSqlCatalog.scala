@@ -140,6 +140,26 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
     loadAt(ident, v, writable = false)
   }
 
+  /** `TIMESTAMP AS OF t`: the newest manifest version whose commit stamp is
+    * ≤ t (manifests record `commitMicros` at the commit CAS; the reference's
+    * snapshot-by-name reads are the same resolve-then-read,
+    * vastdb/bucket.py:43-70). Walks versions newest-first and stops at the
+    * first old-enough commit — O(versions-newer-than-t) manifest reads, not
+    * O(history). Pre-feature manifests (stamp 0) match any timestamp. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val dir = tableDir(ident)
+    val cur = graft.api.Table.currentVersion(dir)
+    val v = (cur to 0L by -1).find { n =>
+      val p = dir.resolve("_manifest").resolve(f"v$n%08d.json")
+      Files.exists(p) && Manifest.read(p).commitMicros <= timestamp
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no version of $ident committed at or before " +
+        java.time.Instant.ofEpochMilli(timestamp / 1000L)))
+    loadAt(ident, v, writable = false)
+  }
+
   private def loadAt(ident: Identifier, version: Long, writable: Boolean): Table = {
     val dir = tableDir(ident)
     if (!tableExists(ident))

@@ -335,6 +335,41 @@ class SqlCatalogSpec extends SparkSpec {
     }
   }
 
+  test("TIMESTAMP AS OF resolves the newest commit at or before the instant") {
+    val root = Files.createTempDirectory("graft-sqltt").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    s.transaction { tx =>
+      val t = tx.bucket("bk").createSchema("m").createTable("t", schema)
+      t.insert(spark.createDataFrame(java.util.List.of(
+        Row(1L, "one"), Row(2L, "two")), schema)) // commit -> v1
+    }
+    Thread.sleep(20) // commit stamps are ms-resolution: separate them
+    val between = System.currentTimeMillis() * 1000L
+    Thread.sleep(20)
+    s.transaction { tx =>
+      tx.bucket("bk").schema("m").table("t")
+        .insert(spark.createDataFrame(java.util.List.of(Row(3L, "three")),
+          schema)) // commit -> v2
+    }
+    spark.conf.set("spark.sql.catalog.graft9",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.graft9.root", root)
+    // between the two commits -> first insert only
+    assert(spark.sql("SELECT count(*) FROM graft9.bk.m.t " +
+      s"TIMESTAMP AS OF timestamp_micros(${between}L)").head.getLong(0) == 2)
+    // current read sees both
+    assert(spark.sql("SELECT count(*) FROM graft9.bk.m.t").head.getLong(0) == 3)
+    // now (well after the last commit) -> everything
+    assert(spark.sql("SELECT count(*) FROM graft9.bk.m.t " +
+      "TIMESTAMP AS OF current_timestamp()").head.getLong(0) == 3)
+    // before the table existed -> clear error
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft9.bk.m.t " +
+        "TIMESTAMP AS OF timestamp_micros(1000000L)").collect()
+    }
+  }
+
   test("INSERT OVERWRITE replaces contents transactionally; ids never reused") {
     val root = Files.createTempDirectory("graft-sqlovw").toString
     val s = VastSession(spark, root)
