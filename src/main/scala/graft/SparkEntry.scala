@@ -1304,8 +1304,10 @@ object SparkEntry {
           "doc_id", "text", chunkTokens = 32, stride = 24)
         .orderBy("doc_id", "chunk_idx"),
       Some("""WITH d AS (
-             |  SELECT doc_id, STRING_SPLIT(text, ' ') AS l
-             |  FROM documents WHERE doc_id < 300
+             |  SELECT * FROM (
+             |    SELECT doc_id, STRING_SPLIT(text, ' ') AS l
+             |    FROM documents WHERE doc_id < 300)
+             |  WHERE NOT (LEN(l) = 1 AND l[1] = '')  -- empty doc: no chunks
              |), s AS (
              |  SELECT doc_id, l,
              |    UNNEST(RANGE(0, GREATEST(LEN(l) - 1, 0) + 1, 24)) AS st
@@ -1334,8 +1336,10 @@ object SparkEntry {
           .orderBy("pack_id")
       },
       Some("""WITH d AS (
-             |  SELECT doc_id, STRING_SPLIT(text, ' ') AS l
-             |  FROM documents WHERE doc_id < 300
+             |  SELECT * FROM (
+             |    SELECT doc_id, STRING_SPLIT(text, ' ') AS l
+             |    FROM documents WHERE doc_id < 300)
+             |  WHERE NOT (LEN(l) = 1 AND l[1] = '')  -- empty doc: no chunks
              |), s AS (
              |  SELECT doc_id, l,
              |    UNNEST(RANGE(0, GREATEST(LEN(l) - 1, 0) + 1, 24)) AS st

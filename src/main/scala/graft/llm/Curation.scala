@@ -77,8 +77,11 @@ object Curation {
     *
     * Shuffle shape at 100 TB: the line-frequency aggregation carries only
     * (lineHash, docId) — never line text; the boilerplate set (lines ABOVE
-    * the threshold) is tiny by construction, so the anti-join broadcasts;
-    * reassembly is one shuffle keyed on the doc id. A 64-bit line-hash
+    * the threshold) is usually small, so AQE broadcasts the anti-join side
+    * on its own — but it is NOT hinted: a low `minDocs` over a heavily
+    * duplicated corpus can make the set arbitrarily large, and a forced
+    * broadcast there would OOM the driver where a shuffled anti-join is
+    * fine; reassembly is one shuffle keyed on the doc id. A 64-bit line-hash
     * collision could strip one extra line per ~10¹² distinct-line pairs —
     * the conservative direction for training data (never keeps boilerplate).
     * Documents whose every line is boilerplate come back with empty text. */
@@ -94,7 +97,7 @@ object Curation {
       .agg(count_distinct(col(idCol)).as("_df"))
       .filter(col("_df") >= minDocs)
       .select("_lh")
-    val kept = lines.join(broadcast(boiler), Seq("_lh"), "left_anti")
+    val kept = lines.join(boiler, Seq("_lh"), "left_anti")
     val cleaned = kept.groupBy(col(idCol))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("_pos"), col("_line")))),
@@ -105,17 +108,20 @@ object Curation {
       .drop("_clean")
   }
 
-  /** CHUNKING for context windows: split each document into whitespace-token
-    * windows of `chunkTokens` tokens starting every `stride` tokens
-    * (stride < chunkTokens ⇒ overlapping chunks). Pure map-side HOFs over
-    * the scan — rows explode, bytes stay linear in (overlap factor × input).
-    * Output: (idCol, chunk_idx, n_tokens, chunk_text); the final chunk may
-    * be short (documents are never padded). */
+  /** CHUNKING for context windows: split each document into single-space-
+    * delimited token windows of `chunkTokens` tokens starting every `stride`
+    * tokens (stride < chunkTokens ⇒ overlapping chunks). Pure map-side HOFs
+    * over the scan — rows explode, bytes stay linear in (overlap factor ×
+    * input). Output: (idCol, chunk_idx, n_tokens, chunk_text); the final
+    * chunk may be short (documents are never padded). Empty documents yield
+    * NO chunks: split("") returns [""], which would otherwise surface as a
+    * phantom 1-token empty chunk inflating downstream pack budgets. */
   def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
                     chunkTokens: Int, stride: Int): DataFrame = {
     require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
       "need 0 < stride <= chunkTokens")
     df.withColumn("_w", split(col(textCol), " "))
+      .filter(!(size(col("_w")) === 1 && element_at(col("_w"), 1) === ""))
       .select(col(idCol), col("_w"),
         posexplode(sequence(lit(0), greatest(size(col("_w")) - 1, lit(0)),
           lit(stride))).as(Seq("chunk_idx", "_s")))
@@ -139,10 +145,16 @@ object Curation {
     * offsets from a window over ONE ROW PER BUCKET (metadata scale, like
     * centroid ranking). `bucketCol` must be a coarsening of the leading
     * `orderCols` (e.g. `doc_id div 64` when ordering by (doc_id, chunk_idx))
-    * so bucket order and row order agree. */
+    * so bucket order and row order agree — VALIDATED at run time: per-bucket
+    * [min,max] ranges of the leading order column must be strictly
+    * non-overlapping in bucket order (checked on the one-row-per-bucket
+    * metadata, so the guard costs one lag() over rows already aggregated);
+    * a hash-style bucket fails with a clear error instead of silently
+    * misassigning packs. */
   def packByBudget(df: DataFrame, bucketCol: Column, orderCols: Seq[String],
                    tokensCol: String, budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
+    require(orderCols.nonEmpty, "orderCols must name a total order")
     val withB = df.withColumn("_bkt", bucketCol)
     val wLocal = Window.partitionBy("_bkt")
       .orderBy(orderCols.map(col): _*)
@@ -151,10 +163,27 @@ object Curation {
       coalesce(sum(col(tokensCol)).over(wLocal), lit(0L)))
     val wBuckets = Window.orderBy("_bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
+    val lead = col(orderCols.head)
     val offsets = withB.groupBy("_bkt")
-      .agg(sum(col(tokensCol)).as("_btot"))
+      .agg(sum(col(tokensCol)).as("_btot"),
+        min(lead).as("_omin"), max(lead).as("_omax"))
       .withColumn("_boff", coalesce(sum("_btot").over(wBuckets), lit(0L)))
-      .select("_bkt", "_boff")
+      // bucket-ordering precondition: the previous bucket's max leading
+      // order value must sit strictly below this bucket's min (ties ACROSS
+      // buckets are ambiguous too — the in-bucket tie-breakers cannot order
+      // rows that landed in different buckets). assert_true throws when the
+      // offsets materialize, with the offending boundary in the message.
+      .withColumn("_chk", {
+        val prevMax = lag(col("_omax"), 1).over(Window.orderBy("_bkt"))
+        assert_true(prevMax.isNull || prevMax < col("_omin"),
+          concat(lit("packByBudget: bucketCol is not a coarsening of the " +
+            s"leading order column '${orderCols.head}' — bucket "),
+            col("_bkt").cast("string"), lit(" starts at "),
+            col("_omin").cast("string"),
+            lit(" but an earlier bucket reaches "), prevMax.cast("string")))
+      })
+      .select(col("_bkt"),
+        (col("_boff") + coalesce(col("_chk").cast("long"), lit(0L))).as("_boff"))
     local.join(broadcast(offsets), Seq("_bkt"))
       // integral `div`, not floor(double /): exact past 2^53 total tokens
       .withColumn("pack_id", expr(s"(_before + _boff) div ${budget}L"))

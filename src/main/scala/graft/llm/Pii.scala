@@ -72,10 +72,12 @@ object Pii {
 
   /** Quality-gate helper: PII matches per kilobyte of text — the density
     * downstream filters threshold on (docs that are mostly contact dumps
-    * score high; one citation email scores near zero). */
+    * score high; one citation email scores near zero). Kilobyte means
+    * BYTES: `octet_length` counts UTF-8 octets, so multi-byte text is not
+    * overstated the way a char-count denominator would. */
   def piiDensityPerKb(df: DataFrame, textCol: String = "text"): Column = {
     val total = patterns.map(p => countOf(col(textCol), p._1))
       .reduce(_ + _).cast("double")
-    round(total * 1024.0 / greatest(length(col(textCol)), lit(1)), 6)
+    round(total * 1024.0 / greatest(octet_length(col(textCol)), lit(1)), 6)
   }
 }

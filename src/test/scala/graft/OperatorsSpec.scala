@@ -578,20 +578,35 @@ class OperatorsSpec extends SparkSpec {
     assert(d0.head.getString(3) == "w1 w2 w3 w4")
     assert(d0(1).getString(3) == "w4 w5 w6 w7") // 8-token? no: stride 3, overlap 1
     assert(d0.last.getString(3) == "w10")
-    // doc 1: single chunk, 3 tokens; doc 2: one empty-string token
+    // doc 1: single chunk, 3 tokens; doc 2 is EMPTY: no phantom chunk
     assert(rows.filter(_.getLong(0) == 1L).map(_.getString(3)).toSeq == Seq("a b c"))
-    assert(rows.filter(_.getLong(0) == 2L).map(_.getLong(2)).toSeq == Seq(1L))
+    assert(!rows.exists(_.getLong(0) == 2L))
 
     val packed = graft.llm.Curation.packByBudget(ch,
       expr("id div 2"), Seq("id", "chunk_idx"), "n_tokens", budget = 5)
-    // global order (id, chunk_idx), tokens 4,4,4,1,3,1 → prefix-before
-    // 0,4,8,12,13,16 → packs 0,0,1,2,2,3
+    // global order (id, chunk_idx), tokens 4,4,4,1,3 → prefix-before
+    // 0,4,8,12,13 → packs 0,0,1,2,2
     val packs = packed.orderBy("id", "chunk_idx")
       .select("pack_id").as[Long].collect().toSeq
-    assert(packs == Seq(0L, 0L, 1L, 2L, 2L, 3L))
+    assert(packs == Seq(0L, 0L, 1L, 2L, 2L))
     // invariants: every chunk assigned, packs contiguous from 0
-    assert(packed.count() == 6)
-    assert(packs.distinct.sorted == Seq(0L, 1L, 2L, 3L))
+    assert(packed.count() == 5)
+    assert(packs.distinct.sorted == Seq(0L, 1L, 2L))
+    // bucket-ordering guard: a hash bucket interleaves leading-order ranges
+    // across buckets (bucket 0 holds ids {0,2}, bucket 1 holds {1}) and must
+    // fail loudly instead of silently misassigning packs
+    val ch3 = graft.llm.Curation.chunkByTokens(
+      Seq((0L, "a b"), (1L, "c d"), (2L, "e f")).toDF("id", "text"),
+      "id", "text", chunkTokens = 4, stride = 3)
+    val err = intercept[Exception] {
+      graft.llm.Curation.packByBudget(ch3,
+        pmod(col("id"), lit(2)), Seq("id", "chunk_idx"), "n_tokens", budget = 5)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("not a coarsening")),
+      s"wrong error: ${messages(err)}")
   }
 
   test("keepClusterRepresentatives keeps min-id per cluster and all unpaired rows") {
