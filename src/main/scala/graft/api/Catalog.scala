@@ -82,16 +82,21 @@ object Manifest {
                              dataColumn: String = "")
   case class BlobExpansionMeta(blobColumn: String, fieldsDdl: String,
                                targetTable: String)
-  /** Persisted dedup-signature index over a text column: per row a k-hash
-    * minhash (over shingleN-gram shingles, banded into `bands` LSH bands at
-    * query time) plus a 64-bit simhash, stored under `dir` hive-partitioned
+  /** Persisted dedup-signature index, stored under `dir` hive-partitioned
     * by SOURCE FILE basename (`__src=`). Because data files are immutable,
     * coverage is file-granular and implicitly correct under DML: a COW
     * rewrite yields new basenames (uncovered → delta recompute at refresh)
     * and orphans the old partitions (dropped at refresh) — no stale flag,
-    * and a 100 TB corpus never recomputes signatures it already has. */
+    * and a 100 TB corpus never recomputes signatures it already has.
+    *
+    * `kind = "text"`: per row a k-hash minhash (over shingleN-gram shingles,
+    * banded into `bands` LSH bands at query time) plus a 64-bit simhash.
+    * `kind = "vector"`: per row `tables` hyperplane-LSH signatures of
+    * `planes` bits over a `dim`-dimensional embedding column. */
   case class DedupIndexMeta(column: String, k: Int = 64, bands: Int = 16,
-                            shingleN: Int = 3, dir: String = "")
+                            shingleN: Int = 3, dir: String = "",
+                            kind: String = "text", dim: Int = 0,
+                            planes: Int = 0, tables: Int = 0)
   /** `commitMicros` = wall-clock commit time (epoch µs), stamped by the
     * commit CAS — drives `TIMESTAMP AS OF` time travel (newest version
     * committed at or before the asked instant). 0 on manifests from before

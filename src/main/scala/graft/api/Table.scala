@@ -1185,11 +1185,26 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
   def createDedupIndex(column: String, k: Int = 64, bands: Int = 16,
                        shingleN: Int = 3): Unit = {
     require(k % bands == 0, "bands must divide k")
+    installDedupIndex(column, DedupIndexMeta(column, k, bands, shingleN,
+      dir = s"_dedupidx/$column-${UUID.randomUUID().toString.take(8)}"))
+  }
+
+  /** Vector variant: persisted multi-table hyperplane-LSH signatures over a
+    * `dim`-dimensional embedding column, sharing the text index's
+    * file-granular refresh machinery (see `Manifest.DedupIndexMeta`). */
+  def createEmbeddingDedupIndex(column: String, dim: Int, planes: Int = 12,
+                                tables: Int = 4): Unit = {
+    require(dim > 0 && planes > 0 && planes <= 62 && tables > 0,
+      "need dim > 0, 0 < planes <= 62, tables > 0")
+    installDedupIndex(column, DedupIndexMeta(column, kind = "vector",
+      dim = dim, planes = planes, tables = tables,
+      dir = s"_dedupidx/$column-${UUID.randomUUID().toString.take(8)}"))
+  }
+
+  private def installDedupIndex(column: String, meta: DedupIndexMeta): Unit = {
     val m = manifest
     if (!m.schema.fieldNames.contains(column))
       throw NotSupportedCommand(s"no column $column to index")
-    val meta = DedupIndexMeta(column, k, bands, shingleN,
-      dir = s"_dedupidx/$column-${UUID.randomUUID().toString.take(8)}")
     // a replaced index's dir is deleted only once this transaction commits:
     // until then the COMMITTED manifest still points at it (and a rollback
     // must leave it serving queries); deferring also stops re-creates from
@@ -1229,6 +1244,8 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     * refresh compute theirs on the fly — results are always current. */
   def dedupMinhashPairs(column: String, threshold: Double = 0.7): DataFrame = {
     val (meta, sigs) = indexSignatures(column)
+    require(meta.kind == "text",
+      s"dedup index on $column is kind '${meta.kind}', not text")
     graft.llm.Dedup.minhashPairsFromSigs(
       sigs.select(col(RowIdColumn).as("id"), col("sig")),
       meta.k, meta.bands, threshold)
@@ -1236,9 +1253,26 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
 
   /** Simhash variant over the same persisted index. */
   def dedupSimhashPairs(column: String, maxHamming: Int = 3): DataFrame = {
-    val (_, sigs) = indexSignatures(column)
+    val (meta, sigs) = indexSignatures(column)
+    require(meta.kind == "text",
+      s"dedup index on $column is kind '${meta.kind}', not text")
     graft.llm.Dedup.simhashPairsFromSigs(
       sigs.select(col(RowIdColumn).as("id"), col("sim")), maxHamming)
+  }
+
+  /** Embedding near-dup pairs from a persisted VECTOR index: covered files
+    * read their LSH signatures, files inserted since the last refresh hash
+    * on the fly; exact-cosine verification re-joins the vectors by row id
+    * (bounded candidate set — the signatures bound the join, the vectors
+    * never enter the candidate shuffle). */
+  def dedupEmbeddingPairs(column: String, threshold: Double): DataFrame = {
+    val (meta, sigs) = indexSignatures(column)
+    require(meta.kind == "vector",
+      s"dedup index on $column is kind '${meta.kind}', not vector")
+    val vecs = select(Seq(column), lit(true), internalRowId = true)
+      .select(col(RowIdColumn).as("id"), col(column).as("v"))
+    graft.llm.Dedup.embeddingLshPairsFromSigs(
+      sigs.select(col(RowIdColumn).as("id"), col("vsig")), vecs, threshold)
   }
 
   private def coveredSrcs(idxDir: Path): Set[String] =
@@ -1247,6 +1281,19 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       .filter(_.startsWith("__src="))
       .map(_.stripPrefix("__src=")).toSet
 
+  /** The per-row signature columns a dedup index persists, by index kind. */
+  private def signatureCols(meta: DedupIndexMeta)
+      : Seq[org.apache.spark.sql.Column] =
+    if (meta.kind == "vector")
+      Seq(graft.llm.Dedup.lshSignatures(col(meta.column),
+        meta.dim, meta.planes, meta.tables).as("vsig"))
+    else {
+      val toks = split(col(meta.column), " ")
+      Seq(graft.functions.TextHashes
+          .minhashFromTokens(toks, meta.k, meta.shingleN).as("sig"),
+        graft.functions.TextHashes.simhash64(toks).as("sim"))
+    }
+
   /** ONE distributed job computes signatures for every uncovered file and
     * hive-partitions them back out by source-file basename (unique: data
     * file names are uuid-suffixed). */
@@ -1254,13 +1301,9 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
                                      missing: Seq[FileEntry]): Unit = {
     if (missing.isEmpty) return
     val idxDir = dir.resolve(meta.dir)
-    val toks = split(col(meta.column), " ")
     readEntries(missing, manifest.schema)
-      .select(col(RowIdColumn),
-        graft.functions.TextHashes.minhashFromTokens(toks, meta.k, meta.shingleN)
-          .as("sig"),
-        graft.functions.TextHashes.simhash64(toks).as("sim"),
-        element_at(split(input_file_name(), "/"), -1).as("__src"))
+      .select(col(RowIdColumn) +: signatureCols(meta) :+
+        element_at(split(input_file_name(), "/"), -1).as("__src"): _*)
       .write.mode("append").partitionBy("__src").parquet(idxDir.toString)
     // rollback cleanup for exactly the partitions this tx created
     missing.foreach { f =>
@@ -1278,10 +1321,14 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     val meta = m.dedupIndexes.find(_.column == column)
       .getOrElse(throw NotSupportedCommand(s"no dedup index on $column"))
     val idxDir = dir.resolve(meta.dir)
-    val sigSchema = StructType(Seq(
-      StructField(RowIdColumn, LongType, nullable = false),
-      StructField("sig", ArrayType(LongType)),
-      StructField("sim", LongType)))
+    val sigSchema =
+      if (meta.kind == "vector") StructType(Seq(
+        StructField(RowIdColumn, LongType, nullable = false),
+        StructField("vsig", ArrayType(LongType))))
+      else StructType(Seq(
+        StructField(RowIdColumn, LongType, nullable = false),
+        StructField("sig", ArrayType(LongType)),
+        StructField("sim", LongType)))
     val current = m.files.map(f => srcName(f.path)).toSet
     val covered = coveredSrcs(idxDir).intersect(current)
     val persisted =
@@ -1294,13 +1341,8 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     val uncovered = m.files.filterNot(f => covered(srcName(f.path)))
     val fresh =
       if (uncovered.isEmpty) None
-      else {
-        val toks = split(col(meta.column), " ")
-        Some(readEntries(uncovered, m.schema).select(col(RowIdColumn),
-          graft.functions.TextHashes.minhashFromTokens(toks, meta.k, meta.shingleN)
-            .as("sig"),
-          graft.functions.TextHashes.simhash64(toks).as("sim")))
-      }
+      else Some(readEntries(uncovered, m.schema)
+        .select(col(RowIdColumn) +: signatureCols(meta): _*))
     val sigs = (persisted.toSeq ++ fresh.toSeq).reduceOption(_.unionByName(_))
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], sigSchema))

@@ -299,19 +299,36 @@ object Dedup {
     * deterministically. */
   def embeddingLshPairs(df: DataFrame, idCol: String, vecCol: String,
                         dim: Int, threshold: Double,
-                        planes: Int = 12, tables: Int = 4): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
-        posexplode(array((0 until tables).map(t =>
-          Similarity.lshSignature(col(vecCol), planes, dim, t * planes)): _*)))
+                        planes: Int = 12, tables: Int = 4): DataFrame =
+    embeddingLshPairsFromSigs(
+      df.select(col(idCol).as("id"),
+        lshSignatures(col(vecCol), dim, planes, tables).as("vsig")),
+      df.select(col(idCol).as("id"), col(vecCol).as("v")), threshold)
+
+  /** The per-row multi-table signature vector (array<long>, one signature
+    * per LSH table) — what the persisted embedding dedup index stores, so a
+    * 100 TB corpus hashes each vector against the hyperplane families once,
+    * not per dedup run. */
+  def lshSignatures(vec: Column, dim: Int, planes: Int, tables: Int): Column =
+    array((0 until tables).map(t =>
+      Similarity.lshSignature(vec, planes, dim, t * planes)): _*)
+
+  /** Same LSH pipeline from a PRECOMPUTED signature table (id, vsig) plus a
+    * vector table (id, v) for the exact-cosine verification — the persisted
+    * embedding-index path (`Table.dedupEmbeddingPairs`), mirroring
+    * `minhashPairsFromSigs`. */
+  def embeddingLshPairsFromSigs(sigsIn: DataFrame, vecs: DataFrame,
+                                threshold: Double): DataFrame = {
+    val sigs = materializeIfLarge(sigsIn)
+    val banded = sigs.select(col("id"), posexplode(col("vsig")))
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "sig")
-    val pairs = sigs.select(col("tbl"), col("sig"), col("id").as("id_a"))
-      .join(sigs.select(col("tbl"), col("sig"), col("id").as("id_b")),
+    val pairs = banded.select(col("tbl"), col("sig"), col("id").as("id_a"))
+      .join(banded.select(col("tbl"), col("sig"), col("id").as("id_b")),
         Seq("tbl", "sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     pairs
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))

@@ -46,6 +46,74 @@ class DedupIndexSpec extends SparkSpec {
     df.select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("emb", ArrayType(FloatType, containsNull = false))))
+
+  /** Deterministic 8-dim vector, unique well-separated direction per id
+    * (seeded random, signed components — arithmetic patterns would make
+    * many distinct ids near-parallel and drown the planted pair). */
+  private def vec(id: Long): Seq[Float] = {
+    val rnd = new scala.util.Random(id * 7919 + 13)
+    (0 until 8).map(_ => rnd.nextFloat() * 2 - 1)
+  }
+
+  private def insertVecs(t: Table, ids: Seq[(Long, Seq[Float])]): Unit = {
+    val l = new java.util.ArrayList[Row]()
+    ids.foreach { case (i, v) => l.add(Row(i, v)) }
+    t.insert(spark.createDataFrame(l, embSchema).coalesce(1))
+  }
+
+  test("embedding LSH index: persisted signatures, delta-only refresh") {
+    val root = Files.createTempDirectory("graft-vidx").toString
+    val s = VastSession(spark, root)
+    s.createBucket("b")
+    // 2 single-file batches; rows 3 and 120 share one vector (cross-file dup)
+    s.transaction { tx =>
+      val t = tx.bucket("b").createSchema("m").createTable("e", embSchema)
+      insertVecs(t, (0L until 100L).map(i => (i, vec(i))))
+      insertVecs(t, (100L until 200L).map(i =>
+        (i, if (i == 120L) vec(3) else vec(i))))
+      t.createEmbeddingDedupIndex("emb", dim = 8, planes = 12, tables = 4)
+    }
+    var idxDir: Path = null
+    s.transaction { tx =>
+      val t = tx.bucket("b").schema("m").table("e")
+      val meta = t.manifest.dedupIndexes.head
+      assert(meta.kind == "vector" && meta.dim == 8)
+      idxDir = Paths.get(root, "b", "m", "e").resolve(meta.dir)
+      assert(partState(idxDir).size == t.manifest.files.size)
+      // identical vectors collide in every LSH table → deterministic pair
+      assert(pairSet(t.dedupEmbeddingPairs("emb", 0.999)) == Set((3L, 120L)))
+    }
+    val afterCreate = partState(idxDir)
+    assert(afterCreate.size == 2)
+
+    // delta insert: current BEFORE refresh (on-the-fly signatures for the
+    // uncovered file), and refresh persists ONLY the delta
+    s.transaction { tx =>
+      val t = tx.bucket("b").schema("m").table("e")
+      insertVecs(t, (200L until 250L).map(i =>
+        (i, if (i == 230L) vec(7) else vec(i))))
+      assert(pairSet(t.dedupEmbeddingPairs("emb", 0.999)) ==
+        Set((3L, 120L), (7L, 230L)))
+      t.refreshDedupIndex("emb")
+    }
+    val afterDelta = partState(idxDir)
+    assert(afterDelta.size == 3, s"want 3 partitions, got ${afterDelta.size}")
+    afterCreate.foreach { case (part, files) =>
+      assert(afterDelta(part) == files,
+        s"refresh rewrote already-covered partition $part")
+    }
+    s.transaction { tx =>
+      val t = tx.bucket("b").schema("m").table("e")
+      assert(pairSet(t.dedupEmbeddingPairs("emb", 0.999)) ==
+        Set((3L, 120L), (7L, 230L)))
+      // text-index entry points reject a vector index cleanly
+      intercept[Exception] { t.dedupMinhashPairs("emb").collect() }
+    }
+  }
+
   test("incremental refresh: delta-only recompute, DML orphan cleanup") {
     val root = Files.createTempDirectory("graft-didx").toString
     val s = VastSession(spark, root)
