@@ -127,17 +127,23 @@ object Bench {
     mat(t("embeddings").limit(1))
     mat(t("orders").limit(1))
 
-    // best of 3 runs per query: later runs benefit from warm file metadata +
+    // best of 3 runs per query — 5 when the query runs in seconds-or-less,
+    // where scheduler jitter is a large fraction of the runtime and
+    // best-of-3 swung ±60% round-over-round with zero code change (queries
+    // long enough to amortize jitter keep 3 so bench wall time stays
+    // bounded at larger SFs). Later runs benefit from warm file metadata +
     // JIT, matching steady-state throughput, and the min is robust to a
-    // concurrent process stealing cores mid-run (observed in harness runs)
+    // concurrent process stealing cores mid-run.
     val results = (queries ++ sortedScans).map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         try fn() catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
       }
+      var times = (1 to 3).map(_ => once())
+      if (times.min < 2.0) times = times ++ (1 to 2).map(_ => once())
       val dt = times.min
       System.err.println(f"[bench] $name: $dt%.2fs (runs: ${times.map(t => f"$t%.2f").mkString(",")})")
       name -> dt
