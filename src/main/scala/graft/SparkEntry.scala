@@ -644,6 +644,23 @@ object SparkEntry {
              |FROM w JOIN top ON w.doc_id = top.doc_id
              |ORDER BY w.doc_id""".stripMargin)),
 
+    Q("ta6_top_ngrams",  // corpus-wide top-k 3-grams by document frequency
+      // (the boilerplate/contamination survey step); DuckDB recomputes the
+      // identical per-doc distinct shingle set and the same (freq desc,
+      // gram asc) total order — exact top-k parity incl. the cut boundary
+      (s, dir) => graft.llm.TextAnalysis.topNgrams(
+        t(s, dir, "documents"), "text", n = 3, k = 50),
+      Some("""WITH d AS (
+             |  SELECT doc_id, STRING_SPLIT(text, ' ') AS l FROM documents
+             |), g AS (
+             |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+             |    RANGE(1, GREATEST(LEN(l) - 3, 0) + 2),
+             |    i -> ARRAY_TO_STRING(l[i:i+2], ' ')))) AS gram
+             |  FROM d
+             |)
+             |SELECT gram, COUNT(*) AS doc_freq FROM g GROUP BY gram
+             |ORDER BY doc_freq DESC, gram LIMIT 50""".stripMargin)),
+
     // ---- CU*: dataset-curation operators over `documents` ----
     Q("cu1_balanced_sample",
       // per-group cap (language balancing): first 20 docs per lang — exact,

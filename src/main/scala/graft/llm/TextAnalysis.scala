@@ -105,6 +105,22 @@ object TextAnalysis {
       .drop("__token_stats")
   }
 
+  /** Corpus-wide top-k n-grams by DOCUMENT frequency (how many documents
+    * contain the gram at least once) — the survey step behind boilerplate
+    * thresholds and contamination audits: the grams that show up in
+    * thousands of documents are the nav bars and license footers.
+    *
+    * 100 TB shape: per-document distinct shingles explode map-side, the
+    * count is one hash aggregation with map-side partial combine (hot grams
+    * collapse before the shuffle — the wordcount shape), and top-k plans as
+    * `TakeOrderedAndProject`, never a global sort. */
+  def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    df.select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("gram").asc)
+      .limit(k)
+
   /** Per-document repetition signals (Gopher-style quality filters):
     * duplicate-word fraction and the most-frequent-bigram share. One native
     * single-pass expression per row (`RepetitionStats`) — no per-token

@@ -456,6 +456,21 @@ class OperatorsSpec extends SparkSpec {
         "materializing action per round is running again")
   }
 
+  test("connectedComponents reliable=true survives through the checkpoint dir") {
+    import spark.implicits._
+    // reliable rounds write RDD checkpoints to the configured dir (replicated
+    // storage on a real cluster) instead of executor-local blocks
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt.toString)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = graft.llm.Dedup.connectedComponents(pairs, reliable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // the rounds really went through the reliable dir
+    assert(graft.api.Table.walkPaths(ckpt).exists(
+      java.nio.file.Files.isRegularFile(_)), "no checkpoint files written")
+  }
+
   test("RepetitionStats: native single pass matches the HOF formulation") {
     import spark.implicits._
     val docs = Seq(
