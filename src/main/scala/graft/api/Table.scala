@@ -932,6 +932,11 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     tx.stageWrite(dir, m.copy(props = m.props ++ props))
   }
 
+  def unsetProperties(keys: Seq[String]): Unit = {
+    val m = manifest
+    tx.stageWrite(dir, m.copy(props = m.props -- keys))
+  }
+
   def properties: Map[String, String] = manifest.props
 
   /** Paginated column listing (reference list_columns pagination,

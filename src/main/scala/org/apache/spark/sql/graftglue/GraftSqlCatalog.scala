@@ -180,8 +180,10 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
       }
       if (writable)
         new RenameUnionTable(ident.toString, schema, groups)
-          with GraftV1Writable { val writeRoot = root; val writeIdent = ident }
+          with GraftV1Writable with GraftTableProps {
+            val writeRoot = root; val writeIdent = ident; val tableProps = m.props }
       else new RenameUnionTable(ident.toString, schema, groups)
+        with GraftTableProps { val tableProps = m.props }
     } else {
       val paths = m.files.map(f => graft.api.Table.resolvePath(dir, f.path)).toList
       val fresh = m.projections.filterNot(_.stale).map(p =>
@@ -192,16 +194,20 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
         // in Table.select (and the reference server's transparent selection)
         if (writable)
           new ProjectionRoutingTable(ident.toString, schema, paths, fresh)
-            with GraftV1Writable { val writeRoot = root; val writeIdent = ident }
+            with GraftV1Writable with GraftTableProps {
+              val writeRoot = root; val writeIdent = ident; val tableProps = m.props }
         else new ProjectionRoutingTable(ident.toString, schema, paths, fresh)
+          with GraftTableProps { val tableProps = m.props }
       } else {
         val parquet = ParquetTable(ident.toString, SparkSession.active,
           CaseInsensitiveStringMap.empty(), paths, Some(schema),
           classOf[ParquetFileFormat])
         if (writable)
           new ReadOnlyTable(parquet)
-            with GraftV1Writable { val writeRoot = root; val writeIdent = ident }
+            with GraftV1Writable with GraftTableProps {
+              val writeRoot = root; val writeIdent = ident; val tableProps = m.props }
         else new ReadOnlyTable(parquet)
+          with GraftTableProps { val tableProps = m.props }
       }
     }
   }
@@ -218,10 +224,18 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
     // CTAS from another graft table carries `_row_id` — strip it; the new
     // table allocates its own ids
     val logical = StructType(schema.fields.filterNot(_.name == "_row_id"))
+    // TBLPROPERTIES land in the manifest; Spark's bookkeeping keys
+    // (provider/location/owner/…) are engine metadata, not table props
+    val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_COMMENT, TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_IS_MANAGED_LOCATION)
+    val userProps = properties.asScala.toMap
+      .filter { case (k, _) => !reserved(k) && !k.startsWith("option.") }
     val ns = ident.namespace()
     inSession { tx =>
-      tx.bucket(ns.head).schema(ns.tail.mkString("/"))
+      val t = tx.bucket(ns.head).schema(ns.tail.mkString("/"))
         .createTable(ident.name(), logical)
+      if (userProps.nonEmpty) t.setProperties(userProps)
     }
     val parquet = ParquetTable(ident.toString, SparkSession.active,
       CaseInsensitiveStringMap.empty(), Nil, Some(logical),
@@ -262,9 +276,14 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
           t.renameColumn(topLevel(ren.fieldNames()), ren.newName())
         case del: TableChange.DeleteColumn =>
           t.dropColumn(topLevel(del.fieldNames()))
+        case set: TableChange.SetProperty =>
+          t.setProperties(Map(set.property() -> set.value()))
+        case rm: TableChange.RemoveProperty =>
+          t.unsetProperties(Seq(rm.property()))
         case other => throw new UnsupportedOperationException(
           s"ALTER TABLE change ${other.getClass.getSimpleName}: " +
-            "only ADD/RENAME/DROP COLUMN are supported")
+            "only ADD/RENAME/DROP COLUMN and SET/UNSET TBLPROPERTIES " +
+            "are supported")
       }
     }
     loadTable(ident)
@@ -311,6 +330,13 @@ private[graftglue] class ReadOnlyTable(delegate: ParquetTable)
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     delegate.newScanBuilder(options)
+}
+
+/** Exposes the manifest's table properties to SQL (`SHOW TBLPROPERTIES`,
+  * DESCRIBE EXTENDED) — mixed into whichever table shape loadTable built. */
+private[graftglue] trait GraftTableProps extends Table {
+  def tableProps: Map[String, String]
+  override def properties(): util.Map[String, String] = tableProps.asJava
 }
 
 /**

@@ -274,6 +274,22 @@ class SqlCatalogSpec extends SparkSpec {
       val t = tx.bucket("bk").schema("m").table("c")
       assert(t.manifest.schema.fieldNames.toSeq == Seq("a10", "s"))
     }
+    // TBLPROPERTIES: CREATE-time props land in the manifest, SET/UNSET
+    // round-trip through ALTER, SHOW TBLPROPERTIES reads them back
+    spark.sql("CREATE TABLE graft7.bk.m.p (a BIGINT) " +
+      "TBLPROPERTIES ('owner.team' = 'data', 'ttl' = '30d')")
+    def props(): Map[String, String] =
+      spark.sql("SHOW TBLPROPERTIES graft7.bk.m.p").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props().get("owner.team").contains("data") && props().get("ttl").contains("30d"))
+    spark.sql("ALTER TABLE graft7.bk.m.p SET TBLPROPERTIES ('ttl' = '90d')")
+    assert(props().get("ttl").contains("90d"))
+    spark.sql("ALTER TABLE graft7.bk.m.p UNSET TBLPROPERTIES ('owner.team')")
+    assert(!props().contains("owner.team"))
+    s.transaction { tx => // API view agrees
+      assert(tx.bucket("bk").schema("m").table("p").properties ==
+        Map("graft.rowid.type" -> "int64", "ttl" -> "90d"))
+    }
     // RENAME (staged, transactional) then DROP
     spark.sql("ALTER TABLE graft7.bk.m.c RENAME TO graft7.bk.m.c2")
     assert(spark.sql("SELECT COUNT(*) FROM graft7.bk.m.c2").head().getLong(0) == 2)
