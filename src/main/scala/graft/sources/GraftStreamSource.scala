@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -87,12 +87,14 @@ private class GraftStreamTable(dir: Path, tableSchema: StructType,
         // reader options surface here on every query (re)start; the
         // getTable-time flag is the fallback for resolution paths that
         // don't carry options into the scan
-        tableIgnoreChanges || options.getBoolean("ignoreChanges", false))
+        tableIgnoreChanges || options.getBoolean("ignoreChanges", false),
+        options.getInt("maxFilesPerTrigger", Int.MaxValue))
     }
 }
 
 private class GraftStreamScan(dir: Path, required: StructType,
-                              ignoreChanges: Boolean) extends Scan {
+                              ignoreChanges: Boolean,
+                              maxFilesPerTrigger: Int) extends Scan {
   override def readSchema(): StructType = required
   override def description(): String = s"graft version-delta scan of $dir"
 
@@ -112,14 +114,58 @@ private class GraftStreamScan(dir: Path, required: StructType,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new MicroBatchStream {
+    new MicroBatchStream with SupportsAdmissionControl
+        with SupportsTriggerAvailableNow {
+      // Trigger.AvailableNow: pin the drain target at query start so the
+      // paced batches stop at a stable version even while writers commit
+      @volatile private var availableNowTarget: Option[Long] = None
+      override def prepareForTriggerAvailableNow(): Unit =
+        availableNowTarget = Some(graft.api.Table.currentVersion(dir))
+      private def targetVersion: Long =
+        availableNowTarget.getOrElse(graft.api.Table.currentVersion(dir))
+
       override def initialOffset(): Offset = GraftVersionOffset(0L)
-      override def latestOffset(): Offset =
-        GraftVersionOffset(graft.api.Table.currentVersion(dir))
+      override def latestOffset(): Offset = GraftVersionOffset(targetVersion)
       override def deserializeOffset(json: String): Offset =
         GraftVersionOffset(json.trim.toLong)
       override def commit(end: Offset): Unit = ()
       override def stop(): Unit = ()
+
+      /** Backlog rate limiting (`maxFilesPerTrigger`): instead of draining
+        * an arbitrarily deep version backlog in one giant batch, advance to
+        * the FURTHEST version whose cumulative new-file count stays within
+        * the cap (always ≥ one version, so progress is guaranteed even past
+        * an oversized commit). Versions are walked forward from the current
+        * offset — cost proportional to the backlog being admitted, not to
+        * table history. */
+      override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+        val cur = targetVersion
+        val s = start.asInstanceOf[GraftVersionOffset].version
+        if (maxFilesPerTrigger == Int.MaxValue || cur <= s)
+          return GraftVersionOffset(cur)
+        var known: Set[String] =
+          if (s == 0) Set.empty else manifestAt(s).files.map(_.path).toSet
+        var admitted = s
+        var budget = maxFilesPerTrigger
+        var v = s + 1
+        var stop = false
+        while (!stop && v <= cur) {
+          val files = manifestAt(v).files.map(_.path).toSet
+          val fresh = (files -- known).size
+          if (fresh <= budget || admitted == s) { // always admit ≥ 1 version
+            admitted = v
+            budget -= fresh
+            known = files
+            v += 1
+            if (budget <= 0) stop = true
+          } else stop = true
+        }
+        GraftVersionOffset(admitted)
+      }
+
+      override def getDefaultReadLimit: ReadLimit =
+        if (maxFilesPerTrigger == Int.MaxValue) ReadLimit.allAvailable()
+        else ReadLimit.maxFiles(maxFilesPerTrigger)
 
       override def planInputPartitions(start: Offset, end: Offset)
           : Array[InputPartition] = {
