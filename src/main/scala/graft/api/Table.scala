@@ -859,6 +859,83 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     manifest.dedupIndexes.foreach(d => refreshDedupIndex(d.column))
   }
 
+  /**
+   * Retention vacuum for the version chain: keep the newest `keepLast`
+   * manifest versions, drop older manifests, and delete data files no
+   * retained manifest — of this table OR of any bucket snapshot of it —
+   * references. This is what bounds storage under COW churn at 100 TB:
+   * every UPDATE/DELETE/compaction orphans whole files into history, and
+   * without retention the table keeps every byte ever written.
+   *
+   * Non-transactional and immediate (like the reference's storage-side
+   * lifecycle): deletions are NOT undone by a rollback of this transaction,
+   * and time travel to a dropped version fails from now on. Single
+   * maintainer assumed. Two safety rails: the current version is always
+   * retained, and unreferenced files younger than `minAgeMillis` are kept —
+   * a concurrent in-flight insert's staged files are not yet in any
+   * manifest, and the age guard keeps them out of reach.
+   *
+   * Returns (dataFilesDeleted, manifestsDeleted).
+   */
+  def vacuumVersions(keepLast: Int = 7,
+                     minAgeMillis: Long = 3600000L): (Int, Int) = {
+    require(keepLast >= 1, "keepLast must be at least 1")
+    val mdir = dir.resolve("_manifest")
+    val cur = Table.currentVersion(dir)
+    val cutoff = math.max(0L, cur - keepLast + 1) // retain [cutoff, cur]
+    def manifestsIn(tdir: Path): Seq[TableManifest] = {
+      val md = tdir.resolve("_manifest")
+      if (!Files.isDirectory(md)) Nil
+      else Table.listDir(md)
+        .filter(_.getFileName.toString.matches("v\\d+\\.json"))
+        .map(Manifest.read)
+    }
+    // every data path a retained version still references, fully resolved
+    val retained = (cutoff to cur)
+      .map(v => mdir.resolve(f"v$v%08d.json"))
+      .filter(Files.exists(_))
+      .map(Manifest.read)
+    // bucket snapshots share this table's immutable data files through
+    // path redirection — anything a snapshot manifest references is live
+    val root = Paths.get(tx.session.root)
+    val rel = root.relativize(dir)
+    val snapRoot = root.resolve(rel.getName(0).toString).resolve(".snapshot")
+    val rest = rel.subpath(1, rel.getNameCount)
+    val snapManifests =
+      if (!Files.isDirectory(snapRoot)) Nil
+      else Table.listDir(snapRoot).flatMap { snap =>
+        val st = snap.resolve(rest)
+        manifestsIn(st).flatMap(_.files.map(f =>
+          Paths.get(Table.resolvePath(st, f.path)).normalize))
+      }
+    val referenced: Set[Path] =
+      (retained.flatMap(_.files.map(f =>
+        Paths.get(Table.resolvePath(dir, f.path)).normalize)) ++
+        snapManifests).toSet
+    val now = System.currentTimeMillis()
+    val dataDir = dir.resolve("data")
+    val victims =
+      if (!Files.isDirectory(dataDir)) Nil
+      else Table.walkPaths(dataDir)
+        .filter(Files.isRegularFile(_))
+        .filterNot(p => referenced(p.normalize))
+        .filter(p =>
+          now - Files.getLastModifiedTime(p).toMillis >= minAgeMillis)
+    victims.foreach(Files.deleteIfExists(_))
+    // empty COW-staging dirs left behind after their files went
+    if (Files.isDirectory(dataDir))
+      Table.walkPaths(dataDir).reverse
+        .filter(p => Files.isDirectory(p) && p != dataDir)
+        .filter(p => Table.listDir(p).isEmpty)
+        .foreach(Files.deleteIfExists(_))
+    val droppedManifests = (0L until cutoff)
+      .map(v => mdir.resolve(f"v$v%08d.json"))
+      .filter(Files.exists(_))
+    droppedManifests.foreach(Files.deleteIfExists(_))
+    recordAudit("vacuum_versions", victims.size.toLong)
+    (victims.size, droppedManifests.size)
+  }
+
   // ------------------------------------------- projections (D10, §4.3)
 
   /** Write one immutable projection data dir (unique name per build, so
