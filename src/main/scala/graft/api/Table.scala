@@ -859,6 +859,26 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     manifest.dedupIndexes.foreach(d => refreshDedupIndex(d.column))
   }
 
+  /** Version history of the table: one row per retained manifest —
+    * (version, commit_ts, n_files, n_rows, operation hint via props absent;
+    * the audit log carries per-op detail). Drives `TIMESTAMP AS OF`
+    * debugging and retention decisions; rows are metadata-scale (one per
+    * version), never data-scale. */
+  def history(): DataFrame = {
+    val mdir = dir.resolve("_manifest")
+    val rows = Table.listDir(mdir)
+      .filter(_.getFileName.toString.matches("v\\d+\\.json"))
+      .map(Manifest.read)
+      .sortBy(_.version)
+      .map(m => Row(m.version, new java.sql.Timestamp(m.commitMicros / 1000L),
+        m.files.size, m.totalRows))
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("commit_ts", TimestampType),
+      StructField("n_files", IntegerType, nullable = false),
+      StructField("n_rows", LongType, nullable = false))))
+  }
+
   /**
    * Retention vacuum for the version chain: keep the newest `keepLast`
    * manifest versions, drop older manifests, and delete data files no

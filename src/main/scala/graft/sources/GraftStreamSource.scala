@@ -88,13 +88,15 @@ private class GraftStreamTable(dir: Path, tableSchema: StructType,
         // getTable-time flag is the fallback for resolution paths that
         // don't carry options into the scan
         tableIgnoreChanges || options.getBoolean("ignoreChanges", false),
-        options.getInt("maxFilesPerTrigger", Int.MaxValue))
+        options.getInt("maxFilesPerTrigger", Int.MaxValue),
+        Option(options.get("startingVersion")))
     }
 }
 
 private class GraftStreamScan(dir: Path, required: StructType,
                               ignoreChanges: Boolean,
-                              maxFilesPerTrigger: Int) extends Scan {
+                              maxFilesPerTrigger: Int,
+                              startingVersion: Option[String]) extends Scan {
   override def readSchema(): StructType = required
   override def description(): String = s"graft version-delta scan of $dir"
 
@@ -124,7 +126,20 @@ private class GraftStreamScan(dir: Path, required: StructType,
       private def targetVersion: Long =
         availableNowTarget.getOrElse(graft.api.Table.currentVersion(dir))
 
-      override def initialOffset(): Offset = GraftVersionOffset(0L)
+      /** Where a FRESH stream (no checkpoint) begins: "earliest" (default)
+        * replays the whole table as the first batch, "latest" starts at the
+        * current version (new commits only), a number starts AFTER that
+        * version — the reprocess-vs-tail choice every changefeed consumer
+        * needs. Checkpointed restarts never consult this. */
+      override def initialOffset(): Offset = GraftVersionOffset(
+        startingVersion match {
+          case None | Some("earliest") => 0L
+          case Some("latest") => graft.api.Table.currentVersion(dir)
+          case Some(v) => try v.toLong catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"startingVersion must be earliest|latest|<version>, got '$v'")
+          }
+        })
       override def latestOffset(): Offset = GraftVersionOffset(targetVersion)
       override def deserializeOffset(json: String): Offset =
         GraftVersionOffset(json.trim.toLong)

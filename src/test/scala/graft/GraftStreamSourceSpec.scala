@@ -144,6 +144,40 @@ class GraftStreamSourceSpec extends SparkSpec {
     }
   }
 
+  test("startingVersion=latest tails new commits without replaying history") {
+    val root = Files.createTempDirectory("graft-stream-sv").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    s.transaction(tx => tx.bucket("bk").createSchema("m").createTable("t", schema))
+    insert(s, 5, "old") // history that must NOT replay
+    val tdir = Paths.get(root, "bk", "m", "t").toString
+    val ckpt = Files.createTempDirectory("graft-sv-ck").toString
+    val out = Files.createTempDirectory("graft-sv-out").toString + "/sink"
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("startingVersion", "latest").load(tdir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    drain() // nothing yet: stream tails from the current version
+    assert(!Files.isDirectory(Paths.get(out)) ||
+      spark.read.parquet(out).count() == 0)
+    insert(s, 2, "new")
+    drain() // checkpointed restart picks up only the tail
+    assert(spark.read.parquet(out).select("s").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("new0", "new1"))
+    // version history pairs with the feed: every commit visible with a stamp
+    s.transaction { tx =>
+      val h = tx.bucket("bk").schema("m").table("t").history()
+        .orderBy("version").collect()
+      assert(h.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+      assert(h.last.getLong(3) == 7L) // n_rows at current version
+      assert(h.forall(!_.isNullAt(1)))
+    }
+  }
+
   test("maxFilesPerTrigger paces a backlog across micro-batches") {
     val root = Files.createTempDirectory("graft-stream-rate").toString
     val s = VastSession(spark, root)
