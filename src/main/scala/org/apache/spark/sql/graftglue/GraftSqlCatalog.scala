@@ -38,7 +38,8 @@ import graft.api.Manifest
  * transactional manifest commit ([[GraftV1Writable]]); DDL and
  * namespace/table mutation stay API-only so manifests remain authoritative.
  */
-class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
+class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -318,6 +319,120 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
 
   private def inSession[T](body: graft.api.Transaction => T): T =
     graft.api.VastSession(SparkSession.active, root).transaction(body)
+
+  // --- stored procedures: maintenance verbs for SQL-first users ---
+  //     CALL graft.system.history('bk.m.t')
+  //     CALL graft.system.maintain('bk.m.t')
+  //     CALL graft.system.vacuum_versions('bk.m.t', 7, 3600000)
+
+  import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+  import org.apache.spark.sql.types.{IntegerType, StringType, TimestampType}
+
+  /** `bucket.schema.table` (nested schemas: `bucket.s1.s2.table`). */
+  private def withTable[T](qualified: String)(body: graft.api.Table => T): T = {
+    val parts = qualified.split('.')
+    if (parts.length < 3) throw new IllegalArgumentException(
+      s"table must be qualified bucket.schema.table, got '$qualified'")
+    inSession(tx => body(tx.bucket(parts.head)
+      .schema(parts.slice(1, parts.length - 1).mkString("/"))
+      .table(parts.last)))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      Array("history", "maintain", "vacuum_versions")
+        .map(Identifier.of(Array("system"), _))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    def bad() = throw new IllegalArgumentException(
+      s"unknown procedure $ident; see CALL $catalogName.system.<history|maintain|vacuum_versions>")
+    if (!ident.namespace().sameElements(Array("system"))) bad()
+    ident.name() match {
+      case "history" => new GraftProcedure("history",
+          Seq(("table", StringType, None)),
+          StructType(Seq(StructField("version", LongType),
+            StructField("commit_ts", TimestampType),
+            StructField("n_files", IntegerType),
+            StructField("n_rows", LongType)))) {
+        def run(args: Seq[Any]) = {
+          var out: Seq[org.apache.spark.sql.Row] = Nil
+          withTable(args.head.asInstanceOf[String])(t =>
+            out = t.history().collect().toSeq)
+          out
+        }
+      }
+      case "maintain" => new GraftProcedure("maintain",
+          Seq(("table", StringType, None)),
+          StructType(Seq(StructField("n_files", IntegerType),
+            StructField("n_rows", LongType)))) {
+        def run(args: Seq[Any]) =
+          withTable(args.head.asInstanceOf[String]) { t =>
+            t.maintain()
+            Seq(org.apache.spark.sql.Row(
+              t.manifest.files.size, t.manifest.totalRows))
+          }
+      }
+      case "vacuum_versions" => new GraftProcedure("vacuum_versions",
+          Seq(("table", StringType, None),
+            ("keep_last", IntegerType, Some("7")),
+            ("min_age_ms", LongType, Some("3600000"))),
+          StructType(Seq(StructField("data_files_deleted", IntegerType),
+            StructField("manifests_deleted", IntegerType)))) {
+        def run(args: Seq[Any]) =
+          withTable(args.head.asInstanceOf[String]) { t =>
+            val (f, m) = t.vacuumVersions(args(1).asInstanceOf[Int],
+              args(2).asInstanceOf[Long])
+            Seq(org.apache.spark.sql.Row(f, m))
+          }
+      }
+      case _ => bad()
+    }
+  }
+}
+
+/** Shared procedure plumbing: IN parameters (with optional SQL-literal
+  * defaults), a LocalScan result (procedure outputs are metadata-scale),
+  * and Catalyst row conversion. */
+private[graftglue] abstract class GraftProcedure(
+    procName: String,
+    params: Seq[(String, org.apache.spark.sql.types.DataType, Option[String])],
+    outSchema: StructType)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
+
+  /** `args` are JVM-typed parameter values in declaration order. */
+  def run(args: Seq[Any]): Seq[org.apache.spark.sql.Row]
+
+  override def name(): String = procName
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.procedures.BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] =
+    params.map { case (n, t, dflt) =>
+      val b = ProcedureParameter.in(n, t)
+      dflt.foreach(b.defaultValue)
+      b.build()
+    }.toArray
+
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+      : util.Iterator[Scan] = {
+    val inTypes = params.map(_._2)
+    val args = inTypes.zipWithIndex.map { case (t, i) =>
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToScala(input.get(i, t), t)
+    }
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(outSchema)
+    val out = run(args).map(r =>
+      conv(r).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        .copy()).toArray
+    util.List.of[Scan](new org.apache.spark.sql.connector.read.LocalScan {
+      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = out
+      override def readSchema(): StructType = outSchema
+    }).iterator()
+  }
 }
 
 /** Scan delegate: BATCH_READ from the wrapped file table (write capability

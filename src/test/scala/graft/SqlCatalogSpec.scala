@@ -386,6 +386,42 @@ class SqlCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CALL procedures: history, maintain, vacuum_versions") {
+    val root = Files.createTempDirectory("graft-sqlproc").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    s.transaction { tx =>
+      val t = tx.bucket("bk").createSchema("m").createTable("t", schema)
+      t.insert(spark.createDataFrame(java.util.List.of(
+        Row(1L, "one"), Row(2L, "two")), schema).coalesce(1))
+    }
+    s.transaction { tx =>
+      tx.bucket("bk").schema("m").table("t").insert(spark.createDataFrame(
+        java.util.List.of(Row(3L, "three")), schema).coalesce(1))
+    }
+    spark.conf.set("spark.sql.catalog.graftp",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.graftp.root", root)
+    // history: one row per version, commit stamps present
+    val h = spark.sql("CALL graftp.system.history('bk.m.t')")
+      .orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(h.last.getLong(3) == 3L && !h.last.isNullAt(1))
+    // maintain: compacts the two single-row files into one
+    val m = spark.sql("CALL graftp.system.maintain('bk.m.t')").head
+    assert(m.getInt(0) == 1 && m.getLong(1) == 3L, s"maintain -> $m")
+    // vacuum with explicit args: compaction orphaned the two pre-maintain
+    // files; keep only the newest version and reclaim them
+    val v = spark.sql(
+      "CALL graftp.system.vacuum_versions('bk.m.t', 1, 0)").head
+    assert(v.getInt(1) >= 2, s"expected >= 2 manifests dropped, got $v")
+    assert(spark.sql("SELECT count(*) FROM graftp.bk.m.t").head.getLong(0) == 3)
+    // defaulted args parse and run (min_age guard keeps everything)
+    val v2 = spark.sql("CALL graftp.system.vacuum_versions('bk.m.t')").head
+    assert(v2.getInt(0) == 0)
+    intercept[Exception] { spark.sql("CALL graftp.system.nope('x')").collect() }
+  }
+
   test("INSERT OVERWRITE replaces contents transactionally; ids never reused") {
     val root = Files.createTempDirectory("graft-sqlovw").toString
     val s = VastSession(spark, root)
