@@ -178,6 +178,46 @@ class GraftStreamSourceSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: random insert/drain interleavings deliver every row exactly once") {
+    val rnd = new scala.util.Random(7)
+    for (seed <- 0 until 3) {
+      val root = Files.createTempDirectory(s"graft-fuzz$seed").toString
+      val s = VastSession(spark, root)
+      s.createBucket("bk")
+      s.transaction(tx => tx.bucket("bk").createSchema("m").createTable("t", schema))
+      val tdir = Paths.get(root, "bk", "m", "t").toString
+      val ckpt = Files.createTempDirectory(s"graft-fuzz-ck$seed").toString
+      val out = Files.createTempDirectory(s"graft-fuzz-out$seed").toString + "/sink"
+      var expected = List.empty[String]
+      var batch = 0
+      def drain(): Unit = {
+        val q = spark.readStream.format("graft").load(tdir)
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(120000)
+      }
+      for (_ <- 0 until 8) {
+        if (rnd.nextBoolean()) {
+          val n = 1 + rnd.nextInt(3)
+          s.transaction { tx =>
+            val t = tx.bucket("bk").schema("m").table("t")
+            val l = new java.util.ArrayList[Row]()
+            (0 until n).foreach(i => l.add(Row(i.toLong, s"b$batch-$i")))
+            t.insert(spark.createDataFrame(l, schema).coalesce(1))
+          }
+          expected = expected ++ (0 until n).map(i => s"b$batch-$i")
+          batch += 1
+        } else drain()
+      }
+      drain() // final catch-up
+      val got = spark.read.parquet(out).select("s").collect()
+        .map(_.getString(0)).sorted.toSeq
+      assert(got == expected.sorted,
+        s"seed $seed: exactly-once violated\n got=$got\n want=${expected.sorted}")
+    }
+  }
+
   test("maxFilesPerTrigger paces a backlog across micro-batches") {
     val root = Files.createTempDirectory("graft-stream-rate").toString
     val s = VastSession(spark, root)
