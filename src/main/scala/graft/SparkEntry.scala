@@ -1123,6 +1123,41 @@ object SparkEntry {
               |WHERE r_name = 'ASIA'
               |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
 
+    Q("q_tpch_q6",  // TPC-H Q6 shape: pure filter + ungrouped aggregate —
+      // the plan must be scan (pushed range filters) -> partial+final agg,
+      // no shuffle beyond the single-row exchange
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue")),
+      Some(s"""SELECT ${DSUM("l_extendedprice * l_discount")} AS revenue
+              |FROM lineitem
+              |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              |  AND l_shipdate < TIMESTAMP '1998-01-01'
+              |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)),
+
+    Q("q_tpch_q12",  // TPC-H Q12 shape: join + CONDITIONAL aggregation
+      // (CASE inside SUM) — priority-class line counts per return flag
+      (s, dir) => {
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_returnflag")
+          .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // ---- composite: TPC-H Q3 shape (join tree + agg + top-k) ----
     Q("q_tpch_q3",
       (s, dir) => t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
