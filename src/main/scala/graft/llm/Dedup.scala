@@ -212,11 +212,14 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct())
     // deterministic edge-set signature: (count, xor of per-edge hashes) —
-    // bit_xor, not sum: ANSI mode makes an overflowing long sum THROW
+    // bit_xor, not sum: ANSI mode makes an overflowing long sum THROW.
+    // No signature of the INPUT edges: the first comparison happens after
+    // round 2, saving one driver action (the input's own checkpoint
+    // materializes inside round 1's job regardless).
     def signature(e: DataFrame): Seq[Any] =
       e.agg(count(lit(1)), call_function("bit_xor", xxhash64(col("u"), col("v"))))
         .head().toSeq
-    var prevSig = signature(edges)
+    var prevSig: Seq[Any] = null
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -249,7 +252,7 @@ object Dedup {
       // signature actions but detects the fixpoint up to two full —
       // expensive — rounds later.
       val sig = signature(ss)
-      converged = sig == prevSig
+      converged = prevSig != null && sig == prevSig
       prevSig = sig
     }
     // at the star fixpoint every non-root carries exactly one edge to its

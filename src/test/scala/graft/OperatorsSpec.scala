@@ -441,8 +441,8 @@ class OperatorsSpec extends SparkSpec {
     }
     spark.sparkContext.removeSparkListener(l)
     // this chain detects the fixpoint at round 7: the iterative phase runs
-    // exactly 8 signature actions (1 initial + 7 rounds) and 8 job-less
-    // checkpoint registrations = 16 executions. The old eager-per-round
+    // exactly 7 signature actions (one per round, none for the input) and
+    // 8 checkpoint registrations = 15 executions. The old eager-per-round
     // formulation ran a separate full materializing pass per round ON TOP
     // of the signature action (2 actions with work per round); the bounds
     // catch that regression while tolerating ±1 round of drift.
