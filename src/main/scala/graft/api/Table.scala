@@ -942,12 +942,13 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
         .filter(p =>
           now - Files.getLastModifiedTime(p).toMillis >= minAgeMillis)
     victims.foreach(Files.deleteIfExists(_))
-    // empty COW-staging dirs left behind after their files went
+    // empty COW-staging dirs left behind after their files went — emptiness
+    // checked AT DELETE TIME (deepest first), so a chain of nested empty
+    // dirs collapses in one pass instead of one level per vacuum
     if (Files.isDirectory(dataDir))
       Table.walkPaths(dataDir).reverse
         .filter(p => Files.isDirectory(p) && p != dataDir)
-        .filter(p => Table.listDir(p).isEmpty)
-        .foreach(Files.deleteIfExists(_))
+        .foreach(p => if (Table.listDir(p).isEmpty) Files.deleteIfExists(p))
     val droppedManifests = (0L until cutoff)
       .map(v => mdir.resolve(f"v$v%08d.json"))
       .filter(Files.exists(_))

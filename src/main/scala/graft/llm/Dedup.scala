@@ -204,9 +204,19 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 25,
                           reliable: Boolean = false): DataFrame = {
+    // reliable rounds persist BEFORE checkpointing: the checkpoint write is
+    // a second pass over the round's RDD, and without a cache that pass
+    // re-runs the whole shuffle lineage — the 2×-work-per-round cost this
+    // function otherwise avoids. The previous round's cache is dropped once
+    // the next round's signature action has consumed it.
+    var lastPersisted: Option[DataFrame] = None
     def truncate(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = false)
-      else df.localCheckpoint(eager = false)
+      if (reliable) {
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        lastPersisted.foreach(_.unpersist(blocking = false))
+        lastPersisted = Some(p)
+        p.checkpoint(eager = false)
+      } else df.localCheckpoint(eager = false)
     var edges = truncate(pairs
       .select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
@@ -255,6 +265,9 @@ object Dedup {
       converged = prevSig != null && sig == prevSig
       prevSig = sig
     }
+    // every retained round is checkpoint-backed by its signature action;
+    // the final round's write-through cache is no longer needed
+    lastPersisted.foreach(_.unpersist(blocking = false))
     // at the star fixpoint every non-root carries exactly one edge to its
     // component root; min() keeps the result deterministic even if maxIter
     // capped a (pathological) run before full convergence

@@ -100,8 +100,13 @@ private class GraftStreamScan(dir: Path, required: StructType,
   override def readSchema(): StructType = required
   override def description(): String = s"graft version-delta scan of $dir"
 
-  private def manifestAt(v: Long): Manifest.TableManifest =
-    Manifest.read(dir.resolve("_manifest").resolve(f"v$v%08d.json"))
+  private def manifestAt(v: Long): Manifest.TableManifest = {
+    val p = dir.resolve("_manifest").resolve(f"v$v%08d.json")
+    if (!Files.exists(p)) throw new IllegalStateException(
+      s"graft stream offset v$v no longer exists under $dir — the manifest " +
+        "was vacuumed; restart the stream from a fresh checkpoint")
+    Manifest.read(p)
+  }
 
   private def parquetBatch(paths: Seq[String]): Batch =
     ParquetTable(s"graft-stream:$dir", SparkSession.active,
@@ -109,9 +114,18 @@ private class GraftStreamScan(dir: Path, required: StructType,
       classOf[ParquetFileFormat])
       .newScanBuilder(CaseInsensitiveStringMap.empty()).build().toBatch
 
-  /** Batch path: the CURRENT manifest's full file set. */
+  /** Batch path: the CURRENT manifest's full file set. Rename-evolved
+    * tables are rejected — their files need per-group physical→logical
+    * mapping (and drop tombstones must not resurrect), which the SQL
+    * catalog's RenameUnionTable provides; a raw parquet read here would
+    * silently null renamed columns. */
   override def toBatch: Batch = {
     val m = manifestAt(graft.api.Table.currentVersion(dir))
+    if (m.files.exists(_.renames.nonEmpty))
+      throw new IllegalStateException(
+        s"graft batch read of $dir: table carries column-rename maps; " +
+          "read it through the graft SQL catalog (which maps per-file " +
+          "physical names) instead of format(\"graft\")")
     parquetBatch(m.files.map(f => graft.api.Table.resolvePath(dir, f.path)))
   }
 
@@ -135,10 +149,17 @@ private class GraftStreamScan(dir: Path, required: StructType,
         startingVersion match {
           case None | Some("earliest") => 0L
           case Some("latest") => graft.api.Table.currentVersion(dir)
-          case Some(v) => try v.toLong catch {
-            case _: NumberFormatException => throw new IllegalArgumentException(
-              s"startingVersion must be earliest|latest|<version>, got '$v'")
-          }
+          case Some(v) =>
+            val n = try v.toLong catch {
+              case _: NumberFormatException => throw new IllegalArgumentException(
+                s"startingVersion must be earliest|latest|<version>, got '$v'")
+            }
+            val cur = graft.api.Table.currentVersion(dir)
+            // fail fast: past-the-end silently behaving as "latest" would
+            // hide a typo'd version (or the wrong table) forever
+            if (n > cur) throw new IllegalArgumentException(
+              s"startingVersion $n is beyond the table's current version $cur")
+            n
         })
       override def latestOffset(): Offset = GraftVersionOffset(targetVersion)
       override def deserializeOffset(json: String): Offset =
@@ -188,14 +209,7 @@ private class GraftStreamScan(dir: Path, required: StructType,
         val e = end.asInstanceOf[GraftVersionOffset].version
         if (e <= s) return Array.empty
         val startPaths: Set[String] =
-          if (s == 0) Set.empty
-          else {
-            val p = dir.resolve("_manifest").resolve(f"v$s%08d.json")
-            if (!Files.exists(p)) throw new IllegalStateException(
-              s"graft stream offset v$s no longer exists under $dir — " +
-                "the manifest was vacuumed; restart the stream from a fresh checkpoint")
-            manifestAt(s).files.map(_.path).toSet
-          }
+          if (s == 0) Set.empty else manifestAt(s).files.map(_.path).toSet
         val endM = manifestAt(e)
         val endPaths = endM.files.map(_.path).toSet
         val removed = startPaths -- endPaths
@@ -206,10 +220,22 @@ private class GraftStreamScan(dir: Path, required: StructType,
               "append-only. Set ignoreChanges=true to emit rewritten files " +
               "(at-least-once for rows in rewritten groups)")
         val newFiles = endM.files.filterNot(f => startPaths(f.path))
+        // column DDL mid-stream: files written AFTER a rename carry the new
+        // physical names (no rename map), so a raw read against this query's
+        // pinned schema would silently null the renamed column. Catch both
+        // shapes: files with rename maps, and an end-version schema that no
+        // longer covers the columns this stream was started with.
         if (newFiles.exists(_.renames.nonEmpty))
           throw new IllegalStateException(
-            "graft stream: delta files carry column-rename maps; rewrite the " +
-              "table (optimizeSort/maintain) before streaming past a rename")
+            "graft stream: delta files carry column-rename maps; restart the " +
+              "stream to pick up the evolved schema")
+        val missing = required.fieldNames.filterNot(n =>
+          n == "_row_id" || endM.schema.fieldNames.contains(n))
+        if (missing.nonEmpty)
+          throw new IllegalStateException(
+            s"graft stream: column(s) ${missing.mkString(", ")} no longer " +
+              s"exist at version v$e (renamed or dropped mid-stream); " +
+              "restart the stream against the current schema")
         if (newFiles.isEmpty) Array.empty
         else parquetBatch(newFiles.map(f =>
           graft.api.Table.resolvePath(dir, f.path))).planInputPartitions()

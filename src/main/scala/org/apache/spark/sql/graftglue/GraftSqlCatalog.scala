@@ -271,8 +271,14 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
       val t = tx.bucket(ns.head).schema(ns.tail.mkString("/")).table(ident.name())
       changes.foreach {
         case add: TableChange.AddColumn =>
-          t.addColumn(StructField(topLevel(add.fieldNames()), add.dataType(),
-            add.isNullable()))
+          // a requested position (FIRST / AFTER c) would be silently ignored
+          // — manifests append columns; reject rather than half-obey
+          if (add.position() != null) throw new UnsupportedOperationException(
+            "ADD COLUMN ... FIRST/AFTER: graft appends columns (file schemas " +
+              "are positional per generation); add without a position")
+          val f = StructField(topLevel(add.fieldNames()), add.dataType(),
+            add.isNullable())
+          t.addColumn(Option(add.comment()).map(f.withComment).getOrElse(f))
         case ren: TableChange.RenameColumn =>
           t.renameColumn(topLevel(ren.fieldNames()), ren.newName())
         case del: TableChange.DeleteColumn =>

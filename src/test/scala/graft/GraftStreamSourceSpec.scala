@@ -178,6 +178,67 @@ class GraftStreamSourceSpec extends SparkSpec {
     }
   }
 
+  test("column DDL mid-stream fails clearly; rename-evolved batch read rejected") {
+    val root = Files.createTempDirectory("graft-stream-ddl").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    s.transaction(tx => tx.bucket("bk").createSchema("m").createTable("t", schema))
+    insert(s, 2, "x")
+    val tdir = Paths.get(root, "bk", "m", "t").toString
+    val ckpt = Files.createTempDirectory("graft-ddl-ck").toString
+    val out = Files.createTempDirectory("graft-ddl-out").toString + "/sink"
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(tdir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    drain()
+    assert(spark.read.parquet(out).count() == 2)
+    // a query whose schema was PINNED before the rename must fail clearly:
+    // the post-rename insert's file carries the new physical name with no
+    // rename map, and reading it against the pinned schema would silently
+    // null the column. (A restarted stream re-infers the schema and is
+    // fine — that path is covered by the resume tests.)
+    val pinned = spark.readStream.format("graft").load(tdir) // schema (a, s)
+    s.transaction(tx => tx.bucket("bk").schema("m").table("t")
+      .renameColumn("s", "label"))
+    s.transaction { tx =>
+      val t = tx.bucket("bk").schema("m").table("t")
+      t.insert(spark.createDataFrame(java.util.List.of(Row(9L, "nine")),
+        StructType(Seq(StructField("a", LongType),
+          StructField("label", StringType)))).coalesce(1))
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val err = intercept[Exception] {
+      val q = pinned.writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    assert(messages(err).exists(m => m.contains("no longer exist") ||
+      m.contains("rename")), s"wrong failure: ${messages(err).take(3)}")
+    // batch read through the provider is rejected too (the SQL catalog's
+    // rename-union path is the correct reader for evolved tables)
+    val berr = intercept[Exception] {
+      spark.read.format("graft").load(tdir).collect()
+    }
+    assert(messages(berr).exists(_.contains("rename")),
+      s"wrong batch failure: ${messages(berr).take(3)}")
+    // a too-high startingVersion is a hard error, not a silent 'latest'
+    val verr = intercept[Exception] {
+      spark.readStream.format("graft").option("startingVersion", "99")
+        .load(tdir).writeStream.format("noop")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-sv99").toString)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination(60000)
+    }
+    assert(messages(verr).exists(_.contains("beyond the table's current")),
+      s"wrong startingVersion failure: ${messages(verr).take(3)}")
+  }
+
   test("fuzz: random insert/drain interleavings deliver every row exactly once") {
     val rnd = new scala.util.Random(7)
     for (seed <- 0 until 3) {

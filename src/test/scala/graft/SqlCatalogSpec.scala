@@ -331,9 +331,13 @@ class SqlCatalogSpec extends SparkSpec {
       assert(tx.bucket("bk").schema("m").table("t").manifest.schema
         .fieldNames.toSeq == Seq("a", "label"))
     }
-    // duplicate ADD surfaces the transactional error; _row_id is guarded
+    // duplicate ADD surfaces the transactional error; _row_id is guarded;
+    // a positioned ADD would be silently un-honored, so it must reject
     intercept[Exception] {
       spark.sql("ALTER TABLE graft8.bk.m.t ADD COLUMN label STRING")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft8.bk.m.t ADD COLUMN z STRING FIRST")
     }
     intercept[Exception] {
       spark.sql("ALTER TABLE graft8.bk.m.t DROP COLUMN _row_id")
