@@ -175,6 +175,46 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Partition-local pre-contraction: hash-shuffle edges on `u`, run a
+    * union-find inside each partition, and emit each LOCAL component as a
+    * star (member → local minimum). Every input edge is processed by exactly
+    * one partition and its endpoints stay connected through the local root,
+    * so global connectivity is preserved — while duplicate edges vanish and
+    * dense neighborhoods collapse to one edge per non-root node. LSH
+    * candidate lists (`dd2`/`dd7` shapes) emit a cluster's pairs with shared
+    * `id_a` values, so after one hash shuffle most of a cluster contracts
+    * in-place and the distributed star loop starts from near-stars —
+    * typically 2-3 rounds instead of ~7. Memory is bounded by one
+    * partition's node count (edges / spark.sql.shuffle.partitions), the
+    * same bound any hash aggregation over the edge list needs. */
+  private def contractLocally(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.repartition(col("u")).as[(Long, Long)]
+      .mapPartitions { it =>
+        // roots stay the component minimum by construction: a union always
+        // points the larger root at the smaller, and path compression only
+        // shortens paths, never moves roots
+        val parent = new scala.collection.mutable.HashMap[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (u, v) =>
+          parent.getOrElseUpdate(u, u)
+          parent.getOrElseUpdate(v, v)
+          val ru = find(u)
+          val rv = find(v)
+          if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+        }
+        parent.keysIterator.map(n => (n, find(n))).filter(p => p._1 != p._2)
+      }
+      .toDF("u", "v")
+  }
+
   /**
    * Connected components over an undirected pair list — the step that turns
    * near-duplicate PAIRS into duplicate CLUSTERS (transitive closure: A~B
@@ -217,22 +257,28 @@ object Dedup {
         lastPersisted = Some(p)
         p.checkpoint(eager = false)
       } else df.localCheckpoint(eager = false)
-    var edges = truncate(pairs
+    // pre-contraction replaces the old `.distinct()` pass: same single
+    // shuffle, but the partition-local union-find also collapses dense
+    // neighborhoods to stars (and dedups as a side effect), cutting the
+    // iterative rounds the star loop needs afterwards
+    var edges = truncate(contractLocally(pairs
       .select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct())
+      .filter(col("u") =!= col("v"))))
     // deterministic edge-set signature: (count, xor of per-edge hashes) —
     // bit_xor, not sum: ANSI mode makes an overflowing long sum THROW.
-    // No signature of the INPUT edges: the first comparison happens after
-    // round 2, saving one driver action (the input's own checkpoint
-    // materializes inside round 1's job regardless).
     def signature(e: DataFrame): Seq[Any] =
       e.agg(count(lit(1)), call_function("bit_xor", xxhash64(col("u"), col("v"))))
         .head().toSeq
-    var prevSig: Seq[Any] = null
+    // sign the CONTRACTED input too: pre-contraction frequently emits the
+    // final star forest outright (a star forest is a fixpoint of the
+    // large-star/small-star round), and input-vs-round-1 equality then
+    // detects it after ONE round instead of two. The action is nearly free —
+    // it materializes the input's lazy checkpoint, work round 1 would
+    // otherwise do inside its own job.
+    var prevSig: Seq[Any] = signature(edges)
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
+    try while (!converged && iter < maxIter) {
       // large-star: every neighbor v > u re-links to m = min(N(u) ∪ {u})
       val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val lsMin = sym.groupBy("u").agg(min("v").as("mn"))
@@ -264,10 +310,13 @@ object Dedup {
       val sig = signature(ss)
       converged = prevSig != null && sig == prevSig
       prevSig = sig
+    } finally {
+      // every retained round is checkpoint-backed by its signature action;
+      // the final round's write-through cache is no longer needed — and on
+      // an aborted run (checkpoint dir unset, executor loss) the finally
+      // keeps the MEMORY_AND_DISK blocks from leaking for the session
+      lastPersisted.foreach(_.unpersist(blocking = false))
     }
-    // every retained round is checkpoint-backed by its signature action;
-    // the final round's write-through cache is no longer needed
-    lastPersisted.foreach(_.unpersist(blocking = false))
     // at the star fixpoint every non-root carries exactly one edge to its
     // component root; min() keeps the result deterministic even if maxIter
     // capped a (pathological) run before full convergence
