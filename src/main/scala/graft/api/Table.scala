@@ -727,10 +727,16 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     val s = m.schema
     if (!s.fieldNames.contains(from)) throw NotSupportedSchema(s"no column $from")
     val ns = StructType(s.fields.map(f => if (f.name == from) f.copy(name = to) else f))
-    // lazy rename: per-file physical→logical mapping, no data rewrite
+    // lazy rename: per-file physical→logical mapping, no data rewrite. A
+    // file whose candidate physical name is already claimed by ANOTHER
+    // logical (a drop tombstone from a previous same-named column) has no
+    // physical column for `from` at all — it was written before the column
+    // was (re-)added — so its map must stay untouched: overwriting the
+    // claim would resurrect the dropped bytes under the new name.
     val nf = m.files.map { f =>
       val phys = f.renames.find(_._2 == from).map(_._1).getOrElse(from)
-      f.copy(renames = f.renames - phys + (phys -> to))
+      if (f.renames.get(phys).exists(_ != from)) f
+      else f.copy(renames = f.renames - phys + (phys -> to))
     }
     // projections/vector indexes referencing the column: their metadata moves
     // to the new name but their DATA files still carry the old physical name
@@ -766,9 +772,13 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     // it rather than resurrect the dropped bytes (or crash on a type change).
     // readEntries refuses to read a physical column claimed by any rename.
     val tomb = s"__dropped_${name}_${UUID.randomUUID().toString.take(8)}"
+    // same already-claimed guard as renameColumn: a file predating this
+    // column's (re-)addition has no physical bytes for it — leave its
+    // earlier tombstone in place instead of replacing it with this one
     val nf = m.files.map { f =>
       val phys = f.renames.find(_._2 == name).map(_._1).getOrElse(name)
-      f.copy(renames = f.renames - phys + (phys -> tomb))
+      if (f.renames.get(phys).exists(_ != name)) f
+      else f.copy(renames = f.renames - phys + (phys -> tomb))
     }
     tx.stageWrite(dir, m.copy(schemaJson = ns.json, files = nf,
       sortingKeys = m.sortingKeys.filterNot(_ == name),

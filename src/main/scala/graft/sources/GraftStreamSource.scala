@@ -6,15 +6,21 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.StreamingDataSourceV2ScanRelation
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
 
 import graft.api.Manifest
 
@@ -35,12 +41,25 @@ import graft.api.Manifest
  * update/delete, compaction) fails the stream with a clear error by default
  * — replaying a rewritten file would re-deliver carried-over rows — unless
  * `ignoreChanges=true`, which emits the rewritten files (documented
- * at-least-once for rows in rewritten groups, the standard trade). Streaming
- * across a column rename requires `optimizeSort`/rewrite first: delta files
- * carrying rename maps are rejected (their physical schema diverged).
+ * at-least-once for rows in rewritten groups, the standard trade). Lazy
+ * column RENAMES are served through per-file-group physical→logical name
+ * mapping (the same shape the SQL catalog's RenameUnionTable uses for
+ * batch), so a stream crosses a rename without restart; only a DROP of a
+ * column the stream was started with fails (its data genuinely stops
+ * existing in new files).
+ *
+ * Filter pushdown: Spark's micro-batch planner builds streaming scans
+ * directly (no V2ScanRelationPushDown pass), so the source registers a tiny
+ * advisory optimizer rule ([[GraftStreamFilterPushdown]]) that runs per
+ * micro-batch, finds `Filter` atop this scan's relation, and offers the
+ * conjuncts to the scan; each batch threads them into its delegate parquet
+ * scans for row-group/page skipping. The `Filter` node itself is left in
+ * the plan — Spark re-evaluates every predicate post-scan, so pushdown is a
+ * pruning hint, never a correctness dependency (mirrors RenameUnionTable).
  *
  * Batch reads through this provider serve the CURRENT manifest's files —
- * `spark.read.format("graft").load(dir)` — with Spark's own parquet scan.
+ * `spark.read.format("graft").load(dir)` — with Spark's own parquet scan
+ * (rename-evolved tables served through the same group mapping).
  */
 class GraftStreamSource extends TableProvider with DataSourceRegister {
 
@@ -79,11 +98,23 @@ private class GraftStreamTable(dir: Path, tableSchema: StructType,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownRequiredColumns
+        with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
       private var required: StructType = tableSchema
+      private var toPush: Seq[Expression] = Nil
       override def pruneColumns(s: StructType): Unit =
         if (s.nonEmpty) required = s
-      override def build(): Scan = new GraftStreamScan(dir, required,
+      // batch path only (V2ScanRelationPushDown never visits streaming
+      // relations — those get filters via GraftStreamFilterPushdown);
+      // everything stays a post-scan filter, pushdown is advisory
+      override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+        toPush = filters
+        filters
+      }
+      override def pushedFilters
+          : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+        Array.empty
+      override def build(): Scan = new GraftStreamScan(dir, required, toPush,
         // reader options surface here on every query (re)start; the
         // getTable-time flag is the fallback for resolution paths that
         // don't carry options into the scan
@@ -93,43 +124,135 @@ private class GraftStreamTable(dir: Path, tableSchema: StructType,
     }
 }
 
-private class GraftStreamScan(dir: Path, required: StructType,
-                              ignoreChanges: Boolean,
-                              maxFilesPerTrigger: Int,
-                              startingVersion: Option[String]) extends Scan {
+private[graft] class GraftStreamScan(dir: Path, required: StructType,
+                                     builderFilters: Seq[Expression],
+                                     ignoreChanges: Boolean,
+                                     maxFilesPerTrigger: Int,
+                                     startingVersion: Option[String]) extends Scan {
   override def readSchema(): StructType = required
-  override def description(): String = s"graft version-delta scan of $dir"
+  override def description(): String = {
+    val pf = pushdownFilters
+    s"graft version-delta scan of $dir" +
+      (if (pf.isEmpty) "" else s", PushedFilters: [${pf.mkString(", ")}]")
+  }
+
+  /** Conjuncts offered per micro-batch by [[GraftStreamFilterPushdown]];
+    * merged with any builder-pushed filters before reaching the delegate
+    * parquet scans. Volatile: written by the optimizer rule on the driver,
+    * read when the same batch plans its partitions. */
+  @volatile private[graft] var streamFilters: Seq[Expression] = Nil
+  private[graft] def pushdownFilters: Seq[Expression] =
+    builderFilters ++ streamFilters
+
+  private def manifestPath(v: Long): Path =
+    dir.resolve("_manifest").resolve(f"v$v%08d.json")
 
   private def manifestAt(v: Long): Manifest.TableManifest = {
-    val p = dir.resolve("_manifest").resolve(f"v$v%08d.json")
+    val p = manifestPath(v)
     if (!Files.exists(p)) throw new IllegalStateException(
       s"graft stream offset v$v no longer exists under $dir — the manifest " +
         "was vacuumed; restart the stream from a fresh checkpoint")
     Manifest.read(p)
   }
 
-  private def parquetBatch(paths: Seq[String]): Batch =
-    ParquetTable(s"graft-stream:$dir", SparkSession.active,
-      CaseInsensitiveStringMap.empty(), paths.toList, Some(required),
-      classOf[ParquetFileFormat])
-      .newScanBuilder(CaseInsensitiveStringMap.empty()).build().toBatch
+  private val TombstonePrefix = "__dropped_"
 
-  /** Batch path: the CURRENT manifest's full file set. Rename-evolved
-    * tables are rejected — their files need per-group physical→logical
-    * mapping (and drop tombstones must not resurrect), which the SQL
-    * catalog's RenameUnionTable provides; a raw parquet read here would
-    * silently null renamed columns. */
-  override def toBatch: Batch = {
-    val m = manifestAt(graft.api.Table.currentVersion(dir))
-    if (m.files.exists(_.renames.nonEmpty))
-      throw new IllegalStateException(
-        s"graft batch read of $dir: table carries column-rename maps; " +
-          "read it through the graft SQL catalog (which maps per-file " +
-          "physical names) instead of format(\"graft\")")
-    parquetBatch(m.files.map(f => graft.api.Table.resolvePath(dir, f.path)))
+  /** The physical column name serving pinned logical `f` inside a file
+    * group with rename map `renames` (physical→current-logical):
+    *  - a physical name currently mapped TO `f` serves it directly;
+    *  - a physical `f` claimed for ANOTHER logical while the schema carries
+    *    a NEW `f` null-fills (`__absent_`) — dropped bytes never resurrect
+    *    under a re-added name (mirrors Table.readEntries);
+    *  - a physical `f` renamed mid-stream (map `f`→g, g live) still serves
+    *    pinned `f` — same identity, newer name;
+    *  - a file with no claim reads `f` if the schema still has it, else the
+    *    table-wide rename stamps recover the pinned→current name for files
+    *    written AFTER the rename (they carry no map of their own);
+    *  - anything else means the column was genuinely dropped mid-stream. */
+  private def physName(f: String, renames: Map[String, String],
+                       inverse: Map[String, String], endSchema: Set[String],
+                       derived: Map[String, String], span: String): String =
+    if (f == "_row_id") f
+    else inverse.get(f) match {
+      case Some(p) => p
+      case None => renames.get(f) match {
+        case Some(_) if endSchema.contains(f) => s"__absent_$f"
+        case Some(g) if !g.startsWith(TombstonePrefix) => f
+        case Some(_) => throw new IllegalStateException(
+          s"graft stream: column $f was dropped at $span of $dir; " +
+            "restart the stream against the current schema")
+        case None =>
+          if (endSchema.contains(f)) f
+          else derived.getOrElse(f, throw new IllegalStateException(
+            s"graft stream: column $f no longer exists at $span of $dir " +
+              "(dropped mid-stream); restart the stream against the " +
+              "current schema"))
+      }
+    }
+
+  /** Plan `files` as parquet partitions grouped by rename map: each group
+    * requests its PHYSICAL names in pinned-logical field order, so rows line
+    * up positionally with `required` and no per-row projection is needed.
+    * Pushdown filters are re-addressed to each group's physical names so
+    * parquet row-group skipping survives renames. Each partition carries its
+    * group's reader factory — partitions from different micro-batches (and
+    * different rename eras) can then share one routing factory. */
+  private def planGroups(files: Seq[Manifest.FileEntry],
+                         endM: Manifest.TableManifest,
+                         span: String): Array[InputPartition] = {
+    if (files.isEmpty) return Array.empty
+    val endSchema = endM.schema.fieldNames.toSet
+    // pinned→current names recovered from the rename stamps the DDL left on
+    // older files (a rename stamps every file it saw); ambiguous physical
+    // names are omitted → unresolvable pinned columns fail with the clear
+    // error rather than guessing
+    lazy val derived: Map[String, String] = endM.files
+      .flatMap(_.renames)
+      .filter { case (p, g) => p != g && !g.startsWith(TombstonePrefix) }
+      .distinct
+      .groupBy(_._1)
+      .collect { case (p, gs) if gs.map(_._2).distinct.size == 1 => p -> gs.head._2 }
+    files.groupBy(_.renames).toSeq.flatMap { case (renames, group) =>
+      val inverse = renames.map(_.swap) // current-logical -> physical
+      val phys = StructType(required.fields.map(f =>
+        f.copy(name = physName(f.name, renames, inverse, endSchema, derived, span))))
+      val physByLogical = required.fieldNames.zip(phys.fieldNames).toMap
+      val translated = pushdownFilters.map(_.transform {
+        case a: AttributeReference
+            if physByLogical.get(a.name).exists(_ != a.name) =>
+          a.withName(physByLogical(a.name))
+      })
+      val sb = ParquetTable(s"graft-stream:$dir", SparkSession.active,
+        CaseInsensitiveStringMap.empty(),
+        group.map(f => graft.api.Table.resolvePath(dir, f.path)).toList,
+        Some(phys), classOf[ParquetFileFormat])
+        .newScanBuilder(CaseInsensitiveStringMap.empty())
+      sb match {
+        case pf: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+            if translated.nonEmpty => pf.pushFilters(translated)
+        case _ => ()
+      }
+      val batch = sb.build().toBatch
+      val factory = batch.createReaderFactory()
+      batch.planInputPartitions().map(p => StreamGroupPartition(p, factory))
+    }.toArray
   }
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  /** Batch path: the CURRENT manifest's full file set (rename-evolved files
+    * served through the same per-group mapping as the stream). */
+  override def toBatch: Batch = {
+    val v = graft.api.Table.currentVersion(dir)
+    val m = manifestAt(v)
+    new Batch {
+      override def planInputPartitions(): Array[InputPartition] =
+        planGroups(m.files, m, s"v$v")
+      override def createReaderFactory(): PartitionReaderFactory =
+        new StreamGroupRoutingFactory
+    }
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    GraftStreamFilterPushdown.register(SparkSession.active)
     new MicroBatchStream with SupportsAdmissionControl
         with SupportsTriggerAvailableNow {
       // Trigger.AvailableNow: pin the drain target at query start so the
@@ -173,7 +296,10 @@ private class GraftStreamScan(dir: Path, required: StructType,
         * the cap (always ≥ one version, so progress is guaranteed even past
         * an oversized commit). Versions are walked forward from the current
         * offset — cost proportional to the backlog being admitted, not to
-        * table history. */
+        * table history. A vacuumed intermediate manifest is skipped (its
+        * files are carried by the next retained version, which absorbs the
+        * whole gap as one step) instead of failing the walk — only the
+        * ENDPOINT manifests are load-bearing for correctness. */
       override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
         val cur = targetVersion
         val s = start.asInstanceOf[GraftVersionOffset].version
@@ -186,15 +312,18 @@ private class GraftStreamScan(dir: Path, required: StructType,
         var v = s + 1
         var stop = false
         while (!stop && v <= cur) {
-          val files = manifestAt(v).files.map(_.path).toSet
-          val fresh = (files -- known).size
-          if (fresh <= budget || admitted == s) { // always admit ≥ 1 version
-            admitted = v
-            budget -= fresh
-            known = files
-            v += 1
-            if (budget <= 0) stop = true
-          } else stop = true
+          if (!Files.exists(manifestPath(v))) v += 1 // vacuumed: fold into next
+          else {
+            val files = manifestAt(v).files.map(_.path).toSet
+            val fresh = (files -- known).size
+            if (fresh <= budget || admitted == s) { // always admit ≥ 1 version
+              admitted = v
+              budget -= fresh
+              known = files
+              v += 1
+              if (budget <= 0) stop = true
+            } else stop = true
+          }
         }
         GraftVersionOffset(admitted)
       }
@@ -220,33 +349,76 @@ private class GraftStreamScan(dir: Path, required: StructType,
               "append-only. Set ignoreChanges=true to emit rewritten files " +
               "(at-least-once for rows in rewritten groups)")
         val newFiles = endM.files.filterNot(f => startPaths(f.path))
-        // column DDL mid-stream: files written AFTER a rename carry the new
-        // physical names (no rename map), so a raw read against this query's
-        // pinned schema would silently null the renamed column. Catch both
-        // shapes: files with rename maps, and an end-version schema that no
-        // longer covers the columns this stream was started with.
-        if (newFiles.exists(_.renames.nonEmpty))
-          throw new IllegalStateException(
-            "graft stream: delta files carry column-rename maps; restart the " +
-              "stream to pick up the evolved schema")
-        val missing = required.fieldNames.filterNot(n =>
-          n == "_row_id" || endM.schema.fieldNames.contains(n))
-        if (missing.nonEmpty)
-          throw new IllegalStateException(
-            s"graft stream: column(s) ${missing.mkString(", ")} no longer " +
-              s"exist at version v$e (renamed or dropped mid-stream); " +
-              "restart the stream against the current schema")
-        if (newFiles.isEmpty) Array.empty
-        else parquetBatch(newFiles.map(f =>
-          graft.api.Table.resolvePath(dir, f.path))).planInputPartitions()
+        planGroups(newFiles, endM, s"v$s..v$e")
       }
 
-      /** Factory from a path-less template scan: parquet reader factories
-        * close over schema/conf only — the planned partitions carry the
-        * actual file splits, so one factory serves every micro-batch. */
+      /** Partitions carry their group's reader factory (schema/filters are
+        * per rename group and per batch), so the stream-level factory is a
+        * pure router. */
       override def createReaderFactory(): PartitionReaderFactory =
-        parquetBatch(Nil).createReaderFactory()
+        new StreamGroupRoutingFactory
     }
+  }
+}
+
+/** An input partition bundled with the reader factory of the rename group
+  * (and filter set) it was planned under — lets one stream-level routing
+  * factory serve partitions whose physical schemas differ. */
+private[graft] case class StreamGroupPartition(
+    inner: InputPartition, factory: PartitionReaderFactory)
+    extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+private[graft] class StreamGroupRoutingFactory extends PartitionReaderFactory {
+  private def part(p: InputPartition): StreamGroupPartition =
+    p.asInstanceOf[StreamGroupPartition]
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    part(p).factory.createReader(part(p).inner)
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
+    part(p).factory.createColumnarReader(part(p).inner)
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    part(p).factory.supportColumnarReads(part(p).inner)
+}
+
+/**
+ * Advisory filter pushdown for the streaming path: MicroBatchExecution
+ * builds streaming scans with `newScanBuilder(...).build()` directly — the
+ * V2ScanRelationPushDown optimizer rule only visits batch relations — so
+ * filters above a changefeed scan never reach parquet on their own. This
+ * rule runs inside each micro-batch's IncrementalExecution, finds `Filter`
+ * nodes sitting on a [[GraftStreamScan]] relation, and OFFERS the conjuncts
+ * to the scan; the plan itself is returned unchanged, so Spark still
+ * re-evaluates every predicate post-scan (pushdown is a pruning hint, never
+ * a correctness dependency). Registered automatically when a graft stream
+ * starts, or via `spark.sql.extensions=graft.GraftExtensions`.
+ */
+object GraftStreamFilterPushdown extends Rule[LogicalPlan] {
+
+  /** Idempotently append to the session's extra optimizer rules (driver-
+    * side, at stream start — before the first micro-batch optimizes). */
+  def register(session: SparkSession): Unit = synchronized {
+    if (!session.experimental.extraOptimizations.contains(this))
+      session.experimental.extraOptimizations =
+        session.experimental.extraOptimizations :+ this
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    plan.foreach {
+      case Filter(cond, r: StreamingDataSourceV2ScanRelation) => r.scan match {
+        case g: GraftStreamScan =>
+          g.streamFilters = conjuncts(cond).filter(_.deterministic)
+        case _ => ()
+      }
+      case _ => ()
+    }
+    plan
+  }
 }
 
 /** Stream offset = manifest version (total-ordered by the commit CAS). */

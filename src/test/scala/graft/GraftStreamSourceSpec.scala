@@ -178,7 +178,7 @@ class GraftStreamSourceSpec extends SparkSpec {
     }
   }
 
-  test("column DDL mid-stream fails clearly; rename-evolved batch read rejected") {
+  test("mid-stream renames stream on; drops fail clearly; batch read follows renames") {
     val root = Files.createTempDirectory("graft-stream-ddl").toString
     val s = VastSession(spark, root)
     s.createBucket("bk")
@@ -196,11 +196,11 @@ class GraftStreamSourceSpec extends SparkSpec {
     }
     drain()
     assert(spark.read.parquet(out).count() == 2)
-    // a query whose schema was PINNED before the rename must fail clearly:
+    // a query whose schema was PINNED before the rename keeps streaming:
     // the post-rename insert's file carries the new physical name with no
-    // rename map, and reading it against the pinned schema would silently
-    // null the column. (A restarted stream re-infers the schema and is
-    // fine — that path is covered by the resume tests.)
+    // rename map of its own, and the scan recovers the pinned→current name
+    // from the rename stamps on older files — same column identity, served
+    // under the pinned name
     val pinned = spark.readStream.format("graft").load(tdir) // schema (a, s)
     s.transaction(tx => tx.bucket("bk").schema("m").table("t")
       .renameColumn("s", "label"))
@@ -210,23 +210,38 @@ class GraftStreamSourceSpec extends SparkSpec {
         StructType(Seq(StructField("a", LongType),
           StructField("label", StringType)))).coalesce(1))
     }
+    val q = pinned.writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.read.parquet(out).count() == 3)
+    assert(spark.read.parquet(out).filter(col("s") === "nine").count() == 1,
+      "post-rename file not served under the pinned column name")
+    // batch read through the provider follows the rename maps too (current
+    // names out, old files' physical names mapped per group)
+    assert(spark.read.format("graft").load(tdir)
+      .select("label").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("nine", "x0", "x1"))
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    val err = intercept[Exception] {
-      val q = pinned.writeStream.format("parquet").option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+    // a DROP of a pinned column is a hard stop: its data genuinely stops
+    // existing in new files, so serving the pinned schema would silently
+    // null it — fail with a restart instruction instead
+    val pinnedBeforeDrop = spark.readStream.format("graft").load(tdir) // (a, label)
+    s.transaction(tx => tx.bucket("bk").schema("m").table("t")
+      .dropColumn("label"))
+    s.transaction { tx =>
+      val t = tx.bucket("bk").schema("m").table("t")
+      t.insert(spark.createDataFrame(java.util.List.of(Row(10L)),
+        StructType(Seq(StructField("a", LongType)))).coalesce(1))
     }
-    assert(messages(err).exists(m => m.contains("no longer exist") ||
-      m.contains("rename")), s"wrong failure: ${messages(err).take(3)}")
-    // batch read through the provider is rejected too (the SQL catalog's
-    // rename-union path is the correct reader for evolved tables)
-    val berr = intercept[Exception] {
-      spark.read.format("graft").load(tdir).collect()
+    val derr = intercept[Exception] {
+      pinnedBeforeDrop.writeStream.format("noop")
+        .option("checkpointLocation", ckpt) // resumes past the processed versions
+        .trigger(Trigger.AvailableNow()).start().awaitTermination(120000)
     }
-    assert(messages(berr).exists(_.contains("rename")),
-      s"wrong batch failure: ${messages(berr).take(3)}")
+    assert(messages(derr).exists(_.contains("dropped")),
+      s"wrong drop failure: ${messages(derr).take(3)}")
     // a too-high startingVersion is a hard error, not a silent 'latest'
     val verr = intercept[Exception] {
       spark.readStream.format("graft").option("startingVersion", "99")
@@ -302,5 +317,162 @@ class GraftStreamSourceSpec extends SparkSpec {
     val batches = new java.io.File(ckpt + "/offsets").list()
       .count(!_.startsWith("."))
     assert(batches == 3, s"expected 3 paced micro-batches, got $batches")
+  }
+
+  test("stream filter pushdown skips parquet row groups") {
+    val root = Files.createTempDirectory("graft-stream-pf").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    s.transaction(tx => tx.bucket("bk").createSchema("m").createTable("t", schema))
+    // two files with disjoint `a` ranges: the filter below selects only the
+    // second, so with pushdown the first file's single row group is skipped
+    // at the reader and its rows are never decoded
+    def insertRange(lo: Long): Unit = s.transaction { tx =>
+      val t = tx.bucket("bk").schema("m").table("t")
+      val l = new java.util.ArrayList[Row]()
+      (0 until 5).foreach(i => l.add(Row(lo + i, s"r${lo + i}")))
+      t.insert(spark.createDataFrame(l, schema).coalesce(1))
+    }
+    insertRange(0L)
+    insertRange(100L)
+    val tdir = Paths.get(root, "bk", "m", "t").toString
+    val ckpt = Files.createTempDirectory("graft-pf-ck").toString
+    val out = Files.createTempDirectory("graft-pf-out").toString + "/sink"
+    val plansWithPush = new java.util.concurrent.atomic.AtomicInteger(0)
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          recordsRead.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case st: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          if (st.physicalPlanDescription.contains("graft version-delta") &&
+              st.physicalPlanDescription.contains("PushedFilters: ["))
+            plansWithPush.incrementAndGet()
+        case _ =>
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val q = spark.readStream.format("graft").load(tdir)
+        .filter(col("a") >= 100L)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      // listener bus is async: wait until the metrics settle
+      var last = -1L
+      var same = 0
+      while (same < 4) {
+        Thread.sleep(250)
+        if (recordsRead.get() == last) same += 1
+        else { same = 0; last = recordsRead.get() }
+      }
+    } finally spark.sparkContext.removeSparkListener(l)
+    // correctness: exactly the matching rows arrive
+    assert(spark.read.parquet(out).select("s").collect()
+      .map(_.getString(0)).sorted.toSeq == (0 until 5).map(i => s"r${100 + i}"))
+    // the micro-batch plan advertises the pushed filters on the scan node
+    assert(plansWithPush.get() > 0,
+      "no micro-batch plan showed PushedFilters on the graft scan")
+    // ...and they actually pruned: only the matching file's 5 rows were
+    // decoded (10 would mean the non-matching row group was read and the
+    // rows discarded post-scan)
+    assert(recordsRead.get() == 5,
+      s"expected 5 decoded rows with row-group skipping, got ${recordsRead.get()}")
+  }
+
+  test("live query crosses a rename without restart, all three file eras served") {
+    val root = Files.createTempDirectory("graft-stream-livern").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    s.transaction(tx => tx.bucket("bk").createSchema("m").createTable("t", schema))
+    insert(s, 1, "era1_") // pre-pin file (physical s)
+    val tdir = Paths.get(root, "bk", "m", "t").toString
+    val ckpt = Files.createTempDirectory("graft-livern-ck").toString
+    val name = "graft_livern_sink"
+    val q = spark.readStream.format("graft").load(tdir)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      // era 2: inserted after the pin, stamped by the rename below (carries
+      // a rename map, physical s); era 3: inserted after the rename
+      // (physical label, no map) — the derived pinned→current mapping
+      insert(s, 1, "era2_")
+      s.transaction(tx => tx.bucket("bk").schema("m").table("t")
+        .renameColumn("s", "label"))
+      s.transaction { tx =>
+        val t = tx.bucket("bk").schema("m").table("t")
+        t.insert(spark.createDataFrame(java.util.List.of(Row(0L, "era3_0")),
+          StructType(Seq(StructField("a", LongType),
+            StructField("label", StringType)))).coalesce(1))
+      }
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).select("s").collect().map(_.getString(0)).sorted
+    assert(got.toSeq == Seq("era1_0", "era2_0", "era3_0"),
+      s"rename-crossing stream lost or nulled rows: ${got.toSeq}")
+  }
+
+  test("drop tombstones never resurrect through a fresh stream or batch read") {
+    val root = Files.createTempDirectory("graft-stream-tomb").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    s.transaction(tx => tx.bucket("bk").createSchema("m").createTable("t", schema))
+    insert(s, 2, "old") // physical s = the FIRST identity
+    s.transaction(tx => tx.bucket("bk").schema("m").table("t").dropColumn("s"))
+    s.transaction(tx => tx.bucket("bk").schema("m").table("t")
+      .addColumn(StructField("s", StringType))) // same name, NEW identity
+    s.transaction { tx =>
+      val t = tx.bucket("bk").schema("m").table("t")
+      t.insert(spark.createDataFrame(java.util.List.of(Row(7L, "new0")), schema)
+        .coalesce(1))
+    }
+    val tdir = Paths.get(root, "bk", "m", "t").toString
+    val out = Files.createTempDirectory("graft-tomb-out").toString + "/sink"
+    val q = spark.readStream.format("graft").load(tdir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-tomb-ck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val sink = spark.read.parquet(out)
+    assert(sink.count() == 3)
+    // the old files' physical bytes for the dropped identity stay buried
+    assert(sink.filter(col("s").isNull).count() == 2,
+      "dropped column bytes resurrected under the re-added name")
+    assert(sink.filter(col("s") === "new0").count() == 1)
+    // batch read through the provider agrees
+    val b = spark.read.format("graft").load(tdir)
+    assert(b.filter(col("s").isNull).count() == 2)
+    assert(b.filter(col("s") === "new0").count() == 1)
+  }
+
+  test("paced fresh stream over vacuumed history folds the gap into one step") {
+    val root = Files.createTempDirectory("graft-stream-vac").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    s.transaction(tx => tx.bucket("bk").createSchema("m").createTable("t", schema))
+    insert(s, 2, "a")
+    insert(s, 2, "b")
+    insert(s, 2, "c")
+    s.transaction(tx => tx.bucket("bk").schema("m").table("t")
+      .vacuumVersions(keepLast = 1, minAgeMillis = 0L))
+    val tdir = Paths.get(root, "bk", "m", "t").toString
+    val out = Files.createTempDirectory("graft-vac-out").toString + "/sink"
+    // a PACED fresh stream used to fail here: the admission walk read every
+    // intermediate manifest, and the vacuumed ones threw. Now it skips the
+    // holes — only the endpoint manifests are load-bearing.
+    val q = spark.readStream.format("graft")
+      .option("maxFilesPerTrigger", "1").load(tdir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-vac-ck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.read.parquet(out).count() == 6,
+      "vacuumed-history stream lost rows")
   }
 }
