@@ -65,6 +65,31 @@ object SparkEntry {
     out.toByteArray
   }
 
+  /** Deterministic 16-bit mono PCM square-wave WAV — test input for the
+    * real `javax.sound.sampled` decode path (mm3). A square wave's samples
+    * are all ±v, so RMS = peak = v/32768 and the zero-crossing count is an
+    * integer closed form of the half-period — with v a multiple of 256 the
+    * normalized amplitude is an exact binary fraction (v/32768 = k/128) and
+    * every feature comes back bit-exact, derivable by the DuckDB oracle
+    * without decoding audio. */
+  def squareWav(v: Int, halfPeriod: Int, n: Int): Array[Byte] = {
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = if ((i / halfPeriod) % 2 == 0) v else -v
+      data(2 * i) = (s & 0xFF).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   // ---------- operator inventory ----------
 
   private lazy val defs: Seq[Q] = Seq(
@@ -981,6 +1006,46 @@ object SparkEntry {
              |  ROUND(((doc_id % 256) + (doc_id * 7 % 256) + (doc_id * 13 % 256))
              |    / 3.0 / 255.0, 3) AS f_lum,
              |  true AS cells_uniform
+             |FROM documents WHERE doc_id < 200 ORDER BY id""".stripMargin)),
+
+    Q("mm3_audio_features",  // REAL PCM-WAV decode through javax.sound.sampled:
+      // each doc gets a deterministic square-wave WAV (amplitude and
+      // half-period are closed-form functions of doc_id), flows through the
+      // same distributed mapPartitions decode as images, and must come back
+      // with the exact energy / zero-crossing / envelope features the
+      // oracle derives arithmetically — an end-to-end proof that real PCM
+      // frames (not stub bytes) produced the features. Amplitudes are
+      // multiples of 256 so rms·128 and peak·128 are exact integers; 1680
+      // samples divide evenly by TWICE every half-period in 4..8, so the
+      // crossing count is exactly samples/halfPeriod − 1 AND the +v/−v
+      // block counts balance (zero DC offset).
+      (s, dir) => {
+        val wav = udf((id: Long) => squareWav(
+          ((id % 127).toInt + 1) * 256, 4 + (id % 5).toInt, 1680))
+        graft.llm.Multimodal.extractFeatures(
+            t(s, dir, "documents").filter(col("doc_id") < 200)
+              .withColumn("media", wav(col("doc_id"))),
+            "doc_id", "media")
+          .select(col("id"), size(col("features")).as("n_features"),
+            round(element_at(col("features"), 1).cast("double") * 128, 0)
+              .cast("long").as("rms_q128"),
+            element_at(col("features"), 2).cast("long").as("zero_crossings"),
+            round(element_at(col("features"), 3).cast("double") * 128, 0)
+              .cast("long").as("peak_q128"),
+            round(element_at(col("features"), 4).cast("double") * 1000000, 0)
+              .cast("long").as("dc_offset_ppm"),
+            // constant envelope ⇒ every quarter's RMS equals the total RMS
+            (element_at(col("features"), 5) === element_at(col("features"), 1) &&
+              element_at(col("features"), 8) === element_at(col("features"), 1))
+              .as("envelope_uniform"))
+          .orderBy("id")
+      },
+      Some("""SELECT doc_id AS id, 8 AS n_features,
+             |  doc_id % 127 + 1 AS rms_q128,
+             |  1680 // (4 + doc_id % 5) - 1 AS zero_crossings,
+             |  doc_id % 127 + 1 AS peak_q128,
+             |  0 AS dc_offset_ppm,
+             |  true AS envelope_uniform
              |FROM documents WHERE doc_id < 200 ORDER BY id""".stripMargin)),
 
     // ---- EV*: event/streaming layer (batch-equivalent of the Structured

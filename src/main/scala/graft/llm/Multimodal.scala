@@ -10,11 +10,12 @@ import org.apache.spark.sql.types._
  *
  * Images decode for REAL through the JDK's own codecs (`javax.imageio`:
  * PNG/JPEG/GIF/BMP — no external libraries needed): pixels → per-channel
- * means + a luminance grid, the classic cheap visual fingerprint. Audio and
- * video stay STUBBED behind `decodeStub`/`frameSampleStub` (the JDK ships no
- * audio/video codecs); swapping in a real decoder means replacing only the
- * function body — the operator shape (mapPartitions over (id, bytes) with
- * bounded batches) stays.
+ * means + a luminance grid, the classic cheap visual fingerprint. PCM WAV
+ * audio decodes for REAL too (`javax.sound.sampled`): frames → energy /
+ * zero-crossing / envelope features. Only VIDEO stays STUBBED behind
+ * `decodeStub`/`frameSampleStub` (the JDK ships no video codecs); swapping
+ * in a real decoder means replacing only the function body — the operator
+ * shape (mapPartitions over (id, bytes) with bounded batches) stays.
  */
 object Multimodal {
 
@@ -51,8 +52,9 @@ object Multimodal {
    *   [ meanR, meanG, meanB, meanLum,
    *     lum(top-left), lum(top-right), lum(bottom-left), lum(bottom-right) ]
    *
-   * where lum = (r+g+b)/3 and the four cells split the image at floor(w/2) /
-   * floor(h/2) — a fixed-grid downsample, the cheap visual fingerprint that
+   * where lum = (r+g+b)/3 and the four cells split the image at ceil(w/2) /
+   * ceil(h/2) — odd dimensions give the LEFT/TOP cells the extra column/row
+   * — a fixed-grid downsample, the cheap visual fingerprint that
    * feeds near-dup blocking and quality gates. Sums accumulate in double so
    * the float result is exact to ~1e-7 regardless of image size. Returns
    * None for payloads ImageIO cannot decode (truncated or not an image).
@@ -101,18 +103,119 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
-  /** Unified per-object decode: real codec for image containers, stub
-    * features for everything else (audio/video/opaque payloads). */
-  def decode(bytes: Array[Byte]): Array[Float] =
-    decodeImage(bytes).getOrElse(decodeStub(bytes))
+  /** Container sniff for RIFF/WAVE — the format the JDK's own
+    * `javax.sound.sampled` decodes without external libraries. */
+  def looksLikeWav(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
 
   /**
-   * STUB decoder ???: stands in for audio/video decode + feature extraction
-   * (e.g. audio frame→fbank); images take the REAL `decodeImage` path above.
-   * Deterministic fake: 8 features derived from a rolling byte statistic so
-   * tests have stable expectations. Replace the body with a real codec; the
-   * signature (one media object in, fixed-width float vector out) is the
-   * contract.
+   * REAL audio decode + feature extraction via the JDK's
+   * `javax.sound.sampled` (PCM WAV, 8/16-bit, any channel count — mixed
+   * down to mono): 8 features —
+   *
+   *   [ rms, zeroCrossings, peak, mean,
+   *     rms(q1), rms(q2), rms(q3), rms(q4) ]
+   *
+   * where samples are normalized to [-1,1], `zeroCrossings` is the RAW
+   * count of strict sign changes (integer-valued, so oracles can pin it
+   * exactly), `mean` is the signed DC offset, and the four quarter-RMS
+   * values fingerprint the energy envelope (attack/decay shape) the way
+   * the image grid fingerprints layout. Sums accumulate in double, so for
+   * synthetic inputs whose samples are exact binary fractions (e.g. square
+   * waves with amplitude k·256/32768 = k/128) every feature is EXACT — the
+   * property the mm3 correctness oracle leans on. Returns None for
+   * payloads the JDK cannot parse (truncated, compressed, or not audio).
+   */
+  def decodeAudio(bytes: Array[Byte]): Option[Array[Float]] =
+    if (!looksLikeWav(bytes)) None
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val bits = fmt.getSampleSizeInBits
+        val ok = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          (bits == 16 || bits == 8)
+        if (!ok) None
+        else {
+          val raw = in.readAllBytes()
+          val ch = fmt.getChannels
+          val bytesPerSample = bits / 8
+          val n = raw.length / (bytesPerSample * ch)
+          if (n == 0) None
+          else {
+            def sampleAt(idx: Int): Double = { // mono mixdown of frame idx
+              var c = 0
+              var acc = 0.0
+              while (c < ch) {
+                val o = (idx * ch + c) * bytesPerSample
+                val v =
+                  if (bits == 8) raw(o).toDouble / 128.0
+                  else {
+                    val lo = raw(if (fmt.isBigEndian) o + 1 else o) & 0xFF
+                    val hi = raw(if (fmt.isBigEndian) o else o + 1).toInt
+                    ((hi << 8) | lo).toShort.toDouble / 32768.0
+                  }
+                acc += v
+                c += 1
+              }
+              acc / ch
+            }
+            val qSum = new Array[Double](4)
+            val qN = new Array[Long](4)
+            var sum = 0.0
+            var sumSq = 0.0
+            var peak = 0.0
+            var crossings = 0L
+            var prev = 0.0
+            var i = 0
+            while (i < n) {
+              val s = sampleAt(i)
+              sum += s
+              sumSq += s * s
+              if (math.abs(s) > peak) peak = math.abs(s)
+              if (i > 0 && prev * s < 0) crossings += 1
+              val q = math.min(3, i * 4L / n).toInt
+              qSum(q) += s * s
+              qN(q) += 1
+              prev = s
+              i += 1
+            }
+            val feats = new Array[Float](8)
+            feats(0) = math.sqrt(sumSq / n).toFloat
+            feats(1) = crossings.toFloat
+            feats(2) = peak.toFloat
+            feats(3) = (sum / n).toFloat
+            var q = 0
+            while (q < 4) {
+              feats(4 + q) =
+                if (qN(q) == 0) 0f else math.sqrt(qSum(q) / qN(q)).toFloat
+              q += 1
+            }
+            Some(feats)
+          }
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Unified per-object decode: real codecs for image and PCM-WAV
+    * containers, stub features for everything else (video/opaque
+    * payloads). */
+  def decode(bytes: Array[Byte]): Array[Float] =
+    decodeImage(bytes)
+      .orElse(decodeAudio(bytes))
+      .getOrElse(decodeStub(bytes))
+
+  /**
+   * STUB decoder ???: stands in for video decode + feature extraction;
+   * images and PCM WAV take the REAL `decodeImage`/`decodeAudio` paths
+   * above. Deterministic fake: 8 features derived from a rolling byte
+   * statistic so tests have stable expectations. Replace the body with a
+   * real codec; the signature (one media object in, fixed-width float
+   * vector out) is the contract.
    */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
     val feats = new Array[Float](8)

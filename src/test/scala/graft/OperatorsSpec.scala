@@ -289,6 +289,56 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.decodeImage(out.toByteArray.take(20)).isEmpty)
   }
 
+  test("decodeAudio: real javax.sound.sampled decode — energy, crossings, envelope") {
+    // square wave: amplitude 64·256 → normalized 64/128 = 0.5 exactly;
+    // half-period 6 over 1680 samples → 280 blocks, 279 sign changes
+    val wav = SparkEntry.squareWav(64 * 256, 6, 1680)
+    val f = Multimodal.decodeAudio(wav).get
+    assert(f(0) == 0.5f, s"rms ${f(0)}")
+    assert(f(1) == 279f, s"crossings ${f(1)}")
+    assert(f(2) == 0.5f, s"peak ${f(2)}")
+    assert(f(3) == 0f, s"dc offset ${f(3)}")
+    assert((4 to 7).forall(i => f(i) == 0.5f), "quarter envelope not uniform")
+    // a half-amplitude second half shows in the envelope quarters
+    val loud = SparkEntry.squareWav(64 * 256, 6, 840)
+    val quiet = SparkEntry.squareWav(32 * 256, 6, 840)
+    def pcm(b: Array[Byte]) = { // payload after the 44-byte canonical header
+      java.util.Arrays.copyOfRange(b, 44, b.length)
+    }
+    val both = SparkEntry.squareWav(0, 6, 1680) // header for 1680 samples
+    System.arraycopy(pcm(loud), 0, both, 44, 840 * 2)
+    System.arraycopy(pcm(quiet), 0, both, 44 + 840 * 2, 840 * 2)
+    val env = Multimodal.decodeAudio(both).get
+    assert(env(4) == 0.5f && env(5) == 0.5f, "loud half")
+    assert(env(6) == 0.25f && env(7) == 0.25f, "quiet half")
+    // stereo mixes down: L = 0.5, R = 0 each frame → mono 0.25
+    val stereo = {
+      val data = new Array[Byte](100 * 4)
+      var i = 0
+      while (i < 100) {
+        val s = if ((i / 5) % 2 == 0) 64 * 256 else -64 * 256
+        data(4 * i) = (s & 0xFF).toByte
+        data(4 * i + 1) = ((s >> 8) & 0xFF).toByte
+        // right channel stays 0
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, 100L),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val st = Multimodal.decodeAudio(stereo).get
+    assert(st(2) == 0.25f, s"stereo mixdown peak ${st(2)}")
+    // non-audio and truncated payloads return None; decode() falls back to
+    // the stub rather than crashing the task
+    assert(Multimodal.decodeAudio("RIFFxxxxNOPE".getBytes).isEmpty)
+    assert(Multimodal.decodeAudio(wav.take(20)).isEmpty)
+    assert(Multimodal.decode(wav).sameElements(f))
+  }
+
   // -------------------------------------------------------- type mapping
 
   test("type mapping widens unsigned and tags metadata") {
