@@ -450,9 +450,18 @@ class Transaction(val session: VastSession, val id: Long) {
           throw Conflict(s"table dir vanished before commit: $key")
         val base = readSet.get(key).map(_._1).getOrElse(0L)
         val next = base + 1
+        // commit stamps must be MONOTONIC per table: TIMESTAMP AS OF walks
+        // newest-first and stops at the first stamp <= t, so a backwards
+        // wall-clock step between two commits would make an instant between
+        // them resolve to the LATER version. Clamp to predecessor + 1µs.
+        val prevMicros = {
+          val p = tableDir.resolve("_manifest").resolve(f"v$base%08d.json")
+          if (Files.exists(p)) Manifest.read(p).commitMicros else 0L
+        }
         Manifest.write(tableDir.resolve("_manifest").resolve(f"v$next%08d.json"),
           m.copy(version = next,
-            commitMicros = System.currentTimeMillis() * 1000L), createNew = true)
+            commitMicros = math.max(prevMicros + 1,
+              System.currentTimeMillis() * 1000L)), createNew = true)
         written += ((tableDir, next))
       }
     } catch {

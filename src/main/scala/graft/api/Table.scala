@@ -954,10 +954,15 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     victims.foreach(Files.deleteIfExists(_))
     // empty COW-staging dirs left behind after their files went — emptiness
     // checked AT DELETE TIME (deepest first), so a chain of nested empty
-    // dirs collapses in one pass instead of one level per vacuum
+    // dirs collapses in one pass instead of one level per vacuum. The age
+    // guard applies to DIRS too: a concurrent distributed write's
+    // just-created staging dirs (data/b-<uuid>/, Spark _temporary/attempt
+    // dirs) are momentarily empty, and deleting one mid-write fails the
+    // insert — young dirs are left for the next vacuum.
     if (Files.isDirectory(dataDir))
       Table.walkPaths(dataDir).reverse
         .filter(p => Files.isDirectory(p) && p != dataDir)
+        .filter(p => now - Files.getLastModifiedTime(p).toMillis >= minAgeMillis)
         .foreach(p => if (Table.listDir(p).isEmpty) Files.deleteIfExists(p))
     val droppedManifests = (0L until cutoff)
       .map(v => mdir.resolve(f"v$v%08d.json"))

@@ -326,33 +326,104 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
   private def inSession[T](body: graft.api.Transaction => T): T =
     graft.api.VastSession(SparkSession.active, root).transaction(body)
 
-  // --- stored procedures: maintenance verbs for SQL-first users ---
+  // --- stored procedures: maintenance + curation verbs for SQL-first users ---
   //     CALL graft.system.history('bk.m.t')
   //     CALL graft.system.maintain('bk.m.t')
   //     CALL graft.system.vacuum_versions('bk.m.t', 7, 3600000)
+  //     CALL graft.system.dedup_pairs('bk.m.docs', 'id', 'text', 'bk.m.pairs', 0.7)
+  //     CALL graft.system.dedup_clusters('bk.m.docs', 'id', 'text', 'bk.m.cc', 0.7)
+  //     CALL graft.system.pii_redact('bk.m.docs', 'bk.m.clean', 'text')
+  //     CALL graft.system.chunk('bk.m.docs', 'id', 'text', 'bk.m.chunks', 512, 512)
+  //     CALL graft.system.decontaminate('bk.m.docs', 'id', 'text', 'bk.m.bench', 'text', 'bk.m.kept')
+  // Curation verbs WRITE their (data-scale) result into an output graft
+  // table and return a one-row summary: a CALL result is a driver-local
+  // row set, so routing the payload through a table keeps the pipeline
+  // distributed at corpus scale — and composable (the output is immediately
+  // queryable / streamable like any other table).
 
   import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
-  import org.apache.spark.sql.types.{IntegerType, StringType, TimestampType}
+  import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType, TimestampType}
 
-  /** `bucket.schema.table` (nested schemas: `bucket.s1.s2.table`). */
-  private def withTable[T](qualified: String)(body: graft.api.Table => T): T = {
-    val parts = qualified.split('.')
+  /** Split `bucket.schema.table` on dots, honoring backtick quoting so a
+    * part may itself contain dots (`` bk.m.`ta.ble` ``); doubled backticks
+    * escape a literal backtick, as in Spark SQL identifiers. */
+  private[graftglue] def parseQualified(q: String): Seq[String] = {
+    val parts = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    var i = 0
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (inQuote) {
+        if (c == '`') {
+          if (i + 1 < q.length && q.charAt(i + 1) == '`') { cur.append('`'); i += 1 }
+          else inQuote = false
+        } else cur.append(c)
+      } else c match {
+        case '`' => inQuote = true
+        case '.' => parts += cur.result(); cur.clear()
+        case o => cur.append(o)
+      }
+      i += 1
+    }
+    if (inQuote) throw new IllegalArgumentException(
+      s"unbalanced backtick in table name '$q'")
+    parts += cur.result()
+    parts.result()
+  }
+
+  private def tableIn(tx: graft.api.Transaction, qualified: String): graft.api.Table = {
+    val parts = parseQualified(qualified)
     if (parts.length < 3) throw new IllegalArgumentException(
       s"table must be qualified bucket.schema.table, got '$qualified'")
-    inSession(tx => body(tx.bucket(parts.head)
+    tx.bucket(parts.head)
       .schema(parts.slice(1, parts.length - 1).mkString("/"))
-      .table(parts.last)))
+      .table(parts.last)
   }
+
+  /** `bucket.schema.table` (nested schemas: `bucket.s1.s2.table`). */
+  private def withTable[T](qualified: String)(body: graft.api.Table => T): T =
+    inSession(tx => body(tableIn(tx, qualified)))
+
+  /** Create-or-replace `qualified` with the result of `df` inside the
+    * current transaction; returns rows written. The write is the
+    * distributed insert path — the CALL's own result stays a summary row.
+    * A re-run OVERWRITES the existing output in place (same transactional
+    * step as SQL INSERT OVERWRITE); an existing table with a DIFFERENT
+    * schema is refused rather than silently replaced — it isn't this
+    * procedure's output. */
+  private def replaceOutput(tx: graft.api.Transaction, qualified: String,
+                            df: org.apache.spark.sql.DataFrame): Long = {
+    val parts = parseQualified(qualified)
+    if (parts.length < 3) throw new IllegalArgumentException(
+      s"output table must be qualified bucket.schema.table, got '$qualified'")
+    val sch = tx.bucket(parts.head)
+      .schema(parts.slice(1, parts.length - 1).mkString("/"))
+    val (_, n) =
+      if (sch.tables.contains(parts.last)) {
+        val t = sch.table(parts.last)
+        def shape(s: StructType) = s.fields
+          .filterNot(_.name == "_row_id").map(f => (f.name, f.dataType)).toSeq
+        if (shape(t.manifest.schema) != shape(df.schema))
+          throw new IllegalArgumentException(
+            s"output table '$qualified' exists with a different schema — " +
+              "DROP it or pick another name")
+        t.overwrite(df)
+      } else sch.createTable(parts.last, df.schema).insert(df)
+    n
+  }
+
+  private val procedureNames = Array("history", "maintain", "vacuum_versions",
+    "dedup_pairs", "dedup_clusters", "pii_redact", "chunk", "decontaminate")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array("history", "maintain", "vacuum_versions")
-        .map(Identifier.of(Array("system"), _))
+      procedureNames.map(Identifier.of(Array("system"), _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
     def bad() = throw new IllegalArgumentException(
-      s"unknown procedure $ident; see CALL $catalogName.system.<history|maintain|vacuum_versions>")
+      s"unknown procedure $ident; see CALL $catalogName.system.<${procedureNames.mkString("|")}>")
     if (!ident.namespace().sameElements(Array("system"))) bad()
     ident.name() match {
       case "history" => new GraftProcedure("history",
@@ -391,6 +462,86 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
               args(2).asInstanceOf[Long])
             Seq(org.apache.spark.sql.Row(f, m))
           }
+      }
+      case "dedup_pairs" => new GraftProcedure("dedup_pairs",
+          Seq(("table", StringType, None), ("id_col", StringType, None),
+            ("text_col", StringType, None), ("out_table", StringType, None),
+            ("threshold", DoubleType, Some("0.7"))),
+          StructType(Seq(StructField("n_pairs", LongType)))) {
+        def run(args: Seq[Any]) = inSession { tx =>
+          val pairs = graft.llm.Dedup.minhashPairs(
+            tableIn(tx, args(0).asInstanceOf[String]).select(),
+            args(1).asInstanceOf[String], args(2).asInstanceOf[String],
+            threshold = args(4).asInstanceOf[Double])
+          Seq(org.apache.spark.sql.Row(
+            replaceOutput(tx, args(3).asInstanceOf[String], pairs)))
+        }
+      }
+      case "dedup_clusters" => new GraftProcedure("dedup_clusters",
+          Seq(("table", StringType, None), ("id_col", StringType, None),
+            ("text_col", StringType, None), ("out_table", StringType, None),
+            ("threshold", DoubleType, Some("0.7"))),
+          StructType(Seq(StructField("n_nodes", LongType),
+            StructField("n_clusters", LongType)))) {
+        def run(args: Seq[Any]) = inSession { tx =>
+          val cc = graft.llm.Dedup.connectedComponents(
+            graft.llm.Dedup.minhashPairs(
+              tableIn(tx, args(0).asInstanceOf[String]).select(),
+              args(1).asInstanceOf[String], args(2).asInstanceOf[String],
+              threshold = args(4).asInstanceOf[Double]))
+          val n = replaceOutput(tx, args(3).asInstanceOf[String], cc)
+          // summary only — one tiny agg over the (bounded) cluster map
+          val k = tableIn(tx, args(3).asInstanceOf[String]).select()
+            .agg(org.apache.spark.sql.functions.count_distinct(
+              org.apache.spark.sql.functions.col("component")))
+            .head().getLong(0)
+          Seq(org.apache.spark.sql.Row(n, k))
+        }
+      }
+      case "pii_redact" => new GraftProcedure("pii_redact",
+          Seq(("table", StringType, None),
+            ("out_table", StringType, None),
+            ("text_col", StringType, Some("'text'"))),
+          StructType(Seq(StructField("n_rows", LongType)))) {
+        def run(args: Seq[Any]) = inSession { tx =>
+          val redacted = graft.llm.Pii.redact(
+            tableIn(tx, args(0).asInstanceOf[String]).select(),
+            args(2).asInstanceOf[String])
+          Seq(org.apache.spark.sql.Row(
+            replaceOutput(tx, args(1).asInstanceOf[String], redacted)))
+        }
+      }
+      case "chunk" => new GraftProcedure("chunk",
+          Seq(("table", StringType, None), ("id_col", StringType, None),
+            ("text_col", StringType, None), ("out_table", StringType, None),
+            ("chunk_tokens", IntegerType, Some("512")),
+            ("stride", IntegerType, Some("512"))),
+          StructType(Seq(StructField("n_chunks", LongType)))) {
+        def run(args: Seq[Any]) = inSession { tx =>
+          val chunks = graft.llm.Curation.chunkByTokens(
+            tableIn(tx, args(0).asInstanceOf[String]).select(),
+            args(1).asInstanceOf[String], args(2).asInstanceOf[String],
+            args(4).asInstanceOf[Int], args(5).asInstanceOf[Int])
+          Seq(org.apache.spark.sql.Row(
+            replaceOutput(tx, args(3).asInstanceOf[String], chunks)))
+        }
+      }
+      case "decontaminate" => new GraftProcedure("decontaminate",
+          Seq(("table", StringType, None), ("id_col", StringType, None),
+            ("text_col", StringType, None),
+            ("bench_table", StringType, None),
+            ("bench_text_col", StringType, None),
+            ("out_table", StringType, None)),
+          StructType(Seq(StructField("n_kept", LongType)))) {
+        def run(args: Seq[Any]) = inSession { tx =>
+          val kept = graft.llm.Curation.decontaminate(
+            tableIn(tx, args(0).asInstanceOf[String]).select(),
+            args(1).asInstanceOf[String], args(2).asInstanceOf[String],
+            tableIn(tx, args(3).asInstanceOf[String]).select(),
+            args(4).asInstanceOf[String])
+          Seq(org.apache.spark.sql.Row(
+            replaceOutput(tx, args(5).asInstanceOf[String], kept)))
+        }
       }
       case _ => bad()
     }

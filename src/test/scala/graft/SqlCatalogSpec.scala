@@ -388,6 +388,29 @@ class SqlCatalogSpec extends SparkSpec {
       spark.sql("SELECT * FROM graft9.bk.m.t " +
         "TIMESTAMP AS OF timestamp_micros(1000000L)").collect()
     }
+    // commit stamps stay monotonic under clock skew: simulate a clock that
+    // regressed after v2 by doctoring v2's stamp into the future, then
+    // commit v3 with the (now "backwards") wall clock — the CAS must clamp
+    // v3's stamp to v2+1µs, or AS OF between v2 and v3 would silently
+    // include v3
+    val tdir = java.nio.file.Paths.get(root, "bk", "m", "t")
+    val m2p = tdir.resolve("_manifest").resolve("v00000002.json")
+    val m2 = Manifest.read(m2p)
+    val future = (System.currentTimeMillis() + 3600_000L) * 1000L
+    java.nio.file.Files.delete(m2p)
+    Manifest.write(m2p, m2.copy(commitMicros = future), createNew = true)
+    s.transaction { tx =>
+      tx.bucket("bk").schema("m").table("t")
+        .insert(spark.createDataFrame(java.util.List.of(Row(4L, "four")),
+          schema)) // commit -> v3, wall clock < v2's doctored stamp
+    }
+    val m3 = Manifest.read(tdir.resolve("_manifest").resolve("v00000003.json"))
+    assert(m3.commitMicros == future + 1,
+      s"stamp not clamped: v2=$future v3=${m3.commitMicros}")
+    // an instant just after v2's stamp resolves to v2's contents (3 rows),
+    // never leaking v3's row
+    assert(spark.sql("SELECT count(*) FROM graft9.bk.m.t " +
+      s"TIMESTAMP AS OF timestamp_micros(${future}L)").head.getLong(0) == 3)
   }
 
   test("CALL procedures: history, maintain, vacuum_versions") {
@@ -424,6 +447,95 @@ class SqlCatalogSpec extends SparkSpec {
     val v2 = spark.sql("CALL graftp.system.vacuum_versions('bk.m.t')").head
     assert(v2.getInt(0) == 0)
     intercept[Exception] { spark.sql("CALL graftp.system.nope('x')").collect() }
+  }
+
+  test("CALL curation procedures write output tables matching the Scala API") {
+    val root = Files.createTempDirectory("graft-sqlcur").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    val docSchema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    // 10 distinct docs + 2 planted near-dups of doc 0, one PII doc, and a
+    // benchmark that contains doc 5's text verbatim
+    def baseText(i: Long) =
+      s"document number $i with unique words alpha$i beta$i gamma$i delta$i " +
+        s"epsilon$i zeta$i eta$i theta$i iota$i kappa$i"
+    s.transaction { tx =>
+      val m = tx.bucket("bk").createSchema("m")
+      val docs = new java.util.ArrayList[Row]()
+      (0L until 10L).foreach(i => docs.add(Row(i, baseText(i))))
+      docs.add(Row(100L, baseText(0) + " tail"))
+      docs.add(Row(101L, baseText(0) + " other"))
+      docs.add(Row(102L, "contact me at jane.doe@example.com for details " +
+        "and more filler words to make this a plausible document"))
+      m.createTable("docs", docSchema)
+        .insert(spark.createDataFrame(docs, docSchema))
+      m.createTable("bench", docSchema).insert(spark.createDataFrame(
+        java.util.List.of(Row(0L, baseText(5))), docSchema))
+    }
+    spark.conf.set("spark.sql.catalog.graftc",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.graftc.root", root)
+    def api(): org.apache.spark.sql.DataFrame =
+      s.transaction(tx => tx.bucket("bk").schema("m").table("docs").select())
+    def canonPairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // dedup_pairs: output table holds exactly the API's LSH pairs
+    val np = spark.sql("CALL graftc.system.dedup_pairs(" +
+      "'bk.m.docs', 'id', 'text', 'bk.m.pairs', 0.5)").head.getLong(0)
+    val apiPairs = graft.llm.Dedup.minhashPairs(
+      api(), "id", "text", threshold = 0.5)
+    assert(canonPairs(spark.sql("SELECT * FROM graftc.bk.m.pairs")) ==
+      canonPairs(apiPairs) && np >= 2, s"pairs mismatch (n=$np)")
+
+    // dedup_clusters: transitive closure puts 0, 100, 101 in one cluster
+    val cl = spark.sql("CALL graftc.system.dedup_clusters(" +
+      "'bk.m.docs', 'id', 'text', 'bk.m.cc', 0.5)").head
+    val ccOut = spark.sql("SELECT * FROM graftc.bk.m.cc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ccOut(100L) == 0L && ccOut(101L) == 0L)
+    assert(cl.getLong(1) == ccOut.values.toSet.size, "n_clusters summary wrong")
+
+    // pii_redact: emails replaced, parity with the API column
+    spark.sql("CALL graftc.system.pii_redact('bk.m.docs', 'bk.m.clean')")
+    val red = spark.sql(
+      "SELECT text_redacted FROM graftc.bk.m.clean WHERE id = 102").head.getString(0)
+    assert(red.contains("<EMAIL>") && !red.contains("example.com"), red)
+
+    // chunk: stride/length behavior matches the API count
+    val nc = spark.sql("CALL graftc.system.chunk(" +
+      "'bk.m.docs', 'id', 'text', 'bk.m.chunks', 4, 4)").head.getLong(0)
+    val apiChunks = graft.llm.Curation.chunkByTokens(api(), "id", "text", 4, 4)
+    assert(nc == apiChunks.count(),
+      s"chunk count $nc != API ${apiChunks.count()}")
+    assert(spark.sql("SELECT count(*) FROM graftc.bk.m.chunks").head.getLong(0) == nc)
+
+    // decontaminate: doc 5 (verbatim in the benchmark) is removed
+    val nk = spark.sql("CALL graftc.system.decontaminate(" +
+      "'bk.m.docs', 'id', 'text', 'bk.m.bench', 'text', 'bk.m.kept')").head.getLong(0)
+    val keptIds = spark.sql("SELECT id FROM graftc.bk.m.kept").collect()
+      .map(_.getLong(0)).toSet
+    assert(!keptIds.contains(5L) && keptIds.contains(4L) && nk == keptIds.size)
+
+    // re-running REPLACES the output table rather than appending
+    spark.sql("CALL graftc.system.pii_redact('bk.m.docs', 'bk.m.clean')")
+    assert(spark.sql("SELECT count(*) FROM graftc.bk.m.clean").head.getLong(0) == 13)
+
+    // dotted table names address through backtick quoting
+    s.transaction { tx =>
+      tx.bucket("bk").schema("m").createTable("ta.ble", docSchema)
+        .insert(spark.createDataFrame(
+          java.util.List.of(Row(1L, "x")), docSchema))
+    }
+    val h = spark.sql("CALL graftc.system.history('bk.m.`ta.ble`')").collect()
+    assert(h.nonEmpty, "dotted table name not addressable through CALL")
+    // an unbalanced quote is a clear error, not a silent mis-split
+    val err = intercept[Exception] {
+      spark.sql("CALL graftc.system.history('bk.m.`ta.ble')").collect()
+    }
+    assert(err.getMessage.contains("unbalanced backtick"), err.getMessage)
   }
 
   test("INSERT OVERWRITE replaces contents transactionally; ids never reused") {

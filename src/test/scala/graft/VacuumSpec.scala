@@ -92,5 +92,23 @@ class VacuumSpec extends SparkSpec {
     assert(stats._1 == 0 && Files.exists(staged),
       "age guard must protect files not yet in any manifest")
     Files.delete(staged)
+
+    // ...and a fresh EMPTY dir (a distributed write's just-created staging
+    // dir, momentarily empty while tasks spin up) survives the empty-dir
+    // sweep the same way — deleting it mid-write would fail the insert
+    val stagingDir = tdir.resolve("data").resolve("b-inflight-test")
+    Files.createDirectory(stagingDir)
+    s.transaction { tx =>
+      tx.bucket("b").schema("m").table("t")
+        .vacuumVersions(keepLast = 1, minAgeMillis = 3600000L)
+    }
+    assert(Files.isDirectory(stagingDir),
+      "age guard must protect a concurrent write's empty staging dir")
+    // with the guard off the same dir is reclaimed as before
+    s.transaction { tx =>
+      tx.bucket("b").schema("m").table("t")
+        .vacuumVersions(keepLast = 1, minAgeMillis = 0L)
+    }
+    assert(!Files.exists(stagingDir), "empty-dir sweep stopped working")
   }
 }
