@@ -1223,6 +1223,71 @@ object SparkEntry {
              |WHERE l_shipdate >= TIMESTAMP '1997-06-01'
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    Q("q_tpch_q17",  // TPC-H Q17 shape: CORRELATED scalar subquery (per-part
+      // 20%-of-average threshold) — Catalyst must decorrelate it into an
+      // aggregate join, never a per-row re-execution or a cartesian. The
+      // inner average is written sum/count through decimal so both engines
+      // compute the identical double. (No p_container in the testdata part
+      // table; brand alone plays its selective role.)
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        t(s, dir, "part").createOrReplaceTempView("part")
+        s.sql("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0
+                |  AS avg_yearly
+                |FROM lineitem JOIN part ON p_partkey = l_partkey
+                |WHERE p_brand = 'Brand#13'
+                |  AND l_quantity < (
+                |    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(38,6)))
+                |      AS DOUBLE) / COUNT(*))
+                |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
+      },
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0
+             |  AS avg_yearly
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE p_brand = 'Brand#13'
+             |  AND l_quantity < (
+             |    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(38,6)))
+             |      AS DOUBLE) / COUNT(*))
+             |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)),
+
+    Q("q_tpch_q20",  // TPC-H Q20 shape: nested IN subqueries with a
+      // correlated scalar aggregate at the core — decorrelation must turn
+      // the INs into semi joins and the correlated average into an
+      // aggregate join (adapted to the testdata: no partsupp table, so
+      // lineitem plays the availability side keyed by (part, supplier))
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        t(s, dir, "part").createOrReplaceTempView("part")
+        t(s, dir, "supplier").createOrReplaceTempView("supplier")
+        t(s, dir, "nation").createOrReplaceTempView("nation")
+        s.sql("""SELECT s_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                |WHERE n_name IN ('NATION_3','NATION_8','NATION_12','NATION_13','NATION_15')
+                |AND s_suppkey IN (
+                |  SELECT l1.l_suppkey FROM lineitem l1
+                |  WHERE l1.l_partkey IN
+                |      (SELECT p_partkey FROM part WHERE p_name LIKE 'cold%')
+                |    AND l1.l_quantity > (
+                |      SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(38,6)))
+                |        AS DOUBLE) / COUNT(*))
+                |      FROM lineitem l2
+                |      WHERE l2.l_partkey = l1.l_partkey
+                |        AND l2.l_suppkey = l1.l_suppkey))
+                |ORDER BY s_name""".stripMargin)
+      },
+      Some("""SELECT s_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |WHERE n_name IN ('NATION_3','NATION_8','NATION_12','NATION_13','NATION_15')
+             |AND s_suppkey IN (
+             |  SELECT l1.l_suppkey FROM lineitem l1
+             |  WHERE l1.l_partkey IN
+             |      (SELECT p_partkey FROM part WHERE p_name LIKE 'cold%')
+             |    AND l1.l_quantity > (
+             |      SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(38,6)))
+             |        AS DOUBLE) / COUNT(*))
+             |      FROM lineitem l2
+             |      WHERE l2.l_partkey = l1.l_partkey
+             |        AND l2.l_suppkey = l1.l_suppkey))
+             |ORDER BY s_name""".stripMargin)),
+
     // ---- composite: TPC-H Q3 shape (join tree + agg + top-k) ----
     Q("q_tpch_q3",
       (s, dir) => t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")

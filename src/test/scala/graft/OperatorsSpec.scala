@@ -339,6 +339,23 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.decode(wav).sameElements(f))
   }
 
+  test("TPC-H q17/q20 correlated subqueries decorrelate to joins, no cartesian") {
+    val dir = sf("sf0.001")
+    for (name <- Seq("q_tpch_q17", "q_tpch_q20")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val rows = df.collect()
+      assert(rows.nonEmpty, s"$name returned no rows — the gate would be vacuous")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name decorrelation fell back to a cartesian product:\n$plan")
+      // the correlated aggregate must have become an equi-join (hash or
+      // sort-merge), i.e. a decorrelated aggregate join — and never a
+      // nested-loop re-execution per outer row
+      assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+        s"$name has no equi-join in the decorrelated plan:\n$plan")
+    }
+  }
+
   // -------------------------------------------------------- type mapping
 
   test("type mapping widens unsigned and tags metadata") {
