@@ -7,8 +7,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -133,7 +133,9 @@ private[graft] class GraftStreamScan(dir: Path, required: StructType,
   override def description(): String = {
     val pf = pushdownFilters
     s"graft version-delta scan of $dir" +
-      (if (pf.isEmpty) "" else s", PushedFilters: [${pf.mkString(", ")}]")
+      (if (pf.isEmpty) "" else s", PushedFilters: [${pf.mkString(", ")}]") +
+      streamNeeded.fold("")(n => s", PrunedTo: [${
+        required.fieldNames.filter(f => n.contains(f) || f == "_row_id").mkString(", ")}]")
   }
 
   /** Conjuncts offered per micro-batch by [[GraftStreamFilterPushdown]];
@@ -143,6 +145,17 @@ private[graft] class GraftStreamScan(dir: Path, required: StructType,
   @volatile private[graft] var streamFilters: Seq[Expression] = Nil
   private[graft] def pushdownFilters: Seq[Expression] =
     builderFilters ++ streamFilters
+
+  /** Columns the per-batch plan actually consumes (None = all), offered by
+    * the same rule. The scan's OUTPUT schema is pinned for the query's
+    * lifetime — Spark's streaming planner never re-negotiates it — so
+    * pruning here means the delegate parquet scans request a NONEXISTENT
+    * physical name for each unused column: the reader null-fills it without
+    * decoding a single page, rows stay positionally aligned with
+    * `readSchema`, and the Project above drops the nulls it never looked
+    * at. Filter columns are always in the needed set (the rule includes
+    * filter references), so residual re-evaluation is untouched. */
+  @volatile private[graft] var streamNeeded: Option[Set[String]] = None
 
   private def manifestPath(v: Long): Path =
     dir.resolve("_manifest").resolve(f"v$v%08d.json")
@@ -212,10 +225,14 @@ private[graft] class GraftStreamScan(dir: Path, required: StructType,
       .distinct
       .groupBy(_._1)
       .collect { case (p, gs) if gs.map(_._2).distinct.size == 1 => p -> gs.head._2 }
+    val needed = streamNeeded
     files.groupBy(_.renames).toSeq.flatMap { case (renames, group) =>
       val inverse = renames.map(_.swap) // current-logical -> physical
       val phys = StructType(required.fields.map(f =>
-        f.copy(name = physName(f.name, renames, inverse, endSchema, derived, span))))
+        if (needed.exists(n => !n.contains(f.name) && f.name != "_row_id"))
+          f.copy(name = s"__pruned_${f.name}") // null-filled, never decoded
+        else
+          f.copy(name = physName(f.name, renames, inverse, endSchema, derived, span))))
       val physByLogical = required.fieldNames.zip(phys.fieldNames).toMap
       val translated = pushdownFilters.map(_.transform {
         case a: AttributeReference
@@ -382,16 +399,26 @@ private[graft] class StreamGroupRoutingFactory extends PartitionReaderFactory {
 }
 
 /**
- * Advisory filter pushdown for the streaming path: MicroBatchExecution
- * builds streaming scans with `newScanBuilder(...).build()` directly — the
- * V2ScanRelationPushDown optimizer rule only visits batch relations — so
- * filters above a changefeed scan never reach parquet on their own. This
- * rule runs inside each micro-batch's IncrementalExecution, finds `Filter`
- * nodes sitting on a [[GraftStreamScan]] relation, and OFFERS the conjuncts
- * to the scan; the plan itself is returned unchanged, so Spark still
- * re-evaluates every predicate post-scan (pushdown is a pruning hint, never
- * a correctness dependency). Registered automatically when a graft stream
- * starts, or via `spark.sql.extensions=graft.GraftExtensions`.
+ * Advisory filter pushdown + column pruning for the streaming path:
+ * MicroBatchExecution builds streaming scans with
+ * `newScanBuilder(...).build()` directly — the V2ScanRelationPushDown
+ * optimizer rule only visits batch relations — so neither filters nor the
+ * consumed-column set above a changefeed scan ever reach parquet on their
+ * own. This rule runs inside each micro-batch's IncrementalExecution,
+ * matches Project/Filter chains sitting on a [[GraftStreamScan]] relation,
+ * and OFFERS the scan the filter conjuncts (→ row-group skipping) and the
+ * referenced-column set (→ unused columns null-filled instead of decoded).
+ * The plan itself is returned unchanged: Spark still re-evaluates every
+ * predicate post-scan, and only columns nothing references are pruned, so
+ * both offers are pruning hints, never correctness dependencies.
+ *
+ * A scan consumed from SEVERAL branches (stream self-join: one Scan
+ * instance, shared offer state) gets the UNION of needed columns and only
+ * the filters COMMON to every branch — per-branch filters must not starve
+ * another branch's rows out of the shared partition plan.
+ *
+ * Registered automatically when a graft stream starts, or via
+ * `spark.sql.extensions=graft.GraftExtensions`.
  */
 object GraftStreamFilterPushdown extends Rule[LogicalPlan] {
 
@@ -403,19 +430,37 @@ object GraftStreamFilterPushdown extends Rule[LogicalPlan] {
         session.experimental.extraOptimizations :+ this
   }
 
-  private def conjuncts(e: Expression): Seq[Expression] = e match {
-    case And(l, r) => conjuncts(l) ++ conjuncts(r)
-    case other => Seq(other)
-  }
+  import org.apache.spark.sql.catalyst.planning.PhysicalOperation
+  import org.apache.spark.sql.catalyst.expressions.NamedExpression
+
+  /** One consumer branch: (projects or Nil = everything, filter conjuncts). */
+  private type Branch = (Seq[NamedExpression], Seq[Expression])
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    plan.foreach {
-      case Filter(cond, r: StreamingDataSourceV2ScanRelation) => r.scan match {
-        case g: GraftStreamScan =>
-          g.streamFilters = conjuncts(cond).filter(_.deterministic)
-        case _ => ()
-      }
-      case _ => ()
+    val branches = scala.collection.mutable
+      .LinkedHashMap.empty[GraftStreamScan, Vector[Branch]]
+    // manual pre-order walk that STOPS at a matched chain: a chain's
+    // interior Filter/relation nodes must not re-match as a second,
+    // wider-looking consumer of the same scan
+    def walk(p: LogicalPlan): Unit = p match {
+      case PhysicalOperation(projects, filters, r: StreamingDataSourceV2ScanRelation)
+          if r.scan.isInstanceOf[GraftStreamScan] =>
+        val g = r.scan.asInstanceOf[GraftStreamScan]
+        branches.update(g, branches.getOrElse(g, Vector.empty) :+
+          ((projects, filters.filter(_.deterministic))))
+      case other => other.children.foreach(walk)
+    }
+    walk(plan)
+    branches.foreach { case (g, bs) =>
+      // filters: conjuncts present in EVERY branch (one branch: all of them)
+      g.streamFilters = bs.head._2.filter(f =>
+        bs.tail.forall(_._2.exists(f.semanticEquals)))
+      // columns: union of references; a branch with no Project consumes all
+      g.streamNeeded =
+        if (bs.exists(_._1.isEmpty)) None
+        else Some(bs.flatMap { case (ps, fs) =>
+          (ps ++ fs).flatMap(_.references.toSeq.map(_.name))
+        }.toSet)
     }
     plan
   }

@@ -339,6 +339,7 @@ class GraftStreamSourceSpec extends SparkSpec {
     val ckpt = Files.createTempDirectory("graft-pf-ck").toString
     val out = Files.createTempDirectory("graft-pf-out").toString + "/sink"
     val plansWithPush = new java.util.concurrent.atomic.AtomicInteger(0)
+    val plansPruned = new java.util.concurrent.atomic.AtomicInteger(0)
     val recordsRead = new java.util.concurrent.atomic.AtomicLong(0)
     val l = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
@@ -347,16 +348,21 @@ class GraftStreamSourceSpec extends SparkSpec {
       override def onOtherEvent(
           e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
         case st: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
-          if (st.physicalPlanDescription.contains("graft version-delta") &&
-              st.physicalPlanDescription.contains("PushedFilters: ["))
-            plansWithPush.incrementAndGet()
+          if (st.physicalPlanDescription.contains("graft version-delta")) {
+            if (st.physicalPlanDescription.contains("PushedFilters: ["))
+              plansWithPush.incrementAndGet()
+            // the select("a") below must prune `s` out of the decode set
+            // (a + the filter column stay; _row_id rides along by design)
+            if (st.physicalPlanDescription.contains("PrunedTo: [a, _row_id]"))
+              plansPruned.incrementAndGet()
+          }
         case _ =>
       }
     }
     spark.sparkContext.addSparkListener(l)
     try {
       val q = spark.readStream.format("graft").load(tdir)
-        .filter(col("a") >= 100L)
+        .filter(col("a") >= 100L).select("a")
         .writeStream.format("parquet").option("path", out)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
@@ -371,16 +377,45 @@ class GraftStreamSourceSpec extends SparkSpec {
       }
     } finally spark.sparkContext.removeSparkListener(l)
     // correctness: exactly the matching rows arrive
-    assert(spark.read.parquet(out).select("s").collect()
-      .map(_.getString(0)).sorted.toSeq == (0 until 5).map(i => s"r${100 + i}"))
+    assert(spark.read.parquet(out).select("a").collect()
+      .map(_.getLong(0)).sorted.toSeq == (100L until 105L))
     // the micro-batch plan advertises the pushed filters on the scan node
     assert(plansWithPush.get() > 0,
       "no micro-batch plan showed PushedFilters on the graft scan")
+    // ...and the consumed-column set reached the scan too
+    assert(plansPruned.get() > 0,
+      "no micro-batch plan showed the pruned column set on the graft scan")
     // ...and they actually pruned: only the matching file's 5 rows were
     // decoded (10 would mean the non-matching row group was read and the
     // rows discarded post-scan)
     assert(recordsRead.get() == 5,
       s"expected 5 decoded rows with row-group skipping, got ${recordsRead.get()}")
+  }
+
+  test("stream self-join shares one scan: union columns, only common filters") {
+    val root = Files.createTempDirectory("graft-stream-sj").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    s.transaction(tx => tx.bucket("bk").createSchema("m").createTable("t", schema))
+    insert(s, 4, "sj")
+    val tdir = Paths.get(root, "bk", "m", "t").toString
+    val name = "graft_sj_sink"
+    // two branches over the SAME readStream df: branch L filters a >= 2 and
+    // keeps only `a`; branch R keeps `s`. The shared scan must decode the
+    // union {a, s} and must NOT push branch L's filter (it would starve
+    // branch R's a<2 rows out of the shared batch).
+    val src = spark.readStream.format("graft").load(tdir)
+    val left = src.filter(col("a") >= 2L).select(col("a").as("la"))
+    val right = src.select(col("a").as("ra"), col("s"))
+    val q = left.join(right, col("la") === col("ra"))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sj-ck").toString).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getString(2))).sorted.toSeq
+    assert(got == Seq((2L, "sj2"), (3L, "sj3")),
+      s"self-join over one changefeed scan broke: $got")
   }
 
   test("live query crosses a rename without restart, all three file eras served") {
