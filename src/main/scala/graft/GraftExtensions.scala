@@ -20,11 +20,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
   override def apply(e: SparkSessionExtensions): Unit = {
-    // changefeed filter pushdown: Spark's planner never offers filters to
-    // streaming scans, so this advisory rule hands them over per micro-batch
-    // (GraftStreamScan also self-registers it at stream start — this wiring
-    // covers sessions built with the extensions before any stream runs)
-    e.injectOptimizerRule(_ => graft.sources.GraftStreamFilterPushdown)
+    // NOTE: the changefeed pushdown rule (GraftStreamFilterPushdown) is NOT
+    // injected here — GraftStreamScan self-registers it at stream start,
+    // which always precedes the first micro-batch's optimization, and a
+    // second extension-injected copy would just walk every plan twice
+    // (register() can only dedupe against experimental.extraOptimizations).
 
     def inject(name: String, usage: String)(b: Seq[Expression] => Expression): Unit =
       e.injectFunction((FunctionIdentifier(name), info(name, usage), b))

@@ -951,6 +951,15 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
         .filterNot(p => referenced(p.normalize))
         .filter(p =>
           now - Files.getLastModifiedTime(p).toMillis >= minAgeMillis)
+    // dir ages are captured BEFORE deleting victims: unlinking a file bumps
+    // its parent dir's mtime, which would otherwise make every dir THIS
+    // vacuum empties look freshly-written and defer its cleanup a full
+    // minAge — the pre-delete mtime is the one that says whether a writer
+    // is actually active in there
+    val dirAges: Map[Path, Long] =
+      if (!Files.isDirectory(dataDir)) Map.empty
+      else Table.walkPaths(dataDir).filter(Files.isDirectory(_))
+        .map(p => p -> Files.getLastModifiedTime(p).toMillis).toMap
     victims.foreach(Files.deleteIfExists(_))
     // empty COW-staging dirs left behind after their files went — emptiness
     // checked AT DELETE TIME (deepest first), so a chain of nested empty
@@ -962,7 +971,7 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     if (Files.isDirectory(dataDir))
       Table.walkPaths(dataDir).reverse
         .filter(p => Files.isDirectory(p) && p != dataDir)
-        .filter(p => now - Files.getLastModifiedTime(p).toMillis >= minAgeMillis)
+        .filter(p => now - dirAges.getOrElse(p, now) >= minAgeMillis)
         .foreach(p => if (Table.listDir(p).isEmpty) Files.deleteIfExists(p))
     val droppedManifests = (0L until cutoff)
       .map(v => mdir.resolve(f"v$v%08d.json"))

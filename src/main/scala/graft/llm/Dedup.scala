@@ -308,7 +308,7 @@ object Dedup {
       // signature actions but detects the fixpoint up to two full —
       // expensive — rounds later.
       val sig = signature(ss)
-      converged = prevSig != null && sig == prevSig
+      converged = sig == prevSig
       prevSig = sig
     } finally {
       // every retained round is checkpoint-backed by its signature action;

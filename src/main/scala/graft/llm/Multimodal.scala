@@ -136,9 +136,13 @@ object Multimodal {
       try {
         val fmt = in.getFormat
         val bits = fmt.getSampleSizeInBits
-        val ok = fmt.getEncoding ==
-          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-          (bits == 16 || bits == 8)
+        // 16-bit WAV is signed PCM; 8-bit WAV is UNSIGNED by spec (the JDK
+        // reports PCM_UNSIGNED for it) — excess-128, midpoint 0x80
+        val signed = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        val ok = (bits == 16 && signed) || (bits == 8 && (signed || unsigned))
         if (!ok) None
         else {
           val raw = in.readAllBytes()
@@ -153,7 +157,9 @@ object Multimodal {
               while (c < ch) {
                 val o = (idx * ch + c) * bytesPerSample
                 val v =
-                  if (bits == 8) raw(o).toDouble / 128.0
+                  if (bits == 8)
+                    (if (unsigned) ((raw(o) & 0xFF) - 128).toDouble
+                     else raw(o).toDouble) / 128.0
                   else {
                     val lo = raw(if (fmt.isBigEndian) o + 1 else o) & 0xFF
                     val hi = raw(if (fmt.isBigEndian) o else o + 1).toInt

@@ -83,12 +83,18 @@ class GraftStreamSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new GraftStreamTable(tableDir(opts), schema,
+    val dir = tableDir(opts)
+    // the schema PIN version: inferSchema just read this same manifest, so
+    // the rename stamps of this version are the ones the pinned column
+    // names were resolved against — the identity anchor for scans created
+    // later (query start may come after further DDL)
+    new GraftStreamTable(dir, schema, graft.api.Table.currentVersion(dir),
       opts.getBoolean("ignoreChanges", false))
   }
 }
 
 private class GraftStreamTable(dir: Path, tableSchema: StructType,
+                               pinVersion: Long,
                                tableIgnoreChanges: Boolean)
     extends Table with SupportsRead {
 
@@ -114,7 +120,8 @@ private class GraftStreamTable(dir: Path, tableSchema: StructType,
       override def pushedFilters
           : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
         Array.empty
-      override def build(): Scan = new GraftStreamScan(dir, required, toPush,
+      override def build(): Scan = new GraftStreamScan(dir, required,
+        pinVersion, toPush,
         // reader options surface here on every query (re)start; the
         // getTable-time flag is the fallback for resolution paths that
         // don't carry options into the scan
@@ -125,6 +132,7 @@ private class GraftStreamTable(dir: Path, tableSchema: StructType,
 }
 
 private[graft] class GraftStreamScan(dir: Path, required: StructType,
+                                     pinVersion: Long,
                                      builderFilters: Seq[Expression],
                                      ignoreChanges: Boolean,
                                      maxFilesPerTrigger: Int,
@@ -170,69 +178,104 @@ private[graft] class GraftStreamScan(dir: Path, required: StructType,
 
   private val TombstonePrefix = "__dropped_"
 
-  /** The physical column name serving pinned logical `f` inside a file
-    * group with rename map `renames` (physical→current-logical):
-    *  - a physical name currently mapped TO `f` serves it directly;
-    *  - a physical `f` claimed for ANOTHER logical while the schema carries
-    *    a NEW `f` null-fills (`__absent_`) — dropped bytes never resurrect
-    *    under a re-added name (mirrors Table.readEntries);
-    *  - a physical `f` renamed mid-stream (map `f`→g, g live) still serves
-    *    pinned `f` — same identity, newer name;
-    *  - a file with no claim reads `f` if the schema still has it, else the
-    *    table-wide rename stamps recover the pinned→current name for files
-    *    written AFTER the rename (they carry no map of their own);
-    *  - anything else means the column was genuinely dropped mid-stream. */
-  private def physName(f: String, renames: Map[String, String],
-                       inverse: Map[String, String], endSchema: Set[String],
-                       derived: Map[String, String], span: String): String =
-    if (f == "_row_id") f
-    else inverse.get(f) match {
-      case Some(p) => p
-      case None => renames.get(f) match {
-        case Some(_) if endSchema.contains(f) => s"__absent_$f"
-        case Some(g) if !g.startsWith(TombstonePrefix) => f
-        case Some(_) => throw new IllegalStateException(
-          s"graft stream: column $f was dropped at $span of $dir; " +
-            "restart the stream against the current schema")
-        case None =>
-          if (endSchema.contains(f)) f
-          else derived.getOrElse(f, throw new IllegalStateException(
-            s"graft stream: column $f no longer exists at $span of $dir " +
-              "(dropped mid-stream); restart the stream against the " +
-              "current schema"))
-      }
+  /** All rename stamps of a manifest, physical → set of claimed logicals
+    * (normally one claim per physical; files a DDL skipped because their
+    * physical name was already tombstoned can leave an older claim beside
+    * a newer one). */
+  private def claimsOf(m: Manifest.TableManifest): Map[String, Set[String]] =
+    m.files.flatMap(_.renames).distinct
+      .groupBy(_._1).map { case (p, gs) => p -> gs.map(_._2).toSet }
+
+  /** Column-identity anchor, captured at query start: the rename stamps
+    * visible when the schema was pinned, and each pinned column's PHYSICAL
+    * name back then (a live pin-time claim p→f means files carry the
+    * pinned identity under physical p; otherwise physical = logical).
+    * Physical names inside a file never change — only their logical
+    * mapping does — so `(pinPhys, claims-new-since-pin)` fully determines
+    * what a pinned column means in any later manifest: name collisions
+    * from drop+re-add or rename+re-add cannot be confused with the pinned
+    * identity, because THEIR claims already existed at pin time. */
+  private val (pinClaims, pinPhys)
+      : (Map[String, Set[String]], Map[String, String]) = {
+    // pinVersion = the manifest the pinned schema was inferred from; if
+    // retention vacuumed it since, the current manifest is the best
+    // remaining approximation of the pin-time stamps
+    val claims = claimsOf(
+      if (Files.exists(manifestPath(pinVersion))) manifestAt(pinVersion)
+      else manifestAt(graft.api.Table.currentVersion(dir)))
+    val phys = required.fieldNames.map { f =>
+      val claimed = claims.collect {
+        case (p, gs) if gs.contains(f) => p
+      }.toSeq.sorted
+      if (claimed.size > 1) throw new IllegalStateException(
+        s"graft stream: ambiguous rename history for column $f of $dir " +
+          s"(physical ${claimed.mkString(", ")} all claim it)")
+      f -> claimed.headOption.getOrElse(f)
+    }.toMap
+    (claims, phys)
+  }
+
+  /** The pinned column's CURRENT logical name at the batch's end manifest:
+    * claims on its pin-time physical name that appeared SINCE the pin are
+    * mid-stream DDL on the pinned identity itself — a live claim is a
+    * rename (follow it), a tombstone is a drop (fail with a restart
+    * instruction). Claims that already existed at pin time belong to older
+    * identities and were baked into `pinPhys`. */
+  private def currentName(f: String, endClaims: Map[String, Set[String]],
+                          endSchema: Set[String], span: String): String = {
+    if (f == "_row_id") return f
+    val p = pinPhys(f)
+    val newClaims = endClaims.getOrElse(p, Set.empty) --
+      pinClaims.getOrElse(p, Set.empty)
+    val live = newClaims.filterNot(_.startsWith(TombstonePrefix))
+    if (live.size > 1) throw new IllegalStateException(
+      s"graft stream: ambiguous rename history for column $f at $span of " +
+        s"$dir (renamed to ${live.mkString(" and ")}); restart the stream")
+    live.headOption match {
+      case Some(g) => g // renamed mid-stream: same identity, newer name
+      case None if newClaims.nonEmpty => throw new IllegalStateException(
+        s"graft stream: column $f was dropped at $span of $dir; " +
+          "restart the stream against the current schema")
+      case None =>
+        if (endSchema.contains(f)) f
+        else throw new IllegalStateException(
+          s"graft stream: column $f no longer exists at $span of $dir " +
+            "(dropped mid-stream); restart the stream against the " +
+            "current schema")
     }
+  }
 
   /** Plan `files` as parquet partitions grouped by rename map: each group
     * requests its PHYSICAL names in pinned-logical field order, so rows line
     * up positionally with `required` and no per-row projection is needed.
-    * Pushdown filters are re-addressed to each group's physical names so
-    * parquet row-group skipping survives renames. Each partition carries its
-    * group's reader factory — partitions from different micro-batches (and
-    * different rename eras) can then share one routing factory. */
+    * Per group, the pinned column's current name resolves to the group's
+    * physical name exactly like the batch rename-union path: a claim ON the
+    * current name by another logical (drop tombstone, renamed-away column)
+    * null-fills via a nonexistent `__absent_` request — dropped bytes never
+    * resurrect. Pushdown filters are re-addressed to each group's physical
+    * names so parquet row-group skipping survives renames. Each partition
+    * carries its group's reader factory — partitions from different
+    * micro-batches (and different rename eras) share one routing factory. */
   private def planGroups(files: Seq[Manifest.FileEntry],
                          endM: Manifest.TableManifest,
                          span: String): Array[InputPartition] = {
     if (files.isEmpty) return Array.empty
     val endSchema = endM.schema.fieldNames.toSet
-    // pinned→current names recovered from the rename stamps the DDL left on
-    // older files (a rename stamps every file it saw); ambiguous physical
-    // names are omitted → unresolvable pinned columns fail with the clear
-    // error rather than guessing
-    lazy val derived: Map[String, String] = endM.files
-      .flatMap(_.renames)
-      .filter { case (p, g) => p != g && !g.startsWith(TombstonePrefix) }
-      .distinct
-      .groupBy(_._1)
-      .collect { case (p, gs) if gs.map(_._2).distinct.size == 1 => p -> gs.head._2 }
+    val endClaims = claimsOf(endM)
+    val curNames = required.fieldNames.map(f =>
+      f -> currentName(f, endClaims, endSchema, span)).toMap
     val needed = streamNeeded
     files.groupBy(_.renames).toSeq.flatMap { case (renames, group) =>
       val inverse = renames.map(_.swap) // current-logical -> physical
-      val phys = StructType(required.fields.map(f =>
+      val phys = StructType(required.fields.map { f =>
         if (needed.exists(n => !n.contains(f.name) && f.name != "_row_id"))
           f.copy(name = s"__pruned_${f.name}") // null-filled, never decoded
-        else
-          f.copy(name = physName(f.name, renames, inverse, endSchema, derived, span))))
+        else {
+          val cur = curNames(f.name)
+          f.copy(name = inverse.getOrElse(cur,
+            if (renames.contains(cur)) s"__absent_$cur" else cur))
+        }
+      })
       val physByLogical = required.fieldNames.zip(phys.fieldNames).toMap
       val translated = pushdownFilters.map(_.transform {
         case a: AttributeReference
@@ -329,7 +372,13 @@ private[graft] class GraftStreamScan(dir: Path, required: StructType,
         var v = s + 1
         var stop = false
         while (!stop && v <= cur) {
-          if (!Files.exists(manifestPath(v))) v += 1 // vacuumed: fold into next
+          // a vacuumed INTERIOR version folds into the next retained one
+          // (its files are carried forward); the ENDPOINT manifest is
+          // load-bearing — planInputPartitions needs it — so a missing
+          // `cur` (a pinned AvailableNow target vacuumed mid-drain) must
+          // fail with the clear manifestAt error, not end a silent,
+          // empty "drained" run
+          if (v < cur && !Files.exists(manifestPath(v))) v += 1
           else {
             val files = manifestAt(v).files.map(_.path).toSet
             val fresh = (files -- known).size

@@ -399,7 +399,10 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
       s"output table must be qualified bucket.schema.table, got '$qualified'")
     val sch = tx.bucket(parts.head)
       .schema(parts.slice(1, parts.length - 1).mkString("/"))
-    val (_, n) =
+    // insert/overwrite return the allocated row-id range [start, end) — the
+    // row COUNT is the difference (on a reused output table start sits at
+    // the prior high-water mark, so `end` alone would overcount)
+    val (start, end) =
       if (sch.tables.contains(parts.last)) {
         val t = sch.table(parts.last)
         def shape(s: StructType) = s.fields
@@ -410,7 +413,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
               "DROP it or pick another name")
         t.overwrite(df)
       } else sch.createTable(parts.last, df.schema).insert(df)
-    n
+    end - start
   }
 
   private val procedureNames = Array("history", "maintain", "vacuum_versions",

@@ -451,6 +451,45 @@ class GraftStreamSourceSpec extends SparkSpec {
       s"rename-crossing stream lost or nulled rows: ${got.toSeq}")
   }
 
+  test("mid-stream rename + re-added old name: pinned column follows the identity") {
+    val root = Files.createTempDirectory("graft-stream-readd").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    s.transaction(tx => tx.bucket("bk").createSchema("m").createTable("t", schema))
+    insert(s, 1, "era1_")
+    val tdir = Paths.get(root, "bk", "m", "t").toString
+    val name = "graft_readd_sink"
+    val q = spark.readStream.format("graft").load(tdir) // pins (a, s)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-readd-ck").toString).start()
+    try {
+      q.processAllAvailable()
+      // rename the pinned column away, then RE-ADD a fresh column under the
+      // old name — a name collision that must not confuse identity
+      // resolution: pinned `s` is the identity now called `label`, never
+      // the impostor
+      s.transaction { tx =>
+        val t = tx.bucket("bk").schema("m").table("t")
+        t.renameColumn("s", "label")
+        t.addColumn(StructField("s", StringType))
+      }
+      s.transaction { tx =>
+        val t = tx.bucket("bk").schema("m").table("t")
+        t.insert(spark.createDataFrame(
+          java.util.List.of(Row(1L, "identity_val", "impostor_val")),
+          StructType(Seq(StructField("a", LongType),
+            StructField("label", StringType), StructField("s", StringType))))
+          .coalesce(1))
+      }
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).orderBy("a").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((0L, "era1_0"), (1L, "identity_val")),
+      s"pinned column leaked the re-added impostor or nulled: $got")
+  }
+
   test("drop tombstones never resurrect through a fresh stream or batch read") {
     val root = Files.createTempDirectory("graft-stream-tomb").toString
     val s = VastSession(spark, root)

@@ -519,8 +519,12 @@ class SqlCatalogSpec extends SparkSpec {
       .map(_.getLong(0)).toSet
     assert(!keptIds.contains(5L) && keptIds.contains(4L) && nk == keptIds.size)
 
-    // re-running REPLACES the output table rather than appending
-    spark.sql("CALL graftc.system.pii_redact('bk.m.docs', 'bk.m.clean')")
+    // re-running REPLACES the output table rather than appending, and the
+    // summary stays the row COUNT (row ids restart from the prior
+    // high-water mark on overwrite — the count must not absorb the offset)
+    val rerun = spark.sql(
+      "CALL graftc.system.pii_redact('bk.m.docs', 'bk.m.clean')").head.getLong(0)
+    assert(rerun == 13, s"re-run summary reported $rerun rows, want 13")
     assert(spark.sql("SELECT count(*) FROM graftc.bk.m.clean").head.getLong(0) == 13)
 
     // dotted table names address through backtick quoting
