@@ -90,6 +90,33 @@ object SparkEntry {
     out.toByteArray
   }
 
+  /** Deterministic animated GIF, one solid 8×8 frame per color — test
+    * input for the real multi-frame `javax.imageio` decode path (mm4). A
+    * solid frame survives GIF's palette quantization exactly (one color →
+    * one palette entry), so per-frame channel means are closed-form. */
+  def animatedGif(colors: Seq[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      colors.foreach { c =>
+        val img = new java.awt.image.BufferedImage(
+          8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) { img.setRGB(x, y, c); x += 1 }
+          y += 1
+        }
+        w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      w.endWriteSequence()
+    } finally { w.dispose(); ios.close() }
+    out.toByteArray
+  }
+
   // ---------- operator inventory ----------
 
   private lazy val defs: Seq[Q] = Seq(
@@ -1047,6 +1074,37 @@ object SparkEntry {
              |  0 AS dc_offset_ppm,
              |  true AS envelope_uniform
              |FROM documents WHERE doc_id < 200 ORDER BY id""".stripMargin)),
+
+    Q("mm4_frame_sample",  // REAL multi-frame decode through javax.imageio:
+      // each doc gets a deterministic animated GIF (4-6 solid grayscale
+      // frames, shade a closed-form function of (doc_id, frame)), flows
+      // through the explode-shaped sampleFrameFeatures (every 2nd frame,
+      // re-encoded PNG, re-decoded for features), and must come back with
+      // exactly the sampled frame count and the exact per-frame gray the
+      // oracle derives arithmetically — an end-to-end proof that real GIF
+      // frames (not stub byte slices) flowed through the video pipeline.
+      (s, dir) => {
+        val gif = udf((id: Long) => animatedGif(
+          (0 until (4 + (id % 3).toInt)).map { i =>
+            val v = ((id * 3 + i) % 256).toInt
+            (v << 16) | (v << 8) | v
+          }))
+        graft.llm.Multimodal.sampleFrameFeatures(
+            t(s, dir, "documents").filter(col("doc_id") < 100)
+              .withColumn("media", gif(col("doc_id"))),
+            "doc_id", "media", everyN = 2)
+          .select(col("id"), col("frame_idx").cast("long").as("frame_idx"),
+            // solid gray frame: meanR·255 is the exact shade
+            round(element_at(col("features"), 1).cast("double") * 255, 0)
+              .cast("long").as("gray"))
+          .orderBy("id", "frame_idx")
+      },
+      Some("""SELECT d.doc_id AS id, CAST(k.k AS BIGINT) AS frame_idx,
+             |  CAST((d.doc_id*3 + 2*k.k) % 256 AS BIGINT) AS gray
+             |FROM documents d JOIN (VALUES (0),(1),(2)) AS k(k)
+             |  ON k.k <= (4 + d.doc_id % 3 + 1) // 2 - 1
+             |WHERE d.doc_id < 100
+             |ORDER BY id, frame_idx""".stripMargin)),
 
     // ---- EV*: event/streaming layer (batch-equivalent of the Structured
     //      Streaming transforms; streaming execution tested in specs) ----

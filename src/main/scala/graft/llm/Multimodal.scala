@@ -12,10 +12,12 @@ import org.apache.spark.sql.types._
  * PNG/JPEG/GIF/BMP — no external libraries needed): pixels → per-channel
  * means + a luminance grid, the classic cheap visual fingerprint. PCM WAV
  * audio decodes for REAL too (`javax.sound.sampled`): frames → energy /
- * zero-crossing / envelope features. Only VIDEO stays STUBBED behind
- * `decodeStub`/`frameSampleStub` (the JDK ships no video codecs); swapping
- * in a real decoder means replacing only the function body — the operator
- * shape (mapPartitions over (id, bytes) with bounded batches) stays.
+ * zero-crossing / envelope features. Video frame sampling is REAL for
+ * animated GIF (`gifFrames` — the one multi-frame container the JDK
+ * decodes); only containers the JDK cannot demux (mp4/webm/…) fall back to
+ * the STUBS `decodeStub`/`frameSampleStub` — swapping in a real demuxer
+ * means replacing only the function body; the operator shape
+ * (mapPartitions over (id, bytes) with bounded batches) stays.
  */
 object Multimodal {
 
@@ -250,10 +252,13 @@ object Multimodal {
   }
 
   /**
-   * STUB frame sampling ???: stands in for video frame extraction — returns
-   * every `everyN`-th 256-byte "frame" of the stream. Real impl: demux +
-   * decode keyframes. The operator shape (one media object → array of
-   * frames) is the contract used by downstream explode() pipelines.
+   * STUB frame sampling ???: stands in for video frame extraction from
+   * containers the JDK cannot demux (mp4/webm/…) — returns every
+   * `everyN`-th 256-byte "frame" of the stream. Real impl: demux + decode
+   * keyframes. The operator shape (one media object → array of frames) is
+   * the contract used by downstream explode() pipelines. Animated GIF — a
+   * real multi-frame container the JDK DOES decode — takes the REAL
+   * `gifFrames` path through `frameSample`.
    */
   def frameSampleStub(bytes: Array[Byte], everyN: Int): Array[Array[Byte]] = {
     val frame = 256
@@ -261,6 +266,71 @@ object Multimodal {
     (0 until n by math.max(1, everyN)).map { i =>
       java.util.Arrays.copyOfRange(bytes, i * frame, (i + 1) * frame)
     }.toArray
+  }
+
+  /** REAL multi-frame decode of an animated GIF via `javax.imageio`
+    * (the one video-ish container the JDK ships a codec for): every stored
+    * frame as a BufferedImage, in presentation order. None for non-GIF or
+    * unreadable payloads. Frames are read RAW (not composited over
+    * predecessors) — full-frame GIFs round-trip exactly; delta-encoded
+    * GIFs yield the delta regions, which is the right input for
+    * change-detection features anyway. */
+  def gifFrames(bytes: Array[Byte]): Option[Seq[java.awt.image.BufferedImage]] =
+    if (bytes.length < 3 || bytes(0) != 'G' || bytes(1) != 'I' || bytes(2) != 'F')
+      None
+    else try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val n = r.getNumImages(true)
+          if (n <= 0) None else Some((0 until n).map(r.read(_)))
+        } finally { r.dispose(); iis.close() }
+      }
+    } catch { case _: Exception => None }
+
+  /** Frame sampling: REAL for animated GIF (every `everyN`-th decoded
+    * frame, re-encoded as PNG so each sample is a standalone image any
+    * downstream decode handles), stub slicing for containers the JDK
+    * cannot demux. */
+  def frameSample(bytes: Array[Byte], everyN: Int): Array[Array[Byte]] =
+    gifFrames(bytes) match {
+      case Some(frames) =>
+        (0 until frames.size by math.max(1, everyN)).map { i =>
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(frames(i), "png", out)
+          out.toByteArray
+        }.toArray
+      case None => frameSampleStub(bytes, everyN)
+    }
+
+  /** One row per sampled frame. */
+  final case class FrameFeatures(id: Long, frame_idx: Int, n_bytes: Int,
+                                 features: Array[Float])
+
+  /** Distributed frame sampling + per-frame feature extraction: the
+    * explode-shaped companion to `extractFeatures` — one media object in,
+    * one row per sampled frame out, each with the standard 8-feature
+    * vector (real decode for GIF frames via the PNG re-encode). Same
+    * mapPartitions batch shape, so a real demuxer slots in per-partition. */
+  def sampleFrameFeatures(df: DataFrame, idCol: String, binCol: String,
+                          everyN: Int): DataFrame = {
+    implicit val enc = Encoders.product[FrameFeatures]
+    df.select(col(idCol).cast("long"), col(binCol))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          frameSample(bytes, everyN).iterator.zipWithIndex.map {
+            case (fb, k) => FrameFeatures(id, k, fb.length, decode(fb))
+          }
+        }
+      }
+      .toDF()
   }
 
   /** Column-level plumbing for resizeStub: the same proportional truncation

@@ -356,6 +356,27 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("gifFrames: real multi-frame decode; frameSample falls back to stub") {
+    // 5 solid frames, shades 10,20,30,40,50
+    val gif = SparkEntry.animatedGif((1 to 5).map(i =>
+      (i * 10 << 16) | (i * 10 << 8) | i * 10))
+    val frames = Multimodal.gifFrames(gif).get
+    assert(frames.size == 5)
+    assert((frames(0).getRGB(3, 3) & 0xFF) == 10)
+    assert((frames(4).getRGB(0, 7) & 0xFF) == 50)
+    // sampling every 2nd frame: indices 0,2,4 — re-encoded PNG, decodable
+    val sampled = Multimodal.frameSample(gif, 2)
+    assert(sampled.length == 3)
+    val feats = sampled.map(Multimodal.decodeImage(_).get)
+    assert(feats.map(f => math.round(f(0) * 255)).toSeq == Seq(10L, 30L, 50L))
+    // non-GIF payloads take the stub slicing path unchanged
+    val opaque = Array.fill[Byte](1024)(7)
+    assert(Multimodal.frameSample(opaque, 2).map(_.toSeq).toSeq ==
+      Multimodal.frameSampleStub(opaque, 2).map(_.toSeq).toSeq)
+    // truncated GIF (valid magic, broken stream) must not crash the task
+    assert(Multimodal.gifFrames(gif.take(20)).isEmpty)
+  }
+
   // -------------------------------------------------------- type mapping
 
   test("type mapping widens unsigned and tags metadata") {
