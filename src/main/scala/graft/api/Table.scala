@@ -972,7 +972,14 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       Table.walkPaths(dataDir).reverse
         .filter(p => Files.isDirectory(p) && p != dataDir)
         .filter(p => now - dirAges.getOrElse(p, now) >= minAgeMillis)
-        .foreach(p => if (Table.listDir(p).isEmpty) Files.deleteIfExists(p))
+        .foreach { p =>
+          // a writer can drop a file in between the emptiness check and the
+          // delete — losing the race is fine (the dir is in use), crashing
+          // the vacuum mid-way is not
+          if (Table.listDir(p).isEmpty)
+            try Files.deleteIfExists(p)
+            catch { case _: java.nio.file.DirectoryNotEmptyException => () }
+        }
     val droppedManifests = (0L until cutoff)
       .map(v => mdir.resolve(f"v$v%08d.json"))
       .filter(Files.exists(_))

@@ -281,16 +281,19 @@ object Multimodal {
     else try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) None
-      else {
-        val r = readers.next()
-        try {
-          r.setInput(iis)
-          val n = r.getNumImages(true)
-          if (n <= 0) None else Some((0 until n).map(r.read(_)))
-        } finally { r.dispose(); iis.close() }
-      }
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val n = r.getNumImages(true)
+            if (n <= 0) None else Some((0 until n).map(r.read(_)))
+          } finally r.dispose()
+        }
+      } finally iis.close() // also on the no-reader path: the stream may
+                            // hold a file-backed cache, not just heap
     } catch { case _: Exception => None }
 
   /** Frame sampling: REAL for animated GIF (every `everyN`-th decoded

@@ -178,55 +178,50 @@ private[graft] class GraftStreamScan(dir: Path, required: StructType,
 
   private val TombstonePrefix = "__dropped_"
 
-  /** All rename stamps of a manifest, physical → set of claimed logicals
-    * (normally one claim per physical; files a DDL skipped because their
-    * physical name was already tombstoned can leave an older claim beside
-    * a newer one). */
+  /** All NON-IDENTITY rename stamps of a manifest, physical → set of
+    * claimed logicals. Identity claims (p→p, left by a rename that circled
+    * back to a file's own physical name) are no-ops for identity TRACKING
+    * and are dropped here — per-GROUP physical resolution still sees them
+    * through each file's own map, where they resolve correctly. A physical
+    * can carry several claims when a DDL skipped files whose name was
+    * already claimed (tombstone guard). */
   private def claimsOf(m: Manifest.TableManifest): Map[String, Set[String]] =
     m.files.flatMap(_.renames).distinct
+      .filter { case (p, g) => p != g }
       .groupBy(_._1).map { case (p, gs) => p -> gs.map(_._2).toSet }
 
-  /** Column-identity anchor, captured at query start: the rename stamps
-    * visible when the schema was pinned, and each pinned column's PHYSICAL
-    * name back then (a live pin-time claim p→f means files carry the
-    * pinned identity under physical p; otherwise physical = logical).
-    * Physical names inside a file never change — only their logical
-    * mapping does — so `(pinPhys, claims-new-since-pin)` fully determines
-    * what a pinned column means in any later manifest: name collisions
-    * from drop+re-add or rename+re-add cannot be confused with the pinned
-    * identity, because THEIR claims already existed at pin time. */
-  private val (pinClaims, pinPhys)
-      : (Map[String, Set[String]], Map[String, String]) = {
-    // pinVersion = the manifest the pinned schema was inferred from; if
-    // retention vacuumed it since, the current manifest is the best
-    // remaining approximation of the pin-time stamps
-    val claims = claimsOf(
-      if (Files.exists(manifestPath(pinVersion))) manifestAt(pinVersion)
-      else manifestAt(graft.api.Table.currentVersion(dir)))
-    val phys = required.fieldNames.map { f =>
-      val claimed = claims.collect {
-        case (p, gs) if gs.contains(f) => p
-      }.toSeq.sorted
-      if (claimed.size > 1) throw new IllegalStateException(
-        s"graft stream: ambiguous rename history for column $f of $dir " +
-          s"(physical ${claimed.mkString(", ")} all claim it)")
-      f -> claimed.headOption.getOrElse(f)
-    }.toMap
-    (claims, phys)
-  }
+  /** Rename stamps visible when the schema was pinned — the column-identity
+    * anchor. Physical names inside a file never change, only their logical
+    * mapping does, so comparing a later manifest's claims against these
+    * tells exactly which DDL touched a pinned column's identity after the
+    * pin. If retention vacuumed the pin manifest since, the current
+    * manifest is the best remaining approximation. */
+  private val pinClaims: Map[String, Set[String]] = claimsOf(
+    if (Files.exists(manifestPath(pinVersion))) manifestAt(pinVersion)
+    else manifestAt(graft.api.Table.currentVersion(dir)))
 
-  /** The pinned column's CURRENT logical name at the batch's end manifest:
-    * claims on its pin-time physical name that appeared SINCE the pin are
-    * mid-stream DDL on the pinned identity itself — a live claim is a
-    * rename (follow it), a tombstone is a drop (fail with a restart
-    * instruction). Claims that already existed at pin time belong to older
-    * identities and were baked into `pinPhys`. */
+  /** The pinned column's CURRENT logical name at the batch's end manifest.
+    * The pinned identity's bytes live in two kinds of files: those whose
+    * pin-time claim pointed AT `f` (claimed carriers — ANY change to such a
+    * carrier's claims, including a replacement, is DDL on the pinned
+    * identity), and unmapped files whose physical name IS `f` (there, only
+    * claim ADDITIONS count: a replacement of a claim that never pointed at
+    * `f` is another identity — a renamed-away or dropped predecessor —
+    * being DDL'd, which must not disturb the pinned column). A live new
+    * claim is a mid-stream rename (follow it); a tombstone is a mid-stream
+    * drop (fail with a restart instruction). */
   private def currentName(f: String, endClaims: Map[String, Set[String]],
                           endSchema: Set[String], span: String): String = {
     if (f == "_row_id") return f
-    val p = pinPhys(f)
-    val newClaims = endClaims.getOrElse(p, Set.empty) --
-      pinClaims.getOrElse(p, Set.empty)
+    val fromCarriers = pinClaims.collect {
+      case (p, gs) if gs.contains(f) =>
+        endClaims.getOrElse(p, Set.empty) -- gs
+    }.flatten.toSet
+    val pinF = pinClaims.getOrElse(f, Set.empty)
+    val endF = endClaims.getOrElse(f, Set.empty)
+    val fromUnmapped =
+      if (pinF.subsetOf(endF)) endF -- pinF else Set.empty[String]
+    val newClaims = fromCarriers ++ fromUnmapped
     val live = newClaims.filterNot(_.startsWith(TombstonePrefix))
     if (live.size > 1) throw new IllegalStateException(
       s"graft stream: ambiguous rename history for column $f at $span of " +
@@ -466,8 +461,8 @@ private[graft] class StreamGroupRoutingFactory extends PartitionReaderFactory {
  * the filters COMMON to every branch — per-branch filters must not starve
  * another branch's rows out of the shared partition plan.
  *
- * Registered automatically when a graft stream starts, or via
- * `spark.sql.extensions=graft.GraftExtensions`.
+ * Registered automatically when a graft stream starts (always before the
+ * first micro-batch optimizes, so no other wiring is needed).
  */
 object GraftStreamFilterPushdown extends Rule[LogicalPlan] {
 

@@ -490,6 +490,44 @@ class GraftStreamSourceSpec extends SparkSpec {
       s"pinned column leaked the re-added impostor or nulled: $got")
   }
 
+  test("rename round-trip (s->label->s) stays readable and streamable") {
+    val root = Files.createTempDirectory("graft-stream-rt").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    s.transaction(tx => tx.bucket("bk").createSchema("m").createTable("t", schema))
+    insert(s, 1, "era1_") // physical s, stamped {s->s} by the round trip
+    s.transaction(tx => tx.bucket("bk").schema("m").table("t")
+      .renameColumn("s", "label"))
+    s.transaction { tx =>
+      val t = tx.bucket("bk").schema("m").table("t")
+      t.insert(spark.createDataFrame(java.util.List.of(Row(1L, "era2_0")),
+        StructType(Seq(StructField("a", LongType),
+          StructField("label", StringType)))).coalesce(1)) // physical label
+    }
+    s.transaction(tx => tx.bucket("bk").schema("m").table("t")
+      .renameColumn("label", "s")) // back to the original name
+    insert(s, 1, "era3_") // wait: insert() writes tag+i at a=i -> era3_0 at a=0
+    val tdir = Paths.get(root, "bk", "m", "t").toString
+    // identity claims ({s->s}) plus the {label->s} claim used to read as
+    // "two physicals claim s" and brick every new scan — batch AND stream
+    // must instead serve all three eras under the round-tripped name
+    val batch = spark.read.format("graft").load(tdir)
+      .select("s").collect().map(_.getString(0)).sorted.toSeq
+    assert(batch == Seq("era1_0", "era2_0", "era3_0"),
+      s"round-tripped batch read wrong: $batch")
+    val out = Files.createTempDirectory("graft-rt-out").toString + "/sink"
+    val q = spark.readStream.format("graft").load(tdir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-rt-ck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(out)
+      .select("s").collect().map(_.getString(0)).sorted.toSeq
+    assert(streamed == Seq("era1_0", "era2_0", "era3_0"),
+      s"round-tripped stream wrong: $streamed")
+  }
+
   test("drop tombstones never resurrect through a fresh stream or batch read") {
     val root = Files.createTempDirectory("graft-stream-tomb").toString
     val s = VastSession(spark, root)
