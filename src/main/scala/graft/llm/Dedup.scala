@@ -177,15 +177,18 @@ object Dedup {
 
   /** Partition-local pre-contraction: hash-shuffle edges on `u`, run a
     * union-find inside each partition, and emit each LOCAL component as a
-    * star (member → local minimum). Every input edge is processed by exactly
-    * one partition and its endpoints stay connected through the local root,
-    * so global connectivity is preserved — while duplicate edges vanish and
-    * dense neighborhoods collapse to one edge per non-root node. LSH
-    * candidate lists (`dd2`/`dd7` shapes) emit a cluster's pairs with shared
-    * `id_a` values, so after one hash shuffle most of a cluster contracts
-    * in-place and the distributed star loop starts from near-stars —
-    * typically 2-3 rounds instead of ~7. Memory is bounded by one
-    * partition's node count (edges / spark.sql.shuffle.partitions), the
+    * star (member → local minimum), INCLUDING the root's own `(root, root)`
+    * self-loop — so the output also carries the complete node set and the
+    * caller never has to re-evaluate the (expensive, e.g. LSH-generated)
+    * input pair list just to enumerate ids. Every input edge is processed
+    * by exactly one partition and its endpoints stay connected through the
+    * local root, so global connectivity is preserved — while duplicate
+    * edges vanish and dense neighborhoods collapse to one edge per non-root
+    * node. LSH candidate lists (`dd2`/`dd7` shapes) emit a cluster's pairs
+    * with shared `id_a` values, so after one hash shuffle most of a cluster
+    * contracts in-place and the distributed star loop starts from
+    * near-stars — typically 2-3 rounds instead of ~7. Memory is bounded by
+    * one partition's node count (edges / spark.sql.shuffle.partitions), the
     * same bound any hash aggregation over the edge list needs. */
   private def contractLocally(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
@@ -210,7 +213,7 @@ object Dedup {
           val rv = find(v)
           if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
         }
-        parent.keysIterator.map(n => (n, find(n))).filter(p => p._1 != p._2)
+        parent.keysIterator.map(n => (n, find(n)))
       }
       .toDF("u", "v")
   }
@@ -260,10 +263,13 @@ object Dedup {
     // pre-contraction replaces the old `.distinct()` pass: same single
     // shuffle, but the partition-local union-find also collapses dense
     // neighborhoods to stars (and dedups as a side effect), cutting the
-    // iterative rounds the star loop needs afterwards
-    var edges = truncate(contractLocally(pairs
-      .select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))))
+    // iterative rounds the star loop needs afterwards. The checkpointed
+    // contraction output keeps root self-loops so it doubles as the node
+    // inventory — `pairs` (which may hide an expensive LSH band-join) is
+    // evaluated exactly ONCE, here.
+    val contracted = truncate(contractLocally(pairs
+      .select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))))
+    var edges = contracted.filter(col("u") =!= col("v"))
     // deterministic edge-set signature: (count, xor of per-edge hashes) —
     // bit_xor, not sum: ANSI mode makes an overflowing long sum THROW.
     def signature(e: DataFrame): Seq[Any] =
@@ -319,10 +325,12 @@ object Dedup {
     }
     // at the star fixpoint every non-root carries exactly one edge to its
     // component root; min() keeps the result deterministic even if maxIter
-    // capped a (pathological) run before full convergence
-    val nodes = pairs.select(col(idA).cast("long").as("id"))
-      .union(pairs.select(col(idB).cast("long").as("id")))
-      .distinct()
+    // capped a (pathological) run before full convergence. The node set
+    // reads the CONTRACTED checkpoint (whose `u` side enumerates every node
+    // thanks to the root self-loops), not `pairs` — re-evaluating the pair
+    // list here used to re-run the whole LSH candidate generation just to
+    // list ids.
+    val nodes = contracted.select(col("u").as("id")).distinct()
     nodes.join(edges.groupBy(col("u").as("id")).agg(min("v").as("component")),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
