@@ -146,6 +146,39 @@ object Bench {
       "scan_range_sorted" -> (() => mat(spark.read.parquet(sortedDir)
         .filter(col("l_shipdate").between(shipLo, shipHi)))))
 
+    // z-order layout comparison: the same lineitem copy in two graft
+    // tables — arrival order vs rewritten on the (l_shipdate,
+    // l_extendedprice) curve — probed with the same 2-D box predicate
+    // through the API scan, whose manifest zone maps prune whole FILES.
+    // The sorted pair above shows what a lead-column sort buys; this pair
+    // shows the multi-key layout pruning a sort cannot give.
+    val zroot = java.nio.file.Paths.get("/tmp/graft_bench_zorder")
+    if (java.nio.file.Files.exists(zroot)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(zroot).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val zs = graft.api.VastSession(spark, zroot.toString)
+    zs.createBucket("b")
+    val liRows = t("lineitem").count()
+    zs.transaction { tx =>
+      val sch = tx.bucket("b").createSchema("m")
+      sch.createTable("plain", t("lineitem").schema).insert(t("lineitem"))
+      val zed = sch.createTable("zed", t("lineitem").schema)
+      zed.insert(t("lineitem"))
+      zed.addClusteringKeys(Seq("l_shipdate", "l_extendedprice"))
+      zed.optimizeZorder(math.max(1L, liRows / 24))
+    }
+    val boxPred = col("l_shipdate").between(shipLo, shipHi) &&
+      col("l_extendedprice").between(10000.0, 20000.0)
+    val boxCols = Seq("l_orderkey", "l_shipdate", "l_extendedprice")
+    def zscan(table: String): Unit = zs.transaction { tx =>
+      mat(tx.bucket("b").schema("m").table(table).select(boxCols, boxPred))
+    }
+    val zScans: Seq[(String, () => Unit)] = Seq(
+      "scan_2d_plain" -> (() => zscan("plain")),
+      "scan_2d_zorder" -> (() => zscan("zed")))
+
     // warmup: one tiny end-to-end pass per distinct input compiles codegen,
     // loads footers, and spins executor threads
     mat(t("lineitem").limit(1))
@@ -161,7 +194,7 @@ object Bench {
     // bounded at larger SFs). Later runs benefit from warm file metadata +
     // JIT, matching steady-state throughput, and the min is robust to a
     // concurrent process stealing cores mid-run.
-    val results = (queries ++ sortedScans).map { case (name, fn) =>
+    val results = (queries ++ sortedScans ++ zScans).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try fn() catch { case e: Throwable =>

@@ -111,7 +111,8 @@ object Manifest {
                            blobExpansions: Seq[BlobExpansionMeta] = Nil,
                            dedupIndexes: Seq[DedupIndexMeta] = Nil,
                            props: Map[String, String] = Map.empty,
-                           commitMicros: Long = 0L) {
+                           commitMicros: Long = 0L,
+                           clusteringKeys: Seq[String] = Nil) {
     def schema: StructType =
       org.apache.spark.sql.types.DataType.fromJson(schemaJson).asInstanceOf[StructType]
     def totalRows: Long = files.map(_.rows).sum

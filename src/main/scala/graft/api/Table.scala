@@ -243,11 +243,12 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     val m = manifest
     val size = m.files.map(f => try Files.size(Paths.get(resolveDataPath(f.path)))
       catch { case _: Exception => 0L }).sum
+    val hasLayout = m.sortingKeys.nonEmpty || m.clusteringKeys.nonEmpty
     val sortedFrac =
-      if (m.sortingKeys.isEmpty || m.files.isEmpty) 0.0
+      if (!hasLayout || m.files.isEmpty) 0.0
       else m.files.count(_.sorted).toDouble / m.files.size
     TableStats(m.totalRows, size, sortedFrac,
-      m.sortingKeys.nonEmpty && sortedFrac == 1.0, m.files.size)
+      hasLayout && sortedFrac == 1.0, m.files.size)
   }
 
   // ------------------------------------------------------------------ write
@@ -257,12 +258,16 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     case ByteType | ShortType | IntegerType | LongType => Some("long")
     case FloatType | DoubleType => Some("double")
     case StringType => Some("string")
-    case TimestampType | DateType => Some("long") // micros / days
+    case TimestampType | TimestampNTZType | DateType => Some("long") // micros / days
     case _ => None
   }
 
   private def statCol(name: String, dt: DataType): Column = dt match {
     case TimestampType => unix_micros(col(name))
+    // session tz is pinned UTC engine-wide (same assumption as the
+    // foldable-literal eval in Glue.rangeConstraints), so ntz micros and
+    // tz micros coincide and compare soundly against either literal kind
+    case TimestampNTZType => unix_micros(col(name).cast(TimestampType))
     case DateType => datediff(col(name), lit("1970-01-01").cast("date"))
     // float→double is EXACT and double→string round-trips; casting the
     // float itself to string would store its shortest decimal form, which
@@ -761,6 +766,7 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     }
     tx.stageWrite(dir, m.copy(schemaJson = ns.json, files = nf,
       sortingKeys = m.sortingKeys.map(k => if (k == from) to else k),
+      clusteringKeys = m.clusteringKeys.map(k => if (k == from) to else k),
       projections = np, vectorIndexes = nv, dedupIndexes = nd))
   }
 
@@ -782,6 +788,7 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     }
     tx.stageWrite(dir, m.copy(schemaJson = ns.json, files = nf,
       sortingKeys = m.sortingKeys.filterNot(_ == name),
+      clusteringKeys = m.clusteringKeys.filterNot(_ == name),
       // metadata referencing the dropped column must go with it: a vector
       // index on it can never serve again, a blob expansion on it would
       // crash the next insert (its parse source is gone), and a projection
@@ -828,23 +835,78 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     * fraction (reference sorting_score, vastdb/table.py:865-887). */
   def addSortingKey(keys: Seq[String]): Unit = {
     val m = manifest
+    if (m.clusteringKeys.nonEmpty)
+      throw NotSupportedCommand("table is z-order clustered; drop clustering first")
     tx.stageWrite(dir, m.copy(sortingKeys = keys,
+      files = m.files.map(_.copy(sorted = false))))
+  }
+
+  /** Declare the table Z-ORDER clustered on `keys` — the multi-key analog
+    * of [[addSortingKey]]: instead of tight zone maps on one lead column,
+    * every file gets tight min/max ranges on ALL keys at once, so
+    * [[Table.pruneByZoneMaps]] skips files for multi-column predicates.
+    * Existing files flip to "unsorted" (out of declared layout) until
+    * [[optimizeZorder]] — or [[maintain]] — rewrites them. */
+  def addClusteringKeys(keys: Seq[String]): Unit = {
+    val m = manifest
+    if (m.sortingKeys.nonEmpty)
+      throw NotSupportedCommand("table has a sorting key; drop it first")
+    if (keys.isEmpty || keys.size > graft.ops.Zorder.MaxKeys)
+      throw NotSupportedCommand(
+        s"z-order clustering takes 1..${graft.ops.Zorder.MaxKeys} keys")
+    val schema = m.schema
+    keys.foreach { k =>
+      val f = schema.fields.find(_.name == k)
+        .getOrElse(throw NotSupportedCommand(s"no column $k to cluster on"))
+      if (statKind(f.dataType).isEmpty) throw NotSupportedCommand(
+        s"z-order key $k: type ${f.dataType.simpleString} has no zone maps")
+    }
+    tx.stageWrite(dir, m.copy(clusteringKeys = keys,
       files = m.files.map(_.copy(sorted = false))))
   }
 
   /** Re-sort data at rest: global range partitioning + in-partition sort —
     * the write-path plan whose row-group min/max stats make zone skipping
     * automatic for range predicates on the keys. */
-  def optimizeSort(): Unit = {
+  def optimizeSort(targetFileRows: Long = 4000000L): Unit = {
     val m = manifest
     if (m.sortingKeys.isEmpty) throw NotSupportedCommand("no sorting key")
     val sortCols = m.sortingKeys.map(col)
+    // explicit file count, same rationale as optimizeZorder: AQE must not
+    // coalesce a small rewrite into one file and void per-file zone maps
+    val nFiles = math.max(1L,
+      (m.totalRows + targetFileRows - 1) / targetFileRows).toInt
     val data = readEntries(m.files, m.schema)
-      .repartitionByRange(sortCols: _*)
+      .repartitionByRange(nFiles, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val entries = writeData(data, sorted = true)
     tx.stageWrite(dir, m.copy(files = entries))
     recordAudit("optimize_sort", m.totalRows)
+  }
+
+  /** Rewrite data at rest in Z-order: quantile-bucket each clustering key
+    * (one bounded-sample job, [[graft.ops.Zorder.boundaries]]), interleave
+    * the bucket bits into a Morton value, then global range partitioning +
+    * in-partition sort on that value — the same plan shape as
+    * [[optimizeSort]], just keyed on the curve. Zone maps collected by the
+    * write make multi-key file skipping automatic; no scan-side change. */
+  def optimizeZorder(targetFileRows: Long = 4000000L): Unit = {
+    val m = manifest
+    if (m.clusteringKeys.isEmpty) throw NotSupportedCommand("no clustering keys")
+    val data = readEntries(m.files, m.schema)
+    val zc = graft.ops.Zorder.zColumn(data, m.clusteringKeys, m.totalRows)
+    // explicit partition count = explicit FILE count (one file per range):
+    // AQE would otherwise coalesce a small rewrite into one file and erase
+    // the multi-file layout whose per-file zone maps are the entire point
+    val nFiles = math.max(1L,
+      (m.totalRows + targetFileRows - 1) / targetFileRows).toInt
+    val out = data.withColumn("__graft_z", zc)
+      .repartitionByRange(nFiles, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+    val entries = writeData(out, sorted = true)
+    tx.stageWrite(dir, m.copy(files = entries))
+    recordAudit("optimize_zorder", m.totalRows)
   }
 
   /** One-call maintenance — the client-side analog of the reference server's
@@ -861,6 +923,9 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       // layout — on sorted tables the full re-sort is the only compaction,
       // and only when something actually violates the sorted state
       if (m0.files.exists(!_.sorted)) optimizeSort()
+    } else if (m0.clusteringKeys.nonEmpty) {
+      // same rule for z-order: the curve rewrite subsumes compaction
+      if (m0.files.exists(!_.sorted)) optimizeZorder()
     } else compact(compactTargetRows)
     manifest.projections.filter(_.stale).foreach(p => refreshProjection(p.name))
     manifest.vectorIndexes.filter(_.stale).foreach(v => refreshVectorIndex(v.column))

@@ -200,14 +200,13 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
         else new ProjectionRoutingTable(ident.toString, schema, paths, fresh)
           with GraftTableProps { val tableProps = m.props }
       } else {
-        val parquet = ParquetTable(ident.toString, SparkSession.active,
-          CaseInsensitiveStringMap.empty(), paths, Some(schema),
-          classOf[ParquetFileFormat])
+        // plain (rename-free, no projections): the zone-map table prunes
+        // whole FILES from pushed filters before parquet ever opens them
         if (writable)
-          new ReadOnlyTable(parquet)
+          new ZoneMapTable(ident.toString, schema, dir, m.files)
             with GraftV1Writable with GraftTableProps {
               val writeRoot = root; val writeIdent = ident; val tableProps = m.props }
-        else new ReadOnlyTable(parquet)
+        else new ZoneMapTable(ident.toString, schema, dir, m.files)
           with GraftTableProps { val tableProps = m.props }
       }
     }
@@ -330,6 +329,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
   //     CALL graft.system.history('bk.m.t')
   //     CALL graft.system.maintain('bk.m.t')
   //     CALL graft.system.vacuum_versions('bk.m.t', 7, 3600000)
+  //     CALL graft.system.zorder('bk.m.t', 'x,y')
   //     CALL graft.system.dedup_pairs('bk.m.docs', 'id', 'text', 'bk.m.pairs', 0.7)
   //     CALL graft.system.dedup_clusters('bk.m.docs', 'id', 'text', 'bk.m.cc', 0.7)
   //     CALL graft.system.pii_redact('bk.m.docs', 'bk.m.clean', 'text')
@@ -417,6 +417,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private val procedureNames = Array("history", "maintain", "vacuum_versions",
+    "zorder",
     "dedup_pairs", "dedup_clusters", "pii_redact", "chunk", "decontaminate")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
@@ -449,6 +450,23 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
         def run(args: Seq[Any]) =
           withTable(args.head.asInstanceOf[String]) { t =>
             t.maintain()
+            Seq(org.apache.spark.sql.Row(
+              t.manifest.files.size, t.manifest.totalRows))
+          }
+      }
+      case "zorder" => new GraftProcedure("zorder",
+          Seq(("table", StringType, None),
+            ("columns", StringType, None), // comma-separated clustering keys
+            ("target_file_rows", LongType, Some("4000000"))),
+          StructType(Seq(StructField("n_files", IntegerType),
+            StructField("n_rows", LongType)))) {
+        def run(args: Seq[Any]) =
+          withTable(args.head.asInstanceOf[String]) { t =>
+            val keys = args(1).asInstanceOf[String].split(",").toSeq
+              .map(_.trim).filter(_.nonEmpty)
+            // idempotent re-CALL: keep the declared keys unless they changed
+            if (t.manifest.clusteringKeys != keys) t.addClusteringKeys(keys)
+            t.optimizeZorder(args(2).asInstanceOf[Long])
             Seq(org.apache.spark.sql.Row(
               t.manifest.files.size, t.manifest.totalRows))
           }

@@ -449,6 +449,56 @@ class SqlCatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql("CALL graftp.system.nope('x')").collect() }
   }
 
+  test("CALL zorder declares keys, rewrites layout, and scans stay exact") {
+    val root = Files.createTempDirectory("graft-sqlz").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    val zSchema = StructType(Seq(
+      StructField("x", LongType), StructField("y", LongType)))
+    s.transaction { tx =>
+      val t = tx.bucket("bk").createSchema("m").createTable("t", zSchema)
+      val l = new java.util.ArrayList[Row]()
+      (0 until 4000).foreach(i => l.add(Row(i % 100L, (i / 100L) * 2L)))
+      t.insert(spark.createDataFrame(l, zSchema))
+    }
+    spark.conf.set("spark.sql.catalog.graftz",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.graftz.root", root)
+    val r = spark.sql(
+      "CALL graftz.system.zorder('bk.m.t', 'x, y', 500)").head
+    assert(r.getInt(0) == 8 && r.getLong(1) == 4000L, s"zorder -> $r")
+    s.transaction { tx =>
+      val t = tx.bucket("bk").schema("m").table("t")
+      assert(t.manifest.clusteringKeys == Seq("x", "y"))
+      assert(t.stats.sortingDone)
+      val all = t.manifest.files
+      assert(t.pruneByZoneMaps(all, col("y") < 10L).size < all.size)
+    }
+    assert(spark.sql(
+      "SELECT count(*) FROM graftz.bk.m.t WHERE x BETWEEN 5 AND 15 AND y < 20")
+      .head.getLong(0) ==
+      (0 until 4000).count(i => i % 100 >= 5 && i % 100 <= 15 && (i / 100) * 2 < 20))
+    // the SQL read path prunes FILES from manifest zone maps, not just
+    // parquet row groups: the planned scan must hold fewer than all 8 files
+    def scannedFiles(sql: String): Int = {
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+      val plan = spark.sql(sql).queryExecution.executedPlan
+      val scans = plan.collect { case b: BatchScanExec => b.scan }
+      scans.collect { case p: ParquetScan => p.fileIndex.inputFiles.length }.sum
+    }
+    val allFiles =
+      scannedFiles("SELECT * FROM graftz.bk.m.t")
+    val boxFiles = scannedFiles(
+      "SELECT * FROM graftz.bk.m.t WHERE x BETWEEN 5 AND 15 AND y < 20")
+    assert(allFiles == 8, s"expected 8 files unfiltered, planned $allFiles")
+    assert(boxFiles < allFiles,
+      s"SQL scan planned $boxFiles of $allFiles files — no file pruning")
+    // re-CALL with the same keys is idempotent (no re-declare), still green
+    assert(spark.sql("CALL graftz.system.zorder('bk.m.t', 'x,y', 500)")
+      .head.getLong(1) == 4000L)
+  }
+
   test("CALL curation procedures write output tables matching the Scala API") {
     val root = Files.createTempDirectory("graft-sqlcur").toString
     val s = VastSession(spark, root)
