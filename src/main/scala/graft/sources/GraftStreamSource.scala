@@ -59,7 +59,11 @@ import graft.api.Manifest
  *
  * Batch reads through this provider serve the CURRENT manifest's files —
  * `spark.read.format("graft").load(dir)` — with Spark's own parquet scan
- * (rename-evolved tables served through the same group mapping).
+ * (rename-evolved tables served through the same group mapping). With
+ * `endingVersion=e` the read is the full state AS OF version e (path-based
+ * time travel, schema pinned at e); adding `startingVersion=s` narrows it
+ * to the files committed in (s, e] — batch "table changes" for backfills
+ * and catch-up jobs that don't want a streaming checkpoint.
  */
 class GraftStreamSource extends TableProvider with DataSourceRegister {
 
@@ -71,14 +75,33 @@ class GraftStreamSource extends TableProvider with DataSourceRegister {
     Paths.get(p)
   }
 
-  private def currentManifest(dir: Path): Manifest.TableManifest = {
-    val v = graft.api.Table.currentVersion(dir)
-    Manifest.read(dir.resolve("_manifest").resolve(f"v$v%08d.json"))
+  /** Version a read PINS its schema and rename-identity anchor to: the
+    * `endingVersion` option when given (batch reads of a past state must
+    * see THAT state's schema — a later rename hasn't happened yet from the
+    * read's point of view), else the current version. Validated here so a
+    * typo'd version fails at resolution, not mid-scan. */
+  private def pinVersionOf(dir: Path, opts: CaseInsensitiveStringMap): Long = {
+    val cur = graft.api.Table.currentVersion(dir)
+    Option(opts.get("endingVersion")).map { raw =>
+      val n = try raw.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"endingVersion must be a version number, got '$raw'")
+      }
+      if (n < 0 || n > cur) throw new IllegalArgumentException(
+        s"endingVersion $n is outside the table's versions 0..$cur")
+      n
+    }.getOrElse(cur)
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    StructType(currentManifest(tableDir(options)).schema.fields :+
-      StructField("_row_id", LongType, nullable = false))
+  private def manifestAtVersion(dir: Path, v: Long): Manifest.TableManifest =
+    Manifest.read(dir.resolve("_manifest").resolve(f"v$v%08d.json"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = tableDir(options)
+    StructType(
+      manifestAtVersion(dir, pinVersionOf(dir, options)).schema.fields :+
+        StructField("_row_id", LongType, nullable = false))
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
@@ -88,7 +111,7 @@ class GraftStreamSource extends TableProvider with DataSourceRegister {
     // the rename stamps of this version are the ones the pinned column
     // names were resolved against — the identity anchor for scans created
     // later (query start may come after further DDL)
-    new GraftStreamTable(dir, schema, graft.api.Table.currentVersion(dir),
+    new GraftStreamTable(dir, schema, pinVersionOf(dir, opts),
       opts.getBoolean("ignoreChanges", false))
   }
 }
@@ -127,7 +150,8 @@ private class GraftStreamTable(dir: Path, tableSchema: StructType,
         // don't carry options into the scan
         tableIgnoreChanges || options.getBoolean("ignoreChanges", false),
         options.getInt("maxFilesPerTrigger", Int.MaxValue),
-        Option(options.get("startingVersion")))
+        Option(options.get("startingVersion")),
+        Option(options.get("endingVersion")))
     }
 }
 
@@ -136,7 +160,9 @@ private[graft] class GraftStreamScan(dir: Path, required: StructType,
                                      builderFilters: Seq[Expression],
                                      ignoreChanges: Boolean,
                                      maxFilesPerTrigger: Int,
-                                     startingVersion: Option[String]) extends Scan {
+                                     startingVersion: Option[String],
+                                     endingVersion: Option[String] = None)
+    extends Scan {
   override def readSchema(): StructType = required
   override def description(): String = {
     val pf = pushdownFilters
@@ -293,20 +319,62 @@ private[graft] class GraftStreamScan(dir: Path, required: StructType,
     }.toArray
   }
 
-  /** Batch path: the CURRENT manifest's full file set (rename-evolved files
-    * served through the same per-group mapping as the stream). */
+  /** Batch path — one manifest delta, three read shapes:
+    *  - no version options: the CURRENT manifest's full file set;
+    *  - `endingVersion=e`: the full file set AS OF version e (batch time
+    *    travel — the schema was already pinned at e by the provider, so a
+    *    later rename is invisible, matching SQL `VERSION AS OF`);
+    *  - `startingVersion=s[, endingVersion=e]`: the files ADDED in (s, e]
+    *    — batch "table changes", the one-shot form of the changefeed for
+    *    backfills and catch-up jobs that don't want a checkpoint. Same
+    *    append-only guard (and `ignoreChanges` escape) as the stream.
+    * All shapes are the same set difference: start = version 0 (empty
+    * start set) reproduces a full read. Rename-evolved files are served
+    * through the same per-group mapping as the stream. */
   override def toBatch: Batch = {
-    val v = graft.api.Table.currentVersion(dir)
-    val m = manifestAt(v)
+    val cur = graft.api.Table.currentVersion(dir)
+    def parseV(name: String, raw: String): Long = {
+      val n = try raw.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$name must be a version number, got '$raw'")
+      }
+      if (n < 0 || n > cur) throw new IllegalArgumentException(
+        s"$name $n is outside the table's versions 0..$cur")
+      n
+    }
+    val e = endingVersion.map(parseV("endingVersion", _)).getOrElse(cur)
+    val s = startingVersion match {
+      case None | Some("earliest") => 0L
+      case Some("latest") => throw new IllegalArgumentException(
+        "startingVersion=latest only makes sense for a STREAM (tail new " +
+          "commits); a batch read needs a version number")
+      case Some(raw) => parseV("startingVersion", raw)
+    }
+    if (s > e) throw new IllegalArgumentException(
+      s"startingVersion $s is beyond endingVersion $e")
+    val endM = manifestAt(e)
+    val startPaths: Set[String] =
+      if (s == 0) Set.empty else manifestAt(s).files.map(_.path).toSet
+    val removed = startPaths -- endM.files.map(_.path).toSet
+    if (removed.nonEmpty && !ignoreChanges)
+      throw new IllegalStateException(
+        s"graft batch: versions v$s..v$e of $dir removed ${removed.size} " +
+          "file(s) (COW update/delete or compaction) — this feed is " +
+          "append-only. Set ignoreChanges=true to emit rewritten files " +
+          "(at-least-once for rows in rewritten groups)")
+    val files = endM.files.filterNot(f => startPaths(f.path))
     new Batch {
       override def planInputPartitions(): Array[InputPartition] =
-        planGroups(m.files, m, s"v$v")
+        planGroups(files, endM, s"v$s..v$e")
       override def createReaderFactory(): PartitionReaderFactory =
         new StreamGroupRoutingFactory
     }
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    if (endingVersion.isDefined) throw new IllegalArgumentException(
+      "endingVersion is a BATCH read option (time travel / table changes); " +
+        "a stream has no end — bound it with Trigger.AvailableNow instead")
     GraftStreamFilterPushdown.register(SparkSession.active)
     new MicroBatchStream with SupportsAdmissionControl
         with SupportsTriggerAvailableNow {

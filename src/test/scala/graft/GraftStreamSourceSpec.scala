@@ -528,6 +528,67 @@ class GraftStreamSourceSpec extends SparkSpec {
       s"round-tripped stream wrong: $streamed")
   }
 
+  test("batch version-range reads: time travel, table changes, guards") {
+    val root = Files.createTempDirectory("graft-batch-range").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    s.transaction(tx => tx.bucket("bk").createSchema("m").createTable("t", schema)) // v0
+    insert(s, 2, "one")   // v1
+    insert(s, 3, "two")   // v2
+    insert(s, 1, "three") // v3
+    val tdir = Paths.get(root, "bk", "m", "t").toString
+    def tags(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("s").collect().map(_.getString(0)).sorted.toSeq
+
+    // time travel: full state AS OF v1 — later commits invisible
+    assert(tags(spark.read.format("graft").option("endingVersion", "1")
+      .load(tdir)) == Seq("one0", "one1"))
+    // table changes: files added in (v1, v3]
+    assert(tags(spark.read.format("graft").option("startingVersion", "1")
+      .load(tdir)) == Seq("three0", "two0", "two1", "two2"))
+    // both bounds: exactly v2's commit
+    assert(tags(spark.read.format("graft").option("startingVersion", "1")
+      .option("endingVersion", "2").load(tdir)) == Seq("two0", "two1", "two2"))
+    // schema pins at endingVersion: a rename AFTER e is invisible to the read
+    s.transaction(tx => tx.bucket("bk").schema("m").table("t")
+      .renameColumn("s", "label")) // v4
+    val atV3 = spark.read.format("graft").option("endingVersion", "3").load(tdir)
+    assert(atV3.columns.contains("s") && !atV3.columns.contains("label"))
+    assert(tags(atV3).size == 6)
+    // and the unbounded read sees the NEW name
+    assert(spark.read.format("graft").load(tdir).columns.contains("label"))
+
+    // append-only guard across the span: a COW delete removes a file
+    s.transaction(tx => tx.bucket("bk").schema("m").table("t")
+      .deleteWhere(col("label") === "two1")) // v5 rewrites v2's file
+    val err = intercept[Exception](spark.read.format("graft")
+      .option("startingVersion", "2").load(tdir).collect())
+    assert(err.getMessage.contains("append-only"), s"wrong error: $err")
+    val relaxed = spark.read.format("graft").option("startingVersion", "2")
+      .option("ignoreChanges", "true").load(tdir)
+    assert(relaxed.select("label").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("three0", "two0", "two2")) // rewritten survivors re-emitted, victim gone
+    // option validation fails loudly
+    intercept[IllegalArgumentException](spark.read.format("graft")
+      .option("endingVersion", "99").load(tdir).collect())
+    intercept[IllegalArgumentException](spark.read.format("graft")
+      .option("startingVersion", "4").option("endingVersion", "2")
+      .load(tdir).collect())
+    intercept[IllegalArgumentException](spark.read.format("graft")
+      .option("startingVersion", "latest").load(tdir).collect())
+    // endingVersion is batch-only: the stream rejects it at start
+    val q = intercept[Exception] {
+      spark.readStream.format("graft").option("endingVersion", "2").load(tdir)
+        .writeStream.format("noop")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-ev-ck").toString)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination(60000)
+    }
+    assert(q.getMessage.contains("endingVersion") ||
+      q.getCause != null && q.getCause.getMessage.contains("endingVersion"),
+      s"wrong stream error: $q")
+  }
+
   test("drop tombstones never resurrect through a fresh stream or batch read") {
     val root = Files.createTempDirectory("graft-stream-tomb").toString
     val s = VastSession(spark, root)
