@@ -1346,6 +1346,82 @@ object SparkEntry {
              |        AND l2.l_suppkey = l1.l_suppkey))
              |ORDER BY s_name""".stripMargin)),
 
+    Q("q_tpch_q18",  // TPC-H Q18 shape: groupBy-HAVING subquery feeding an
+      // IN — Catalyst must plan the HAVING aggregate once and semi-join it
+      // into the 3-table join tree (never re-aggregate per probe row).
+      // Threshold 250 keeps the filter selective but non-empty at every SF.
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        t(s, dir, "orders").createOrReplaceTempView("orders")
+        t(s, dir, "customer").createOrReplaceTempView("customer")
+        s.sql("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+                |FROM customer JOIN orders ON c_custkey = o_custkey
+                |JOIN lineitem ON o_orderkey = l_orderkey
+                |WHERE o_orderkey IN (
+                |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+                |  HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 250)
+                |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+                |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+                |LIMIT 100""".stripMargin)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE o_orderkey IN (
+             |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+             |  HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 250)
+             |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+             |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+             |LIMIT 100""".stripMargin)),
+
+    Q("q_tpch_q21",  // TPC-H Q21 shape: correlated EXISTS + NOT EXISTS over
+      // self-joined lineitem with a NON-EQUI residual (other supplier, same
+      // order) — must decorrelate to a left-semi and a left-anti join on
+      // l_orderkey, never a per-row subquery or cartesian. Adapted to the
+      // testdata (no receipt/commit dates): "late" = l_returnflag 'R', so
+      // the query finds suppliers who were the ONLY flagged supplier on a
+      // multi-supplier finished order.
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        t(s, dir, "orders").createOrReplaceTempView("orders")
+        t(s, dir, "supplier").createOrReplaceTempView("supplier")
+        t(s, dir, "nation").createOrReplaceTempView("nation")
+        s.sql("""SELECT s_name, COUNT(*) AS numwait
+                |FROM supplier
+                |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+                |JOIN orders ON o_orderkey = l1.l_orderkey
+                |JOIN nation ON s_nationkey = n_nationkey
+                |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+                |  AND EXISTS (SELECT 1 FROM lineitem l2
+                |    WHERE l2.l_orderkey = l1.l_orderkey
+                |      AND l2.l_suppkey <> l1.l_suppkey)
+                |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                |    WHERE l3.l_orderkey = l1.l_orderkey
+                |      AND l3.l_suppkey <> l1.l_suppkey
+                |      AND l3.l_returnflag = 'R')
+                |GROUP BY s_name
+                |ORDER BY numwait DESC, s_name
+                |LIMIT 100""".stripMargin)
+      },
+      Some("""SELECT s_name, COUNT(*) AS numwait
+             |FROM supplier
+             |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+             |JOIN orders ON o_orderkey = l1.l_orderkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |    WHERE l2.l_orderkey = l1.l_orderkey
+             |      AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |    WHERE l3.l_orderkey = l1.l_orderkey
+             |      AND l3.l_suppkey <> l1.l_suppkey
+             |      AND l3.l_returnflag = 'R')
+             |GROUP BY s_name
+             |ORDER BY numwait DESC, s_name
+             |LIMIT 100""".stripMargin)),
+
     // ---- composite: TPC-H Q3 shape (join tree + agg + top-k) ----
     Q("q_tpch_q3",
       (s, dir) => t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")

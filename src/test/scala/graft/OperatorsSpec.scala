@@ -339,9 +339,9 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.decode(wav).sameElements(f))
   }
 
-  test("TPC-H q17/q20 correlated subqueries decorrelate to joins, no cartesian") {
+  test("TPC-H q17/q20/q18/q21 correlated subqueries decorrelate to joins, no cartesian") {
     val dir = sf("sf0.001")
-    for (name <- Seq("q_tpch_q17", "q_tpch_q20")) {
+    for (name <- Seq("q_tpch_q17", "q_tpch_q20", "q_tpch_q18", "q_tpch_q21")) {
       val df = SparkEntry.queries(name)(spark, dir)
       val rows = df.collect()
       assert(rows.nonEmpty, s"$name returned no rows — the gate would be vacuous")
