@@ -153,11 +153,7 @@ object Bench {
     // The sorted pair above shows what a lead-column sort buys; this pair
     // shows the multi-key layout pruning a sort cannot give.
     val zroot = java.nio.file.Paths.get("/tmp/graft_bench_zorder")
-    if (java.nio.file.Files.exists(zroot)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(zroot).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    graft.api.Table.deleteRecursively(zroot)
     val zs = graft.api.VastSession(spark, zroot.toString)
     zs.createBucket("b")
     val liRows = t("lineitem").count()

@@ -241,7 +241,11 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
 
   def stats: TableStats = {
     val m = manifest
-    val size = m.files.map(f => try Files.size(Paths.get(resolveDataPath(f.path)))
+    // manifest-recorded sizes when available; a per-file filesystem stat
+    // only for legacy entries written before `bytes` existed
+    val size = m.files.map(f =>
+      if (f.bytes > 0) f.bytes
+      else try Files.size(Paths.get(resolveDataPath(f.path)))
       catch { case _: Exception => 0L }).sum
     val hasLayout = m.sortingKeys.nonEmpty || m.clusteringKeys.nonEmpty
     val sortedFrac =
@@ -264,10 +268,19 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
 
   private def statCol(name: String, dt: DataType): Column = dt match {
     case TimestampType => unix_micros(col(name))
-    // session tz is pinned UTC engine-wide (same assumption as the
-    // foldable-literal eval in Glue.rangeConstraints), so ntz micros and
-    // tz micros coincide and compare soundly against either literal kind
-    case TimestampNTZType => unix_micros(col(name).cast(TimestampType))
+    // WALL-CLOCK micros via a UTC-pinned cast — `col.cast("timestamp")`
+    // would go through the SESSION timezone, making the stored stat shift
+    // with whatever tz an embedder runs under while the ntz literal on the
+    // pruning side never shifts (silently over-pruning). With wall-clock
+    // micros, ntz-vs-ntz comparisons are tz-independent; only cross-type
+    // (ntz column vs tz literal) predicates keep the engine's pinned-UTC
+    // assumption, same as Glue.rangeConstraints' literal eval
+    case TimestampNTZType =>
+      org.apache.spark.sql.graftglue.Glue.column(
+        org.apache.spark.sql.catalyst.expressions.UnixMicros(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.graftglue.Glue.expression(col(name)),
+            TimestampType, Some("UTC"))))
     case DateType => datediff(col(name), lit("1970-01-01").cast("date"))
     // float→double is EXACT and double→string round-trips; casting the
     // float itself to string would store its shortest decimal form, which
@@ -342,7 +355,8 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
         else Some(k -> ColStat(mn, mx, kind))
       }.toMap
       FileEntry(rel, r.getAs[Long]("rows"), r.getAs[Long]("lo"),
-        r.getAs[Long]("hi"), sorted = sorted, colStats = stats)
+        r.getAs[Long]("hi"), sorted = sorted, colStats = stats,
+        bytes = try Files.size(Paths.get(path)) catch { case _: Exception => 0L })
     }.toSeq
     entries
   }
@@ -868,14 +882,21 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
   /** Re-sort data at rest: global range partitioning + in-partition sort —
     * the write-path plan whose row-group min/max stats make zone skipping
     * automatic for range predicates on the keys. */
+  /** Rewrite file count for a layout rewrite: explicit so AQE cannot
+    * coalesce a small rewrite into one file and void per-file zone maps;
+    * clamped so a tiny target on a huge table cannot overflow Int. */
+  private def layoutFileCount(totalRows: Long, targetFileRows: Long): Int = {
+    if (targetFileRows <= 0) throw NotSupportedCommand(
+      s"targetFileRows must be positive, got $targetFileRows")
+    math.min(Int.MaxValue.toLong,
+      math.max(1L, (totalRows + targetFileRows - 1) / targetFileRows)).toInt
+  }
+
   def optimizeSort(targetFileRows: Long = 4000000L): Unit = {
     val m = manifest
     if (m.sortingKeys.isEmpty) throw NotSupportedCommand("no sorting key")
     val sortCols = m.sortingKeys.map(col)
-    // explicit file count, same rationale as optimizeZorder: AQE must not
-    // coalesce a small rewrite into one file and void per-file zone maps
-    val nFiles = math.max(1L,
-      (m.totalRows + targetFileRows - 1) / targetFileRows).toInt
+    val nFiles = layoutFileCount(m.totalRows, targetFileRows)
     val data = readEntries(m.files, m.schema)
       .repartitionByRange(nFiles, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
@@ -895,15 +916,15 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     if (m.clusteringKeys.isEmpty) throw NotSupportedCommand("no clustering keys")
     val data = readEntries(m.files, m.schema)
     val zc = graft.ops.Zorder.zColumn(data, m.clusteringKeys, m.totalRows)
-    // explicit partition count = explicit FILE count (one file per range):
-    // AQE would otherwise coalesce a small rewrite into one file and erase
-    // the multi-file layout whose per-file zone maps are the entire point
-    val nFiles = math.max(1L,
-      (m.totalRows + targetFileRows - 1) / targetFileRows).toInt
-    val out = data.withColumn("__graft_z", zc)
-      .repartitionByRange(nFiles, col("__graft_z"))
-      .sortWithinPartitions("__graft_z")
-      .drop("__graft_z")
+    val nFiles = layoutFileCount(m.totalRows, targetFileRows)
+    // temp column name must not shadow a real column — withColumn would
+    // overwrite it and the drop below would destroy its data
+    val zName = Iterator.from(0).map(i => s"__graft_z$i")
+      .find(n => !m.schema.fieldNames.contains(n)).get
+    val out = data.withColumn(zName, zc)
+      .repartitionByRange(nFiles, col(zName))
+      .sortWithinPartitions(zName)
+      .drop(zName)
     val entries = writeData(out, sorted = true)
     tx.stageWrite(dir, m.copy(files = entries))
     recordAudit("optimize_zorder", m.totalRows)

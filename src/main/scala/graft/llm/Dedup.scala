@@ -268,7 +268,14 @@ object Dedup {
     // inventory — `pairs` (which may hide an expensive LSH band-join) is
     // evaluated exactly ONCE, here.
     val contracted = truncate(contractLocally(pairs
-      .select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))))
+      .select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
+      // null ids (cast failures, null keys) would kill the non-nullable
+      // tuple deserializer inside the union-find: a half-null pair keeps
+      // its real id as a singleton self-loop (the id DID appear in the
+      // input, so the output must carry it), an all-null row drops
+      .filter(col("u").isNotNull || col("v").isNotNull)
+      .select(coalesce(col("u"), col("v")).as("u"),
+        coalesce(col("v"), col("u")).as("v"))))
     var edges = contracted.filter(col("u") =!= col("v"))
     // deterministic edge-set signature: (count, xor of per-edge hashes) —
     // bit_xor, not sum: ANSI mode makes an overflowing long sum THROW.

@@ -464,9 +464,12 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
           withTable(args.head.asInstanceOf[String]) { t =>
             val keys = args(1).asInstanceOf[String].split(",").toSeq
               .map(_.trim).filter(_.nonEmpty)
+            val target = args(2).asInstanceOf[Long]
+            if (target <= 0) throw new IllegalArgumentException(
+              s"target_file_rows must be positive, got $target")
             // idempotent re-CALL: keep the declared keys unless they changed
             if (t.manifest.clusteringKeys != keys) t.addClusteringKeys(keys)
-            t.optimizeZorder(args(2).asInstanceOf[Long])
+            t.optimizeZorder(target)
             Seq(org.apache.spark.sql.Row(
               t.manifest.files.size, t.manifest.totalRows))
           }

@@ -493,6 +493,17 @@ class OperatorsSpec extends SparkSpec {
     val got2 = graft.llm.Dedup.connectedComponents(redges.toDF("id_a", "id_b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got2 == want)
+    // null ids (failed casts, null keys) must not NPE the union-find's
+    // non-nullable tuple deserializer; the non-null side of a half-null
+    // pair still appears in the output, as its own singleton
+    val withNulls = Seq((java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L)),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(3L)),
+      (java.lang.Long.valueOf(4L), null.asInstanceOf[java.lang.Long]))
+      .toDF("id_a", "id_b")
+    val got3 = graft.llm.Dedup.connectedComponents(withNulls)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got3 == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L),
+      s"null-id handling broke: $got3")
   }
 
   test("connectedComponents: one driver action per round, no eager checkpoint pass") {

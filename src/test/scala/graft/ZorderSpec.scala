@@ -112,6 +112,34 @@ class ZorderSpec extends SparkSpec {
     }
   }
 
+  test("timestamp_ntz zone maps prune soundly in a non-UTC session") {
+    val s = fresh()
+    val tzSchema = StructType(Seq(
+      StructField("ts", TimestampNTZType), StructField("v", LongType)))
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo") // UTC+9
+    try s.transaction { tx =>
+      val t = tx.bucket("b").createSchema("m").createTable("t", tzSchema)
+      def batch(hour: Int): Unit = {
+        val l = new java.util.ArrayList[Row]()
+        (0 until 10).foreach(i => l.add(Row(
+          java.time.LocalDateTime.of(2024, 1, 1, hour, i), i.toLong)))
+        t.insert(spark.createDataFrame(l, tzSchema).coalesce(1))
+      }
+      batch(2); batch(10); batch(20) // three files, disjoint wall-clock hours
+      val all = t.manifest.files
+      assert(all.size == 3 && all.forall(_.colStats.contains("ts")))
+      val pred = col("ts") >= lit(java.time.LocalDateTime.of(2024, 1, 1, 10, 0)) &&
+        col("ts") < lit(java.time.LocalDateTime.of(2024, 1, 1, 11, 0))
+      // soundness: a session-tz-dependent stat would shift by -9h here and
+      // prune the 10:xx file; the scan must still return all 10 rows
+      assert(t.select(Seq("v"), pred).count() == 10,
+        "ntz zone maps over-pruned under a non-UTC session timezone")
+      // and the pruning is still effective (not just disabled)
+      assert(t.pruneByZoneMaps(all, pred).size == 1)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("clustering DDL guards and key propagation through column DDL") {
     val s = fresh()
     s.transaction { tx =>
@@ -124,9 +152,26 @@ class ZorderSpec extends SparkSpec {
       t.addSortingKey(Seq("x"))
       intercept[NotSupportedCommand](t.addClusteringKeys(Seq("x", "y")))
 
+      intercept[NotSupportedCommand](t.optimizeSort(targetFileRows = 0))
+
       val t2 = m.createTable("t2", schema)
       t2.addClusteringKeys(Seq("x", "y"))
       intercept[NotSupportedCommand](t2.addSortingKey(Seq("x")))
+      intercept[NotSupportedCommand](t2.optimizeZorder(targetFileRows = -1))
+
+      // a user column named like the rewrite's temp column must survive
+      val clashSchema = StructType(schema.fields :+
+        StructField("__graft_z0", LongType))
+      val t3 = m.createTable("t3", clashSchema)
+      val l = new java.util.ArrayList[Row]()
+      (0 until 50).foreach(i => l.add(Row(i % 10L, i / 10L, s"r$i", i * 7L)))
+      t3.insert(spark.createDataFrame(l, clashSchema))
+      t3.addClusteringKeys(Seq("x", "y"))
+      t3.optimizeZorder()
+      val zvals = t3.select(Seq("__graft_z0")).collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(zvals == (0 until 50).map(_ * 7L).sorted,
+        "z-order rewrite clobbered a user column named __graft_z0")
       t2.renameColumn("y", "y2")
       assert(t2.manifest.clusteringKeys == Seq("x", "y2"))
       t2.dropColumn("y2")
