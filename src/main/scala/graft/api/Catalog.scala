@@ -48,10 +48,15 @@ object Manifest {
   /** One immutable data file + its row-id range (drives file-level pruning
     * for row-id-addressed DML), per-column zone maps, and per-file
     * physical→logical column renames (lazy rename, no data rewrite). */
+  /** `bytes` = on-disk file size captured at commit time (0 in manifests
+    * written before the field existed): table stats and byte-budgeted
+    * changefeed pacing read it from the manifest instead of issuing one
+    * filesystem stat per file — O(files) round trips on an object store. */
   case class FileEntry(path: String, rows: Long, minRowId: Long, maxRowId: Long,
                        sorted: Boolean = false,
                        renames: Map[String, String] = Map.empty,
-                       colStats: Map[String, ColStat] = Map.empty)
+                       colStats: Map[String, ColStat] = Map.empty,
+                       bytes: Long = 0L)
   /** `stale` flips on any base-table DML so the picker stops serving the
     * projection until `refreshProjection` rebuilds it (the reference
     * maintains semi-sorted projections transparently server-side; here

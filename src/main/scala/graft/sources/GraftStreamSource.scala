@@ -89,6 +89,10 @@ class GraftStreamSource extends TableProvider with DataSourceRegister {
       }
       if (n < 0 || n > cur) throw new IllegalArgumentException(
         s"endingVersion $n is outside the table's versions 0..$cur")
+      if (!Files.exists(dir.resolve("_manifest").resolve(f"v$n%08d.json")))
+        throw new IllegalArgumentException(
+          s"endingVersion $n of $dir was removed by version retention " +
+            "(vacuum) — pick a retained version (see Table.history())")
       n
     }.getOrElse(cur)
   }
@@ -150,6 +154,7 @@ private class GraftStreamTable(dir: Path, tableSchema: StructType,
         // don't carry options into the scan
         tableIgnoreChanges || options.getBoolean("ignoreChanges", false),
         options.getInt("maxFilesPerTrigger", Int.MaxValue),
+        options.getLong("maxBytesPerTrigger", Long.MaxValue),
         Option(options.get("startingVersion")),
         Option(options.get("endingVersion")))
     }
@@ -160,7 +165,8 @@ private[graft] class GraftStreamScan(dir: Path, required: StructType,
                                      builderFilters: Seq[Expression],
                                      ignoreChanges: Boolean,
                                      maxFilesPerTrigger: Int,
-                                     startingVersion: Option[String],
+                                     maxBytesPerTrigger: Long = Long.MaxValue,
+                                     startingVersion: Option[String] = None,
                                      endingVersion: Option[String] = None)
     extends Scan {
   override def readSchema(): StructType = required
@@ -340,6 +346,12 @@ private[graft] class GraftStreamScan(dir: Path, required: StructType,
       }
       if (n < 0 || n > cur) throw new IllegalArgumentException(
         s"$name $n is outside the table's versions 0..$cur")
+      // a batch read must fail with batch guidance, not manifestAt's
+      // restart-the-stream message (n == 0 never reads a manifest)
+      if (n > 0 && !Files.exists(manifestPath(n)))
+        throw new IllegalArgumentException(
+          s"$name $n of $dir was removed by version retention (vacuum) — " +
+            "pick a retained version (see Table.history())")
       n
     }
     val e = endingVersion.map(parseV("endingVersion", _)).getOrElse(cur)
@@ -355,6 +367,11 @@ private[graft] class GraftStreamScan(dir: Path, required: StructType,
     val endM = manifestAt(e)
     val startPaths: Set[String] =
       if (s == 0) Set.empty else manifestAt(s).files.map(_.path).toSet
+    // endpoint set-difference semantics, identical to a stream draining
+    // (s, e] in one batch: a file both ADDED and rewritten inside the span
+    // appears only in its final form (snapshot-consistent at e); the guard
+    // fires for files that existed AT s and were rewritten since — the
+    // case that would re-deliver rows a consumer of version s already has
     val removed = startPaths -- endM.files.map(_.path).toSet
     if (removed.nonEmpty && !ignoreChanges)
       throw new IllegalStateException(
@@ -413,25 +430,30 @@ private[graft] class GraftStreamScan(dir: Path, required: StructType,
       override def commit(end: Offset): Unit = ()
       override def stop(): Unit = ()
 
-      /** Backlog rate limiting (`maxFilesPerTrigger`): instead of draining
-        * an arbitrarily deep version backlog in one giant batch, advance to
-        * the FURTHEST version whose cumulative new-file count stays within
-        * the cap (always ≥ one version, so progress is guaranteed even past
-        * an oversized commit). Versions are walked forward from the current
-        * offset — cost proportional to the backlog being admitted, not to
-        * table history. A vacuumed intermediate manifest is skipped (its
-        * files are carried by the next retained version, which absorbs the
-        * whole gap as one step) instead of failing the walk — only the
-        * ENDPOINT manifests are load-bearing for correctness. */
+      /** Backlog rate limiting (`maxFilesPerTrigger` / `maxBytesPerTrigger`,
+        * combined when both set): instead of draining an arbitrarily deep
+        * version backlog in one giant batch, advance to the FURTHEST
+        * version whose cumulative new-file count AND byte volume (manifest-
+        * recorded sizes, no filesystem stats) stay within the caps (always
+        * ≥ one version, so progress is guaranteed even past an oversized
+        * commit). Versions are walked forward from the current offset —
+        * cost proportional to the backlog being admitted, not to table
+        * history. A vacuumed intermediate manifest is skipped (its files
+        * are carried by the next retained version, which absorbs the whole
+        * gap as one step) instead of failing the walk — only the ENDPOINT
+        * manifests are load-bearing for correctness. */
       override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
         val cur = targetVersion
         val s = start.asInstanceOf[GraftVersionOffset].version
-        if (maxFilesPerTrigger == Int.MaxValue || cur <= s)
+        val paced = maxFilesPerTrigger != Int.MaxValue ||
+          maxBytesPerTrigger != Long.MaxValue
+        if (!paced || cur <= s)
           return GraftVersionOffset(cur)
         var known: Set[String] =
           if (s == 0) Set.empty else manifestAt(s).files.map(_.path).toSet
         var admitted = s
-        var budget = maxFilesPerTrigger
+        var fileBudget = maxFilesPerTrigger.toLong
+        var byteBudget = maxBytesPerTrigger
         var v = s + 1
         var stop = false
         while (!stop && v <= cur) {
@@ -443,14 +465,19 @@ private[graft] class GraftStreamScan(dir: Path, required: StructType,
           // empty "drained" run
           if (v < cur && !Files.exists(manifestPath(v))) v += 1
           else {
-            val files = manifestAt(v).files.map(_.path).toSet
-            val fresh = (files -- known).size
-            if (fresh <= budget || admitted == s) { // always admit ≥ 1 version
+            val m = manifestAt(v)
+            val fresh = m.files.filterNot(f => known(f.path))
+            // legacy entries (bytes 0) cost nothing against the byte
+            // budget — pacing degrades to file-count-only over them
+            val freshBytes = fresh.map(_.bytes).sum
+            if ((fresh.size <= fileBudget && freshBytes <= byteBudget) ||
+                admitted == s) { // always admit ≥ 1 version
               admitted = v
-              budget -= fresh
-              known = files
+              fileBudget -= fresh.size
+              byteBudget -= freshBytes
+              known = m.files.map(_.path).toSet
               v += 1
-              if (budget <= 0) stop = true
+              if (fileBudget <= 0 || byteBudget <= 0) stop = true
             } else stop = true
           }
         }

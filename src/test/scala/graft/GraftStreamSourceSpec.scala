@@ -317,6 +317,28 @@ class GraftStreamSourceSpec extends SparkSpec {
     val batches = new java.io.File(ckpt + "/offsets").list()
       .count(!_.startsWith("."))
     assert(batches == 3, s"expected 3 paced micro-batches, got $batches")
+
+    // byte-budget pacing: each ~1 KB parquet file blows a 1-byte budget, so
+    // the walk still advances exactly one version per batch (progress
+    // guaranteed past an oversized commit) — same 3-batch shape, driven by
+    // manifest-recorded sizes instead of file counts
+    s.transaction { tx =>
+      val fs = tx.bucket("bk").schema("m").table("t").manifest.files
+      assert(fs.forall(_.bytes > 0), s"manifest sizes missing: $fs")
+    }
+    val ckpt2 = Files.createTempDirectory("graft-rate-ck2").toString
+    val out2 = Files.createTempDirectory("graft-rate-out2").toString + "/sink"
+    val q2 = spark.readStream.format("graft")
+      .option("maxBytesPerTrigger", "1").load(tdir)
+      .writeStream.format("parquet").option("path", out2)
+      .option("checkpointLocation", ckpt2)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(120000)
+    assert(spark.read.parquet(out2).count() == 6)
+    val batches2 = new java.io.File(ckpt2 + "/offsets").list()
+      .count(!_.startsWith("."))
+    assert(batches2 == 3, s"expected 3 byte-paced micro-batches, got $batches2")
   }
 
   test("stream filter pushdown skips parquet row groups") {
@@ -576,6 +598,13 @@ class GraftStreamSourceSpec extends SparkSpec {
       .load(tdir).collect())
     intercept[IllegalArgumentException](spark.read.format("graft")
       .option("startingVersion", "latest").load(tdir).collect())
+    // a vacuumed version fails with batch guidance, not a stream-restart hint
+    s.transaction(tx =>
+      tx.bucket("bk").schema("m").table("t").vacuumVersions(1, 0L))
+    val gone = intercept[IllegalArgumentException](spark.read.format("graft")
+      .option("endingVersion", "1").load(tdir).collect())
+    assert(gone.getMessage.contains("version retention"),
+      s"wrong vacuumed-version error: ${gone.getMessage}")
     // endingVersion is batch-only: the stream rejects it at start
     val q = intercept[Exception] {
       spark.readStream.format("graft").option("endingVersion", "2").load(tdir)
