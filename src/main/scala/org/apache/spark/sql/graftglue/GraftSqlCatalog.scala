@@ -330,6 +330,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
   //     CALL graft.system.maintain('bk.m.t')
   //     CALL graft.system.vacuum_versions('bk.m.t', 7, 3600000)
   //     CALL graft.system.zorder('bk.m.t', 'x,y')
+  //     CALL graft.system.vector_search('bk.m.emb', 'embedding', '0.1,0.2', 10)
   //     CALL graft.system.dedup_pairs('bk.m.docs', 'id', 'text', 'bk.m.pairs', 0.7)
   //     CALL graft.system.dedup_clusters('bk.m.docs', 'id', 'text', 'bk.m.cc', 0.7)
   //     CALL graft.system.pii_redact('bk.m.docs', 'bk.m.clean', 'text')
@@ -417,7 +418,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private val procedureNames = Array("history", "maintain", "vacuum_versions",
-    "zorder",
+    "zorder", "vector_search",
     "dedup_pairs", "dedup_clusters", "pii_redact", "chunk", "decontaminate")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
@@ -485,6 +486,36 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             val (f, m) = t.vacuumVersions(args(1).asInstanceOf[Int],
               args(2).asInstanceOf[Long])
             Seq(org.apache.spark.sql.Row(f, m))
+          }
+      }
+      // the reference's own vector workflow is SQL-over-ADBC
+      // (/root/reference/vastdb/_adbc.py:133-159); this is the engine's SQL
+      // door to the same search: IVF-routed when an index is fresh, exact
+      // brute force otherwise. Returns (_row_id, _distance) — a BOUNDED k
+      // rows, so a CALL result is safe — join back on _row_id for payload
+      // columns, which the row-id-range file pruning serves in ~k files.
+      case "vector_search" => new GraftProcedure("vector_search",
+          Seq(("table", StringType, None), ("column", StringType, None),
+            ("query_vector", StringType, None), // comma-separated floats
+            ("k", IntegerType, Some("10")),
+            ("where", StringType, Some("true")), // SQL predicate over the table
+            ("nprobe", IntegerType, Some("4"))),
+          StructType(Seq(StructField("_row_id", LongType),
+            StructField("_distance", DoubleType)))) {
+        def run(args: Seq[Any]) =
+          withTable(args.head.asInstanceOf[String]) { t =>
+            val vec = args(2).asInstanceOf[String].split(",").toSeq
+              .map(_.trim).filter(_.nonEmpty).map(_.toFloat)
+            val k = args(3).asInstanceOf[Int]
+            if (k <= 0) throw new IllegalArgumentException(
+              s"k must be positive, got $k")
+            t.vectorSearch(args(1).asInstanceOf[String], vec, k,
+                org.apache.spark.sql.functions.expr(args(4).asInstanceOf[String]),
+                args(5).asInstanceOf[Int])
+              .select(org.apache.spark.sql.functions.col("_row_id"),
+                org.apache.spark.sql.functions.col("_distance")
+                  .cast(DoubleType).as("_distance"))
+              .collect().toSeq
           }
       }
       case "dedup_pairs" => new GraftProcedure("dedup_pairs",

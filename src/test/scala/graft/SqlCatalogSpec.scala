@@ -499,6 +499,46 @@ class SqlCatalogSpec extends SparkSpec {
       .head.getLong(1) == 4000L)
   }
 
+  test("CALL vector_search matches the API top-k, with and without predicate") {
+    val root = Files.createTempDirectory("graft-sqlvs").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    val vSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    s.transaction { tx =>
+      val t = tx.bucket("bk").createSchema("m").createTable("e", vSchema)
+      val l = new java.util.ArrayList[Row]()
+      (0 until 200).foreach { i =>
+        l.add(Row(i.toLong, Seq(i.toFloat, (i % 7).toFloat, 1.0f)))
+      }
+      t.insert(spark.createDataFrame(l, vSchema))
+    }
+    spark.conf.set("spark.sql.catalog.graftv",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.graftv.root", root)
+    val qv = "42.2, 3.0, 1.0"
+    val got = spark.sql(
+      s"CALL graftv.system.vector_search('bk.m.e', 'embedding', '$qv', 5)")
+      .collect()
+    assert(got.length == 5)
+    val apiIds = s.transaction(tx =>
+      tx.bucket("bk").schema("m").table("e")
+        .vectorSearch("embedding", Seq(42.2f, 3.0f, 1.0f), 5)
+        .select("_row_id").collect().map(_.getLong(0)).toSeq)
+    assert(got.map(_.getLong(0)).toSeq == apiIds,
+      s"SQL top-k ${got.map(_.getLong(0)).toSeq} != API $apiIds")
+    // distances ascend and the predicate arg narrows the candidates
+    assert(got.map(_.getDouble(1)).toSeq ==
+      got.map(_.getDouble(1)).sorted.toSeq)
+    val pred = spark.sql("CALL graftv.system.vector_search(" +
+      s"'bk.m.e', 'embedding', '$qv', 3, 'vec_id >= 100')").collect()
+    assert(pred.length == 3)
+    // join back by _row_id hydrates payload columns through SQL
+    pred.foreach(r => assert(spark.sql(
+      s"SELECT vec_id FROM graftv.bk.m.e WHERE _row_id = ${r.getLong(0)}")
+      .head.getLong(0) >= 100L))
+  }
+
   test("CALL curation procedures write output tables matching the Scala API") {
     val root = Files.createTempDirectory("graft-sqlcur").toString
     val s = VastSession(spark, root)
