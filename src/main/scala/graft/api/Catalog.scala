@@ -46,12 +46,12 @@ object Manifest {
                      maxUnbounded: Boolean = false)
 
   /** One immutable data file + its row-id range (drives file-level pruning
-    * for row-id-addressed DML), per-column zone maps, and per-file
-    * physical→logical column renames (lazy rename, no data rewrite). */
-  /** `bytes` = on-disk file size captured at commit time (0 in manifests
-    * written before the field existed): table stats and byte-budgeted
-    * changefeed pacing read it from the manifest instead of issuing one
-    * filesystem stat per file — O(files) round trips on an object store. */
+    * for row-id-addressed DML), per-column zone maps, per-file
+    * physical→logical column renames (lazy rename, no data rewrite), and
+    * `bytes` = on-disk size captured at commit time (0 in manifests written
+    * before the field existed): table stats and byte-budgeted changefeed
+    * pacing read it from the manifest instead of issuing one filesystem
+    * stat per file — O(files) round trips on an object store. */
   case class FileEntry(path: String, rows: Long, minRowId: Long, maxRowId: Long,
                        sorted: Boolean = false,
                        renames: Map[String, String] = Map.empty,

@@ -1290,6 +1290,29 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     * Without an index (or with a stale one) the scan is the exact brute
     * force over the base table. Both paths return the same shape:
     * (`_row_id`, all columns, `_distance`), distance-then-rowid ordered. */
+  /** Top-k ids only — `(_row_id, _distance)` without hydrating payload
+    * columns: IVF-routed when the index is fresh, exact brute force
+    * otherwise. The shape for callers (e.g. the SQL `vector_search`
+    * procedure) that join payload back themselves, or don't need it:
+    * skips the winner-file fetch entirely. */
+  def vectorSearchIds(column: String, queryVec: Seq[Float], k: Int,
+                      predicate: Column = lit(true), nprobe: Int = 4): DataFrame = {
+    val m = manifest
+    val metric = m.vectorIndexes.find(_.column == column)
+      .map(_.metric).getOrElse("l2sq")
+    val q = lit(queryVec.toArray).cast("array<float>")
+    def distOf(v: Column) = metric match {
+      case "ip" => -Distances.ip(v, q)
+      case _ => Distances.l2sq(v, q)
+    }
+    ivfTopK(column, queryVec, k, predicate, nprobe).getOrElse(
+      select(Nil, predicate, internalRowId = true)
+        .withColumn("_distance", distOf(col(column)))
+        .orderBy(col("_distance").asc, col(RowIdColumn).asc)
+        .limit(k)
+        .select(col(RowIdColumn), col("_distance")))
+  }
+
   def vectorSearch(column: String, queryVec: Seq[Float], k: Int,
                    predicate: Column = lit(true), nprobe: Int = 4): DataFrame = {
     val m = manifest

@@ -242,7 +242,9 @@ object Dedup {
    * cluster run survives executor loss at the cost of a per-round write.
    *
    * Returns (id, component) for every id appearing in `pairs`, where
-   * component = the smallest id in its cluster.
+   * component = the smallest id in its cluster. Ids must be integral (or
+   * castable): a non-castable id nulls out and its edge degrades to the
+   * partner's singleton — hash string ids (e.g. `xxhash64`) before calling.
    */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 25,
@@ -268,11 +270,15 @@ object Dedup {
     // inventory — `pairs` (which may hide an expensive LSH band-join) is
     // evaluated exactly ONCE, here.
     val contracted = truncate(contractLocally(pairs
-      .select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
-      // null ids (cast failures, null keys) would kill the non-nullable
-      // tuple deserializer inside the union-find: a half-null pair keeps
-      // its real id as a singleton self-loop (the id DID appear in the
-      // input, so the output must carry it), an all-null row drops
+      // try_cast, not cast: ANSI mode would THROW on a malformed string id
+      // before any null guard could run — malformed and null ids must both
+      // degrade, not kill the job
+      .select(col(idA).try_cast("long").as("u"),
+        col(idB).try_cast("long").as("v"))
+      // null ids would kill the non-nullable tuple deserializer inside the
+      // union-find: a half-null pair keeps its real id as a singleton
+      // self-loop (the id DID appear in the input, so the output must
+      // carry it), an all-null row drops
       .filter(col("u").isNotNull || col("v").isNotNull)
       .select(coalesce(col("u"), col("v")).as("u"),
         coalesce(col("v"), col("u")).as("v"))))

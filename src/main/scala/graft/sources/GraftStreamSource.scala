@@ -467,9 +467,15 @@ private[graft] class GraftStreamScan(dir: Path, required: StructType,
           else {
             val m = manifestAt(v)
             val fresh = m.files.filterNot(f => known(f.path))
-            // legacy entries (bytes 0) cost nothing against the byte
-            // budget — pacing degrades to file-count-only over them
-            val freshBytes = fresh.map(_.bytes).sum
+            // legacy entries (pre-bytes manifests) fall back to one
+            // filesystem stat each — bounded by the backlog being admitted
+            // — so byte pacing keeps its contract on pre-upgrade tables
+            // instead of silently draining them in one giant batch
+            val freshBytes = fresh.map(f =>
+              if (f.bytes > 0 || maxBytesPerTrigger == Long.MaxValue) f.bytes
+              else (try Files.size(Paths.get(
+                graft.api.Table.resolvePath(dir, f.path)))
+              catch { case _: Exception => 0L })).sum
             if ((fresh.size <= fileBudget && freshBytes <= byteBudget) ||
                 admitted == s) { // always admit ≥ 1 version
               admitted = v

@@ -509,9 +509,13 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             val k = args(3).asInstanceOf[Int]
             if (k <= 0) throw new IllegalArgumentException(
               s"k must be positive, got $k")
-            t.vectorSearch(args(1).asInstanceOf[String], vec, k,
+            val nprobe = args(5).asInstanceOf[Int]
+            if (nprobe <= 0) throw new IllegalArgumentException(
+              s"nprobe must be positive, got $nprobe") // 0 would silently
+              // probe no cells and return an empty result
+            t.vectorSearchIds(args(1).asInstanceOf[String], vec, k,
                 org.apache.spark.sql.functions.expr(args(4).asInstanceOf[String]),
-                args(5).asInstanceOf[Int])
+                nprobe)
               .select(org.apache.spark.sql.functions.col("_row_id"),
                 org.apache.spark.sql.functions.col("_distance")
                   .cast(DoubleType).as("_distance"))

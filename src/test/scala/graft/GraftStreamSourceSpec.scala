@@ -605,17 +605,20 @@ class GraftStreamSourceSpec extends SparkSpec {
       .option("endingVersion", "1").load(tdir).collect())
     assert(gone.getMessage.contains("version retention"),
       s"wrong vacuumed-version error: ${gone.getMessage}")
-    // endingVersion is batch-only: the stream rejects it at start
+    // endingVersion is batch-only: the stream rejects it at start. Version
+    // 5 is the RETAINED one — a vacuumed version would trip the retention
+    // error at load() and never reach the guard under test
     val q = intercept[Exception] {
-      spark.readStream.format("graft").option("endingVersion", "2").load(tdir)
+      spark.readStream.format("graft").option("endingVersion", "5").load(tdir)
         .writeStream.format("noop")
         .option("checkpointLocation",
           Files.createTempDirectory("graft-ev-ck").toString)
         .trigger(Trigger.AvailableNow()).start().awaitTermination(60000)
     }
-    assert(q.getMessage.contains("endingVersion") ||
-      q.getCause != null && q.getCause.getMessage.contains("endingVersion"),
-      s"wrong stream error: $q")
+    def msgs(e: Throwable): Seq[String] =
+      if (e == null) Nil else Option(e.getMessage).toSeq ++ msgs(e.getCause)
+    assert(msgs(q).exists(_.contains("BATCH read option")),
+      s"stream endingVersion guard not reached: ${msgs(q).take(3)}")
   }
 
   test("drop tombstones never resurrect through a fresh stream or batch read") {

@@ -20,7 +20,8 @@ object ScaleAuditProbe {
         .findAllIn(plan).size
       println(f"$name%-22s exch=$exchanges " + checks.filter(_._2).map(_._1).mkString(","))
     }
-    Seq("q_tpch_q3", "q_tpch_q5", "q_tpch_q17", "q_tpch_q20", "ev4_asof_join",
+    Seq("q_tpch_q3", "q_tpch_q5", "q_tpch_q17", "q_tpch_q20", "q_tpch_q18",
+      "q_tpch_q21", "ev4_asof_join",
       "ev6_range_join", "dd2_minhash_lsh", "ss1_knn_join", "v1_vector_topk_l2sq",
       "v3_vector_ivf", "w1_window_rank", "a1_agg_groupby", "l3_topk",
       "s1_scan_project").foreach(audit)
