@@ -621,6 +621,39 @@ class GraftStreamSourceSpec extends SparkSpec {
       s"stream endingVersion guard not reached: ${msgs(q).take(3)}")
   }
 
+  test("batch backfill composes gap-free with a stream tailing from its end") {
+    // the operational pattern version-range reads exist for: catch up with
+    // one batch read AS OF version e, then tail with startingVersion=e —
+    // batch serves (0, e], stream serves (e, ∞), no row lost or doubled
+    val root = Files.createTempDirectory("graft-compose").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    s.transaction(tx => tx.bucket("bk").createSchema("m").createTable("t", schema))
+    insert(s, 2, "a") // v1
+    insert(s, 2, "b") // v2
+    val tdir = Paths.get(root, "bk", "m", "t").toString
+    val e = graft.api.Table.currentVersion(Paths.get(tdir))
+    assert(e == 2L)
+    val backfill = spark.read.format("graft")
+      .option("endingVersion", e.toString).load(tdir)
+      .select("s").collect().map(_.getString(0)).toSeq
+    insert(s, 2, "c") // v3 — committed between backfill and stream start
+    insert(s, 2, "d") // v4
+    val out = Files.createTempDirectory("graft-compose-out").toString + "/sink"
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", e.toString).load(tdir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-compose-ck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val tail = spark.read.parquet(out)
+      .select("s").collect().map(_.getString(0)).toSeq
+    val union = (backfill ++ tail).sorted
+    assert(union == Seq("a0", "a1", "b0", "b1", "c0", "c1", "d0", "d1"),
+      s"backfill+tail not exactly-once: backfill=$backfill tail=$tail")
+  }
+
   test("drop tombstones never resurrect through a fresh stream or batch read") {
     val root = Files.createTempDirectory("graft-stream-tomb").toString
     val s = VastSession(spark, root)
