@@ -65,15 +65,52 @@ import graft.api.Manifest
  * to the files committed in (s, e] — batch "table changes" for backfills
  * and catch-up jobs that don't want a streaming checkpoint.
  */
-class GraftStreamSource extends TableProvider with DataSourceRegister {
+class GraftStreamSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft"
 
-  private def tableDir(options: CaseInsensitiveStringMap): Path = {
-    val p = Option(options.get("path")).getOrElse(
-      throw new IllegalArgumentException("graft source needs .load(<table dir>)"))
-    Paths.get(p)
+  /** The WRITE side of the symmetry: `writeStream.format("graft")` lands
+    * each micro-batch in a catalog table through the transactional insert
+    * with batch-id dedup — exactly-once TABLE CONTENTS on restart (same
+    * property key as `Events.sinkToTable`, so the two interoperate).
+    * Addressing is explicit (`root`, `bucket`, `schema`, `table` options):
+    * the commit machinery needs the catalog root (audit log, tx ids), which
+    * a bare table path cannot reveal. Append mode inserts; Complete mode
+    * OVERWRITES the table each batch (the natural shape for a streaming
+    * aggregation result table); Update is rejected. */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    def req(k: String): String = parameters.getOrElse(k,
+      throw new IllegalArgumentException(
+        s"graft sink needs .option(\"$k\", ...) — " +
+          "(root, bucket, schema, table) address the target"))
+    if (outputMode == org.apache.spark.sql.streaming.OutputMode.Update())
+      throw new IllegalArgumentException(
+        "graft sink supports Append (insert) and Complete (overwrite); " +
+          "Update-mode upserts need a key and are not expressible here")
+    new GraftTableSink(sqlContext.sparkSession, req("root"), req("bucket"),
+      req("schema"), req("table"),
+      complete = outputMode == org.apache.spark.sql.streaming.OutputMode.Complete())
   }
+
+  private def tableDir(options: CaseInsensitiveStringMap): Path =
+    Option(options.get("path")).map(Paths.get(_)).getOrElse {
+      // writeStream resolution probes the V2 table (inferSchema/getTable)
+      // BEFORE falling back to the V1 sink, so sink-addressed options must
+      // also resolve to a table dir here
+      val parts = Seq("root", "bucket", "schema", "table")
+        .map(k => Option(options.get(k)))
+      if (parts.forall(_.isDefined)) {
+        val Seq(r, b, s, t) = parts.map(_.get)
+        Paths.get(r, b +: s.split("/").toSeq :+ t: _*)
+      } else throw new IllegalArgumentException(
+        "graft source needs .load(<table dir>) — or, as a sink, " +
+          "options (root, bucket, schema, table)")
+    }
 
   /** Version a read PINS its schema and rename-identity anchor to: the
     * `endingVersion` option when given (batch reads of a past state must
@@ -614,4 +651,41 @@ object GraftStreamFilterPushdown extends Rule[LogicalPlan] {
 /** Stream offset = manifest version (total-ordered by the commit CAS). */
 private[sources] case class GraftVersionOffset(version: Long) extends Offset {
   override def json(): String = version.toString
+}
+
+/**
+ * V1 streaming sink writing micro-batches into a catalog table. Each batch
+ * is ONE transaction: the (distributed) insert/overwrite plus the
+ * `graft.stream.lastBatchId` property advance publish under a single
+ * manifest CAS, so a replayed batch after a crash-restart is recognized
+ * (`batchId <= lastBatchId`) and skipped — exactly-once table contents
+ * without any sink-side write-ahead log.
+ */
+private[sources] class GraftTableSink(spark: SparkSession, root: String,
+                                      bucket: String, schemaPath: String,
+                                      table: String, complete: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  // one session for the query's lifetime — tx ids stay monotonic across
+  // batches and the root-dir probe runs once
+  private val session = graft.api.VastSession(spark, root)
+
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+    // the incoming frame still carries the streaming flag; re-wrap it as a
+    // batch frame over the same physical rows or the insert's own write
+    // would trip the streaming-source analysis check
+    val batch = org.apache.spark.sql.graftglue.Glue.asBatch(data)
+    session.transaction { tx =>
+      val t = tx.bucket(bucket).schema(schemaPath).table(table)
+      val last = t.properties.get("graft.stream.lastBatchId")
+        .map(_.toLong).getOrElse(-1L)
+      if (batchId > last) {
+        if (complete) t.overwrite(batch) else t.insert(batch)
+        t.setProperties(Map("graft.stream.lastBatchId" -> batchId.toString))
+      }
+    }
+    ()
+  }
+
+  override def toString: String = s"GraftTableSink($bucket.$schemaPath.$table)"
 }

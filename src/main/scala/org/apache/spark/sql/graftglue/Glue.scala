@@ -18,6 +18,18 @@ object Glue {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
 
+  /** Re-wrap a V1 streaming sink's micro-batch DataFrame as a BATCH frame
+    * over the same physical rows (`queryExecution.toRdd`, no re-planning,
+    * no driver materialization): `Sink.addBatch` hands over a frame whose
+    * logical plan still carries the streaming flag, so any transformation
+    * + write on it trips "streaming sources must be executed with
+    * writeStream.start()". The standard V1-sink workaround. */
+  def asBatch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = false)
+  }
+
   /** Fully convert a Column to a catalyst expression tree (the lazy
     * `expression` wrapper defers conversion, hiding the node structure). */
   def catalystExpression(c: Column): Expression =
