@@ -1688,36 +1688,111 @@ object Table {
   def pruneByZoneMaps(entries: Seq[FileEntry], predicate: Column): Seq[FileEntry] = {
     val cons = Glue.rangeConstraints(predicate)
     if (cons.isEmpty) return entries
-    def normalize(v: Any): Option[Any] = v match {
-      case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
-      case other => Option(other)
-    }
     entries.filter { f =>
       cons.forall { case (c, op, raw) =>
-        (f.colStats.get(c), normalize(raw)) match {
-          case (Some(st), Some(v)) =>
-            def cmpTo(bound: String): Int = st.kind match {
-              case "long" => v.asInstanceOf[Number].longValue.compareTo(bound.toLong)
-              case "double" => v.asInstanceOf[Number].doubleValue.compareTo(bound.toDouble)
-              // UTF-8 binary order, matching the Spark min/max that produced
-              // the stats — String.compareTo (UTF-16 code units) disagrees on
-              // supplementary-plane chars and could prune matching files
-              case _ => org.apache.spark.unsafe.types.UTF8String.fromString(v.toString)
-                .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(bound))
-            }
-            // a truncated string max is only a prefix of the true max —
-            // treat it as +∞ for every upper-bound test
-            try op match {
-              case ">" => st.maxUnbounded || cmpTo(st.max) < 0
-              case ">=" => st.maxUnbounded || cmpTo(st.max) <= 0
-              case "<" => cmpTo(st.min) > 0
-              case "<=" => cmpTo(st.min) >= 0
-              case "=" => cmpTo(st.min) >= 0 &&
-                (st.maxUnbounded || cmpTo(st.max) <= 0)
-              case _ => true
-            } catch { case _: Exception => true } // type mismatch → keep
+        (f.colStats.get(c), normalizeStatValue(raw)) match {
+          case (Some(st), Some(v)) => statMayMatch(st, op, v)
           case _ => true
         }
+      }
+    }
+  }
+
+  private def normalizeStatValue(v: Any): Option[Any] = v match {
+    case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+    case other => Option(other)
+  }
+
+  /** May a file whose zone map is `st` contain a row satisfying `col op v`?
+    * Conservative: any comparison doubt answers true (keep the file). */
+  private def statMayMatch(st: ColStat, op: String, v: Any): Boolean = {
+    def cmpTo(bound: String): Int = st.kind match {
+      case "long" => v.asInstanceOf[Number].longValue.compareTo(bound.toLong)
+      case "double" => v.asInstanceOf[Number].doubleValue.compareTo(bound.toDouble)
+      // UTF-8 binary order, matching the Spark min/max that produced
+      // the stats — String.compareTo (UTF-16 code units) disagrees on
+      // supplementary-plane chars and could prune matching files
+      case _ => org.apache.spark.unsafe.types.UTF8String.fromString(v.toString)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(bound))
+    }
+    // a truncated string max is only a prefix of the true max —
+    // treat it as +∞ for every upper-bound test
+    try op match {
+      case ">" => st.maxUnbounded || cmpTo(st.max) < 0
+      case ">=" => st.maxUnbounded || cmpTo(st.max) <= 0
+      case "<" => cmpTo(st.min) > 0
+      case "<=" => cmpTo(st.min) >= 0
+      case "=" => cmpTo(st.min) >= 0 &&
+        (st.maxUnbounded || cmpTo(st.max) <= 0)
+      case _ => true
+    } catch { case _: Exception => true } // type mismatch → keep
+  }
+
+  /** EXACT membership pruning for an IN-set: keep a file iff SOME value can
+    * fall inside its `[min, max]` for `column` (missing stats keep it).
+    * Stronger than the envelope `rangeConstraints` collapses an IN to —
+    * a runtime join-key set {3, 900017} keeps only the files around those
+    * two points, not everything in [3, 900017]. This is what a dynamic-
+    * partition-pruning IN delivers at 100 TB: a dim filter that survives
+    * 50 keys opens ~50 fact files, not the whole key envelope. */
+  def pruneByInSet(entries: Seq[FileEntry], column: String,
+                   values: Seq[Any]): Seq[FileEntry] = {
+    val vs = values.flatMap(normalizeStatValue)
+    if (vs.isEmpty) return entries // all-null IN-set: equality never matches,
+    // but keep-conservative (Spark still evaluates the real predicate)
+
+    // a runtime key set can be large (every dim key surviving the filter),
+    // so membership is a SORTED-ARRAY range probe per file — O((V+F) log V),
+    // not O(V·F): sort once per value kind, then per file ask "is any value
+    // inside [min, max]?" with one binary search
+    def anyIn[T](a: Array[T], lo: T, hi: Option[T])
+                (implicit ord: Ordering[T]): Boolean = {
+      var l = 0; var r = a.length // lowest index with a(idx) >= lo
+      while (l < r) { val m = (l + r) >>> 1
+        if (ord.lt(a(m), lo)) l = m + 1 else r = m }
+      l < a.length && hi.forall(h => ord.lteq(a(l), h)) // hi=None means +∞
+    }
+    lazy val longs: Option[Array[Long]] = {
+      val ok = vs.forall {
+        case _: java.lang.Long | _: java.lang.Integer |
+             _: java.lang.Short | _: java.lang.Byte => true
+        case _ => false
+      }
+      if (ok) Some(vs.map(_.asInstanceOf[Number].longValue).toArray.sorted)
+      else None
+    }
+    lazy val doubles: Option[Array[Double]] = vs.forall(_.isInstanceOf[Number])
+      match {
+        case true => Some(vs.map(_.asInstanceOf[Number].doubleValue).toArray.sorted)
+        case false => None
+      }
+    lazy val strings: Option[Array[org.apache.spark.unsafe.types.UTF8String]] =
+      if (vs.forall(_.isInstanceOf[String]))
+        Some(vs.map(v => org.apache.spark.unsafe.types.UTF8String
+          .fromString(v.asInstanceOf[String])).toArray.sorted)
+      else None
+
+    entries.filter { f =>
+      f.colStats.get(column) match {
+        case Some(st) =>
+          try st.kind match {
+            case "long" if longs.isDefined =>
+              anyIn(longs.get, st.min.toLong,
+                if (st.maxUnbounded) None else Some(st.max.toLong))
+            case "double" if doubles.isDefined =>
+              anyIn(doubles.get, st.min.toDouble,
+                if (st.maxUnbounded) None else Some(st.max.toDouble))
+            case k if k != "long" && k != "double" && strings.isDefined =>
+              anyIn(strings.get,
+                org.apache.spark.unsafe.types.UTF8String.fromString(st.min),
+                if (st.maxUnbounded) None
+                else Some(org.apache.spark.unsafe.types.UTF8String
+                  .fromString(st.max)))
+            // kind/value mismatch: fall back to the per-value check, which
+            // keeps the file on any comparison doubt
+            case _ => vs.exists(v => statMayMatch(st, "=", v))
+          } catch { case _: Exception => true }
+        case None => true
       }
     }
   }

@@ -5,13 +5,16 @@ import java.util
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{FieldReference, NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder,
-  SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition,
+  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates,
+  SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
 import org.apache.spark.sql.execution.datasources.DataSourceStrategy
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScanBuilder, ParquetTable}
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.sources.{Filter, In}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -58,6 +61,25 @@ private[graftglue] class ZoneMapScanBuilder(
 
   private var kept = entries
   private var inner: ParquetScanBuilder = _
+  // replay state for runtime re-planning (dynamic partition pruning):
+  // rebuilding the parquet scan over fewer files must repeat exactly the
+  // static pushdown this builder saw
+  private var savedFilters: Seq[Expression] = Nil
+  private var savedRequired: Option[StructType] = None
+  private var aggPushed = false
+
+  private[graftglue] def buildOver(files: Seq[graft.api.Manifest.FileEntry])
+      : Scan = {
+    val paths = files.map(f =>
+      graft.api.Table.resolvePath(tdir, f.path)).toList
+    val b = ParquetTable(tableName, SparkSession.active,
+        CaseInsensitiveStringMap.empty(), paths, Some(tableSchema),
+        classOf[ParquetFileFormat])
+      .newScanBuilder(options).asInstanceOf[ParquetScanBuilder]
+    if (savedFilters.nonEmpty) b.pushFilters(savedFilters)
+    savedRequired.foreach(b.pruneColumns)
+    b.build()
+  }
 
   private def innerB: ParquetScanBuilder = {
     if (inner == null) {
@@ -84,6 +106,7 @@ private[graftglue] class ZoneMapScanBuilder(
         .reduceOption(_ && _)
       cond.foreach(c => kept = graft.api.Table.pruneByZoneMaps(kept, c))
     }
+    savedFilters = filters
     innerB.pushFilters(filters)
   }
 
@@ -91,14 +114,104 @@ private[graftglue] class ZoneMapScanBuilder(
       : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     innerB.pushedFilters
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    savedRequired = Some(requiredSchema)
     innerB.pruneColumns(requiredSchema)
+  }
 
-  override def pushAggregation(aggregation: Aggregation): Boolean =
-    innerB.pushAggregation(aggregation)
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val pushed = innerB.pushAggregation(aggregation)
+    aggPushed ||= pushed
+    pushed
+  }
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
     innerB.supportCompletePushDown(aggregation)
 
-  override def build(): Scan = innerB.build()
+  override def build(): Scan = {
+    val base = innerB.build()
+    // an aggregate-pushdown scan emits footer-derived rows; runtime file
+    // pruning would silently change its results, so serve it untouched
+    if (aggPushed) base
+    else new ZoneMapRuntimeScan(this, tableName, kept, base)
+  }
+}
+
+/**
+ * Scan wrapper adding RUNTIME file pruning (`SupportsRuntimeFiltering`):
+ * when this table is the big side of a join whose other side carries a
+ * selective filter, Spark's dynamic-partition-pruning planner ships the
+ * surviving join keys here as an `IN` filter after the build side executes
+ * — and the manifest zone maps then drop whole fact FILES before a single
+ * byte is read. Static pruning handles WHERE k < c; this handles
+ * `fact JOIN dim ON fact.k = dim.k WHERE dim.attr = x`, the dominant scan
+ * shape of a star-schema query at 100 TB, where the selective predicate
+ * sits on the wrong table for static pruning. Membership is tested
+ * per-value (`Table.pruneByInSet`), not by collapsing the key set to an
+ * envelope — scattered surviving keys keep ~|keys| files, not a range.
+ *
+ * The wrapper delegates everything else to the inner parquet scan and
+ * REBUILDS it over the reduced file list when a runtime filter lands
+ * (`buildOver` replays the static pushdown, so pushed filters and pruned
+ * columns survive re-planning). `toBatch` resolves through the CURRENT
+ * inner scan on every call: `BatchScanExec` may cache the Batch object
+ * before runtime filters arrive and re-plan partitions on it afterwards.
+ */
+private[graftglue] class ZoneMapRuntimeScan(
+    builder: ZoneMapScanBuilder, tableName: String,
+    initialKept: Seq[graft.api.Manifest.FileEntry], initialScan: Scan)
+    extends Scan with SupportsRuntimeFiltering {
+
+  @volatile private var kept = initialKept
+  @volatile private var inner = initialScan
+  @volatile private[graftglue] var runtimePruned: Option[(Int, Int)] = None
+
+  override def filterAttributes(): Array[NamedReference] = {
+    // only columns with zone-map stats in some kept file can ever prune —
+    // advertising more would buy DPP subquery overhead for nothing
+    val stats = kept.iterator.flatMap(_.colStats.keysIterator).toSet
+    stats.toArray.sorted.map(FieldReference.column)
+  }
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val before = kept.size
+    filters.foreach {
+      case In(col, values) =>
+        kept = graft.api.Table.pruneByInSet(kept, col, values.toSeq)
+      case f =>
+        GraftFilters.filterToColumn(f).foreach(c =>
+          kept = graft.api.Table.pruneByZoneMaps(kept, c))
+    }
+    runtimePruned = Some((before, kept.size))
+    ZoneMapRuntimeScan.lastRuntimePrune.set((tableName, before, kept.size))
+    if (kept.size < before) inner = builder.buildOver(kept)
+  }
+
+  override def readSchema(): StructType = inner.readSchema()
+  override def description(): String = {
+    val rt = runtimePruned.map { case (b, a) =>
+      s", runtime-pruned $b->$a files" }.getOrElse("")
+    s"ZoneMap(${kept.size} files$rt) " + inner.description()
+  }
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      inner.toBatch.planInputPartitions()
+    override def createReaderFactory(): PartitionReaderFactory =
+      inner.toBatch.createReaderFactory()
+  }
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    inner.columnarSupportMode()
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    inner.supportedCustomMetrics()
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    inner.reportDriverMetrics()
+}
+
+private[graftglue] object ZoneMapRuntimeScan {
+  /** (table, files-before, files-after) of the most recent runtime prune —
+    * observability hook for specs and plan debugging. */
+  private[graftglue] val lastRuntimePrune =
+    new java.util.concurrent.atomic.AtomicReference[(String, Int, Int)]
 }
