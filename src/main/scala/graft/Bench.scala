@@ -164,6 +164,17 @@ object Bench {
       zed.insert(t("lineitem"))
       zed.addClusteringKeys(Seq("l_shipdate", "l_extendedprice"))
       zed.optimizeZorder(math.max(1L, liRows / 24))
+      // date dim for the star-join query: one row per distinct ship date,
+      // labeled by month — the WHERE d_month = x filter survives as ~31
+      // join keys that reach the fact scan as a runtime IN filter
+      val dates = sch.createTable("dates",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("d_date",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("d_month",
+            org.apache.spark.sql.types.StringType))))
+      dates.insert(t("lineitem").select(col("l_shipdate").as("d_date"))
+        .distinct().withColumn("d_month", date_format(col("d_date"), "yyyy-MM")))
     }
     val boxPred = col("l_shipdate").between(shipLo, shipHi) &&
       col("l_extendedprice").between(10000.0, 20000.0)
@@ -174,6 +185,25 @@ object Bench {
     val zScans: Seq[(String, () => Unit)] = Seq(
       "scan_2d_plain" -> (() => zscan("plain")),
       "scan_2d_zorder" -> (() => zscan("zed")))
+
+    // SQL catalog read stack: the same 2-D box through the DSv2 zone-map
+    // path, and a star join whose dim-side filter reaches the fact scan as
+    // a runtime IN filter (DPP) pruning whole fact FILES. Regression
+    // coverage for catalog-path statistics + file pruning — round 8's only
+    // regression hid exactly here, where the raw-parquet bench can't see.
+    spark.conf.set("spark.sql.catalog.gbench",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.gbench.root", zroot.toString)
+    val sqlScans: Seq[(String, () => Unit)] = Seq(
+      "scan_2d_zorder_sql" -> (() => mat(spark.sql(
+        """SELECT l_orderkey, l_shipdate, l_extendedprice FROM gbench.b.m.zed
+          |WHERE l_shipdate BETWEEN TIMESTAMP '1998-03-01' AND TIMESTAMP '1998-03-08'
+          |AND l_extendedprice BETWEEN 10000.0 AND 20000.0""".stripMargin))),
+      "star_join_dpp" -> (() => mat(spark.sql(
+        """SELECT f.l_orderkey, f.l_extendedprice, d.d_month
+          |FROM gbench.b.m.zed f
+          |JOIN gbench.b.m.dates d ON f.l_shipdate = d.d_date
+          |WHERE d.d_month = '1998-03'""".stripMargin))))
 
     // warmup: one tiny end-to-end pass per distinct input compiles codegen,
     // loads footers, and spins executor threads
@@ -190,7 +220,7 @@ object Bench {
     // bounded at larger SFs). Later runs benefit from warm file metadata +
     // JIT, matching steady-state throughput, and the min is robust to a
     // concurrent process stealing cores mid-run.
-    val results = (queries ++ sortedScans ++ zScans).map { case (name, fn) =>
+    val results = (queries ++ sortedScans ++ zScans ++ sqlScans).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try fn() catch { case e: Throwable =>

@@ -34,6 +34,15 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // dynamic file pruning beyond broadcast reuse: when the dim side of a
+      // star join is too big to broadcast (so the plan is a shuffle join),
+      // still run the dim filter as its own subquery and ship the surviving
+      // join keys to the fact scan's runtime filter — at 100 TB the extra
+      // dim-side scan is noise next to the fact files it lets the manifest
+      // zone maps skip. The fallback-ratio heuristic keeps this off when
+      // the planner estimates the duplicated dim work outweighs the prune.
+      .config("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+        "false")
       .config("spark.sql.ui.explainMode", "formatted")
       .config("spark.ui.enabled", "false")
 }

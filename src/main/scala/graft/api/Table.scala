@@ -1753,13 +1753,24 @@ object Table {
       l < a.length && hi.forall(h => ord.lteq(a(l), h)) // hi=None means +∞
     }
     lazy val longs: Option[Array[Long]] = {
-      val ok = vs.forall {
-        case _: java.lang.Long | _: java.lang.Integer |
-             _: java.lang.Short | _: java.lang.Byte => true
-        case _ => false
+      // datetime values normalize to the same encoding their zone maps
+      // store (timestamps → epoch micros, dates → epoch days): a star join
+      // keyed on a date/timestamp column is the dominant 100 TB DPP shape
+      // and must hit the exact per-value prune, not the keep-all fallback
+      val conv: Seq[Option[Long]] = vs.map {
+        case n @ (_: java.lang.Long | _: java.lang.Integer |
+                  _: java.lang.Short | _: java.lang.Byte) =>
+          Some(n.asInstanceOf[Number].longValue)
+        case t: java.sql.Timestamp =>
+          Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+        case i: java.time.Instant =>
+          Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+        case d: java.sql.Date =>
+          Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong)
+        case d: java.time.LocalDate => Some(d.toEpochDay)
+        case _ => None
       }
-      if (ok) Some(vs.map(_.asInstanceOf[Number].longValue).toArray.sorted)
-      else None
+      if (conv.forall(_.isDefined)) Some(conv.flatten.toArray.sorted) else None
     }
     lazy val doubles: Option[Array[Double]] = vs.forall(_.isInstanceOf[Number])
       match {

@@ -64,7 +64,7 @@ private[graftglue] class RenameUnionScan(
     required: StructType,
     groups: Seq[(Map[String, String], Seq[String])],
     filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -72,11 +72,31 @@ private[graftglue] class RenameUnionScan(
     s"graft rename-union over ${groups.size} file groups, " +
       s"pushed ${filters.size} filters per group"
 
-  // one delegated parquet Batch per rename group: the group's physical names
+  /** Sum of the delegate parquet scans' estimates. Without this the union
+    * scan hides its delegates' `SupportsReportStatistics` and the relation
+    * falls back to `spark.sql.defaultSizeInBytes` — a rename-evolved dim
+    * table would silently stop broadcasting in static plans. */
+  override def estimateStatistics(): Statistics = {
+    val stats = groupScans.map {
+      case s: SupportsReportStatistics => s.estimateStatistics()
+      case _ => null
+    }
+    def total(f: Statistics => java.util.OptionalLong): java.util.OptionalLong =
+      if (stats.forall(s => s != null && f(s).isPresent))
+        java.util.OptionalLong.of(stats.map(s => f(s).getAsLong).sum)
+      else java.util.OptionalLong.empty()
+    val (bytes, rows) = (total(_.sizeInBytes()), total(_.numRows()))
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = bytes
+      override def numRows(): java.util.OptionalLong = rows
+    }
+  }
+
+  // one delegated parquet scan per rename group: the group's physical names
   // are requested in logical field order, and each filter is re-addressed to
   // the physical names so the delegate can translate it into parquet
   // row-group pruning
-  private lazy val groupBatches: Seq[Batch] = groups.map { case (renames, paths) =>
+  private lazy val groupScans: Seq[Scan] = groups.map { case (renames, paths) =>
     val inverse = renames.map(_.swap) // logical -> physical
     val phys = StructType(required.fields.map { f =>
       // physical names claimed by a rename (incl. drop tombstones) null-fill
@@ -98,8 +118,10 @@ private[graftglue] class RenameUnionScan(
         f.pushFilters(translated)
       case _ => ()
     }
-    sb.build().toBatch
+    sb.build()
   }
+
+  private lazy val groupBatches: Seq[Batch] = groupScans.map(_.toBatch)
 
   override def planInputPartitions(): Array[InputPartition] =
     groupBatches.zipWithIndex.flatMap { case (b, gi) =>

@@ -8,8 +8,9 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{FieldReference, NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
-  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates,
-  SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
+  PartitionReaderFactory, Scan, ScanBuilder, Statistics,
+  SupportsPushDownAggregates, SupportsPushDownRequiredColumns,
+  SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.execution.datasources.DataSourceStrategy
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScanBuilder, ParquetTable}
@@ -157,14 +158,50 @@ private[graftglue] class ZoneMapScanBuilder(
  * inner scan on every call: `BatchScanExec` may cache the Batch object
  * before runtime filters arrive and re-plan partitions on it afterwards.
  */
-private[graftglue] class ZoneMapRuntimeScan(
-    builder: ZoneMapScanBuilder, tableName: String,
+class ZoneMapRuntimeScan private[graftglue] (
+    builder: ZoneMapScanBuilder, private val tableName: String,
     initialKept: Seq[graft.api.Manifest.FileEntry], initialScan: Scan)
-    extends Scan with SupportsRuntimeFiltering {
+    extends Scan with Batch
+    with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   @volatile private var kept = initialKept
   @volatile private var inner = initialScan
   @volatile private[graftglue] var runtimePruned: Option[(Int, Int)] = None
+
+  /** Post-prune file count — observability for specs and plan audits. */
+  def keptFileCount: Int = kept.size
+
+  /**
+   * Without this, wrapping the parquet scan hides its
+   * `SupportsReportStatistics` and the V2 relation falls back to
+   * `spark.sql.defaultSizeInBytes` (~Long.Max): small catalog tables stop
+   * broadcasting statically, and DPP — which by default only reuses an
+   * existing broadcast — degenerates to `dynamicpruningexpression(true)`.
+   * The manifest already records exact bytes+rows per file, so report the
+   * sum over the KEPT entries: tighter than parquet's own estimate, since
+   * it prices the static zone-map file prune into the plan.
+   */
+  override def estimateStatistics(): Statistics = {
+    val files = kept
+    val bytes = files.iterator.map(_.bytes).sum
+    val rows = files.iterator.map(_.rows).sum
+    if (bytes > 0 || files.isEmpty) new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    } else inner match {
+      // manifests from before FileEntry.bytes existed record 0 — fall back
+      // to the parquet scan's own (filesystem-derived) estimate
+      case s: SupportsReportStatistics => s.estimateStatistics()
+      case _ => new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.of(rows)
+      }
+    }
+  }
 
   override def filterAttributes(): Array[NamedReference] = {
     // only columns with zone-map stats in some kept file can ever prune —
@@ -193,12 +230,26 @@ private[graftglue] class ZoneMapRuntimeScan(
       s", runtime-pruned $b->$a files" }.getOrElse("")
     s"ZoneMap(${kept.size} files$rt) " + inner.description()
   }
-  override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
-      inner.toBatch.planInputPartitions()
-    override def createReaderFactory(): PartitionReaderFactory =
-      inner.toBatch.createReaderFactory()
+  // The scan IS its own Batch (like FileScan): `BatchScanExec` caches
+  // `scan.toBatch` and compares plans through it — broadcast-exchange reuse
+  // (and with it DPP under AQE's reuse-only default) needs two plannings of
+  // the same table to yield EQUAL batches, so toBatch must be stable and
+  // equality structural. Partition planning still resolves through the
+  // CURRENT inner scan on every call, because a runtime filter may rebuild
+  // it after the Batch object was cached.
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    inner.toBatch.planInputPartitions()
+  override def createReaderFactory(): PartitionReaderFactory =
+    inner.toBatch.createReaderFactory()
+
+  override def equals(other: Any): Boolean = other match {
+    case z: ZoneMapRuntimeScan =>
+      tableName == z.tableName && inner.toBatch == z.inner.toBatch
+    case _ => false
   }
+  override def hashCode(): Int =
+    java.util.Objects.hash(tableName, inner.toBatch)
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     inner.columnarSupportMode()
   override def supportedCustomMetrics()

@@ -72,6 +72,57 @@ class RuntimeFilterSpec extends SparkSpec {
       s"expected exact IN-set prune 8->2, got $before->$after")
   }
 
+  test("shuffle-join DPP: a non-broadcastable dim still prunes fact files") {
+    val root = Files.createTempDirectory("graft-dpp-smj").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    s.transaction { tx =>
+      val m = tx.bucket("bk").createSchema("m")
+      val fact = m.createTable("fact", factSchema)
+      (0 until 8).foreach { i =>
+        val rows = new java.util.ArrayList[Row]()
+        (0 until 100).foreach(j => rows.add(Row(i * 100L + j, s"f$i-$j")))
+        fact.insert(spark.createDataFrame(rows, factSchema).repartition(1))
+      }
+      val dim = m.createTable("dim", dimSchema)
+      val dimRows = new java.util.ArrayList[Row]()
+      (0 until 8).foreach(i => dimRows.add(
+        Row(i * 100L + 50L, if (i == 1 || i == 6) "pick" else "skip")))
+      dim.insert(spark.createDataFrame(dimRows, dimSchema))
+    }
+    spark.conf.set("spark.sql.catalog.gdppsmj",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.gdppsmj.root", root)
+    // force the shuffle-join path: no broadcast anywhere, and the
+    // GraftSession.tune posture that lets DPP plan the dim filter as its
+    // own subquery instead of requiring a broadcast to reuse
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevReuse = spark.conf.getOption(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    try {
+      val df = spark.sql(
+        """SELECT f.k, f.v FROM gdppsmj.bk.m.fact f
+          |JOIN gdppsmj.bk.m.dim d ON f.k = d.k
+          |WHERE d.attr = 'pick' ORDER BY f.k""".stripMargin)
+      val got = df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == Seq((150L, "f1-50"), (650L, "f6-50")), s"wrong rows: $got")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"expected a shuffle join with broadcast disabled:\n$plan")
+      val pruned = "runtime-pruned (\\d+)->(\\d+) files".r.findFirstMatchIn(plan)
+      assert(pruned.isDefined, s"no runtime prune recorded in:\n$plan")
+      assert(pruned.get.group(1).toInt == 8 && pruned.get.group(2).toInt == 2,
+        s"expected 8->2, got ${pruned.get.group(1)}->${pruned.get.group(2)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+      prevReuse.foreach(v => spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", v))
+    }
+  }
+
   test("pruneByInSet is exact per value, conservative on unknowns") {
     import graft.api.Manifest.{ColStat, FileEntry}
     def fe(path: String, lo: Long, hi: Long) = FileEntry(
@@ -96,5 +147,14 @@ class RuntimeFilterSpec extends SparkSpec {
     assert(Table.pruneByInSet(Seq(sf, su), "s", Seq("z")).map(_.path) == Seq("s2"))
     // all-null IN-set: conservative keep-all
     assert(Table.pruneByInSet(files, "k", Seq(null)).size == 10)
+    // datetime values normalize to the zone maps' long encoding (timestamps
+    // as epoch micros, dates as epoch days) — the star-join-on-date DPP case
+    val tsf = (0 until 4).map(i => fe(s"t$i", i * 1000000L, i * 1000000L + 999999L))
+    val ts = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(2)) // 2e6 µs
+    assert(Table.pruneByInSet(tsf, "k", Seq(ts)).map(_.path) == Seq("t2"))
+    assert(Table.pruneByInSet(tsf, "k",
+      Seq(java.time.Instant.ofEpochSecond(9))).isEmpty)
+    assert(Table.pruneByInSet(tsf, "k",
+      Seq(java.time.LocalDate.ofEpochDay(3))).map(_.path) == Seq("t0"))
   }
 }

@@ -483,9 +483,13 @@ class SqlCatalogSpec extends SparkSpec {
     def scannedFiles(sql: String): Int = {
       import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
       import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+      import org.apache.spark.sql.graftglue.ZoneMapRuntimeScan
       val plan = spark.sql(sql).queryExecution.executedPlan
       val scans = plan.collect { case b: BatchScanExec => b.scan }
-      scans.collect { case p: ParquetScan => p.fileIndex.inputFiles.length }.sum
+      scans.collect {
+        case z: ZoneMapRuntimeScan => z.keptFileCount
+        case p: ParquetScan => p.fileIndex.inputFiles.length
+      }.sum
     }
     val allFiles =
       scannedFiles("SELECT * FROM graftz.bk.m.t")
