@@ -960,6 +960,31 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     * the audit log carries per-op detail). Drives `TIMESTAMP AS OF`
     * debugging and retention decisions; rows are metadata-scale (one per
     * version), never data-scale. */
+  /** How far behind the current manifest a changefeed consumer is, given
+    * the manifest version it has durably consumed through (`-1` = nothing):
+    * (current_version, versions_behind, rows_behind, bytes_behind). The
+    * operational question every incremental pipeline asks — "is my stream
+    * keeping up?" — answered from manifests alone, no data I/O.
+    *
+    * Rows/bytes compare FILE SETS (current minus consumed-version files):
+    * robust to vacuumed intermediate versions, and COW-rewritten files
+    * count as new — matching what the changefeed will actually re-emit. A
+    * vacuumed consumed-version manifest counts every current file as
+    * pending (conservative; the stream itself will demand a fresh
+    * checkpoint at that point). */
+  def streamLag(consumed: Long): (Long, Long, Long, Long) = {
+    val m = manifest
+    val cur = m.version
+    if (consumed >= cur) return (cur, 0L, 0L, 0L)
+    val basePath = dir.resolve("_manifest").resolve(f"v$consumed%08d.json")
+    val baseFiles: Set[String] =
+      if (consumed < 0 || !Files.exists(basePath)) Set.empty
+      else Manifest.read(basePath).files.map(_.path).toSet
+    val fresh = m.files.filterNot(f => baseFiles(f.path))
+    (cur, cur - math.max(consumed, -1L),
+      fresh.map(_.rows).sum, fresh.map(_.bytes).sum)
+  }
+
   def history(): DataFrame = {
     val mdir = dir.resolve("_manifest")
     val rows = Table.listDir(mdir)

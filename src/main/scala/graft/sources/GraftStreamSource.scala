@@ -208,10 +208,17 @@ private[graft] class GraftStreamScan(dir: Path, required: StructType,
     extends Scan {
   override def readSchema(): StructType = required
   override def description(): String = {
-    val pf = pushdownFilters
+    // live offers when the plan string renders before partition planning
+    // snapshotted them; the snapshot afterwards — same content either way,
+    // since each micro-batch re-optimizes before it plans
+    val (neededDesc, streamDesc) =
+      if (offerFresh) (streamNeeded, streamFilters)
+      else consumed.map(c => (c._2, c._3)).getOrElse((None, Nil))
+    val pf = builderFilters ++ streamDesc
+    val needed = neededDesc
     s"graft version-delta scan of $dir" +
       (if (pf.isEmpty) "" else s", PushedFilters: [${pf.mkString(", ")}]") +
-      streamNeeded.fold("")(n => s", PrunedTo: [${
+      needed.fold("")(n => s", PrunedTo: [${
         required.fieldNames.filter(f => n.contains(f) || f == "_row_id").mkString(", ")}]")
   }
 
@@ -233,6 +240,22 @@ private[graft] class GraftStreamScan(dir: Path, required: StructType,
     * at. Filter columns are always in the needed set (the rule includes
     * filter references), so residual re-evaluation is untouched. */
   @volatile private[graft] var streamNeeded: Option[Set[String]] = None
+
+  /** Set true by the rule each time it writes offers; flipped false when
+    * `planGroups` snapshots them. Distinguishes "the rule optimized THIS
+    * batch's plan" from "these offers are left over from an earlier batch"
+    * — an empty offer from a run rule is legitimate and must not be
+    * confused with cleared state. */
+  @volatile private[graft] var offerFresh: Boolean = false
+
+  /** Offers snapshotted for the micro-batch span currently being planned:
+    * (span, needed columns, filter conjuncts). planGroups runs more than
+    * once per batch (Spark forces partition planning during query planning
+    * and again at execution), so repeat calls for the SAME span must reuse
+    * the snapshot; a call for a NEW span without a fresh offer means the
+    * rule was skipped — degrade to no pruning, never to stale pruning
+    * (stale `__pruned_` null-fills would be silent wrong data). */
+  @volatile private var consumed: Option[(String, Option[Set[String]], Seq[Expression])] = None
 
   private def manifestPath(v: Long): Path =
     dir.resolve("_manifest").resolve(f"v$v%08d.json")
@@ -328,7 +351,18 @@ private[graft] class GraftStreamScan(dir: Path, required: StructType,
     val endClaims = claimsOf(endM)
     val curNames = required.fieldNames.map(f =>
       f -> currentName(f, endClaims, endSchema, span)).toMap
-    val needed = streamNeeded
+    val (needed, pushed) =
+      if (offerFresh) {
+        val snap = (span, streamNeeded, streamFilters)
+        consumed = Some(snap)
+        offerFresh = false
+        streamNeeded = None
+        streamFilters = Nil
+        (snap._2, builderFilters ++ snap._3)
+      } else consumed match {
+        case Some((s, n, f)) if s == span => (n, builderFilters ++ f)
+        case _ => (None, builderFilters) // rule skipped: prune nothing
+      }
     files.groupBy(_.renames).toSeq.flatMap { case (renames, group) =>
       val inverse = renames.map(_.swap) // current-logical -> physical
       val phys = StructType(required.fields.map { f =>
@@ -341,7 +375,7 @@ private[graft] class GraftStreamScan(dir: Path, required: StructType,
         }
       })
       val physByLogical = required.fieldNames.zip(phys.fieldNames).toMap
-      val translated = pushdownFilters.map(_.transform {
+      val translated = pushed.map(_.transform {
         case a: AttributeReference
             if physByLogical.get(a.name).exists(_ != a.name) =>
           a.withName(physByLogical(a.name))
@@ -643,6 +677,8 @@ object GraftStreamFilterPushdown extends Rule[LogicalPlan] {
         else Some(bs.flatMap { case (ps, fs) =>
           (ps ++ fs).flatMap(_.references.toSeq.map(_.name))
         }.toSet)
+      g.offerFresh = true // stamp: these offers belong to the plan being
+      // optimized right now, not to some earlier batch
     }
     plan
   }

@@ -418,8 +418,37 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private val procedureNames = Array("history", "maintain", "vacuum_versions",
-    "zorder", "vector_search",
+    "zorder", "vector_search", "stream_lag",
     "dedup_pairs", "dedup_clusters", "pii_redact", "chunk", "decontaminate")
+
+  /** Manifest version a streaming checkpoint has durably consumed through,
+    * or -1 if no batch has committed yet. Reads Spark's own checkpoint
+    * logs: the newest entry in `commits/` names the last COMPLETED batch;
+    * its `offsets/<id>` file records the END offset that batch processed —
+    * for a graft source, the manifest version number. (Offset-log format:
+    * line 1 the log version tag, line 2 stream metadata, then one offset
+    * per source; a single-graft-source query is assumed, so the last
+    * integer-parseable line is the graft offset.) */
+  private[graftglue] def checkpointConsumedVersion(ckpt: String): Long = {
+    val base = java.nio.file.Paths.get(ckpt)
+    def ids(d: java.nio.file.Path): Seq[Long] =
+      if (!Files.isDirectory(d)) Nil
+      else {
+        val s = Files.list(d)
+        try s.iterator().asScala
+          .map(_.getFileName.toString).filter(_.matches("\\d+"))
+          .map(_.toLong).toSeq
+        finally s.close()
+      }
+    val committed = ids(base.resolve("commits"))
+    if (committed.isEmpty) return -1L
+    val off = base.resolve("offsets").resolve(committed.max.toString)
+    if (!Files.exists(off)) return -1L
+    Files.readAllLines(off).asScala.toSeq
+      .drop(2) // "v1" tag + stream metadata JSON
+      .flatMap(l => scala.util.Try(l.trim.toLong).toOption)
+      .lastOption.getOrElse(-1L)
+  }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
@@ -473,6 +502,24 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             t.optimizeZorder(target)
             Seq(org.apache.spark.sql.Row(
               t.manifest.files.size, t.manifest.totalRows))
+          }
+      }
+      // the operational question every incremental pipeline asks at 100 TB:
+      // is my changefeed keeping up? Answered from manifests + the stream's
+      // own checkpoint logs — no data I/O, no stream interruption.
+      case "stream_lag" => new GraftProcedure("stream_lag",
+          Seq(("table", StringType, None),
+            ("checkpoint", StringType, None)), // the stream's checkpointLocation
+          StructType(Seq(StructField("consumed_version", LongType),
+            StructField("current_version", LongType),
+            StructField("versions_behind", LongType),
+            StructField("rows_behind", LongType),
+            StructField("bytes_behind", LongType)))) {
+        def run(args: Seq[Any]) =
+          withTable(args.head.asInstanceOf[String]) { t =>
+            val consumed = checkpointConsumedVersion(args(1).asInstanceOf[String])
+            val (cur, vb, rb, bb) = t.streamLag(consumed)
+            Seq(org.apache.spark.sql.Row(consumed, cur, vb, rb, bb))
           }
       }
       case "vacuum_versions" => new GraftProcedure("vacuum_versions",

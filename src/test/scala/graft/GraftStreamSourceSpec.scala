@@ -777,4 +777,46 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 6,
       "vacuumed-history stream lost rows")
   }
+
+  test("CALL stream_lag reports a backlogged stream and drains to zero") {
+    val root = Files.createTempDirectory("graft-lag").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    s.transaction(tx => tx.bucket("bk").createSchema("m").createTable("t", schema))
+    insert(s, 5, "one") // v1
+    insert(s, 3, "two") // v2
+    val tdir = Paths.get(root, "bk", "m", "t").toString
+    val ckpt = Files.createTempDirectory("graft-lag-ck").toString
+    val out = Files.createTempDirectory("graft-lag-out").toString + "/sink"
+    spark.conf.set("spark.sql.catalog.glag",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.glag.root", root)
+    def lag(): (Long, Long, Long, Long, Long) = {
+      val r = spark.sql(
+        s"CALL glag.system.stream_lag('bk.m.t', '$ckpt')").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    }
+    // no batch committed yet: everything is pending
+    val before = lag()
+    assert(before == ((-1L, 2L, 3L, 8L, before._5)) && before._5 > 0L,
+      s"pre-stream lag wrong: $before")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(tdir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    drain()
+    assert(lag() == ((2L, 2L, 0L, 0L, 0L)), s"drained lag wrong: ${lag()}")
+    // two more commits land while the stream is down: versions/rows/bytes
+    // behind, computed from manifests alone
+    insert(s, 4, "three") // v3
+    insert(s, 2, "four")  // v4
+    val backlog = lag()
+    assert(backlog == ((2L, 4L, 2L, 6L, backlog._5)) && backlog._5 > 0L,
+      s"backlog lag wrong: $backlog")
+    drain()
+    assert(lag() == ((4L, 4L, 0L, 0L, 0L)), s"post-drain lag wrong: ${lag()}")
+  }
 }
