@@ -629,28 +629,45 @@ object SparkEntry {
              |    AS DOUBLE) AS quality_score
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    Q("ta3_langid",  // marker-text self-oracle: the heuristic's scores on
-      // arbitrary corpus text aren't SQL-expressible, but a text built from
-      // one language's own stopword profile MUST classify as that language
-      // (10 distinct own-profile matches vs ≤2 cross-matches) — so the gate
-      // pins the classifier's defining behavior deterministically. (The
-      // synthetic corpus reuses one vocabulary for every lang label, so
-      // accuracy-vs-label is not a usable signal.)
+    Q("ta3_langid",  // accuracy-vs-label over a GENERATED stopword-profiled
+      // corpus (the shipped synthetic corpus reuses one vocabulary for every
+      // lang label, so it carries no language signal): 100 docs per language,
+      // each mixing SIX distinct own-profile stopwords (deterministic
+      // rotation — stride 3 is coprime to the 10-word profile, so indices
+      // never collide) with neutral content tokens no profile contains.
+      // Own-language distinct matches (6) always dominate cross-language
+      // profile overlaps (≤2 words shared between any two profiles), so a
+      // correct classifier must label every doc right — the oracle asserts
+      // per-language accuracy 100/100, a label-accuracy gate rather than a
+      // marker-text echo.
       (s, dir) => {
         import s.implicits._
-        Seq(
-          ("de", "der die und das ist nicht ein mit auf zu"),
-          ("en", "the of and to in is that it for with"),
-          ("es", "el la de que los una por con para es"),
-          ("fr", "le la et les des une est dans pour que"),
-          ("zh", "的 是 在 了 和 有 我 不 这 个"))
-          .toDF("want", "text")
+        val profiles = Seq(
+          "de" -> Seq("der","die","und","das","ist","nicht","ein","mit","auf","zu"),
+          "en" -> Seq("the","of","and","to","in","is","that","it","for","with"),
+          "es" -> Seq("el","la","de","que","los","una","por","con","para","es"),
+          "fr" -> Seq("le","la","et","les","des","une","est","dans","pour","que"),
+          "zh" -> Seq("的","是","在","了","和","有","我","不","这","个"))
+        val docs = for {
+          (lang, prof) <- profiles
+          i <- 0 until 100
+        } yield {
+          val stops = (0 until 6).map(j => prof((i + j * 3) % 10))
+          val content = (0 until 8).map(j => s"tok${i}x$j")
+          (lang, (stops ++ content).mkString(" "))
+        }
+        docs.toDF("want", "text")
           .select(col("want"),
             graft.llm.TextAnalysis.langId(col("text")).as("lang_pred"))
+          .groupBy("want")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("lang_pred") === col("want"), 1L).otherwise(0L))
+              .as("n_correct"))
           .orderBy("want")
       },
-      Some("""SELECT * FROM (VALUES ('de','de'),('en','en'),('es','es'),
-             |  ('fr','fr'),('zh','zh')) AS t(want, lang_pred)
+      Some("""SELECT want, CAST(100 AS BIGINT) AS n_docs,
+             |  CAST(100 AS BIGINT) AS n_correct
+             |FROM (VALUES ('de'),('en'),('es'),('fr'),('zh')) AS t(want)
              |ORDER BY want""".stripMargin)),
 
     Q("ta4_fingerprint",  // self-oracled via determinism + discrimination:
