@@ -117,6 +117,33 @@ object SparkEntry {
     out.toByteArray
   }
 
+  /** Deterministic minimal ISO-BMFF (mp4) box tree — test input for the
+    * real box-structure parse (mm5): `ftyp` + `moov{ mvhd, trak{mdia{minf{
+    * stbl{stsd}}}}×k }` built byte-for-byte from the public spec's box
+    * layout, so duration/track-count/codec are closed-form functions of
+    * the inputs and the DuckDB oracle derives them arithmetically. */
+  def miniMp4(timescale: Long, duration: Long, codecs: Seq[String]): Array[Byte] = {
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      be32(body.length + 8L) ++
+        typ.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ body
+    }
+    val ftyp = box("ftyp", "isom".getBytes, be32(0), "isom".getBytes)
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0), // version 0 + flags
+      be32(0), be32(0), be32(timescale), be32(duration))
+    val traks = codecs.map { fmt =>
+      val entry = be32(16) ++
+        fmt.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++
+        be32(0) ++ be32(0) // sample-entry reserved bytes
+      val stsd = box("stsd", Array[Byte](0, 0, 0, 0), be32(1), entry)
+      box("trak", box("mdia", box("minf", box("stbl", stsd))))
+    }
+    ftyp ++ box("moov", (mvhd +: traks): _*)
+  }
+
   // ---------- operator inventory ----------
 
   private lazy val defs: Seq[Q] = Seq(
@@ -1122,6 +1149,36 @@ object SparkEntry {
              |  ON k.k <= (4 + d.doc_id % 3 + 1) // 2 - 1
              |WHERE d.doc_id < 100
              |ORDER BY id, frame_idx""".stripMargin)),
+
+    Q("mm5_mp4_meta",  // REAL ISO-BMFF box parse: each doc gets a minimal
+      // mp4 built byte-for-byte from the public spec's box layout
+      // (timescale 600, duration 600·doc_id, 1+doc_id%3 tracks with
+      // rotating codec fourccs), flows through the distributed
+      // mapPartitions parse, and must come back with exactly the
+      // duration/track-count/codec list the oracle derives arithmetically
+      // — frame DECODE stays behind the documented stub (no JDK mp4
+      // codec), but the metadata a pipeline filters and routes on comes
+      // from the actual file structure.
+      (s, dir) => {
+        val codecNames = Seq("avc1", "mp4a", "mp4v")
+        val mp4 = udf((id: Long) => miniMp4(600L, id * 600L,
+          (0 until (1 + (id % 3).toInt)).map(t => codecNames(((id + t) % 3).toInt))))
+        graft.llm.Multimodal.extractMp4Meta(
+            t(s, dir, "documents").filter(col("doc_id") < 200)
+              .withColumn("media", mp4(col("doc_id"))),
+            "doc_id", "media")
+          .select(col("id"), col("major_brand"),
+            col("duration_ms"), col("track_count").cast("long").as("track_count"),
+            array_join(col("codecs"), ",").as("codecs"))
+          .orderBy("id")
+      },
+      Some("""SELECT doc_id AS id, 'isom' AS major_brand,
+             |  CAST(doc_id * 1000 AS BIGINT) AS duration_ms,
+             |  CAST(1 + doc_id % 3 AS BIGINT) AS track_count,
+             |  ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(1 + doc_id % 3),
+             |    t -> ['avc1','mp4a','mp4v'][CAST((doc_id + t) % 3 AS INT) + 1]),
+             |    ',') AS codecs
+             |FROM documents WHERE doc_id < 200 ORDER BY id""".stripMargin)),
 
     // ---- EV*: event/streaming layer (batch-equivalent of the Structured
     //      Streaming transforms; streaming execution tested in specs) ----

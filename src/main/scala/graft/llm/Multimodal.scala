@@ -311,6 +311,117 @@ object Multimodal {
       case None => frameSampleStub(bytes, everyN)
     }
 
+  /** Metadata row parsed from an ISO-BMFF (mp4/mov) container. */
+  final case class Mp4Meta(id: Long, major_brand: String, timescale: Long,
+                           duration_ms: Long, track_count: Int,
+                           codecs: Seq[String])
+
+  /** ISO-BMFF sniff: a `ftyp` box at the top of the stream. */
+  def looksLikeMp4(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' &&
+      bytes(6) == 'y' && bytes(7) == 'p'
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+      ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** (type, payloadStart, payloadEnd) for each box in `[start, end)`,
+    * honoring 64-bit `largesize` (size==1) and to-end boxes (size==0);
+    * stops at the first malformed header rather than guessing. */
+  private def boxes(b: Array[Byte], start: Int, end: Int)
+      : Seq[(String, Int, Int)] = {
+    val out = Seq.newBuilder[(String, Int, Int)]
+    var o = start
+    var ok = true
+    while (ok && o + 8 <= end) {
+      val size = be32(b, o)
+      val typ = fourcc(b, o + 4)
+      val (hdr, sz) =
+        if (size == 1 && o + 16 <= end) (16L, be64(b, o + 8))
+        else if (size == 0) (8L, (end - o).toLong)
+        else (8L, size)
+      if (sz < hdr || o + sz > end) ok = false
+      else {
+        out += ((typ, o + hdr.toInt, o + sz.toInt))
+        o += sz.toInt
+      }
+    }
+    out.result()
+  }
+
+  /**
+   * REAL metadata parse of an ISO-BMFF container (public spec, ISO/IEC
+   * 14496-12 box structure — pure JVM, no demuxer): major brand from
+   * `ftyp`; movie timescale + duration from `moov/mvhd` (v0 and v1
+   * layouts); one codec fourcc per `trak` from its
+   * `mdia/minf/stbl/stsd` first sample entry. FRAME decode stays behind
+   * the documented stub (`frameSampleStub`) — the JDK has no mp4 codec —
+   * but the operational metadata a pipeline filters and routes on
+   * (duration, track count, codec) comes from the actual file structure.
+   * None when the stream is not ISO-BMFF or the box tree is malformed.
+   */
+  def mp4Meta(bytes: Array[Byte]): Option[(String, Long, Long, Int, Seq[String])] =
+    if (!looksLikeMp4(bytes)) None
+    else try {
+      val top = boxes(bytes, 0, bytes.length)
+      val brand = top.collectFirst { case ("ftyp", s, e) if s + 4 <= e =>
+        fourcc(bytes, s) }.getOrElse(return None)
+      val moov = top.collectFirst { case ("moov", s, e) => (s, e) }
+        .getOrElse(return None)
+      val inMoov = boxes(bytes, moov._1, moov._2)
+      val (timescale, duration) = inMoov.collectFirst {
+        case ("mvhd", s, e) if s + 4 <= e =>
+          val v = bytes(s) & 0xFF
+          // full-box payload: version(1) flags(3), then v0 = ctime/mtime 4+4,
+          // timescale 4, duration 4; v1 = ctime/mtime 8+8, timescale 4,
+          // duration 8
+          if (v == 1 && s + 32 <= e) (be32(bytes, s + 20), be64(bytes, s + 24))
+          else if (v == 0 && s + 20 <= e) (be32(bytes, s + 12), be32(bytes, s + 16))
+          else (0L, 0L)
+      }.getOrElse((0L, 0L))
+      def firstBox(range: (String, Int, Int), typ: String) =
+        boxes(bytes, range._2, range._3).collectFirst {
+          case b @ (`typ`, _, _) => b }
+      val traks = inMoov.filter(_._1 == "trak")
+      val codecs = traks.flatMap { trak =>
+        for {
+          mdia <- firstBox(trak, "mdia")
+          minf <- firstBox(mdia, "minf")
+          stbl <- firstBox(minf, "stbl")
+          stsd <- firstBox(stbl, "stsd")
+          // stsd payload: version+flags(4), entry_count(4), then the first
+          // sample entry: size(4) + format fourcc(4)
+          if stsd._2 + 16 <= stsd._3
+        } yield fourcc(bytes, stsd._2 + 12)
+      }
+      val durMs = if (timescale <= 0) 0L else duration * 1000L / timescale
+      Some((brand, timescale, durMs, traks.size, codecs))
+    } catch { case _: Exception => None }
+
+  /** Distributed ISO-BMFF metadata extraction — same mapPartitions batch
+    * shape as `extractFeatures`, so a real demuxer slots in per-partition.
+    * Non-mp4 payloads yield a row of neutral values rather than dropping
+    * (the pipeline decides what to do with unparseable media). */
+  def extractMp4Meta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    implicit val enc = Encoders.product[Mp4Meta]
+    df.select(col(idCol).cast("long"), col(binCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          mp4Meta(r.getAs[Array[Byte]](1)) match {
+            case Some((brand, ts, durMs, n, cs)) =>
+              Mp4Meta(id, brand, ts, durMs, n, cs)
+            case None => Mp4Meta(id, "", 0L, 0L, 0, Nil)
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** One row per sampled frame. */
   final case class FrameFeatures(id: Long, frame_idx: Int, n_bytes: Int,
                                  features: Array[Float])

@@ -775,6 +775,40 @@ class OperatorsSpec extends SparkSpec {
     val kept = graft.llm.Dedup.keepClusterRepresentatives(docs, "id", pairs)
       .select("id").collect().map(_.getLong(0)).toSet
     // clusters {1,3,5}→keep 1, {7,8}→keep 7; unpaired 0,2,4,6,9 survive
-    assert(kept == Set(0L, 1L, 2L, 4L, 6L, 7L, 9L))
+    assert(kept == Set(0L, 1L, 2L, 4L, 6L, 9L, 7L))
+  }
+
+  test("mp4Meta parses box structure: v0/v1 mvhd, largesize, malformed") {
+    import graft.llm.Multimodal
+    // v0 layout via the gate harness builder
+    val b = SparkEntry.miniMp4(600L, 1200L, Seq("avc1", "mp4a"))
+    assert(Multimodal.mp4Meta(b) ==
+      Some(("isom", 600L, 2000L, 2, Seq("avc1", "mp4a"))))
+    def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xFFFFFFFFL)
+    def box(t: String, p: Array[Byte]*): Array[Byte] = {
+      val body = p.flatten.toArray
+      be32(body.length + 8L) ++ t.getBytes("ISO-8859-1") ++ body
+    }
+    // v1 mvhd: 64-bit times/duration, timescale after 16 bytes of times
+    val mvhd1 = box("mvhd", Array[Byte](1, 0, 0, 0),
+      be64(0), be64(0), be32(1000), be64(90000L))
+    val v1 = box("ftyp", "mp42".getBytes, be32(0)) ++ box("moov", mvhd1)
+    assert(Multimodal.mp4Meta(v1) == Some(("mp42", 1000L, 90000L, 0, Nil)))
+    // largesize header (size==1 + 64-bit size) parses and walks past
+    val inner = box("mvhd", Array[Byte](0, 0, 0, 0),
+      be32(0), be32(0), be32(10), be32(10))
+    val large = box("ftyp", "isom".getBytes, be32(0)) ++
+      (be32(1) ++ "moov".getBytes("ISO-8859-1") ++
+        be64(inner.length + 16L) ++ inner)
+    assert(Multimodal.mp4Meta(large) == Some(("isom", 10L, 1000L, 0, Nil)))
+    // malformed: truncated box size overruns the buffer -> None (no moov)
+    val bad = box("ftyp", "isom".getBytes, be32(0)) ++ be32(9999) ++
+      "moov".getBytes("ISO-8859-1")
+    assert(Multimodal.mp4Meta(bad).isEmpty)
+    // not ISO-BMFF at all
+    assert(Multimodal.mp4Meta(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.mp4Meta("GIF89a....".getBytes).isEmpty)
   }
 }
