@@ -205,8 +205,14 @@ class ZoneMapRuntimeScan private[graftglue] (
 
   override def filterAttributes(): Array[NamedReference] = {
     // only columns with zone-map stats in some kept file can ever prune —
-    // advertising more would buy DPP subquery overhead for nothing
-    val stats = kept.iterator.flatMap(_.colStats.keysIterator).toSet
+    // advertising more would buy DPP subquery overhead for nothing. Also
+    // restricted to the READ schema: the planner resolves these refs
+    // against the column-pruned relation output and THROWS on any column
+    // the scan no longer outputs (a join key is always read, so this never
+    // hides a pruning opportunity).
+    val readable = readSchema().fieldNames.toSet
+    val stats = kept.iterator.flatMap(_.colStats.keysIterator)
+      .filter(readable).toSet
     stats.toArray.sorted.map(FieldReference.column)
   }
 

@@ -72,6 +72,46 @@ class RuntimeFilterSpec extends SparkSpec {
       s"expected exact IN-set prune 8->2, got $before->$after")
   }
 
+  test("column-pruned fact scan: unread stats columns don't break DPP") {
+    // the fact carries a column the query never reads; filterAttributes
+    // must not advertise it — the planner resolves advertised refs against
+    // the PRUNED relation output and fails the whole query otherwise
+    val wideSchema = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType), StructField("pad", LongType)))
+    val root = Files.createTempDirectory("graft-dpp-prune").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    s.transaction { tx =>
+      val m = tx.bucket("bk").createSchema("m")
+      val fact = m.createTable("fact", wideSchema)
+      (0 until 4).foreach { i =>
+        val rows = new java.util.ArrayList[Row]()
+        (0 until 50).foreach(j =>
+          rows.add(Row(i * 50L + j, s"f$i-$j", j * 2L)))
+        fact.insert(spark.createDataFrame(rows, wideSchema).repartition(1))
+      }
+      val dim = m.createTable("dim", dimSchema)
+      val dimRows = new java.util.ArrayList[Row]()
+      (0 until 4).foreach(i => dimRows.add(
+        Row(i * 50L + 10L, if (i == 2) "pick" else "skip")))
+      dim.insert(spark.createDataFrame(dimRows, dimSchema))
+    }
+    spark.conf.set("spark.sql.catalog.gdppw",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.gdppw.root", root)
+    val df = spark.sql(
+      """SELECT f.k, f.v FROM gdppw.bk.m.fact f
+        |JOIN gdppw.bk.m.dim d ON f.k = d.k
+        |WHERE d.attr = 'pick'""".stripMargin)
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((110L, "f2-10")), s"wrong rows: $got")
+    val plan = df.queryExecution.executedPlan.toString
+    val pruned = "runtime-pruned (\\d+)->(\\d+) files".r.findFirstMatchIn(plan)
+    assert(pruned.isDefined, s"no runtime prune recorded in:\n$plan")
+    assert(pruned.get.group(1).toInt == 4 && pruned.get.group(2).toInt == 1,
+      s"expected 4->1, got ${pruned.get.group(1)}->${pruned.get.group(2)}")
+  }
+
   test("shuffle-join DPP: a non-broadcastable dim still prunes fact files") {
     val root = Files.createTempDirectory("graft-dpp-smj").toString
     val s = VastSession(spark, root)
