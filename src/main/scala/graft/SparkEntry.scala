@@ -46,6 +46,19 @@ object SparkEntry {
                        fn: (SparkSession, String) => DataFrame,
                        oracle: Option[String])
 
+  /** A gate query whose Spark side and DuckDB oracle are the SAME ANSI SQL
+    * text — the strongest parity statement the gate can make: both engines
+    * parse, plan, and execute one query string over one set of parquet
+    * tables and must agree bit-for-bit after the deterministic-sum spelling
+    * (`DSUM`). Used for the TPC-H suite, where the interesting behavior is
+    * in the PLAN (decorrelation, semi-join conversion, broadcast choice),
+    * not in the API surface. */
+  private def sqlQ(name: String, tables: Seq[String], sql: String): Q =
+    Q(name, (s, dir) => {
+      tables.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(sql)
+    }, Some(sql))
+
   /** Deterministic solid-color 16×16 PNG — test input for the real
     * javax.imageio decode path (mm2): a solid image's channel means are
     * closed-form, so the DuckDB oracle can derive the expected features
@@ -1495,6 +1508,257 @@ object SparkEntry {
              |GROUP BY s_name
              |ORDER BY numwait DESC, s_name
              |LIMIT 100""".stripMargin)),
+
+    // ---- the rest of the TPC-H suite (q2..q22), adapted to the testdata
+    //      schema: no partsupp table (lineitem plays the part↔supplier
+    //      availability side, unit cost = l_extendedprice / l_quantity,
+    //      supply cost proxy = p_retailprice), no receipt/commit dates
+    //      ("late" = l_returnflag 'R'), no c_phone (c_nationkey plays the
+    //      country code). Spark side and oracle are the SAME SQL text. ----
+
+    sqlQ("q_tpch_q2",  // Q2 shape: correlated scalar MIN subquery over a
+      // 5-table join — Catalyst must decorrelate into an aggregate join on
+      // p_partkey (never per-row re-execution); both sides of the equality
+      // are IEEE double division of identical inputs, so the match set is
+      // engine-independent.
+      Seq("part", "lineitem", "supplier", "nation", "region"),
+      """SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+        |FROM part
+        |JOIN lineitem ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE p_size <= 5 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+        |  AND l_extendedprice / l_quantity = (
+        |    SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+        |    FROM lineitem l2
+        |    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |    WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, p_name
+        |LIMIT 100""".stripMargin),
+
+    sqlQ("q_tpch_q4",  // Q4 shape: EXISTS over lineitem per order — must
+      // plan as one left-semi join on l_orderkey, not a per-row probe.
+      Seq("orders", "lineitem"),
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    sqlQ("q_tpch_q7",  // Q7 shape: two roles of the same dimension (nation
+      // joined twice under different aliases) + disjunctive pair filter +
+      // year extraction; the nation sides must both broadcast.
+      Seq("supplier", "lineitem", "orders", "customer", "nation"),
+      s"""SELECT supp_nation, cust_nation, l_year, ${DSUM("volume")} AS revenue
+         |FROM (
+         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |         CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+         |         l_extendedprice * (1.0 - l_discount) AS volume
+         |  FROM supplier
+         |  JOIN lineitem ON s_suppkey = l_suppkey
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  JOIN customer ON c_custkey = o_custkey
+         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |  WHERE ((n1.n_name = 'NATION_5' AND n2.n_name = 'NATION_9')
+         |      OR (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_5'))
+         |    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+         |                       AND TIMESTAMP '1997-12-31'
+         |) shipping
+         |GROUP BY supp_nation, cust_nation, l_year
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin),
+
+    sqlQ("q_tpch_q8",  // Q8 shape: market share — a ratio of two exact
+      // conditional sums over an 8-table snowflake; nation appears twice
+      // (customer region gate vs supplier attribution).
+      Seq("part", "lineitem", "supplier", "orders", "customer", "nation",
+        "region"),
+      s"""SELECT o_year,
+         |  ${DSUM("CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END")}
+         |    / ${DSUM("volume")} AS mkt_share
+         |FROM (
+         |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         |         l_extendedprice * (1.0 - l_discount) AS volume,
+         |         n2.n_name AS nation
+         |  FROM part
+         |  JOIN lineitem ON p_partkey = l_partkey
+         |  JOIN supplier ON s_suppkey = l_suppkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |  JOIN region ON n1.n_regionkey = r_regionkey
+         |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+         |    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+         |                        AND TIMESTAMP '1997-12-31'
+         |) all_nations
+         |GROUP BY o_year ORDER BY o_year""".stripMargin),
+
+    sqlQ("q_tpch_q9",  // Q9 shape: profit attribution by supplier nation ×
+      // order year, part filtered by an infix LIKE (not prefix-rewritable —
+      // must still prune columns and broadcast part). Supply cost proxied
+      // by p_retailprice (no partsupp in the testdata).
+      Seq("part", "lineitem", "supplier", "orders", "nation"),
+      s"""SELECT nation, o_year, ${DSUM("amount")} AS sum_profit
+         |FROM (
+         |  SELECT n_name AS nation,
+         |         CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         |         l_extendedprice * (1.0 - l_discount)
+         |           - 0.1 * p_retailprice * l_quantity AS amount
+         |  FROM part
+         |  JOIN lineitem ON p_partkey = l_partkey
+         |  JOIN supplier ON s_suppkey = l_suppkey
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE p_name LIKE '%rod%'
+         |) profit
+         |GROUP BY nation, o_year
+         |ORDER BY nation, o_year DESC""".stripMargin),
+
+    sqlQ("q_tpch_q10",  // Q10 shape: returned-item reporting — wide group
+      // key (whole customer row) + revenue top-20; the group key includes
+      // the unique c_custkey so the DESC-limit tiebreak is deterministic.
+      Seq("customer", "orders", "lineitem", "nation"),
+      s"""SELECT c_custkey, c_name,
+         |  ${DSUM("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  c_acctbal, n_name
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-04-01'
+         |  AND l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
+
+    sqlQ("q_tpch_q11",  // Q11 shape: group-HAVING against a scalar subquery
+      // that re-aggregates the SAME relation — the planner must evaluate
+      // the global total once (one extra scan), never per group.
+      Seq("lineitem", "supplier", "nation", "region"),
+      s"""SELECT l_partkey AS ps_partkey,
+         |  ${DSUM("l_extendedprice * l_quantity")} AS value
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY l_partkey
+         |HAVING ${DSUM("l_extendedprice * l_quantity")} > (
+         |  SELECT ${DSUM("l_extendedprice * l_quantity")} * 0.001
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'ASIA')
+         |ORDER BY value DESC, ps_partkey""".stripMargin),
+
+    sqlQ("q_tpch_q13",  // Q13 shape: LEFT OUTER join with an extra ON-side
+      // filter (must stay in the join condition, not become a WHERE that
+      // would turn the join inner) + double aggregation (per-customer count
+      // → count histogram).
+      Seq("customer", "orders"),
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey
+        |) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin),
+
+    sqlQ("q_tpch_q14",  // Q14 shape: promo share — ratio of a conditional
+      // sum to a total sum in one ungrouped aggregate over one scan.
+      Seq("lineitem", "part"),
+      s"""SELECT 100.00 *
+         |  ${DSUM("CASE WHEN p_type = 'PROMO' " +
+           "THEN l_extendedprice * (1.0 - l_discount) ELSE 0 END")}
+         |  / ${DSUM("l_extendedprice * (1.0 - l_discount)")} AS promo_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+         |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin),
+
+    sqlQ("q_tpch_q15",  // Q15 shape: top supplier — the revenue aggregate
+      // appears twice (once as the join input, once under MAX); equality on
+      // doubles is safe because both instances are the same exact decimal
+      // sum. (TPC-H's CREATE VIEW spelled as an inline subquery.)
+      Seq("supplier", "lineitem"),
+      s"""SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier JOIN (
+         |  SELECT l_suppkey AS supplier_no,
+         |    ${DSUM("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-04-01'
+         |  GROUP BY l_suppkey) revenue0 ON s_suppkey = supplier_no
+         |WHERE total_revenue = (
+         |  SELECT MAX(total_revenue) FROM (
+         |    SELECT l_suppkey AS supplier_no,
+         |      ${DSUM("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+         |    FROM lineitem
+         |    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |      AND l_shipdate < TIMESTAMP '1997-04-01'
+         |    GROUP BY l_suppkey) r)
+         |ORDER BY s_suppkey""".stripMargin),
+
+    sqlQ("q_tpch_q16",  // Q16 shape: distinct-supplier counting per part
+      // attribute bucket with a NOT IN anti-join on the supplier exclusion
+      // list (null-free key, so a plain anti join is the right plan).
+      Seq("lineitem", "part", "supplier"),
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
+
+    sqlQ("q_tpch_q19",  // Q19 shape: three disjunctive brand/size/quantity
+      // branches — the part filter must still push into the join (Catalyst
+      // extracts the common p_partkey equi-key; the OR residual evaluates
+      // post-join), and the whole thing is one scan pair, no union.
+      Seq("lineitem", "part"),
+      s"""SELECT ${DSUM("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity >= 1 AND l_quantity <= 11)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25
+         |       AND l_quantity >= 10 AND l_quantity <= 20)
+         |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 35
+         |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin),
+
+    sqlQ("q_tpch_q22",  // Q22 shape: anti-join (customers with no recent
+      // orders) against a scalar average computed over a DIFFERENT slice of
+      // the same table — both subqueries must plan once. c_nationkey plays
+      // the country code (no c_phone in the testdata); "never ordered"
+      // tightened to "not since 2001" because every generated customer has
+      // at least one order.
+      Seq("customer", "orders"),
+      s"""SELECT cntrycode, COUNT(*) AS numcust,
+         |  ${DSUM("c_acctbal")} AS totacctbal
+         |FROM (
+         |  SELECT c_nationkey AS cntrycode, c_acctbal
+         |  FROM customer
+         |  WHERE c_nationkey IN (3, 8, 12, 17, 21)
+         |    AND c_acctbal > (
+         |      SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(38,6)))
+         |        AS DOUBLE) / COUNT(*)
+         |      FROM customer c2
+         |      WHERE c2.c_acctbal > 0.0
+         |        AND c2.c_nationkey IN (3, 8, 12, 17, 21))
+         |    AND NOT EXISTS (SELECT 1 FROM orders
+         |      WHERE o_custkey = c_custkey
+         |        AND o_orderdate >= TIMESTAMP '2001-01-01')
+         |) custsale
+         |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin),
 
     // ---- composite: TPC-H Q3 shape (join tree + agg + top-k) ----
     Q("q_tpch_q3",
