@@ -205,6 +205,47 @@ object Bench {
           |JOIN gbench.b.m.dates d ON f.l_shipdate = d.d_date
           |WHERE d.d_month = '1998-03'""".stripMargin))))
 
+    // storage-partitioned join pair: the same fact-fact join + per-key
+    // aggregate over catalog tables hash-bucketed on the join key, with
+    // v2 bucketing off (both sides shuffle) vs on (zero exchange — scans
+    // report key-grouped partitioning, the join streams co-located files,
+    // and the aggregate rides the same partitioning). Broadcast is pinned
+    // off in BOTH runs: the pair measures shuffle-vs-SPJ, not
+    // shuffle-vs-broadcast — at 100 TB neither join side broadcasts.
+    zs.transaction { tx =>
+      val sch = tx.bucket("b").schema("m")
+      val lib = sch.createTable("li_b", t("lineitem").schema)
+      lib.insert(t("lineitem"))
+      lib.addBucketLayout(32, Seq("l_orderkey"))
+      lib.optimizeBuckets(math.max(1L, liRows / 32))
+      val ordb = sch.createTable("ord_b", t("orders").schema)
+      ordb.insert(t("orders"))
+      ordb.addBucketLayout(32, Seq("o_orderkey"))
+      ordb.optimizeBuckets(math.max(1L, t("orders").count() / 32))
+    }
+    def spjJoin(bucketingOn: Boolean): Unit = {
+      val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled",
+        bucketingOn.toString)
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try mat(spark.sql(
+        """SELECT l_orderkey, o_orderdate, count(*) AS n,
+          |       sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+          |FROM gbench.b.m.li_b JOIN gbench.b.m.ord_b
+          |  ON l_orderkey = o_orderkey
+          |GROUP BY l_orderkey, o_orderdate""".stripMargin))
+      finally {
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+        saved.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      }
+    }
+    val spjScans: Seq[(String, () => Unit)] = Seq(
+      "join_fact_shuffle" -> (() => spjJoin(bucketingOn = false)),
+      "join_fact_spj" -> (() => spjJoin(bucketingOn = true)))
+
     // warmup: one tiny end-to-end pass per distinct input compiles codegen,
     // loads footers, and spins executor threads
     mat(t("lineitem").limit(1))
@@ -220,7 +261,8 @@ object Bench {
     // bounded at larger SFs). Later runs benefit from warm file metadata +
     // JIT, matching steady-state throughput, and the min is robust to a
     // concurrent process stealing cores mid-run.
-    val results = (queries ++ sortedScans ++ zScans ++ sqlScans).map { case (name, fn) =>
+    val results = (queries ++ sortedScans ++ zScans ++ sqlScans ++ spjScans)
+        .map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try fn() catch { case e: Throwable =>

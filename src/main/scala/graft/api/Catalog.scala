@@ -52,11 +52,17 @@ object Manifest {
     * before the field existed): table stats and byte-budgeted changefeed
     * pacing read it from the manifest instead of issuing one filesystem
     * stat per file — O(files) round trips on an object store. */
+  /** `bucket` = hash-bucket id under the table's bucket layout (-1 = file
+    * not written by a bucket rewrite — the layout is degraded until
+    * `optimizeBuckets` runs again). A file belongs to exactly one bucket:
+    * the SQL scan groups files by it and reports key-grouped partitioning,
+    * which is what lets two co-bucketed tables join with ZERO shuffle. */
   case class FileEntry(path: String, rows: Long, minRowId: Long, maxRowId: Long,
                        sorted: Boolean = false,
                        renames: Map[String, String] = Map.empty,
                        colStats: Map[String, ColStat] = Map.empty,
-                       bytes: Long = 0L)
+                       bytes: Long = 0L,
+                       bucket: Int = -1)
   /** `stale` flips on any base-table DML so the picker stops serving the
     * projection until `refreshProjection` rebuilds it (the reference
     * maintains semi-sorted projections transparently server-side; here
@@ -117,7 +123,9 @@ object Manifest {
                            dedupIndexes: Seq[DedupIndexMeta] = Nil,
                            props: Map[String, String] = Map.empty,
                            commitMicros: Long = 0L,
-                           clusteringKeys: Seq[String] = Nil) {
+                           clusteringKeys: Seq[String] = Nil,
+                           bucketKeys: Seq[String] = Nil,
+                           bucketCount: Int = 0) {
     def schema: StructType =
       org.apache.spark.sql.types.DataType.fromJson(schemaJson).asInstanceOf[StructType]
     def totalRows: Long = files.map(_.rows).sum

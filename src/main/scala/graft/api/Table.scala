@@ -247,9 +247,12 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       if (f.bytes > 0) f.bytes
       else try Files.size(Paths.get(resolveDataPath(f.path)))
       catch { case _: Exception => 0L }).sum
-    val hasLayout = m.sortingKeys.nonEmpty || m.clusteringKeys.nonEmpty
+    val hasLayout = m.sortingKeys.nonEmpty || m.clusteringKeys.nonEmpty ||
+      m.bucketKeys.nonEmpty
     val sortedFrac =
       if (!hasLayout || m.files.isEmpty) 0.0
+      else if (m.bucketKeys.nonEmpty)
+        m.files.count(_.bucket >= 0).toDouble / m.files.size
       else m.files.count(_.sorted).toDouble / m.files.size
     TableStats(m.totalRows, size, sortedFrac,
       hasLayout && sortedFrac == 1.0, m.files.size)
@@ -312,10 +315,11 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     * EVERY primitive column (one columnar stats pass — the same aggregation
     * regardless of column count), so `pruneByZoneMaps` serves ad-hoc
     * predicates on unsorted columns, not just the sorting keys. */
-  private def writeData(df: DataFrame, sorted: Boolean): Seq[FileEntry] = {
+  private def writeData(df: DataFrame, sorted: Boolean,
+                        bucketOf: Option[Column] = None): Seq[FileEntry] = {
     val batch = dataDir.resolve("b-" + UUID.randomUUID().toString.take(8))
     df.write.parquet(batch.toString)
-    statsEntries(batch, df.schema, sorted)
+    statsEntries(batch, df.schema, sorted, bucketOf)
   }
 
   /** Manifest entries for an already-written parquet dir: per-file row
@@ -323,14 +327,19 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     * serves dirs staged by Spark's own distributed write (SQL row-level
     * COW via `adoptReplacement`). */
   private[api] def statsEntries(batch: Path, schema: StructType,
-                                sorted: Boolean): Seq[FileEntry] = {
+                                sorted: Boolean,
+                                bucketOf: Option[Column] = None): Seq[FileEntry] = {
     val zoneCols: Seq[(String, String)] = schema.fields.toSeq
       .filter(_.name != RowIdColumn) // row-id range is tracked as lo/hi already
       .flatMap(f => statKind(f.dataType).map(kind => (f.name, kind)))
     val zoneAggs = zoneCols.flatMap { case (k, _) =>
       val c = statCol(k, schema(k).dataType)
       Seq(min(c).cast("string").as(s"__mn_$k"), max(c).cast("string").as(s"__mx_$k"))
-    }
+    } ++ bucketOf.toSeq.flatMap(b =>
+      // derived from the DATA, not trusted from partitioning arithmetic:
+      // min == max is asserted below, so a mis-partitioned write cannot
+      // silently record a wrong bucket and corrupt shuffle-free joins
+      Seq(min(b).as("__bkt_lo"), max(b).as("__bkt_hi")))
     // schema-pinned read: an EMPTY batch writes no part files and unpinned
     // inference would throw instead of yielding zero entries
     val statsDf = spark.read.schema(schema).parquet(batch.toString)
@@ -354,9 +363,17 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
             maxUnbounded = mx.length > MaxStringStat))
         else Some(k -> ColStat(mn, mx, kind))
       }.toMap
+      val bucket = if (bucketOf.isEmpty) -1 else {
+        val lo = r.getAs[Int]("__bkt_lo"); val hi = r.getAs[Int]("__bkt_hi")
+        if (lo != hi) throw new IllegalStateException(
+          s"bucket rewrite produced a mixed file ($rel: buckets $lo..$hi) — " +
+            "hash partitioning did not align with the bucket count")
+        lo
+      }
       FileEntry(rel, r.getAs[Long]("rows"), r.getAs[Long]("lo"),
         r.getAs[Long]("hi"), sorted = sorted, colStats = stats,
-        bytes = try Files.size(Paths.get(path)) catch { case _: Exception => 0L })
+        bytes = try Files.size(Paths.get(path)) catch { case _: Exception => 0L },
+        bucket = bucket)
     }.toSeq
     entries
   }
@@ -781,6 +798,8 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     tx.stageWrite(dir, m.copy(schemaJson = ns.json, files = nf,
       sortingKeys = m.sortingKeys.map(k => if (k == from) to else k),
       clusteringKeys = m.clusteringKeys.map(k => if (k == from) to else k),
+      // bucket ids hash VALUES, not names — the layout survives a rename
+      bucketKeys = m.bucketKeys.map(k => if (k == from) to else k),
       projections = np, vectorIndexes = nv, dedupIndexes = nd))
   }
 
@@ -803,6 +822,12 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     tx.stageWrite(dir, m.copy(schemaJson = ns.json, files = nf,
       sortingKeys = m.sortingKeys.filterNot(_ == name),
       clusteringKeys = m.clusteringKeys.filterNot(_ == name),
+      // a PARTIAL bucket key set would hash differently than the files on
+      // disk were assigned — dropping any bucket key drops the whole layout
+      bucketKeys =
+        if (m.bucketKeys.contains(name)) Nil else m.bucketKeys,
+      bucketCount =
+        if (m.bucketKeys.contains(name)) 0 else m.bucketCount,
       // metadata referencing the dropped column must go with it: a vector
       // index on it can never serve again, a blob expansion on it would
       // crash the next insert (its parse source is gone), and a projection
@@ -851,6 +876,8 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     val m = manifest
     if (m.clusteringKeys.nonEmpty)
       throw NotSupportedCommand("table is z-order clustered; drop clustering first")
+    if (m.bucketKeys.nonEmpty)
+      throw NotSupportedCommand("table is hash-bucketed; drop the bucket layout first")
     tx.stageWrite(dir, m.copy(sortingKeys = keys,
       files = m.files.map(_.copy(sorted = false))))
   }
@@ -865,6 +892,8 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     val m = manifest
     if (m.sortingKeys.nonEmpty)
       throw NotSupportedCommand("table has a sorting key; drop it first")
+    if (m.bucketKeys.nonEmpty)
+      throw NotSupportedCommand("table is hash-bucketed; drop the bucket layout first")
     if (keys.isEmpty || keys.size > graft.ops.Zorder.MaxKeys)
       throw NotSupportedCommand(
         s"z-order clustering takes 1..${graft.ops.Zorder.MaxKeys} keys")
@@ -930,6 +959,67 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     recordAudit("optimize_zorder", m.totalRows)
   }
 
+  /** Declare the table HASH-BUCKETED on `keys` into `buckets` buckets —
+    * the layout that makes repeated large joins on the keys free of
+    * shuffle: every row lands in bucket `pmod(murmur3(keys), buckets)`
+    * (Spark's own `hash()`), each data file holds exactly one bucket, and
+    * the SQL scan then reports key-grouped partitioning so a join between
+    * two tables bucketed the same way moves ZERO bytes between executors —
+    * at 100 TB, the difference between a nightly fact-fact join shuffling
+    * the whole table and one that streams co-located files. Existing files
+    * carry no bucket id until [[optimizeBuckets]] — or [[maintain]] —
+    * rewrites them. */
+  def addBucketLayout(buckets: Int, keys: Seq[String]): Unit = {
+    val m = manifest
+    if (m.sortingKeys.nonEmpty)
+      throw NotSupportedCommand("table has a sorting key; drop it first")
+    if (m.clusteringKeys.nonEmpty)
+      throw NotSupportedCommand("table is z-order clustered; drop clustering first")
+    if (buckets < 1 || buckets > 65536)
+      throw NotSupportedCommand(s"bucket count must be in 1..65536, got $buckets")
+    if (keys.isEmpty) throw NotSupportedCommand("bucket layout takes >= 1 key")
+    val schema = m.schema
+    keys.foreach { k =>
+      if (!schema.fieldNames.contains(k))
+        throw NotSupportedCommand(s"no column $k to bucket on")
+    }
+    tx.stageWrite(dir, m.copy(bucketKeys = keys, bucketCount = buckets,
+      files = m.files.map(_.copy(bucket = -1))))
+  }
+
+  def dropBucketLayout(): Unit = {
+    val m = manifest
+    tx.stageWrite(dir, m.copy(bucketKeys = Nil, bucketCount = 0,
+      files = m.files.map(_.copy(bucket = -1))))
+  }
+
+  /** Rewrite data at rest into the declared bucket layout. One shuffle, no
+    * per-bucket jobs: the file count is rounded UP to a multiple of the
+    * bucket count, so Spark's own hash partitioning (`pmod(murmur3(keys),
+    * nFiles)`) lands every row of output partition `p` in bucket
+    * `p mod buckets` — each written file is single-bucket by construction
+    * and a large bucket still splits across `nFiles / buckets` files.
+    * Rows are key-sorted within each file as a bonus (tight zone maps on
+    * the bucket keys for free). The per-file bucket id is re-DERIVED from
+    * the data by the stats job (min==max asserted), not trusted from the
+    * partitioning arithmetic. */
+  def optimizeBuckets(targetFileRows: Long = 4000000L): Unit = {
+    val m = manifest
+    if (m.bucketKeys.isEmpty) throw NotSupportedCommand("no bucket layout")
+    val keyCols = m.bucketKeys.map(col)
+    val want = layoutFileCount(m.totalRows, targetFileRows).toLong
+    // round up to a multiple of bucketCount (see scaladoc); clamp at Int.Max
+    val nFiles = math.min(Int.MaxValue.toLong,
+      ((want + m.bucketCount - 1) / m.bucketCount) * m.bucketCount).toInt
+    val data = readEntries(m.files, m.schema)
+      .repartition(nFiles, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+    val entries = writeData(data, sorted = true,
+      bucketOf = Some(pmod(hash(keyCols: _*), lit(m.bucketCount))))
+    tx.stageWrite(dir, m.copy(files = entries))
+    recordAudit("optimize_buckets", m.totalRows)
+  }
+
   /** One-call maintenance — the client-side analog of the reference server's
     * background work: bring data layout and derived structures back to their
     * declared state after DML churn. Sorted tables with any unsorted file get
@@ -947,6 +1037,10 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     } else if (m0.clusteringKeys.nonEmpty) {
       // same rule for z-order: the curve rewrite subsumes compaction
       if (m0.files.exists(!_.sorted)) optimizeZorder()
+    } else if (m0.bucketKeys.nonEmpty) {
+      // and for bucket layouts: any file outside the layout (DML since the
+      // last rewrite) re-buckets everything — which subsumes compaction
+      if (m0.files.exists(_.bucket < 0)) optimizeBuckets()
     } else compact(compactTargetRows)
     manifest.projections.filter(_.stale).foreach(p => refreshProjection(p.name))
     manifest.vectorIndexes.filter(_.stale).foreach(v => refreshVectorIndex(v.column))

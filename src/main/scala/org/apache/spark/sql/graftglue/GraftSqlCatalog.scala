@@ -39,7 +39,20 @@ import graft.api.Manifest
  * namespace/table mutation stay API-only so manifests remain authoritative.
  */
 class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with FunctionCatalog {
+
+  /** Storage-partitioned joins resolve a scan's `bucket(n, keys…)`
+    * transform through here; nothing else is a catalog function. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      Array(Identifier.of(namespace, GraftBucketFunction.name()))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == GraftBucketFunction.name()) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
   private var catalogName: String = _
   private var root: String = _
 
@@ -203,10 +216,12 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
         // plain (rename-free, no projections): the zone-map table prunes
         // whole FILES from pushed filters before parquet ever opens them
         if (writable)
-          new ZoneMapTable(ident.toString, schema, dir, m.files)
+          new ZoneMapTable(ident.toString, schema, dir, m.files,
+              m.bucketKeys, m.bucketCount)
             with GraftV1Writable with GraftTableProps {
               val writeRoot = root; val writeIdent = ident; val tableProps = m.props }
-        else new ZoneMapTable(ident.toString, schema, dir, m.files)
+        else new ZoneMapTable(ident.toString, schema, dir, m.files,
+            m.bucketKeys, m.bucketCount)
           with GraftTableProps { val tableProps = m.props }
       }
     }
@@ -219,8 +234,26 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    if (partitions.nonEmpty) throw new UnsupportedOperationException(
-      "partition transforms: layout is manifest-managed (sorting keys, buckets)")
+    // `PARTITIONED BY (bucket(n, keys…))` declares the hash-bucket layout
+    // at CREATE — data written later is brought into it by
+    // `CALL graft.system.bucket` / `Table.optimizeBuckets` (or `maintain`)
+    val bucketSpec: Option[(Int, Seq[String])] = partitions.toSeq match {
+      case Nil => None
+      case Seq(t) if t.name == "bucket" =>
+        val (lits, refs) = t.arguments.toSeq.partition(
+          _.isInstanceOf[org.apache.spark.sql.connector.expressions.Literal[_]])
+        (lits, refs) match {
+          case (Seq(n: org.apache.spark.sql.connector.expressions.Literal[_]),
+                cols) if cols.nonEmpty =>
+            Some((n.value.asInstanceOf[Number].intValue(),
+              cols.map(_.describe.stripPrefix("`").stripSuffix("`"))))
+          case _ => throw new UnsupportedOperationException(
+            s"unsupported bucket transform ${t.describe}")
+        }
+      case _ => throw new UnsupportedOperationException(
+        "only PARTITIONED BY (bucket(n, cols…)) is supported: other layout " +
+          "is manifest-managed (sorting keys, z-order clustering)")
+    }
     // CTAS from another graft table carries `_row_id` — strip it; the new
     // table allocates its own ids
     val logical = StructType(schema.fields.filterNot(_.name == "_row_id"))
@@ -236,6 +269,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
       val t = tx.bucket(ns.head).schema(ns.tail.mkString("/"))
         .createTable(ident.name(), logical)
       if (userProps.nonEmpty) t.setProperties(userProps)
+      bucketSpec.foreach { case (n, keys) => t.addBucketLayout(n, keys) }
     }
     val parquet = ParquetTable(ident.toString, SparkSession.active,
       CaseInsensitiveStringMap.empty(), Nil, Some(logical),
@@ -418,7 +452,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private val procedureNames = Array("history", "maintain", "vacuum_versions",
-    "zorder", "vector_search", "stream_lag",
+    "zorder", "bucket_layout", "vector_search", "stream_lag",
     "dedup_pairs", "dedup_clusters", "pii_redact", "chunk", "decontaminate")
 
   /** Manifest version a streaming checkpoint has durably consumed through,
@@ -500,6 +534,32 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             // idempotent re-CALL: keep the declared keys unless they changed
             if (t.manifest.clusteringKeys != keys) t.addClusteringKeys(keys)
             t.optimizeZorder(target)
+            Seq(org.apache.spark.sql.Row(
+              t.manifest.files.size, t.manifest.totalRows))
+          }
+      }
+      // declare + rewrite the hash-bucket layout that storage-partitioned
+      // joins key on: after this CALL on two tables with the same count and
+      // compatible keys, a join between them plans with ZERO shuffle
+      case "bucket_layout" => new GraftProcedure("bucket_layout",
+          Seq(("table", StringType, None),
+            ("buckets", IntegerType, None),
+            ("columns", StringType, None), // comma-separated bucket keys
+            ("target_file_rows", LongType, Some("4000000"))),
+          StructType(Seq(StructField("n_files", IntegerType),
+            StructField("n_rows", LongType)))) {
+        def run(args: Seq[Any]) =
+          withTable(args.head.asInstanceOf[String]) { t =>
+            val n = args(1).asInstanceOf[Int]
+            val keys = args(2).asInstanceOf[String].split(",").toSeq
+              .map(_.trim).filter(_.nonEmpty)
+            val target = args(3).asInstanceOf[Long]
+            if (target <= 0) throw new IllegalArgumentException(
+              s"target_file_rows must be positive, got $target")
+            // idempotent re-CALL: keep the declared layout unless it changed
+            if (t.manifest.bucketKeys != keys || t.manifest.bucketCount != n)
+              t.addBucketLayout(n, keys)
+            t.optimizeBuckets(target)
             Seq(org.apache.spark.sql.Row(
               t.manifest.files.size, t.manifest.totalRows))
           }

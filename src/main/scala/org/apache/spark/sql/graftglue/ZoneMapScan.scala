@@ -3,21 +3,27 @@ package org.apache.spark.sql.graftglue
 import java.util
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
-import org.apache.spark.sql.connector.expressions.{FieldReference, NamedReference}
+import org.apache.spark.sql.connector.expressions.{Expressions, FieldReference,
+  NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
-import org.apache.spark.sql.connector.read.{Batch, InputPartition,
-  PartitionReaderFactory, Scan, ScanBuilder, Statistics,
-  SupportsPushDownAggregates, SupportsPushDownRequiredColumns,
-  SupportsReportStatistics, SupportsRuntimeFiltering}
-import org.apache.spark.sql.execution.datasources.DataSourceStrategy
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey,
+  InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
+  Statistics, SupportsPushDownAggregates, SupportsPushDownRequiredColumns,
+  SupportsReportPartitioning, SupportsReportStatistics,
+  SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning,
+  Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.execution.datasources.{DataSourceStrategy, FilePartition}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScanBuilder, ParquetTable}
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 import org.apache.spark.sql.sources.{Filter, In}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
 
 /**
  * SQL-read-path table with manifest zone-map FILE pruning: the scan builder
@@ -37,14 +43,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  */
 private[graftglue] class ZoneMapTable(
     tableName: String, tableSchema: StructType, tdir: java.nio.file.Path,
-    entries: Seq[graft.api.Manifest.FileEntry])
+    entries: Seq[graft.api.Manifest.FileEntry],
+    bucketKeys: Seq[String] = Nil, bucketCount: Int = 0)
     extends Table with SupportsRead {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
+  // declared partitioning surfaces in DESCRIBE and lets Catalyst know the
+  // layout exists even before a scan is built
+  override def partitioning(): Array[Transform] =
+    if (bucketKeys.nonEmpty && bucketCount > 0)
+      Array(Expressions.bucket(bucketCount, bucketKeys: _*))
+    else Array.empty
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ZoneMapScanBuilder(tableName, tableSchema, tdir, entries, options)
+    new ZoneMapScanBuilder(tableName, tableSchema, tdir, entries, options,
+      bucketKeys, bucketCount)
 }
 
 /**
@@ -56,9 +70,12 @@ private[graftglue] class ZoneMapTable(
 private[graftglue] class ZoneMapScanBuilder(
     tableName: String, tableSchema: StructType, tdir: java.nio.file.Path,
     entries: Seq[graft.api.Manifest.FileEntry],
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    bucketKeys: Seq[String] = Nil, bucketCount: Int = 0)
     extends ScanBuilder with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+
+  private[graftglue] def tableDir: java.nio.file.Path = tdir
 
   private var kept = entries
   private var inner: ParquetScanBuilder = _
@@ -134,7 +151,8 @@ private[graftglue] class ZoneMapScanBuilder(
     // an aggregate-pushdown scan emits footer-derived rows; runtime file
     // pruning would silently change its results, so serve it untouched
     if (aggPushed) base
-    else new ZoneMapRuntimeScan(this, tableName, kept, base)
+    else new ZoneMapRuntimeScan(this, tableName, kept, base,
+      bucketKeys, bucketCount)
   }
 }
 
@@ -160,9 +178,11 @@ private[graftglue] class ZoneMapScanBuilder(
  */
 class ZoneMapRuntimeScan private[graftglue] (
     builder: ZoneMapScanBuilder, private val tableName: String,
-    initialKept: Seq[graft.api.Manifest.FileEntry], initialScan: Scan)
+    initialKept: Seq[graft.api.Manifest.FileEntry], initialScan: Scan,
+    bucketKeys: Seq[String] = Nil, bucketCount: Int = 0)
     extends Scan with Batch
-    with SupportsRuntimeFiltering with SupportsReportStatistics {
+    with SupportsRuntimeFiltering with SupportsReportStatistics
+    with SupportsReportPartitioning {
 
   @volatile private var kept = initialKept
   @volatile private var inner = initialScan
@@ -170,6 +190,41 @@ class ZoneMapRuntimeScan private[graftglue] (
 
   /** Post-prune file count — observability for specs and plan audits. */
   def keptFileCount: Int = kept.size
+
+  /**
+   * Bucket ids present after STATIC pruning, in order — the partition-key
+   * set this scan commits to. Pinned before runtime filters: Spark requires
+   * runtime filtering to preserve the partition-key set of a key-grouped
+   * scan, so a runtime prune empties a bucket's group rather than dropping
+   * it. None unless the table has a complete bucket layout (every kept file
+   * carries a bucket id — any post-rewrite DML degrades to plain scanning),
+   * there is at least one file, and the session has storage-partitioned
+   * joins switched on (`spark.sql.sources.v2.bucketing.enabled`) — when
+   * off, partition planning stays the parquet default (size-based splits),
+   * so the feature is strictly opt-in.
+   */
+  private val bucketGroups: Option[Seq[Int]] =
+    if (bucketKeys.nonEmpty && bucketCount > 0 && initialKept.nonEmpty &&
+        initialKept.forall(_.bucket >= 0) &&
+        org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled)
+      Some(initialKept.map(_.bucket).distinct.sorted)
+    else None
+
+  /**
+   * Key-grouped partitioning over `bucket(bucketCount, bucketKeys…)`: two
+   * graft tables bucketed the same way join with ZERO exchange — Spark
+   * matches the transform through the catalog's `bucket` function
+   * ([[GraftBucketFunction]]) and aligns the per-bucket file groups from
+   * [[planInputPartitions]] side by side. At 100 TB this turns the nightly
+   * fact-fact join from "shuffle both tables across the cluster" into
+   * "stream co-located files", the same storage-partitioned-join contract
+   * Spark defines for V2 sources.
+   */
+  override def outputPartitioning(): Partitioning = bucketGroups match {
+    case Some(groups) => new KeyGroupedPartitioning(
+      Array(Expressions.bucket(bucketCount, bucketKeys: _*)), groups.size)
+    case None => new UnknownPartitioning(0)
+  }
 
   /**
    * Without this, wrapping the parquet scan hides its
@@ -245,9 +300,38 @@ class ZoneMapRuntimeScan private[graftglue] (
   // it after the Batch object was cached.
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    inner.toBatch.planInputPartitions()
-  override def createReaderFactory(): PartitionReaderFactory =
-    inner.toBatch.createReaderFactory()
+    bucketGroups match {
+      case None => inner.toBatch.planInputPartitions()
+      case Some(groups) =>
+        // regroup the parquet scan's size-based splits into one partition
+        // per bucket: a file belongs to exactly one bucket (manifest
+        // invariant), so flattening the splits and re-binning by the
+        // file→bucket map loses nothing parquet planned — row-group
+        // pruning and pushed filters live in the reader, not the split.
+        // Buckets whose files were all runtime-pruned still emit an empty
+        // group: Spark requires the partition-key set to be stable across
+        // runtime filtering.
+        val byPath: Map[String, Int] = initialKept.iterator.map { f =>
+          (graft.api.Table.resolvePath(builder.tableDir, f.path), f.bucket)
+        }.toMap
+        val files = inner.toBatch.planInputPartitions().flatMap {
+          case fp: FilePartition => fp.files
+          case other => throw new IllegalStateException(
+            s"unexpected non-file partition under a bucketed scan: $other")
+        }
+        val binned = files.groupBy(pf => byPath.getOrElse(
+          pf.toPath.toUri.getPath,
+          throw new IllegalStateException(
+            s"file ${pf.toPath} missing from the bucket manifest")))
+        groups.zipWithIndex.map { case (b, i) =>
+          GraftBucketedPartition(b,
+            FilePartition(i, binned.getOrElse(b, Array.empty)))
+        }.toArray[InputPartition]
+    }
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val base = inner.toBatch.createReaderFactory()
+    if (bucketGroups.isEmpty) base else new UnwrapReaderFactory(base)
+  }
 
   override def equals(other: Any): Boolean = other match {
     case z: ZoneMapRuntimeScan =>
@@ -271,4 +355,34 @@ private[graftglue] object ZoneMapRuntimeScan {
     * observability hook for specs and plan debugging. */
   private[graftglue] val lastRuntimePrune =
     new java.util.concurrent.atomic.AtomicReference[(String, Int, Int)]
+}
+
+/**
+ * One bucket's worth of parquet splits, tagged with its partition key so
+ * `BatchScanExec` can group scans by bucket and plan storage-partitioned
+ * joins. Wraps (rather than extends) `FilePartition`: the parquet reader
+ * factory pattern-matches on the exact `FilePartition` shape, so
+ * [[UnwrapReaderFactory]] unwraps before delegating.
+ */
+private[graftglue] case class GraftBucketedPartition(
+    bucket: Int, inner: FilePartition)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+private[graftglue] class UnwrapReaderFactory(base: PartitionReaderFactory)
+    extends PartitionReaderFactory {
+  private def unwrap(p: InputPartition): InputPartition = p match {
+    case GraftBucketedPartition(_, fp) => fp
+    case other => other
+  }
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    base.createReader(unwrap(p))
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[ColumnarBatch] =
+    base.createColumnarReader(unwrap(p))
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    base.supportColumnarReads(unwrap(p))
 }

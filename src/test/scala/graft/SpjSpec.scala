@@ -1,0 +1,159 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+import graft.api._
+
+/**
+ * Storage-partitioned joins over hash-bucket layouts: two graft tables
+ * bucketed the same way must join through the SQL catalog with ZERO
+ * shuffle exchange — the 100 TB contract that a nightly fact-fact join
+ * streams co-located files instead of moving both tables. Reference
+ * analog: the semi-sorted-projection/zone-skipping layout story
+ * (vastdb/table.py:996-1008) — the engine-side layout the server keeps so
+ * repeated heavy reads stop paying data movement.
+ */
+class SpjSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("v", DoubleType)))
+
+  private def mkTable(s: VastSession, name: String, rows: Int,
+                      seed: Int): Unit =
+    s.transaction { tx =>
+      val data = (0 until rows).map(i =>
+        Row(((i * 2654435761L + seed) % 997).abs, i * 1.0 + seed))
+      tx.bucket("bk").schema("m").createTable(name, schema)
+        .insert(spark.createDataFrame(java.util.List.of(data: _*), schema))
+    }
+
+  /** Hash-partitioned shuffles in the FINAL (post-AQE) plan — the data
+    * movement bucketing exists to eliminate. An ORDER BY's range shuffle is
+    * out of scope, and the "Initial Plan" section AQE appends must not be
+    * double-counted. */
+  private def shuffles(df: DataFrame): Int = {
+    df.collect() // materialize so AQE's final plan is the one inspected
+    val s = df.queryExecution.executedPlan.toString
+    val finalPart = s.indexOf("== Initial Plan ==") match {
+      case -1 => s
+      case i => s.substring(0, i)
+    }
+    "Exchange hashpartitioning".r.findAllIn(finalPart).length
+  }
+
+  test("co-bucketed tables join with zero shuffle; layout degrades safely") {
+    val root = Files.createTempDirectory("graft-spj").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    s.transaction(tx => tx.bucket("bk").createSchema("m"))
+    mkTable(s,"fact_a", 4000, seed = 0)
+    mkTable(s, "fact_b", 3000, seed = 1)
+    spark.conf.set("spark.sql.catalog.graftj",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.graftj.root", root)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      // force the join shape that would otherwise shuffle both sides
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val q = """SELECT a.k AS k, count(*) AS n, sum(a.v + b.v) AS sv
+                |FROM graftj.bk.m.fact_a a JOIN graftj.bk.m.fact_b b
+                |  ON a.k = b.k
+                |GROUP BY a.k ORDER BY k""".stripMargin
+
+      // ---- baseline: unbucketed tables shuffle (sanity of the probe) and
+      //      pin the expected answer
+      val before = spark.sql(q)
+      assert(shuffles(before) > 0, "probe broken: expected shuffles pre-layout")
+      val expected = before.collect().toSeq
+
+      // ---- bucket both tables the same way via SQL CALL
+      val r1 = spark.sql(
+        "CALL graftj.system.bucket_layout('bk.m.fact_a', 8, 'k', 500)").collect()
+      spark.sql("CALL graftj.system.bucket_layout('bk.m.fact_b', 8, 'k', 500)")
+      assert(r1.head.getInt(0) >= 8, s"expected >=8 bucketed files, got ${r1.head}")
+
+      // the join now plans with zero shuffle: scans report key-grouped
+      // partitioning and Spark aligns the per-bucket file groups
+      val after = spark.sql(q)
+      assert(after.collect().toSeq == expected, "bucketed join changed results")
+      assert(shuffles(spark.sql(
+        s"""SELECT a.k AS k, a.v, b.v FROM graftj.bk.m.fact_a a
+           |JOIN graftj.bk.m.fact_b b ON a.k = b.k""".stripMargin)) == 0,
+        "co-bucketed join still shuffles:\n" +
+          spark.sql(q).queryExecution.executedPlan.toString)
+
+      // ---- DML degrades the layout (new file has no bucket id): the join
+      //      falls back to shuffling but stays CORRECT, and maintain()
+      //      restores the shuffle-free plan
+      spark.sql("INSERT INTO graftj.bk.m.fact_a VALUES (12, 0.5, 99001)")
+      val degraded = spark.sql(q)
+      val degradedRows = degraded.collect()
+      assert(degradedRows.length == expected.length)
+      assert(shuffles(degraded) > 0,
+        "scan must stop reporting partitioning once a file lacks a bucket")
+      spark.sql("CALL graftj.system.maintain('bk.m.fact_a')")
+      s.transaction { tx =>
+        val m = tx.bucket("bk").schema("m").table("fact_a").manifest
+        assert(m.bucketKeys == Seq("k") && m.bucketCount == 8 &&
+          m.files.forall(_.bucket >= 0),
+          s"maintain left manifest: keys=${m.bucketKeys} n=${m.bucketCount} " +
+            s"buckets=${m.files.map(_.bucket).mkString(",")}")
+      }
+      val restored = spark.sql(q)
+      assert(restored.collect().toSeq == degradedRows.toSeq,
+        "maintain() changed join results")
+      assert(shuffles(restored) == 0, "maintain() did not restore the layout\n" +
+        restored.queryExecution.executedPlan.toString)
+
+      // ---- runtime file pruning keeps the partition-key set stable: a
+      //      selective dim filter may empty buckets, never drop them
+      spark.sql("""CREATE TABLE graftj.bk.m.dim (k BIGINT, tag STRING)""")
+      spark.sql("INSERT INTO graftj.bk.m.dim VALUES (12, 'x', 0), (77, 'y', 1)")
+      val star = spark.sql(
+        """SELECT f.k, f.v, d.tag FROM graftj.bk.m.fact_a f
+          |JOIN graftj.bk.m.dim d ON f.k = d.k WHERE d.tag = 'x'
+          |ORDER BY f.k, f.v""".stripMargin)
+      val starRows = star.collect()
+      assert(starRows.nonEmpty && starRows.forall(_.getString(2) == "x"))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("bucket layout survives rename, drops with its key, excludes other layouts") {
+    val root = Files.createTempDirectory("graft-spj2").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    s.transaction(tx => tx.bucket("bk").createSchema("m"))
+    mkTable(s,"t", 300, seed = 2)
+    s.transaction { tx =>
+      val t = tx.bucket("bk").schema("m").table("t")
+      t.addBucketLayout(4, Seq("k"))
+      t.optimizeBuckets(100)
+      intercept[Exception](t.addSortingKey(Seq("k")))
+      intercept[Exception](t.addClusteringKeys(Seq("k")))
+    }
+    s.transaction { tx =>
+      val t = tx.bucket("bk").schema("m").table("t")
+      assert(t.manifest.files.forall(_.bucket >= 0))
+      assert(t.stats.numFiles == t.manifest.files.size)
+      t.renameColumn("k", "key")
+      assert(t.manifest.bucketKeys == Seq("key"),
+        "bucket keys must follow a column rename")
+    }
+    s.transaction { tx =>
+      val t = tx.bucket("bk").schema("m").table("t")
+      t.dropColumn("key")
+      assert(t.manifest.bucketKeys.isEmpty && t.manifest.bucketCount == 0,
+        "dropping a bucket key must drop the whole layout")
+    }
+  }
+}
