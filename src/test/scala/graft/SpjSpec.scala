@@ -128,6 +128,63 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("bucket-key aggregate needs no exchange; one-side shuffle joins an unbucketed table") {
+    val root = Files.createTempDirectory("graft-spj3").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    s.transaction(tx => tx.bucket("bk").createSchema("m"))
+    mkTable(s, "fact", 4000, seed = 5)
+    mkTable(s, "loose", 500, seed = 6)
+    spark.conf.set("spark.sql.catalog.graftk",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.graftk.root", root)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val aggQ = """SELECT k, count(*) AS n, sum(v) AS sv
+                   |FROM graftk.bk.m.fact GROUP BY k""".stripMargin
+      val expectedAgg = spark.sql(aggQ).collect().sortBy(_.getLong(0)).toSeq
+      spark.sql("CALL graftk.system.bucket_layout('bk.m.fact', 8, 'k', 500)")
+
+      // a groupBy on the bucket key is already clustered right: the scan's
+      // key-grouped partitioning satisfies the aggregate's distribution,
+      // so the whole query runs exchange-free
+      val agg = spark.sql(aggQ)
+      assert(agg.collect().sortBy(_.getLong(0)).toSeq == expectedAgg)
+      assert(shuffles(agg) == 0, "bucket-key aggregate still exchanges:\n" +
+        agg.queryExecution.executedPlan.toString)
+
+      // joining an UNBUCKETED table: with v2 bucketing shuffle on, Spark
+      // shuffles only the loose side INTO the fact's partitioning through
+      // the catalog's bucket function — the bucketed side stays in place
+      val j = spark.sql(
+        """SELECT f.k, f.v, l.v AS lv FROM graftk.bk.m.fact f
+          |JOIN graftk.bk.m.loose l ON f.k = l.k""".stripMargin)
+      val got = j.collect()
+      assert(got.length > 0)
+      assert(shuffles(j) <= 1,
+        "expected at most the loose side to shuffle:\n" +
+          j.queryExecution.executedPlan.toString)
+      // cross-check rows against the same join computed shuffle-only
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val expected = spark.sql(
+        """SELECT f.k, f.v, l.v AS lv FROM graftk.bk.m.fact f
+          |JOIN graftk.bk.m.loose l ON f.k = l.k""".stripMargin).collect()
+      assert(got.map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sorted
+        .sameElements(expected.map(r =>
+          (r.getLong(0), r.getDouble(1), r.getDouble(2))).sorted),
+        "one-side-shuffle join changed results")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucket layout survives rename, drops with its key, excludes other layouts") {
     val root = Files.createTempDirectory("graft-spj2").toString
     val s = VastSession(spark, root)
