@@ -339,9 +339,16 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.decode(wav).sameElements(f))
   }
 
-  test("TPC-H q17/q20/q18/q21 correlated subqueries decorrelate to joins, no cartesian") {
+  test("TPC-H subquery shapes decorrelate to joins, no cartesian") {
     val dir = sf("sf0.001")
-    for (name <- Seq("q_tpch_q17", "q_tpch_q20", "q_tpch_q18", "q_tpch_q21")) {
+    // q17/q20: correlated scalar aggregates; q18: HAVING-subquery IN;
+    // q21: EXISTS/NOT-EXISTS with non-equi residual; q2: correlated MIN
+    // over a 5-table join; q4: plain EXISTS; q11: HAVING vs scalar
+    // re-aggregation; q15: aggregate joined with MAX of itself; q16: NOT IN
+    // exclusion; q22: anti join + scalar average over another slice
+    for (name <- Seq("q_tpch_q17", "q_tpch_q20", "q_tpch_q18", "q_tpch_q21",
+        "q_tpch_q2", "q_tpch_q4", "q_tpch_q11", "q_tpch_q15", "q_tpch_q16",
+        "q_tpch_q22")) {
       val df = SparkEntry.queries(name)(spark, dir)
       val rows = df.collect()
       assert(rows.nonEmpty, s"$name returned no rows — the gate would be vacuous")
