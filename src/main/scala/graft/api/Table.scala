@@ -186,7 +186,9 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
         val projSchema = StructType(logical.fields.filter(f => p.columns.contains(f.name)))
         scanSession.read.schema(projSchema.add(RowIdColumn, LongType)).parquet(pdir)
       case None =>
-        readEntries(pruneByZoneMaps(m.files, predicate), logical, scanSession)
+        readEntries(Table.pruneByBucketEq(
+          pruneByZoneMaps(m.files, predicate), m, predicate), logical,
+          scanSession)
     }
     val projected = base.filter(predicate)
       .select((if (internalRowId) RowIdColumn +: cols else cols).map(col): _*)
@@ -315,6 +317,21 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     * EVERY primitive column (one columnar stats pass — the same aggregation
     * regardless of column count), so `pruneByZoneMaps` serves ad-hoc
     * predicates on unsorted columns, not just the sorting keys. */
+  /** Route a batch into the declared hash-bucket layout, when one exists
+    * and the batch carries the keys: the BATCH (never the table) shuffles
+    * into one partition per bucket — so appends and COW rewrites keep the
+    * layout live and storage-partitioned joins never degrade under normal
+    * DML. The per-file bucket id is re-derived by the stats job like every
+    * bucket write ([[optimizeBuckets]]). Identity for unbucketed tables. */
+  private def bucketized(df: DataFrame,
+                         m: TableManifest): (DataFrame, Option[Column]) =
+    if (m.bucketKeys.nonEmpty && m.bucketCount > 0 &&
+        m.bucketKeys.forall(df.columns.contains)) {
+      val kc = m.bucketKeys.map(col)
+      (df.repartition(m.bucketCount, kc: _*).sortWithinPartitions(kc: _*),
+        Some(pmod(hash(kc: _*), lit(m.bucketCount))))
+    } else (df, None)
+
   private def writeData(df: DataFrame, sorted: Boolean,
                         bucketOf: Option[Column] = None): Seq[FileEntry] = {
     val batch = dataDir.resolve("b-" + UUID.randomUUID().toString.take(8))
@@ -418,7 +435,8 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     if (rows.columns.contains(RowIdColumn)) {
       val aligned = rows.select(
         (RowIdColumn +: logical.fieldNames.toIndexedSeq).map(col): _*)
-      val entries = writeData(aligned, sorted = false)
+      val (bAligned, bOf) = bucketized(aligned, m)
+      val entries = writeData(bAligned, sorted = false, bOf)
       if (entries.isEmpty) {
         // a 0-row overwrite is a TRUNCATE and must still stage; a 0-row
         // insert stages nothing
@@ -438,7 +456,8 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       m.sortingKeys.forall(logical.fieldNames.contains)
     val data = if (sortedWrite)
       withIds.sortWithinPartitions(m.sortingKeys.map(col): _*) else withIds
-    val entries = writeData(data, sorted = false)
+    val (bData, bOf) = bucketized(data, m)
+    val entries = writeData(bData, sorted = false, bOf)
     val n = entries.map(_.rows).sum
     if (n == 0 && !replace) return (start, start) // 0-row insert: nothing to stage
     stage(entries, start + n)
@@ -518,7 +537,10 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     val (touched, untouched) = (touchedZ.map(_._1), untouchedZ.map(_._1))
     val current = readEntries(touched, m.schema)
     val merged = Dml.updateByRowId(current, batch)
-    val entries = writeData(merged, sorted = false)
+    // COW merges victims across buckets — shuffling the rewrite back into
+    // the layout keeps co-bucketed joins shuffle-free through updates
+    val (bMerged, bOf) = bucketized(merged, m)
+    val entries = writeData(bMerged, sorted = false, bOf)
     tx.stageWrite(dir, m.copy(files = untouched ++ entries,
       projections = staleProjections(m),
       vectorIndexes = staleVectorIndexes(m)))
@@ -552,7 +574,8 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       m.files.zipWithIndex.partition { case (_, i) => touchedIdx(i) }
     val (touched, untouched) = (touchedZ.map(_._1), untouchedZ.map(_._1))
     val remaining = Dml.deleteByRowId(readEntries(touched, m.schema), batch)
-    val entries = writeData(remaining, sorted = false)
+    val (bRemaining, bOf) = bucketized(remaining, m)
+    val entries = writeData(bRemaining, sorted = false, bOf)
     tx.stageWrite(dir, m.copy(files = untouched ++ entries,
       projections = staleProjections(m),
       vectorIndexes = staleVectorIndexes(m)))
@@ -636,9 +659,11 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     val m = manifest
     val (small, big) = m.files.partition(_.rows < targetRows)
     if (small.size <= 1) return
-    val merged = readEntries(small, m.schema)
-      .repartition(math.max(1, (small.map(_.rows).sum / targetRows).toInt))
-    val entries = writeData(merged, sorted = false)
+    val base = readEntries(small, m.schema)
+    val (bMerged, bOf) = bucketized(base, m)
+    val merged = if (bOf.isDefined) bMerged
+      else base.repartition(math.max(1, (small.map(_.rows).sum / targetRows).toInt))
+    val entries = writeData(merged, sorted = false, bOf)
     tx.stageWrite(dir, m.copy(files = big ++ entries))
     recordAudit("compact", small.map(_.rows).sum)
   }
@@ -1845,6 +1870,47 @@ object Table {
         (st.maxUnbounded || cmpTo(st.max) <= 0)
       case _ => true
     } catch { case _: Exception => true } // type mismatch → keep
+  }
+
+  /** Bucket pruning for the API scan — the point-lookup complement of zone
+    * maps, which a hash layout defeats (every bucket file spans the key's
+    * whole range): a conjunctive equality on the single bucket key keeps
+    * only the files of `pmod(murmur3(value), n)`, 1/n of the table before
+    * a single footer is read. Conservative: requires a complete layout
+    * (post-rewrite DML files carry no bucket id → no pruning), only
+    * top-level `=` constraints, value conversion failure keeps everything.
+    * The SQL path's twin lives in `ZoneMapScanBuilder.pruneByBucket`. */
+  private[graft] def pruneByBucketEq(entries: Seq[FileEntry],
+                                     m: Manifest.TableManifest,
+                                     predicate: Column): Seq[FileEntry] = {
+    if (m.bucketKeys.size != 1 || m.bucketCount <= 0 ||
+        entries.isEmpty || !entries.forall(_.bucket >= 0)) return entries
+    val key = m.bucketKeys.head
+    val keyType = m.schema.fields.find(_.name == key)
+      .map(_.dataType).getOrElse(return entries)
+    val eqs = Glue.rangeConstraints(predicate)
+      .collect { case (c, "=", v) if c == key && v != null => v }
+    if (eqs.isEmpty) return entries
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(keyType)
+    def bucketOf(v: Any): Option[Int] =
+      try {
+        val cat = v match {
+          // rangeConstraints may surface values already in Catalyst form
+          case u: org.apache.spark.unsafe.types.UTF8String => u
+          case other => conv(other)
+        }
+        val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+          .hash(cat, keyType, 42).toInt
+        Some(((h % m.bucketCount) + m.bucketCount) % m.bucketCount)
+      } catch { case _: Exception => None }
+    val buckets = eqs.map(bucketOf)
+    if (buckets.exists(_.isEmpty)) return entries // unconvertible → keep all
+    // conjunctive equalities must all hold, so the surviving bucket set is
+    // the intersection of the singletons (disagreeing equalities = no rows)
+    val ws = buckets.flatten.toSet
+    if (ws.size == 1) entries.filter(f => f.bucket == ws.head)
+    else entries.filter(_ => false)
   }
 
   /** EXACT membership pruning for an IN-set: keep a file iff SOME value can

