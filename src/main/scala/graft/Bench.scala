@@ -61,10 +61,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def t(name: String): DataFrame =
-      if (name == "events")
-        spark.read.parquet(s"$sfDir/$name.parquet")
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else spark.read.parquet(s"$sfDir/$name.parquet")
+      if (name == "events") {
+        // ts arrives as int64 nanos (legacy data) or naive-µs timestamp
+        // (NTZ); normalize both to µs TimestampType under the UTC session
+        val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+        }
+      } else spark.read.parquet(s"$sfDir/$name.parquet")
 
     val queries: Seq[(String, () => Unit)] = Seq(
       // --- reference-shaped selective scans on events ---

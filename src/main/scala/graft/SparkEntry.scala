@@ -28,12 +28,19 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark has no type for:
-      // read the raw int64 (legacy conf) and truncate ns → µs TimestampType,
-      // exactly what DuckDB does on read (so oracle values agree).
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) — which Spark can
+      // only read as a raw int64 (legacy conf), truncated here ns → µs — and
+      // as naive-µs TIMESTAMP, which Spark infers as TIMESTAMP_NTZ. Both
+      // normalize to µs TimestampType: under the UTC session the NTZ cast is
+      // wall-clock identity, exactly how DuckDB reads the same file (so
+      // oracle values agree either way).
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = s.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     } else s.read.parquet(s"$dir/$name.parquet")
 
   /** Order-independent exact sum of a double expression → double. */

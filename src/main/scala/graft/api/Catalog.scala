@@ -70,6 +70,21 @@ object Manifest {
   case class ProjectionMeta(name: String, columns: Seq[String],
                             sortedColumns: Seq[String], dir: String,
                             stale: Boolean = false)
+  /** Materialized ROLLUP (aggregate projection): one row per distinct
+    * `groupColumns` combination holding decomposable partial aggregates —
+    * `__rows` (count(*)) plus, per measure column m, `__sum_m`/`__cnt_m`
+    * (numeric only) and `__min_m`/`__max_m`. Any aggregate expressible as a
+    * merge of those partials (sum, count, min, max, avg) grouped by a
+    * SUBSET of `groupColumns` can be answered from the rollup instead of
+    * the base files — at 100 TB that turns a full fact-table pass into a
+    * scan of a few thousand pre-aggregated rows. `schemaJson` records the
+    * rollup's physical schema (partial-column types derive from Spark's
+    * aggregate typing at build time — recorded, not re-derived, so the
+    * router can never disagree with the files). `stale` flips on any
+    * base-table DML, exactly like projections: a stale rollup never serves. */
+  case class AggProjectionMeta(name: String, groupColumns: Seq[String],
+                               measureColumns: Seq[String], dir: String,
+                               schemaJson: String, stale: Boolean = false)
   /** Vector-index metadata. `dir` (table-dir-relative) holds the persisted
     * IVF structure — `centroids/` (centroid_id, c_vec) and `assigned/`
     * (_row_id, vec; hive-partitioned by SOURCE-FILE basename `__src=` then
@@ -118,6 +133,7 @@ object Manifest {
                            nextRowId: Long,
                            sortingKeys: Seq[String] = Nil,
                            projections: Seq[ProjectionMeta] = Nil,
+                           aggProjections: Seq[AggProjectionMeta] = Nil,
                            vectorIndexes: Seq[VectorIndexMeta] = Nil,
                            blobExpansions: Seq[BlobExpansionMeta] = Nil,
                            dedupIndexes: Seq[DedupIndexMeta] = Nil,

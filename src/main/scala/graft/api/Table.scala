@@ -431,6 +431,7 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
         files = (if (replace) Seq.empty else m.files) ++ entries,
         nextRowId = nextId,
         projections = staleProjections(m),
+        aggProjections = staleAggProjections(m),
         vectorIndexes = staleVectorIndexes(m)))
     if (rows.columns.contains(RowIdColumn)) {
       val aligned = rows.select(
@@ -470,6 +471,12 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     * old rows); `refreshProjection` rebuilds and re-enables them. */
   private def staleProjections(m: TableManifest): Seq[ProjectionMeta] =
     m.projections.map(_.copy(stale = true))
+
+  /** Same protocol for rollups: DML stales them (the router falls back to
+    * the base files — fast-but-wrong pre-aggregates are never acceptable);
+    * `refreshAggProjection` rebuilds. */
+  private def staleAggProjections(m: TableManifest): Seq[AggProjectionMeta] =
+    m.aggProjections.map(_.copy(stale = true))
 
   /** Same protocol for vector indexes: DML stales them (search falls back to
     * exact brute force — approximate-but-missing-rows is never acceptable);
@@ -543,6 +550,7 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     val entries = writeData(bMerged, sorted = false, bOf)
     tx.stageWrite(dir, m.copy(files = untouched ++ entries,
       projections = staleProjections(m),
+      aggProjections = staleAggProjections(m),
       vectorIndexes = staleVectorIndexes(m)))
     batch.unpersist()
     recordAudit("update", n)
@@ -578,6 +586,7 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     val entries = writeData(bRemaining, sorted = false, bOf)
     tx.stageWrite(dir, m.copy(files = untouched ++ entries,
       projections = staleProjections(m),
+      aggProjections = staleAggProjections(m),
       vectorIndexes = staleVectorIndexes(m)))
     batch.unpersist()
     recordAudit("delete", n)
@@ -609,6 +618,7 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       else math.max(m.nextRowId, entries.map(_.maxRowId).max + 1)
     tx.stageWrite(dir, m.copy(files = kept ++ entries, nextRowId = hi,
       projections = staleProjections(m),
+      aggProjections = staleAggProjections(m),
       vectorIndexes = staleVectorIndexes(m)))
     recordAudit(op, entries.map(_.rows).sum)
   }
@@ -814,6 +824,15 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     val nv = m.vectorIndexes.map { v =>
       if (v.column == from) v.copy(column = to, stale = true) else v
     }
+    // rollups: same protocol as projections — metadata follows the new name,
+    // but the rollup files keep the old physical names until a refresh
+    val nap = m.aggProjections.map { p =>
+      if (p.groupColumns.contains(from) || p.measureColumns.contains(from))
+        p.copy(groupColumns = p.groupColumns.map(c => if (c == from) to else c),
+          measureColumns = p.measureColumns.map(c => if (c == from) to else c),
+          stale = true)
+      else p
+    }
     // dedup index: signatures are CONTENT-derived and keyed by immutable
     // source-file basename, not by column name — a pure rename invalidates
     // nothing, so the metadata just follows the new name (no staling)
@@ -825,7 +844,8 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       clusteringKeys = m.clusteringKeys.map(k => if (k == from) to else k),
       // bucket ids hash VALUES, not names — the layout survives a rename
       bucketKeys = m.bucketKeys.map(k => if (k == from) to else k),
-      projections = np, vectorIndexes = nv, dedupIndexes = nd))
+      projections = np, aggProjections = nap,
+      vectorIndexes = nv, dedupIndexes = nd))
   }
 
   def dropColumn(name: String): Unit = {
@@ -863,7 +883,11 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       blobExpansions = m.blobExpansions.filterNot(_.blobColumn == name),
       dedupIndexes = m.dedupIndexes.filterNot(_.column == name),
       projections = m.projections.filterNot(p =>
-        p.columns.contains(name) || p.sortedColumns.contains(name))))
+        p.columns.contains(name) || p.sortedColumns.contains(name)),
+      // a rollup referencing the dropped column would wrongly cover a later
+      // re-added column of the same name — it goes with the column
+      aggProjections = m.aggProjections.filterNot(p =>
+        p.groupColumns.contains(name) || p.measureColumns.contains(name))))
   }
 
   /** Staged rename (reference rename isolation,
@@ -1068,6 +1092,7 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       if (m0.files.exists(_.bucket < 0)) optimizeBuckets()
     } else compact(compactTargetRows)
     manifest.projections.filter(_.stale).foreach(p => refreshProjection(p.name))
+    manifest.aggProjections.filter(_.stale).foreach(p => refreshAggProjection(p.name))
     manifest.vectorIndexes.filter(_.stale).foreach(v => refreshVectorIndex(v.column))
     // incremental by design: covered files are skipped, so this is a no-op
     // unless DML actually changed the file set
@@ -1281,6 +1306,91 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
   def dropProjection(pname: String): Unit = {
     val m = manifest
     tx.stageWrite(dir, m.copy(projections = m.projections.filterNot(_.name == pname)))
+  }
+
+  // --------------------------- aggregate projections (rollups)
+
+  /** One immutable rollup data dir: one row per distinct `groupColumns`
+    * combination with decomposable partials — `__rows`, and per measure
+    * `__cnt_/__min_/__max_` (+ `__sum_` when numeric). ONE distributed
+    * aggregation pass over the base files; partial-column types are
+    * whatever Spark's own aggregates produce, recorded in the returned
+    * schema JSON so the router rewrites against the exact file types. */
+  private def writeAggProjectionData(pname: String, groupColumns: Seq[String],
+                                     measureColumns: Seq[String])
+      : (String, String) = {
+    val m = manifest
+    val schema = m.schema
+    val partials: Seq[Column] = count(lit(1)).as("__rows") +:
+      measureColumns.flatMap { c =>
+        val numeric = schema(c).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType]
+        val common = Seq(count(col(c)).as(s"__cnt_$c"),
+          min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))
+        if (numeric) sum(col(c)).as(s"__sum_$c") +: common else common
+      }
+    val pdirRel = s"_proj/agg-$pname-${UUID.randomUUID().toString.take(8)}"
+    val pdir = dir.resolve(pdirRel)
+    val data = readEntries(m.files, schema)
+      .groupBy(groupColumns.map(col): _*)
+      .agg(partials.head, partials.tail: _*)
+      .sortWithinPartitions(groupColumns.map(col): _*)
+    data.write.mode("overwrite").parquet(pdir.toString)
+    // deepest-first so rollback's in-order deletes empty dirs before parents
+    Table.walkPaths(pdir).reverse
+      .foreach(p => tx.newFiles += p.toString)
+    (pdirRel, data.schema.json)
+  }
+
+  /** Materialized rollup (aggregate projection): `AggProjectionRewrite`
+    * transparently answers covered SQL aggregates from it — sum/count/min/
+    * max/avg over `measureColumns`, grouped by any SUBSET of
+    * `groupColumns`, with filters that reference only group columns.
+    * The scale analog of the reference's server-side projection selection
+    * (/root/reference/vastdb/table.py:274-309) applied to the aggregate
+    * shape: the 100 TB fact pass happens ONCE at build, every matching
+    * query after reads a few thousand pre-aggregated rows. */
+  def createAggProjection(pname: String, groupColumns: Seq[String],
+                          measureColumns: Seq[String]): Unit = {
+    val m = manifest
+    if (groupColumns.isEmpty)
+      throw NotSupportedCommand("rollup needs at least one group column")
+    val names = m.schema.fieldNames.toSet
+    val missing = (groupColumns ++ measureColumns).filterNot(names)
+    if (missing.nonEmpty)
+      throw NotSupportedSchema(s"no such columns: ${missing.mkString(", ")}")
+    if (groupColumns.intersect(measureColumns).nonEmpty)
+      throw NotSupportedCommand("group and measure columns must be disjoint")
+    val (pdirRel, schemaJson) =
+      writeAggProjectionData(pname, groupColumns, measureColumns)
+    tx.stageWrite(dir, m.copy(aggProjections =
+      m.aggProjections.filterNot(_.name == pname) :+
+        AggProjectionMeta(pname, groupColumns, measureColumns, pdirRel,
+          schemaJson)))
+    recordAudit("create_agg_projection", m.totalRows)
+  }
+
+  /** Rebuild a (stale) rollup from the current table state and re-enable
+    * it — the maintenance half of the stale-on-DML protocol. */
+  def refreshAggProjection(pname: String): Unit = {
+    val m = manifest
+    val p = m.aggProjections.find(_.name == pname)
+      .getOrElse(throw NotSupportedCommand(s"no aggregate projection $pname"))
+    val (pdirRel, schemaJson) =
+      writeAggProjectionData(pname, p.groupColumns, p.measureColumns)
+    tx.stageWrite(dir, m.copy(aggProjections = m.aggProjections.map(x =>
+      if (x.name == pname)
+        x.copy(dir = pdirRel, schemaJson = schemaJson, stale = false)
+      else x)))
+    recordAudit("refresh_agg_projection", m.totalRows)
+  }
+
+  def aggProjections: Seq[AggProjectionMeta] = manifest.aggProjections
+
+  def dropAggProjection(pname: String): Unit = {
+    val m = manifest
+    tx.stageWrite(dir, m.copy(aggProjections =
+      m.aggProjections.filterNot(_.name == pname)))
   }
 
   /** Table properties (reference table props alter,

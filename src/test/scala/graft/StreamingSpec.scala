@@ -15,10 +15,15 @@ import graft.streaming.Events
 class StreamingSpec extends SparkSpec {
 
   private def eventsBatch = {
-    // ns timestamps → µs (same handling as SparkEntry)
+    // ns-long or naive-µs timestamps → µs TimestampType (same handling as
+    // SparkEntry: NTZ casts are wall-clock identity under the UTC session)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(sf("sf0.001") + "/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   test("streaming tumbling window agrees with batch") {
