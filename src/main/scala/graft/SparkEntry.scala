@@ -466,6 +466,50 @@ object SparkEntry {
              |  ROUND(QUANTILE_CONT(l_quantity, 0.9), 6) AS p90_qty
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    Q("ap1_rollup_route",  // materialized rollup (aggregate projection)
+      // through the SQL catalog: lineitem is loaded into a graft table, a
+      // (l_returnflag, l_linestatus) rollup is built, and the GROUP BY —
+      // over a strict SUBSET of the rollup dims, so partials provably
+      // re-merge — must be ANSWERED FROM THE ROLLUP (the fn throws if the
+      // optimized plan still reads base files) yet match DuckDB's answer
+      // over the raw parquet bit-for-bit. Exact-typed aggregates only
+      // (bigint sum, count, double min/max): no merge-order fuzz in the
+      // hash. First gate query on the catalog READ stack end-to-end:
+      // loadTable → AggProjectionRewrite → rollup parquet scan.
+      (s, dir) => {
+        val root = java.nio.file.Files.createTempDirectory("graft-ap1").toString
+        val vs = graft.api.VastSession(s, root)
+        vs.createBucket("b")
+        val li = t(s, dir, "lineitem")
+        vs.transaction { tx =>
+          val t0 = tx.bucket("b").createSchema("m")
+            .createTable("lineitem", li.schema)
+          t0.insert(li)
+          t0.createAggProjection("r1", Seq("l_returnflag", "l_linestatus"),
+            Seq("l_partkey", "l_extendedprice"))
+        }
+        s.conf.set("spark.sql.catalog.gap1",
+          "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+        s.conf.set("spark.sql.catalog.gap1.root", root)
+        val df = s.sql(
+          """SELECT l_returnflag, CAST(SUM(l_partkey) AS BIGINT) AS sum_pk,
+            |  COUNT(*) AS n, MIN(l_extendedprice) AS min_price,
+            |  MAX(l_extendedprice) AS max_price
+            |FROM gap1.b.m.lineitem
+            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        val routed = df.queryExecution.optimizedPlan.collect {
+          case sr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+              if sr.relation.table.name.contains("$") => sr.relation.table.name
+        }
+        require(routed.nonEmpty,
+          "ap1: aggregate was not routed to the rollup — plan reads base files")
+        df
+      },
+      Some("""SELECT l_returnflag, CAST(SUM(l_partkey) AS BIGINT) AS sum_pk,
+             |  COUNT(*) AS n, MIN(l_extendedprice) AS min_price,
+             |  MAX(l_extendedprice) AS max_price
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     Q("a5_approx_distinct",  // HLL sketch, self-oracled: the estimate itself
       // is engine-specific, but "within 3×rsd of the exact count" is a
       // machine-checkable bound DuckDB can assert (its side is always true,

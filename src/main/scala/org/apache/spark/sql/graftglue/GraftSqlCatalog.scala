@@ -214,14 +214,22 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
           with GraftTableProps { val tableProps = m.props }
       } else {
         // plain (rename-free, no projections): the zone-map table prunes
-        // whole FILES from pushed filters before parquet ever opens them
+        // whole FILES from pushed filters before parquet ever opens them.
+        // Fresh ROLLUPS ride along for AggProjectionRewrite — registered
+        // here (idempotent) so any session that can see a rollup also
+        // carries the rule that routes to it.
+        val rollups = m.aggProjections.filterNot(_.stale).map(p =>
+          (p, graft.api.Table.resolvePath(dir, p.dir)))
+        if (rollups.nonEmpty)
+          org.apache.spark.sql.SparkSession.getActiveSession
+            .foreach(AggProjectionRewrite.register)
         if (writable)
           new ZoneMapTable(ident.toString, schema, dir, m.files,
-              m.bucketKeys, m.bucketCount)
+              m.bucketKeys, m.bucketCount, rollups)
             with GraftV1Writable with GraftTableProps {
               val writeRoot = root; val writeIdent = ident; val tableProps = m.props }
         else new ZoneMapTable(ident.toString, schema, dir, m.files,
-            m.bucketKeys, m.bucketCount)
+            m.bucketKeys, m.bucketCount, rollups)
           with GraftTableProps { val tableProps = m.props }
       }
     }
@@ -562,6 +570,32 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             t.optimizeBuckets(target)
             Seq(org.apache.spark.sql.Row(
               t.manifest.files.size, t.manifest.totalRows))
+          }
+      }
+      // materialized rollup DDL: after this CALL, covered GROUP BY queries
+      // through the catalog are answered from the rollup (AggProjectionRewrite)
+      case "agg_projection" => new GraftProcedure("agg_projection",
+          Seq(("table", StringType, None),
+            ("name", StringType, None),
+            ("group_columns", StringType, None),   // comma-separated dims
+            ("measure_columns", StringType, None), // comma-separated measures
+            ("op", StringType, Some("'create'"))), // create | refresh | drop
+          StructType(Seq(StructField("rollups", IntegerType),
+            StructField("n_rows", LongType)))) {
+        def run(args: Seq[Any]) =
+          withTable(args.head.asInstanceOf[String]) { t =>
+            val pname = args(1).asInstanceOf[String]
+            def csv(i: Int) = args(i).asInstanceOf[String].split(",").toSeq
+              .map(_.trim).filter(_.nonEmpty)
+            args(4).asInstanceOf[String] match {
+              case "create" => t.createAggProjection(pname, csv(2), csv(3))
+              case "refresh" => t.refreshAggProjection(pname)
+              case "drop" => t.dropAggProjection(pname)
+              case other => throw new IllegalArgumentException(
+                s"op must be create|refresh|drop, got $other")
+            }
+            Seq(org.apache.spark.sql.Row(
+              t.manifest.aggProjections.size, t.manifest.totalRows))
           }
       }
       // the operational question every incremental pipeline asks at 100 TB:

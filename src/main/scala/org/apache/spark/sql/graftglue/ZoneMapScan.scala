@@ -44,7 +44,10 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
 private[graftglue] class ZoneMapTable(
     tableName: String, tableSchema: StructType, tdir: java.nio.file.Path,
     entries: Seq[graft.api.Manifest.FileEntry],
-    bucketKeys: Seq[String] = Nil, bucketCount: Int = 0)
+    bucketKeys: Seq[String] = Nil, bucketCount: Int = 0,
+    // FRESH rollups only (stale ones are excluded at loadTable, like
+    // projections): (meta, resolved data dir) for AggProjectionRewrite
+    val aggRollups: Seq[(graft.api.Manifest.AggProjectionMeta, String)] = Nil)
     extends Table with SupportsRead {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema

@@ -1,0 +1,181 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.types._
+
+import graft.api._
+
+/** Materialized rollups (aggregate projections): covered GROUP BY queries
+  * through the SQL catalog must be answered from the rollup files — and
+  * only when that provably gives the base-table answer (fresh rollup,
+  * dims-only filters, decomposable aggregates). Route detection reads the
+  * optimized plan: a routed query scans a relation named `table$rollup`
+  * over the `_proj/agg-` dir instead of the base files. */
+class AggProjectionSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("flag", StringType), StructField("status", StringType),
+    StructField("qty", LongType), StructField("price", DoubleType),
+    StructField("amt", DecimalType(12, 2))))
+
+  private var root: String = _
+  private val cat = "gagg"
+
+  private def seed(): VastSession = {
+    root = Files.createTempDirectory("graft-aggproj").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    s.transaction { tx =>
+      val m = tx.bucket("bk").createSchema("m")
+      val t = m.createTable("fact", schema)
+      // three inserts = three file generations, so the rollup provably
+      // merges partials across files
+      (0 until 3).foreach { g =>
+        val rows = new java.util.ArrayList[Row]()
+        (0 until 2000).foreach { i =>
+          val n = g * 2000 + i
+          rows.add(Row(s"f${n % 3}", s"s${n % 2}", n.toLong % 97,
+            (n % 1000) / 7.0, new java.math.BigDecimal(s"${n % 500}.25")))
+        }
+        t.insert(spark.createDataFrame(rows, schema))
+      }
+    }
+    s.transaction { tx =>
+      tx.bucket("bk").schema("m").table("fact")
+        .createAggProjection("by_fs", Seq("flag", "status"),
+          Seq("qty", "price", "amt"))
+    }
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s
+  }
+
+  /** Name of the rollup the optimized plan reads from, if any. */
+  private def routedTo(df: DataFrame): Option[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case sr: DataSourceV2ScanRelation
+          if sr.relation.table.name.contains("$") =>
+        sr.relation.table.name.split('$').last
+    }.headOption
+
+  /** Run `sql` routed and unrouted; both results and both schemas must
+    * agree (double cells to 1e-9 — merge order differs by construction). */
+  private def parity(sql: String, expectRoute: Boolean): Unit = {
+    val routed = spark.sql(sql)
+    assert(routedTo(routed) == (if (expectRoute) Some("by_fs") else None),
+      s"route mismatch for: $sql\n${routed.queryExecution.optimizedPlan}")
+    val direct = {
+      spark.conf.set("spark.graft.aggProjection.enabled", "false")
+      try {
+        val d = spark.sql(sql)
+        assert(routedTo(d).isEmpty)
+        d.collect()
+      } finally spark.conf.unset("spark.graft.aggProjection.enabled")
+    }
+    assert(routed.schema == spark.sql(sql).schema)
+    val got = routed.collect()
+    assert(got.length == direct.length, s"row counts differ for: $sql")
+    def key(r: Row) = r.toSeq.map {
+      case d: Double => f"$d%.6f"
+      case x => String.valueOf(x)
+    }.mkString("|")
+    got.sortBy(key).zip(direct.sortBy(key)).foreach { case (a, b) =>
+      a.toSeq.zip(b.toSeq).foreach {
+        case (x: Double, y: Double) =>
+          assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y)),
+            s"$x vs $y in: $sql")
+        case (x, y) => assert(x == y, s"$x vs $y in: $sql")
+      }
+    }
+  }
+
+  test("covered aggregates route to the rollup and agree with the base") {
+    seed()
+    // full dim set
+    parity(s"""SELECT flag, status, sum(qty) AS sq, count(*) AS n,
+              |min(price) AS mn, max(price) AS mx, avg(price) AS ap,
+              |sum(amt) AS sa, count(price) AS cp
+              |FROM $cat.bk.m.fact GROUP BY flag, status""".stripMargin,
+      expectRoute = true)
+    // SUBSET of dims re-aggregates partials
+    parity(s"SELECT flag, sum(qty) AS sq, max(amt) AS mx FROM $cat.bk.m.fact" +
+      " GROUP BY flag", expectRoute = true)
+    // global aggregate (no GROUP BY)
+    parity(s"SELECT sum(qty) AS sq, count(*) AS n, avg(price) AS ap" +
+      s" FROM $cat.bk.m.fact", expectRoute = true)
+    // dim-only filter applies to rollup rows
+    parity(s"SELECT flag, sum(qty) AS sq FROM $cat.bk.m.fact" +
+      " WHERE status = 's1' GROUP BY flag", expectRoute = true)
+    // empty-group edge: count must be 0, not null
+    val empty = spark.sql(s"SELECT count(*) AS n, sum(qty) AS sq" +
+      s" FROM $cat.bk.m.fact WHERE flag = 'nope'")
+    assert(routedTo(empty).contains("by_fs"))
+    val r = empty.collect().head
+    assert(r.getLong(0) == 0L && r.isNullAt(1))
+  }
+
+  test("uncoverable queries stay on the base files") {
+    // measure-referencing filter
+    parity(s"SELECT flag, sum(qty) AS sq FROM $cat.bk.m.fact" +
+      " WHERE qty > 50 GROUP BY flag", expectRoute = false)
+    // DISTINCT aggregate
+    parity(s"SELECT flag, count(DISTINCT status) AS n FROM $cat.bk.m.fact" +
+      " GROUP BY flag", expectRoute = false)
+    // aggregate over an expression, not a plain column
+    parity(s"SELECT flag, sum(qty * 2) AS sq FROM $cat.bk.m.fact" +
+      " GROUP BY flag", expectRoute = false)
+    // non-dim grouping
+    parity(s"SELECT qty, count(*) AS n FROM $cat.bk.m.fact GROUP BY qty",
+      expectRoute = false)
+    // decimal avg (precision promotion differs) stays on base
+    parity(s"SELECT flag, avg(amt) AS aa FROM $cat.bk.m.fact GROUP BY flag",
+      expectRoute = false)
+  }
+
+  test("DML stales the rollup; refresh re-enables; maintain refreshes") {
+    val s = VastSession(spark, root)
+    s.transaction { tx =>
+      val t = tx.bucket("bk").schema("m").table("fact")
+      t.insert(spark.createDataFrame(
+        java.util.List.of(Row("f9", "s9", 1000000L, 5.0,
+          new java.math.BigDecimal("1.00"))), schema))
+      assert(t.aggProjections.forall(_.stale))
+    }
+    // stale → base files serve, and the new row is visible
+    val q = s"SELECT sum(qty) AS sq FROM $cat.bk.m.fact"
+    assert(routedTo(spark.sql(q)).isEmpty)
+    val afterInsert = spark.sql(q).collect().head.getLong(0)
+    s.transaction { tx =>
+      tx.bucket("bk").schema("m").table("fact").refreshAggProjection("by_fs")
+    }
+    val routed = spark.sql(q)
+    assert(routedTo(routed).contains("by_fs"))
+    assert(routed.collect().head.getLong(0) == afterInsert)
+    // delete → stale again; maintain() refreshes everything stale
+    s.transaction { tx =>
+      val t = tx.bucket("bk").schema("m").table("fact")
+      t.deleteWhere(org.apache.spark.sql.functions.col("flag") === "f9")
+    }
+    assert(routedTo(spark.sql(q)).isEmpty)
+    s.transaction { tx => tx.bucket("bk").schema("m").table("fact").maintain() }
+    assert(routedTo(spark.sql(q)).contains("by_fs"))
+    assert(spark.sql(q).collect().head.getLong(0) == afterInsert - 1000000L)
+  }
+
+  test("CALL agg_projection manages rollups through SQL") {
+    spark.sql(s"CALL $cat.system.agg_projection('bk.m.fact', 'by_flag', " +
+      "'flag', 'qty')").collect()
+    val df = spark.sql(s"SELECT flag, sum(qty) AS sq FROM $cat.bk.m.fact" +
+      " GROUP BY flag")
+    // two covering rollups now: the 1-dim one wins (fewer rows to merge)
+    assert(routedTo(df).contains("by_flag"))
+    spark.sql(s"CALL $cat.system.agg_projection('bk.m.fact', 'by_flag', " +
+      "'', '', 'drop')").collect()
+    assert(routedTo(spark.sql(s"SELECT flag, sum(qty) AS sq" +
+      s" FROM $cat.bk.m.fact GROUP BY flag")).contains("by_fs"))
+  }
+}
