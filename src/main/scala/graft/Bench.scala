@@ -211,6 +211,27 @@ object Bench {
           |JOIN gbench.b.m.dates d ON f.l_shipdate = d.d_date
           |WHERE d.d_month = '1998-03'""".stripMargin))))
 
+    // materialized rollup pair: the same GROUP BY through the catalog with
+    // the rollup router off (full fact scan + hash agg) vs on (scan of a
+    // handful of pre-aggregated rows). The at-rest answer to the recurring
+    // aggregate — at 100 TB the routed query never touches the fact table.
+    zs.transaction { tx =>
+      tx.bucket("b").schema("m").table("plain").createAggProjection("r1",
+        Seq("l_returnflag", "l_linestatus"),
+        Seq("l_extendedprice", "l_quantity"))
+    }
+    val rollupSql =
+      """SELECT l_returnflag, sum(l_extendedprice) AS s, count(*) AS n,
+        |       max(l_quantity) AS mx
+        |FROM gbench.b.m.plain GROUP BY l_returnflag""".stripMargin
+    val rollupScans: Seq[(String, () => Unit)] = Seq(
+      "agg_sql_base" -> (() => {
+        spark.conf.set("spark.graft.aggProjection.enabled", "false")
+        try mat(spark.sql(rollupSql))
+        finally spark.conf.unset("spark.graft.aggProjection.enabled")
+      }),
+      "agg_sql_rollup" -> (() => mat(spark.sql(rollupSql))))
+
     // storage-partitioned join pair: the same fact-fact join + per-key
     // aggregate over catalog tables hash-bucketed on the join key, with
     // v2 bucketing off (both sides shuffle) vs on (zero exchange — scans
@@ -267,7 +288,8 @@ object Bench {
     // bounded at larger SFs). Later runs benefit from warm file metadata +
     // JIT, matching steady-state throughput, and the min is robust to a
     // concurrent process stealing cores mid-run.
-    val results = (queries ++ sortedScans ++ zScans ++ sqlScans ++ spjScans)
+    val results = (queries ++ sortedScans ++ zScans ++ sqlScans ++
+        rollupScans ++ spjScans)
         .map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()

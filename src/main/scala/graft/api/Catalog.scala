@@ -82,9 +82,17 @@ object Manifest {
     * aggregate typing at build time — recorded, not re-derived, so the
     * router can never disagree with the files). `stale` flips on any
     * base-table DML, exactly like projections: a stale rollup never serves. */
+  /** `coveredFiles` = the base-table file paths whose rows the rollup
+    * aggregates (data files are immutable, so path identity is content
+    * identity): when DML only ADDED files since the last build, refresh
+    * aggregates just the delta and merges partials with the existing
+    * rollup — a 100 TB fact with daily appends re-reads one day, not the
+    * table. Any covered file gone (COW rewrite, delete, overwrite) forces
+    * the full rebuild: min/max partials cannot be subtracted. */
   case class AggProjectionMeta(name: String, groupColumns: Seq[String],
                                measureColumns: Seq[String], dir: String,
-                               schemaJson: String, stale: Boolean = false)
+                               schemaJson: String, stale: Boolean = false,
+                               coveredFiles: Seq[String] = Nil)
   /** Vector-index metadata. `dir` (table-dir-relative) holds the persisted
     * IVF structure — `centroids/` (centroid_id, c_vec) and `assigned/`
     * (_row_id, vec; hive-partitioned by SOURCE-FILE basename `__src=` then

@@ -1310,18 +1310,11 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
 
   // --------------------------- aggregate projections (rollups)
 
-  /** One immutable rollup data dir: one row per distinct `groupColumns`
-    * combination with decomposable partials — `__rows`, and per measure
-    * `__cnt_/__min_/__max_` (+ `__sum_` when numeric). ONE distributed
-    * aggregation pass over the base files; partial-column types are
-    * whatever Spark's own aggregates produce, recorded in the returned
-    * schema JSON so the router rewrites against the exact file types. */
-  private def writeAggProjectionData(pname: String, groupColumns: Seq[String],
-                                     measureColumns: Seq[String])
-      : (String, String) = {
-    val m = manifest
-    val schema = m.schema
-    val partials: Seq[Column] = count(lit(1)).as("__rows") +:
+  /** The decomposable partial set: `__rows`, and per measure
+    * `__cnt_/__min_/__max_` (+ `__sum_` when numeric). */
+  private def aggPartialCols(schema: StructType,
+                             measureColumns: Seq[String]): Seq[Column] =
+    count(lit(1)).as("__rows") +:
       measureColumns.flatMap { c =>
         val numeric = schema(c).dataType
           .isInstanceOf[org.apache.spark.sql.types.NumericType]
@@ -1329,17 +1322,64 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
           min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))
         if (numeric) sum(col(c)).as(s"__sum_$c") +: common else common
       }
+
+  private def writeAggDir(pname: String, data: DataFrame,
+                          groupColumns: Seq[String]): (String, String) = {
     val pdirRel = s"_proj/agg-$pname-${UUID.randomUUID().toString.take(8)}"
     val pdir = dir.resolve(pdirRel)
-    val data = readEntries(m.files, schema)
-      .groupBy(groupColumns.map(col): _*)
-      .agg(partials.head, partials.tail: _*)
-      .sortWithinPartitions(groupColumns.map(col): _*)
-    data.write.mode("overwrite").parquet(pdir.toString)
+    val out = data.sortWithinPartitions(groupColumns.map(col): _*)
+    out.write.mode("overwrite").parquet(pdir.toString)
     // deepest-first so rollback's in-order deletes empty dirs before parents
     Table.walkPaths(pdir).reverse
       .foreach(p => tx.newFiles += p.toString)
-    (pdirRel, data.schema.json)
+    (pdirRel, out.schema.json)
+  }
+
+  /** One immutable rollup data dir: one row per distinct `groupColumns`
+    * combination with decomposable partials. ONE distributed aggregation
+    * pass over `entries`; partial-column types are whatever Spark's own
+    * aggregates produce, recorded in the returned schema JSON so the
+    * router rewrites against the exact file types. */
+  private def writeAggProjectionData(pname: String, groupColumns: Seq[String],
+                                     measureColumns: Seq[String],
+                                     entries: Seq[FileEntry])
+      : (String, String) = {
+    val schema = manifest.schema
+    val partials = aggPartialCols(schema, measureColumns)
+    writeAggDir(pname, readEntries(entries, schema)
+      .groupBy(groupColumns.map(col): _*)
+      .agg(partials.head, partials.tail: _*), groupColumns)
+  }
+
+  /** Incremental refresh: aggregate ONLY `delta` (files added since the
+    * last build), union with the existing rollup rows, and re-merge the
+    * partials — sums/counts add, extrema re-extremize; merged sum columns
+    * cast back to the recorded types (Spark widens a decimal sum-of-sums).
+    * Correct because partial merges are associative and the covered files
+    * are immutable. */
+  private def mergeAggProjectionData(p: AggProjectionMeta,
+                                     delta: Seq[FileEntry])
+      : (String, String) = {
+    val rollupSchema = org.apache.spark.sql.types.DataType
+      .fromJson(p.schemaJson).asInstanceOf[StructType]
+    val old = spark.read.schema(rollupSchema)
+      .parquet(Table.resolvePath(dir, p.dir))
+    val partials = aggPartialCols(manifest.schema, p.measureColumns)
+    val fresh = readEntries(delta, manifest.schema)
+      .groupBy(p.groupColumns.map(col): _*)
+      .agg(partials.head, partials.tail: _*)
+    val dims = p.groupColumns.toSet
+    val merge: Seq[Column] = rollupSchema.fields.toSeq
+      .filterNot(f => dims(f.name)).map { f =>
+        if (f.name.startsWith("__min_")) min(col(f.name)).as(f.name)
+        else if (f.name.startsWith("__max_")) max(col(f.name)).as(f.name)
+        else sum(col(f.name)).cast(f.dataType).as(f.name) // __rows/__cnt/__sum
+      }
+    val merged = old.unionByName(fresh)
+      .groupBy(p.groupColumns.map(col): _*)
+      .agg(merge.head, merge.tail: _*)
+    val (pdirRel, _) = writeAggDir(p.name, merged, p.groupColumns)
+    (pdirRel, p.schemaJson) // schema unchanged by construction
   }
 
   /** Materialized rollup (aggregate projection): `AggProjectionRewrite`
@@ -1362,27 +1402,50 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     if (groupColumns.intersect(measureColumns).nonEmpty)
       throw NotSupportedCommand("group and measure columns must be disjoint")
     val (pdirRel, schemaJson) =
-      writeAggProjectionData(pname, groupColumns, measureColumns)
+      writeAggProjectionData(pname, groupColumns, measureColumns, m.files)
     tx.stageWrite(dir, m.copy(aggProjections =
       m.aggProjections.filterNot(_.name == pname) :+
         AggProjectionMeta(pname, groupColumns, measureColumns, pdirRel,
-          schemaJson)))
+          schemaJson, coveredFiles = m.files.map(_.path))))
     recordAudit("create_agg_projection", m.totalRows)
   }
 
-  /** Rebuild a (stale) rollup from the current table state and re-enable
-    * it — the maintenance half of the stale-on-DML protocol. */
+  /** Rebuild a (stale) rollup and re-enable it — the maintenance half of
+    * the stale-on-DML protocol. INSERT-only churn refreshes incrementally:
+    * only the files added since the last build are aggregated, their
+    * partials merged with the existing rollup (audited as
+    * `refresh_agg_projection_incr`). Anything else — a covered file gone
+    * (COW/delete/overwrite), or recorded partials that no longer line up
+    * with the (possibly renamed) columns — rebuilds from scratch. */
   def refreshAggProjection(pname: String): Unit = {
     val m = manifest
     val p = m.aggProjections.find(_.name == pname)
       .getOrElse(throw NotSupportedCommand(s"no aggregate projection $pname"))
+    val current = m.files.map(_.path)
+    val covered = p.coveredFiles.toSet
+    val recordedNames = (try org.apache.spark.sql.types.DataType
+        .fromJson(p.schemaJson).asInstanceOf[StructType].fieldNames
+      catch { case _: Exception => Array.empty[String] }).toSet
+    val schemaOk = p.groupColumns.forall(recordedNames) &&
+      p.measureColumns.forall(c => recordedNames(s"__cnt_$c"))
+    val delta = m.files.filterNot(f => covered(f.path))
+    val incremental = schemaOk && p.coveredFiles.nonEmpty &&
+      covered.subsetOf(current.toSet) &&
+      Files.isDirectory(Paths.get(Table.resolvePath(dir, p.dir)))
     val (pdirRel, schemaJson) =
-      writeAggProjectionData(pname, p.groupColumns, p.measureColumns)
+      if (incremental && delta.isEmpty) (p.dir, p.schemaJson) // files identical
+      else if (incremental) mergeAggProjectionData(p, delta)
+      else writeAggProjectionData(pname, p.groupColumns, p.measureColumns,
+        m.files)
     tx.stageWrite(dir, m.copy(aggProjections = m.aggProjections.map(x =>
       if (x.name == pname)
-        x.copy(dir = pdirRel, schemaJson = schemaJson, stale = false)
+        x.copy(dir = pdirRel, schemaJson = schemaJson, stale = false,
+          coveredFiles = current)
       else x)))
-    recordAudit("refresh_agg_projection", m.totalRows)
+    recordAudit(
+      if (incremental) "refresh_agg_projection_incr"
+      else "refresh_agg_projection",
+      if (incremental) delta.map(_.rows).sum else m.totalRows)
   }
 
   def aggProjections: Seq[AggProjectionMeta] = manifest.aggProjections

@@ -50,6 +50,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  * (DML stales rollups under the same manifest CAS as projections), so a
  * routed answer is exactly the base-table answer.
  */
+/** Implemented by every catalog table shape that can carry FRESH rollups
+  * for [[AggProjectionRewrite]]: (meta, resolved data dir) pairs. */
+private[graftglue] trait HasAggRollups {
+  def aggRollups: Seq[(graft.api.Manifest.AggProjectionMeta, String)]
+  def name(): String
+}
+
 object AggProjectionRewrite extends Rule[LogicalPlan] {
 
   /** (table, rollup) of the most recent route — observability for specs. */
@@ -93,7 +100,7 @@ object AggProjectionRewrite extends Rule[LogicalPlan] {
       case None => return None
     }
     val zt = sr.relation.table match {
-      case z: ZoneMapTable if z.aggRollups.nonEmpty => z
+      case z: HasAggRollups if z.aggRollups.nonEmpty => z
       case _ => return None
     }
     // grouping must be plain columns; record name → original attribute
@@ -111,7 +118,13 @@ object AggProjectionRewrite extends Rule[LogicalPlan] {
     // rollup rows to merge
     val candidates = zt.aggRollups.filter { case (m, _) =>
       val dims = m.groupColumns.toSet
-      groupAttrs.forall(a => dims(a.name)) && filterRefs.subsetOf(dims)
+      // recorded schema must still carry every dim (metadata and files can
+      // only diverge transiently; never route through a mismatch)
+      val recorded = try DataType.fromJson(m.schemaJson)
+          .asInstanceOf[StructType].fieldNames.toSet
+        catch { case _: Exception => Set.empty[String] }
+      groupAttrs.forall(a => dims(a.name)) && filterRefs.subsetOf(dims) &&
+        m.groupColumns.forall(recorded)
     }.sortBy(_._1.groupColumns.size)
 
     candidates.view.flatMap { case (meta, dataDir) =>
@@ -136,7 +149,8 @@ object AggProjectionRewrite extends Rule[LogicalPlan] {
         ae.aggregateFunction match {
           case c: Count => c.children match {
             case Seq(l: Literal) if l.value != null =>
-              Some(Coalesce(Seq(merged(Sum(attrOf("__rows"))), Literal(0L))))
+              partial("__", "rows").map(p =>
+                Coalesce(Seq(merged(Sum(p)), Literal(0L))))
             case Seq(a: AttributeReference) =>
               partial("__cnt_", a.name).map(p =>
                 Coalesce(Seq(merged(Sum(p)), Literal(0L))))

@@ -203,26 +203,28 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
       val fresh = m.projections.filterNot(_.stale).map(p =>
         (p.columns.toSet + "_row_id", p.sortedColumns.headOption,
           graft.api.Table.resolvePath(dir, p.dir)))
+      // fresh ROLLUPS ride along on both table shapes for
+      // AggProjectionRewrite — registered here (idempotent) so any session
+      // that can see a rollup also carries the rule that routes to it
+      val rollups = m.aggProjections.filterNot(_.stale).map(p =>
+        (p, graft.api.Table.resolvePath(dir, p.dir)))
+      if (rollups.nonEmpty)
+        org.apache.spark.sql.SparkSession.getActiveSession
+          .foreach(AggProjectionRewrite.register)
       if (fresh.nonEmpty) {
         // covered scans route to a materialized projection, like the picker
         // in Table.select (and the reference server's transparent selection)
         if (writable)
-          new ProjectionRoutingTable(ident.toString, schema, paths, fresh)
+          new ProjectionRoutingTable(ident.toString, schema, paths, fresh,
+              rollups)
             with GraftV1Writable with GraftTableProps {
               val writeRoot = root; val writeIdent = ident; val tableProps = m.props }
-        else new ProjectionRoutingTable(ident.toString, schema, paths, fresh)
+        else new ProjectionRoutingTable(ident.toString, schema, paths, fresh,
+            rollups)
           with GraftTableProps { val tableProps = m.props }
       } else {
         // plain (rename-free, no projections): the zone-map table prunes
-        // whole FILES from pushed filters before parquet ever opens them.
-        // Fresh ROLLUPS ride along for AggProjectionRewrite — registered
-        // here (idempotent) so any session that can see a rollup also
-        // carries the rule that routes to it.
-        val rollups = m.aggProjections.filterNot(_.stale).map(p =>
-          (p, graft.api.Table.resolvePath(dir, p.dir)))
-        if (rollups.nonEmpty)
-          org.apache.spark.sql.SparkSession.getActiveSession
-            .foreach(AggProjectionRewrite.register)
+        // whole FILES from pushed filters before parquet ever opens them
         if (writable)
           new ZoneMapTable(ident.toString, schema, dir, m.files,
               m.bucketKeys, m.bucketCount, rollups)

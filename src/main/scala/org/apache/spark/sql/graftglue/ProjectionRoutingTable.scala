@@ -31,8 +31,11 @@ private[graftglue] class ProjectionRoutingTable(
     basePaths: Seq[String],
     // (projection columns incl. _row_id, leading sort column, resolved data
     // dir), fresh only
-    projections: Seq[(Set[String], Option[String], String)])
-    extends Table with SupportsRead {
+    projections: Seq[(Set[String], Option[String], String)],
+    // fresh ROLLUPS for AggProjectionRewrite: a table can carry both kinds
+    // of materialization, scans route to one, aggregates to the other
+    val aggRollups: Seq[(graft.api.Manifest.AggProjectionMeta, String)] = Nil)
+    extends Table with SupportsRead with HasAggRollups {
 
   override def name(): String = tableName
   override def schema(): StructType = logicalSchema

@@ -48,7 +48,7 @@ private[graftglue] class ZoneMapTable(
     // FRESH rollups only (stale ones are excluded at loadTable, like
     // projections): (meta, resolved data dir) for AggProjectionRewrite
     val aggRollups: Seq[(graft.api.Manifest.AggProjectionMeta, String)] = Nil)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with HasAggRollups {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =

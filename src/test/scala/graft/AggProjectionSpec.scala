@@ -166,6 +166,70 @@ class AggProjectionSpec extends SparkSpec {
     assert(spark.sql(q).collect().head.getLong(0) == afterInsert - 1000000L)
   }
 
+  test("insert-only churn refreshes the rollup incrementally") {
+    val s = VastSession(spark, root)
+    s.transaction { tx =>
+      val rows = new java.util.ArrayList[Row]()
+      (0 until 100).foreach(i => rows.add(Row("f7", "s7", 10L, 1.5,
+        new java.math.BigDecimal("2.50"))))
+      tx.bucket("bk").schema("m").table("fact")
+        .insert(spark.createDataFrame(rows, schema))
+    }
+    s.transaction { tx =>
+      tx.bucket("bk").schema("m").table("fact").refreshAggProjection("by_fs")
+    }
+    // the audit trail proves the refresh read ONLY the delta: the
+    // incremental op records the added rows, not the table size
+    s.transaction { tx =>
+      val log = tx.auditLog()
+        .filter(org.apache.spark.sql.functions.col("op") ===
+          "refresh_agg_projection_incr")
+        .orderBy(org.apache.spark.sql.functions.col("ts").desc)
+      assert(log.count() >= 1)
+      assert(log.select("rows").head().getLong(0) == 100L)
+    }
+    val df = spark.sql(s"SELECT sum(qty) AS sq, count(*) AS n" +
+      s" FROM $cat.bk.m.fact WHERE flag = 'f7'")
+    assert(routedTo(df).contains("by_fs"))
+    val r = df.collect().head
+    assert(r.getLong(0) == 1000L && r.getLong(1) == 100L)
+    // a DELETE breaks append-only coverage → the next refresh is FULL
+    s.transaction { tx =>
+      tx.bucket("bk").schema("m").table("fact")
+        .deleteWhere(org.apache.spark.sql.functions.col("flag") === "f7")
+    }
+    s.transaction { tx =>
+      tx.bucket("bk").schema("m").table("fact").refreshAggProjection("by_fs")
+    }
+    s.transaction { tx =>
+      val ops = tx.auditLog()
+        .filter(org.apache.spark.sql.functions.col("op")
+          .startsWith("refresh_agg_projection"))
+        .orderBy(org.apache.spark.sql.functions.col("ts").desc)
+        .select("op").head().getString(0)
+      assert(ops == "refresh_agg_projection", s"expected full refresh, got $ops")
+    }
+    val back = spark.sql(s"SELECT count(*) AS n FROM $cat.bk.m.fact" +
+      " WHERE flag = 'f7'")
+    assert(routedTo(back).contains("by_fs"))
+    assert(back.collect().head.getLong(0) == 0L)
+  }
+
+  test("a table with a regular projection keeps rollup routing") {
+    val s = VastSession(spark, root)
+    s.transaction { tx =>
+      tx.bucket("bk").schema("m").table("fact")
+        .createProjection("p_cols", Seq("flag", "qty"), Seq("flag"))
+    }
+    // loadTable now builds the projection-routing shape; aggregates must
+    // still reach the rollup through it
+    parity(s"SELECT flag, sum(qty) AS sq FROM $cat.bk.m.fact GROUP BY flag",
+      expectRoute = true)
+    s.transaction { tx =>
+      tx.bucket("bk").schema("m").table("fact").dropProjection("p_cols")
+    }
+  }
+
   test("CALL agg_projection manages rollups through SQL") {
     spark.sql(s"CALL $cat.system.agg_projection('bk.m.fact', 'by_flag', " +
       "'flag', 'qty')").collect()
