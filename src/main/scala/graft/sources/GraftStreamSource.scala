@@ -94,7 +94,8 @@ class GraftStreamSource extends TableProvider with DataSourceRegister
           "Update-mode upserts need a key and are not expressible here")
     new GraftTableSink(sqlContext.sparkSession, req("root"), req("bucket"),
       req("schema"), req("table"),
-      complete = outputMode == org.apache.spark.sql.streaming.OutputMode.Complete())
+      complete = outputMode == org.apache.spark.sql.streaming.OutputMode.Complete(),
+      maintainRollups = parameters.get("maintainRollups").exists(_.toBoolean))
   }
 
   private def tableDir(options: CaseInsensitiveStringMap): Path =
@@ -699,7 +700,8 @@ private[sources] case class GraftVersionOffset(version: Long) extends Offset {
  */
 private[sources] class GraftTableSink(spark: SparkSession, root: String,
                                       bucket: String, schemaPath: String,
-                                      table: String, complete: Boolean)
+                                      table: String, complete: Boolean,
+                                      maintainRollups: Boolean = false)
     extends org.apache.spark.sql.execution.streaming.Sink {
 
   // one session for the query's lifetime — tx ids stay monotonic across
@@ -717,6 +719,15 @@ private[sources] class GraftTableSink(spark: SparkSession, root: String,
         .map(_.toLong).getOrElse(-1L)
       if (batchId > last) {
         if (complete) t.overwrite(batch) else t.insert(batch)
+        // opt-in rollup maintenance: the insert just staled any rollups;
+        // refreshing INSIDE the batch transaction publishes data + fresh
+        // rollups under one manifest CAS, and because an append-mode batch
+        // only ADDS files the refresh is the incremental merge — per batch
+        // the table re-reads this batch, never itself. Ingest-to-dashboard
+        // stays a rollup scan with zero scheduled maintenance.
+        if (maintainRollups)
+          t.manifest.aggProjections.filter(_.stale)
+            .foreach(p => t.refreshAggProjection(p.name))
         t.setProperties(Map("graft.stream.lastBatchId" -> batchId.toString))
       }
     }

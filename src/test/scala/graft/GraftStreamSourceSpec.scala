@@ -718,6 +718,63 @@ class GraftStreamSourceSpec extends SparkSpec {
     }
   }
 
+  test("sink maintainRollups: each batch commits data + incrementally fresh rollups") {
+    val root = Files.createTempDirectory("graft-sink-ru").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    s.transaction { tx =>
+      val m = tx.bucket("bk").createSchema("m")
+      m.createTable("t", schema)
+      val cur = m.createTable("curated", schema)
+      cur.createAggProjection("by_s", Seq("s"), Seq("a"))
+    }
+    insert(s, 4, "a")
+    val tdir = Paths.get(root, "bk", "m", "t").toString
+    val ckpt = Files.createTempDirectory("graft-sink-ruck").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(tdir)
+        .drop("_row_id")
+        .writeStream.format("graft")
+        .option("root", root).option("bucket", "bk")
+        .option("schema", "m").option("table", "curated")
+        .option("maintainRollups", "true")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    drain()
+    // the batch transaction published data AND a fresh rollup atomically
+    s.transaction { tx =>
+      val cur = tx.bucket("bk").schema("m").table("curated")
+      assert(cur.aggProjections.nonEmpty && cur.aggProjections.forall(!_.stale),
+        "rollup must be fresh right after the batch commit")
+    }
+    insert(s, 4, "b")
+    drain()
+    s.transaction { tx =>
+      val cur = tx.bucket("bk").schema("m").table("curated")
+      assert(cur.aggProjections.forall(!_.stale))
+      // second batch refreshed INCREMENTALLY (only batch files re-read)
+      val incr = tx.auditLog()
+        .filter(col("op") === "refresh_agg_projection_incr").count()
+      assert(incr >= 1, "append-mode sink maintenance must merge, not rebuild")
+    }
+    // and the maintained rollup answers queries through the catalog
+    spark.conf.set("spark.sql.catalog.gsru",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.gsru.root", root)
+    val df = spark.sql(
+      "SELECT s, count(*) AS n FROM gsru.bk.m.curated GROUP BY s")
+    val routed = df.queryExecution.optimizedPlan.collect {
+      case sr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+          if sr.relation.table.name.contains("$") => sr.relation.table.name
+    }
+    assert(routed.nonEmpty, "maintained rollup did not serve the aggregate")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+      .equals((0 until 4).map(i => (s"a$i", 1L)) ++
+        (0 until 4).map(i => (s"b$i", 1L))))
+  }
+
   test("drop tombstones never resurrect through a fresh stream or batch read") {
     val root = Files.createTempDirectory("graft-stream-tomb").toString
     val s = VastSession(spark, root)
