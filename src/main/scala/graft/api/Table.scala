@@ -1235,12 +1235,43 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
             try Files.deleteIfExists(p)
             catch { case _: java.nio.file.DirectoryNotEmptyException => () }
         }
+    // superseded projection/rollup BUILDS: every refresh writes a new
+    // `_proj/<name>-<uuid>` dir and orphans the previous one (concurrent
+    // readers on older manifests keep a valid dir — so reaping is
+    // age-gated here, never eager). With per-streaming-batch rollup
+    // maintenance this is one orphan per micro-batch: vacuum must collect
+    // them or projection storage grows without bound. Live = referenced by
+    // any retained manifest or any bucket snapshot's manifest.
+    val projRoot = dir.resolve("_proj")
+    val snapProj =
+      if (!Files.isDirectory(snapRoot)) Nil
+      else Table.listDir(snapRoot).flatMap { snap =>
+        val st = snap.resolve(rest)
+        manifestsIn(st).flatMap(m =>
+          (m.projections.map(_.dir) ++ m.aggProjections.map(_.dir))
+            .map(d => Paths.get(Table.resolvePath(st, d)).normalize))
+      }
+    val referencedProj: Set[Path] =
+      (retained.flatMap(m =>
+        (m.projections.map(_.dir) ++ m.aggProjections.map(_.dir))
+          .map(d => Paths.get(Table.resolvePath(dir, d)).normalize)) ++
+        snapProj).toSet
+    val projVictims =
+      if (!Files.isDirectory(projRoot)) Nil
+      else Table.listDir(projRoot)
+        .filter(Files.isDirectory(_))
+        .filterNot(p => referencedProj(p.normalize))
+        .filter(p =>
+          now - Files.getLastModifiedTime(p).toMillis >= minAgeMillis)
+    val projFilesDeleted = projVictims.map(p =>
+      Table.walkPaths(p).count(Files.isRegularFile(_))).sum
+    projVictims.foreach(Table.deleteRecursively)
     val droppedManifests = (0L until cutoff)
       .map(v => mdir.resolve(f"v$v%08d.json"))
       .filter(Files.exists(_))
     droppedManifests.foreach(Files.deleteIfExists(_))
-    recordAudit("vacuum_versions", victims.size.toLong)
-    (victims.size, droppedManifests.size)
+    recordAudit("vacuum_versions", (victims.size + projFilesDeleted).toLong)
+    (victims.size + projFilesDeleted, droppedManifests.size)
   }
 
   // ------------------------------------------- projections (D10, §4.3)

@@ -230,6 +230,38 @@ class AggProjectionSpec extends SparkSpec {
     }
   }
 
+  test("vacuum reaps superseded rollup builds, keeps the live one") {
+    val s = VastSession(spark, root)
+    def aggDirs: Seq[String] = {
+      val p = java.nio.file.Paths.get(root, "bk", "m", "fact", "_proj")
+      if (!Files.isDirectory(p)) Nil
+      else graft.api.Table.listDir(p).map(_.getFileName.toString)
+        .filter(_.startsWith("agg-by_fs")).toSeq
+    }
+    // insert + refresh = a NEW build dir, orphaning the previous one
+    s.transaction { tx =>
+      tx.bucket("bk").schema("m").table("fact").insert(spark.createDataFrame(
+        java.util.List.of(Row("f1", "s1", 5L, 1.0,
+          new java.math.BigDecimal("0.50"))), schema))
+    }
+    s.transaction { tx =>
+      tx.bucket("bk").schema("m").table("fact").refreshAggProjection("by_fs")
+    }
+    assert(aggDirs.size >= 2, s"expected an orphaned build, got $aggDirs")
+    val expect = spark.sql(s"SELECT sum(qty) AS sq FROM $cat.bk.m.fact")
+      .collect().head.getLong(0)
+    s.transaction { tx =>
+      val (files, _) = tx.bucket("bk").schema("m").table("fact")
+        .vacuumVersions(keepLast = 1, minAgeMillis = 0L)
+      assert(files > 0, "vacuum reported nothing reaped")
+    }
+    assert(aggDirs.size == 1, s"orphans survived vacuum: $aggDirs")
+    // the LIVE build still serves, correctly
+    val df = spark.sql(s"SELECT sum(qty) AS sq FROM $cat.bk.m.fact")
+    assert(routedTo(df).contains("by_fs"))
+    assert(df.collect().head.getLong(0) == expect)
+  }
+
   test("CALL agg_projection manages rollups through SQL") {
     spark.sql(s"CALL $cat.system.agg_projection('bk.m.fact', 'by_flag', " +
       "'flag', 'qty')").collect()
