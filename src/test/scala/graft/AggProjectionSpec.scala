@@ -230,6 +230,34 @@ class AggProjectionSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: random covered queries agree routed vs unrouted") {
+    // the rewrite is plan surgery — drive it with 40 random query shapes
+    // (deterministic seed) and require bit-level agreement with the base
+    // plan on every one. Shapes mix: dim subsets (incl. none = global),
+    // agg calls over both measures and types, optional dim filters.
+    val rnd = new scala.util.Random(42)
+    val dims = Seq("flag", "status")
+    val aggs = Seq(
+      "sum(qty)", "count(*)", "count(qty)", "min(qty)", "max(qty)",
+      "avg(qty)", "sum(price)", "min(price)", "max(price)", "avg(price)",
+      "count(price)", "sum(amt)", "min(amt)", "max(amt)", "count(amt)")
+    (1 to 40).foreach { i =>
+      val gs = dims.filter(_ => rnd.nextBoolean())
+      val calls = (0 until 1 + rnd.nextInt(4))
+        .map(_ => aggs(rnd.nextInt(aggs.size)))
+        .distinct.zipWithIndex.map { case (a, j) => s"$a AS c$j" }
+      val where =
+        if (rnd.nextBoolean())
+          s" WHERE ${dims(rnd.nextInt(dims.size))} ${
+            if (rnd.nextBoolean()) "= 'f1'" else "IN ('f0','s1','f2')"}"
+        else ""
+      val sql = s"SELECT ${(gs ++ calls).mkString(", ")}" +
+        s" FROM $cat.bk.m.fact$where" +
+        (if (gs.nonEmpty) s" GROUP BY ${gs.mkString(", ")}" else "")
+      parity(sql, expectRoute = true)
+    }
+  }
+
   test("vacuum reaps superseded rollup builds, keeps the live one") {
     val s = VastSession(spark, root)
     def aggDirs: Seq[String] = {
