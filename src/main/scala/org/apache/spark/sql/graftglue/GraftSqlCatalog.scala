@@ -187,30 +187,32 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     // manifests store table-dir-relative data paths (so staged renames can
     // move the dir atomically); Table.resolvePath is the shared resolver —
     // it also redirects snapshot manifest trees to the original data dirs
+    // fresh ROLLUPS ride along on every table shape for
+    // AggProjectionRewrite — registered here (idempotent) so any session
+    // that can see a rollup also carries the rule that routes to it. A
+    // rollup rebuilt after a rename is rename-free, so even the
+    // rename-union shape routes covered aggregates.
+    val rollups = m.aggProjections.filterNot(_.stale).map(p =>
+      (p, graft.api.Table.resolvePath(dir, p.dir)))
+    if (rollups.nonEmpty)
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .foreach(AggProjectionRewrite.register)
     if (m.files.exists(_.renames.nonEmpty)) {
       // rename-evolved: per-rename-group parquet scans unioned positionally
       val groups = m.files.groupBy(_.renames).toSeq.map { case (ren, fs) =>
         (ren, fs.map(f => graft.api.Table.resolvePath(dir, f.path)))
       }
       if (writable)
-        new RenameUnionTable(ident.toString, schema, groups)
+        new RenameUnionTable(ident.toString, schema, groups, rollups)
           with GraftV1Writable with GraftTableProps {
             val writeRoot = root; val writeIdent = ident; val tableProps = m.props }
-      else new RenameUnionTable(ident.toString, schema, groups)
+      else new RenameUnionTable(ident.toString, schema, groups, rollups)
         with GraftTableProps { val tableProps = m.props }
     } else {
       val paths = m.files.map(f => graft.api.Table.resolvePath(dir, f.path)).toList
       val fresh = m.projections.filterNot(_.stale).map(p =>
         (p.columns.toSet + "_row_id", p.sortedColumns.headOption,
           graft.api.Table.resolvePath(dir, p.dir)))
-      // fresh ROLLUPS ride along on both table shapes for
-      // AggProjectionRewrite — registered here (idempotent) so any session
-      // that can see a rollup also carries the rule that routes to it
-      val rollups = m.aggProjections.filterNot(_.stale).map(p =>
-        (p, graft.api.Table.resolvePath(dir, p.dir)))
-      if (rollups.nonEmpty)
-        org.apache.spark.sql.SparkSession.getActiveSession
-          .foreach(AggProjectionRewrite.register)
       if (fresh.nonEmpty) {
         // covered scans route to a materialized projection, like the picker
         // in Table.select (and the reference server's transparent selection)

@@ -31,7 +31,12 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
 private[graftglue] class RenameUnionTable(
     tableName: String,
     logicalSchema: StructType,
-    groups: Seq[(Map[String, String], Seq[String])]) extends Table with SupportsRead {
+    groups: Seq[(Map[String, String], Seq[String])],
+    // fresh ROLLUPS for AggProjectionRewrite: a rebuild-after-rename rollup
+    // is rename-FREE (physical names = current logical names), so covered
+    // aggregates route even while the base files still need rename maps
+    val aggRollups: Seq[(graft.api.Manifest.AggProjectionMeta, String)] = Nil)
+    extends Table with SupportsRead with HasAggRollups {
 
   override def name(): String = tableName
   override def schema(): StructType = logicalSchema

@@ -290,6 +290,34 @@ class AggProjectionSpec extends SparkSpec {
     assert(df.collect().head.getLong(0) == expect)
   }
 
+  test("rename-evolved tables route aggregates after a rollup rebuild") {
+    val s = VastSession(spark, root)
+    // rename a dim: base files now need rename maps (lazy rename), and the
+    // rollup stales with its metadata moved to the new name
+    s.transaction { tx =>
+      val t = tx.bucket("bk").schema("m").table("fact")
+      t.renameColumn("flag", "category")
+      assert(t.aggProjections.forall(_.stale))
+    }
+    assert(routedTo(spark.sql(
+      s"SELECT category, count(*) AS n FROM $cat.bk.m.fact GROUP BY category"))
+      .isEmpty, "stale rollup must not serve")
+    s.transaction { tx =>
+      tx.bucket("bk").schema("m").table("fact").refreshAggProjection("by_fs")
+    }
+    // the table is rename-evolved (RenameUnionTable) but the rebuilt rollup
+    // is rename-free: covered aggregates route and agree
+    parity(s"SELECT category, sum(qty) AS sq, count(*) AS n" +
+      s" FROM $cat.bk.m.fact GROUP BY category", expectRoute = true)
+    // restore the original name for any later test
+    s.transaction { tx =>
+      tx.bucket("bk").schema("m").table("fact").renameColumn("category", "flag")
+    }
+    s.transaction { tx =>
+      tx.bucket("bk").schema("m").table("fact").refreshAggProjection("by_fs")
+    }
+  }
+
   test("CALL agg_projection manages rollups through SQL") {
     spark.sql(s"CALL $cat.system.agg_projection('bk.m.fact', 'by_flag', " +
       "'flag', 'qty')").collect()
