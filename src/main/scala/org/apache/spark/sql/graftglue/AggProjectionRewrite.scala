@@ -3,7 +3,7 @@ package org.apache.spark.sql.graftglue
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter,
   LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
@@ -26,14 +26,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  * Runs in the "User Provided Optimizers" batch (self-registered on the
  * session by [[GraftSqlCatalog]], same mechanism as the changefeed pushdown
  * rule), i.e. AFTER V2ScanRelationPushDown — so the matched shape is the
- * final `Aggregate [→ Project] [→ Filter] → DataSourceV2ScanRelation` and
- * the emitted child is a ready-built parquet scan relation over the rollup
- * (a new `DataSourceV2Relation` here would never get scan-converted).
+ * final `Aggregate [→ Expand] [→ Project] [→ Filter] →
+ * DataSourceV2ScanRelation` and the emitted child is a ready-built parquet
+ * scan relation over the rollup (a new `DataSourceV2Relation` here would
+ * never get scan-converted).
  *
  * Routes ONLY when every piece is provably answerable from decomposable
  * partials, else leaves the plan untouched:
  *  - grouping expressions are plain columns ⊆ the rollup's group columns
  *    (any SUBSET re-aggregates correctly — partial merges are associative);
+ *  - ROLLUP/CUBE/GROUPING SETS route too: the `Expand` between aggregate
+ *    and scan re-parents onto the rollup with its measure pass-through
+ *    slots replaced by the partial columns and its dim/null and
+ *    grouping-id slots kept verbatim — expansion duplicates rollup rows
+ *    per grouping set exactly as it would duplicate base rows grouped
+ *    finer, so the merge stays associative per (set, dims);
  *  - residual filters reference group columns only (applied to rollup rows,
  *    where they select exactly the same groups) and carry no subqueries;
  *  - aggregate calls are DISTINCT-free, FILTER-free sum/count/min/max/avg
@@ -94,8 +101,47 @@ object AggProjectionRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** One Expand output position, classified across its projection rows. */
+  private sealed trait Slot
+  /** Same attribute in every row — a measure/column pass-through. */
+  private case class PassSlot(attr: AttributeReference) extends Slot
+  /** Mix of one named attribute and null literals — a grouping-set dim. */
+  private case class DimSlot(name: String) extends Slot
+  /** Non-null literals in every row — the grouping-id column. */
+  private case object LitSlot extends Slot
+
+  private def classifySlots(e: Expand): Option[Seq[Slot]] = {
+    val width = e.output.length
+    if (e.projections.exists(_.length != width)) return None
+    val out = (0 until width).map { j =>
+      val es = e.projections.map(_(j))
+      if (es.forall {
+        case l: Literal => l.value != null
+        case _ => false
+      }) LitSlot
+      else {
+        val attrs = es.collect { case a: AttributeReference => a }
+        val nulls = es.count {
+          case Literal(v, _) => v == null
+          case _ => false
+        }
+        if (attrs.size + nulls != es.size ||
+            attrs.map(_.name).distinct.size != 1) return None
+        if (nulls == 0 && attrs.map(_.exprId).distinct.size == 1)
+          PassSlot(attrs.head)
+        else DimSlot(attrs.head.name)
+      }
+    }
+    Some(out)
+  }
+
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val (cond, sr) = unwrap(agg.child) match {
+    // grouping-analytics shape: an Expand between the aggregate and scan
+    val (expandOpt, below) = agg.child match {
+      case e: Expand => (Some(e), e.child)
+      case other => (None, other)
+    }
+    val (cond, sr) = unwrap(below) match {
       case Some((c, s)) => (c, s)
       case None => return None
     }
@@ -103,10 +149,28 @@ object AggProjectionRewrite extends Rule[LogicalPlan] {
       case z: HasAggRollups if z.aggRollups.nonEmpty => z
       case _ => return None
     }
-    // grouping must be plain columns; record name → original attribute
+    // grouping must be plain columns (for the Expand shape: its output
+    // attrs, which the rewrite keeps verbatim)
     val groupAttrs: Seq[AttributeReference] = agg.groupingExpressions.map {
       case a: AttributeReference => a
       case _ => return None
+    }
+    val slots: Option[Seq[Slot]] = expandOpt match {
+      case None => None
+      case Some(e) =>
+        val s = classifySlots(e).getOrElse(return None)
+        // groups must come from the kept (dim/gid) expand outputs
+        val keptIds = e.output.zip(s).collect {
+          case (a, DimSlot(_)) => a.exprId
+          case (a, LitSlot) => a.exprId
+        }.toSet
+        if (!groupAttrs.forall(a => keptIds(a.exprId))) return None
+        Some(s)
+    }
+    // the dim names the query actually needs from the rollup
+    val dimNamesUsed: Set[String] = slots match {
+      case Some(s) => s.collect { case DimSlot(n) => n }.toSet
+      case None => groupAttrs.map(_.name).toSet
     }
     // no subqueries in the residual filter (their semantics are planned
     // against the base relation; re-parenting them is not worth the risk)
@@ -114,7 +178,7 @@ object AggProjectionRewrite extends Rule[LogicalPlan] {
     val filterRefs = cond.map(_.references.map(_.name).toSet)
       .getOrElse(Set.empty)
 
-    // candidate rollups covering groups + filters; fewest dims = fewest
+    // candidate rollups covering dims + filters; fewest dims = fewest
     // rollup rows to merge
     val candidates = zt.aggRollups.filter { case (m, _) =>
       val dims = m.groupColumns.toSet
@@ -123,7 +187,7 @@ object AggProjectionRewrite extends Rule[LogicalPlan] {
       val recorded = try DataType.fromJson(m.schemaJson)
           .asInstanceOf[StructType].fieldNames.toSet
         catch { case _: Exception => Set.empty[String] }
-      groupAttrs.forall(a => dims(a.name)) && filterRefs.subsetOf(dims) &&
+      dimNamesUsed.subsetOf(dims) && filterRefs.subsetOf(dims) &&
         m.groupColumns.forall(recorded)
     }.sortBy(_._1.groupColumns.size)
 
@@ -187,7 +251,11 @@ object AggProjectionRewrite extends Rule[LogicalPlan] {
         }
       }
 
-      def rewriteExpr(e: Expression): Option[Expression] = {
+      // `replaceAttrs`: rewrite dim references to rollup attrs (plain
+      // shape); the Expand shape keeps its dim/gid output attrs verbatim,
+      // passed in via `allowedExtra`.
+      def rewriteExpr(e: Expression, replaceAttrs: Boolean,
+                      allowedExtra: AttributeSet): Option[Expression] = {
         var ok = true
         val out = e.transformUp {
           case ae: AggregateExpression =>
@@ -195,38 +263,51 @@ object AggProjectionRewrite extends Rule[LogicalPlan] {
               case Some(r) => r
               case None => ok = false; ae
             }
-          case a: AttributeReference if attrOf.contains(a.name) => attrOf(a.name)
+          case a: AttributeReference
+              if replaceAttrs && attrOf.contains(a.name) => attrOf(a.name)
         }
         // any surviving base-relation attribute means something wasn't
         // rewritable (unsupported agg, non-dim reference) — no route
         if (ok && out.references.forall(r =>
-            attrOf.get(r.name).exists(_.exprId == r.exprId))) Some(out)
+            attrOf.get(r.name).exists(_.exprId == r.exprId) ||
+              allowedExtra.contains(r))) Some(out)
         else None
       }
 
-      val newGroups = groupAttrs.map(a => attrOf(a.name))
-      val newCond = cond.map(c => rewriteExpr(c) match {
-        case Some(r) => r
-        case None => return None // filter not rewritable → whole query bails
-      })
+      val keptOutputs: AttributeSet = expandOpt match {
+        case Some(e) => AttributeSet(e.output.zip(slots.get).collect {
+          case (a, DimSlot(_)) => a
+          case (a, LitSlot) => a
+        })
+        case None => AttributeSet.empty
+      }
+      val replaceAttrs = expandOpt.isEmpty
+
+      val newCond = cond.map(c =>
+        rewriteExpr(c, replaceAttrs = true, AttributeSet.empty) match {
+          case Some(r) => r
+          case None => return None // dims-only filter is always rewritable
+        })
       val newResults: Option[Seq[NamedExpression]] =
         traverse(agg.aggregateExpressions) {
           case a: AttributeReference =>
-            rewriteExpr(a).map(r => Alias(r, a.name)(exprId = a.exprId))
+            rewriteExpr(a, replaceAttrs, keptOutputs)
+              .map(r => Alias(r, a.name)(exprId = a.exprId))
           case al: Alias =>
-            rewriteExpr(al.child).map(r => Alias(r, al.name)(exprId = al.exprId))
+            rewriteExpr(al.child, replaceAttrs, keptOutputs)
+              .map(r => Alias(r, al.name)(exprId = al.exprId))
           case _ => None
         }
 
       newResults.map { results =>
-        // build the rollup parquet scan, pruned to what the plan reads and
-        // with the residual filter pushed for row-group skipping
-        val needed: Seq[AttributeReference] = {
-          val refs = AttributeSet(
-            results.flatMap(_.references) ++
-              newCond.toSeq.flatMap(_.references) ++ newGroups)
-          rollupAttrs.filter(refs.contains)
-        }
+        // rollup columns the plan reads: partials the merges reference +
+        // dims (slot mapping or direct grouping) + filter columns
+        val rollupRefs = AttributeSet(
+          results.flatMap(_.references) ++
+            newCond.toSeq.flatMap(_.references) ++
+            dimNamesUsed.toSeq.flatMap(attrOf.get))
+        val needed: Seq[AttributeReference] =
+          rollupAttrs.filter(rollupRefs.contains)
         val pt = ParquetTable(s"${zt.name}$$${meta.name}",
           SparkSession.active, CaseInsensitiveStringMap.empty(),
           List(dataDir), Some(rollupSchema), classOf[ParquetFileFormat])
@@ -239,8 +320,33 @@ object AggProjectionRewrite extends Rule[LogicalPlan] {
           CaseInsensitiveStringMap.empty())
         val scanRel = DataSourceV2ScanRelation(rel, scan, needed)
         val filtered = newCond.map(Filter(_, scanRel)).getOrElse(scanRel)
+        val (newChild, newGroups) = expandOpt match {
+          case None => (filtered, groupAttrs.map(a => attrOf(a.name)))
+          case Some(e) =>
+            // pass the partials through every grouping-set row; keep dim
+            // (attr-or-null) and grouping-id slots verbatim, dims mapped
+            // onto the rollup's attributes
+            val passAttrs: Seq[AttributeReference] =
+              needed.filterNot(a => dimNamesUsed.contains(a.name))
+            val keptIdx = slots.get.zipWithIndex.collect {
+              case (s: DimSlot, j) => (s: Slot, j)
+              case (LitSlot, j) => (LitSlot: Slot, j)
+            }
+            val newProjections = e.projections.map { row =>
+              (passAttrs: Seq[Expression]) ++ keptIdx.map {
+                case (DimSlot(n), j) => row(j) match {
+                  case _: AttributeReference => attrOf(n): Expression
+                  case l => l // the grouping set's null literal
+                }
+                case (_, j) => row(j) // grouping-id literal
+              }
+            }
+            val newOutput = passAttrs ++ keptIdx.map { case (_, j) => e.output(j) }
+            (Expand(newProjections, newOutput, filtered),
+              agg.groupingExpressions)
+        }
         lastRouted.set((zt.name, meta.name))
-        Aggregate(newGroups, results, filtered)
+        Aggregate(newGroups, results, newChild)
       }
     }.headOption
   }

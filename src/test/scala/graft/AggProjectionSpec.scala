@@ -230,6 +230,24 @@ class AggProjectionSpec extends SparkSpec {
     }
   }
 
+  test("CUBE / ROLLUP / GROUPING SETS route through the re-parented Expand") {
+    parity(s"""SELECT flag, status, sum(qty) AS sq, count(*) AS n,
+              |max(price) AS mx FROM $cat.bk.m.fact
+              |GROUP BY CUBE(flag, status)""".stripMargin, expectRoute = true)
+    parity(s"SELECT flag, sum(qty) AS sq FROM $cat.bk.m.fact" +
+      " GROUP BY ROLLUP(flag)", expectRoute = true)
+    parity(s"""SELECT flag, status, avg(price) AS ap, grouping(flag) AS gf
+              |FROM $cat.bk.m.fact
+              |GROUP BY GROUPING SETS ((flag), (status), ())""".stripMargin,
+      expectRoute = true)
+    // dim filter below the Expand routes with it
+    parity(s"SELECT flag, count(qty) AS n FROM $cat.bk.m.fact" +
+      " WHERE status = 's0' GROUP BY CUBE(flag)", expectRoute = true)
+    // a measure anywhere in the cube's grouping keeps it on the base files
+    parity(s"SELECT qty, count(*) AS n FROM $cat.bk.m.fact" +
+      " GROUP BY CUBE(qty)", expectRoute = false)
+  }
+
   test("fuzz: random covered queries agree routed vs unrouted") {
     // the rewrite is plan surgery — drive it with 40 random query shapes
     // (deterministic seed) and require bit-level agreement with the base
@@ -251,9 +269,15 @@ class AggProjectionSpec extends SparkSpec {
           s" WHERE ${dims(rnd.nextInt(dims.size))} ${
             if (rnd.nextBoolean()) "= 'f1'" else "IN ('f0','s1','f2')"}"
         else ""
+      val groupBy =
+        if (gs.isEmpty) ""
+        else rnd.nextInt(3) match {
+          case 0 => s" GROUP BY ${gs.mkString(", ")}"
+          case 1 => s" GROUP BY CUBE(${gs.mkString(", ")})"
+          case _ => s" GROUP BY ROLLUP(${gs.mkString(", ")})"
+        }
       val sql = s"SELECT ${(gs ++ calls).mkString(", ")}" +
-        s" FROM $cat.bk.m.fact$where" +
-        (if (gs.nonEmpty) s" GROUP BY ${gs.mkString(", ")}" else "")
+        s" FROM $cat.bk.m.fact$where$groupBy"
       parity(sql, expectRoute = true)
     }
   }
