@@ -110,6 +110,10 @@ class AggProjectionSpec extends SparkSpec {
     // dim-only filter applies to rollup rows
     parity(s"SELECT flag, sum(qty) AS sq FROM $cat.bk.m.fact" +
       " WHERE status = 's1' GROUP BY flag", expectRoute = true)
+    // parents over the routed aggregate re-resolve (preserved exprIds):
+    // HAVING, ORDER BY + LIMIT
+    parity(s"SELECT flag, sum(qty) AS sq FROM $cat.bk.m.fact GROUP BY flag" +
+      " HAVING count(*) > 10 ORDER BY sq DESC LIMIT 2", expectRoute = true)
     // empty-group edge: count must be 0, not null
     val empty = spark.sql(s"SELECT count(*) AS n, sum(qty) AS sq" +
       s" FROM $cat.bk.m.fact WHERE flag = 'nope'")
@@ -353,5 +357,36 @@ class AggProjectionSpec extends SparkSpec {
       "'', '', 'drop')").collect()
     assert(routedTo(spark.sql(s"SELECT flag, sum(qty) AS sq" +
       s" FROM $cat.bk.m.fact GROUP BY flag")).contains("by_fs"))
+  }
+
+  test("SQL row-level DML on a rollup-carrying table: correct, and stales it") {
+    val s = VastSession(spark, root)
+    s.transaction { tx =>
+      tx.bucket("bk").schema("m").table("fact").refreshAggProjection("by_fs")
+    }
+    def apiCount(cond: org.apache.spark.sql.Column): Long = s.transaction(tx =>
+      tx.bucket("bk").schema("m").table("fact")
+        .select(Seq("flag"), cond).count())
+    val before = apiCount(org.apache.spark.sql.functions.lit(true))
+    val victims = apiCount(org.apache.spark.sql.functions.col("status") === "s0")
+    assert(victims > 0)
+    // the group-based DELETE plans its own scans/joins over the same
+    // relation — the rewrite must never reach into them (its matcher only
+    // fires on bare covered aggregates), and the delete must stale the
+    // rollup so the next aggregate reads base files
+    spark.sql(s"DELETE FROM $cat.bk.m.fact WHERE status = 's0'")
+    val after = spark.sql(s"SELECT count(*) AS n FROM $cat.bk.m.fact")
+    assert(routedTo(after).isEmpty, "stale rollup served after SQL DELETE")
+    assert(after.collect().head.getLong(0) == before - victims)
+    spark.sql(s"UPDATE $cat.bk.m.fact SET qty = qty + 1 WHERE flag = 'f1'")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.bk.m.fact")
+      .collect().head.getLong(0) == before - victims)
+    // maintenance restores routing over the post-DML contents
+    s.transaction { tx =>
+      tx.bucket("bk").schema("m").table("fact").refreshAggProjection("by_fs")
+    }
+    val routed = spark.sql(s"SELECT count(*) AS n FROM $cat.bk.m.fact")
+    assert(routedTo(routed).contains("by_fs"))
+    assert(routed.collect().head.getLong(0) == before - victims)
   }
 }
