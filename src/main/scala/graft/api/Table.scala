@@ -1160,10 +1160,13 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
    * a concurrent in-flight insert's staged files are not yet in any
    * manifest, and the age guard keeps them out of reach.
    *
-   * Returns (dataFilesDeleted, manifestsDeleted).
+   * Returns (dataFilesDeleted, manifestsDeleted, projectionFilesDeleted) —
+   * base data files and projection/rollup build files are distinct storage
+   * populations (audited as `vacuum_versions` / `vacuum_projections`), so
+   * their counts are never conflated.
    */
   def vacuumVersions(keepLast: Int = 7,
-                     minAgeMillis: Long = 3600000L): (Int, Int) = {
+                     minAgeMillis: Long = 3600000L): (Int, Int, Int) = {
     require(keepLast >= 1, "keepLast must be at least 1")
     val mdir = dir.resolve("_manifest")
     val cur = Table.currentVersion(dir)
@@ -1270,8 +1273,10 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       .map(v => mdir.resolve(f"v$v%08d.json"))
       .filter(Files.exists(_))
     droppedManifests.foreach(Files.deleteIfExists(_))
-    recordAudit("vacuum_versions", (victims.size + projFilesDeleted).toLong)
-    (victims.size + projFilesDeleted, droppedManifests.size)
+    recordAudit("vacuum_versions", victims.size.toLong)
+    if (projFilesDeleted > 0)
+      recordAudit("vacuum_projections", projFilesDeleted.toLong)
+    (victims.size, droppedManifests.size, projFilesDeleted)
   }
 
   // ------------------------------------------- projections (D10, §4.3)

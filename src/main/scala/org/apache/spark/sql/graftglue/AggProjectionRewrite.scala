@@ -175,6 +175,11 @@ object AggProjectionRewrite extends Rule[LogicalPlan] {
     // no subqueries in the residual filter (their semantics are planned
     // against the base relation; re-parenting them is not worth the risk)
     if (cond.exists(_.exists(_.isInstanceOf[PlanExpression[_]]))) return None
+    // no non-deterministic predicates: `WHERE rand() < 0.5` has empty
+    // references so it would pass the dim-coverage check, but evaluating it
+    // per rollup row (per group) instead of per base row changes the result
+    // distribution from row-level to group-level sampling
+    if (cond.exists(!_.deterministic)) return None
     val filterRefs = cond.map(_.references.map(_.name).toSet)
       .getOrElse(Set.empty)
 

@@ -625,12 +625,13 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             ("keep_last", IntegerType, Some("7")),
             ("min_age_ms", LongType, Some("3600000"))),
           StructType(Seq(StructField("data_files_deleted", IntegerType),
-            StructField("manifests_deleted", IntegerType)))) {
+            StructField("manifests_deleted", IntegerType),
+            StructField("projection_files_deleted", IntegerType)))) {
         def run(args: Seq[Any]) =
           withTable(args.head.asInstanceOf[String]) { t =>
-            val (f, m) = t.vacuumVersions(args(1).asInstanceOf[Int],
+            val (f, m, p) = t.vacuumVersions(args(1).asInstanceOf[Int],
               args(2).asInstanceOf[Long])
-            Seq(org.apache.spark.sql.Row(f, m))
+            Seq(org.apache.spark.sql.Row(f, m, p))
           }
       }
       // the reference's own vector workflow is SQL-over-ADBC

@@ -138,6 +138,13 @@ class AggProjectionSpec extends SparkSpec {
     // decimal avg (precision promotion differs) stays on base
     parity(s"SELECT flag, avg(amt) AS aa FROM $cat.bk.m.fact GROUP BY flag",
       expectRoute = false)
+    // non-deterministic filter: rand() has empty references so it covers
+    // every rollup trivially, but evaluating it per GROUP instead of per
+    // ROW flips the sampling semantics — must stay on base (no parity():
+    // results are random by construction, only the route is asserted)
+    assert(routedTo(spark.sql(s"SELECT flag, count(*) AS n" +
+      s" FROM $cat.bk.m.fact WHERE rand() < 0.5 GROUP BY flag")).isEmpty,
+      "non-deterministic filter routed to rollup")
   }
 
   test("DML stales the rollup; refresh re-enables; maintain refreshes") {
@@ -307,9 +314,10 @@ class AggProjectionSpec extends SparkSpec {
     val expect = spark.sql(s"SELECT sum(qty) AS sq FROM $cat.bk.m.fact")
       .collect().head.getLong(0)
     s.transaction { tx =>
-      val (files, _) = tx.bucket("bk").schema("m").table("fact")
+      val (_, _, projFiles) = tx.bucket("bk").schema("m").table("fact")
         .vacuumVersions(keepLast = 1, minAgeMillis = 0L)
-      assert(files > 0, "vacuum reported nothing reaped")
+      assert(projFiles > 0,
+        "vacuum reported no projection build files reaped")
     }
     assert(aggDirs.size == 1, s"orphans survived vacuum: $aggDirs")
     // the LIVE build still serves, correctly

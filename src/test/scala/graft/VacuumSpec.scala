@@ -47,7 +47,7 @@ class VacuumSpec extends SparkSpec {
     val tdir = Paths.get(root, "b", "m", "t")
     val before = dataFiles(tdir)
 
-    var stats: (Int, Int) = (0, 0)
+    var stats: (Int, Int, Int) = (0, 0, 0)
     s.transaction { tx =>
       stats = tx.bucket("b").schema("m").table("t")
         .vacuumVersions(keepLast = 1, minAgeMillis = 0L)
