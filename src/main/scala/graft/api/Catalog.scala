@@ -168,8 +168,15 @@ object Manifest {
     ()
   }
 
-  def read(p: Path): TableManifest =
+  /** Total manifest file reads this JVM — observability for specs that
+    * assert a code path does NO catalog I/O (e.g. the optimizer rules'
+    * no-op guard on plans with no graft tables). */
+  val readCount = new AtomicLong(0L)
+
+  def read(p: Path): TableManifest = {
+    readCount.incrementAndGet()
     Serialization.read[TableManifest](new String(Files.readAllBytes(p), "UTF-8"))
+  }
 }
 
 /** Session facade: SparkSession + catalog root (reference Session holds
@@ -623,6 +630,89 @@ class Transaction(val session: VastSession, val id: Long) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         VastSession.AuditSchema))
   }
+
+  /** Re-bind a detached [[TableMetadata]] handle into THIS transaction
+    * (reference table_from_metadata, /root/reference/vastdb/transaction.py:135-137):
+    * the handle's cached manifest seeds this transaction's pin, so the
+    * re-bind costs a couple of directory stats and ZERO manifest reads —
+    * a hot loop of short transactions over one table skips the per-tx
+    * manifest parse. Reads through the returned table serve the handle's
+    * pinned VERSION (snapshot semantics, same contract as the repeatable-
+    * read pin); call `Table.reload()` or `TableMetadata.load(tx)` to
+    * observe newer commits. If this transaction already pinned (or staged
+    * a write for) the table, that pin wins — repeatable read inside a
+    * transaction is never broken by a handle. */
+  def tableFromMetadata(md: TableMetadata): Table = {
+    requireActive()
+    val t = bucket(md.bucketName).schema(md.schemaPath).table(md.tableName)
+    readSet.getOrElseUpdate(t.dir.toString, (md.version, md.manifest))
+    t
+  }
+
+  /** Every bucket snapshot visible to this transaction, as read-only
+    * bucket views — the reference's catalog_snapshots workflow
+    * (/root/reference/vastdb/transaction.py:107-109 walks the catalog
+    * bucket's snapshots; here snapshots are per-bucket, so the listing
+    * spans all buckets). Compose with `catalog()`-style listings or
+    * `snapshot.schema(...).table(...)` reads. */
+  def catalogSnapshots(): Seq[Bucket] = {
+    requireActive()
+    val rootP = Paths.get(session.root)
+    if (!Files.isDirectory(rootP)) Nil
+    else Table.listDir(rootP)
+      .filter(p => Files.isDirectory(p) && !p.getFileName.toString.startsWith("_"))
+      .flatMap { bp =>
+        val b = new Bucket(this, bp.getFileName.toString, bp)
+        b.snapshots.map(b.snapshot)
+      }
+  }
+}
+
+/**
+ * Detached table-metadata handle (reference TableMetadata,
+ * /root/reference/vastdb/table_metadata.py:54-226): schema, stats, layout
+ * and manifest version captured once, then usable ACROSS transactions —
+ * the reference keeps a schema/stats handle alive between transactions and
+ * re-binds it cheaply via table_from_metadata; here the handle carries the
+ * whole (immutable) manifest, so re-binding is free and metadata reads
+ * never touch the catalog. `load(tx)` re-reads CURRENT (the reference's
+ * load/reload) and re-pins the handle.
+ */
+class TableMetadata private[api] (
+    val bucketName: String, val schemaPath: String, val tableName: String,
+    @volatile private[api] var manifest: Manifest.TableManifest) {
+
+  def version: Long = manifest.version
+  def schema: StructType = manifest.schema
+  def numRows: Long = manifest.totalRows
+  def numFiles: Int = manifest.files.size
+  /** Sorting-key column names (reference sorted_columns). */
+  def sortedColumns: Seq[String] = manifest.sortingKeys
+  /** Reference full_path (table_metadata.py:39-42). */
+  def fullPath: String = s"$bucketName/$schemaPath/$tableName"
+  override def toString: String = fullPath
+
+  /** Handle for the same table under a new name (reference rename_table
+    * mutates the ref; an immutable copy composes better with caching). */
+  def renamed(newName: String): TableMetadata =
+    new TableMetadata(bucketName, schemaPath, newName, manifest)
+
+  /** Re-read CURRENT through `tx` and re-pin the handle (reference
+    * load/load_schema/load_stats). Also refreshes the transaction's own
+    * pin when it has no staged write — the explicit, caller-chosen break
+    * of repeatable read, same contract as `Table.reload()`. */
+  def load(tx: Transaction): Unit = {
+    val t = tx.bucket(bucketName).schema(schemaPath).table(tableName)
+    t.reload()
+    manifest = t.manifest
+  }
+
+  override def equals(other: Any): Boolean = other match {
+    case m: TableMetadata => fullPath == m.fullPath && version == m.version
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(fullPath, java.lang.Long.valueOf(version))
 }
 
 /** Bucket ≈ catalog/database; owns snapshots (vastdb/bucket.py:31-73). */
