@@ -69,6 +69,23 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     ()
   }
 
+  /** Detached metadata handle over this table's pinned manifest (reference
+    * TableMetadata, /root/reference/vastdb/table_metadata.py:54-226) —
+    * outlives this transaction; re-bind into a later one with
+    * `Transaction.tableFromMetadata` (zero manifest reads) or refresh with
+    * `TableMetadata.load`. Costs nothing beyond the pin this transaction
+    * already holds. */
+  def metadata: TableMetadata = {
+    // refuse with staged writes (same contract as reload): a handle built
+    // from an uncommitted manifest would outlive a rollback and carry
+    // file references that no longer exist
+    if (tx.writeSet.contains(dir.toString))
+      throw NotSupportedCommand(
+        s"metadata of $name with staged writes; commit first")
+    val b = schemaNS.bucket
+    new TableMetadata(b.name, schemaNS.path, name, manifest)
+  }
+
   private def dataRoot: Path = Table.dataRootFor(dir)
 
   private[api] def resolveDataPath(p: String): String = Table.resolvePath(dir, p)

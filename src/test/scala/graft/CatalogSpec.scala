@@ -745,6 +745,81 @@ class CatalogSpec extends SparkSpec {
     s.transaction(tx2 => assert(tx2.bucket("b").schemas.contains("m")))
   }
 
+  test("TableMetadata handle re-binds across transactions without a manifest re-read") {
+    val s = freshSession()
+    s.createBucket("b")
+    // tx1: create + insert; a handle over STAGED writes is refused (it
+    // could outlive a rollback) — detach it from a later clean transaction
+    s.transaction { tx =>
+      val t = tx.bucket("b").createSchema("m").createTable("t1", f1Schema)
+      t.insert(f1Data)
+      intercept[NotSupportedCommand] { t.metadata }
+    }
+    val md = s.transaction(tx => tx.bucket("b").schema("m").table("t1").metadata)
+    assert(md.fullPath == "b/m/t1" && md.numRows == 3 && md.version >= 1)
+    assert(md.schema.fieldNames.toSeq == Seq("a", "b", "s"))
+
+    // tx2: re-bind through the handle — ZERO manifest reads (the whole
+    // point: the reference re-binds a TableMetadata cheaply across
+    // transactions; here the cached manifest seeds the tx pin)
+    s.transaction { tx2 =>
+      val before = Manifest.readCount.get()
+      val t = tx2.tableFromMetadata(md)
+      assert(t.select().count() == 3)
+      assert(t.schema == md.schema)
+      assert(Manifest.readCount.get() == before,
+        "tableFromMetadata read a manifest — the handle's pin was not used")
+    }
+
+    // a concurrent commit advances the table; the handle still serves its
+    // pinned version until load()
+    s.transaction { tx =>
+      tx.bucket("b").schema("m").table("t1")
+        .insert(spark.createDataFrame(
+          java.util.List.of(Row(444L, 3.5f, "dddd")), f1Schema))
+    }
+    s.transaction { tx3 =>
+      assert(tx3.tableFromMetadata(md).select().count() == 3,
+        "handle must serve its pinned version, not CURRENT")
+    }
+    val verBefore = md.version
+    s.transaction(tx4 => md.load(tx4)) // explicit refresh re-reads CURRENT
+    assert(md.version > verBefore && md.numRows == 4)
+    s.transaction { tx5 =>
+      assert(tx5.tableFromMetadata(md).select().count() == 4)
+    }
+
+    // a transaction's own pin beats the handle (repeatable read): touching
+    // the table first pins CURRENT, and the later re-bind must not
+    // override that pin
+    s.transaction { tx6 =>
+      assert(tx6.bucket("b").schema("m").table("t1").select().count() == 4)
+      assert(tx6.tableFromMetadata(md).select().count() == 4)
+    }
+
+    // renamed() composes: same manifest, new name
+    assert(md.renamed("t2").fullPath == "b/m/t2" &&
+      md.renamed("t2").version == md.version)
+  }
+
+  test("catalogSnapshots lists snapshot buckets across the root") {
+    val s = freshSession()
+    s.createBucket("b1"); s.createBucket("b2")
+    s.transaction { tx =>
+      tx.bucket("b1").createSchema("m").createTable("t", f1Schema).insert(f1Data)
+      tx.bucket("b2").createSchema("m").createTable("u", f1Schema).insert(f1Data)
+    }
+    s.transaction(tx => tx.bucket("b1").createSnapshot("s1"))
+    s.transaction(tx => tx.bucket("b2").createSnapshot("s2"))
+    s.transaction { tx =>
+      val snaps = tx.catalogSnapshots()
+      assert(snaps.map(_.name).sorted ==
+        Seq("b1/.snapshot/s1", "b2/.snapshot/s2"))
+      // each snapshot is a normal read view
+      assert(snaps.head.schema("m").table("t").select().count() == 3)
+    }
+  }
+
   test("estimateRowCount: exhaustive probe reports exact zero, not 1") {
     val s = freshSession()
     s.createBucket("b")
