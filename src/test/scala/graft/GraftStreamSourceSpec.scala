@@ -775,6 +775,91 @@ class GraftStreamSourceSpec extends SparkSpec {
         (0 until 4).map(i => (s"b$i", 1L))))
   }
 
+  test("soak: 50 micro-batches of rollup maintenance under concurrent routed reads") {
+    val root = Files.createTempDirectory("graft-sink-soak").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    s.transaction { tx =>
+      val m = tx.bucket("bk").createSchema("m")
+      m.createTable("t", schema)
+      m.createTable("curated", schema).createAggProjection("by_s", Seq("s"), Seq("a"))
+    }
+    val nBatches = 50
+    (0 until nBatches).foreach(_ => insert(s, 1, "x")) // 50 one-file commits
+    val tdir = Paths.get(root, "bk", "m", "t").toString
+    val ckpt = Files.createTempDirectory("graft-soak-ck").toString
+
+    // concurrent reader: hammers the curated aggregate through the catalog
+    // for the WHOLE drain — every result must be internally consistent
+    // (count n == sum of per-key counts it was served with), routed or not
+    spark.conf.set("spark.sql.catalog.gsoak",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.gsoak.root", root)
+    @volatile var stop = false
+    @volatile var readerErr: Option[Throwable] = None
+    var routedReads = 0
+    var reads = 0
+    val reader = new Thread(() => {
+      try while (!stop) {
+        val df = spark.sql(
+          "SELECT s, count(*) AS n, sum(a) AS sa FROM gsoak.bk.m.curated GROUP BY s")
+        val routed = df.queryExecution.optimizedPlan.collect {
+          case sr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+              if sr.relation.table.name.contains("$") => sr.relation.table.name
+        }
+        val rows = df.collect()
+        // schema row: a=0, s=x0 per batch → every observed state must
+        // have n == sa/0-consistency: a is always 0 so sum is 0; count
+        // grows monotonically up to nBatches
+        rows.foreach { r =>
+          assert(r.getLong(1) >= 0 && r.getLong(1) <= nBatches)
+          assert(r.getLong(2) == 0L, s"torn read: $r")
+        }
+        if (routed.nonEmpty) routedReads += 1
+        reads += 1
+      } catch { case t: Throwable => readerErr = Some(t) }
+    })
+    reader.start()
+    try {
+      // one file per trigger → 50 sink micro-batches, each committing data
+      // + an incremental rollup refresh in ONE transaction, while the
+      // reader routes through the rollup between batches
+      val q = spark.readStream.format("graft")
+        .option("maxFilesPerTrigger", "1").load(tdir)
+        .drop("_row_id")
+        .writeStream.format("graft")
+        .option("root", root).option("bucket", "bk")
+        .option("schema", "m").option("table", "curated")
+        .option("maintainRollups", "true")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(480000)
+    } finally { stop = true; reader.join(30000) }
+    assert(readerErr.isEmpty, s"concurrent reader failed: $readerErr")
+    assert(reads > 0, "reader never completed a query")
+
+    s.transaction { tx =>
+      val cur = tx.bucket("bk").schema("m").table("curated")
+      // every batch landed, the rollup is fresh, and maintenance was
+      // incremental (no conflict storm forced full rebuilds or retries)
+      assert(cur.select().count() == nBatches.toLong)
+      assert(cur.aggProjections.forall(!_.stale))
+      val incr = tx.auditLog()
+        .filter(col("op") === "refresh_agg_projection_incr").count()
+      assert(incr >= nBatches - 2,
+        s"expected ~$nBatches incremental refreshes, saw $incr")
+    }
+    // the lag the stream left behind is exactly zero
+    val lag = spark.sql(s"CALL gsoak.system.stream_lag('bk.m.t', '$ckpt')").head()
+    assert(lag.getLong(2) == 0 && lag.getLong(3) == 0 && lag.getLong(4) == 0,
+      s"stream lag did not drain: $lag")
+    // and the final routed answer is correct
+    val fin = spark.sql(
+      "SELECT count(*) AS n FROM gsoak.bk.m.curated").head().getLong(0)
+    assert(fin == nBatches.toLong)
+    info(s"soak: $reads concurrent reads, $routedReads routed through the rollup")
+  }
+
   test("drop tombstones never resurrect through a fresh stream or batch read") {
     val root = Files.createTempDirectory("graft-stream-tomb").toString
     val s = VastSession(spark, root)
