@@ -164,6 +164,46 @@ object SparkEntry {
     ftyp ++ box("moov", (mvhd +: traks): _*)
   }
 
+  /** Deterministic minimal AVI with uncompressed-DIB frames — test input
+    * for the real RIFF demux + lossless BMP-wrapped frame decode (mm6/mm7):
+    * one solid 4×4 24-bit BI_RGB frame per gray value, built byte-for-byte
+    * from the public RIFF/AVI layout (`hdrl{avih, strl{strh,strf}}` +
+    * `movi{00db…}`), so per-frame channel means and the header metadata
+    * are closed-form functions of the inputs. */
+  def miniAvi(grays: Seq[Int], usPerFrame: Long = 40000L): Array[Byte] = {
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def cc(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    def chunk(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      val padded = if (body.length % 2 == 1) body :+ 0.toByte else body
+      cc(typ) ++ le32(body.length) ++ padded
+    }
+    def list(listType: String, payload: Array[Byte]*): Array[Byte] =
+      chunk("LIST", (cc(listType) +: payload): _*)
+    val (w, h) = (4, 4) // 4·3 bytes/row — already 4-byte aligned, no pad
+    val avih = chunk("avih", le32(usPerFrame), le32(0), le32(0), le32(0),
+      le32(grays.size), le32(0), le32(1), le32(0), le32(w), le32(h),
+      new Array[Byte](16))
+    val strh = chunk("strh", cc("vids"), cc("DIB "), le32(0), le32(0),
+      le32(0), le32(1), le32(1000000L / usPerFrame), le32(0),
+      le32(grays.size), le32(0), le32(0xFFFFFFFFL), le32(0),
+      new Array[Byte](8))
+    val strf = chunk("strf", le32(40), le32(w), le32(h),
+      Array[Byte](1, 0, 24, 0), // planes=1, bitCount=24
+      le32(0), le32(w * h * 3), le32(0), le32(0), le32(0), le32(0))
+    val frames = grays.map { g =>
+      val px = new Array[Byte](w * h * 3)
+      java.util.Arrays.fill(px, (g & 0xFF).toByte) // solid gray: B=G=R=g
+      chunk("00db", px)
+    }
+    val body = list("hdrl", avih, list("strl", strh, strf)) ++
+      list("movi", frames: _*)
+    cc("RIFF") ++ le32(body.length + 4L) ++ cc("AVI ") ++ body
+  }
+
   // ---------- operator inventory ----------
 
   private lazy val defs: Seq[Q] = Seq(
@@ -1242,6 +1282,55 @@ object SparkEntry {
              |  ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(1 + doc_id % 3),
              |    t -> ['avc1','mp4a','mp4v'][CAST((doc_id + t) % 3 AS INT) + 1]),
              |    ',') AS codecs
+             |FROM documents WHERE doc_id < 200 ORDER BY id""".stripMargin)),
+
+    Q("mm6_avi_frames",  // REAL video frame decode end-to-end: each doc gets
+      // a deterministic AVI (3-5 solid-gray uncompressed-DIB frames, shade a
+      // closed-form function of (doc_id, frame)), the RIFF demux extracts
+      // every `00db` chunk and wraps it into a lossless BMP, the sampled
+      // frames re-decode through javax.imageio, and the per-frame gray must
+      // match the oracle EXACTLY (DIB→BMP is lossless, unlike MJPEG) — the
+      // first non-stub frame path for a true video container.
+      (s, dir) => {
+        val avi = udf((id: Long) => miniAvi(
+          (0 until (3 + (id % 3).toInt)).map(f => ((id * 3 + 5 * f) % 256).toInt)))
+        graft.llm.Multimodal.sampleFrameFeatures(
+            t(s, dir, "documents").filter(col("doc_id") < 100)
+              .withColumn("media", avi(col("doc_id"))),
+            "doc_id", "media", everyN = 2)
+          .select(col("id"), col("frame_idx").cast("long").as("frame_idx"),
+            round(element_at(col("features"), 1).cast("double") * 255, 0)
+              .cast("long").as("gray"))
+          .orderBy("id", "frame_idx")
+      },
+      Some("""SELECT d.doc_id AS id, CAST(k.k AS BIGINT) AS frame_idx,
+             |  CAST((d.doc_id*3 + 10*k.k) % 256 AS BIGINT) AS gray
+             |FROM documents d JOIN (VALUES (0),(1),(2)) AS k(k)
+             |  ON k.k <= (3 + d.doc_id % 3 + 1) // 2 - 1
+             |WHERE d.doc_id < 100
+             |ORDER BY id, frame_idx""".stripMargin)),
+
+    Q("mm7_avi_meta",  // REAL RIFF header parse: handler fourcc, duration,
+      // dimensions and frame count from the avih/strh headers of the same
+      // deterministic AVI — the route-and-filter metadata for video the way
+      // mm5 is for ISO-BMFF.
+      (s, dir) => {
+        val avi = udf((id: Long) => miniAvi(
+          (0 until (3 + (id % 3).toInt)).map(f => ((id * 3 + 5 * f) % 256).toInt)))
+        graft.llm.Multimodal.extractAviMeta(
+            t(s, dir, "documents").filter(col("doc_id") < 200)
+              .withColumn("media", avi(col("doc_id"))),
+            "doc_id", "media")
+          .select(col("id"), col("handler"), col("duration_ms"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("n_frames").cast("long").as("n_frames"))
+          .orderBy("id")
+      },
+      Some("""SELECT doc_id AS id, 'DIB ' AS handler,
+             |  CAST(40 * (3 + doc_id % 3) AS BIGINT) AS duration_ms,
+             |  CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+             |  CAST(3 + doc_id % 3 AS BIGINT) AS n_frames
              |FROM documents WHERE doc_id < 200 ORDER BY id""".stripMargin)),
 
     // ---- EV*: event/streaming layer (batch-equivalent of the Structured

@@ -210,11 +210,14 @@ object Multimodal {
     } catch { case _: Exception => None }
 
   /** Unified per-object decode: real codecs for image and PCM-WAV
-    * containers, stub features for everything else (video/opaque
-    * payloads). */
+    * containers; for AVI video the REAL first-frame image features
+    * (MJPEG/DIB frames via [[aviFrames]] — a keyframe thumbnail is the
+    * standard video fingerprint); stub features for everything else
+    * (mp4/webm/opaque payloads). */
   def decode(bytes: Array[Byte]): Array[Float] =
     decodeImage(bytes)
       .orElse(decodeAudio(bytes))
+      .orElse(aviFrames(bytes).flatMap(_.headOption).flatMap(decodeImage))
       .getOrElse(decodeStub(bytes))
 
   /**
@@ -296,10 +299,145 @@ object Multimodal {
                             // hold a file-backed cache, not just heap
     } catch { case _: Exception => None }
 
+  // ------------------------------------------------- AVI (RIFF) demux
+
+  /** Container sniff for RIFF/AVI. */
+  def looksLikeAvi(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' '
+
+  private def le32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+      ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+
+  /** (fourcc, payloadStart, payloadEnd) for each RIFF chunk in
+    * `[start, end)` — little-endian sizes, odd sizes padded to even (the
+    * RIFF rule); a LIST chunk's payload starts with its list-type fourcc.
+    * Stops at the first malformed header rather than guessing. */
+  private def riffChunks(b: Array[Byte], start: Int, end: Int)
+      : Seq[(String, Int, Int)] = {
+    val out = Seq.newBuilder[(String, Int, Int)]
+    var o = start
+    var ok = true
+    while (ok && o + 8 <= end) {
+      val typ = fourcc(b, o)
+      val sz = le32(b, o + 4)
+      if (sz < 0 || o + 8 + sz > end) ok = false
+      else {
+        out += ((typ, o + 8, o + 8 + sz.toInt))
+        o += 8 + sz.toInt + (sz.toInt & 1) // pad byte after odd-sized chunks
+      }
+    }
+    out.result()
+  }
+
+  /** The LISTs of a given list-type among `chunks`, as payload ranges with
+    * the 4-byte list-type fourcc already consumed. */
+  private def riffLists(b: Array[Byte], chunks: Seq[(String, Int, Int)],
+                        listType: String): Seq[(Int, Int)] =
+    chunks.collect { case ("LIST", s, e)
+      if s + 4 <= e && fourcc(b, s) == listType => (s + 4, e) }
+
+  /**
+   * REAL metadata parse of an AVI container (public RIFF/AVI spec — pure
+   * JVM): (videoHandler, durationMs, width, height, totalFrames) from the
+   * `hdrl` headers (`avih` main header + the first `vids` stream's
+   * `strh`). None when the stream is not AVI or the chunk tree is
+   * malformed. Reference scope note: the reference SDK has no video
+   * support at all (SURVEY §2) — this exceeds it.
+   */
+  def aviMeta(bytes: Array[Byte]): Option[(String, Long, Int, Int, Int)] =
+    if (!looksLikeAvi(bytes)) None
+    else try {
+      val top = riffChunks(bytes, 12, bytes.length)
+      val hdrl = riffLists(bytes, top, "hdrl").headOption.getOrElse(return None)
+      val inHdrl = riffChunks(bytes, hdrl._1, hdrl._2)
+      val avih = inHdrl.collectFirst { case ("avih", s, e) if s + 40 <= e => s }
+        .getOrElse(return None)
+      val usPerFrame = le32(bytes, avih)
+      val totalFrames = le32(bytes, avih + 16).toInt
+      val width = le32(bytes, avih + 32).toInt
+      val height = le32(bytes, avih + 36).toInt
+      val handler = riffLists(bytes, inHdrl, "strl").iterator
+        .map(r => riffChunks(bytes, r._1, r._2))
+        .flatMap(_.collectFirst { case ("strh", s, e)
+          if s + 8 <= e && fourcc(bytes, s) == "vids" => fourcc(bytes, s + 4) })
+        .nextOption().getOrElse("")
+      Some((handler, usPerFrame * totalFrames / 1000L, width, height, totalFrames))
+    } catch { case _: Exception => None }
+
+  /**
+   * REAL frame extraction from an AVI container (RIFF demux, pure JVM):
+   * every video-stream frame chunk (`##dc`/`##db`, including inside
+   * `rec ` groups) as STANDALONE image bytes —
+   *
+   *  - MJPEG (`…dc` payload starting with the JPEG SOI marker): the chunk
+   *    IS a complete JPEG, passed through; `javax.imageio` decodes it.
+   *  - Uncompressed DIB (`…db`, BI_RGB): wrapped with a 14-byte
+   *    BITMAPFILEHEADER in front of the stream's `strf`
+   *    BITMAPINFOHEADER, which makes each frame a well-formed BMP that
+   *    `javax.imageio` decodes LOSSLESSLY (the property the mm6 oracle
+   *    pins exact pixel values on).
+   *
+   * Frames in codecs the JDK cannot decode (h264 in AVI, …) are skipped
+   * rather than emitted as undecodable bytes. None when not AVI, the tree
+   * is malformed, or no video frames survive.
+   */
+  def aviFrames(bytes: Array[Byte]): Option[Array[Array[Byte]]] =
+    if (!looksLikeAvi(bytes)) None
+    else try {
+      val top = riffChunks(bytes, 12, bytes.length)
+      // strf (BITMAPINFOHEADER) of the first 'vids' stream, for DIB wrap
+      val strf: Option[Array[Byte]] =
+        riffLists(bytes, top, "hdrl").headOption.flatMap { h =>
+          riffLists(bytes, riffChunks(bytes, h._1, h._2), "strl").iterator
+            .map(r => riffChunks(bytes, r._1, r._2))
+            .find(_.exists { c =>
+              c._1 == "strh" && c._2 + 4 <= c._3 && fourcc(bytes, c._2) == "vids"
+            })
+            .flatMap(_.collectFirst { case ("strf", s, e) =>
+              java.util.Arrays.copyOfRange(bytes, s, e) })
+        }
+      def frames(chunks: Seq[(String, Int, Int)]): Seq[Array[Byte]] =
+        chunks.flatMap {
+          case ("LIST", s, e) if s + 4 <= e && fourcc(bytes, s) == "rec " =>
+            frames(riffChunks(bytes, s + 4, e))
+          case (t, s, e) if t.length == 4 && t(0).isDigit && t(1).isDigit &&
+              (t.endsWith("dc") || t.endsWith("db")) =>
+            val payload = java.util.Arrays.copyOfRange(bytes, s, e)
+            if (payload.length >= 2 && (payload(0) & 0xFF) == 0xFF &&
+                (payload(1) & 0xFF) == 0xD8) Some(payload) // standalone JPEG
+            else strf match {
+              case Some(bih) if payload.nonEmpty => // DIB → BMP wrap
+                val out = new Array[Byte](14 + bih.length + payload.length)
+                out(0) = 'B'; out(1) = 'M'
+                val total = out.length.toLong
+                var i = 0
+                while (i < 4) { out(2 + i) = ((total >> (8 * i)) & 0xFF).toByte
+                  i += 1 }
+                val off = 14L + bih.length
+                i = 0
+                while (i < 4) { out(10 + i) = ((off >> (8 * i)) & 0xFF).toByte
+                  i += 1 }
+                System.arraycopy(bih, 0, out, 14, bih.length)
+                System.arraycopy(payload, 0, out, 14 + bih.length, payload.length)
+                Some(out)
+              case _ => None // codec the JDK cannot decode — skip
+            }
+          case _ => Nil
+        }
+      val fs = riffLists(bytes, top, "movi")
+        .flatMap { case (s, e) => frames(riffChunks(bytes, s, e)) }
+      if (fs.isEmpty) None else Some(fs.toArray)
+    } catch { case _: Exception => None }
+
   /** Frame sampling: REAL for animated GIF (every `everyN`-th decoded
     * frame, re-encoded as PNG so each sample is a standalone image any
-    * downstream decode handles), stub slicing for containers the JDK
-    * cannot demux. */
+    * downstream decode handles) and for AVI containers with MJPEG or
+    * uncompressed-DIB frames (each sampled frame already standalone
+    * JPEG/BMP bytes); stub slicing for containers the JDK cannot demux
+    * (mp4/webm/…). */
   def frameSample(bytes: Array[Byte], everyN: Int): Array[Array[Byte]] =
     gifFrames(bytes) match {
       case Some(frames) =>
@@ -308,7 +446,11 @@ object Multimodal {
           javax.imageio.ImageIO.write(frames(i), "png", out)
           out.toByteArray
         }.toArray
-      case None => frameSampleStub(bytes, everyN)
+      case None => aviFrames(bytes) match {
+        case Some(frames) =>
+          (0 until frames.length by math.max(1, everyN)).map(frames(_)).toArray
+        case None => frameSampleStub(bytes, everyN)
+      }
     }
 
   /** Metadata row parsed from an ISO-BMFF (mp4/mov) container. */
@@ -416,6 +558,29 @@ object Multimodal {
             case Some((brand, ts, durMs, n, cs)) =>
               Mp4Meta(id, brand, ts, durMs, n, cs)
             case None => Mp4Meta(id, "", 0L, 0L, 0, Nil)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Metadata row parsed from an AVI (RIFF) container. */
+  final case class AviMeta(id: Long, handler: String, duration_ms: Long,
+                           width: Int, height: Int, n_frames: Int)
+
+  /** Distributed AVI metadata extraction — same mapPartitions batch shape
+    * as `extractMp4Meta`; non-AVI payloads yield a row of neutral values
+    * rather than dropping. */
+  def extractAviMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    implicit val enc = Encoders.product[AviMeta]
+    df.select(col(idCol).cast("long"), col(binCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          aviMeta(r.getAs[Array[Byte]](1)) match {
+            case Some((handler, durMs, w, h, n)) =>
+              AviMeta(id, handler, durMs, w, h, n)
+            case None => AviMeta(id, "", 0L, 0, 0, 0)
           }
         }
       }
