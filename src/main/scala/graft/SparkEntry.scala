@@ -976,6 +976,26 @@ object SparkEntry {
              |        / (LEN(a.st) + LEN(b.st) - LEN(LIST_INTERSECT(a.st, b.st))), 6) >= 0.6
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    Q("dd8_dup_passages",  // exact duplicate-PASSAGE detection (Lee et al.
+      // substring dedup, window-granular): 64-char windows every 32 chars,
+      // hash-only candidate shuffle, output grouped by the TEXT itself so
+      // 64-bit collisions can't merge passages — oracle recomputes the same
+      // windows declaratively in DuckDB
+      (s, dir) => graft.llm.Dedup.duplicateSpans(t(s, dir, "documents"),
+          "doc_id", "text", windowLen = 64, stride = 32, minDocs = 2)
+        .select(md5(col("dup_text")).as("win_md5"), col("n_docs"), col("n_occ"))
+        .orderBy("win_md5"),
+      Some("""WITH w AS (
+             |  SELECT d.doc_id, substr(d.text, p.p + 1, 64) AS win
+             |  FROM documents d,
+             |       LATERAL (SELECT UNNEST(RANGE(0, LEN(d.text) - 64 + 1, 32)) AS p) p
+             |  WHERE LEN(d.text) >= 64
+             |)
+             |SELECT MD5(win) AS win_md5,
+             |  COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+             |FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2
+             |ORDER BY win_md5""".stripMargin)),
+
     Q("dd4_simhash",  // planted-duplicate containment, self-oracled (same
       // argument as dd2: identical text → identical 64-bit simhash → every
       // 16-bit chunk collides and hamming = 0 ≤ maxHamming)

@@ -166,6 +166,74 @@ case class SignatureMatchCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/**
+ * Content-defined anchor positions for duplicate-passage detection: window
+ * start offsets chosen by the TEXT CONTENT (a Karp-Rabin rolling hash over
+ * `anchorGram`-char grams, position selected when `hash & (density-1) == 0`
+ * — Manber's "approximate fingerprints" scheme, the alignment-robust
+ * alternative to a fixed stride grid). The same passage selects the same
+ * anchors relative to its own content wherever it appears in a document,
+ * so duplicated spans produce identical windows in every occurrence —
+ * which a fixed grid only does when the copies happen to align modulo the
+ * stride. Expected anchor rate is 1/density positions (density must be a
+ * power of two); anchors are dropped when a full `windowLen` window no
+ * longer fits, and capped at 65536 per document as an adversarial-input
+ * memory bound. One expression call per row runs the whole scan at hash
+ * speed (the per-char lambda formulation would be ~µs/char interpreted).
+ */
+case class ContentAnchors(child: Expression, anchorGram: Int, density: Int,
+                          windowLen: Int)
+    extends UnaryExpression {
+  require(anchorGram > 0 && windowLen >= anchorGram, "windowLen >= anchorGram > 0")
+  require(density > 0 && (density & (density - 1)) == 0,
+    "density must be a power of two")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "content_anchors"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"content_anchors requires string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("anchors", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);")
+  }
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    // per-CHAR positions (not bytes) so they compose with Column.substr
+    val str = s.toString
+    val len = str.length
+    if (len < windowLen) return new GenericArrayData(Array.empty[Int])
+    val mask = (density - 1).toLong
+    val B = 1000003L
+    var bPow = 1L // B^(anchorGram-1), for removing the outgoing char
+    var i = 1
+    while (i < anchorGram) { bPow *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < anchorGram) { h = h * B + str.charAt(i); i += 1 }
+    val out = new scala.collection.mutable.ArrayBuffer[Int](64)
+    val lastStart = len - windowLen
+    var p = 0
+    val lastGram = len - anchorGram
+    while (p <= lastGram && out.size < 65536) {
+      if ((h & mask) == 0L && p <= lastStart) out += p
+      if (p < lastGram)
+        h = (h - str.charAt(p) * bPow) * B + str.charAt(p + anchorGram)
+      p += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object TextHashes {
   /** Signature over pre-built shingle strings (shingleN = 1). */
   def minhashSignature(shingles: Column, k: Int): Column =
@@ -177,4 +245,8 @@ object TextHashes {
     Glue.column(SimHash64(Glue.expression(words)))
   def signatureMatchCount(sigA: Column, sigB: Column): Column =
     Glue.column(SignatureMatchCount(Glue.expression(sigA), Glue.expression(sigB)))
+  def contentAnchors(text: Column, anchorGram: Int, density: Int,
+                     windowLen: Int): Column =
+    Glue.column(ContentAnchors(Glue.expression(text), anchorGram, density,
+      windowLen))
 }

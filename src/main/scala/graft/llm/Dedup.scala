@@ -175,6 +175,91 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /**
+   * Exact duplicate-PASSAGE detection: character windows of `windowLen`
+   * sampled every `stride` chars that recur in ≥ `minDocs` distinct
+   * documents — the window-granular form of exact-substring training-data
+   * dedup (Lee et al., "Deduplicating Training Data Makes Language Models
+   * Better": repeated spans, not just whole-doc dups, degrade models; the
+   * suffix-array machinery there becomes a hash-equi-join here).
+   *
+   * Scale shape (the whole point at 100 TB):
+   *  1. map-side: each doc emits (xxhash64(window), id) per sampled window
+   *     — the SHUFFLE carries 16 bytes/window, never text;
+   *  2. hash groups with ≥ minDocs distinct docs are the candidates — a
+   *     tiny set (true dup passages + astronomically-rare 64-bit
+   *     collisions), broadcast back;
+   *  3. only candidate windows re-derive their text map-side and group by
+   *     the TEXT itself, so a hash collision can never merge two different
+   *     passages in the output.
+   *
+   * Returns (dup_text, n_docs, n_occ) — each recurring passage with its
+   * document reach and total occurrence count. `stride` trades recall for
+   * cost: stride = windowLen/2 guarantees any duplicated span ≥
+   * 1.5·windowLen shares at least one sampled window on both sides.
+   */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     windowLen: Int = 64, stride: Int = 32,
+                     minDocs: Int = 2): DataFrame = {
+    require(windowLen > 0 && stride > 0 && minDocs >= 2,
+      "windowLen/stride must be positive; minDocs at least 2")
+    // window start offsets 0, stride, … ≤ len−windowLen (sequence is
+    // inclusive of the stop when it lands on the grid)
+    duplicateSpansAt(df, idCol, textCol, windowLen, minDocs,
+      txt => sequence(lit(0), length(txt) - windowLen, lit(stride)))
+  }
+
+  /**
+   * Alignment-robust duplicate-passage detection: like [[duplicateSpans]]
+   * but window positions are CONTENT-DEFINED (rolling-hash anchor
+   * selection, `graft.functions.ContentAnchors` — Manber's approximate-
+   * fingerprint scheme) instead of a fixed stride grid. A grid only
+   * matches two copies of a passage when their offsets agree modulo the
+   * stride; content anchors are a function of the passage text itself, so
+   * every occurrence selects the same in-span positions wherever it sits
+   * in the document. Expected window rate 1/density per char; a duplicated
+   * span of length L ≥ windowLen + anchorGram is detected when it contains
+   * ≥1 selected anchor — probability ≈ 1 − (1−1/density)^(L−windowLen),
+   * tunable via `density` with linear cost.
+   */
+  def duplicateSpansAnchored(df: DataFrame, idCol: String, textCol: String,
+                             windowLen: Int = 64, anchorGram: Int = 16,
+                             density: Int = 16, minDocs: Int = 2): DataFrame =
+    duplicateSpansAt(df, idCol, textCol, windowLen, minDocs,
+      txt => graft.functions.TextHashes.contentAnchors(
+        txt, anchorGram, density, windowLen))
+
+  /** Shared hash-equi-join pipeline over a window-position generator (see
+    * [[duplicateSpans]] for the scale shape). */
+  private def duplicateSpansAt(df: DataFrame, idCol: String, textCol: String,
+                               windowLen: Int, minDocs: Int,
+                               offsets: Column => Column): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("txt"))
+      .filter(length(col("txt")) >= windowLen)
+    val hashed = docs.select(col("id"),
+        explode(offsets(col("txt"))).as("p"),
+        col("txt"))
+      .select(col("id"), col("p"),
+        xxhash64(windowAt(col("txt"), col("p"), windowLen)).as("h"))
+    val candidates = hashed.groupBy("h")
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    // candidates are tiny by construction — broadcast, no second big shuffle
+    hashed.join(broadcast(candidates), Seq("h"))
+      .join(docs, Seq("id"))
+      .select(windowAt(col("txt"), col("p"), windowLen).as("dup_text"),
+        col("id"))
+      .groupBy("dup_text")
+      .agg(countDistinct(col("id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /** 1-based variable-position window — `substring(col, pos, len)` takes
+    * only literal positions; the Column.substr form takes columns. */
+  private def windowAt(txt: Column, p: Column, len: Int): Column =
+    txt.substr(p + 1, lit(len))
+
   /** Partition-local pre-contraction: hash-shuffle edges on `u`, run a
     * union-find inside each partition, and emit each LOCAL component as a
     * star (member → local minimum), INCLUDING the root's own `(root, root)`

@@ -89,6 +89,54 @@ class OperatorsSpec extends SparkSpec {
     assert(est > 0.6 && est <= 1.0)
   }
 
+  test("duplicateSpans finds shared passages; anchored mode survives misalignment") {
+    import spark.implicits._
+    // a realistic "paragraph": varied content, no periodicity
+    val boiler = (1 to 40).map(i => s"tok$i").mkString(" ") // ~300 chars
+    val pad = (c: Char, n: Int) => c.toString * n
+    // GRID mode: copies aligned modulo the stride are found
+    val aligned = Seq(
+      (1L, pad('a', 32) + boiler + pad('b', 40)),
+      (2L, pad('c', 64) + boiler + pad('d', 8)),
+      (3L, boiler + pad('e', 72)),
+      (4L, pad('z', 400))).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(aligned, "doc_id", "text",
+      windowLen = 64, stride = 32, minDocs = 2).collect()
+    assert(spans.nonEmpty, "aligned shared passage not detected by grid mode")
+    // every reported span must genuinely occur in >= 2 docs (no hash-merge)
+    val texts = aligned.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    spans.foreach { r =>
+      val (win, nd) = (r.getString(0), r.getLong(1))
+      val present = texts.values.count(_.contains(win))
+      assert(present >= 2 && nd >= 2, s"span claims $nd docs, found $present")
+    }
+    // the pure-noise doc never contributes a span
+    assert(!spans.exists(_.getString(0).contains("z")))
+    // and a corpus with no repeated passages yields nothing
+    val clean = Seq((1L, "u" + boiler), (2L, pad('b', 400))).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(clean, "doc_id", "text", 64, 32).isEmpty)
+
+    // MISALIGNED copies (pads 13/27/0 — no two congruent mod 32): the grid
+    // can only match by luck; CONTENT anchors select positions from the
+    // passage text itself, so every occurrence produces identical windows
+    val misaligned = Seq(
+      (1L, pad('a', 13) + boiler + pad('b', 40)),
+      (2L, pad('c', 27) + boiler + pad('d', 8)),
+      (3L, boiler + pad('e', 72)),
+      (4L, pad('z', 400))).toDF("doc_id", "text")
+    val anchored = Dedup.duplicateSpansAnchored(misaligned, "doc_id", "text",
+      windowLen = 64, anchorGram = 16, density = 8, minDocs = 2).collect()
+    assert(anchored.nonEmpty, "misaligned shared passage not detected by anchors")
+    val mtexts = misaligned.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    anchored.foreach { r =>
+      val present = mtexts.values.count(_.contains(r.getString(0)))
+      assert(present >= 2, s"anchored span not genuinely shared: ${r.getString(0)}")
+    }
+    // in-passage windows appear in all three carriers
+    assert(anchored.exists(_.getLong(1) == 3),
+      s"expected a span reaching all 3 docs: ${anchored.map(_.getLong(1)).toSeq}")
+  }
+
   test("simhash: reordering words keeps the signature (multiset-invariant)") {
     import spark.implicits._
     val df = Seq(("a b c d e f g h"), ("h g f e d c b a"), ("q r s t u v w x"))
