@@ -1304,6 +1304,36 @@ object SparkEntry {
              |    ',') AS codecs
              |FROM documents WHERE doc_id < 200 ORDER BY id""".stripMargin)),
 
+    Q("mm8_audio_windows",  // REAL windowed audio decode: the same square-wave
+      // WAVs as mm3 (amplitude and half-period closed-form in doc_id) split
+      // into two 840-sample windows; every half-period H in 4..7 divides
+      // 840 and 2H divides 840, so per-window RMS/peak/crossings/DC are the
+      // same exact integers as the whole-clip features — proving the
+      // windower slices real PCM, not bytes
+      (s, dir) => {
+        val wav = udf((id: Long) => squareWav(
+          ((id % 127).toInt + 1) * 256, 4 + (id % 4).toInt, 1680))
+        graft.llm.Multimodal.sampleAudioWindows(
+            t(s, dir, "documents").filter(col("doc_id") < 200)
+              .withColumn("media", wav(col("doc_id"))),
+            "doc_id", "media", windowSamples = 840)
+          .select(col("id"), col("window_idx").cast("long").as("window_idx"),
+            col("n_samples").cast("long").as("n_samples"),
+            round(element_at(col("features"), 1).cast("double") * 128, 0)
+              .cast("long").as("rms_q128"),
+            element_at(col("features"), 2).cast("long").as("zero_crossings"),
+            round(element_at(col("features"), 4).cast("double") * 1000000, 0)
+              .cast("long").as("dc_offset_ppm"))
+          .orderBy("id", "window_idx")
+      },
+      Some("""SELECT d.doc_id AS id, CAST(k.k AS BIGINT) AS window_idx,
+             |  CAST(840 AS BIGINT) AS n_samples,
+             |  doc_id % 127 + 1 AS rms_q128,
+             |  840 // (4 + doc_id % 4) - 1 AS zero_crossings,
+             |  0 AS dc_offset_ppm
+             |FROM documents d JOIN (VALUES (0),(1)) AS k(k) ON true
+             |WHERE doc_id < 200 ORDER BY id, window_idx""".stripMargin)),
+
     Q("mm6_avi_frames",  // REAL video frame decode end-to-end: each doc gets
       // a deterministic AVI (3-5 solid-gray uncompressed-DIB frames, shade a
       // closed-form function of (doc_id, frame)), the RIFF demux extracts

@@ -131,6 +131,12 @@ object Multimodal {
    * payloads the JDK cannot parse (truncated, compressed, or not audio).
    */
   def decodeAudio(bytes: Array[Byte]): Option[Array[Float]] =
+    pcmSamples(bytes).map(s => audioFeatures(s, 0, s.length))
+
+  /** Decoded mono-mixdown PCM samples in [-1,1], or None for payloads the
+    * JDK cannot parse (truncated, compressed, or not audio). One bounded
+    * clip per row — never a corpus-scale array. */
+  private def pcmSamples(bytes: Array[Byte]): Option[Array[Double]] =
     if (!looksLikeWav(bytes)) None
     else try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -153,11 +159,13 @@ object Multimodal {
           val n = raw.length / (bytesPerSample * ch)
           if (n == 0) None
           else {
-            def sampleAt(idx: Int): Double = { // mono mixdown of frame idx
+            val samples = new Array[Double](n)
+            var i = 0
+            while (i < n) {
               var c = 0
               var acc = 0.0
-              while (c < ch) {
-                val o = (idx * ch + c) * bytesPerSample
+              while (c < ch) { // mono mixdown of frame i
+                val o = (i * ch + c) * bytesPerSample
                 val v =
                   if (bits == 8)
                     (if (unsigned) ((raw(o) & 0xFF) - 128).toDouble
@@ -170,44 +178,54 @@ object Multimodal {
                 acc += v
                 c += 1
               }
-              acc / ch
-            }
-            val qSum = new Array[Double](4)
-            val qN = new Array[Long](4)
-            var sum = 0.0
-            var sumSq = 0.0
-            var peak = 0.0
-            var crossings = 0L
-            var prev = 0.0
-            var i = 0
-            while (i < n) {
-              val s = sampleAt(i)
-              sum += s
-              sumSq += s * s
-              if (math.abs(s) > peak) peak = math.abs(s)
-              if (i > 0 && prev * s < 0) crossings += 1
-              val q = math.min(3, i * 4L / n).toInt
-              qSum(q) += s * s
-              qN(q) += 1
-              prev = s
+              samples(i) = acc / ch
               i += 1
             }
-            val feats = new Array[Float](8)
-            feats(0) = math.sqrt(sumSq / n).toFloat
-            feats(1) = crossings.toFloat
-            feats(2) = peak.toFloat
-            feats(3) = (sum / n).toFloat
-            var q = 0
-            while (q < 4) {
-              feats(4 + q) =
-                if (qN(q) == 0) 0f else math.sqrt(qSum(q) / qN(q)).toFloat
-              q += 1
-            }
-            Some(feats)
+            Some(samples)
           }
         }
       } finally in.close()
     } catch { case _: Exception => None }
+
+  /** The standard 8 audio features over `samples[from, until)` — shared by
+    * the whole-clip decode and the windowed sampler, so a window's features
+    * are exactly the clip features of that window. */
+  private def audioFeatures(samples: Array[Double], from: Int,
+                            until: Int): Array[Float] = {
+    val n = until - from
+    val qSum = new Array[Double](4)
+    val qN = new Array[Long](4)
+    var sum = 0.0
+    var sumSq = 0.0
+    var peak = 0.0
+    var crossings = 0L
+    var prev = 0.0
+    var i = 0
+    while (i < n) {
+      val s = samples(from + i)
+      sum += s
+      sumSq += s * s
+      if (math.abs(s) > peak) peak = math.abs(s)
+      if (i > 0 && prev * s < 0) crossings += 1
+      val q = math.min(3, i * 4L / n).toInt
+      qSum(q) += s * s
+      qN(q) += 1
+      prev = s
+      i += 1
+    }
+    val feats = new Array[Float](8)
+    feats(0) = math.sqrt(sumSq / n).toFloat
+    feats(1) = crossings.toFloat
+    feats(2) = peak.toFloat
+    feats(3) = (sum / n).toFloat
+    var q = 0
+    while (q < 4) {
+      feats(4 + q) =
+        if (qN(q) == 0) 0f else math.sqrt(qSum(q) / qN(q)).toFloat
+      q += 1
+    }
+    feats
+  }
 
   /** Unified per-object decode: real codecs for image and PCM-WAV
     * containers; for AVI video the REAL first-frame image features
@@ -606,6 +624,47 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]](1)
           frameSample(bytes, everyN).iterator.zipWithIndex.map {
             case (fb, k) => FrameFeatures(id, k, fb.length, decode(fb))
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** One row per audio window. */
+  final case class AudioWindow(id: Long, window_idx: Int, n_samples: Int,
+                               features: Array[Float])
+
+  /**
+   * Distributed audio WINDOWING + per-window feature extraction: the audio
+   * analog of [[sampleFrameFeatures]] — one PCM-WAV clip in, one row per
+   * `windowSamples`-sample window (hop `hopSamples`, overlapping when hop <
+   * window) out, each with the standard 8-feature vector computed by the
+   * REAL `javax.sound.sampled` decode. This is the shape a speech pipeline
+   * chunks on (VAD windows, per-segment energy gating) before any heavy
+   * model sees the audio. The clip decodes ONCE per row; windows slice the
+   * sample array — no re-decode per window. A trailing partial window is
+   * emitted with its true `n_samples`, so downstream can gate on it.
+   * Non-WAV payloads yield no rows (the pipeline's unparseable-media lane
+   * is `withMediaMeta`, not fake windows).
+   */
+  def sampleAudioWindows(df: DataFrame, idCol: String, binCol: String,
+                         windowSamples: Int,
+                         hopSamples: Int = 0): DataFrame = {
+    val hop = if (hopSamples <= 0) windowSamples else hopSamples
+    implicit val enc = Encoders.product[AudioWindow]
+    df.select(col(idCol).cast("long"), col(binCol))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          pcmSamples(r.getAs[Array[Byte]](1)) match {
+            case None => Iterator.empty
+            case Some(samples) =>
+              Iterator.range(0, samples.length, hop).zipWithIndex.map {
+                case (from, w) =>
+                  val until = math.min(from + windowSamples, samples.length)
+                  AudioWindow(id, w, until - from,
+                    audioFeatures(samples, from, until))
+              }
           }
         }
       }

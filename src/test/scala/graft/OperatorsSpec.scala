@@ -432,6 +432,28 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.gifFrames(gif.take(20)).isEmpty)
   }
 
+  test("sampleAudioWindows: real per-window PCM features, overlap, partial tail") {
+    import spark.implicits._
+    // 1000 samples, window 400, hop 300 → windows at 0,300,600,900 with
+    // sizes 400,400,400,100 (trailing partial emitted with true n_samples)
+    val wav = SparkEntry.squareWav(64 * 256, 5, 1000)
+    val df = Seq((7L, wav)).toDF("id", "media")
+    val rows = Multimodal.sampleAudioWindows(df, "id", "media",
+      windowSamples = 400, hopSamples = 300).orderBy("window_idx").collect()
+    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
+    assert(rows.map(_.getInt(2)).toSeq == Seq(400, 400, 400, 100))
+    // square wave: every window has rms = peak = 0.5 exactly; a 400-sample
+    // window aligned to the 10-sample period has 400/5-1 = 79 crossings
+    val f0 = rows(0).getSeq[Float](3)
+    assert(f0(0) == 0.5f && f0(2) == 0.5f && f0(1) == 79f && f0(3) == 0f)
+    // window 3 starts at 900 (≡ 0 mod 10): 100 samples → 19 crossings
+    assert(rows(3).getSeq[Float](3).apply(1) == 19f)
+    // non-WAV payloads produce no rows
+    assert(Multimodal.sampleAudioWindows(
+      Seq((1L, "not audio".getBytes)).toDF("id", "media"),
+      "id", "media", 400).isEmpty)
+  }
+
   test("aviFrames: real RIFF demux — lossless DIB frames, MJPEG frames, meta") {
     // DIB path: solid grays decode EXACTLY through the BMP wrap
     val avi = SparkEntry.miniAvi(Seq(10, 30, 50, 70))
