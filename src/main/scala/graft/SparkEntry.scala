@@ -723,6 +723,55 @@ object SparkEntry {
       Some("""SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS _row_id, doc_id
              |FROM documents ORDER BY _row_id""".stripMargin)),
 
+    Q("cdc1_row_changes",  // row-level CDC between committed versions: a
+      // graft table takes an UPDATE, a DELETE, and an INSERT commit; then
+      // changes(v1) must reconstruct exactly which rows changed and how —
+      // matched by stable _row_id across COW rewrites, no-op rows of
+      // rewritten files suppressed by payload compare, preimages from the
+      // FROM version. The oracle derives the same change set relationally.
+      (s, dir) => {
+        val root = java.nio.file.Files.createTempDirectory("graft-cdc1").toString
+        val vs = graft.api.VastSession(s, root)
+        vs.createBucket("b")
+        val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        vs.transaction { tx =>   // v1: seed
+          tx.bucket("b").createSchema("m").createTable("d", docs.schema)
+            .insert(docs)
+        }
+        vs.transaction { tx =>   // v2: update
+          tx.bucket("b").schema("m").table("d")
+            .updateWhere(col("lang") === "en", Map("n_chars" -> lit(-1L)))
+        }
+        vs.transaction { tx =>   // v3: delete
+          tx.bucket("b").schema("m").table("d")
+            .deleteWhere(col("doc_id") % 100 === 0)
+        }
+        vs.transaction { tx =>   // v4: insert
+          tx.bucket("b").schema("m").table("d").insert(
+            docs.filter(col("doc_id") < 5)
+              .withColumn("doc_id", col("doc_id") + 1000000L))
+        }
+        vs.transaction { tx =>
+          tx.bucket("b").schema("m").table("d").changes(1L)
+            .select("_change_type", "doc_id", "lang", "n_chars")
+            .orderBy("doc_id", "_change_type")
+        }
+      },
+      Some("""WITH base AS (SELECT doc_id, lang, n_chars FROM documents)
+             |SELECT * FROM (
+             |  SELECT 'insert' AS _change_type, doc_id + 1000000 AS doc_id,
+             |         lang, n_chars FROM base WHERE doc_id < 5
+             |  UNION ALL
+             |  SELECT 'delete', doc_id, lang, n_chars FROM base
+             |  WHERE doc_id % 100 = 0
+             |  UNION ALL
+             |  SELECT 'update_preimage', doc_id, lang, n_chars FROM base
+             |  WHERE lang = 'en' AND doc_id % 100 <> 0
+             |  UNION ALL
+             |  SELECT 'update_postimage', doc_id, lang, CAST(-1 AS BIGINT)
+             |  FROM base WHERE lang = 'en' AND doc_id % 100 <> 0
+             |) ORDER BY doc_id, _change_type""".stripMargin)),
+
     // ---- TA*: text analysis for training-data pipelines ----
     Q("ta1_token_stats",
       (s, dir) => t(s, dir, "documents")

@@ -802,6 +802,51 @@ class CatalogSpec extends SparkSpec {
       md.renamed("t2").version == md.version)
   }
 
+  test("changes(): exact row CDC, COW noise suppressed, evolution, vacuum horizon") {
+    val s = freshSession()
+    s.createBucket("b")
+    s.transaction { tx => // v1: three rows, ONE file — the COW-noise probe
+      tx.bucket("b").createSchema("m").createTable("t", f1Schema)
+        .insert(f1Data.coalesce(1))
+    }
+    s.transaction { tx => // v2: update one row (rewrites the shared file)
+      tx.bucket("b").schema("m").table("t")
+        .updateWhere(col("a") === 222L, Map("s" -> lit("UPD")))
+    }
+    s.transaction { tx => // v3: add a column, insert a row carrying it
+      tx.bucket("b").schema("m").table("t")
+        .addColumn(StructField("extra", LongType))
+    }
+    s.transaction { tx =>
+      val t = tx.bucket("b").schema("m").table("t")
+      t.insert(spark.createDataFrame(
+        java.util.List.of(Row(444L, 4.5f, "dddd", 9L)), t.schema).coalesce(1))
+    }
+    s.transaction { tx =>
+      val ch = tx.bucket("b").schema("m").table("t").changes(1L)
+        .collect().map(r => (r.getString(0), r.getLong(2))).sorted.toSeq
+      // the 111/333 rows shared the rewritten file but did NOT change —
+      // they must not appear; the update emits pre+post; the insert once
+      assert(ch == Seq(("insert", 444L), ("update_postimage", 222L),
+        ("update_preimage", 222L)), s"change set: $ch")
+      val pre = tx.bucket("b").schema("m").table("t").changes(1L)
+        .filter(col("_change_type") === "update_preimage").head()
+      assert(pre.getAs[String]("s") == "bb", "preimage must be the v1 payload")
+      assert(pre.isNullAt(pre.fieldIndex("extra")),
+        "column added later must be null in the preimage")
+      // empty range: no changes between a version and itself
+      assert(tx.bucket("b").schema("m").table("t").changes(1L, 1L).isEmpty)
+    }
+    // vacuumed fromVersion = CDC horizon crossed → error, never silence
+    s.transaction(tx => tx.bucket("b").schema("m").table("t")
+      .vacuumVersions(keepLast = 1, minAgeMillis = 0L))
+    s.transaction { tx =>
+      intercept[MissingTable] {
+        tx.bucket("b").schema("m").table("t").changes(1L)
+      }
+    }
+  }
+
   test("catalogSnapshots lists snapshot buckets across the root") {
     val s = freshSession()
     s.createBucket("b1"); s.createBucket("b2")
