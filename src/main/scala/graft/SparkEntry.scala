@@ -910,6 +910,150 @@ object SparkEntry {
              |SELECT gram, COUNT(*) AS doc_freq FROM g GROUP BY gram
              |ORDER BY doc_freq DESC, gram LIMIT 50""".stripMargin)),
 
+    Q("ta7_unigram_logprob",  // corpus-unigram-LM scoring (CCNet/KenLM
+      // quality-filter shape); per-token -ln p rounds to 6dp into DECIMAL
+      // before the per-doc sum, so the total is exact and partition-order
+      // independent — DuckDB recomputes the identical staged formula
+      (s, dir) => graft.llm.TextAnalysis.unigramLogProb(
+          t(s, dir, "documents"), "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+             |  FROM documents
+             |), tf AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+             |tot AS (SELECT SUM(c) AS s FROM tf)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(CAST(ROUND(-LN(c * 1.0 / s), 6) AS DECIMAL(18,6)))
+             |       AS DOUBLE) AS neg_logp_sum
+             |FROM tok JOIN tf USING (w) CROSS JOIN tot
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("ta8_tfidf_topterms",  // per-doc top-3 terms by tf-idf (keyword
+      // extraction); idf rounds to 6dp DECIMAL so tf*idf is exact and the
+      // (score desc, term) ranking is total-ordered in both engines
+      (s, dir) => graft.llm.TextAnalysis.tfIdfTopTerms(
+          t(s, dir, "documents").filter(col("doc_id") < 200),
+          "doc_id", "text", topK = 3)
+        .orderBy("doc_id", "term_rank"),
+      Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+             |tok AS (
+             |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM d
+             |), tfd AS (
+             |  SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w
+             |), dft AS (
+             |  SELECT w, COUNT(*) AS df_t
+             |  FROM (SELECT DISTINCT doc_id, w FROM tok) GROUP BY w
+             |), n AS (SELECT COUNT(*) AS n_docs FROM d),
+             |s AS (
+             |  SELECT doc_id, w AS term,
+             |    tf * CAST(ROUND(LN((n_docs + 1) * 1.0 / (df_t + 1)), 6)
+             |              AS DECIMAL(18,6)) AS score
+             |  FROM tfd JOIN dft USING (w) CROSS JOIN n
+             |), r AS (
+             |  SELECT doc_id, term, score, ROW_NUMBER() OVER (
+             |    PARTITION BY doc_id ORDER BY score DESC, term) AS term_rank
+             |  FROM s
+             |)
+             |SELECT doc_id, CAST(term_rank AS INT) AS term_rank, term,
+             |  CAST(score AS DOUBLE) AS tfidf
+             |FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin)),
+
+    Q("fts1_bm25_search",  // Okapi BM25 ranked retrieval for a 3-term query
+      // (k1=1.2, b=0.75): per-term partials round to 6dp DECIMAL before the
+      // per-doc sum; per-row double arithmetic is pure IEEE so both engines
+      // agree bit-for-bit, and (score desc, id) totally orders the top-20
+      (s, dir) => graft.llm.TextAnalysis.bm25Search(
+        t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("vector", "query", "stream"), k = 20),
+      Some("""WITH d AS (SELECT doc_id, text FROM documents),
+             |tok AS (
+             |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM d
+             |), dl AS (
+             |  SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS dl FROM d
+             |), st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+             |q(w) AS (VALUES ('vector'), ('query'), ('stream')),
+             |dft AS (
+             |  SELECT w, COUNT(DISTINCT doc_id) AS df_t
+             |  FROM tok JOIN q USING (w) GROUP BY w
+             |), tf AS (
+             |  SELECT doc_id, w, COUNT(*) AS tf
+             |  FROM tok JOIN q USING (w) GROUP BY doc_id, w
+             |), p AS (
+             |  SELECT tf.doc_id,
+             |    CAST(ROUND(
+             |      CAST(CAST(ROUND(LN(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)), 6)
+             |                AS DECIMAL(18,6)) AS DOUBLE)
+             |      * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (sum_dl * 1.0 / n_docs)))),
+             |      6) AS DECIMAL(18,6)) AS s
+             |  FROM tf JOIN dft USING (w) JOIN dl ON tf.doc_id = dl.doc_id
+             |  CROSS JOIN st
+             |)
+             |SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS bm25
+             |FROM p GROUP BY doc_id
+             |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)),
+
+    Q("ta9_normalize",  // Unicode NFC + control/format-char strip over a
+      // generated fixture (the shipped corpus is pure ASCII, which the
+      // normalizer must pass through unchanged — doc 7 asserts that);
+      // DuckDB applies nfc_normalize + the same RE2-safe pattern
+      (s, dir) => {
+        import s.implicits._
+        val rows = Seq(
+          (1L, "cafe\u0301 au lait"),        // e + combining acute
+          (2L, "caf\u00e9 au lait"),         // precomposed é
+          (3L, "A\u030a ring"),              // A + combining ring
+          (4L, "zero\u200bwidth\u200djoin"), // format chars stripped
+          (5L, "ctrl\u0001\u0002chars\tkeep"),
+          (6L, "\ufeffbom prefix"),
+          (7L, "plain ascii stays"))
+          .toDF("id", "text")
+        val clean = graft.llm.TextAnalysis.normalizeText($"text")
+        rows.select($"id", clean.as("clean"), length(clean).as("n_chars"))
+          .orderBy("id")
+      },
+      Some("""WITH v(id, text) AS (VALUES
+             |  (1, 'cafe' || chr(769) || ' au lait'),
+             |  (2, 'caf' || chr(233) || ' au lait'),
+             |  (3, 'A' || chr(778) || ' ring'),
+             |  (4, 'zero' || chr(8203) || 'width' || chr(8205) || 'join'),
+             |  (5, 'ctrl' || chr(1) || chr(2) || 'chars' || chr(9) || 'keep'),
+             |  (6, chr(65279) || 'bom prefix'),
+             |  (7, 'plain ascii stays')),
+             |c AS (
+             |  SELECT id, REGEXP_REPLACE(NFC_NORMALIZE(text),
+             |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]|\p{Cf}', '', 'g') AS clean
+             |  FROM v
+             |)
+             |SELECT CAST(id AS BIGINT) AS id, clean,
+             |  CAST(LENGTH(clean) AS INT) AS n_chars
+             |FROM c ORDER BY id""".stripMargin)),
+
+    Q("ss3_ann_pq",  // product-quantized ANN (ADC shortlist + exact
+      // rerank), self-oracled by planted-neighbor containment: an identical
+      // planted vector's codes are the per-subspace argmins of the query's
+      // own LUT, so its ADC distance is the global minimum — it cannot be
+      // cut by the shortlist and reranks to distance 0; recall on
+      // non-identical vectors is spec-tested (OperatorsSpec)
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val q = e.filter(col("vec_id") < 5)
+        val planted = q.select((col("vec_id") + 1000000).as("vec_id"),
+          col("embedding"))
+        val corpus = e.union(planted)
+        val cb = graft.llm.Quantization.pqTrain(corpus, "vec_id", "embedding",
+          dim = 64, m = 16, k = 16, iters = 1)
+        val enc = graft.llm.Quantization.pqEncode(corpus, "vec_id",
+          "embedding", cb, dim = 64, m = 16)
+        graft.llm.Quantization.pqSearch(enc, corpus, q, cb,
+            "vec_id", "embedding", dim = 64, m = 16, k = 10, shortlist = 50)
+          .groupBy("q_id")
+          .agg(max(when(col("n_id") === col("q_id") + 1000000, 1).otherwise(0))
+            .as("planted_found"))
+          .orderBy("q_id")
+      },
+      Some("""SELECT vec_id AS q_id, 1 AS planted_found FROM embeddings
+             |WHERE vec_id < 5 ORDER BY q_id""".stripMargin)),
+
     // ---- CU*: dataset-curation operators over `documents` ----
     Q("cu1_balanced_sample",
       // per-group cap (language balancing): first 20 docs per lang — exact,

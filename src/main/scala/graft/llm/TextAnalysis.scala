@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TokenStats.tokenStats
@@ -120,6 +121,125 @@ object TextAnalysis {
       .agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("gram").asc)
       .limit(k)
+
+  /** Unicode NFC canonicalization + control-character strip — the
+    * normalization pass that must run BEFORE any hashing/dedup/shingling so
+    * canonically-equivalent encodings of the same text collapse to one
+    * form. NFC is a native codegen expression (graft/functions/
+    * TextNormalize.scala); the control strip removes C0/C1 controls and
+    * Unicode format chars (zero-width joiners, BOMs, bidi marks — the
+    * classic dedup-poisoning invisibles) while keeping tab/newline. The
+    * pattern avoids Java-only regex syntax so any RE2-based engine
+    * (DuckDB, Go) applies the identical transform. */
+  val ControlStripPattern = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]|\\p{Cf}"
+  def normalizeText(text: Column): Column =
+    regexp_replace(graft.functions.NfcNormalize.nfc(text),
+      ControlStripPattern, "")
+
+  /**
+   * Corpus-unigram-LM scoring (the CCNet/KenLM quality-filter shape): build
+   * the corpus term distribution, then score each document by the summed
+   * negative log-probability of its tokens — gibberish and boilerplate-free
+   * rare-token soup score high, fluent in-distribution text scores low.
+   *
+   * Determinism contract: per-token −ln p is rounded to 6 dp and summed as
+   * DECIMAL, so the per-document total is exact and independent of Spark's
+   * partition-dependent double-summation order — any engine computing the
+   * same formula matches bit-for-bit.
+   *
+   * 100 TB shape: tokenize map-side; the term-frequency table is a
+   * word-count aggregation whose hot keys collapse in the map-side partial;
+   * the vocabulary (≪ corpus) broadcasts back onto the token stream, so the
+   * only full-data shuffle is the final per-document sum, keyed by id.
+   */
+  def unigramLogProb(df: DataFrame, idCol: String,
+                     textCol: String = "text"): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+    val tf = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = tf.agg(sum(col("c")).as("corpus_tokens"))
+    val scored = tok
+      .join(broadcast(tf), Seq("w"))
+      .crossJoin(broadcast(total))
+      .withColumn("_nlp",
+        round(-log(col("c").cast("double") / col("corpus_tokens")), 6)
+          .cast("decimal(18,6)"))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("_nlp")).cast("double").as("neg_logp_sum"))
+  }
+
+  /**
+   * Per-document top-k terms by TF-IDF — keyword extraction / topical
+   * fingerprinting. idf = ln((N+1)/(df_t+1)) rounded to 6 dp as DECIMAL;
+   * score = tf × idf stays exact decimal, so ranking ties break
+   * deterministically on the term. Document frequency is a distinct-explode
+   * word count (map-side combine); N broadcasts as a 1-row aggregate —
+   * nothing driver-side.
+   */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    topK: Int): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+    val tfDoc = tok.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+    val dfTerm = tok.distinct().groupBy("w").agg(count(lit(1)).as("df_t"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("tfidf").desc, col("w").asc)
+    tfDoc.join(broadcast(dfTerm), Seq("w"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("_idf",
+        round(log((col("n_docs") + 1).cast("double") / (col("df_t") + 1)), 6)
+          .cast("decimal(18,6)"))
+      .withColumn("tfidf", col("tf") * col("_idf"))
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= topK)
+      .select(col(idCol), col("term_rank"), col("w").as("term"),
+        col("tfidf").cast("double").as("tfidf"))
+  }
+
+  /**
+   * BM25 ranked retrieval over the corpus for a bag of query terms — "find
+   * the training documents most relevant to X" as one scan + top-k.
+   * Okapi BM25 with the standard k1/b defaults; idf uses the
+   * `ln(1 + (N − df + 0.5)/(df + 0.5))` form (always positive).
+   *
+   * Determinism: idf and each per-term partial score round to 6 dp into
+   * DECIMAL before the per-document sum, so scores are exact and the final
+   * (score desc, id asc) top-k is total-ordered. Per-row double arithmetic
+   * (length norm, saturation) is pure IEEE — identical on any engine.
+   *
+   * Scale: the query's term list is tiny (a broadcast IN-filter on the
+   * token stream); per-document length and the final sum shuffle by id
+   * once; top-k plans as TakeOrderedAndProject.
+   */
+  def bm25Search(df: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+    val dl = df.select(col(idCol), tokenCount(col(textCol)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val qTerms = terms.distinct
+    // df_t counts documents containing the term (distinct per doc)
+    val dfTerm = tok.filter(col("w").isin(qTerms: _*)).distinct()
+      .groupBy("w").agg(count(lit(1)).as("df_t"))
+    val tf = tok.filter(col("w").isin(qTerms: _*))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = round(log(lit(1.0) +
+      (col("n_docs") - col("df_t") + 0.5) / (col("df_t") + 0.5)), 6)
+      .cast("decimal(18,6)")
+    val norm = lit(1.0) - b + lit(b) * col("dl") / avgdl
+    val sat = (col("tf") * (k1 + 1.0)) / (col("tf") + lit(k1) * norm)
+    val perTerm = tf
+      .join(broadcast(dfTerm), Seq("w"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("_s", round(idf.cast("double") * sat, 6)
+        .cast("decimal(18,6)"))
+    perTerm.groupBy(col(idCol))
+      .agg(sum(col("_s")).cast("double").as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol).asc)
+      .limit(k)
+  }
 
   /** Per-document repetition signals (Gopher-style quality filters):
     * duplicate-word fraction and the most-frequent-bigram share. One native

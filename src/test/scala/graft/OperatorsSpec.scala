@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.Distances
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Quantization, Similarity, TextAnalysis}
 import graft.scan.Pred
 
 /** Unit-level checks for expressions, predicate grammar, and LLM operators. */
@@ -953,5 +953,73 @@ class OperatorsSpec extends SparkSpec {
     // not ISO-BMFF at all
     assert(Multimodal.mp4Meta(Array[Byte](1, 2, 3)).isEmpty)
     assert(Multimodal.mp4Meta("GIF89a....".getBytes).isEmpty)
+  }
+
+  // --------------------------------------------------- product quantization
+
+  test("pq: codebook shape, code-range invariants, 16x compression layout") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 200).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2f - 1f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val cb = Quantization.pqTrain(df, "vec_id", "embedding",
+      dim = 16, m = 4, k = 8, iters = 2)
+    val cbRows = cb.collect()
+    assert(cbRows.length == 4 * 8, "codebook must stay exactly m*k")
+    assert(cbRows.forall(_.getSeq[Float](2).length == 4),
+      "sub-centroids carry dim/m dims")
+    val enc = Quantization.pqEncode(df, "vec_id", "embedding", cb,
+      dim = 16, m = 4)
+    val codes = enc.collect()
+    assert(codes.length == 200)
+    assert(codes.forall(_.getSeq[Int](1).length == 4))
+    assert(codes.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 8)))
+  }
+
+  test("pq ADC search: recall vs exact knn on clustered vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val rows = for (c <- 0 until 10; i <- 0 until 30) yield {
+      val center = Array.fill(16)(0f).updated(c % 16, 10f)
+      (c * 100L + i, center.map(v => v + rnd.nextFloat() * 0.5f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" % 100 === 0)
+    val exact = Similarity.knnJoin(df, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val cb = Quantization.pqTrain(df, "vec_id", "embedding",
+      dim = 16, m = 4, k = 16, iters = 2)
+    val enc = Quantization.pqEncode(df, "vec_id", "embedding", cb,
+      dim = 16, m = 4)
+    val approx = Quantization.pqSearch(enc, df, queries, cb,
+        "vec_id", "embedding", dim = 16, m = 4, k = 5, shortlist = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"PQ recall too low: $recall")
+  }
+
+  test("pq ADC: planted identical vector always ranks first") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 150).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat())))
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 3)
+    val planted = queries.select(($"vec_id" + 1000000L).as("vec_id"),
+      $"embedding")
+    val corpus = df.union(planted)
+    val cb = Quantization.pqTrain(corpus, "vec_id", "embedding",
+      dim = 16, m = 4, k = 8, iters = 1)
+    val enc = Quantization.pqEncode(corpus, "vec_id", "embedding", cb,
+      dim = 16, m = 4)
+    val top = Quantization.pqSearch(enc, corpus, queries, cb,
+        "vec_id", "embedding", dim = 16, m = 4, k = 3, shortlist = 20)
+      .filter($"knn_rank" === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    (0L until 3L).foreach { q =>
+      assert(top(q) == q + 1000000L,
+        s"query $q: planted twin not at rank 1 (got ${top(q)})")
+    }
   }
 }
