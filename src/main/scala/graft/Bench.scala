@@ -72,6 +72,21 @@ object Bench {
         }
       } else spark.read.parquet(s"$sfDir/$name.parquet")
 
+    // PQ index build (one-time, untimed — the ann_pq entry measures the
+    // per-query cost over the built artifacts, the same split the sorted /
+    // z-order layout pairs use for their one-time rewrite)
+    val pqCodebookDir = "/tmp/graft_bench_pq_codebook"
+    val pqCodesDir = "/tmp/graft_bench_pq_codes"
+    locally {
+      val e = t("embeddings").select("vec_id", "embedding")
+      val cb = graft.llm.Quantization.pqTrain(e, "vec_id", "embedding",
+        dim = 64, m = 16, k = 16, iters = 1)
+      cb.write.mode("overwrite").parquet(pqCodebookDir)
+      graft.llm.Quantization.pqEncode(e, "vec_id", "embedding",
+          spark.read.parquet(pqCodebookDir), dim = 64, m = 16)
+        .write.mode("overwrite").parquet(pqCodesDir)
+    }
+
     val queries: Seq[(String, () => Unit)] = Seq(
       // --- reference-shaped selective scans on events ---
       "scan_point" -> (() => mat(t("events").filter(col("user_id") === 42L))),
@@ -134,6 +149,22 @@ object Bench {
         graft.llm.Dedup.minhashPairs(t("documents"), "doc_id", "text",
           k = 64, bands = 16, threshold = 0.5)))),
       "text_analyze" -> (() => mat(graft.llm.TextAnalysis.analyze(t("documents")))),
+      // PQ ADC search over a prebuilt codebook + code table (setup below,
+      // like the sorted/z-order layouts: the index builds once, queries pay
+      // only the codes-only ADC scan + bounded exact rerank)
+      "ann_pq" -> (() => {
+        val e = t("embeddings").select("vec_id", "embedding")
+        val q = e.filter(col("vec_id") < 8)
+        val cb = spark.read.parquet(pqCodebookDir)
+        val enc = spark.read.parquet(pqCodesDir)
+        mat(graft.llm.Quantization.pqSearch(enc, e, q, cb,
+          "vec_id", "embedding", dim = 64, m = 16, k = 10, shortlist = 50))
+      }),
+      "fts_bm25" -> (() => mat(graft.llm.TextAnalysis.bm25Search(
+        t("documents"), "doc_id", "text",
+        terms = Seq("vector", "query", "stream"), k = 20))),
+      "text_logprob" -> (() => mat(graft.llm.TextAnalysis.unigramLogProb(
+        t("documents"), "doc_id"))),
       "events_window" -> (() => mat(graft.streaming.Events.tumblingStats(
         t("events"), "1 hour"))))
 
