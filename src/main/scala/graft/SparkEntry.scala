@@ -1028,6 +1028,51 @@ object SparkEntry {
              |  CAST(LENGTH(clean) AS INT) AS n_chars
              |FROM c ORDER BY id""".stripMargin)),
 
+    Q("bpe1_tokenize",  // real BPE (Sennrich): merges learned from the
+      // fixture itself, encode via the native expression; the oracle's
+      // token strings are HAND-DERIVED from the algorithm — merge 1 (a,a)
+      // by count 6, merge 2 (a,b) by count 3, merge 3 (aa,ab) over (aa,b)
+      // by the lexicographic tie-break — so a wrong count, tie-break, or
+      // inference order produces different subwords and fails the gate
+      (s, dir) => {
+        import s.implicits._
+        val docs = Seq((1L, "aaab aaab"), (2L, "aab"), (3L, "ab b aab"))
+          .toDF("id", "text")
+        val merges = graft.llm.Bpe.train(docs, "text", numMerges = 3,
+          sampleDocs = 10)
+        docs.select($"id",
+            array_join(graft.llm.Bpe.encode($"text", merges), "|").as("toks"),
+            graft.llm.Bpe.tokenCount($"text", merges).as("n_tokens"))
+          .orderBy("id")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(1 AS BIGINT), 'aaab|aaab', 2),
+             |  (CAST(2 AS BIGINT), 'aa|b', 2),
+             |  (CAST(3 AS BIGINT), 'ab|b|aa|b', 4)) AS t(id, toks, n_tokens)
+             |ORDER BY id""".stripMargin)),
+
+    Q("bpe2_corpus_roundtrip",  // BPE over the real corpus, self-oracled on
+      // the algorithm's invariants: encoding is lossless (per-word concat
+      // reconstructs the text) and 200 learned merges actually compress
+      // (fewer subwords than characters corpus-wide) — both hold for any
+      // correct BPE regardless of the engine's exact merge table
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val merges = graft.llm.Bpe.train(docs, "text", numMerges = 200,
+          sampleDocs = 300)
+        docs.select(col("doc_id"),
+            graft.llm.Bpe.encode(col("text"), merges).as("toks"),
+            regexp_replace(col("text"), " ", "").as("squashed"))
+          .agg(count(lit(1)).as("n_docs"),
+            (sum(when(concat_ws("", col("toks")) === col("squashed"), 0)
+              .otherwise(1)) === 0).as("all_lossless"),
+            (sum(size(col("toks"))) < sum(length(col("squashed"))))
+              .as("compressed"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  true AS all_lossless, true AS compressed
+             |FROM documents""".stripMargin)),
+
     Q("ss3_ann_pq",  // product-quantized ANN (ADC shortlist + exact
       // rerank), self-oracled by planted-neighbor containment: an identical
       // planted vector's codes are the per-subspace argmins of the query's

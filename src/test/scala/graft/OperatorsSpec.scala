@@ -955,6 +955,54 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.mp4Meta("GIF89a....".getBytes).isEmpty)
   }
 
+  // ------------------------------------------------------------------- bpe
+
+  test("bpe trainLocal: hand-derived merge sequence incl. tie-breaks") {
+    // words: aaab x2, aab x2, ab x1, b x1
+    // (a,a)=6 -> merge; (a,b)=3 -> merge; (aa,ab) ties (aa,b) at 2,
+    // lexicographic tie-break picks ("aa","ab")
+    val merges = graft.llm.Bpe.trainLocal(
+      Seq("aaab aaab", "aab", "ab b aab"), 3)
+    assert(merges == Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+    // merge budget beyond exhaustion stops early instead of looping
+    val all = graft.llm.Bpe.trainLocal(Seq("ab ab"), 100)
+    assert(all == Seq(("a", "b")))
+  }
+
+  test("bpe encodeWord follows merge-rank order, not left-to-right greed") {
+    // ranks: (b,c) rank0, (a,b) rank1 — "abc" must merge bc FIRST even
+    // though ab appears first in the string
+    val ranks = Map(("b", "c") -> 0, ("a", "b") -> 1)
+    assert(graft.llm.Bpe.encodeWord("abc", ranks).toSeq == Seq("a", "bc"))
+    // after bc merges, (a,bc) isn't a known pair -> stays split
+    val ranks2 = Map(("b", "c") -> 0, ("a", "bc") -> 1)
+    assert(graft.llm.Bpe.encodeWord("abc", ranks2).toSeq == Seq("abc"))
+  }
+
+  test("bpe distributed encode: parity with local path + lossless") {
+    import spark.implicits._
+    val docs = Seq("the cat sat on the mat", "the bat and the rat",
+      "concatenation of the cattle", "scattered matter").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val merges = graft.llm.Bpe.train(docs, "text", numMerges = 20,
+      sampleDocs = 10)
+    val ranks = merges.zipWithIndex.toMap
+    val rows = docs.select($"id", $"text",
+      graft.llm.Bpe.encode($"text", merges).as("toks")).collect()
+    rows.foreach { r =>
+      val text = r.getString(1)
+      val got = r.getSeq[String](2)
+      val want = text.split(' ').filter(_.nonEmpty)
+        .flatMap(w => graft.llm.Bpe.encodeWord(w, ranks)).toSeq
+      assert(got == want, s"distributed/local mismatch on '$text'")
+      assert(got.mkString("") == text.replace(" ", ""), "lossless")
+    }
+    // 20 merges on a repetitive corpus must compress vs char-split
+    val nChars = rows.map(_.getString(1).replace(" ", "").length).sum
+    val nToks = rows.map(_.getSeq[String](2).length).sum
+    assert(nToks < nChars)
+  }
+
   // --------------------------------------------------- product quantization
 
   test("pq: codebook shape, code-range invariants, 16x compression layout") {
