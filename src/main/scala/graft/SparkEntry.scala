@@ -992,6 +992,64 @@ object SparkEntry {
              |FROM p GROUP BY doc_id
              |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)),
 
+    Q("fts2_index_search",  // the SAME retrieval as fts1 but served from a
+      // persisted inverted index on a graft table: insert corpus, build
+      // index, then search reads postings (term filter pushed to the
+      // parquet scan) instead of re-tokenizing text. Shares fts1's scorer,
+      // so it must reproduce the identical top-20 — the oracle recomputes
+      // BM25 from raw text in DuckDB. Half the corpus is inserted AFTER
+      // createTextIndex with no refresh, so the covered ∪ on-the-fly union
+      // path is exercised, not just the fully-indexed case.
+      (s, dir) => {
+        val root = java.nio.file.Files.createTempDirectory("graft-fts2").toString
+        val vs = graft.api.VastSession(s, root)
+        vs.createBucket("b")
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+          .orderBy("doc_id")
+        vs.transaction { tx =>
+          val tbl = tx.bucket("b").createSchema("m")
+            .createTable("d", docs.schema)
+          tbl.insert(docs.filter(col("doc_id") < 250).coalesce(1))
+          tbl.createTextIndex("text")
+          tbl.insert(docs.filter(col("doc_id") >= 250).coalesce(1))
+        }
+        vs.transaction { tx =>
+          val tbl = tx.bucket("b").schema("m").table("d")
+          val hits = tbl.textSearch("text",
+            Seq("vector", "query", "stream"), k = 20)
+          val ids = tbl.select(Seq("doc_id"), internalRowId = true)
+          hits.join(ids, Seq("_row_id"))
+            .select(col("doc_id"), col("bm25"))
+            .orderBy(col("bm25").desc, col("doc_id").asc)
+        }
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents),
+             |tok AS (
+             |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM d
+             |), dl AS (
+             |  SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS dl FROM d
+             |), st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+             |q(w) AS (VALUES ('vector'), ('query'), ('stream')),
+             |dft AS (
+             |  SELECT w, COUNT(DISTINCT doc_id) AS df_t
+             |  FROM tok JOIN q USING (w) GROUP BY w
+             |), tf AS (
+             |  SELECT doc_id, w, COUNT(*) AS tf
+             |  FROM tok JOIN q USING (w) GROUP BY doc_id, w
+             |), p AS (
+             |  SELECT tf.doc_id,
+             |    CAST(ROUND(
+             |      CAST(CAST(ROUND(LN(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)), 6)
+             |                AS DECIMAL(18,6)) AS DOUBLE)
+             |      * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (sum_dl * 1.0 / n_docs)))),
+             |      6) AS DECIMAL(18,6)) AS s
+             |  FROM tf JOIN dft USING (w) JOIN dl ON tf.doc_id = dl.doc_id
+             |  CROSS JOIN st
+             |)
+             |SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS bm25
+             |FROM p GROUP BY doc_id
+             |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)),
+
     Q("ta9_normalize",  // Unicode NFC + control/format-char strip over a
       // generated fixture (the shipped corpus is pure ASCII, which the
       // normalizer must pass through unchanged — doc 7 asserts that);

@@ -1182,7 +1182,7 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     manifest.vectorIndexes.filter(_.stale).foreach(v => refreshVectorIndex(v.column))
     // incremental by design: covered files are skipped, so this is a no-op
     // unless DML actually changed the file set
-    manifest.dedupIndexes.foreach(d => refreshDedupIndex(d.column))
+    manifest.dedupIndexes.map(_.column).distinct.foreach(refreshDedupIndex)
   }
 
   /** Version history of the table: one row per retained manifest —
@@ -1883,7 +1883,21 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       dir = s"_dedupidx/$column-${UUID.randomUUID().toString.take(8)}"))
   }
 
-  private def installDedupIndex(column: String, meta: DedupIndexMeta): Unit = {
+  /** Declare + build a persisted full-text (inverted) index on a text
+    * column: postings `($row_id, term, tf)` plus per-document token counts,
+    * hive-partitioned by source-file basename under the SAME file-granular
+    * incremental model as dedup indexes (immutable data files ⇒ coverage is
+    * implicitly correct under DML; refresh computes only the delta). A
+    * term-filtered search reads only matching postings row groups — the
+    * corpus text is never re-tokenized for covered files. Coexists with a
+    * dedup index on the same column (distinct kind family). */
+  def createTextIndex(column: String): Unit =
+    installDedupIndex(column, DedupIndexMeta(column, kind = "fts",
+      dir = s"_ftsidx/$column-${UUID.randomUUID().toString.take(8)}"),
+      replaceKinds = Set("fts"))
+
+  private def installDedupIndex(column: String, meta: DedupIndexMeta,
+      replaceKinds: Set[String] = Set("text", "vector")): Unit = {
     val m = manifest
     if (!m.schema.fieldNames.contains(column))
       throw NotSupportedCommand(s"no column $column to index")
@@ -1891,10 +1905,12 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     // until then the COMMITTED manifest still points at it (and a rollback
     // must leave it serving queries); deferring also stops re-creates from
     // leaking a full signature copy of the table per call
-    m.dedupIndexes.filter(_.column == column)
+    def replaced(d: DedupIndexMeta) =
+      d.column == column && replaceKinds(d.kind)
+    m.dedupIndexes.filter(replaced)
       .foreach(old => tx.deleteOnCommit += dir.resolve(old.dir).toString)
     tx.stageWrite(dir, m.copy(dedupIndexes =
-      m.dedupIndexes.filterNot(_.column == column) :+ meta))
+      m.dedupIndexes.filterNot(replaced) :+ meta))
     buildMissingSignatures(meta, manifest.files)
   }
 
@@ -1906,20 +1922,41 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     * contents. */
   def refreshDedupIndex(column: String): Unit = {
     val m = manifest
-    val meta = m.dedupIndexes.find(_.column == column)
-      .getOrElse(throw NotSupportedCommand(s"no dedup index on $column"))
-    val idxDir = dir.resolve(meta.dir)
-    val current = m.files.map(f => srcName(f.path)).toSet
-    val covered = coveredSrcs(idxDir)
-    // `current` may come from a STAGED manifest (refresh inside a larger
-    // transaction): partitions it orphans are deleted only at commit, so a
-    // rollback keeps coverage for files still live in the committed manifest
-    (covered -- current).foreach(s =>
-      tx.deleteOnCommit += idxDir.resolve(s"__src=$s").toString)
-    buildMissingSignatures(meta,
-      m.files.filterNot(f => covered(srcName(f.path))))
-    recordAudit("refresh_dedup_index", m.totalRows)
+    val metas = m.dedupIndexes.filter(_.column == column)
+    if (metas.isEmpty)
+      throw NotSupportedCommand(s"no dedup index on $column")
+    metas.foreach { meta =>
+      val current = m.files.map(f => srcName(f.path)).toSet
+      val covered = coveredSrcs(coverageDir(meta))
+      // `current` may come from a STAGED manifest (refresh inside a larger
+      // transaction): partitions it orphans are deleted only at commit, so a
+      // rollback keeps coverage for files still live in the committed
+      // manifest
+      (covered -- current).foreach(s =>
+        partitionDirs(meta).foreach(d =>
+          tx.deleteOnCommit += d.resolve(s"__src=$s").toString))
+      buildMissingSignatures(meta,
+        m.files.filterNot(f => covered(srcName(f.path))))
+      recordAudit(
+        if (meta.kind == "fts") "refresh_text_index" else "refresh_dedup_index",
+        m.totalRows)
+    }
   }
+
+  /** Alias for text-index refresh (same file-granular delta machinery). */
+  def refreshTextIndex(column: String): Unit = refreshDedupIndex(column)
+
+  /** The dir whose `__src=` partitions define index coverage. */
+  private def coverageDir(meta: DedupIndexMeta): Path =
+    if (meta.kind == "fts") dir.resolve(meta.dir).resolve("postings")
+    else dir.resolve(meta.dir)
+
+  /** Every partitioned dir an index writes (fts keeps postings + doclens). */
+  private def partitionDirs(meta: DedupIndexMeta): Seq[Path] =
+    if (meta.kind == "fts")
+      Seq(dir.resolve(meta.dir).resolve("postings"),
+        dir.resolve(meta.dir).resolve("doclens"))
+    else Seq(dir.resolve(meta.dir))
 
   /** Near-duplicate pairs from the persisted index: covered files read
     * their signatures (never recomputed), files inserted since the last
@@ -1982,6 +2019,7 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
   private def buildMissingSignatures(meta: DedupIndexMeta,
                                      missing: Seq[FileEntry]): Unit = {
     if (missing.isEmpty) return
+    if (meta.kind == "fts") return buildMissingPostings(meta, missing)
     val idxDir = dir.resolve(meta.dir)
     readEntries(missing, manifest.schema)
       .select(col(RowIdColumn) +: signatureCols(meta) :+
@@ -1995,12 +2033,91 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     }
   }
 
+  /** Full-text build for the delta: one tokenize pass feeds both outputs —
+    * per-doc token counts (doclens) and the (row, term, tf) postings. Two
+    * scans of the DELTA (not cached: at corpus scale caching the raw text
+    * costs more memory than a second columnar read costs time). */
+  private def buildMissingPostings(meta: DedupIndexMeta,
+                                   missing: Seq[FileEntry]): Unit = {
+    val Seq(postDir, dlDir) = partitionDirs(meta)
+    def base = readEntries(missing, manifest.schema)
+      .select(col(RowIdColumn),
+        split(col(meta.column), " ").as("__toks"),
+        element_at(split(input_file_name(), "/"), -1).as("__src"))
+    base.select(col(RowIdColumn), size(col("__toks")).as("dl"), col("__src"))
+      .write.mode("append").partitionBy("__src").parquet(dlDir.toString)
+    base.select(col(RowIdColumn), explode(col("__toks")).as("w"), col("__src"))
+      .groupBy(col("__src"), col(RowIdColumn), col("w"))
+      .agg(count(lit(1)).as("tf"))
+      .write.mode("append").partitionBy("__src").parquet(postDir.toString)
+    // rollback cleanup for exactly the partitions this tx created
+    missing.foreach { f =>
+      Seq(postDir, dlDir).foreach { d =>
+        val pdir = d.resolve("__src=" + srcName(f.path))
+        if (Files.isDirectory(pdir))
+          Table.walkPaths(pdir).reverse.foreach(p => tx.newFiles += p.toString)
+      }
+    }
+  }
+
+  /** BM25 ranked retrieval over the persisted inverted index: covered
+    * files read their postings (the term IN-filter pushes into the parquet
+    * scan, so only matching row groups decode), files inserted since the
+    * last refresh tokenize on the fly — results are always current. The
+    * scorer is byte-shared with `TextAnalysis.bm25Search`, so index-backed
+    * and raw-text scores agree exactly. Returns ($row_id, bm25), top-k. */
+  def textSearch(column: String, terms: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val m = manifest
+    val meta = m.dedupIndexes.find(x => x.column == column && x.kind == "fts")
+      .getOrElse(throw NotSupportedCommand(s"no text index on $column"))
+    val Seq(postDir, dlDir) = partitionDirs(meta)
+    val postSchema = StructType(Seq(
+      StructField(RowIdColumn, LongType, nullable = false),
+      StructField("w", StringType),
+      StructField("tf", LongType)))
+    val dlSchema = StructType(Seq(
+      StructField(RowIdColumn, LongType, nullable = false),
+      StructField("dl", IntegerType)))
+    val current = m.files.map(f => srcName(f.path)).toSet
+    val covered = coveredSrcs(postDir).intersect(current)
+    def persisted(d: Path, sch: StructType): Option[DataFrame] =
+      if (covered.isEmpty) None
+      else Some(spark.read
+        .schema(sch.add(StructField("__src", StringType)))
+        .parquet(d.toString)
+        .filter(col("__src").isin(covered.toSeq: _*))
+        .drop("__src"))
+    val uncovered = m.files.filterNot(f => covered(srcName(f.path)))
+    def freshBase = readEntries(uncovered, m.schema)
+      .select(col(RowIdColumn), split(col(column), " ").as("__toks"))
+    val freshTf =
+      if (uncovered.isEmpty) None
+      else Some(freshBase
+        .select(col(RowIdColumn), explode(col("__toks")).as("w"))
+        .groupBy(col(RowIdColumn), col("w")).agg(count(lit(1)).as("tf")))
+    val freshDl =
+      if (uncovered.isEmpty) None
+      else Some(freshBase
+        .select(col(RowIdColumn), size(col("__toks")).as("dl")))
+    def union(parts: Seq[DataFrame], sch: StructType): DataFrame =
+      parts.reduceOption(_.unionByName(_)).getOrElse(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch))
+    val tfDf = union(persisted(postDir, postSchema).toSeq ++ freshTf, postSchema)
+    val dlDf = union(persisted(dlDir, dlSchema).toSeq ++ freshDl, dlSchema)
+    graft.llm.TextAnalysis.bm25FromPostings(
+        tfDf.withColumnRenamed(RowIdColumn, "id"),
+        dlDf.withColumnRenamed(RowIdColumn, "id"), terms, k, k1, b)
+      .withColumnRenamed("id", RowIdColumn)
+  }
+
   /** Index-backed signature table for the CURRENT manifest: persisted
     * partitions (static `__src` partition pruning) unioned with on-the-fly
     * signatures for not-yet-refreshed files. */
   private def indexSignatures(column: String): (DedupIndexMeta, DataFrame) = {
     val m = manifest
-    val meta = m.dedupIndexes.find(_.column == column)
+    // fts indexes share the meta list but not the signature layout
+    val meta = m.dedupIndexes.find(x => x.column == column && x.kind != "fts")
       .getOrElse(throw NotSupportedCommand(s"no dedup index on $column"))
     val idxDir = dir.resolve(meta.dir)
     val sigSchema =

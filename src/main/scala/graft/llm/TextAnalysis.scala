@@ -214,30 +214,46 @@ object TextAnalysis {
   def bm25Search(df: DataFrame, idCol: String, textCol: String,
                  terms: Seq[String], k: Int,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
-    val dl = df.select(col(idCol), tokenCount(col(textCol)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val qTerms = terms.distinct
-    // df_t counts documents containing the term (distinct per doc)
-    val dfTerm = tok.filter(col("w").isin(qTerms: _*)).distinct()
-      .groupBy("w").agg(count(lit(1)).as("df_t"))
-    val tf = tok.filter(col("w").isin(qTerms: _*))
-      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+    // postings restricted to the query terms BEFORE the (id, w) aggregation
+    // — only query-term hits ever shuffle
+    val tfDf = df.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("w"))
+      .filter(col("w").isin(qTerms: _*))
+      .groupBy("id", "w").agg(count(lit(1)).as("tf"))
+    val dlDf = df.select(col(idCol).as("id"),
+      tokenCount(col(textCol)).as("dl"))
+    bm25FromPostings(tfDf, dlDf, terms, k, k1, b)
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** BM25 over prebuilt postings — the scorer behind both `bm25Search`
+    * (postings derived from raw text) and `Table.textSearch` (postings read
+    * from a persisted inverted index), so the two paths agree bit-for-bit
+    * by construction. `tfDf` = (id, w, tf), one row per (doc, term);
+    * `dlDf` = (id, dl) for EVERY document (it defines N and avgdl). */
+  def bm25FromPostings(tfDf: DataFrame, dlDf: DataFrame,
+                       terms: Seq[String], k: Int,
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qTerms = terms.distinct
+    val tf = tfDf.filter(col("w").isin(qTerms: _*))
+    val stats = dlDf.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // df_t = documents containing the term (tf rows are unique per (id, w))
+    val dfTerm = tf.groupBy("w").agg(count(lit(1)).as("df_t"))
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     val idf = round(log(lit(1.0) +
       (col("n_docs") - col("df_t") + 0.5) / (col("df_t") + 0.5)), 6)
       .cast("decimal(18,6)")
     val norm = lit(1.0) - b + lit(b) * col("dl") / avgdl
     val sat = (col("tf") * (k1 + 1.0)) / (col("tf") + lit(k1) * norm)
-    val perTerm = tf
-      .join(broadcast(dfTerm), Seq("w"))
-      .join(dl, Seq(idCol))
+    tf.join(broadcast(dfTerm), Seq("w"))
+      .join(dlDf, Seq("id"))
       .crossJoin(broadcast(stats))
       .withColumn("_s", round(idf.cast("double") * sat, 6)
         .cast("decimal(18,6)"))
-    perTerm.groupBy(col(idCol))
+      .groupBy(col("id"))
       .agg(sum(col("_s")).cast("double").as("bm25"))
-      .orderBy(col("bm25").desc, col(idCol).asc)
+      .orderBy(col("bm25").desc, col("id").asc)
       .limit(k)
   }
 

@@ -464,7 +464,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private val procedureNames = Array("history", "maintain", "vacuum_versions",
-    "zorder", "bucket_layout", "vector_search", "stream_lag",
+    "zorder", "bucket_layout", "vector_search", "text_search", "stream_lag",
     "dedup_pairs", "dedup_clusters", "pii_redact", "chunk", "decontaminate")
 
   /** Manifest version a streaming checkpoint has durably consumed through,
@@ -665,6 +665,26 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
               .select(org.apache.spark.sql.functions.col("_row_id"),
                 org.apache.spark.sql.functions.col("_distance")
                   .cast(DoubleType).as("_distance"))
+              .collect().toSeq
+          }
+      }
+      case "text_search" => new GraftProcedure("text_search",
+          Seq(("table", StringType, None), ("column", StringType, None),
+            ("terms", StringType, None), // comma-separated query terms
+            ("k", IntegerType, Some("10"))),
+          StructType(Seq(StructField("_row_id", LongType),
+            StructField("bm25", DoubleType)))) {
+        def run(args: Seq[Any]) =
+          withTable(args.head.asInstanceOf[String]) { t =>
+            val terms = args(2).asInstanceOf[String].split(",").toSeq
+              .map(_.trim).filter(_.nonEmpty)
+            val k = args(3).asInstanceOf[Int]
+            if (terms.isEmpty) throw new IllegalArgumentException(
+              "terms must contain at least one token")
+            if (k <= 0) throw new IllegalArgumentException(
+              s"k must be positive, got $k")
+            // k-bounded collect: the distributed top-k has already run
+            t.textSearch(args(1).asInstanceOf[String], terms, k)
               .collect().toSeq
           }
       }

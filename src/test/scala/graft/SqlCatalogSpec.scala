@@ -543,6 +543,44 @@ class SqlCatalogSpec extends SparkSpec {
       .head.getLong(0) >= 100L))
   }
 
+  test("CALL text_search serves index-backed BM25 matching the API") {
+    val root = Files.createTempDirectory("graft-sqlfts").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    val dSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    s.transaction { tx =>
+      val t = tx.bucket("bk").createSchema("m").createTable("d", dSchema)
+      val l = new java.util.ArrayList[Row]()
+      (0 until 100).foreach { i =>
+        val reps = "spark " * (i % 5 + 1)
+        l.add(Row(i.toLong, s"${reps}query table scan doc$i"))
+      }
+      t.insert(spark.createDataFrame(l, dSchema))
+      t.createTextIndex("text")
+    }
+    spark.conf.set("spark.sql.catalog.graftf",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.graftf.root", root)
+    val got = spark.sql(
+      "CALL graftf.system.text_search('bk.m.d', 'text', 'spark,query', 7)")
+      .collect()
+    assert(got.length == 7)
+    // scores descend; matches the API path exactly
+    assert(got.map(_.getDouble(1)).toSeq ==
+      got.map(_.getDouble(1)).sorted.reverse.toSeq)
+    val api = s.transaction(tx =>
+      tx.bucket("bk").schema("m").table("d")
+        .textSearch("text", Seq("spark", "query"), 7)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSeq == api)
+    // bad args fail loudly, not silently empty
+    intercept[Exception] { spark.sql(
+      "CALL graftf.system.text_search('bk.m.d', 'text', '', 7)").collect() }
+    intercept[Exception] { spark.sql(
+      "CALL graftf.system.text_search('bk.m.d', 'text', 'spark', 0)").collect() }
+  }
+
   test("CALL curation procedures write output tables matching the Scala API") {
     val root = Files.createTempDirectory("graft-sqlcur").toString
     val s = VastSession(spark, root)
