@@ -1086,6 +1086,26 @@ object SparkEntry {
              |  CAST(LENGTH(clean) AS INT) AS n_chars
              |FROM c ORDER BY id""".stripMargin)),
 
+    Q("dd9_semantic_dedup",  // SemDeDup: cluster the embedding space, prune
+      // cosine near-dups within clusters, keep min-id representatives.
+      // Self-oracled by planted duplicates: an identical copy lands in its
+      // twin's cluster (same argmin, same tie-break), similarity 1.0 beats
+      // any threshold, and the copy's larger id loses representative
+      // selection — so exactly the originals survive
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val planted = e.filter(col("vec_id") < 5)
+          .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+        graft.llm.Dedup.semanticDedup(e.union(planted), "vec_id",
+            "embedding", nClusters = 16, threshold = 0.999)
+          .agg(count(lit(1)).as("n_kept"),
+            sum(when(col("vec_id") >= 1000000, 1L).otherwise(0L))
+              .as("n_planted_kept"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+             |  CAST(0 AS BIGINT) AS n_planted_kept
+             |FROM embeddings""".stripMargin)),
+
     Q("bpe1_tokenize",  // real BPE (Sennrich): merges learned from the
       // fixture itself, encode via the native expression; the oracle's
       // token strings are HAND-DERIVED from the algorithm — merge 1 (a,a)

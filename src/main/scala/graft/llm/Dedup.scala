@@ -444,6 +444,44 @@ object Dedup {
     df.join(dupes, Seq(idCol), "left_anti")
   }
 
+  /**
+   * Semantic deduplication (SemDeDup, Abbas et al. 2023): k-means-cluster
+   * the embedding space, find cosine near-duplicates WITHIN each cluster,
+   * and keep one representative (min id) per duplicate group. The standard
+   * pruning pass for web-scale training corpora: semantically-redundant
+   * documents whose text differs (so minhash misses them) collapse to one.
+   *
+   * Scale shape: clustering reuses `Similarity.ivfIndex` (one broadcast
+   * assignment pass per Lloyd iteration); the candidate pair space is
+   * Σ|cluster|² instead of n² — the self-join co-locates rows by
+   * `centroid_id` in ONE key shuffle, and with K ≈ n/µ clusters stays
+   * linear in n for bounded cluster sizes. Known tradeoff (as published):
+   * near-duplicates split across a cluster boundary are missed; raise
+   * `nClusters` resolution or run LSH pairs for recall-critical passes.
+   */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    nClusters: Int, threshold: Double,
+                    refineIters: Int = 1): DataFrame =
+    keepClusterRepresentatives(df, idCol,
+      semanticPairs(df, idCol, vecCol, nClusters, threshold, refineIters))
+
+  /** The within-cluster near-duplicate pairs behind [[semanticDedup]]. */
+  def semanticPairs(df: DataFrame, idCol: String, vecCol: String,
+                    nClusters: Int, threshold: Double,
+                    refineIters: Int = 1): DataFrame = {
+    val (_, assigned) = Similarity.ivfIndex(
+      df.select(col(idCol), col(vecCol)), idCol, vecCol,
+      nClusters, refineIters)
+    val a = assigned.select(col("centroid_id"),
+      col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = assigned.select(col("centroid_id"),
+      col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Distances.cosineSim(col("v_a"), col("v_b")) >= threshold)
+      .select("id_a", "id_b")
+  }
+
   /** Embedding near-dup pairs by cosine similarity ≥ threshold over a
     * bounded probe set (brute-force verifier; `embeddingLshPairs` is the
     * corpus-scale route). */

@@ -955,6 +955,33 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.mp4Meta("GIF89a....".getBytes).isEmpty)
   }
 
+  // -------------------------------------------------------- semantic dedup
+
+  test("semantic dedup: within-cluster near-dups collapse to min id") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // 8 well-separated clusters x 20 points; within-cluster noise is WIDE
+    // in angle (cosine ~0.85 between cluster-mates) so only the planted
+    // near-dups cross the 0.999 threshold
+    val base = for (c <- 0 until 8; i <- 0 until 20) yield {
+      val center = Array.fill(16)(0f).updated(c * 2, 10f)
+      (c * 100L + i, center.map(v => v + rnd.nextFloat() * 4f - 2f))
+    }
+    // near-dup of id 5 (tiny perturbation, cosine ~ 0.9999) and an exact
+    // copy of id 203, both with larger ids
+    val nearDup = (9005L, base.find(_._1 == 5L).get._2.map(_ + 0.001f))
+    val exactDup = (9203L, base.find(_._1 == 203L).get._2)
+    val df = (base :+ nearDup :+ exactDup).toDF("vec_id", "embedding")
+    val kept = graft.llm.Dedup.semanticDedup(df, "vec_id", "embedding",
+        nClusters = 8, threshold = 0.999, refineIters = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(9005L), "near-dup must be pruned")
+    assert(!kept.contains(9203L), "exact dup must be pruned")
+    assert(kept.contains(5L) && kept.contains(203L),
+      "min-id representatives survive")
+    assert(kept.size == base.size, "only the planted dups are pruned")
+  }
+
   // ------------------------------------------------------------------- bpe
 
   test("bpe trainLocal: hand-derived merge sequence incl. tie-breaks") {
