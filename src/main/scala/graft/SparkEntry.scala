@@ -1086,6 +1086,48 @@ object SparkEntry {
              |  CAST(LENGTH(clean) AS INT) AS n_chars
              |FROM c ORDER BY id""".stripMargin)),
 
+    Q("dr1_pca",  // distributed PCA over the embedding corpus, self-oracled
+      // on the algebra any correct implementation must satisfy: the basis
+      // is orthonormal, eigenvalues are variance-descending, the VARIANCE
+      // OF THE ACTUAL PROJECTED DATA matches each eigenvalue (ties the
+      // distributed projection pass to the driver-side eigensolve), and
+      // the k=8 reconstruction error equals the tail eigenvalue mass of
+      // the full k=64 decomposition (Parseval) — none of which hold for a
+      // wrong covariance, eigensolver, or projection
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val m = graft.llm.Reduction.pcaFit(e, "embedding", dim = 64, k = 8)
+        val full = graft.llm.Reduction.pcaFit(e, "embedding", dim = 64, k = 64)
+        def dot(a: Array[Double], b: Array[Double]) =
+          a.zip(b).map { case (x, y) => x * y }.sum
+        val orthoOk = (0 until 8).forall(i => (i until 8).forall { j =>
+          val want = if (i == j) 1.0 else 0.0
+          math.abs(dot(m.components(i), m.components(j)) - want) < 1e-9
+        })
+        val eigsDesc = m.explainedVariance.sliding(2)
+          .forall(p => p.length < 2 || p(0) >= p(1))
+        val mse = graft.llm.Reduction.reconstructionMse(e, "embedding", m)
+        val tail = full.explainedVariance.drop(8).sum
+        val mseOk = math.abs(mse - tail) <= 1e-2 * math.max(tail, 1e-9)
+        val projVarDev = e.select(posexplode(
+            graft.llm.Reduction.pcaProject(col("embedding"), m))
+            .as(Seq("pos", "y")))
+          .groupBy("pos").agg(var_pop(col("y")).as("v"))
+          .select(max(abs(col("v") -
+            element_at(lit(m.explainedVariance), col("pos") + 1)) /
+            greatest(element_at(lit(m.explainedVariance), col("pos") + 1),
+              lit(1e-12))).as("dev"))
+        e.agg(count(lit(1)).as("n_vecs")).crossJoin(projVarDev)
+          .select(col("n_vecs"), lit(orthoOk).as("orthonormal"),
+            lit(eigsDesc).as("eigs_descending"),
+            (col("dev") < 1e-3).as("proj_var_matches"),
+            lit(mseOk).as("mse_matches_tail"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             |  true AS orthonormal, true AS eigs_descending,
+             |  true AS proj_var_matches, true AS mse_matches_tail
+             |FROM embeddings""".stripMargin)),
+
     Q("dd9_semantic_dedup",  // SemDeDup: cluster the embedding space, prune
       // cosine near-dups within clusters, keep min-id representatives.
       // Self-oracled by planted duplicates: an identical copy lands in its

@@ -955,6 +955,55 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.mp4Meta("GIF89a....".getBytes).isEmpty)
   }
 
+  // ------------------------------------------------------------------- pca
+
+  test("pca: recovers planted axes, orthonormal basis, zero residual") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    // rank-2 data in 8-d: variance 3 along e0, 1/3 along e5, nothing else
+    val rows = (0 until 2000).map { i =>
+      val z1 = (rnd.nextDouble() * 6 - 3).toFloat
+      val z2 = (rnd.nextDouble() * 2 - 1).toFloat
+      (i.toLong, Array(z1, 0f, 0f, 0f, 0f, z2, 0f, 0f))
+    }
+    val df = rows.toDF("id", "v")
+    val m = graft.llm.Reduction.pcaFit(df, "v", dim = 8, k = 2)
+    assert(math.abs(m.explainedVariance(0) - 3.0) < 0.3)
+    assert(math.abs(m.explainedVariance(1) - 1.0 / 3) < 0.05)
+    // axes recovered up to sign
+    assert(math.abs(m.components(0)(0)) > 0.999)
+    assert(math.abs(m.components(1)(5)) > 0.999)
+    // orthonormal
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot(m.components(0), m.components(0)) - 1) < 1e-9)
+    assert(math.abs(dot(m.components(1), m.components(1)) - 1) < 1e-9)
+    assert(math.abs(dot(m.components(0), m.components(1))) < 1e-9)
+    // rank-2 data reconstructs exactly from 2 axes
+    assert(graft.llm.Reduction.reconstructionMse(df, "v", m) < 1e-6)
+    // projection parity with a hand-computed row
+    val x = rows.head._2
+    val got = df.filter($"id" === 0)
+      .select(graft.llm.Reduction.pcaProject($"v", m))
+      .head().getSeq[Float](0)
+    (0 until 2).foreach { c =>
+      val want = (0 until 8).map(j =>
+        (x(j) - m.mean(j)) * m.components(c)(j)).sum
+      assert(math.abs(got(c) - want) < 1e-5)
+    }
+  }
+
+  test("pca jacobi: eigenvalues of a known symmetric matrix") {
+    // [[2,1],[1,2]] has eigenvalues 3 and 1
+    val (vals, vecs) = graft.llm.Reduction.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(vals.sorted.zip(Seq(1.0, 3.0)).forall {
+      case (a, b) => math.abs(a - b) < 1e-12 })
+    // eigenvector of 3 is (1,1)/sqrt(2) up to sign
+    val ix = vals.indexWhere(v => math.abs(v - 3.0) < 1e-9)
+    assert(math.abs(math.abs(vecs(0)(ix)) - math.sqrt(0.5)) < 1e-9)
+  }
+
   // -------------------------------------------------------- semantic dedup
 
   test("semantic dedup: within-cluster near-dups collapse to min id") {
