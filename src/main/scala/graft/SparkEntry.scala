@@ -772,6 +772,39 @@ object SparkEntry {
              |  FROM base WHERE lang = 'en' AND doc_id % 100 <> 0
              |) ORDER BY doc_id, _change_type""".stripMargin)),
 
+    Q("mm9_phash_pairs",  // perceptual image dedup: REAL decode + DCT
+      // pHash over deterministic random-pattern images; a BMP re-encode of
+      // image 3's pixels must hash identically (lossless container
+      // invariance) and a one-pixel-nudged copy of image 7 lands within
+      // the Hamming radius, while 40 distinct patterns pair with nothing —
+      // the planted-twin set is the literal oracle
+      (s, dir) => {
+        import s.implicits._
+        def img(seed: Long, fmt: String, noise: Boolean): Array[Byte] = {
+          val rnd = new scala.util.Random(seed)
+          val bi = new java.awt.image.BufferedImage(32, 32,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until 32; x <- 0 until 32)
+            bi.setRGB(x, y, rnd.nextInt(256) * 0x010101)
+          if (noise) {
+            val v = math.min(255, (bi.getRGB(5, 9) & 0xFF) + 2)
+            bi.setRGB(5, 9, v * 0x010101)
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(bi, fmt, bos)
+          bos.toByteArray
+        }
+        val rows = (0L until 40L).map(i => (i, img(i, "png", false))) ++
+          Seq((1000L, img(3, "bmp", false)), (1001L, img(7, "png", true)))
+        graft.llm.Multimodal.imagePhashPairs(
+            rows.toDF("img_id", "media"), "img_id", "media", maxHamming = 3)
+          .select("id_a", "id_b").orderBy("id_a")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(3 AS BIGINT), CAST(1000 AS BIGINT)),
+             |  (CAST(7 AS BIGINT), CAST(1001 AS BIGINT)))
+             |AS t(id_a, id_b) ORDER BY id_a""".stripMargin)),
+
     // ---- TA*: text analysis for training-data pipelines ----
     Q("ta1_token_stats",
       (s, dir) => t(s, dir, "documents")
@@ -927,6 +960,55 @@ object SparkEntry {
              |       AS DOUBLE) AS neg_logp_sum
              |FROM tok JOIN tf USING (w) CROSS JOIN tot
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("ta10_bigram_logprob",  // bigram LM with Stupid Backoff: counts
+      // trained on docs < 400, docs >= 400 scored against them — the split
+      // is what makes the backoff branch REAL (3 scored bigrams are unseen
+      // in training at sf0.01 and take the α·c(w₂)/N path, which the
+      // n_backoff column pins); per-bigram −ln S staged to 6dp DECIMAL
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        graft.llm.TextAnalysis.bigramLogProb(
+            d.filter(col("doc_id") < 400), d.filter(col("doc_id") >= 400),
+            "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, STRING_SPLIT(text, ' ') AS l FROM documents
+             |), c1 AS (
+             |  SELECT w, COUNT(*) AS c1 FROM (
+             |    SELECT UNNEST(l) AS w FROM d WHERE doc_id < 400
+             |  ) GROUP BY w
+             |), n AS (SELECT SUM(c1) AS n_corpus FROM c1),
+             |c2 AS (
+             |  SELECT g.w1 AS w1, g.w2 AS w2, COUNT(*) AS c2 FROM (
+             |    SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(l)),
+             |      i -> struct_pack(w1 := l[i], w2 := l[i+1]))) AS g
+             |    FROM d WHERE doc_id < 400
+             |  ) GROUP BY 1, 2
+             |), bg AS (
+             |  SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM (
+             |    SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(l)),
+             |      i -> struct_pack(w1 := l[i], w2 := l[i+1]))) AS g
+             |    FROM d WHERE doc_id >= 400
+             |  )
+             |), p AS (
+             |  SELECT bg.doc_id, c2.c2,
+             |    CAST(ROUND(-LN(CASE WHEN c2.c2 IS NOT NULL
+             |      THEN c2.c2 * 1.0 / p1.c1
+             |      ELSE 0.4 * COALESCE(p2.c1, 1) / n.n_corpus END), 6)
+             |      AS DECIMAL(18,6)) AS nls
+             |  FROM bg
+             |  LEFT JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+             |  LEFT JOIN c1 p1 ON bg.w1 = p1.w
+             |  LEFT JOIN c1 p2 ON bg.w2 = p2.w
+             |  CROSS JOIN n
+             |)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |  CAST(SUM(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_backoff,
+             |  CAST(SUM(nls) AS DOUBLE) AS neg_logp_sum
+             |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     Q("ta8_tfidf_topterms",  // per-doc top-3 terms by tf-idf (keyword
       // extraction); idf rounds to 6dp DECIMAL so tf*idf is exact and the

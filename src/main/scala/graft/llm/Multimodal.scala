@@ -701,4 +701,129 @@ object Multimodal {
       }
     ds.toDF()
   }
+
+  // --------------------------------------------------- perceptual hashing
+
+  /**
+   * 64-bit perceptual image hash (DCT pHash): decode → luminance
+   * average-pool to 32×32 → 2-D DCT-II → top-left 8×8 low-frequency block
+   * → bit c = coefficient > median of the 63 non-DC coefficients (the DC
+   * bit is always the sign of coef−median too, making all 64 bits defined
+   * and deterministic).
+   *
+   * Invariance contract: identical PIXELS hash identically regardless of
+   * container (PNG vs BMP vs GIF — lossless decode), and mild noise /
+   * brightness shifts flip few bits, so near-duplicate images surface via
+   * Hamming distance. This is the image analog of simhash, and pairs
+   * generation reuses simhash's 16-bit-chunk pigeonhole blocking — at
+   * corpus scale the shuffle carries (chunk, id), never image bytes.
+   */
+  def pHash64(bytes: Array[Byte]): Option[Long] =
+    if (!looksLikeImage(bytes)) None
+    else try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth == 0 || img.getHeight == 0) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        // luminance average-pool into a 32×32 grid (block boundaries from
+        // integer scaling; blocks guaranteed non-empty)
+        val g = Array.ofDim[Double](32, 32)
+        var gy = 0
+        while (gy < 32) {
+          val y0 = gy * h / 32
+          val y1 = math.max((gy + 1) * h / 32, y0 + 1)
+          var gx = 0
+          while (gx < 32) {
+            val x0 = gx * w / 32
+            val x1 = math.max((gx + 1) * w / 32, x0 + 1)
+            var acc = 0.0
+            var n = 0L
+            var y = y0
+            while (y < math.min(y1, h)) {
+              var x = x0
+              while (x < math.min(x1, w)) {
+                val rgb = img.getRGB(x, y)
+                acc += (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
+                  (rgb & 0xFF)) / 3.0
+                n += 1
+                x += 1
+              }
+              y += 1
+            }
+            g(gy)(gx) = if (n == 0) 0.0 else acc / n
+            gx += 1
+          }
+          gy += 1
+        }
+        // separable DCT-II, only the 8×8 low-frequency corner
+        val rowDct = Array.ofDim[Double](32, 8)
+        var x = 0
+        while (x < 32) {
+          var v = 0
+          while (v < 8) {
+            var s = 0.0
+            var y = 0
+            while (y < 32) {
+              s += g(x)(y) * math.cos((2 * y + 1) * v * math.Pi / 64.0)
+              y += 1
+            }
+            rowDct(x)(v) = s
+            v += 1
+          }
+          x += 1
+        }
+        val coef = new Array[Double](64)
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            var s = 0.0
+            var xx = 0
+            while (xx < 32) {
+              s += rowDct(xx)(v) * math.cos((2 * xx + 1) * u * math.Pi / 64.0)
+              xx += 1
+            }
+            coef(u * 8 + v) = s
+            v += 1
+          }
+          u += 1
+        }
+        val nonDc = coef.drop(1).sorted
+        val median = (nonDc(30) + nonDc(31)) / 2.0
+        var hash = 0L
+        var i = 0
+        while (i < 64) {
+          if (coef(i) > median) hash |= (1L << i)
+          i += 1
+        }
+        Some(hash)
+      }
+    } catch { case _: Exception => None }
+
+  /** Per-row perceptual hashes: (idCol, phash nullable). Same mapPartitions
+    * batch shape as feature extraction. */
+  def imagePhash(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    implicit val enc = Encoders.product[PhashRow]
+    df.select(col(idCol).cast("long"), col(binCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          PhashRow(r.getLong(0), pHash64(r.getAs[Array[Byte]](1)))
+        }
+      }
+      .toDF(idCol, "phash")
+  }
+
+  /** Near-duplicate image pairs by pHash Hamming distance — reuses
+    * simhash's chunk-blocked candidate join (pigeonhole: ≤ maxHamming ≤ 3
+    * flipped bits leave at least one 16-bit chunk intact). */
+  def imagePhashPairs(df: DataFrame, idCol: String, binCol: String,
+                      maxHamming: Int = 3): DataFrame =
+    Dedup.simhashPairsFromSigs(
+      imagePhash(df, idCol, binCol)
+        .where(col("phash").isNotNull)
+        .select(col(idCol).as("id"), col("phash").as("sim")),
+      maxHamming)
 }
+
+case class PhashRow(id: Long, phash: Option[Long])

@@ -168,6 +168,63 @@ object TextAnalysis {
         sum(col("_nlp")).cast("double").as("neg_logp_sum"))
   }
 
+  /** Bigrams of a token array as (w1, w2) structs, map-side (no window
+    * shuffle); empty for docs with fewer than two tokens. */
+  private def bigrams(toks: Column): Column = {
+    val n = greatest(size(toks) - 1, lit(0))
+    arrays_zip(slice(toks, lit(1), n).as("w1"), slice(toks, lit(2), n).as("w2"))
+  }
+
+  /**
+   * Bigram-LM scoring with Stupid Backoff (Brants et al. 2007 — the
+   * web-scale LM smoothing): S(w₂|w₁) = c(w₁w₂)/c(w₁) when the bigram was
+   * seen in training, else α·c(w₂)/N. Train the counts on one corpus
+   * slice, score another — the standard "score incoming data against the
+   * corpus LM" quality filter, and the split is what makes the backoff
+   * path real (self-scoring never backs off: every bigram is its own
+   * training data).
+   *
+   * Returns (idCol, n_bigrams, n_backoff, neg_logp_sum). Per-bigram
+   * −ln S rounds to 6 dp into DECIMAL before the per-doc sum (exact,
+   * partition-order independent — same contract as `unigramLogProb`).
+   *
+   * 100 TB shape: bigram extraction is map-side array work; the count
+   * tables are word-count aggregations (map-side combine) that broadcast
+   * back onto the scored stream; one id-keyed shuffle for the final sum.
+   */
+  def bigramLogProb(train: DataFrame, score: DataFrame, idCol: String,
+                    textCol: String = "text",
+                    alpha: Double = 0.4): DataFrame = {
+    val trainToks = train.select(explode(tokens(col(textCol))).as("w"))
+    val c1 = trainToks.groupBy("w").agg(count(lit(1)).as("c1"))
+    val nTokens = c1.agg(sum(col("c1")).as("n_corpus"))
+    val c2 = train
+      .select(explode(bigrams(tokens(col(textCol)))).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val scored = score
+      .select(col(idCol), explode(bigrams(tokens(col(textCol)))).as("g"))
+      .select(col(idCol), col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .join(broadcast(c2), Seq("w1", "w2"), "left")
+      .join(broadcast(c1.withColumnRenamed("w", "w1")
+        .withColumnRenamed("c1", "c1_prev")), Seq("w1"), "left")
+      .join(broadcast(c1.withColumnRenamed("w", "w2")
+        .withColumnRenamed("c1", "c1_cur")), Seq("w2"), "left")
+      .crossJoin(broadcast(nTokens))
+    // unseen CONTINUATION word (not even a unigram) floors at 1/N — the
+    // conventional OOV clamp keeping S finite
+    val s = when(col("c2").isNotNull,
+        col("c2").cast("double") / col("c1_prev"))
+      .otherwise(lit(alpha) * coalesce(col("c1_cur"), lit(1L))
+        / col("n_corpus"))
+    scored
+      .withColumn("_nls", round(-log(s), 6).cast("decimal(18,6)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c2").isNull, 1L).otherwise(0L)).as("n_backoff"),
+        sum(col("_nls")).cast("double").as("neg_logp_sum"))
+  }
+
   /**
    * Per-document top-k terms by TF-IDF — keyword extraction / topical
    * fingerprinting. idf = ln((N+1)/(df_t+1)) rounded to 6 dp as DECIMAL;

@@ -955,6 +955,78 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.mp4Meta("GIF89a....".getBytes).isEmpty)
   }
 
+  // ------------------------------------------------------------- phash
+
+  private def patternImage(seed: Long, fmt: String,
+                           noiseAt: Option[(Int, Int, Int)] = None): Array[Byte] = {
+    val rnd = new scala.util.Random(seed)
+    val bi = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val v = rnd.nextInt(256)
+      bi.setRGB(x, y, v * 0x010101)
+    }
+    noiseAt.foreach { case (x, y, d) =>
+      val v = math.min(255, math.max(0, (bi.getRGB(x, y) & 0xFF) + d))
+      bi.setRGB(x, y, v * 0x010101)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("phash: container-invariant, noise-tolerant, discriminative") {
+    import graft.llm.Multimodal
+    val png3 = patternImage(3, "png")
+    val bmp3 = patternImage(3, "bmp")
+    val h1 = Multimodal.pHash64(png3).get
+    assert(h1 == Multimodal.pHash64(bmp3).get,
+      "identical pixels must hash identically across lossless containers")
+    // one-pixel +2 nudge flips at most a couple of bits
+    val noisy = Multimodal.pHash64(patternImage(3, "png", Some((5, 9, 2)))).get
+    assert(java.lang.Long.bitCount(h1 ^ noisy) <= 3,
+      s"noise flipped ${java.lang.Long.bitCount(h1 ^ noisy)} bits")
+    // distinct random patterns are far apart
+    val h2 = Multimodal.pHash64(patternImage(4, "png")).get
+    assert(java.lang.Long.bitCount(h1 ^ h2) > 10)
+    // non-images hash to None
+    assert(Multimodal.pHash64("not an image".getBytes).isEmpty)
+  }
+
+  test("phash pairs: chunk-blocked near-dup join finds planted twins only") {
+    import spark.implicits._
+    val rows = (0L until 40L).map(i => (i, patternImage(i, "png"))) ++
+      Seq((1000L, patternImage(3, "bmp")),
+        (1001L, patternImage(7, "png", Some((5, 9, 2)))))
+    val df = rows.toDF("img_id", "media")
+    val pairs = graft.llm.Multimodal
+      .imagePhashPairs(df, "img_id", "media", maxHamming = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((3L, 1000L), (7L, 1001L)), s"got $pairs")
+  }
+
+  // ---------------------------------------------------------- bigram LM
+
+  test("bigram stupid backoff: seen, backed-off, and OOV paths") {
+    import spark.implicits._
+    val train = Seq("a b a b c").toDF("text").withColumn("id", lit(0L))
+    // c1: a=2 b=2 c=1, N=5; c2: (a,b)=2 (b,a)=1 (b,c)=1
+    val score = Seq(
+      (1L, "a b"),    // seen: S = c2(a,b)/c1(a) = 2/2 = 1 -> -ln = 0
+      (2L, "c a"),    // unseen bigram, seen unigram a: S = .4*2/5 = .16
+      (3L, "a zzz"))  // unseen continuation word: S = .4*1/5 = .08
+      .toDF("id", "text")
+    val r = graft.llm.TextAnalysis.bigramLogProb(train, score, "id")
+      .orderBy("id").collect()
+    assert(r(0).getLong(1) == 1 && r(0).getLong(2) == 0)
+    assert(r(0).getDouble(3) == 0.0)
+    assert(r(1).getLong(2) == 1)
+    assert(math.abs(r(1).getDouble(3) - (-math.log(0.16))) < 1e-6)
+    assert(r(2).getLong(2) == 1)
+    assert(math.abs(r(2).getDouble(3) - (-math.log(0.08))) < 1e-6)
+  }
+
   // ------------------------------------------------------------------- pca
 
   test("pca: recovers planted axes, orthonormal basis, zero residual") {

@@ -559,11 +559,11 @@ class SqlCatalogSpec extends SparkSpec {
       t.insert(spark.createDataFrame(l, dSchema))
       t.createTextIndex("text")
     }
-    spark.conf.set("spark.sql.catalog.graftf",
+    spark.conf.set("spark.sql.catalog.graftfts",
       "org.apache.spark.sql.graftglue.GraftSqlCatalog")
-    spark.conf.set("spark.sql.catalog.graftf.root", root)
+    spark.conf.set("spark.sql.catalog.graftfts.root", root)
     val got = spark.sql(
-      "CALL graftf.system.text_search('bk.m.d', 'text', 'spark,query', 7)")
+      "CALL graftfts.system.text_search('bk.m.d', 'text', 'spark,query', 7)")
       .collect()
     assert(got.length == 7)
     // scores descend; matches the API path exactly
@@ -576,9 +576,9 @@ class SqlCatalogSpec extends SparkSpec {
     assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSeq == api)
     // bad args fail loudly, not silently empty
     intercept[Exception] { spark.sql(
-      "CALL graftf.system.text_search('bk.m.d', 'text', '', 7)").collect() }
+      "CALL graftfts.system.text_search('bk.m.d', 'text', '', 7)").collect() }
     intercept[Exception] { spark.sql(
-      "CALL graftf.system.text_search('bk.m.d', 'text', 'spark', 0)").collect() }
+      "CALL graftfts.system.text_search('bk.m.d', 'text', 'spark', 0)").collect() }
   }
 
   test("CALL curation procedures write output tables matching the Scala API") {
