@@ -95,7 +95,8 @@ class GraftStreamSource extends TableProvider with DataSourceRegister
     new GraftTableSink(sqlContext.sparkSession, req("root"), req("bucket"),
       req("schema"), req("table"),
       complete = outputMode == org.apache.spark.sql.streaming.OutputMode.Complete(),
-      maintainRollups = parameters.get("maintainRollups").exists(_.toBoolean))
+      maintainRollups = parameters.get("maintainRollups").exists(_.toBoolean),
+      maintainIndexes = parameters.get("maintainIndexes").exists(_.toBoolean))
   }
 
   private def tableDir(options: CaseInsensitiveStringMap): Path =
@@ -701,7 +702,8 @@ private[sources] case class GraftVersionOffset(version: Long) extends Offset {
 private[sources] class GraftTableSink(spark: SparkSession, root: String,
                                       bucket: String, schemaPath: String,
                                       table: String, complete: Boolean,
-                                      maintainRollups: Boolean = false)
+                                      maintainRollups: Boolean = false,
+                                      maintainIndexes: Boolean = false)
     extends org.apache.spark.sql.execution.streaming.Sink {
 
   // one session for the query's lifetime — tx ids stay monotonic across
@@ -728,6 +730,13 @@ private[sources] class GraftTableSink(spark: SparkSession, root: String,
         if (maintainRollups)
           t.manifest.aggProjections.filter(_.stale)
             .foreach(p => t.refreshAggProjection(p.name))
+        // opt-in dedup/full-text index maintenance: same single-CAS story —
+        // this batch's new files are exactly the uncovered set, so the
+        // refresh computes signatures/postings for the batch only and the
+        // committed version serves index-backed search with zero lag
+        if (maintainIndexes)
+          t.manifest.dedupIndexes.map(_.column).distinct
+            .foreach(t.refreshDedupIndex)
         t.setProperties(Map("graft.stream.lastBatchId" -> batchId.toString))
       }
     }

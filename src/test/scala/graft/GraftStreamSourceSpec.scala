@@ -775,6 +775,62 @@ class GraftStreamSourceSpec extends SparkSpec {
         (0 until 4).map(i => (s"b$i", 1L))))
   }
 
+  test("sink maintainIndexes: every batch lands with full index coverage") {
+    val root = Files.createTempDirectory("graft-sink-idx").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    s.transaction { tx =>
+      val m = tx.bucket("bk").createSchema("m")
+      m.createTable("t", schema)
+      val cur = m.createTable("curated", schema)
+      cur.createTextIndex("s")
+      cur.createDedupIndex("s")
+    }
+    val tdir = Paths.get(root, "bk", "m", "t").toString
+    val ckpt = Files.createTempDirectory("graft-sink-idxck").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(tdir)
+        .drop("_row_id")
+        .writeStream.format("graft")
+        .option("root", root).option("bucket", "bk")
+        .option("schema", "m").option("table", "curated")
+        .option("maintainIndexes", "true")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    // coverage check: every index partition dir tracks exactly the live
+    // data files — i.e. the batch refresh ran inside the batch commit
+    def assertCovered(): Unit = s.transaction { tx =>
+      val cur = tx.bucket("bk").schema("m").table("curated")
+      val files = cur.manifest.files
+        .map(f => f.path.substring(f.path.lastIndexOf('/') + 1)).toSet
+      cur.manifest.dedupIndexes.foreach { meta =>
+        val base = Paths.get(root, "bk", "m", "curated").resolve(meta.dir)
+        val covDir = if (meta.kind == "fts") base.resolve("postings") else base
+        val covered = Table.listDir(covDir).map(_.getFileName.toString)
+          .filter(_.startsWith("__src=")).map(_.stripPrefix("__src=")).toSet
+        assert(covered == files,
+          s"${meta.kind} index coverage $covered != live files $files")
+      }
+    }
+    insert(s, 4, "a")
+    drain()
+    assertCovered()
+    s.transaction { tx =>
+      val cur = tx.bucket("bk").schema("m").table("curated")
+      assert(cur.textSearch("s", Seq("a1"), 5).count() == 1)
+      assert(cur.dedupMinhashPairs("s").count() == 0)
+    }
+    insert(s, 4, "b")
+    drain()
+    assertCovered()
+    s.transaction { tx =>
+      val cur = tx.bucket("bk").schema("m").table("curated")
+      assert(cur.textSearch("s", Seq("b2"), 5).count() == 1)
+    }
+  }
+
   test("soak: 50 micro-batches of rollup maintenance under concurrent routed reads") {
     val root = Files.createTempDirectory("graft-sink-soak").toString
     val s = VastSession(spark, root)
