@@ -1132,6 +1132,68 @@ object SparkEntry {
              |FROM p GROUP BY doc_id
              |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)),
 
+    Q("fts3_hybrid_rrf",  // hybrid retrieval: BM25 top-50 + exact dense
+      // top-50 (query = embedding 0) fused by Reciprocal Rank Fusion
+      // (k0=60). Ranks are ints and each doc gets ≤2 contributions, so the
+      // fused doubles are bit-identical across engines; the oracle
+      // recomputes both rankings (distances in DOUBLE on both sides so the
+      // orderings agree exactly) and the same 1/(60+rank) sum
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+          .join(t(s, dir, "embeddings")
+            .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+        val qv = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        graft.llm.Search.hybridSearch(docs, "doc_id", "text", "embedding",
+          terms = Seq("vector", "query", "stream"), queryVec = qv, k = 20)
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents),
+             |tok AS (
+             |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM d
+             |), dl AS (
+             |  SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS dl FROM d
+             |), st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+             |q(w) AS (VALUES ('vector'), ('query'), ('stream')),
+             |dft AS (
+             |  SELECT w, COUNT(DISTINCT doc_id) AS df_t
+             |  FROM tok JOIN q USING (w) GROUP BY w
+             |), tf AS (
+             |  SELECT doc_id, w, COUNT(*) AS tf
+             |  FROM tok JOIN q USING (w) GROUP BY doc_id, w
+             |), p AS (
+             |  SELECT tf.doc_id,
+             |    CAST(ROUND(
+             |      CAST(CAST(ROUND(LN(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)), 6)
+             |                AS DECIMAL(18,6)) AS DOUBLE)
+             |      * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (sum_dl * 1.0 / n_docs)))),
+             |      6) AS DECIMAL(18,6)) AS s
+             |  FROM tf JOIN dft USING (w) JOIN dl ON tf.doc_id = dl.doc_id
+             |  CROSS JOIN st
+             |), bm AS (
+             |  SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score FROM p
+             |  GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50
+             |), bmr AS (
+             |  SELECT doc_id AS id, ROW_NUMBER() OVER (
+             |    ORDER BY score DESC, doc_id) AS rank FROM bm
+             |), qv AS (
+             |  SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings
+             |  WHERE vec_id = 0
+             |), dn AS (
+             |  SELECT e.vec_id AS id,
+             |    LIST_DISTANCE(CAST(e.embedding AS DOUBLE[]), qv.q) AS dist
+             |  FROM embeddings e CROSS JOIN qv
+             |  WHERE e.vec_id IN (SELECT doc_id FROM documents)
+             |  ORDER BY dist, id LIMIT 50
+             |), dnr AS (
+             |  SELECT id, ROW_NUMBER() OVER (ORDER BY dist, id) AS rank FROM dn
+             |), u AS (
+             |  SELECT id, 1.0 / (60 + rank) AS c FROM bmr
+             |  UNION ALL
+             |  SELECT id, 1.0 / (60 + rank) AS c FROM dnr
+             |)
+             |SELECT id, SUM(c) AS rrf_score FROM u GROUP BY id
+             |ORDER BY rrf_score DESC, id LIMIT 20""".stripMargin)),
+
     Q("ta9_normalize",  // Unicode NFC + control/format-char strip over a
       // generated fixture (the shipped corpus is pure ASCII, which the
       // normalizer must pass through unchanged — doc 7 asserts that);

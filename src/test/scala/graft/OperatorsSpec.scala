@@ -955,6 +955,21 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.mp4Meta("GIF89a....".getBytes).isEmpty)
   }
 
+  // ------------------------------------------------------------- hybrid rrf
+
+  test("rrf fusion: hand-computed fused ordering and scores") {
+    import spark.implicits._
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val dense = Seq((30L, 1), (10L, 2), (40L, 3)).toDF("id", "rank")
+    val got = graft.llm.Search.rrfFuse(Seq(lex, dense), k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // 10: 1/61+1/62 = .032522  30: 1/63+1/61 = .032266
+    // 20: 1/62 = .016129       40: 1/63 = .015873
+    assert(got.map(_._1).toSeq == Seq(10L, 30L, 20L, 40L))
+    assert(math.abs(got(0)._2 - (1.0 / 61 + 1.0 / 62)) < 1e-15)
+    assert(math.abs(got(1)._2 - (1.0 / 63 + 1.0 / 61)) < 1e-15)
+  }
+
   // ------------------------------------------------------------- phash
 
   private def patternImage(seed: Long, fmt: String,
