@@ -24,7 +24,11 @@ object ScaleAuditProbe {
       "q_tpch_q21", "ev4_asof_join",
       "ev6_range_join", "dd2_minhash_lsh", "ss1_knn_join", "v1_vector_topk_l2sq",
       "v3_vector_ivf", "w1_window_rank", "a1_agg_groupby", "l3_topk",
-      "s1_scan_project").foreach(audit)
+      "s1_scan_project",
+      // round-10 additions: retrieval, PQ, semantic dedup, LM scoring
+      "fts1_bm25_search", "fts3_hybrid_rrf", "ss3_ann_pq",
+      "dd9_semantic_dedup", "ta7_unigram_logprob", "ta10_bigram_logprob",
+      "mm9_phash_pairs").foreach(audit)
     spark.stop()
   }
 }
