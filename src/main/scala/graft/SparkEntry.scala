@@ -805,6 +805,41 @@ object SparkEntry {
              |  (CAST(7 AS BIGINT), CAST(1001 AS BIGINT)))
              |AS t(id_a, id_b) ORDER BY id_a""".stripMargin)),
 
+    Q("mm10_audio_fp_pairs",  // audio near-dup detection: REAL PCM decode +
+      // Haitsma-Kalker-shape energy-difference fingerprint; a HALF-GAIN
+      // copy of clip 3 must land within the Hamming radius (energy
+      // comparisons are gain-invariant) while 30 distinct random-envelope
+      // clips pair with nothing — the planted twin is the literal oracle
+      (s, dir) => {
+        import s.implicits._
+        def clip(seed: Long, gain: Double): Array[Byte] = {
+          val rnd = new scala.util.Random(seed)
+          val amps = Array.fill(33)(0.1 + rnd.nextDouble() * 0.8)
+          val samples = Array.tabulate(3300)(i =>
+            gain * amps(i / 100) * (if (i % 7 < 3) 1.0 else -1.0))
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val raw = new Array[Byte](samples.length * 2)
+          samples.zipWithIndex.foreach { case (v, i) =>
+            val sv = math.max(-32768, math.min(32767, math.round(v * 32767))).toInt
+            raw(2 * i) = (sv & 0xFF).toByte
+            raw(2 * i + 1) = ((sv >> 8) & 0xFF).toByte
+          }
+          val in = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(raw), fmt, samples.length)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(in,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          bos.toByteArray
+        }
+        val rows = (0L until 30L).map(i => (i, clip(i, 1.0))) :+
+          (1000L, clip(3, 0.5))
+        graft.llm.Multimodal.audioFingerprintPairs(
+            rows.toDF("clip_id", "media"), "clip_id", "media", maxHamming = 3)
+          .select("id_a", "id_b").orderBy("id_a")
+      },
+      Some("""SELECT CAST(3 AS BIGINT) AS id_a, CAST(1000 AS BIGINT) AS id_b
+             |""".stripMargin)),
+
     // ---- TA*: text analysis for training-data pipelines ----
     Q("ta1_token_stats",
       (s, dir) => t(s, dir, "documents")

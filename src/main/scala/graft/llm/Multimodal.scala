@@ -801,6 +801,73 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /**
+   * 64-bit audio fingerprint (Haitsma–Kalker / Philips robust-hash shape):
+   * decode PCM → 33 equal segments → per-segment low/high-band energies
+   * (first-difference high-pass vs raw) → bit(n, b) = E(n+1, b) > E(n, b):
+   * 32 temporal-difference signs × 2 bands = 64 bits.
+   *
+   * Invariance contract: uniform gain scales every energy by g², leaving
+   * every comparison unchanged (gain-invariant), and small additive noise
+   * flips only bits whose energy difference was already near zero — so
+   * near-duplicate clips surface via Hamming distance, with pairs reusing
+   * simhash's chunk-blocked join exactly like image pHash.
+   */
+  def audioFingerprint64(bytes: Array[Byte]): Option[Long] =
+    pcmSamples(bytes).flatMap { s =>
+      if (s.length < 66) None // need >= 2 samples per segment
+      else {
+        val segs = 33
+        val eLow = new Array[Double](segs)
+        val eHigh = new Array[Double](segs)
+        var n = 0
+        while (n < segs) {
+          val a = n * s.length / segs
+          val b = math.max((n + 1) * s.length / segs, a + 2)
+          var i = a
+          var lo = 0.0
+          var hi = 0.0
+          while (i < math.min(b, s.length)) {
+            lo += s(i) * s(i)
+            if (i > a) { val d = s(i) - s(i - 1); hi += d * d }
+            i += 1
+          }
+          eLow(n) = lo; eHigh(n) = hi
+          n += 1
+        }
+        var hash = 0L
+        var k = 0
+        while (k < 32) {
+          if (eLow(k + 1) > eLow(k)) hash |= (1L << k)
+          if (eHigh(k + 1) > eHigh(k)) hash |= (1L << (32 + k))
+          k += 1
+        }
+        Some(hash)
+      }
+    }
+
+  /** Per-row audio fingerprints: (idCol, afp nullable). */
+  def audioFingerprints(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    implicit val enc = Encoders.product[PhashRow]
+    df.select(col(idCol).cast("long"), col(binCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          PhashRow(r.getLong(0), audioFingerprint64(r.getAs[Array[Byte]](1)))
+        }
+      }
+      .toDF(idCol, "afp")
+  }
+
+  /** Near-duplicate audio pairs by fingerprint Hamming distance — same
+    * chunk-blocked join as simhash / image pHash. */
+  def audioFingerprintPairs(df: DataFrame, idCol: String, binCol: String,
+                            maxHamming: Int = 3): DataFrame =
+    Dedup.simhashPairsFromSigs(
+      audioFingerprints(df, idCol, binCol)
+        .where(col("afp").isNotNull)
+        .select(col(idCol).as("id"), col("afp").as("sim")),
+      maxHamming)
+
   /** Per-row perceptual hashes: (idCol, phash nullable). Same mapPartitions
     * batch shape as feature extraction. */
   def imagePhash(df: DataFrame, idCol: String, binCol: String): DataFrame = {

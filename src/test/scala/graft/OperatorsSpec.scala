@@ -1021,6 +1021,66 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs == Set((3L, 1000L), (7L, 1001L)), s"got $pairs")
   }
 
+  // --------------------------------------------------- audio fingerprint
+
+  /** 16-bit mono PCM WAV from [-1,1] samples. */
+  private def wavOf(samples: Array[Double]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val raw = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      val s = math.max(-32768, math.min(32767, math.round(v * 32767))).toInt
+      raw(2 * i) = (s & 0xFF).toByte
+      raw(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Square-ish carrier with a per-segment random envelope: energies vary
+    * segment-to-segment so the 64 difference bits are all well-defined. */
+  private def clip(seed: Long): Array[Double] = {
+    val rnd = new scala.util.Random(seed)
+    val amps = Array.fill(33)(0.1 + rnd.nextDouble() * 0.8)
+    Array.tabulate(3300) { i =>
+      amps(i / 100) * (if (i % 7 < 3) 1.0 else -1.0)
+    }
+  }
+
+  test("audio fingerprint: gain-invariant, noise-tolerant, discriminative") {
+    import graft.llm.Multimodal
+    val base = clip(3)
+    val h = Multimodal.audioFingerprint64(wavOf(base)).get
+    // uniform gain scales every energy by g^2 — comparisons unchanged
+    // (quantization of the scaled samples may flip a near-tie bit or two)
+    val half = Multimodal.audioFingerprint64(wavOf(base.map(_ * 0.5))).get
+    assert(java.lang.Long.bitCount(h ^ half) <= 2, "gain changed the hash")
+    // mild additive noise flips only near-tie bits
+    val rnd = new scala.util.Random(99)
+    val noisy = Multimodal.audioFingerprint64(
+      wavOf(base.map(_ + (rnd.nextDouble() - 0.5) * 1e-3))).get
+    assert(java.lang.Long.bitCount(h ^ noisy) <= 3)
+    // different content is far away
+    val other = Multimodal.audioFingerprint64(wavOf(clip(4))).get
+    assert(java.lang.Long.bitCount(h ^ other) > 10)
+    assert(Multimodal.audioFingerprint64("not audio".getBytes).isEmpty)
+  }
+
+  test("audio fingerprint pairs: planted half-gain twin only") {
+    import spark.implicits._
+    val rows = (0L until 30L).map(i => (i, wavOf(clip(i)))) :+
+      (1000L, wavOf(clip(3).map(_ * 0.5)))
+    val pairs = graft.llm.Multimodal
+      .audioFingerprintPairs(rows.toDF("clip_id", "media"), "clip_id",
+        "media", maxHamming = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((3L, 1000L)), s"got $pairs")
+  }
+
   // ---------------------------------------------------------- bigram LM
 
   test("bigram stupid backoff: seen, backed-off, and OOV paths") {
