@@ -1045,6 +1045,25 @@ object SparkEntry {
              |  CAST(SUM(nls) AS DOUBLE) AS neg_logp_sum
              |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    Q("ta11_heavy_hitters",  // count-min-sketch frequency estimates vs the
+      // exact counts: seed-fixed CMS is fully deterministic, and on this
+      // corpus's vocabulary the 2718-counter rows are collision-free, so
+      // the estimate must EQUAL the exact count — DuckDB recomputes the
+      // exact counts for both columns
+      (s, dir) => graft.llm.TextAnalysis.heavyHitterEstimates(
+        t(s, dir, "documents"), "text",
+        terms = Seq("table", "vector", "spark", "query", "zzz_absent")),
+      Some("""WITH tok AS (
+             |  SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+             |), probe(term) AS (VALUES
+             |  ('table'), ('vector'), ('spark'), ('query'), ('zzz_absent')),
+             |ex AS (
+             |  SELECT term, CAST(COUNT(tok.w) AS BIGINT) AS c
+             |  FROM probe LEFT JOIN tok ON tok.w = probe.term GROUP BY term
+             |)
+             |SELECT term, c AS exact_count, c AS cms_estimate FROM ex
+             |ORDER BY term""".stripMargin)),
+
     Q("ta8_tfidf_topterms",  // per-doc top-3 terms by tf-idf (keyword
       // extraction); idf rounds to 6dp DECIMAL so tf*idf is exact and the
       // (score desc, term) ranking is total-ordered in both engines

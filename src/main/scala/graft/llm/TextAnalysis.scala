@@ -314,6 +314,43 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /**
+   * Token-frequency estimates from a count-min sketch vs exact counts —
+   * the heavy-hitter survey tool when the vocabulary is too large to
+   * aggregate exactly (trillions of tokens, billions of distinct n-grams).
+   * The sketch is Spark's codegen'd `count_min_sketch` aggregate (map-side
+   * partial merge, fixed eps×confidence memory independent of
+   * cardinality); estimates decode driver-side from the merged binary.
+   *
+   * Returns (term, exact_count, cms_estimate): the CMS guarantee is
+   * estimate ≥ exact, and ≤ exact + ⌈ε·N⌉ w.p. ≥ confidence — with a
+   * fixed seed the whole computation is deterministic, so the gate can pin
+   * exact equality on a small-vocabulary corpus.
+   */
+  def heavyHitterEstimates(df: DataFrame, textCol: String,
+                           terms: Seq[String], eps: Double = 0.001,
+                           confidence: Double = 0.99,
+                           seed: Int = 42): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tok = df.select(explode(tokens(col(textCol))).as("w"))
+    val sketchBytes = tok
+      .agg(expr(s"count_min_sketch(w, ${eps}d, ${confidence}d, $seed)"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    val est = terms.map(t =>
+      t -> cms.estimateCount(t.getBytes("UTF-8"))).toMap
+    val estDf = est.toSeq.toDF("w", "cms_estimate")
+    tok.filter(col("w").isin(terms: _*))
+      .groupBy("w").agg(count(lit(1)).as("exact_count"))
+      .join(broadcast(estDf), Seq("w"), "right")
+      .select(col("w").as("term"),
+        coalesce(col("exact_count"), lit(0L)).as("exact_count"),
+        col("cms_estimate"))
+      .orderBy("term")
+  }
+
   /** Per-document repetition signals (Gopher-style quality filters):
     * duplicate-word fraction and the most-frequent-bigram share. One native
     * single-pass expression per row (`RepetitionStats`) — no per-token
