@@ -1417,6 +1417,59 @@ object SparkEntry {
       Some("""SELECT vec_id AS q_id, 1 AS planted_found FROM embeddings
              |WHERE vec_id < 5 ORDER BY q_id""".stripMargin)),
 
+    Q("cu4_curate_pipeline",  // the one-call curation pipeline (normalize →
+      // quality gate → exact dedup → minhash near-dedup → decontaminate):
+      // the SQL-expressible stage counts are cross-checked against DuckDB
+      // exactly; the probabilistic near-dedup stage is gated on its
+      // invariants — monotone accounting, zero exact dups and zero
+      // benchmark contamination among survivors, and bit-identical
+      // survivors on a re-run (every stage is hash-deterministic)
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val bench = docs.filter(col("doc_id").between(100, 110)).select("text")
+        def run() = graft.llm.Curation.curateCorpus(docs, "doc_id", "text",
+          bench, "text", minQuality = 0.3, nearDupThreshold = 0.7)
+        val (clean, rep) = run()
+        val cleanIds = clean.select("doc_id")
+        val monotone = rep.input >= rep.afterQuality &&
+          rep.afterQuality >= rep.afterExactDedup &&
+          rep.afterExactDedup >= rep.afterNearDedup &&
+          rep.afterNearDedup >= rep.afterDecontaminate
+        val noExactDups = clean.select(countDistinct(col("text")))
+          .head().getLong(0) == rep.afterDecontaminate
+        val decontaminated = graft.llm.Curation.decontaminate(clean,
+          "doc_id", "text", bench, "text", n = 5).count() ==
+          rep.afterDecontaminate
+        val (clean2, _) = run()
+        val deterministic = cleanIds.exceptAll(clean2.select("doc_id"))
+          .count() == 0 && clean2.count() == rep.afterDecontaminate
+        Seq((rep.input, rep.afterQuality, rep.afterExactDedup, monotone,
+          noExactDups, decontaminated, deterministic))
+          .toDF("n_input", "n_after_quality", "n_after_exact", "monotone",
+            "no_exact_dups", "decontaminated", "deterministic")
+      },
+      Some("""WITH q AS (
+             |  SELECT doc_id, text,
+             |    CAST(CAST(LEAST(LENGTH(text), 500) / 500.0 AS DECIMAL(18,6)) * 0.3
+             |      + CAST(1.0 - ROUND((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[[:punct:]]', '', 'g')))
+             |              * 1.0 / GREATEST(LENGTH(text), 1), 6) AS DECIMAL(18,6)) * 0.2
+             |      + CAST(ROUND(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+             |            w -> w IN ('the','a','of','and','to','in','is','it','for','on')))
+             |          * 1.0 / GREATEST(LEN(STRING_SPLIT(text, ' ')), 1), 6) AS DECIMAL(18,6)) * 0.5
+             |      AS DOUBLE) AS qs
+             |  FROM documents
+             |), k AS (SELECT * FROM q WHERE qs >= 0.3),
+             |e AS (
+             |  SELECT doc_id, ROW_NUMBER() OVER (
+             |    PARTITION BY text ORDER BY doc_id) AS rn FROM k
+             |)
+             |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_input,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM k) AS n_after_quality,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e WHERE rn = 1) AS n_after_exact,
+             |  true AS monotone, true AS no_exact_dups,
+             |  true AS decontaminated, true AS deterministic""".stripMargin)),
+
     // ---- CU*: dataset-curation operators over `documents` ----
     Q("cu1_balanced_sample",
       // per-group cap (language balancing): first 20 docs per lang — exact,

@@ -16,6 +16,50 @@ object Curation {
     * SAME row lands in the SAME split on every run, any partitioning, and
     * any engine that persists the assignment — the property that keeps a
     * test set leak-free across pipeline re-runs. Pure map-side. */
+  /** Per-stage row accounting from [[curateCorpus]]. */
+  case class CurationReport(input: Long, afterNormalize: Long,
+                            afterQuality: Long, afterExactDedup: Long,
+                            afterNearDedup: Long, afterDecontaminate: Long)
+
+  /**
+   * The standard web-corpus curation pipeline as ONE call — normalize →
+   * quality gate → exact dedup → minhash near-dedup → benchmark
+   * decontamination — returning the surviving rows plus a per-stage row
+   * accounting. Each stage is the already-oracled operator; this is the
+   * composition a reference user runs end-to-end, with the stage ORDER
+   * that matters at scale: normalization BEFORE any hashing (canonically
+   * equivalent bytes must collapse first), cheap map-side gates before
+   * shuffling ones, the near-dup pair join only over quality survivors.
+   *
+   * Every stage is deterministic (hash-based, no RNG), so re-running over
+   * the same corpus reproduces the same survivors — the property that
+   * makes incremental re-curation diffable.
+   */
+  def curateCorpus(df: DataFrame, idCol: String, textCol: String,
+                   bench: DataFrame, benchTextCol: String,
+                   minQuality: Double = 0.3,
+                   nearDupThreshold: Double = 0.7,
+                   contaminationN: Int = 5): (DataFrame, CurationReport) = {
+    val input = df.count()
+    val normalized = df.withColumn(textCol,
+      TextAnalysis.normalizeText(col(textCol)))
+    val afterNormalize = input // normalization rewrites, never drops
+    val quality = qualityGate(normalized,
+      TextAnalysis.qualityScore(col(textCol)), minQuality)
+    val afterQuality = quality.count()
+    val exact = Dedup.exactKeepFirst(quality, textCol, idCol)
+    val afterExact = exact.count()
+    val near = Dedup.keepClusterRepresentatives(exact, idCol,
+      Dedup.minhashPairs(exact, idCol, textCol,
+        threshold = nearDupThreshold))
+    val afterNear = near.count()
+    val clean = decontaminate(near, idCol, textCol,
+      bench, benchTextCol, n = contaminationN)
+    val afterDecon = clean.count()
+    (clean, CurationReport(input, afterNormalize, afterQuality,
+      afterExact, afterNear, afterDecon))
+  }
+
   def hashSplit(df: DataFrame, idCol: String,
                 testPermille: Int = 100): DataFrame = {
     require(testPermille >= 0 && testPermille <= 1000, "testPermille in [0,1000]")
