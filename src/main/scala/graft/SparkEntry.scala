@@ -1346,6 +1346,43 @@ object SparkEntry {
              |  CAST(0 AS BIGINT) AS n_planted_kept
              |FROM embeddings""".stripMargin)),
 
+    Q("ss4_pq_index",  // the PERSISTED PQ index end-to-end (create → codes
+      // at rest → ADC search over code rows): planted twins inserted AFTER
+      // createPqIndex exercise the frozen-codebook on-the-fly path; an
+      // identical vector's codes are the per-subspace argmins of the
+      // query's LUT, so it cannot be cut by the shortlist and reranks to
+      // distance 0 — planted containment is the oracle, as in ss3
+      (s, dir) => {
+        val root = java.nio.file.Files.createTempDirectory("graft-ss4").toString
+        val vs = graft.api.VastSession(s, root)
+        vs.createBucket("b")
+        val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val planted = e.filter(col("vec_id") < 2)
+          .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+        vs.transaction { tx =>
+          val tbl = tx.bucket("b").createSchema("m")
+            .createTable("e", e.schema)
+          tbl.insert(e.coalesce(1))
+          tbl.createPqIndex("embedding", dim = 64, m = 16, k = 16)
+          tbl.insert(planted.coalesce(1)) // uncovered -> on-the-fly encode
+        }
+        vs.transaction { tx =>
+          val tbl = tx.bucket("b").schema("m").table("e")
+          val ids = tbl.select(Seq("vec_id"), internalRowId = true)
+          (0L until 2L).map { q =>
+            val qv = e.filter(col("vec_id") === q)
+              .head().getSeq[Float](1)
+            tbl.vectorSearchPq("embedding", qv, k = 10)
+              .join(ids, Seq("_row_id"))
+              .agg(max(when(col("vec_id") === q + 1000000, 1).otherwise(0))
+                .as("planted_found"))
+              .select(lit(q).as("q_id"), col("planted_found"))
+          }.reduce(_.unionByName(_)).orderBy("q_id")
+        }
+      },
+      Some("""SELECT vec_id AS q_id, 1 AS planted_found FROM embeddings
+             |WHERE vec_id < 2 ORDER BY q_id""".stripMargin)),
+
     Q("bpe1_tokenize",  // real BPE (Sennrich): merges learned from the
       // fixture itself, encode via the native expression; the oracle's
       // token strings are HAND-DERIVED from the algorithm — merge 1 (a,a)

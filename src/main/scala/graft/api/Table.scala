@@ -1896,6 +1896,27 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       dir = s"_ftsidx/$column-${UUID.randomUUID().toString.take(8)}"),
       replaceKinds = Set("fts"))
 
+  /** Declare + build a persisted product-quantization index: a trained
+    * codebook (m×k sub-centroids, parquet) plus per-row PQ codes
+    * hive-partitioned by source-file basename under the same file-granular
+    * incremental model — refresh ENCODES only uncovered files against the
+    * FROZEN codebook (one scan of the delta; no retrain). Codebook drift
+    * under heavy distribution shift is the documented trade: re-create the
+    * index to retrain. Meta reuses `DedupIndexMeta` with kind="pq"
+    * (dim = vector dims, bands = m subspaces, k = codes per subspace). */
+  def createPqIndex(column: String, dim: Int, m: Int = 16, k: Int = 16,
+                    trainIters: Int = 1): Unit = {
+    require(dim > 0 && m > 0 && dim % m == 0 && k > 1 && k <= 256,
+      s"need dim divisible by m and 1 < k <= 256, got dim=$dim m=$m k=$k")
+    installDedupIndex(column, DedupIndexMeta(column, kind = "pq",
+      dim = dim, bands = m, k = k, planes = trainIters,
+      dir = s"_pqidx/$column-${UUID.randomUUID().toString.take(8)}"),
+      replaceKinds = Set("pq"))
+  }
+
+  /** Alias for PQ-index refresh (delta encode against the frozen codebook). */
+  def refreshPqIndex(column: String): Unit = refreshDedupIndex(column)
+
   private def installDedupIndex(column: String, meta: DedupIndexMeta,
       replaceKinds: Set[String] = Set("text", "vector")): Unit = {
     val m = manifest
@@ -1947,16 +1968,20 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
   def refreshTextIndex(column: String): Unit = refreshDedupIndex(column)
 
   /** The dir whose `__src=` partitions define index coverage. */
-  private def coverageDir(meta: DedupIndexMeta): Path =
-    if (meta.kind == "fts") dir.resolve(meta.dir).resolve("postings")
-    else dir.resolve(meta.dir)
+  private def coverageDir(meta: DedupIndexMeta): Path = meta.kind match {
+    case "fts" => dir.resolve(meta.dir).resolve("postings")
+    case "pq" => dir.resolve(meta.dir).resolve("codes")
+    case _ => dir.resolve(meta.dir)
+  }
 
-  /** Every partitioned dir an index writes (fts keeps postings + doclens). */
-  private def partitionDirs(meta: DedupIndexMeta): Seq[Path] =
-    if (meta.kind == "fts")
-      Seq(dir.resolve(meta.dir).resolve("postings"),
-        dir.resolve(meta.dir).resolve("doclens"))
-    else Seq(dir.resolve(meta.dir))
+  /** Every partitioned dir an index writes (fts keeps postings + doclens;
+    * pq's codebook is a one-time unpartitioned artifact, not listed). */
+  private def partitionDirs(meta: DedupIndexMeta): Seq[Path] = meta.kind match {
+    case "fts" => Seq(dir.resolve(meta.dir).resolve("postings"),
+      dir.resolve(meta.dir).resolve("doclens"))
+    case "pq" => Seq(dir.resolve(meta.dir).resolve("codes"))
+    case _ => Seq(dir.resolve(meta.dir))
+  }
 
   /** Near-duplicate pairs from the persisted index: covered files read
     * their signatures (never recomputed), files inserted since the last
@@ -2020,6 +2045,7 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
                                      missing: Seq[FileEntry]): Unit = {
     if (missing.isEmpty) return
     if (meta.kind == "fts") return buildMissingPostings(meta, missing)
+    if (meta.kind == "pq") return buildMissingPqCodes(meta, missing)
     val idxDir = dir.resolve(meta.dir)
     readEntries(missing, manifest.schema)
       .select(col(RowIdColumn) +: signatureCols(meta) :+
@@ -2058,6 +2084,87 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
           Table.walkPaths(pdir).reverse.foreach(p => tx.newFiles += p.toString)
       }
     }
+  }
+
+  /** PQ build for the delta: train the codebook ONCE (first build — i.e.
+    * at createPqIndex over the then-current rows), then every build
+    * including refresh encodes only the given files against the frozen
+    * codebook. Encoding keys by row id; the (row id → source file) map
+    * joins back on so codes land hive-partitioned by file. */
+  private def buildMissingPqCodes(meta: DedupIndexMeta,
+                                  missing: Seq[FileEntry]): Unit = {
+    val base = dir.resolve(meta.dir)
+    val cbDir = base.resolve("codebook")
+    val Seq(codesDir) = partitionDirs(meta)
+    val mSub = meta.bands
+    if (!Files.isDirectory(cbDir)) {
+      val train = readEntries(missing, manifest.schema)
+        .select(col(RowIdColumn), col(meta.column))
+      graft.llm.Quantization.pqTrain(train, RowIdColumn, meta.column,
+          meta.dim, mSub, meta.k, iters = meta.planes)
+        .write.mode("overwrite").parquet(cbDir.toString)
+      Table.walkPaths(cbDir).reverse.foreach(p => tx.newFiles += p.toString)
+    }
+    val cb = spark.read.parquet(cbDir.toString)
+    val rows = readEntries(missing, manifest.schema)
+      .select(col(RowIdColumn), col(meta.column),
+        element_at(split(input_file_name(), "/"), -1).as("__src"))
+    graft.llm.Quantization.pqEncode(rows, RowIdColumn, meta.column, cb,
+        meta.dim, mSub)
+      .join(rows.select(col(RowIdColumn), col("__src")), Seq(RowIdColumn))
+      .write.mode("append").partitionBy("__src").parquet(codesDir.toString)
+    missing.foreach { f =>
+      val pdir = codesDir.resolve("__src=" + srcName(f.path))
+      if (Files.isDirectory(pdir))
+        Table.walkPaths(pdir).reverse.foreach(p => tx.newFiles += p.toString)
+    }
+  }
+
+  /** Compressed ANN over the persisted PQ index: the ADC scan reads the
+    * 16-byte code rows for covered files (never the vectors), uncovered
+    * files encode on the fly against the frozen codebook, and only the
+    * bounded shortlist reranks against real vectors. Returns
+    * ($row_id, knn_rank), rank 1..k nearest-first. */
+  def vectorSearchPq(column: String, queryVec: Seq[Float], k: Int,
+                     shortlist: Int = 64): DataFrame = {
+    val m = manifest
+    val meta = m.dedupIndexes.find(x => x.column == column && x.kind == "pq")
+      .getOrElse(throw NotSupportedCommand(s"no pq index on $column"))
+    val base = dir.resolve(meta.dir)
+    val cb = spark.read.parquet(base.resolve("codebook").toString)
+    val Seq(codesDir) = partitionDirs(meta)
+    val codesSchema = StructType(Seq(
+      StructField(RowIdColumn, LongType, nullable = false),
+      StructField("pq_codes", ArrayType(IntegerType))))
+    val current = m.files.map(f => srcName(f.path)).toSet
+    val covered = coveredSrcs(codesDir).intersect(current)
+    val persisted =
+      if (covered.isEmpty) None
+      else Some(spark.read
+        .schema(codesSchema.add(StructField("__src", StringType)))
+        .parquet(codesDir.toString)
+        .filter(col("__src").isin(covered.toSeq: _*))
+        .drop("__src"))
+    val uncovered = m.files.filterNot(f => covered(srcName(f.path)))
+    val fresh =
+      if (uncovered.isEmpty) None
+      else Some(graft.llm.Quantization.pqEncode(
+        readEntries(uncovered, m.schema)
+          .select(col(RowIdColumn), col(column)),
+        RowIdColumn, column, cb, meta.dim, meta.bands))
+    val enc = (persisted.toSeq ++ fresh.toSeq)
+      .reduceOption(_.unionByName(_))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], codesSchema))
+    val corpus = select(Seq(column), internalRowId = true)
+      .select(col(RowIdColumn), col(column))
+    val queries = spark.createDataFrame(
+      java.util.List.of(Row(-1L, queryVec)),
+      StructType(Seq(StructField(RowIdColumn, LongType, nullable = false),
+        StructField(column, ArrayType(FloatType)))))
+    graft.llm.Quantization.pqSearch(enc, corpus, queries, cb,
+        RowIdColumn, column, meta.dim, meta.bands, k, shortlist)
+      .select(col("n_id").as(RowIdColumn), col("knn_rank"))
   }
 
   /** BM25 ranked retrieval over the persisted inverted index: covered
