@@ -464,7 +464,8 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private val procedureNames = Array("history", "maintain", "vacuum_versions",
-    "zorder", "bucket_layout", "vector_search", "text_search", "stream_lag",
+    "zorder", "bucket_layout", "vector_search", "text_search", "pq_search",
+    "stream_lag",
     "dedup_pairs", "dedup_clusters", "pii_redact", "chunk", "decontaminate")
 
   /** Manifest version a streaming checkpoint has durably consumed through,
@@ -666,6 +667,25 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
                 org.apache.spark.sql.functions.col("_distance")
                   .cast(DoubleType).as("_distance"))
               .collect().toSeq
+          }
+      }
+      case "pq_search" => new GraftProcedure("pq_search",
+          Seq(("table", StringType, None), ("column", StringType, None),
+            ("query_vector", StringType, None), // comma-separated floats
+            ("k", IntegerType, Some("10")),
+            ("shortlist", IntegerType, Some("64"))),
+          StructType(Seq(StructField("_row_id", LongType),
+            StructField("knn_rank", IntegerType)))) {
+        def run(args: Seq[Any]) =
+          withTable(args.head.asInstanceOf[String]) { t =>
+            val vec = args(2).asInstanceOf[String].split(",").toSeq
+              .map(_.trim).filter(_.nonEmpty).map(_.toFloat)
+            val k = args(3).asInstanceOf[Int]
+            val shortlist = args(4).asInstanceOf[Int]
+            if (k <= 0 || shortlist < k) throw new IllegalArgumentException(
+              s"need 0 < k <= shortlist, got k=$k shortlist=$shortlist")
+            t.vectorSearchPq(args(1).asInstanceOf[String], vec, k, shortlist)
+              .collect().toSeq // k-bounded: distributed top-k already ran
           }
       }
       case "text_search" => new GraftProcedure("text_search",

@@ -111,5 +111,21 @@ class PqIndexSpec extends SparkSpec {
       assert(!after.contains(7000L))
       assert(after.contains(7L))
     }
+
+    // SQL surface: CALL pq_search returns the same ids as the API
+    spark.conf.set("spark.sql.catalog.graftpq",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.graftpq.root", root)
+    val qv = vec(7).mkString(",")
+    val sqlIds = spark.sql(
+      s"CALL graftpq.system.pq_search('b.m.e', 'emb', '$qv', 3)")
+      .collect().map(_.getLong(0)).toSeq
+    val apiIds = s.transaction(tx =>
+      tx.bucket("b").schema("m").table("e")
+        .vectorSearchPq("emb", vec(7), 3)
+        .collect().map(_.getLong(0)).toSeq)
+    assert(sqlIds == apiIds, s"SQL $sqlIds != API $apiIds")
+    intercept[Exception] { spark.sql(
+      s"CALL graftpq.system.pq_search('b.m.e', 'emb', '$qv', 0)").collect() }
   }
 }
