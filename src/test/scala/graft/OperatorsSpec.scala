@@ -955,6 +955,100 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.mp4Meta("GIF89a....".getBytes).isEmpty)
   }
 
+  // ----------------------------------------------- randomized properties
+
+  test("bm25: distributed scorer matches a naive reference on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox", "gnu")
+    (0 until 3).foreach { trial =>
+      val docs = (0 until 40).map { i =>
+        (i.toLong, Seq.fill(3 + rnd.nextInt(12))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val terms = Seq(vocab(rnd.nextInt(vocab.size)),
+        vocab(rnd.nextInt(vocab.size))).distinct
+      val got = graft.llm.TextAnalysis.bm25Search(
+          docs.toDF("id", "text"), "id", "text", terms, k = 40)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      // naive reference: same formula, same 6-dp decimal staging
+      val toks = docs.map { case (id, t) => id -> t.split(' ').toSeq }.toMap
+      val n = docs.size
+      val avgdl = toks.values.map(_.size).sum.toDouble / n
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val want = docs.flatMap { case (id, _) =>
+        val dl = toks(id).size
+        val s = terms.flatMap { w =>
+          val tf = toks(id).count(_ == w)
+          if (tf == 0) None
+          else {
+            val dfT = toks.values.count(_.contains(w))
+            val idf = r6(math.log(1.0 + (n - dfT + 0.5) / (dfT + 0.5)))
+            val sat = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+            Some(r6(idf.toDouble * sat))
+          }
+        }
+        if (s.isEmpty) None else Some(id -> s.sum.toDouble)
+      }.toMap
+      assert(got == want, s"trial $trial: $got vs $want")
+    }
+  }
+
+  test("bpe: round-trip lossless on random unicode-ish corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(88)
+    val alphabet = "abcdeé日本ß".toCharArray
+    val docs = (0 until 30).map { i =>
+      (i.toLong, Seq.fill(2 + rnd.nextInt(6))(
+        Seq.fill(1 + rnd.nextInt(8))(
+          alphabet(rnd.nextInt(alphabet.length))).mkString).mkString(" "))
+    }
+    val df = docs.toDF("id", "text")
+    val merges = graft.llm.Bpe.train(df, "text", numMerges = 30,
+      sampleDocs = 50)
+    val bad = df.select($"id", $"text",
+        concat_ws("", graft.llm.Bpe.encode($"text", merges)).as("joined"),
+        regexp_replace($"text", " ", "").as("squashed"))
+      .filter($"joined" =!= $"squashed").count()
+    assert(bad == 0, "BPE encode must be lossless for any input")
+  }
+
+  // ----------------------------------------- codegen/interpreted parity
+
+  test("round-10 native expressions: codegen and interpreted paths agree") {
+    import spark.implicits._
+    def both(f: => Array[org.apache.spark.sql.Row]): Unit = {
+      val gen = f.toSeq
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try assert(f.toSeq == gen, "interpreted result diverged from codegen")
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    }
+    // pq_adc: normal lookups + out-of-range code sinking to +Infinity
+    val pq = Seq(
+      (Seq(0, 1), Seq(Seq(0.5, 1.5), Seq(2.0, 3.0))),
+      (Seq(1, 9), Seq(Seq(0.5, 1.5), Seq(2.0, 3.0))))
+      .toDF("codes", "lut")
+    both(pq.select(graft.functions.PqAdc.pqAdc($"codes", $"lut")).collect())
+    // nfc_normalize: decomposed input recomposes, ASCII passes through
+    val nf = Seq("cafe\u0301", "plain").toDF("t")
+    both(nf.select(graft.functions.NfcNormalize.nfc($"t")).collect())
+    // bpe_encode through the rank table
+    val bp = Seq("aaab aab ab").toDF("t")
+    both(bp.select(graft.llm.Bpe.encode($"t",
+      Seq(("a", "a"), ("a", "b"), ("aa", "ab")))).collect())
+    // pca_project through a fitted model
+    val pdf = Seq((1L, Array(1f, 2f, 3f, 4f)),
+      (2L, Array(4f, 3f, 2f, 1f)), (3L, Array(0f, 1f, 0f, 1f))).toDF("id", "v")
+    val model = graft.llm.Reduction.pcaFit(pdf, "v", dim = 4, k = 2)
+    both(pdf.select($"id", graft.llm.Reduction.pcaProject($"v", model))
+      .orderBy("id").collect())
+  }
+
   // ------------------------------------------------------------- hybrid rrf
 
   test("rrf fusion: hand-computed fused ordering and scores") {
