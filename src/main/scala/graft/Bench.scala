@@ -165,6 +165,16 @@ object Bench {
         terms = Seq("vector", "query", "stream"), k = 20))),
       "text_logprob" -> (() => mat(graft.llm.TextAnalysis.unigramLogProb(
         t("documents"), "doc_id"))),
+      // the one-call curation pipeline end-to-end (normalize -> quality ->
+      // exact dedup -> minhash near-dedup -> decontaminate) incl. its
+      // internal per-stage accounting actions
+      "curate_pipeline" -> (() => {
+        val docs = t("documents").select("doc_id", "text")
+        val bench = docs.filter(col("doc_id") < 50).select("text")
+        val (clean, _) = graft.llm.Curation.curateCorpus(
+          docs, "doc_id", "text", bench, "text")
+        mat(clean)
+      }),
       "events_window" -> (() => mat(graft.streaming.Events.tumblingStats(
         t("events"), "1 hour"))))
 

@@ -40,21 +40,32 @@ object Curation {
                    minQuality: Double = 0.3,
                    nearDupThreshold: Double = 0.7,
                    contaminationN: Int = 5): (DataFrame, CurationReport) = {
+    // Stage boundaries materialize once (eager localCheckpoint): every
+    // stage has 2+ consumers (its accounting count plus the next stage —
+    // exact feeds both the pair join and the representative filter), so
+    // without materialization the token-stats quality pass and the
+    // minhash chain re-run several times over (measured 1.75x end-to-end).
+    // At true corpus scale, persist stage outputs to catalog tables
+    // instead (executor-local checkpoint storage holds a corpus copy).
     val input = df.count()
     val normalized = df.withColumn(textCol,
       TextAnalysis.normalizeText(col(textCol)))
     val afterNormalize = input // normalization rewrites, never drops
     val quality = qualityGate(normalized,
       TextAnalysis.qualityScore(col(textCol)), minQuality)
+      .localCheckpoint(true)
     val afterQuality = quality.count()
     val exact = Dedup.exactKeepFirst(quality, textCol, idCol)
+      .localCheckpoint(true)
     val afterExact = exact.count()
     val near = Dedup.keepClusterRepresentatives(exact, idCol,
       Dedup.minhashPairs(exact, idCol, textCol,
         threshold = nearDupThreshold))
+      .localCheckpoint(true)
     val afterNear = near.count()
     val clean = decontaminate(near, idCol, textCol,
       bench, benchTextCol, n = contaminationN)
+      .localCheckpoint(true)
     val afterDecon = clean.count()
     (clean, CurationReport(input, afterNormalize, afterQuality,
       afterExact, afterNear, afterDecon))
