@@ -1064,6 +1064,34 @@ object SparkEntry {
              |SELECT term, c AS exact_count, c AS cms_estimate FROM ex
              |ORDER BY term""".stripMargin)),
 
+    Q("ta12_hash_embedding",  // hashing-trick text featurization feeding
+      // the vector stack: cosine-1 pairs over the hashed embeddings must
+      // be EXACTLY the equal-token-MULTISET pairs (the embedding is
+      // order-invariant bag-of-words — a reordered copy of doc 3 is
+      // planted to prove it), and no distinct-multiset pair may cross the
+      // 0.9999 bar; DuckDB computes the multiset-equality ground truth
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val planted = docs.filter(col("doc_id") === 3)
+          .select(lit(1000003L).as("doc_id"),
+            array_join(reverse(split(col("text"), " ")), " ").as("text"))
+        val emb = docs.union(planted).select(col("doc_id"),
+          graft.llm.TextAnalysis.hashEmbedding(col("text"), 64).as("emb"))
+        graft.llm.Dedup.embeddingCosinePairs(emb, "doc_id", "emb",
+            threshold = 0.9999)
+          .select("id_a", "id_b").orderBy("id_a", "id_b")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, LIST_SORT(STRING_SPLIT(text, ' ')) AS m
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT 1000003, LIST_SORT(STRING_SPLIT(text, ' '))
+             |  FROM documents WHERE doc_id = 3
+             |)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |FROM d a JOIN d b ON a.m = b.m AND a.doc_id < b.doc_id
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     Q("ta8_tfidf_topterms",  // per-doc top-3 terms by tf-idf (keyword
       // extraction); idf rounds to 6dp DECIMAL so tf*idf is exact and the
       // (score desc, term) ranking is total-ordered in both engines

@@ -234,6 +234,62 @@ case class ContentAnchors(child: Expression, anchorGram: Int, density: Int,
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/**
+ * Hashing-trick text featurization (Weinberger et al. 2009): one pass over
+ * the token array; token t adds sign(h(t)) to dimension |h(t)| mod dim —
+ * a model-free bag-of-words embedding computable map-side at corpus scale.
+ * Identical token MULTISETS (any order) produce identical vectors, which
+ * is what plugs the text corpus into the whole vector stack (cosine
+ * near-dup, kNN, PQ, clustering) without an external encoder. Output is
+ * L2-normalized (zero vector for empty input) so cosine comparisons read
+ * directly off inner products.
+ */
+case class HashEmbedding(child: Expression, dim: Int)
+    extends UnaryExpression with Serializable {
+  require(dim > 0, s"dim must be positive, got $dim")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "hash_embedding"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hash_embedding requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hashEmbedding", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);")
+  }
+
+  def compute(arr: ArrayData): ArrayData = {
+    val acc = new Array[Double](dim)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(j), StringType, 42L)
+        val ix = ((h % dim) + dim) % dim
+        acc(ix.toInt) += (if (h < 0) -1.0 else 1.0)
+      }
+      j += 1
+    }
+    var norm = 0.0
+    var i = 0
+    while (i < dim) { norm += acc(i) * acc(i); i += 1 }
+    val inv = if (norm == 0.0) 0.0 else 1.0 / math.sqrt(norm)
+    val out = new Array[Any](dim)
+    i = 0
+    while (i < dim) { out(i) = (acc(i) * inv).toFloat; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object TextHashes {
   /** Signature over pre-built shingle strings (shingleN = 1). */
   def minhashSignature(shingles: Column, k: Int): Column =
@@ -249,4 +305,7 @@ object TextHashes {
                      windowLen: Int): Column =
     Glue.column(ContentAnchors(Glue.expression(text), anchorGram, density,
       windowLen))
+  /** Hashing-trick bag-of-words embedding of a token array, L2-normalized. */
+  def hashEmbedding(tokens: Column, dim: Int): Column =
+    Glue.column(HashEmbedding(Glue.expression(tokens), dim))
 }

@@ -168,6 +168,14 @@ object TextAnalysis {
         sum(col("_nlp")).cast("double").as("neg_logp_sum"))
   }
 
+  /** Model-free text embedding by the hashing trick (Weinberger 2009):
+    * L2-normalized signed-hash bag-of-words over whitespace tokens, one
+    * native map-side pass — plugs the text corpus into the vector stack
+    * (cosine near-dup, kNN, PQ, k-means) without an external encoder.
+    * Order-invariant: identical token multisets embed identically. */
+  def hashEmbedding(text: Column, dim: Int = 64): Column =
+    graft.functions.TextHashes.hashEmbedding(tokens(text), dim)
+
   /** Bigrams of a token array as (w1, w2) structs, map-side (no window
     * shuffle); empty for docs with fewer than two tokens. */
   private def bigrams(toks: Column): Column = {

@@ -1047,6 +1047,32 @@ class OperatorsSpec extends SparkSpec {
     val model = graft.llm.Reduction.pcaFit(pdf, "v", dim = 4, k = 2)
     both(pdf.select($"id", graft.llm.Reduction.pcaProject($"v", model))
       .orderBy("id").collect())
+    // hash_embedding over token arrays
+    val he = Seq("a b b c", "c b b a", "x y z", "").toDF("t")
+    both(he.select(graft.llm.TextAnalysis.hashEmbedding($"t", 16)).collect())
+  }
+
+  test("hash embedding: multiset-invariant, normalized, discriminative") {
+    import spark.implicits._
+    val df = Seq((1L, "the cat sat on the mat"),
+      (2L, "mat the on sat cat the"),  // same multiset, reordered
+      (3L, "a completely different sentence entirely now"),
+      (4L, "")).toDF("id", "text")
+    val rows = df.select($"id",
+        graft.llm.TextAnalysis.hashEmbedding($"text", 64).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rows(1) == rows(2), "reordering must not change the embedding")
+    def dot(a: Seq[Float], b: Seq[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    assert(math.abs(dot(rows(1), rows(1)) - 1.0) < 1e-6, "unit norm")
+    assert(dot(rows(1), rows(3)) < 0.5, "distinct text stays far")
+    // "" whitespace-tokenizes to [""] — one token, so unit norm (consistent
+    // with tokenCount); a truly EMPTY token array gives the zero vector
+    assert(math.abs(dot(rows(4), rows(4)) - 1.0) < 1e-6)
+    val zero = df.limit(1).select(graft.functions.TextHashes
+        .hashEmbedding(typedLit(Array.empty[String]), 16))
+      .head().getSeq[Float](0)
+    assert(zero.forall(_ == 0f), "empty token array embeds to zero")
   }
 
   // ------------------------------------------------------------- hybrid rrf
