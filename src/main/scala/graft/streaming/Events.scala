@@ -38,6 +38,33 @@ object Events {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Streaming trending terms: per tumbling window, token counts of a text
+    * column — the corpus-drift monitor for an ingest feed (a vocabulary
+    * shift or spam burst shows up as new terms spiking window-over-window).
+    * Tokens explode map-side BEFORE the windowed aggregation, so state is
+    * bounded by (windows-in-watermark × distinct terms), never by rows;
+    * append mode emits closed windows only. Rank with [[topTermsPerWindow]]
+    * on the sink (per-window top-k needs the closed window's full counts —
+    * a ranking inside the stream would be a result-updating query). */
+  def trendingTerms(events: DataFrame, textCol: String, width: String,
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(window(col("ts"), width), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("term"), col("n"))
+
+  /** Batch finisher over the trending-terms sink: top-k terms per window,
+    * (n desc, term) total-ordered. */
+  def topTermsPerWindow(counts: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("window_start")
+      .orderBy(col("n").desc, col("term").asc)
+    counts.withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= k)
+  }
+
   /** Session windows per user (gap-based), streaming-native. */
   def sessionStats(events: DataFrame, gap: String,
                    watermark: String = "10 minutes"): DataFrame =

@@ -49,6 +49,43 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("streaming trending terms agree with batch; top-k finisher ranks") {
+    val batchDf = eventsBatch.withColumn("text",
+      concat_ws(" ", col("event_type"), col("event_type"), lit("x")))
+    val dir = Files.createTempDirectory("ev-trend")
+    batchDf.write.parquet(dir.toString + "/in")
+    val stream = spark.readStream.schema(batchDf.schema)
+      .parquet(dir.toString + "/in")
+    val q = Events.trendingTerms(stream, "text", "1 hour",
+        watermark = "1 minute")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ev_trending")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("ev_trending")
+      .orderBy("window_start", "term").collect()
+    val want = Events.trendingTerms(batchDf, "text", "1 hour")
+      .orderBy("window_start", "term").collect()
+    assert(got.length == want.length && got.length > 0)
+    assert(got.toSeq == want.toSeq)
+    // finisher: per window, at most k rows, ranks dense from 1, and the
+    // rank-1 term carries that window's maximum count
+    val top = Events.topTermsPerWindow(spark.table("ev_trending"), 2)
+    val perWin = top.groupBy("window_start")
+      .agg(count(lit(1)).as("rows"), min("term_rank").as("minr"))
+      .collect()
+    assert(perWin.nonEmpty &&
+      perWin.forall(r => r.getLong(1) <= 2 && r.getInt(2) == 1))
+    val maxes = spark.table("ev_trending").groupBy("window_start")
+      .agg(max("n").as("maxn"))
+      .select(col("window_start").as("ws"), col("maxn"))
+    val bad = top.filter(col("term_rank") === 1)
+      .join(maxes, col("window_start") === col("ws"))
+      .filter(col("n") =!= col("maxn")).count()
+    assert(bad == 0, "rank-1 term must carry the window's max count")
+  }
+
   test("streaming dedup-within-watermark emits one row per key") {
     val batchDf = eventsBatch
     val dir = Files.createTempDirectory("ev-dedup")
