@@ -1374,6 +1374,35 @@ object SparkEntry {
              |  CAST(0 AS BIGINT) AS n_planted_kept
              |FROM embeddings""".stripMargin)),
 
+    Q("ss5_ivf_pq",  // IVF-PQ composition (FAISS IVFPQ shape): probe
+      // nprobe coarse cells, ADC only within them, exact rerank. Planted
+      // containment: an identical twin shares the query's argmin cell
+      // (probed first) and its codes minimize the query's own LUT, so it
+      // survives cell probing AND the ADC shortlist, reranking to 0
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val q = e.filter(col("vec_id") < 3)
+        val planted = q.select((col("vec_id") + 1000000).as("vec_id"),
+          col("embedding"))
+        val corpus = e.union(planted)
+        val (centroids, assigned) = graft.llm.Similarity.ivfIndex(
+          corpus, "vec_id", "embedding", nCentroids = 16, refineIters = 1)
+        val cb = graft.llm.Quantization.pqTrain(corpus, "vec_id",
+          "embedding", dim = 64, m = 16, k = 16, iters = 1)
+        val enc = graft.llm.Quantization.pqEncode(corpus, "vec_id",
+          "embedding", cb, dim = 64, m = 16)
+        graft.llm.Quantization.ivfPqSearch(
+            assigned.select("vec_id", "centroid_id"), enc, centroids,
+            corpus, q, cb, "vec_id", "embedding", dim = 64, m = 16,
+            k = 10, nprobe = 4, shortlist = 50)
+          .groupBy("q_id")
+          .agg(max(when(col("n_id") === col("q_id") + 1000000, 1).otherwise(0))
+            .as("planted_found"))
+          .orderBy("q_id")
+      },
+      Some("""SELECT vec_id AS q_id, 1 AS planted_found FROM embeddings
+             |WHERE vec_id < 3 ORDER BY q_id""".stripMargin)),
+
     Q("ss4_pq_index",  // the PERSISTED PQ index end-to-end (create → codes
       // at rest → ADC search over code rows): planted twins inserted AFTER
       // createPqIndex exercise the frozen-codebook on-the-fly path; an

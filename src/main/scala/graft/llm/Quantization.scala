@@ -130,6 +130,53 @@ object Quantization {
   }
 
   /**
+   * IVF-PQ search (the FAISS IVFPQ composition): probe the `nprobe`
+   * nearest coarse cells per query, ADC-score ONLY the probed cells' code
+   * rows, exact-rerank the bounded shortlist. Combines both scale levers —
+   * IVF cuts the scanned fraction to nprobe/C, PQ cuts the per-row bytes
+   * 16× — so a query touches (nprobe/C × corpus) 16-byte rows plus
+   * `shortlist` real vectors. The cell join is an equi-join on
+   * `centroid_id` (probed cells broadcast), never a cross join against the
+   * full code table.
+   *
+   * `assigned` = (idCol, centroid_id) from `Similarity.ivfIndex`;
+   * `encoded` = (idCol, pq_codes) from [[pqEncode]].
+   */
+  def ivfPqSearch(assigned: DataFrame, encoded: DataFrame,
+                  centroids: DataFrame, corpus: DataFrame,
+                  queries: DataFrame, codebook: DataFrame,
+                  idCol: String, vecCol: String, dim: Int, m: Int,
+                  k: Int, nprobe: Int, shortlist: Int = 64): DataFrame = {
+    val luts = pqLut(queries, idCol, vecCol, codebook, dim, m)
+    val byCell = Window.partitionBy("q_id")
+      .orderBy(col("_cd").asc, col("centroid_id").asc)
+    val probed = luts.crossJoin(broadcast(centroids))
+      .withColumn("_cd", Distances.l2sq(col("q_vec"), col("c_vec")))
+      .withColumn("_crn", row_number().over(byCell))
+      .filter(col("_crn") <= nprobe)
+      .select("q_id", "q_vec", "lut", "centroid_id")
+    val cellCodes = encoded.join(
+      assigned.select(col(idCol), col("centroid_id")), Seq(idCol))
+    val byAdc = Window.partitionBy("q_id")
+      .orderBy(col("_adc").asc, col("n_id").asc)
+    val cand = cellCodes.join(broadcast(probed), Seq("centroid_id"))
+      .withColumnRenamed(idCol, "n_id")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("_adc", PqAdc.pqAdc(col("pq_codes"), col("lut")))
+      .withColumn("_arn", row_number().over(byAdc))
+      .filter(col("_arn") <= shortlist)
+      .select(col("q_id"), col("q_vec"), col("n_id"))
+    val byD = Window.partitionBy("q_id").orderBy(col("_d").asc, col("n_id").asc)
+    broadcast(cand)
+      .join(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")),
+        Seq("n_id"))
+      .withColumn("_d", Distances.l2sq(col("q_vec"), col("n_vec")))
+      .withColumn("knn_rank", row_number().over(byD))
+      .filter(col("knn_rank") <= k)
+      .select(col("q_id"), col("knn_rank"), col("n_id"))
+  }
+
+  /**
    * PQ search: ADC shortlist over the codes, exact rerank of the shortlist.
    * Returns (q_id, knn_rank, n_id), rank 1..k nearest-first.
    *

@@ -1390,6 +1390,32 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.9, s"PQ recall too low: $recall")
   }
 
+  test("ivf-pq: cell-probed ADC recall vs exact knn on clustered vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val rows = for (c <- 0 until 10; i <- 0 until 30) yield {
+      val center = Array.fill(16)(0f).updated(c % 16, 10f)
+      (c * 100L + i, center.map(v => v + rnd.nextFloat() * 0.5f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" % 100 === 0)
+    val exact = Similarity.knnJoin(df, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val (centroids, assigned) = Similarity.ivfIndex(df, "vec_id",
+      "embedding", nCentroids = 16, refineIters = 1)
+    val cb = Quantization.pqTrain(df, "vec_id", "embedding",
+      dim = 16, m = 4, k = 16, iters = 2)
+    val enc = Quantization.pqEncode(df, "vec_id", "embedding", cb,
+      dim = 16, m = 4)
+    val approx = Quantization.ivfPqSearch(
+        assigned.select("vec_id", "centroid_id"), enc, centroids, df,
+        queries, cb, "vec_id", "embedding", dim = 16, m = 4,
+        k = 5, nprobe = 4, shortlist = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF-PQ recall too low: $recall")
+  }
+
   test("pq ADC: planted identical vector always ranks first") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)

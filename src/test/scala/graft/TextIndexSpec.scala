@@ -116,6 +116,38 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("text index survives a column rename (content-derived postings)") {
+    val root = Files.createTempDirectory("graft-fts3").toString
+    val s = VastSession(spark, root)
+    s.createBucket("b")
+    s.transaction { tx =>
+      val t = tx.bucket("b").createSchema("m").createTable("d", schema)
+      insertBatch(t, 0L until 30L)
+      t.createTextIndex("text")
+    }
+    s.transaction { tx =>
+      val t = tx.bucket("b").schema("m").table("d")
+      val before = t.textSearch("text", terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      t.renameColumn("text", "body")
+      // the index follows the new logical name with no rebuild: postings
+      // are content-derived, and the on-the-fly path reads through the
+      // per-file rename maps
+      val after = t.textSearch("body", terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(after == before)
+      intercept[Exception] { t.textSearch("text", terms, k = 10) }
+      // delta insert under the NEW name still refreshes incrementally
+      val l = new java.util.ArrayList[Row]()
+      (100L until 110L).foreach(i => l.add(Row(i, doc(i))))
+      t.insert(spark.createDataFrame(l, StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("body", StringType)))).coalesce(1))
+      t.refreshTextIndex("body")
+      assert(t.textSearch("body", Seq("unique105"), k = 5).count() == 1)
+    }
+  }
+
   test("text index coexists with a dedup index on the same column") {
     val root = Files.createTempDirectory("graft-fts2").toString
     val s = VastSession(spark, root)
