@@ -465,7 +465,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
 
   private val procedureNames = Array("history", "maintain", "vacuum_versions",
     "zorder", "bucket_layout", "vector_search", "text_search", "pq_search",
-    "stream_lag",
+    "hybrid_search", "stream_lag",
     "dedup_pairs", "dedup_clusters", "pii_redact", "chunk", "decontaminate")
 
   /** Manifest version a streaming checkpoint has durably consumed through,
@@ -667,6 +667,36 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
                 org.apache.spark.sql.functions.col("_distance")
                   .cast(DoubleType).as("_distance"))
               .collect().toSeq
+          }
+      }
+      case "hybrid_search" => new GraftProcedure("hybrid_search",
+          Seq(("table", StringType, None),
+            ("text_column", StringType, None),
+            ("vector_column", StringType, None),
+            ("terms", StringType, None),        // comma-separated tokens
+            ("query_vector", StringType, None), // comma-separated floats
+            ("k", IntegerType, Some("10"))),
+          StructType(Seq(StructField("_row_id", LongType),
+            StructField("rrf_score", DoubleType)))) {
+        def run(args: Seq[Any]) =
+          withTable(args.head.asInstanceOf[String]) { t =>
+            val terms = args(3).asInstanceOf[String].split(",").toSeq
+              .map(_.trim).filter(_.nonEmpty)
+            val vec = args(4).asInstanceOf[String].split(",").toSeq
+              .map(_.trim).filter(_.nonEmpty).map(_.toFloat)
+            val k = args(5).asInstanceOf[Int]
+            if (terms.isEmpty || vec.isEmpty || k <= 0)
+              throw new IllegalArgumentException(
+                "hybrid_search needs non-empty terms, a query vector, and k > 0")
+            val docs = t.select(
+              Seq(args(1).asInstanceOf[String], args(2).asInstanceOf[String]),
+              internalRowId = true)
+            graft.llm.Search.hybridSearch(docs, "_row_id",
+                args(1).asInstanceOf[String], args(2).asInstanceOf[String],
+                terms, vec, k)
+              .select(org.apache.spark.sql.functions.col("id").as("_row_id"),
+                org.apache.spark.sql.functions.col("rrf_score"))
+              .collect().toSeq // k-bounded
           }
       }
       case "pq_search" => new GraftProcedure("pq_search",

@@ -581,6 +581,45 @@ class SqlCatalogSpec extends SparkSpec {
       "CALL graftfts.system.text_search('bk.m.d', 'text', 'spark', 0)").collect() }
   }
 
+  test("CALL hybrid_search fuses lexical and dense rankings") {
+    val root = Files.createTempDirectory("graft-sqlhyb").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    val hSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("emb", ArrayType(FloatType))))
+    s.transaction { tx =>
+      val t = tx.bucket("bk").createSchema("m").createTable("d", hSchema)
+      val l = new java.util.ArrayList[Row]()
+      (0 until 60).foreach { i =>
+        val reps = "spark " * (i % 4 + 1)
+        l.add(Row(i.toLong, s"${reps}scan doc$i",
+          Seq(i.toFloat, (i % 5).toFloat, 1f)))
+      }
+      t.insert(spark.createDataFrame(l, hSchema).coalesce(1))
+    }
+    spark.conf.set("spark.sql.catalog.grafthy",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.grafthy.root", root)
+    val got = spark.sql("CALL grafthy.system.hybrid_search(" +
+      "'bk.m.d', 'text', 'emb', 'spark,scan', '30.0, 2.0, 1.0', 5)")
+      .collect()
+    assert(got.length == 5)
+    // scores descend and parity with the API path holds
+    assert(got.map(_.getDouble(1)).toSeq ==
+      got.map(_.getDouble(1)).sorted.reverse.toSeq)
+    val api = s.transaction { tx =>
+      val t = tx.bucket("bk").schema("m").table("d")
+      graft.llm.Search.hybridSearch(
+          t.select(Seq("text", "emb"), internalRowId = true), "_row_id",
+          "text", "emb", Seq("spark", "scan"), Seq(30f, 2f, 1f), 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSeq == api)
+    intercept[Exception] { spark.sql("CALL grafthy.system.hybrid_search(" +
+      "'bk.m.d', 'text', 'emb', '', '1.0', 5)").collect() }
+  }
+
   test("CALL curation procedures write output tables matching the Scala API") {
     val root = Files.createTempDirectory("graft-sqlcur").toString
     val s = VastSession(spark, root)
