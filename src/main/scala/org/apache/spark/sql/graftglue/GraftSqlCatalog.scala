@@ -466,7 +466,8 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
   private val procedureNames = Array("history", "maintain", "vacuum_versions",
     "zorder", "bucket_layout", "vector_search", "text_search", "pq_search",
     "hybrid_search", "stream_lag",
-    "dedup_pairs", "dedup_clusters", "pii_redact", "chunk", "decontaminate")
+    "dedup_pairs", "dedup_clusters", "pii_redact", "chunk", "decontaminate",
+    "curate")
 
   /** Manifest version a streaming checkpoint has durably consumed through,
     * or -1 if no batch has committed yet. Reads Spark's own checkpoint
@@ -799,6 +800,32 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             args(4).asInstanceOf[Int], args(5).asInstanceOf[Int])
           Seq(org.apache.spark.sql.Row(
             replaceOutput(tx, args(3).asInstanceOf[String], chunks)))
+        }
+      }
+      case "curate" => new GraftProcedure("curate",
+          Seq(("table", StringType, None), ("id_col", StringType, None),
+            ("text_col", StringType, None),
+            ("bench_table", StringType, None),
+            ("bench_text_col", StringType, None),
+            ("out_table", StringType, None),
+            ("min_quality", DoubleType, Some("0.3")),
+            ("near_dup_threshold", DoubleType, Some("0.7"))),
+          StructType(Seq(StructField("n_input", LongType),
+            StructField("n_after_quality", LongType),
+            StructField("n_after_exact", LongType),
+            StructField("n_after_near", LongType),
+            StructField("n_kept", LongType)))) {
+        def run(args: Seq[Any]) = inSession { tx =>
+          val (clean, rep) = graft.llm.Curation.curateCorpus(
+            tableIn(tx, args(0).asInstanceOf[String]).select(),
+            args(1).asInstanceOf[String], args(2).asInstanceOf[String],
+            tableIn(tx, args(3).asInstanceOf[String]).select(),
+            args(4).asInstanceOf[String],
+            minQuality = args(6).asInstanceOf[Double],
+            nearDupThreshold = args(7).asInstanceOf[Double])
+          replaceOutput(tx, args(5).asInstanceOf[String], clean)
+          Seq(org.apache.spark.sql.Row(rep.input, rep.afterQuality,
+            rep.afterExactDedup, rep.afterNearDedup, rep.afterDecontaminate))
         }
       }
       case "decontaminate" => new GraftProcedure("decontaminate",

@@ -620,6 +620,49 @@ class SqlCatalogSpec extends SparkSpec {
       "'bk.m.d', 'text', 'emb', '', '1.0', 5)").collect() }
   }
 
+  test("CALL curate runs the one-call pipeline and writes the survivors") {
+    val root = Files.createTempDirectory("graft-sqlcu4").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    val dSchema = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType)))
+    // stopword-rich docs (pass the 0.3 quality gate) whose CONTENT words
+    // are per-doc unique, so no 5-gram is shared across docs — only the
+    // verbatim benchmark copy counts as contamination. id 11 is an exact
+    // dup of id 1; the benchmark contains id 5's text verbatim
+    def docText(i: Long) =
+      s"the w${i}a of w${i}b and w${i}c to w${i}d in w${i}e is " +
+        s"w${i}f it w${i}g for w${i}h on w${i}j the w${i}k"
+    s.transaction { tx =>
+      val m = tx.bucket("bk").createSchema("m")
+      val t = m.createTable("d", dSchema)
+      val l = new java.util.ArrayList[Row]()
+      (0L until 10L).foreach(i => l.add(Row(i, docText(i))))
+      l.add(Row(11L, docText(1)))
+      t.insert(spark.createDataFrame(l, dSchema).coalesce(1))
+      val b = m.createTable("bench", StructType(Seq(
+        StructField("text", StringType))))
+      b.insert(spark.createDataFrame(
+        java.util.List.of(Row(docText(5))),
+        StructType(Seq(StructField("text", StringType)))))
+    }
+    spark.conf.set("spark.sql.catalog.graftcu",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.graftcu.root", root)
+    val rep = spark.sql("CALL graftcu.system.curate(" +
+      "'bk.m.d', 'id', 'text', 'bk.m.bench', 'text', 'bk.m.curated')")
+      .collect().head
+    assert(rep.getLong(0) == 11)  // n_input
+    assert(rep.getLong(1) == 11)  // all pass the quality gate
+    assert(rep.getLong(2) == 10)  // exact dup 11 dropped
+    assert(rep.getLong(3) == 10)  // no near-dups among distinct-word docs
+    assert(rep.getLong(4) == 9)   // the verbatim benchmark doc 5 dropped
+    val kept = spark.sql("SELECT id FROM graftcu.bk.m.curated ORDER BY id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(11L) && !kept.contains(5L) && kept.contains(1L))
+    assert(kept.size == rep.getLong(4))
+  }
+
   test("CALL curation procedures write output tables matching the Scala API") {
     val root = Files.createTempDirectory("graft-sqlcur").toString
     val s = VastSession(spark, root)
