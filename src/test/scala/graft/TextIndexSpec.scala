@@ -148,6 +148,46 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: random DML churn keeps index-backed search equal to raw") {
+    val root = Files.createTempDirectory("graft-ftsfuzz").toString
+    val s = VastSession(spark, root)
+    s.createBucket("b")
+    s.transaction { tx =>
+      val t = tx.bucket("b").createSchema("m").createTable("d", schema)
+      insertBatch(t, 0L until 30L)
+      t.createTextIndex("text")
+    }
+    val rnd = new scala.util.Random(53)
+    var nextId = 1000L
+    (1 to 12).foreach { step =>
+      s.transaction { tx =>
+        val t = tx.bucket("b").schema("m").table("d")
+        rnd.nextInt(4) match {
+          case 0 => // insert a fresh batch
+            insertBatch(t, nextId until nextId + 5); nextId += 5
+          case 1 => // COW delete of a random band
+            val lo = rnd.nextInt(30).toLong
+            t.deleteWhere(col("doc_id").between(lo, lo + 3))
+          case 2 => // COW update rewrites text under a live index
+            val v = rnd.nextInt(30).toLong
+            t.updateWhere(col("doc_id") === v,
+              Map("text" -> concat(col("text"), lit(s" extra$step"))))
+          case 3 =>
+            t.refreshTextIndex("text")
+        }
+        val raw = rawScores(t)
+        assert(raw == idxScores(t),
+          s"step $step: index-backed BM25 diverged from raw text")
+      }
+    }
+    // converge: refresh and confirm coverage tracks the live file set
+    s.transaction { tx =>
+      val t = tx.bucket("b").schema("m").table("d")
+      t.refreshTextIndex("text")
+      assert(rawScores(t) == idxScores(t))
+    }
+  }
+
   test("text index coexists with a dedup index on the same column") {
     val root = Files.createTempDirectory("graft-fts2").toString
     val s = VastSession(spark, root)
