@@ -128,4 +128,52 @@ class PqIndexSpec extends SparkSpec {
     intercept[Exception] { spark.sql(
       s"CALL graftpq.system.pq_search('b.m.e', 'emb', '$qv', 0)").collect() }
   }
+
+  test("fuzz: DML churn keeps PQ search equal to a from-scratch encode") {
+    val root = Files.createTempDirectory("graft-pqfuzz").toString
+    val s = VastSession(spark, root)
+    s.createBucket("b")
+    s.transaction { tx =>
+      val t = tx.bucket("b").createSchema("m").createTable("e", schema)
+      insertVecs(t, (0L until 100L).map(i => (i, vec(i))))
+      t.createPqIndex("emb", dim = 16, m = 4, k = 16)
+    }
+    val rnd = new scala.util.Random(61)
+    var nextId = 2000L
+    def reference(t: Table): Seq[(Long, Int)] = {
+      // ground truth: encode the CURRENT rows against the index's frozen
+      // codebook and search directly through Quantization
+      val meta = t.manifest.dedupIndexes.find(_.kind == "pq").get
+      val cb = spark.read.parquet(Paths.get(root, "b", "m", "e")
+        .resolve(meta.dir).resolve("codebook").toString)
+      val cur = t.select(Seq("emb"), internalRowId = true)
+        .select(col("_row_id"), col("emb"))
+      val enc = graft.llm.Quantization.pqEncode(cur, "_row_id", "emb", cb,
+        dim = 16, m = 4)
+      val q = spark.createDataFrame(java.util.List.of(
+        Row(-1L, vec(7))), StructType(Seq(
+          StructField("_row_id", LongType, nullable = false),
+          StructField("emb", ArrayType(FloatType)))))
+      graft.llm.Quantization.pqSearch(enc, cur, q, cb, "_row_id", "emb",
+          dim = 16, m = 4, k = 5, shortlist = 40)
+        .collect().map(r => (r.getLong(2), r.getInt(1))).toSeq
+    }
+    (1 to 8).foreach { step =>
+      s.transaction { tx =>
+        val t = tx.bucket("b").schema("m").table("e")
+        rnd.nextInt(3) match {
+          case 0 => insertVecs(t, (nextId until nextId + 4)
+            .map(i => (i, vec(i)))); nextId += 4
+          case 1 =>
+            val lo = rnd.nextInt(100).toLong
+            t.deleteWhere(col("vec_id").between(lo, lo + 2))
+          case 2 => t.refreshPqIndex("emb")
+        }
+        val got = t.vectorSearchPq("emb", vec(7), k = 5, shortlist = 40)
+          .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+        assert(got == reference(t),
+          s"step $step: index-backed PQ search diverged from reference")
+      }
+    }
+  }
 }
