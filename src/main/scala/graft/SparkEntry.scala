@@ -1229,7 +1229,11 @@ object SparkEntry {
         graft.llm.Search.hybridSearch(docs, "doc_id", "text", "embedding",
           terms = Seq("vector", "query", "stream"), queryVec = qv, k = 20)
       },
-      Some("""WITH d AS (SELECT doc_id, text FROM documents),
+      Some("""WITH d AS (
+             |  SELECT doc_id, text FROM documents
+             |  WHERE doc_id IN (SELECT vec_id FROM embeddings)
+             |), -- hybrid corpus = docs carrying BOTH text and an embedding
+             |   -- (at some scale factors embeddings is a subset of docs)
              |tok AS (
              |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM d
              |), dl AS (
