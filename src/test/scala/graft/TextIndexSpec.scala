@@ -148,6 +148,31 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("textSearch pushes the term filter into the postings parquet scan") {
+    val root = Files.createTempDirectory("graft-ftsplan").toString
+    val s = VastSession(spark, root)
+    s.createBucket("b")
+    s.transaction { tx =>
+      val t = tx.bucket("b").createSchema("m").createTable("d", schema)
+      insertBatch(t, 0L until 40L)
+      t.createTextIndex("text")
+    }
+    s.transaction { tx =>
+      val t = tx.bucket("b").schema("m").table("d")
+      val plan = t.textSearch("text", Seq("spark", "vector"), k = 5)
+        .queryExecution.executedPlan.toString
+      // the covered path must read the postings files (identified by their
+      // (_row_id, w, tf) read schema — the location string truncates the
+      // dir name) with the term IN-filter PUSHED for row-group skipping,
+      // never re-tokenizing text
+      assert(plan.contains("ReadSchema: struct<_row_id:bigint,w:string,tf:bigint>"),
+        s"no postings scan in:\n$plan")
+      assert("PushedFilters: \\[In\\(w, \\[spark,vector\\]\\)".r
+        .findFirstIn(plan).isDefined,
+        s"term filter not pushed into the postings scan:\n$plan")
+    }
+  }
+
   test("fuzz: random DML churn keeps index-backed search equal to raw") {
     val root = Files.createTempDirectory("graft-ftsfuzz").toString
     val s = VastSession(spark, root)
