@@ -1634,7 +1634,137 @@ object SparkEntry {
              |WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g))
              |ORDER BY doc_id""".stripMargin)),
 
+    Q("cu5_shard_export",  // training-shard export: deterministic global
+      // shuffle (md5 order) dealt round-robin into 8 exactly balanced
+      // shards. DuckDB recomputes the SAME order with a plain global
+      // row_number; the Spark side uses the bucketed two-phase rank (no
+      // single-partition window), so a value-exact match proves the
+      // scale-correct rank equals the naive global one
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id")
+        graft.llm.Curation.shardForTraining(docs, "doc_id",
+            numShards = 8, seed = "r11")
+          .select(col("doc_id"), col("shard"), col("pos"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH k AS (
+             |  SELECT doc_id, MD5('r11:' || CAST(doc_id AS VARCHAR)) AS sk
+             |  FROM documents
+             |), r AS (
+             |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sk, doc_id) - 1 AS g
+             |  FROM k
+             |)
+             |SELECT doc_id, CAST(g % 8 AS INT) AS shard,
+             |       CAST(g // 8 AS BIGINT) AS pos
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    Q("cu6_domain_mix",  // temperature-based domain mixing (integerized
+      // α=0.5): per-source quota = (target · floor(sqrt(n_s))) div Σw in
+      // pure BIGINT arithmetic, selection = smallest md5 keys per source —
+      // DuckDB reproduces quotas and membership bit-for-bit, no float
+      // summation anywhere
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "source")
+        val target = docs.count() / 2
+        graft.llm.Curation.domainMix(docs, "doc_id", "source",
+            targetRows = target, seed = "mix")
+          .select("doc_id", "source").orderBy("doc_id")
+      },
+      Some("""WITH n AS (
+             |  SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+             |), w AS (
+             |  SELECT source, n_s, CAST(FLOOR(SQRT(n_s)) AS BIGINT) AS w_s FROM n
+             |), tw AS (SELECT SUM(w_s) AS sw FROM w),
+             |tgt AS (SELECT COUNT(*) // 2 AS t FROM documents),
+             |q AS (
+             |  SELECT source, LEAST(n_s, CAST((t * w_s) // sw AS BIGINT)) AS quota
+             |  FROM w, tw, tgt
+             |), r AS (
+             |  SELECT doc_id, source,
+             |    ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY MD5('mix:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rk
+             |  FROM documents
+             |)
+             |SELECT r.doc_id, r.source FROM r JOIN q USING (source)
+             |WHERE rk < quota ORDER BY doc_id""".stripMargin)),
+
+    Q("qc1_lr_quality",  // distributed quality classifier (fasttext
+      // recipe: hashed bag-of-words → linear model), planted-teacher
+      // self-oracle: label every document by a KNOWN fixed hyperplane in
+      // the hashed feature space, then require the distributed Newton/IRLS
+      // fit to (a) be BIT-IDENTICAL after an adversarial repartition
+      // (decimal-staged gradient+Hessian sums — a plain double reduction
+      // fails this), (b) reduce the regularized loss from its iter-1
+      // value, and (c) recover ≥ 95% of the teacher's labels — guaranteed
+      // achievable because the classes are linearly separable in exactly
+      // the space being fit, at every scale factor
+      (s, dir) => {
+        val dim = 32
+        val u = Array.tabulate(dim)(i => (((i + 1) * 37) % 19 - 9).toDouble)
+        val feats = t(s, dir, "documents").select(col("doc_id"),
+          graft.llm.TextAnalysis.hashEmbedding(col("text"), dim).as("x"))
+        val docs = feats.withColumn("y",
+          (aggregate(zip_with(col("x").cast("array<double>"), lit(u),
+            (a, b) => a * b), lit(0.0d), (acc, v) => acc + v) > 0)
+            .cast("double"))
+        def fit(d: org.apache.spark.sql.DataFrame) =
+          graft.llm.Classifier.lrFitNewton(d, "y", "x", dim,
+            iters = 6, l2 = 1e-4)
+        val m = fit(docs)
+        val m2 = fit(docs.repartition(7))
+        val deterministic = m.weights.sameElements(m2.weights) &&
+          m.bias == m2.bias
+        val lossDecreased = m.lossHistory.last < m.lossHistory.head
+        val agreement = graft.llm.Classifier.accuracy(docs, "y", "x", m)
+        docs.agg(count(lit(1)).as("n_docs"))
+          .select(col("n_docs"),
+            lit(deterministic).as("fit_deterministic"),
+            lit(lossDecreased).as("loss_decreased"),
+            lit(agreement >= 0.95).as("recovers_teacher"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  true AS fit_deterministic, true AS loss_decreased,
+             |  true AS recovers_teacher
+             |FROM documents""".stripMargin)),
+
     // ---- DD*: deduplication suite over `documents` ----
+    Q("dd10_line_dedup",  // corpus-wide keep-first line dedup
+      // (RefinedWeb-style): planted boilerplate lines survive only in the
+      // first document; DuckDB recomputes the identical keep set with a
+      // global window over exploded lines — value-exact reassembled text
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          concat_ws("\n", lit("SUBSCRIBE TO OUR NEWSLETTER"), col("text"),
+            lit("ALL RIGHTS RESERVED")).as("text"))
+        graft.llm.Dedup.dedupLinesKeepFirst(docs, "doc_id", "text",
+            minChars = 5)
+          .select("doc_id", "text").orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, 'SUBSCRIBE TO OUR NEWSLETTER' || CHR(10) ||
+             |         text || CHR(10) || 'ALL RIGHTS RESERVED' AS text
+             |  FROM documents
+             |), l AS (
+             |  SELECT doc_id,
+             |    UNNEST(STRING_SPLIT(text, CHR(10))) AS line,
+             |    UNNEST(RANGE(1, LEN(STRING_SPLIT(text, CHR(10))) + 1)) AS pos
+             |  FROM d
+             |), k AS (
+             |  SELECT doc_id, pos, line,
+             |    ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+             |  FROM l WHERE LENGTH(line) >= 5
+             |), kept AS (
+             |  SELECT doc_id, pos, line FROM k WHERE rn = 1
+             |  UNION ALL
+             |  SELECT doc_id, pos, line FROM l WHERE LENGTH(line) < 5
+             |), agg AS (
+             |  SELECT doc_id, STRING_AGG(line, CHR(10) ORDER BY pos) AS t2
+             |  FROM kept GROUP BY doc_id
+             |)
+             |SELECT d.doc_id, COALESCE(agg.t2, '') AS text
+             |FROM d LEFT JOIN agg USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
     Q("dd1_exact_groups",
       (s, dir) => t(s, dir, "documents")
         .groupBy(md5(col("text")).as("content_hash"))

@@ -1,0 +1,350 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftglue.Glue
+import org.apache.spark.sql.types._
+
+/**
+ * Model-based quality classification for training-data curation: a
+ * distributed logistic-regression fit over a feature column (typically
+ * [[TextAnalysis.hashEmbedding]] — the fasttext-style "train a cheap linear
+ * classifier on hashed bag-of-words, score the whole corpus" recipe used by
+ * web-corpus pipelines to keep "looks like a reference corpus" documents).
+ *
+ * Reference analog: the reference delegates post-scan analytics to an
+ * external engine (`/root/reference/README.md:230-246`); a model-assisted
+ * quality filter is exactly the kind of corpus-scale pass a training-data
+ * user runs downstream, so it is first-class here.
+ *
+ * Scale shape — the same "fit is bounded, application is map-side" split
+ * documented in LIMITS.md for BPE/PCA/LM, except the fit itself is ALSO
+ * distributed: every full-batch gradient-descent iteration is one map-side
+ * pass over the corpus followed by a `dim+2`-row aggregate (posexplode →
+ * groupBy(pos) → decimal-staged sums). Nothing corpus-sized ever reaches
+ * the driver; the only collect is the `dim+2`-row gradient vector per
+ * iteration (metadata-scale, like the IVF centroid fetch). Scoring is a
+ * pure codegen'd map-side column — zero shuffles at 100 TB.
+ *
+ * Determinism — gradient and loss sums stage through DECIMAL(38,18)
+ * exactly like the gate's `DSUM` spelling, so the fit is BIT-IDENTICAL
+ * across partitionings, cluster layouts, and reruns (a plain double sum
+ * would make the learned weights partition-order-dependent, and with them
+ * every downstream keep/drop decision). Per-row arithmetic (sigmoid, dot)
+ * stays pure IEEE; only cross-row reductions are staged.
+ */
+object Classifier {
+
+  /** A fitted linear model: `score(x) = sigmoid(w · x + b)`. */
+  case class LrModel(weights: Array[Double], bias: Double,
+                     lossHistory: Array[Double]) {
+    def dim: Int = weights.length
+  }
+
+  private val SumType = DecimalType(38, 18)
+
+  /** Order-independent exact sum of a double column (cross-row sums must
+    * not depend on partition order — same contract as the gate's DSUM). */
+  private def xsum(c: Column): Column = sum(c.cast(SumType)).cast("double")
+
+  /** `w · x + b` over an `array<float|double>` column, as a left-to-right
+    * codegen'd HOF fold (deterministic per row). */
+  private def dotPlusBias(vec: Column, w: Array[Double], b: Double): Column =
+    aggregate(
+      zip_with(vec.cast("array<double>"), lit(w), (x, wi) => x * wi),
+      lit(b), (acc, v) => acc + v)
+
+  private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+
+  /**
+   * Full-batch gradient descent on L2-regularized logistic loss.
+   *
+   * @param df       corpus with a feature vector column and a 0/1 label
+   * @param labelCol 0.0/1.0 double (or castable) label column name
+   * @param vecCol   `array<float|double>` feature column name, fixed `dim`
+   * @param dim      feature dimensionality (must match the arrays)
+   * @param iters    gradient steps (each = one corpus pass)
+   * @param lr       learning rate
+   * @param l2       L2 penalty on weights (never on the bias)
+   *
+   * The feature/label projection is checkpointed once so the `iters`
+   * passes re-read a materialized two-column table instead of re-running
+   * upstream lineage (at real scale: persist to a catalog table instead).
+   */
+  def lrFit(df: DataFrame, labelCol: String, vecCol: String, dim: Int,
+            iters: Int = 30, lr: Double = 0.5, l2: Double = 1e-4): LrModel = {
+    require(dim > 0 && iters >= 1, "dim and iters must be positive")
+    val data = df.select(col(labelCol).cast("double").as("_y"),
+        col(vecCol).cast("array<double>").as("_x"))
+      .localCheckpoint(true)
+    val n = data.count().toDouble
+    require(n > 0, "lrFit needs a non-empty corpus")
+
+    val w = new Array[Double](dim)
+    var b = 0.0
+    val losses = new Array[Double](iters)
+    var it = 0
+    while (it < iters) {
+      val z = dotPlusBias(col("_x"), w, b)
+      val p = sigmoid(z)
+      // log-loss via log1p(exp(-|z|)) (stable for large |z|) + the margin
+      // hinge term; per-row pure IEEE, cross-row staged through decimal.
+      val perRowLoss =
+        log1p(exp(-abs(z))) + when(z > 0, (lit(1.0) - col("_y")) * z)
+          .otherwise(-col("_y") * z)
+      val err = p - col("_y") // d(loss)/dz per row
+      // One corpus pass computes loss, bias gradient, and all `dim` weight
+      // gradients: explode the per-row contribution vector and reduce by
+      // position. pos = -1 carries the scalar (loss, err) pair.
+      val contrib = data.select(
+        posexplode(concat(array(struct(perRowLoss.as("a"), err.as("g"))),
+          zip_with(col("_x"), lit(Array.fill(dim)(0.0)),
+            (xi, _) => struct((err * xi).as("a"), lit(0.0).as("g")))))
+          .as(Seq("_pos", "_c")))
+        .groupBy("_pos")
+        .agg(xsum(col("_c.a")).as("sa"), xsum(col("_c.g")).as("sg"))
+        .collect()
+      var loss = 0.0; var gb = 0.0
+      val gw = new Array[Double](dim)
+      contrib.foreach { r =>
+        val pos = r.getInt(0)
+        if (pos == 0) { loss = r.getDouble(1); gb = r.getDouble(2) }
+        else gw(pos - 1) = r.getDouble(1)
+      }
+      var i = 0
+      while (i < dim) {
+        w(i) -= lr * (gw(i) / n + l2 * w(i))
+        i += 1
+      }
+      b -= lr * (gb / n)
+      losses(it) = loss / n +
+        l2 / 2.0 * w.map(x => x * x).sum // reg term for monotonicity checks
+      it += 1
+    }
+    LrModel(w, b, losses)
+  }
+
+  /**
+   * Newton/IRLS fit — the fast path when `dim` is modest (≲ 256): each
+   * iteration is ONE corpus pass computing loss, gradient, and the upper
+   * triangle of the (dim+1)² Hessian via a native codegen expression
+   * (`LrNewtonContrib` — one fused per-row kernel, no dim²-wide Catalyst
+   * tree), reduced position-wise through decimal-staged sums, then a
+   * DRIVER-side (dim+1)-square solve (Gaussian elimination with partial
+   * pivoting — microseconds; the same "fit math is small, data passes are
+   * distributed" split as the PCA eigensolve). Quadratic convergence:
+   * ~5 iterations land where gradient descent needs hundreds.
+   *
+   * Scale note: the reduced state is O(dim²) per PARTITION (not per row —
+   * partial aggregation combines map-side), so the shuffle is metadata-
+   * sized. The per-row kernel is O(dim²) arithmetic; past dim ≈ a few
+   * hundred, prefer [[lrFit]] (O(dim)/row) and spend iterations instead.
+   *
+   * Determinism: identical contract to [[lrFit]] — decimal-staged
+   * reductions make the fit bit-identical across layouts, and the driver
+   * solve is a fixed sequence of IEEE ops on identical inputs.
+   */
+  def lrFitNewton(df: DataFrame, labelCol: String, vecCol: String, dim: Int,
+                  iters: Int = 6, l2: Double = 1e-4): LrModel = {
+    require(dim > 0 && iters >= 1, "dim and iters must be positive")
+    val data = df.select(col(labelCol).cast("double").as("_y"),
+        col(vecCol).cast("array<double>").as("_x"))
+      .localCheckpoint(true)
+    val n = data.count().toDouble
+    require(n > 0, "lrFitNewton needs a non-empty corpus")
+    val d1 = dim + 1 // weights + bias
+    val triLen = d1 * (d1 + 1) / 2
+    val w = new Array[Double](dim)
+    var b = 0.0
+    val losses = new Array[Double](iters)
+    var it = 0
+    while (it < iters) {
+      val contribCol = Glue.column(LrNewtonContrib(
+        Glue.expression(col("_x")), Glue.expression(col("_y")),
+        w.clone(), b))
+      val rows = data.select(posexplode(contribCol).as(Seq("_pos", "_v")))
+        .groupBy("_pos").agg(xsum(col("_v")).as("s"))
+        .collect()
+      val flat = new Array[Double](1 + d1 + triLen)
+      rows.foreach(r => flat(r.getInt(0)) = r.getDouble(1))
+      val loss = flat(0) / n
+      val g = new Array[Double](d1)
+      var i = 0
+      while (i < d1) {
+        g(i) = flat(1 + i) / n + (if (i < dim) l2 * w(i) else 0.0)
+        i += 1
+      }
+      val h = Array.ofDim[Double](d1, d1)
+      var k = 1 + d1
+      i = 0
+      while (i < d1) {
+        var j = i
+        while (j < d1) {
+          val v = flat(k) / n
+          h(i)(j) = v; h(j)(i) = v
+          k += 1; j += 1
+        }
+        // ridge on weight coords only (never the bias), plus a tiny
+        // absolute jitter so a degenerate Hessian still solves
+        h(i)(i) += (if (i < dim) l2 else 0.0) + 1e-12
+        i += 1
+      }
+      val step = solveSymmetric(h, g)
+      i = 0
+      while (i < dim) { w(i) -= step(i); i += 1 }
+      b -= step(dim)
+      losses(it) = loss + l2 / 2.0 * w.map(x => x * x).sum
+      it += 1
+    }
+    LrModel(w, b, losses)
+  }
+
+  /** In-place Gaussian elimination with partial pivoting — deterministic
+    * (fixed operation order), adequate for the (dim+1)-sized IRLS solve. */
+  private[graft] def solveSymmetric(aIn: Array[Array[Double]],
+                                  bIn: Array[Double]): Array[Double] = {
+    val n = bIn.length
+    val a = aIn.map(_.clone())
+    val x = bIn.clone()
+    var col0 = 0
+    while (col0 < n) {
+      var piv = col0
+      var r = col0 + 1
+      while (r < n) {
+        if (math.abs(a(r)(col0)) > math.abs(a(piv)(col0))) piv = r
+        r += 1
+      }
+      if (piv != col0) {
+        val tr = a(piv); a(piv) = a(col0); a(col0) = tr
+        val tx = x(piv); x(piv) = x(col0); x(col0) = tx
+      }
+      val d = a(col0)(col0)
+      r = col0 + 1
+      while (r < n) {
+        val f = a(r)(col0) / d
+        if (f != 0.0) {
+          var c = col0
+          while (c < n) { a(r)(c) -= f * a(col0)(c); c += 1 }
+          x(r) -= f * x(col0)
+        }
+        r += 1
+      }
+      col0 += 1
+    }
+    var i = n - 1
+    while (i >= 0) {
+      var s = x(i)
+      var c = i + 1
+      while (c < n) { s -= a(i)(c) * x(c); c += 1 }
+      x(i) = s / a(i)(i)
+      i -= 1
+    }
+    x
+  }
+
+  /** Map-side scoring column: `sigmoid(w · vec + b)` — codegen'd HOFs,
+    * zero shuffles, broadcastable weights (they ride the plan as a
+    * literal array). */
+  def lrScore(vec: Column, model: LrModel): Column =
+    sigmoid(dotPlusBias(vec, model.weights, model.bias))
+
+  /** Hard 0/1 prediction at threshold 0.5. */
+  def lrPredict(vec: Column, model: LrModel): Column =
+    (lrScore(vec, model) >= 0.5).cast("int")
+
+  /** Fraction of rows where `lrPredict` equals the 0/1 label — one
+    * aggregate pass (decimal-staged, order-independent). */
+  def accuracy(df: DataFrame, labelCol: String, vecCol: String,
+               model: LrModel): Double =
+    df.agg((xsum(when(lrPredict(col(vecCol), model) ===
+        col(labelCol).cast("int"), 1.0).otherwise(0.0)) /
+      count(lit(1))).as("acc"))
+      .head().getDouble(0)
+
+  /** The composed corpus operator: fit a quality model on labeled rows
+    * (Newton — few passes), score EVERY row map-side, and return
+    * `(df.*, quality_score)`. The label can cover a subset (e.g. a
+    * hand-curated sample joined on id); unlabeled rows still get scored. */
+  def qualityClassifier(df: DataFrame, labeled: DataFrame, labelCol: String,
+                        vecCol: String, dim: Int, iters: Int = 6,
+                        l2: Double = 1e-4): DataFrame = {
+    val m = lrFitNewton(labeled, labelCol, vecCol, dim, iters, l2)
+    df.withColumn("quality_score", lrScore(col(vecCol), m))
+  }
+}
+
+/**
+ * Fused per-row IRLS contribution kernel for [[Classifier.lrFitNewton]]:
+ * given features x (array<double>, length dim) and label y, with the
+ * CURRENT weights riding the plan as expression state, emits ONE
+ * array<double> `[loss, grad(dim+1), upper-tri Hessian]` — so the whole
+ * Newton statistics pass is a single codegen'd kernel + a position-keyed
+ * decimal reduction, instead of a dim²-wide Catalyst expression tree
+ * (which would explode codegen size) or a treeAggregate (which would be
+ * partition-order-dependent in double arithmetic).
+ */
+case class LrNewtonContrib(x: Expression, y: Expression,
+                           weights: Array[Double], bias: Double)
+    extends BinaryExpression with Serializable {
+  override def left: Expression = x
+  override def right: Expression = y
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "lr_newton_contrib"
+
+  override def checkInputDataTypes(): TypeCheckResult = (x.dataType, y.dataType) match {
+    case (ArrayType(DoubleType, _), DoubleType) => TypeCheckResult.TypeCheckSuccess
+    case (xs, ys) => TypeCheckResult.TypeCheckFailure(
+      s"lr_newton_contrib requires (array<double>, double), got ($xs, $ys)")
+  }
+
+  def compute(xv: Any, yv: Any): ArrayData = {
+    val arr = xv.asInstanceOf[ArrayData]
+    val label = yv.asInstanceOf[Double]
+    val dim = weights.length
+    val d1 = dim + 1
+    val xb = new Array[Double](d1)
+    var i = 0
+    val nEl = math.min(arr.numElements(), dim)
+    while (i < nEl) { xb(i) = arr.getDouble(i); i += 1 }
+    xb(dim) = 1.0
+    var z = bias
+    i = 0
+    while (i < dim) { z += weights(i) * xb(i); i += 1 }
+    val p = 1.0 / (1.0 + math.exp(-z))
+    val err = p - label
+    val wt = p * (1.0 - p)
+    // stable log-loss: log1p(exp(-|z|)) + max(z,0) − y·z
+    val loss = math.log1p(math.exp(-math.abs(z))) +
+      (if (z > 0) (1.0 - label) * z else -label * z)
+    val out = new Array[Any](1 + d1 + d1 * (d1 + 1) / 2)
+    out(0) = loss
+    i = 0
+    while (i < d1) { out(1 + i) = err * xb(i); i += 1 }
+    var k = 1 + d1
+    i = 0
+    while (i < d1) {
+      val wxi = wt * xb(i)
+      var j = i
+      while (j < d1) { out(k) = wxi * xb(j); k += 1; j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(xv: Any, yv: Any): Any = compute(xv, yv)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lrNewtonContrib", this)
+    nullSafeCodeGen(ctx, ev, (xc, yc) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($xc, $yc);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression) =
+    copy(x = newLeft, y = newRight)
+}

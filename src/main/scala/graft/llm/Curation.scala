@@ -245,4 +245,122 @@ object Curation {
       .drop("_bkt", "_before")
       .drop("_boff")
   }
+
+  /**
+   * Scale-correct GLOBAL 0-based rank in `(keyCol, tieCol)` order within
+   * each `partCols` group (empty `partCols` = one global order), WITHOUT a
+   * single-partition window: rows are range-bucketed by the leading hex
+   * chars of `keyCol` (a prefix of the sort order, so bucket order and key
+   * order agree by construction — no runtime guard needed, unlike
+   * [[packByBudget]]'s caller-supplied buckets), ranked per (part, bucket)
+   * with an ordinary partitioned window, then shifted by per-bucket offsets
+   * computed from ONE ROW PER (part, bucket) — metadata scale. The window
+   * fan-out is `buckets` per group, so no executor ever sorts more than
+   * ~corpus/buckets rows: the shape that survives 100 TB, where a global
+   * `row_number() OVER (ORDER BY …)` would serialize the corpus through
+   * one task.
+   *
+   * `keyCol` must be a lowercase-hex string (md5 output); `tieCol` breaks
+   * exact key collisions deterministically.
+   */
+  def scalableRank(df: DataFrame, partCols: Seq[String], keyCol: String,
+                   tieCol: String, hexPrefix: Int = 3): DataFrame = {
+    require(hexPrefix >= 1 && hexPrefix <= 8, "hexPrefix in [1,8]")
+    val bkt = conv(substring(col(keyCol), 1, hexPrefix), 16, 10).cast("long")
+    val withB = df.withColumn("_rbkt", bkt)
+    val pcols = partCols.map(col)
+    val wLocal = Window.partitionBy((pcols :+ col("_rbkt")): _*)
+      .orderBy(col(keyCol).asc, col(tieCol).asc)
+    val wOff = (if (partCols.isEmpty) Window.partitionBy(lit(0))
+                else Window.partitionBy(pcols: _*))
+      .orderBy(col("_rbkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withB.groupBy((pcols :+ col("_rbkt")): _*)
+      .agg(count(lit(1)).as("_bn"))
+      .withColumn("_boff", coalesce(sum("_bn").over(wOff), lit(0L)))
+      .select((pcols :+ col("_rbkt") :+ col("_boff")): _*)
+    withB
+      .withColumn("_lrn", row_number().over(wLocal).cast("long") - 1L)
+      .join(broadcast(offsets), partCols :+ "_rbkt")
+      .withColumn("_rank", col("_boff") + col("_lrn"))
+      .drop("_rbkt", "_lrn", "_boff")
+  }
+
+  /**
+   * TRAINING-SHARD EXPORT: the last-mile operator between a curated corpus
+   * and a training run — a deterministic global shuffle (order by
+   * `md5(seed ‖ id)`) dealt round-robin into `numShards` EXACTLY balanced
+   * shards (sizes differ by at most 1). Output adds `shard` (0-based) and
+   * `pos` (0-based position within the shard); the same (corpus, seed)
+   * reproduces the same shards on any cluster layout — the property that
+   * makes a training run resumable and its data order auditable.
+   *
+   * Scale shape: one [[scalableRank]] pass (bucketed windows + a
+   * metadata-size offset join) — the cost class of a global sort, which is
+   * the floor for any true global shuffle. Round-robin dealing off the
+   * rank (`shard = rank % n`, `pos = rank div n`) is exact balance with
+   * zero extra passes, unlike hash-mod sharding (multinomial imbalance)
+   * or repartition(n) (layout-dependent, not reproducible).
+   */
+  def shardForTraining(df: DataFrame, idCol: String, numShards: Int,
+                       seed: String): DataFrame = {
+    require(numShards >= 1, "numShards must be positive")
+    val keyed = df.withColumn("_sk",
+      md5(concat_ws(":", lit(seed), col(idCol).cast("string"))))
+    scalableRank(keyed, Seq.empty, "_sk", idCol)
+      .withColumn("shard", (col("_rank") % numShards).cast("int"))
+      .withColumn("pos", expr(s"_rank div ${numShards}L"))
+      .drop("_sk", "_rank")
+  }
+
+  /** Physically export [[shardForTraining]]'s assignment as one directory
+    * per shard (`shard=K/`), rows ordered by `pos` within each shard file
+    * — the layout a data loader streams sequentially. One shuffle
+    * (repartition by shard) + in-partition sort; no global sort, no
+    * driver involvement. */
+  def exportShards(df: DataFrame, idCol: String, numShards: Int,
+                   seed: String, outDir: String): Unit =
+    shardForTraining(df, idCol, numShards, seed)
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
+  /**
+   * TEMPERATURE-BASED DOMAIN MIXING (the multilingual-corpus recipe:
+   * sample domain s proportionally to `n_s^α`, α<1 upweighting rare
+   * domains): keep a per-domain QUOTA of rows, chosen as the smallest
+   * `md5(seed ‖ id)` keys within the domain — deterministic, exactly
+   * sized, reproducible across engines and layouts.
+   *
+   * Quotas use INTEGER-EXACT arithmetic so an external engine reproduces
+   * them bit-for-bit: weight `w_s = floor(sqrt(n_s))` (integerized α=0.5 —
+   * `floor∘sqrt` is exact on IEEE doubles for any count that fits a long,
+   * since sqrt is correctly rounded and perfect squares are exact), quota
+   * `q_s = min(n_s, (target · w_s) div Σw)` in pure BIGINT arithmetic —
+   * no cross-engine float summation anywhere.
+   *
+   * `targetRows` is the requested TOTAL; integer flooring may undershoot
+   * by < #domains rows (never overshoots). Selection within a domain uses
+   * [[scalableRank]] partitioned by the domain — bounded window fan-out,
+   * no whole-domain single-partition sort even when one domain dominates
+   * the corpus.
+   */
+  def domainMix(df: DataFrame, idCol: String, domainCol: String,
+                targetRows: Long, seed: String): DataFrame = {
+    require(targetRows >= 0, "targetRows must be non-negative")
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_w", floor(sqrt(col("_n"))).cast("long"))
+    val totW = counts.agg(sum("_w").as("_sw"))
+    val quotas = counts.crossJoin(broadcast(totW))
+      .withColumn("_quota",
+        least(col("_n"), expr(s"(${targetRows}L * _w) div _sw")))
+      .select(col(domainCol), col("_quota"))
+    val keyed = df.withColumn("_mk",
+      md5(concat_ws(":", lit(seed), col(idCol).cast("string"))))
+    scalableRank(keyed, Seq(domainCol), "_mk", idCol)
+      .join(broadcast(quotas), Seq(domainCol))
+      .filter(col("_rank") < col("_quota"))
+      .drop("_mk", "_rank", "_quota")
+  }
 }

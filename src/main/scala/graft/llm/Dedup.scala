@@ -49,6 +49,53 @@ object Dedup {
       .drop("_rn")
   }
 
+  /**
+   * CORPUS-WIDE LINE-LEVEL DEDUP, keep-first (the RefinedWeb/CCNet move:
+   * a line repeated anywhere in the corpus — nav bars, cookie banners,
+   * license footers — survives only at its FIRST occurrence in
+   * `(idCol, line position)` order; later occurrences are stripped from
+   * their documents). Differs from [[Curation.removeBoilerplateLines]],
+   * which drops EVERY occurrence of a line seen in ≥ minDocs documents:
+   * keep-first preserves one canonical copy, so no content is lost — only
+   * repetition.
+   *
+   * Lines shorter than `minChars` are exempt (always kept): deduping ""
+   * or "—" corpus-wide would shred unrelated documents, and real
+   * pipelines only dedup lines long enough to be meaningful content.
+   *
+   * Scale shape: explode → hash-keyed winner aggregate (`min(struct(id,
+   * pos))` — one shuffle on the 8-byte line hash, combiner-friendly, no
+   * window over the whole corpus) → hash join back → per-document
+   * reassembly groupBy. Bytes stay linear in corpus size; skew on a
+   * mega-duplicated line is absorbed by the map-side partial min.
+   * Documents whose every line is stripped come back as "" (same
+   * convention as removeBoilerplateLines).
+   */
+  def dedupLinesKeepFirst(df: DataFrame, idCol: String, textCol: String,
+                          minChars: Int = 5, sep: String = "\n"): DataFrame = {
+    val sepPat = java.util.regex.Pattern.quote(sep)
+    val lines = df
+      .select(col(idCol),
+        posexplode(split(col(textCol), sepPat)).as(Seq("_pos", "_line")))
+      .withColumn("_lh", xxhash64(col("_line")))
+    val firsts = lines
+      .filter(length(col("_line")) >= minChars)
+      .groupBy("_lh")
+      .agg(min(struct(col(idCol).as("_fid"), col("_pos").as("_fpos")))
+        .as("_first"))
+    val kept = lines.join(firsts, Seq("_lh"), "left")
+      .filter(length(col("_line")) < minChars ||
+        (col("_first._fid") === col(idCol) && col("_first._fpos") === col("_pos")))
+    val cleaned = kept.groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("_pos"), col("_line")))),
+        x => x.getField("_line")), sep).as("_clean"))
+    df.drop(textCol)
+      .join(cleaned, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("_clean"), lit("")))
+      .drop("_clean")
+  }
+
   /** Word n-gram shingles of size `n` as an array column. */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = split(text, " ")

@@ -1,0 +1,207 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-11 curation surface: deterministic shard export, temperature
+  * domain mixing, corpus-wide keep-first line dedup, and the distributed
+  * logistic-regression quality classifier. */
+class TrainingExportSpec extends SparkSpec {
+  import graft.llm.{Classifier, Curation, Dedup}
+
+  private def docs(n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, s"src${i % 7}")).toDF("id", "domain")
+  }
+
+  // ---- scalableRank ----
+
+  test("scalableRank equals the naive global row_number on adversarial layouts") {
+    val d = docs(3000)
+      .withColumn("_k", md5(concat_ws(":", lit("s"), col("id"))))
+      .repartition(13) // layout the rank must be independent of
+    val ranked = Curation.scalableRank(d, Seq.empty, "_k", "id", hexPrefix = 2)
+    val naive = d.withColumn("_naive",
+      row_number().over(Window.orderBy(col("_k").asc, col("id").asc))
+        .cast("long") - 1L)
+    val joined = ranked.join(naive.select("id", "_naive"), "id")
+    assert(joined.filter(col("_rank") =!= col("_naive")).count() === 0)
+  }
+
+  test("scalableRank partitioned: independent 0-based ranks per group") {
+    val d = docs(2000)
+      .withColumn("_k", md5(concat_ws(":", lit("x"), col("id"))))
+    val ranked = Curation.scalableRank(d, Seq("domain"), "_k", "id")
+    val naive = d.withColumn("_naive",
+      row_number().over(Window.partitionBy("domain")
+        .orderBy(col("_k").asc, col("id").asc)).cast("long") - 1L)
+    assert(ranked.join(naive.select("id", "_naive"), "id")
+      .filter(col("_rank") =!= col("_naive")).count() === 0)
+  }
+
+  test("scalableRank physical plan has no corpus-wide window partition") {
+    val d = docs(100)
+      .withColumn("_k", md5(concat_ws(":", lit("s"), col("id"))))
+    val plan = Curation.scalableRank(d, Seq.empty, "_k", "id")
+      .queryExecution.executedPlan.toString
+    // every Window node must carry a non-empty partition spec: the data
+    // window partitions by the range bucket, the offsets window by a
+    // constant over ONE ROW PER BUCKET (metadata scale). A `Window [...],
+    // [], [ordercol ASC]` node would be the single-partition corpus sort
+    // this operator exists to avoid.
+    val emptyPartWindow = "Window \\[[^\\]]*\\], \\[\\]".r
+    assert(emptyPartWindow.findFirstIn(plan).isEmpty, plan)
+  }
+
+  // ---- shardForTraining ----
+
+  test("shardForTraining: exact balance, contiguous positions, layout-independent") {
+    val d = docs(1003)
+    val sharded = Curation.shardForTraining(d, "id", numShards = 8, seed = "s1")
+    val sizes = sharded.groupBy("shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet === (0 until 8).toSet)
+    assert(sizes.values.max - sizes.values.min <= 1)
+    assert(sizes.values.sum === 1003L)
+    // positions within each shard are exactly 0..size-1
+    val posOk = sharded.groupBy("shard")
+      .agg(min("pos").as("mn"), max("pos").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mn") =!= 0L || col("mx") =!= col("n") - 1L)
+    assert(posOk.count() === 0)
+    // identical assignment from a different physical layout
+    val again = Curation.shardForTraining(d.repartition(17), "id", 8, "s1")
+      .withColumnRenamed("shard", "s2").withColumnRenamed("pos", "p2")
+    assert(sharded.join(again, "id")
+      .filter(col("shard") =!= col("s2") || col("pos") =!= col("p2"))
+      .count() === 0)
+    // a different seed is a different permutation
+    val other = Curation.shardForTraining(d, "id", 8, "s2")
+      .withColumnRenamed("pos", "p3").select("id", "p3")
+    assert(sharded.join(other, "id")
+      .filter(col("pos") =!= col("p3")).count() > 0)
+  }
+
+  test("exportShards writes one directory per shard, readable and ordered") {
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    Curation.exportShards(docs(100), "id", numShards = 4, seed = "e", out)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 100)
+    assert(back.select("shard").distinct().count() === 4)
+    val expect = Curation.shardForTraining(docs(100), "id", 4, "e")
+      .withColumnRenamed("pos", "p2")
+    assert(back.join(expect, "id")
+      .filter(col("pos") =!= col("p2")).count() === 0)
+  }
+
+  // ---- domainMix ----
+
+  test("domainMix: integer-exact quotas, deterministic, never overshoots") {
+    import spark.implicits._
+    // skewed domains: 1000 / 100 / 10 rows
+    val d = ((0 until 1000).map(i => (i.toLong, "big")) ++
+      (1000 until 1100).map(i => (i.toLong, "mid")) ++
+      (1100 until 1110).map(i => (i.toLong, "rare")))
+      .toDF("id", "domain")
+    val target = 500L
+    val mixed = Curation.domainMix(d, "id", "domain", target, seed = "m")
+    val got = mixed.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // w = floor(sqrt(n)): big 31, mid 10, rare 3 → Σ 44
+    assert(got("big") === 500L * 31 / 44)
+    assert(got("mid") === math.min(100L, 500L * 10 / 44))
+    assert(got("rare") === math.min(10L, 500L * 3 / 44))
+    assert(got.values.sum <= target)
+    // α=0.5 upweights the rare domain relative to its corpus share
+    assert(got("rare").toDouble / got.values.sum > 10.0 / 1110.0)
+    val again = Curation.domainMix(d.repartition(11), "id", "domain",
+      target, "m").select("id")
+    assert(mixed.select("id").except(again).count() === 0)
+    assert(again.except(mixed.select("id")).count() === 0)
+  }
+
+  // ---- dedupLinesKeepFirst ----
+
+  test("dedupLinesKeepFirst: first occurrence survives, short lines exempt") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "COOKIE BANNER\nunique alpha\nok"),
+      (2L, "COOKIE BANNER\nunique beta\nok"),
+      (3L, "unique gamma\nCOOKIE BANNER\nunique gamma")
+    ).toDF("id", "text")
+    val out = Dedup.dedupLinesKeepFirst(d, "id", "text", minChars = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 keeps the banner (first occurrence by (id, pos)); 2 and 3 lose it
+    assert(out(1L) === "COOKIE BANNER\nunique alpha\nok")
+    // "ok" (< 5 chars) is exempt even though it repeats
+    assert(out(2L) === "unique beta\nok")
+    // within-doc repetition collapses too ("unique gamma" twice in doc 3)
+    assert(out(3L) === "unique gamma")
+  }
+
+  test("dedupLinesKeepFirst: a fully-stripped document becomes empty text") {
+    import spark.implicits._
+    val d = Seq((1L, "SHARED LINE"), (2L, "SHARED LINE")).toDF("id", "text")
+    val out = Dedup.dedupLinesKeepFirst(d, "id", "text", minChars = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "SHARED LINE")
+    assert(out(2L) === "")
+  }
+
+  // ---- Classifier ----
+
+  test("solveSymmetric solves a known SPD system") {
+    val a = Array(Array(4.0, 1.0, 0.0), Array(1.0, 3.0, 1.0),
+      Array(0.0, 1.0, 2.0))
+    val x = Array(1.0, -2.0, 3.0)
+    val b = Array(
+      a(0)(0) * x(0) + a(0)(1) * x(1) + a(0)(2) * x(2),
+      a(1)(0) * x(0) + a(1)(1) * x(1) + a(1)(2) * x(2),
+      a(2)(0) * x(0) + a(2)(1) * x(1) + a(2)(2) * x(2))
+    val got = Classifier.solveSymmetric(a, b)
+    x.indices.foreach(i => assert(math.abs(got(i) - x(i)) < 1e-12))
+  }
+
+  private def teacherData(n: Int, dim: Int): DataFrame = {
+    import spark.implicits._
+    // deterministic pseudo-random features; label = sign of a fixed
+    // teacher hyperplane → linearly separable by construction
+    val u = Array.tabulate(dim)(i => math.sin(i + 1.0))
+    (0 until n).map { r =>
+      val x = Array.tabulate(dim)(j =>
+        math.sin(r * 131.0 + j * 17.0)) // in [-1, 1], dense
+      val y = if (x.zip(u).map { case (a, b) => a * b }.sum > 0) 1.0 else 0.0
+      (r.toLong, x, y)
+    }.toDF("id", "x", "y")
+  }
+
+  test("lrFitNewton recovers a planted teacher and is layout-deterministic") {
+    val d = teacherData(600, 16)
+    val m = Classifier.lrFitNewton(d, "y", "x", dim = 16, iters = 6, l2 = 1e-4)
+    val m2 = Classifier.lrFitNewton(d.repartition(9), "y", "x", 16, 6, 1e-4)
+    assert(m.weights.sameElements(m2.weights) && m.bias === m2.bias)
+    assert(m.lossHistory.last < m.lossHistory.head)
+    assert(Classifier.accuracy(d, "y", "x", m) >= 0.97)
+  }
+
+  test("lrFit (gradient descent) is monotone and deterministic") {
+    val d = teacherData(300, 8)
+    val m = Classifier.lrFit(d, "y", "x", dim = 8, iters = 15, lr = 2.0,
+      l2 = 1e-5)
+    val m2 = Classifier.lrFit(d.repartition(5), "y", "x", 8, 15, 2.0, 1e-5)
+    assert(m.weights.sameElements(m2.weights) && m.bias === m2.bias)
+    assert(m.lossHistory.sliding(2)
+      .forall(p => p.length < 2 || p(1) <= p(0) + 1e-12))
+  }
+
+  test("qualityClassifier scores every row map-side in (0,1)") {
+    val d = teacherData(200, 8)
+    val scored = Classifier.qualityClassifier(d, d, "y", "x", dim = 8)
+    assert(scored.filter(col("quality_score") <= 0.0 ||
+      col("quality_score") >= 1.0).count() === 0)
+    // scoring adds no exchange: the plan after the checkpointed fit is a
+    // pure projection over the input
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
