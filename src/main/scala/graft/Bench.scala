@@ -176,7 +176,38 @@ object Bench {
         mat(clean)
       }),
       "events_window" -> (() => mat(graft.streaming.Events.tumblingStats(
-        t("events"), "1 hour"))))
+        t("events"), "1 hour"))),
+      // training-shard export over the biggest table: the deterministic
+      // global-rank shuffle is the whole cost (the floor is a global sort)
+      "shard_export" -> (() => {
+        val li = t("lineitem").select(
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("row_id"))
+        mat(graft.llm.Curation.shardForTraining(li, "row_id",
+          numShards = 64, seed = "bench"))
+      }),
+      // distributed Newton fit + corpus-wide scoring: 6 statistics passes
+      // (gradient + Hessian, decimal-staged) and one map-side score pass
+      "classifier_fit" -> (() => {
+        val dim = 32
+        val u = Array.tabulate(dim)(i => (((i + 1) * 37) % 19 - 9).toDouble)
+        val docs = t("documents").select(col("doc_id"),
+          graft.llm.TextAnalysis.hashEmbedding(col("text"), dim).as("x"))
+          .withColumn("y",
+            (aggregate(zip_with(col("x").cast("array<double>"), lit(u),
+              (a, b) => a * b), lit(0.0d), (acc, v) => acc + v) > 0)
+              .cast("double"))
+        val m = graft.llm.Classifier.lrFitNewton(docs, "y", "x", dim,
+          iters = 6, l2 = 1e-4)
+        mat(docs.select(col("doc_id"),
+          graft.llm.Classifier.lrScore(col("x"), m).as("score")))
+      }),
+      // corpus-wide keep-first line dedup: explode → winner agg → join →
+      // reassemble, all hash-keyed shuffles
+      "line_dedup" -> (() => mat(graft.llm.Dedup.dedupLinesKeepFirst(
+        t("documents").select(col("doc_id"),
+          concat_ws("\n", lit("SHARED BOILERPLATE HEADER LINE"), col("text"),
+            lit("SHARED BOILERPLATE FOOTER LINE")).as("text")),
+        "doc_id", "text", minChars = 5))))
 
     // sorted-layout comparison (Elysium write path): one range-partitioned
     // sorted copy of lineitem; the same selective range scan then prunes

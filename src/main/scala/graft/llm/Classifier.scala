@@ -60,6 +60,18 @@ object Classifier {
 
   private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
 
+  /** The iterated statistics passes are only as parallel as the feature
+    * table's partitioning, and a small-file corpus (one parquet footer)
+    * otherwise serializes every pass through one task — repartition up to
+    * the cluster's parallelism before materializing. Round-robin
+    * repartition is layout-dependent, but the fit stays bit-deterministic
+    * regardless: all cross-row reductions are exact decimal sums
+    * (associative + commutative), so row placement cannot change them. */
+  private def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /**
    * Full-batch gradient descent on L2-regularized logistic loss.
    *
@@ -78,8 +90,8 @@ object Classifier {
   def lrFit(df: DataFrame, labelCol: String, vecCol: String, dim: Int,
             iters: Int = 30, lr: Double = 0.5, l2: Double = 1e-4): LrModel = {
     require(dim > 0 && iters >= 1, "dim and iters must be positive")
-    val data = df.select(col(labelCol).cast("double").as("_y"),
-        col(vecCol).cast("array<double>").as("_x"))
+    val data = widen(df.select(col(labelCol).cast("double").as("_y"),
+        col(vecCol).cast("array<double>").as("_x")))
       .localCheckpoint(true)
     val n = data.count().toDouble
     require(n > 0, "lrFit needs a non-empty corpus")
@@ -151,8 +163,8 @@ object Classifier {
   def lrFitNewton(df: DataFrame, labelCol: String, vecCol: String, dim: Int,
                   iters: Int = 6, l2: Double = 1e-4): LrModel = {
     require(dim > 0 && iters >= 1, "dim and iters must be positive")
-    val data = df.select(col(labelCol).cast("double").as("_y"),
-        col(vecCol).cast("array<double>").as("_x"))
+    val data = widen(df.select(col(labelCol).cast("double").as("_y"),
+        col(vecCol).cast("array<double>").as("_x")))
       .localCheckpoint(true)
     val n = data.count().toDouble
     require(n > 0, "lrFitNewton needs a non-empty corpus")
