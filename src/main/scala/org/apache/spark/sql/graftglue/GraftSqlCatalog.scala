@@ -467,7 +467,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     "zorder", "bucket_layout", "vector_search", "text_search", "pq_search",
     "hybrid_search", "stream_lag",
     "dedup_pairs", "dedup_clusters", "pii_redact", "chunk", "decontaminate",
-    "curate")
+    "curate", "shard_export", "domain_mix", "line_dedup", "classifier_score")
 
   /** Manifest version a streaming checkpoint has durably consumed through,
     * or -1 if no batch has committed yet. Reads Spark's own checkpoint
@@ -843,6 +843,82 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             args(4).asInstanceOf[String])
           Seq(org.apache.spark.sql.Row(
             replaceOutput(tx, args(5).asInstanceOf[String], kept)))
+        }
+      }
+      case "shard_export" => new GraftProcedure("shard_export",
+          Seq(("table", StringType, None), ("id_col", StringType, None),
+            ("num_shards", IntegerType, None), ("seed", StringType, None),
+            ("out_table", StringType, None)),
+          StructType(Seq(StructField("n_rows", LongType),
+            StructField("n_shards", IntegerType)))) {
+        def run(args: Seq[Any]) = inSession { tx =>
+          val n = args(2).asInstanceOf[Int]
+          val sharded = graft.llm.Curation.shardForTraining(
+            tableIn(tx, args(0).asInstanceOf[String]).select(),
+            args(1).asInstanceOf[String], n, args(3).asInstanceOf[String])
+          Seq(org.apache.spark.sql.Row(
+            replaceOutput(tx, args(4).asInstanceOf[String], sharded), n))
+        }
+      }
+      case "domain_mix" => new GraftProcedure("domain_mix",
+          Seq(("table", StringType, None), ("id_col", StringType, None),
+            ("domain_col", StringType, None),
+            ("target_rows", LongType, None), ("seed", StringType, None),
+            ("out_table", StringType, None)),
+          StructType(Seq(StructField("n_kept", LongType)))) {
+        def run(args: Seq[Any]) = inSession { tx =>
+          val mixed = graft.llm.Curation.domainMix(
+            tableIn(tx, args(0).asInstanceOf[String]).select(),
+            args(1).asInstanceOf[String], args(2).asInstanceOf[String],
+            args(3).asInstanceOf[Long], args(4).asInstanceOf[String])
+          Seq(org.apache.spark.sql.Row(
+            replaceOutput(tx, args(5).asInstanceOf[String], mixed)))
+        }
+      }
+      case "line_dedup" => new GraftProcedure("line_dedup",
+          Seq(("table", StringType, None), ("id_col", StringType, None),
+            ("text_col", StringType, None), ("out_table", StringType, None),
+            ("min_chars", IntegerType, Some("5"))),
+          StructType(Seq(StructField("n_rows", LongType)))) {
+        def run(args: Seq[Any]) = inSession { tx =>
+          val deduped = graft.llm.Dedup.dedupLinesKeepFirst(
+            tableIn(tx, args(0).asInstanceOf[String]).select(),
+            args(1).asInstanceOf[String], args(2).asInstanceOf[String],
+            args(4).asInstanceOf[Int])
+          Seq(org.apache.spark.sql.Row(
+            replaceOutput(tx, args(3).asInstanceOf[String], deduped)))
+        }
+      }
+      // fit a quality model on the rows of `table` whose `label_col` is
+      // non-null (0/1), score EVERY row, write (id, quality_score)
+      case "classifier_score" => new GraftProcedure("classifier_score",
+          Seq(("table", StringType, None), ("id_col", StringType, None),
+            ("text_col", StringType, None), ("label_col", StringType, None),
+            ("out_table", StringType, None),
+            ("dim", IntegerType, Some("32")),
+            ("iters", IntegerType, Some("6"))),
+          StructType(Seq(StructField("n_scored", LongType),
+            StructField("n_labeled", LongType),
+            StructField("train_accuracy", DoubleType)))) {
+        def run(args: Seq[Any]) = inSession { tx =>
+          import org.apache.spark.sql.functions.{col => c}
+          val dim = args(5).asInstanceOf[Int]
+          val idCol = args(1).asInstanceOf[String]
+          val base = tableIn(tx, args(0).asInstanceOf[String]).select()
+          val feats = base.select(c(idCol),
+            c(args(3).asInstanceOf[String]).cast("double").as("_lbl"),
+            graft.llm.TextAnalysis.hashEmbedding(
+              c(args(2).asInstanceOf[String]), dim).as("_x"))
+          val labeled = feats.filter(c("_lbl").isNotNull)
+          val nLabeled = labeled.count()
+          val m = graft.llm.Classifier.lrFitNewton(labeled, "_lbl", "_x",
+            dim, iters = args(6).asInstanceOf[Int])
+          val acc = graft.llm.Classifier.accuracy(labeled, "_lbl", "_x", m)
+          val scored = feats.select(c(idCol),
+            graft.llm.Classifier.lrScore(c("_x"), m).as("quality_score"))
+          Seq(org.apache.spark.sql.Row(
+            replaceOutput(tx, args(4).asInstanceOf[String], scored),
+            nLabeled, acc))
         }
       }
       case _ => bad()

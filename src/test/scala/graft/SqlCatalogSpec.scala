@@ -827,4 +827,63 @@ class SqlCatalogSpec extends SparkSpec {
       assert(ids.distinct.length == ids.length, "duplicate _row_id after MERGE insert")
     }
   }
+  test("CALL shard_export / domain_mix / line_dedup / classifier_score") {
+    val root = Files.createTempDirectory("graft-sqlr11").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    val docSchema = StructType(Seq(
+      StructField("id", LongType), StructField("dom", StringType),
+      StructField("text", StringType), StructField("lbl", DoubleType)))
+    s.transaction { tx =>
+      val m = tx.bucket("bk").createSchema("m")
+      val t = m.createTable("d", docSchema)
+      val l = new java.util.ArrayList[Row]()
+      // 20 docs across 2 domains; a shared banner line; labels 0/1 by a
+      // text property the hashed features carry (token w-even vs w-odd)
+      (0L until 20L).foreach { i =>
+        val label = if (i % 2 == 0) 1.0 else 0.0
+        val tok = if (i % 2 == 0) "evenmarker evenmarker evenmarker"
+                  else "oddmarker oddmarker oddmarker"
+        l.add(Row(i, s"dom${i % 2}",
+          s"SHARED BANNER LINE HERE\ndoc $i body $tok unique$i", label))
+      }
+      t.insert(spark.createDataFrame(l, docSchema).coalesce(1))
+    }
+    spark.conf.set("spark.sql.catalog.graftr11",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.graftr11.root", root)
+
+    val se = spark.sql("CALL graftr11.system.shard_export(" +
+      "'bk.m.d', 'id', 4, 'sv1', 'bk.m.shards')").head
+    assert(se.getLong(0) == 20 && se.getInt(1) == 4)
+    val sizes = spark.sql(
+      "SELECT shard, count(*) n FROM graftr11.bk.m.shards GROUP BY shard")
+      .collect().map(_.getLong(1))
+    assert(sizes.length == 4 && sizes.forall(_ == 5))
+
+    val dm = spark.sql("CALL graftr11.system.domain_mix(" +
+      "'bk.m.d', 'id', 'dom', 10L, 'mx', 'bk.m.mixed')").head
+    // 2 equal domains, w=floor(sqrt(10))=3 each, quota = 10*3/6 = 5 each
+    assert(dm.getLong(0) == 10)
+
+    val ld = spark.sql("CALL graftr11.system.line_dedup(" +
+      "'bk.m.d', 'id', 'text', 'bk.m.clean')").head
+    assert(ld.getLong(0) == 20)
+    val banners = spark.sql("SELECT count(*) FROM graftr11.bk.m.clean " +
+      "WHERE text LIKE '%SHARED BANNER LINE HERE%'").head.getLong(0)
+    assert(banners == 1, s"banner should survive in exactly one doc, got $banners")
+
+    val cs = spark.sql("CALL graftr11.system.classifier_score(" +
+      "'bk.m.d', 'id', 'text', 'lbl', 'bk.m.scores', 16, 6)").head
+    assert(cs.getLong(0) == 20 && cs.getLong(1) == 20)
+    assert(cs.getDouble(2) >= 0.95, s"train accuracy ${cs.getDouble(2)}")
+    // scores separate the two classes the labels encode
+    val sep = spark.sql(
+      """SELECT min(CASE WHEN id % 2 = 0 THEN quality_score END) AS mn1,
+        |       max(CASE WHEN id % 2 = 1 THEN quality_score END) AS mx0
+        |FROM graftr11.bk.m.scores""".stripMargin)
+      .head
+    assert(sep.getDouble(0) > sep.getDouble(1),
+      s"even-class min score ${sep.getDouble(0)} should exceed odd-class max ${sep.getDouble(1)}")
+  }
 }
