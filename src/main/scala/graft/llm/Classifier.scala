@@ -277,6 +277,34 @@ object Classifier {
       count(lit(1))).as("acc"))
       .head().getDouble(0)
 
+  /** One-row DataFrame encoding of a fitted model — the persistence format
+    * for "fit once, score everywhere" (batch re-scoring, ingest-time
+    * scoring in the streaming sink, cross-session reuse): store it in a
+    * catalog table, load it back with [[modelFromDf]]. */
+  def modelToDf(spark: org.apache.spark.sql.SparkSession,
+                m: LrModel): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      List(org.apache.spark.sql.Row(
+        m.dim, m.weights.toSeq, m.bias, m.lossHistory.toSeq)).asJava,
+      StructType(Seq(
+        StructField("dim", IntegerType, nullable = false),
+        StructField("weights", ArrayType(DoubleType, containsNull = false)),
+        StructField("bias", DoubleType, nullable = false),
+        StructField("loss_history",
+          ArrayType(DoubleType, containsNull = false)))))
+  }
+
+  /** Inverse of [[modelToDf]] (reads the single model row; the collect is
+    * one row of dim doubles — metadata-scale). */
+  def modelFromDf(df: DataFrame): LrModel = {
+    val r = df.select("dim", "weights", "bias", "loss_history").head()
+    val dim = r.getInt(0)
+    val w = r.getSeq[Double](1).toArray
+    require(w.length == dim, s"model row has ${w.length} weights, dim=$dim")
+    LrModel(w, r.getDouble(2), r.getSeq[Double](3).toArray)
+  }
+
   /** The composed corpus operator: fit a quality model on labeled rows
     * (Newton — few passes), score EVERY row map-side, and return
     * `(df.*, quality_score)`. The label can cover a subset (e.g. a

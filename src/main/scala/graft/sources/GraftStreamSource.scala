@@ -96,7 +96,9 @@ class GraftStreamSource extends TableProvider with DataSourceRegister
       req("schema"), req("table"),
       complete = outputMode == org.apache.spark.sql.streaming.OutputMode.Complete(),
       maintainRollups = parameters.get("maintainRollups").exists(_.toBoolean),
-      maintainIndexes = parameters.get("maintainIndexes").exists(_.toBoolean))
+      maintainIndexes = parameters.get("maintainIndexes").exists(_.toBoolean),
+      scoreWith = parameters.get("scoreWith"),
+      scoreTextCol = parameters.getOrElse("scoreTextCol", "text"))
   }
 
   private def tableDir(options: CaseInsensitiveStringMap): Path =
@@ -703,12 +705,37 @@ private[sources] class GraftTableSink(spark: SparkSession, root: String,
                                       bucket: String, schemaPath: String,
                                       table: String, complete: Boolean,
                                       maintainRollups: Boolean = false,
-                                      maintainIndexes: Boolean = false)
+                                      maintainIndexes: Boolean = false,
+                                      scoreWith: Option[String] = None,
+                                      scoreTextCol: String = "text")
     extends org.apache.spark.sql.execution.streaming.Sink {
 
   // one session for the query's lifetime — tx ids stay monotonic across
   // batches and the root-dir probe runs once
   private val session = graft.api.VastSession(spark, root)
+
+  /** Ingest-time quality scoring (`scoreWith` = `bucket.schema.table` of a
+    * model table written by [[graft.llm.Classifier.modelToDf]] / CALL
+    * classifier_fit): the model row re-loads PER BATCH (one-row read — a
+    * refit between batches takes effect on the next micro-batch without a
+    * stream restart), and the scoring itself is the codegen'd map-side
+    * column over `scoreTextCol` — the batch plan gains a projection, never
+    * a shuffle. */
+  private def applyScore(df: org.apache.spark.sql.DataFrame, tx: graft.api.Transaction)
+      : org.apache.spark.sql.DataFrame = scoreWith match {
+    case None => df
+    case Some(qualified) =>
+      val parts = qualified.split('.')
+      require(parts.length >= 3,
+        s"scoreWith must be bucket.schema.table, got '$qualified'")
+      val mdf = tx.bucket(parts.head)
+        .schema(parts.slice(1, parts.length - 1).mkString("/"))
+        .table(parts.last).select()
+      val m = graft.llm.Classifier.modelFromDf(mdf)
+      df.withColumn("quality_score", graft.llm.Classifier.lrScore(
+        graft.llm.TextAnalysis.hashEmbedding(
+          org.apache.spark.sql.functions.col(scoreTextCol), m.dim), m))
+  }
 
   override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
     // the incoming frame still carries the streaming flag; re-wrap it as a
@@ -720,7 +747,8 @@ private[sources] class GraftTableSink(spark: SparkSession, root: String,
       val last = t.properties.get("graft.stream.lastBatchId")
         .map(_.toLong).getOrElse(-1L)
       if (batchId > last) {
-        if (complete) t.overwrite(batch) else t.insert(batch)
+        val scored = applyScore(batch, tx)
+        if (complete) t.overwrite(scored) else t.insert(scored)
         // opt-in rollup maintenance: the insert just staled any rollups;
         // refreshing INSIDE the batch transaction publishes data + fresh
         // rollups under one manifest CAS, and because an append-mode batch

@@ -467,7 +467,8 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     "zorder", "bucket_layout", "vector_search", "text_search", "pq_search",
     "hybrid_search", "stream_lag",
     "dedup_pairs", "dedup_clusters", "pii_redact", "chunk", "decontaminate",
-    "curate", "shard_export", "domain_mix", "line_dedup", "classifier_score")
+    "curate", "shard_export", "domain_mix", "line_dedup", "classifier_score",
+    "classifier_fit")
 
   /** Manifest version a streaming checkpoint has durably consumed through,
     * or -1 if no batch has committed yet. Reads Spark's own checkpoint
@@ -890,7 +891,35 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
         }
       }
       // fit a quality model on the rows of `table` whose `label_col` is
-      // non-null (0/1), score EVERY row, write (id, quality_score)
+      // non-null (0/1) and PERSIST it to `model_table` — downstream scoring
+      // (CALL classifier_score's refit-free sibling, the streaming sink's
+      // `scoreWith` option) loads this one-row model instead of refitting
+      case "classifier_fit" => new GraftProcedure("classifier_fit",
+          Seq(("table", StringType, None), ("text_col", StringType, None),
+            ("label_col", StringType, None),
+            ("model_table", StringType, None),
+            ("dim", IntegerType, Some("32")),
+            ("iters", IntegerType, Some("6"))),
+          StructType(Seq(StructField("n_labeled", LongType),
+            StructField("train_accuracy", DoubleType),
+            StructField("final_loss", DoubleType)))) {
+        def run(args: Seq[Any]) = inSession { tx =>
+          import org.apache.spark.sql.functions.{col => c}
+          val dim = args(4).asInstanceOf[Int]
+          val labeled = tableIn(tx, args(0).asInstanceOf[String]).select()
+            .select(c(args(2).asInstanceOf[String]).cast("double").as("_lbl"),
+              graft.llm.TextAnalysis.hashEmbedding(
+                c(args(1).asInstanceOf[String]), dim).as("_x"))
+            .filter(c("_lbl").isNotNull)
+          val n = labeled.count()
+          val m = graft.llm.Classifier.lrFitNewton(labeled, "_lbl", "_x",
+            dim, iters = args(5).asInstanceOf[Int])
+          val acc = graft.llm.Classifier.accuracy(labeled, "_lbl", "_x", m)
+          replaceOutput(tx, args(3).asInstanceOf[String],
+            graft.llm.Classifier.modelToDf(labeled.sparkSession, m))
+          Seq(org.apache.spark.sql.Row(n, acc, m.lossHistory.last))
+        }
+      }
       case "classifier_score" => new GraftProcedure("classifier_score",
           Seq(("table", StringType, None), ("id_col", StringType, None),
             ("text_col", StringType, None), ("label_col", StringType, None),

@@ -1017,4 +1017,77 @@ class GraftStreamSourceSpec extends SparkSpec {
     drain()
     assert(lag() == ((4L, 4L, 0L, 0L, 0L)), s"post-drain lag wrong: ${lag()}")
   }
+  test("sink scoreWith: ingest-time quality scoring from a persisted model") {
+    val root = Files.createTempDirectory("graft-sink-score").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    val docSchema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    def docText(i: Long): String =
+      if (i % 2 == 0) s"evenmarker evenmarker evenmarker unique$i"
+      else s"oddmarker oddmarker oddmarker unique$i"
+    s.transaction { tx =>
+      val m = tx.bucket("bk").createSchema("m")
+      m.createTable("raw", docSchema)
+      m.createTable("scoredout", StructType(docSchema.fields :+
+        StructField("quality_score", DoubleType)))
+      // fit a model on a labeled sample and persist it
+      val l = new java.util.ArrayList[Row]()
+      (0L until 40L).foreach(i => l.add(Row(i, docText(i))))
+      val sample = spark.createDataFrame(l, docSchema)
+        .withColumn("lbl", (col("id") % 2 === 0).cast("double"))
+        .withColumn("x", graft.llm.TextAnalysis.hashEmbedding(col("text"), 16))
+      val model = graft.llm.Classifier.lrFitNewton(sample, "lbl", "x",
+        dim = 16, iters = 6)
+      val mt = m.createTable("model",
+        graft.llm.Classifier.modelToDf(spark, model).schema)
+      mt.insert(graft.llm.Classifier.modelToDf(spark, model))
+    }
+    // two micro-batches of raw docs through the scoring sink
+    val tdir = Paths.get(root, "bk", "m", "raw").toString
+    val ckpt = Files.createTempDirectory("graft-sink-scoreck").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(tdir)
+        .drop("_row_id")
+        .writeStream.format("graft")
+        .option("root", root).option("bucket", "bk")
+        .option("schema", "m").option("table", "scoredout")
+        .option("scoreWith", "bk.m.model")
+        .option("scoreTextCol", "text")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    def insertRaw(ids: Range): Unit = s.transaction { tx =>
+      val t = tx.bucket("bk").schema("m").table("raw")
+      val l = new java.util.ArrayList[Row]()
+      ids.foreach(i => l.add(Row(i.toLong, docText(i.toLong))))
+      t.insert(spark.createDataFrame(l, docSchema).coalesce(1))
+    }
+    insertRaw(100 until 110)
+    drain()
+    insertRaw(110 until 120)
+    drain()
+    s.transaction { tx =>
+      val out = tx.bucket("bk").schema("m").table("scoredout")
+        .select(Seq("id", "quality_score")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(out.size == 20, s"expected 20 scored rows, got ${out.size}")
+      assert(out.values.forall(v => v > 0.0 && v < 1.0))
+      // the persisted model separates the classes on UNSEEN ids
+      val evenMin = out.collect { case (k, v) if k % 2 == 0 => v }.min
+      val oddMax = out.collect { case (k, v) if k % 2 == 1 => v }.max
+      assert(evenMin > oddMax,
+        s"even-class min $evenMin should exceed odd-class max $oddMax")
+      // scoring equals the batch-side formula exactly (same expression)
+      val model = graft.llm.Classifier.modelFromDf(
+        tx.bucket("bk").schema("m").table("model").select())
+      val expect = tx.bucket("bk").schema("m").table("scoredout")
+        .select(Seq("id", "text", "quality_score"))
+        .withColumn("again", graft.llm.Classifier.lrScore(
+          graft.llm.TextAnalysis.hashEmbedding(col("text"), model.dim), model))
+        .filter(col("again") =!= col("quality_score")).count()
+      assert(expect == 0, "ingest-time score must equal the batch formula")
+    }
+  }
 }

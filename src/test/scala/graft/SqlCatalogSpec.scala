@@ -885,5 +885,13 @@ class SqlCatalogSpec extends SparkSpec {
       .head
     assert(sep.getDouble(0) > sep.getDouble(1),
       s"even-class min score ${sep.getDouble(0)} should exceed odd-class max ${sep.getDouble(1)}")
+
+    // fit-once persistence: classifier_fit writes a loadable one-row model
+    val cf = spark.sql("CALL graftr11.system.classifier_fit(" +
+      "'bk.m.d', 'text', 'lbl', 'bk.m.model', 16, 6)").head
+    assert(cf.getLong(0) == 20 && cf.getDouble(1) >= 0.95)
+    val mrow = spark.sql(
+      "SELECT dim, size(weights) FROM graftr11.bk.m.model").head
+    assert(mrow.getInt(0) == 16 && mrow.getInt(1) == 16)
   }
 }
