@@ -78,6 +78,77 @@ case class MinHashSignature(child: Expression, k: Int, shingleN: Int = 1)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/**
+ * DISTINCT shingle hashes of a token array: the fused equivalent of
+ * `array_distinct(transform(idx, i → concat_ws(' ', slice(toks, …))))`
+ * followed by `xxhash64` — same windows (n consecutive tokens, short tail
+ * window when the doc has fewer than n tokens), same separator, same
+ * xxhash64(seed 42) values, but no intermediate shingle STRING column ever
+ * materializes: one reused buffer per row, hashes deduped in place. Cuts
+ * the decontamination scan's per-row cost to hashing only — at corpus
+ * scale the string-building HOF chain was the dominant map-side cost.
+ */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"shingle size must be positive, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashes", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);")
+  }
+
+  def compute(arr: ArrayData): ArrayData = {
+    val nTok = arr.numElements()
+    val last = math.max(0, nTok - n)
+    val hashes = new Array[Long](last + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var j = 0
+    while (j <= last) {
+      sb.setLength(0)
+      var m = 0
+      var first = true
+      while (m < n && j + m < nTok) {
+        // concat_ws semantics: null elements are skipped entirely
+        if (!arr.isNullAt(j + m)) {
+          if (!first) sb.append(' ')
+          sb.append(arr.getUTF8String(j + m).toString)
+          first = false
+        }
+        m += 1
+      }
+      hashes(j) = XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString),
+        StringType, 42L)
+      j += 1
+    }
+    // distinct via sort + squeeze (arrays are small — a doc's shingle count)
+    java.util.Arrays.sort(hashes)
+    var w = 0
+    var r = 0
+    while (r < hashes.length) {
+      if (r == 0 || hashes(r) != hashes(r - 1)) { hashes(w) = hashes(r); w += 1 }
+      r += 1
+    }
+    val out = new Array[Any](w)
+    var i = 0
+    while (i < w) { out(i) = hashes(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** 64-bit simhash of a word array: per-word xxhash64, bit voting, sign pack.
   * Multiset-invariant (word order doesn't matter). */
 case class SimHash64(child: Expression)
@@ -308,4 +379,7 @@ object TextHashes {
   /** Hashing-trick bag-of-words embedding of a token array, L2-normalized. */
   def hashEmbedding(tokens: Column, dim: Int): Column =
     Glue.column(HashEmbedding(Glue.expression(tokens), dim))
+  /** Distinct xxhash64(seed 42) values of a token array's n-shingles. */
+  def shingleHashes(tokens: Column, n: Int): Column =
+    Glue.column(ShingleHashes(Glue.expression(tokens), n))
 }

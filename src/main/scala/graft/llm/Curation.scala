@@ -110,14 +110,20 @@ object Curation {
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
                     benchmark: DataFrame, benchTextCol: String,
                     n: Int = 8, minShared: Int = 1): DataFrame = {
+    // fused shingle hashing (graft.functions.ShingleHashes): identical
+    // windows/separator/xxhash64 as the HOF string pipeline, but no shingle
+    // string column materializes — the corpus-side scan is hash-only.
+    // bGrams is BROADCAST by hint: a decontamination benchmark is an eval
+    // suite, definitionally bounded-small (unlike boilerplate sets, which
+    // can grow with the corpus and stay AQE-decided).
     val cGrams = corpus.select(col(idCol).as("_cid"),
-      explode(Dedup.shingles(col(textCol), n)).as("_g"))
-      .select(col("_cid"), xxhash64(col("_g")).as("_gh"))
+      explode(graft.functions.TextHashes.shingleHashes(
+        split(col(textCol), " "), n)).as("_gh"))
     val bGrams = benchmark
-      .select(explode(Dedup.shingles(col(benchTextCol), n)).as("_g"))
-      .select(xxhash64(col("_g")).as("_gh"))
+      .select(explode(graft.functions.TextHashes.shingleHashes(
+        split(col(benchTextCol), " "), n)).as("_gh"))
       .distinct()
-    val contaminated = cGrams.join(bGrams, Seq("_gh"))
+    val contaminated = cGrams.join(broadcast(bGrams), Seq("_gh"))
       .groupBy("_cid")
       .agg(count_distinct(col("_gh")).as("_shared"))
       .filter(col("_shared") >= minShared)
