@@ -1634,6 +1634,39 @@ object SparkEntry {
              |WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g))
              |ORDER BY doc_id""".stripMargin)),
 
+    Q("cu7_contamination_report",  // audit companion to decontaminate:
+      // one row per (corpus doc, benchmark doc) pair sharing any 5-gram,
+      // with the shared-gram count. DuckDB recomputes the same distinct
+      // gram sets from strings and counts join matches — value-exact
+      // attribution, validating the fused hash path end-to-end
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val bench = docs.filter(col("doc_id").between(100, 120))
+        graft.llm.Curation.contaminationReport(docs, "doc_id", "text",
+            bench, "doc_id", "text", n = 5)
+          .orderBy("doc_id", "bench_id")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, STRING_SPLIT(text, ' ') AS l FROM documents
+             |), bench AS (
+             |  SELECT doc_id AS bench_id, STRING_SPLIT(text, ' ') AS l
+             |  FROM documents WHERE doc_id BETWEEN 100 AND 120
+             |), cg AS (
+             |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+             |    RANGE(1, GREATEST(LEN(l) - 5, 0) + 2),
+             |    i -> ARRAY_TO_STRING(l[i:i+4], ' ')))) AS g
+             |  FROM corpus
+             |), bg AS (
+             |  SELECT bench_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+             |    RANGE(1, GREATEST(LEN(l) - 5, 0) + 2),
+             |    i -> ARRAY_TO_STRING(l[i:i+4], ' ')))) AS g
+             |  FROM bench
+             |)
+             |SELECT cg.doc_id, bg.bench_id, COUNT(*) AS shared_grams
+             |FROM cg JOIN bg USING (g)
+             |GROUP BY cg.doc_id, bg.bench_id
+             |ORDER BY cg.doc_id, bg.bench_id""".stripMargin)),
+
     Q("cu5_shard_export",  // training-shard export: deterministic global
       // shuffle (md5 order) dealt round-robin into 8 exactly balanced
       // shards. DuckDB recomputes the SAME order with a plain global

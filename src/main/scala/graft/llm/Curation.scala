@@ -131,6 +131,32 @@ object Curation {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Contamination REPORT — the audit companion to [[decontaminate]]:
+    * instead of silently dropping contaminated documents, emit one row per
+    * (corpus doc, benchmark doc) pair sharing ≥ `minShared` distinct
+    * n-grams, with the shared-gram count — what a data audit needs to
+    * answer "which eval set leaked into which documents, and how badly".
+    * Same fused shingle-hash scan and broadcast bench-gram side as
+    * decontaminate; the pair aggregation shuffles only matching grams
+    * (contamination-sized, not corpus-sized). */
+  def contaminationReport(corpus: DataFrame, idCol: String, textCol: String,
+                          benchmark: DataFrame, benchIdCol: String,
+                          benchTextCol: String, n: Int = 8,
+                          minShared: Int = 1): DataFrame = {
+    val cGrams = corpus.select(col(idCol),
+      explode(graft.functions.TextHashes.shingleHashes(
+        split(col(textCol), " "), n)).as("_gh"))
+    val bGrams = benchmark.select(col(benchIdCol).as("bench_id"),
+      explode(graft.functions.TextHashes.shingleHashes(
+        split(col(benchTextCol), " "), n)).as("_gh"))
+    // hashes are distinct per document on each side, so (doc, bench, gram)
+    // is unique after the join and a plain count is the distinct count
+    cGrams.join(broadcast(bGrams), Seq("_gh"))
+      .groupBy(col(idCol), col("bench_id"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= minShared)
+  }
+
   /** C4-style BOILERPLATE removal: any line occurring in ≥ `minDocs`
     * distinct documents (nav bars, cookie banners, footers) is stripped
     * from every document; line order inside each doc is preserved and the
