@@ -28,7 +28,10 @@ object ScaleAuditProbe {
       // round-10 additions: retrieval, PQ, semantic dedup, LM scoring
       "fts1_bm25_search", "fts3_hybrid_rrf", "ss3_ann_pq",
       "dd9_semantic_dedup", "ta7_unigram_logprob", "ta10_bigram_logprob",
-      "mm9_phash_pairs").foreach(audit)
+      "mm9_phash_pairs",
+      // round-11 additions: training export, mixing, line dedup, report
+      "cu5_shard_export", "cu6_domain_mix", "dd10_line_dedup",
+      "cu7_contamination_report").foreach(audit)
     spark.stop()
   }
 }
