@@ -1050,6 +1050,31 @@ class OperatorsSpec extends SparkSpec {
     // hash_embedding over token arrays
     val he = Seq("a b b c", "c b b a", "x y z", "").toDF("t")
     both(he.select(graft.llm.TextAnalysis.hashEmbedding($"t", 16)).collect())
+    // shingle_hashes: same windows/hashes as the HOF string pipeline
+    val sh = Seq("a b c d e", "a b", "").toDF("t")
+    both(sh.select(graft.functions.TextHashes.shingleHashes(
+      org.apache.spark.sql.functions.split($"t", " "), 3)).collect())
+  }
+
+  test("shingle_hashes equals the HOF shingle-string pipeline exactly") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox jumps over the lazy dog",
+      "one two", "single", "").toDF("t")
+    val viaHof = df.select(org.apache.spark.sql.functions.array_sort(
+      org.apache.spark.sql.functions.array_distinct(
+        org.apache.spark.sql.functions.transform(
+          org.apache.spark.sql.functions.expr(
+            "transform(sequence(0, greatest(size(split(t, ' ')) - 5, 0)), " +
+              "i -> concat_ws(' ', slice(split(t, ' '), i + 1, 5)))"),
+          s => org.apache.spark.sql.functions.xxhash64(s)))))
+      .collect().map(_.getSeq[Long](0))
+    val viaNative = df.select(org.apache.spark.sql.functions.array_sort(
+        graft.functions.TextHashes.shingleHashes(
+          org.apache.spark.sql.functions.split($"t", " "), 5)))
+      .collect().map(_.getSeq[Long](0))
+    viaHof.zip(viaNative).foreach { case (a, b) =>
+      assert(a == b, s"hash sets diverge: $a vs $b")
+    }
   }
 
   test("hash embedding: multiset-invariant, normalized, discriminative") {
