@@ -25,19 +25,20 @@ import org.apache.spark.sql.types._
  *
  * Scale shape — the same "fit is bounded, application is map-side" split
  * documented in LIMITS.md for BPE/PCA/LM, except the fit itself is ALSO
- * distributed: every full-batch gradient-descent iteration is one map-side
- * pass over the corpus followed by a `dim+2`-row aggregate (posexplode →
- * groupBy(pos) → decimal-staged sums). Nothing corpus-sized ever reaches
- * the driver; the only collect is the `dim+2`-row gradient vector per
+ * distributed: every iteration (GD or Newton) is one map-side pass over
+ * the corpus through the fused [[LrNewtonStats]] aggregate, whose state is
+ * O(dim) (GD) / O(dim²) (Newton) PER PARTITION. Nothing corpus-sized ever
+ * reaches the driver; the only collect is the statistics vector per
  * iteration (metadata-scale, like the IVF centroid fetch). Scoring is a
  * pure codegen'd map-side column — zero shuffles at 100 TB.
  *
- * Determinism — gradient and loss sums stage through DECIMAL(38,18)
- * exactly like the gate's `DSUM` spelling, so the fit is BIT-IDENTICAL
- * across partitionings, cluster layouts, and reruns (a plain double sum
- * would make the learned weights partition-order-dependent, and with them
- * every downstream keep/drop decision). Per-row arithmetic (sigmoid, dot)
- * stays pure IEEE; only cross-row reductions are staged.
+ * Determinism — every cross-row reduction is EXACT and therefore
+ * layout-independent: fit statistics quantize per row to 2⁻⁴⁰ fixed point
+ * and sum in 128-bit integer arithmetic (associative + commutative);
+ * the accuracy metric stages through DECIMAL(38,18) like the gate's
+ * `DSUM`. A plain double sum would make the learned weights
+ * partition-order-dependent, and with them every downstream keep/drop
+ * decision. Per-row arithmetic (sigmoid, dot) stays pure IEEE.
  */
 object Classifier {
 
@@ -67,8 +68,9 @@ object Classifier {
     * otherwise serializes every pass through one task — repartition up to
     * the cluster's parallelism before materializing. Round-robin
     * repartition is layout-dependent, but the fit stays bit-deterministic
-    * regardless: all cross-row reductions are exact decimal sums
-    * (associative + commutative), so row placement cannot change them. */
+    * regardless: all cross-row reductions are exact (fixed-point integer /
+    * decimal), associative, and commutative, so row placement cannot
+    * change them. */
   private def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
@@ -88,6 +90,9 @@ object Classifier {
    * The feature/label projection is checkpointed once so the `iters`
    * passes re-read a materialized two-column table instead of re-running
    * upstream lineage (at real scale: persist to a catalog table instead).
+   * Prefer [[lrFitNewton]] below dim ≈ a few hundred (quadratic
+   * convergence); THIS path exists for large dim, where the Newton
+   * Hessian's O(dim²)-per-row kernel stops paying.
    */
   def lrFit(df: DataFrame, labelCol: String, vecCol: String, dim: Int,
             iters: Int = 30, lr: Double = 0.5, l2: Double = 1e-4): LrModel = {
@@ -103,38 +108,22 @@ object Classifier {
     val losses = new Array[Double](iters)
     var it = 0
     while (it < iters) {
-      val z = dotPlusBias(col("_x"), w, b)
-      val p = sigmoid(z)
-      // log-loss via log1p(exp(-|z|)) (stable for large |z|) + the margin
-      // hinge term; per-row pure IEEE, cross-row staged through decimal.
-      val perRowLoss =
-        log1p(exp(-abs(z))) + when(z > 0, (lit(1.0) - col("_y")) * z)
-          .otherwise(-col("_y") * z)
-      val err = p - col("_y") // d(loss)/dz per row
       // One corpus pass computes loss, bias gradient, and all `dim` weight
-      // gradients: explode the per-row contribution vector and reduce by
-      // position. pos = -1 carries the scalar (loss, err) pair.
-      val contrib = data.select(
-        posexplode(concat(array(struct(perRowLoss.as("a"), err.as("g"))),
-          zip_with(col("_x"), lit(Array.fill(dim)(0.0)),
-            (xi, _) => struct((err * xi).as("a"), lit(0.0).as("g")))))
-          .as(Seq("_pos", "_c")))
-        .groupBy("_pos")
-        .agg(xsum(col("_c.a")).as("sa"), xsum(col("_c.g")).as("sg"))
-        .collect()
-      var loss = 0.0; var gb = 0.0
-      val gw = new Array[Double](dim)
-      contrib.foreach { r =>
-        val pos = r.getInt(0)
-        if (pos == 0) { loss = r.getDouble(1); gb = r.getDouble(2) }
-        else gw(pos - 1) = r.getDouble(1)
-      }
+      // gradients through the fused fixed-point aggregate (Hessian off —
+      // O(dim) per-row state, the GD path's reason to exist at large dim).
+      val agg = LrNewtonStats(
+        Glue.expression(col("_x")), Glue.expression(col("_y")),
+        w.clone(), b, withHessian = false)
+      val flat = data
+        .select(Glue.column(agg.toAggregateExpression()).as("s"))
+        .head().getSeq[Double](0).toArray
+      val loss = flat(0)
       var i = 0
       while (i < dim) {
-        w(i) -= lr * (gw(i) / n + l2 * w(i))
+        w(i) -= lr * (flat(1 + i) / n + l2 * w(i))
         i += 1
       }
-      b -= lr * (gb / n)
+      b -= lr * (flat(1 + dim) / n)
       losses(it) = loss / n +
         l2 / 2.0 * w.map(x => x * x).sum // reg term for monotonicity checks
       it += 1
@@ -346,13 +335,14 @@ object Classifier {
  */
 case class LrNewtonStats(left: Expression, right: Expression,
                          weights: Array[Double], bias: Double,
+                         withHessian: Boolean = true,
                          mutableAggBufferOffset: Int = 0,
                          inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] with BinaryLike[Expression] {
 
   private def dim = weights.length
   private def d1 = dim + 1
-  private def nStats = 1 + d1 + d1 * (d1 + 1) / 2
+  private def nStats = 1 + d1 + (if (withHessian) d1 * (d1 + 1) / 2 else 0)
   private final val Scale = 1099511627776.0 // 2^40
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
@@ -405,16 +395,18 @@ case class LrNewtonStats(left: Expression, right: Expression,
       add128(buf, 1 + i, Math.round(err * xb(i) * Scale))
       i += 1
     }
-    var k = 1 + d1
-    i = 0
-    while (i < d1) {
-      val wxi = wt * xb(i)
-      var j = i
-      while (j < d1) {
-        add128(buf, k, Math.round(wxi * xb(j) * Scale))
-        k += 1; j += 1
+    if (withHessian) {
+      var k = 1 + d1
+      i = 0
+      while (i < d1) {
+        val wxi = wt * xb(i)
+        var j = i
+        while (j < d1) {
+          add128(buf, k, Math.round(wxi * xb(j) * Scale))
+          k += 1; j += 1
+        }
+        i += 1
       }
-      i += 1
     }
     buf
   }
