@@ -468,7 +468,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     "hybrid_search", "stream_lag",
     "dedup_pairs", "dedup_clusters", "pii_redact", "chunk", "decontaminate",
     "curate", "shard_export", "domain_mix", "line_dedup", "classifier_score",
-    "classifier_fit")
+    "classifier_fit", "contamination_report")
 
   /** Manifest version a streaming checkpoint has durably consumed through,
     * or -1 if no batch has committed yet. Reads Spark's own checkpoint
@@ -844,6 +844,30 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             args(4).asInstanceOf[String])
           Seq(org.apache.spark.sql.Row(
             replaceOutput(tx, args(5).asInstanceOf[String], kept)))
+        }
+      }
+      case "contamination_report" => new GraftProcedure("contamination_report",
+          Seq(("table", StringType, None), ("id_col", StringType, None),
+            ("text_col", StringType, None),
+            ("bench_table", StringType, None),
+            ("bench_id_col", StringType, None),
+            ("bench_text_col", StringType, None),
+            ("out_table", StringType, None),
+            ("ngram", IntegerType, Some("8")),
+            ("min_shared", IntegerType, Some("1"))),
+          StructType(Seq(StructField("n_pairs", LongType),
+            StructField("n_contaminated_docs", LongType)))) {
+        def run(args: Seq[Any]) = inSession { tx =>
+          val report = graft.llm.Curation.contaminationReport(
+            tableIn(tx, args(0).asInstanceOf[String]).select(),
+            args(1).asInstanceOf[String], args(2).asInstanceOf[String],
+            tableIn(tx, args(3).asInstanceOf[String]).select(),
+            args(4).asInstanceOf[String], args(5).asInstanceOf[String],
+            args(7).asInstanceOf[Int], args(8).asInstanceOf[Int])
+          val n = replaceOutput(tx, args(6).asInstanceOf[String], report)
+          val docs = tableIn(tx, args(6).asInstanceOf[String]).select()
+            .select(args(1).asInstanceOf[String]).distinct().count()
+          Seq(org.apache.spark.sql.Row(n, docs))
         }
       }
       case "shard_export" => new GraftProcedure("shard_export",

@@ -886,6 +886,15 @@ class SqlCatalogSpec extends SparkSpec {
     assert(sep.getDouble(0) > sep.getDouble(1),
       s"even-class min score ${sep.getDouble(0)} should exceed odd-class max ${sep.getDouble(1)}")
 
+    // contamination attribution: doc↔bench pairs with shared-gram counts
+    val cr = spark.sql("CALL graftr11.system.contamination_report(" +
+      "'bk.m.d', 'id', 'text', 'bk.m.d', 'id', 'text', 'bk.m.leaks', 5, 1)").head
+    // every doc matches at least itself (the bench IS the corpus here)
+    assert(cr.getLong(1) == 20, s"expected all 20 docs flagged, got $cr")
+    val selfPairs = spark.sql(
+      "SELECT count(*) FROM graftr11.bk.m.leaks WHERE id = bench_id").head.getLong(0)
+    assert(selfPairs == 20)
+
     // fit-once persistence: classifier_fit writes a loadable one-row model
     val cf = spark.sql("CALL graftr11.system.classifier_fit(" +
       "'bk.m.d', 'text', 'lbl', 'bk.m.model', 16, 6)").head
