@@ -19,27 +19,40 @@ object Curation {
   /** Per-stage row accounting from [[curateCorpus]]. */
   case class CurationReport(input: Long, afterNormalize: Long,
                             afterQuality: Long, afterExactDedup: Long,
-                            afterNearDedup: Long, afterDecontaminate: Long)
+                            afterNearDedup: Long, afterDecontaminate: Long,
+                            afterLineDedup: Long = -1L,
+                            afterClassifier: Long = -1L)
 
   /**
    * The standard web-corpus curation pipeline as ONE call — normalize →
-   * quality gate → exact dedup → minhash near-dedup → benchmark
-   * decontamination — returning the surviving rows plus a per-stage row
-   * accounting. Each stage is the already-oracled operator; this is the
-   * composition a reference user runs end-to-end, with the stage ORDER
-   * that matters at scale: normalization BEFORE any hashing (canonically
-   * equivalent bytes must collapse first), cheap map-side gates before
-   * shuffling ones, the near-dup pair join only over quality survivors.
+   * [corpus-wide line dedup] → heuristic quality gate → [model quality
+   * gate] → exact dedup → minhash near-dedup → benchmark decontamination
+   * — returning the surviving rows plus a per-stage row accounting. Each
+   * stage is the already-oracled operator; this is the composition a
+   * reference user runs end-to-end, with the stage ORDER that matters at
+   * scale: normalization BEFORE any hashing (canonically equivalent bytes
+   * must collapse first), line dedup BEFORE content hashing (two docs
+   * differing only in boilerplate must collapse in the exact stage),
+   * cheap map-side gates before shuffling ones, the near-dup pair join
+   * only over quality survivors.
    *
-   * Every stage is deterministic (hash-based, no RNG), so re-running over
-   * the same corpus reproduces the same survivors — the property that
-   * makes incremental re-curation diffable.
+   * The bracketed stages are opt-in (default off): `dedupLines` enables
+   * keep-first line dedup; `qualityModel` gates on a FITTED
+   * [[Classifier]] score (`≥ minModelScore`) — the fasttext-style
+   * model-assisted filter, applied AFTER the heuristic gate so the model
+   * only scores rows the cheap gate already admitted. Both preserve the
+   * pipeline's determinism (hash-based dedup; a fixed model scores
+   * identically on any layout). `afterLineDedup`/`afterClassifier` report
+   * -1 when their stage is off (no count action is spent on a no-op).
    */
   def curateCorpus(df: DataFrame, idCol: String, textCol: String,
                    bench: DataFrame, benchTextCol: String,
                    minQuality: Double = 0.3,
                    nearDupThreshold: Double = 0.7,
-                   contaminationN: Int = 5): (DataFrame, CurationReport) = {
+                   contaminationN: Int = 5,
+                   dedupLines: Boolean = false,
+                   qualityModel: Option[Classifier.LrModel] = None,
+                   minModelScore: Double = 0.5): (DataFrame, CurationReport) = {
     // Stage boundaries materialize once (eager localCheckpoint): every
     // stage has 2+ consumers (its accounting count plus the next stage —
     // exact feeds both the pair join and the representative filter), so
@@ -51,10 +64,28 @@ object Curation {
     val normalized = df.withColumn(textCol,
       TextAnalysis.normalizeText(col(textCol)))
     val afterNormalize = input // normalization rewrites, never drops
-    val quality = qualityGate(normalized,
+    val (lineDeduped, afterLineDedup) =
+      if (!dedupLines) (normalized, -1L)
+      else {
+        // line dedup REWRITES text (rows survive, possibly emptied); the
+        // quality gate right after is what drops gutted documents
+        val ld = Dedup.dedupLinesKeepFirst(normalized, idCol, textCol)
+          .localCheckpoint(true)
+        (ld, ld.count())
+      }
+    val heuristic = qualityGate(lineDeduped,
       TextAnalysis.qualityScore(col(textCol)), minQuality)
-      .localCheckpoint(true)
-    val afterQuality = quality.count()
+    val (quality, afterClassifier) = qualityModel match {
+      case None => (heuristic.localCheckpoint(true), -1L)
+      case Some(m) =>
+        val gated = heuristic.filter(Classifier.lrScore(
+          TextAnalysis.hashEmbedding(col(textCol), m.dim), m)
+          >= minModelScore).localCheckpoint(true)
+        (gated, gated.count())
+    }
+    val afterQuality =
+      if (qualityModel.isEmpty) quality.count()
+      else heuristic.count()
     val exact = Dedup.exactKeepFirst(quality, textCol, idCol)
       .localCheckpoint(true)
     val afterExact = exact.count()
@@ -68,7 +99,8 @@ object Curation {
       .localCheckpoint(true)
     val afterDecon = clean.count()
     (clean, CurationReport(input, afterNormalize, afterQuality,
-      afterExact, afterNear, afterDecon))
+      afterExact, afterNear, afterDecon,
+      afterLineDedup = afterLineDedup, afterClassifier = afterClassifier))
   }
 
   def hashSplit(df: DataFrame, idCol: String,

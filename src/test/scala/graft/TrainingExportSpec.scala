@@ -194,6 +194,39 @@ class TrainingExportSpec extends SparkSpec {
       .forall(p => p.length < 2 || p(1) <= p(0) + 1e-12))
   }
 
+  test("curateCorpus optional stages: line dedup and model quality gate") {
+    import spark.implicits._
+    // docs share a long boilerplate line; half carry a "spammarker" body
+    // the model gate learns to reject via a planted-teacher-style label
+    def body(i: Int) = if (i % 2 == 0) "the quick brown fox unique" + i
+                       else "spammarker spammarker spammarker unique" + i
+    val d = (0 until 40)
+      .map(i => (i.toLong, s"SHARED PROMO BANNER LINE\n${body(i)} the of and"))
+      .toDF("id", "text")
+    val bench = Seq.empty[String].toDF("text")
+    // fit the gate model on the same deterministic rule
+    val labeled = d.select(col("id"),
+        (col("id") % 2 === 0).cast("double").as("y"),
+        graft.llm.TextAnalysis.hashEmbedding(col("text"), 16).as("x"))
+    val m = Classifier.lrFitNewton(labeled, "y", "x", dim = 16, iters = 6)
+    val (clean, rep) = Curation.curateCorpus(d, "id", "text", bench, "text",
+      minQuality = 0.0, dedupLines = true,
+      qualityModel = Some(m), minModelScore = 0.5)
+    // line dedup ran: the banner survives in at most one document
+    assert(rep.afterLineDedup == 40)
+    val banners = clean.filter(col("text").contains("SHARED PROMO BANNER"))
+      .count()
+    assert(banners <= 1, s"banner in $banners docs after line dedup")
+    // the model gate dropped (at least most of) the spam half
+    assert(rep.afterClassifier >= 0 && rep.afterClassifier < 40)
+    val spamKept = clean.filter(col("text").contains("spammarker")).count()
+    assert(spamKept <= 2, s"model gate kept $spamKept spam docs")
+    assert(clean.filter(col("id") % 2 === 0).count() >= 18)
+    // default-off path reports -1 and is unchanged
+    val (_, rep0) = Curation.curateCorpus(d, "id", "text", bench, "text")
+    assert(rep0.afterLineDedup == -1L && rep0.afterClassifier == -1L)
+  }
+
   test("qualityClassifier scores every row map-side in (0,1)") {
     val d = teacherData(200, 8)
     val scored = Classifier.qualityClassifier(d, d, "y", "x", dim = 8)
