@@ -389,7 +389,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
   // queryable / streamable like any other table).
 
   import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
-  import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType, TimestampType}
+  import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, StringType, TimestampType}
 
   /** Split `bucket.schema.table` on dots, honoring backtick quoting so a
     * part may itself contain dots (`` bk.m.`ta.ble` ``); doubled backticks
@@ -803,6 +803,9 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             replaceOutput(tx, args(3).asInstanceOf[String], chunks)))
         }
       }
+      // dedup_lines turns on corpus-wide keep-first line dedup; a
+      // non-empty model_table gates on a persisted classifier's score
+      // (CALL classifier_fit's output) — the two round-11 optional stages
       case "curate" => new GraftProcedure("curate",
           Seq(("table", StringType, None), ("id_col", StringType, None),
             ("text_col", StringType, None),
@@ -810,23 +813,37 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             ("bench_text_col", StringType, None),
             ("out_table", StringType, None),
             ("min_quality", DoubleType, Some("0.3")),
-            ("near_dup_threshold", DoubleType, Some("0.7"))),
+            ("near_dup_threshold", DoubleType, Some("0.7")),
+            ("dedup_lines", BooleanType, Some("false")),
+            ("model_table", StringType, Some("''")),
+            ("min_model_score", DoubleType, Some("0.5"))),
           StructType(Seq(StructField("n_input", LongType),
             StructField("n_after_quality", LongType),
             StructField("n_after_exact", LongType),
             StructField("n_after_near", LongType),
-            StructField("n_kept", LongType)))) {
+            StructField("n_kept", LongType),
+            StructField("n_after_line_dedup", LongType),
+            StructField("n_after_model_gate", LongType)))) {
         def run(args: Seq[Any]) = inSession { tx =>
+          val modelTable = args(9).asInstanceOf[String]
+          val model =
+            if (modelTable == null || modelTable.isEmpty) None
+            else Some(graft.llm.Classifier.modelFromDf(
+              tableIn(tx, modelTable).select()))
           val (clean, rep) = graft.llm.Curation.curateCorpus(
             tableIn(tx, args(0).asInstanceOf[String]).select(),
             args(1).asInstanceOf[String], args(2).asInstanceOf[String],
             tableIn(tx, args(3).asInstanceOf[String]).select(),
             args(4).asInstanceOf[String],
             minQuality = args(6).asInstanceOf[Double],
-            nearDupThreshold = args(7).asInstanceOf[Double])
+            nearDupThreshold = args(7).asInstanceOf[Double],
+            dedupLines = args(8).asInstanceOf[Boolean],
+            qualityModel = model,
+            minModelScore = args(10).asInstanceOf[Double])
           replaceOutput(tx, args(5).asInstanceOf[String], clean)
           Seq(org.apache.spark.sql.Row(rep.input, rep.afterQuality,
-            rep.afterExactDedup, rep.afterNearDedup, rep.afterDecontaminate))
+            rep.afterExactDedup, rep.afterNearDedup, rep.afterDecontaminate,
+            rep.afterLineDedup, rep.afterClassifier))
         }
       }
       case "decontaminate" => new GraftProcedure("decontaminate",

@@ -902,5 +902,19 @@ class SqlCatalogSpec extends SparkSpec {
     val mrow = spark.sql(
       "SELECT dim, size(weights) FROM graftr11.bk.m.model").head
     assert(mrow.getInt(0) == 16 && mrow.getInt(1) == 16)
+
+    // the one-call pipeline with the round-11 optional stages: line dedup
+    // on, model gate from the persisted model (docs need a benchmark
+    // table; reuse the corpus so decontamination is vacuous here thanks to
+    // per-doc-unique 5-grams... instead pass an empty-text bench table)
+    spark.sql("CREATE TABLE graftr11.bk.m.nobench (text STRING) ")
+    val cu = spark.sql("CALL graftr11.system.curate(" +
+      "'bk.m.d', 'id', 'text', 'bk.m.nobench', 'text', 'bk.m.cur8', " +
+      "0.0, 0.7, true, 'bk.m.model', 0.5)").head
+    assert(cu.getLong(5) == 20, s"line-dedup count: $cu")   // ran, no drops
+    assert(cu.getLong(6) < 20 && cu.getLong(6) >= 8, s"model gate: $cu")
+    val banner2 = spark.sql("SELECT count(*) FROM graftr11.bk.m.cur8 " +
+      "WHERE text LIKE '%SHARED BANNER LINE HERE%'").head.getLong(0)
+    assert(banner2 <= 1, s"banner in $banner2 curated docs")
   }
 }
