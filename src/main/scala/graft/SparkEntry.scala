@@ -1691,6 +1691,29 @@ object SparkEntry {
              |       CAST(g // 8 AS BIGINT) AS pos
              |FROM r ORDER BY doc_id""".stripMargin)),
 
+    Q("cu8_token_shards",  // token-budget-balanced sharding: weight
+      // prefix-sums on the md5 order (bucketed two-phase, no global
+      // window), shard = (prefixBefore·n) div total in BIGINT — DuckDB
+      // recomputes the identical assignment with a plain global window sum
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "n_chars")
+        graft.llm.Curation.shardByTokenBudget(docs, "doc_id", "n_chars",
+            numShards = 8, seed = "tb")
+          .select("doc_id", "shard").orderBy("doc_id")
+      },
+      Some("""WITH k AS (
+             |  SELECT doc_id, n_chars AS w,
+             |         MD5('tb:' || CAST(doc_id AS VARCHAR)) AS sk
+             |  FROM documents
+             |), c AS (
+             |  SELECT doc_id, COALESCE(SUM(w) OVER (ORDER BY sk, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+             |    GREATEST(SUM(w) OVER (), 1) AS tot
+             |  FROM k
+             |)
+             |SELECT doc_id, CAST(LEAST(7, (cb * 8) // tot) AS INT) AS shard
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     Q("cu6_domain_mix",  // temperature-based domain mixing (integerized
       // α=0.5): per-source quota = (target · floor(sqrt(n_s))) div Σw in
       // pure BIGINT arithmetic, selection = smallest md5 keys per source —

@@ -377,6 +377,49 @@ object Curation {
       .drop("_sk", "_rank")
   }
 
+  /**
+   * TOKEN-BUDGET-BALANCED sharding: like [[shardForTraining]] but balancing
+   * each shard's total WEIGHT (token count) instead of its row count — what
+   * a training run actually wants when document lengths vary by orders of
+   * magnitude. Documents are laid on the deterministic md5 order (a random
+   * permutation, so contiguous chunks are unbiased samples), the weight
+   * prefix-sum is computed with the same bucketed two-phase shape as
+   * [[scalableRank]] (bounded windows + one-row-per-bucket offsets — no
+   * single-partition window), and `shard = (prefixBefore · n) div total`
+   * in pure BIGINT arithmetic — reproducible bit-for-bit by any engine.
+   *
+   * Balance bound: every shard's weight is within (max single document
+   * weight) of `total/n` — the best any contiguous assignment can
+   * guarantee without splitting documents.
+   */
+  def shardByTokenBudget(df: DataFrame, idCol: String, weightCol: String,
+                         numShards: Int, seed: String): DataFrame = {
+    require(numShards >= 1, "numShards must be positive")
+    val keyed = df
+      .withColumn("_sk", md5(concat_ws(":", lit(seed), col(idCol).cast("string"))))
+      .withColumn("_w", col(weightCol).cast("long"))
+      .withColumn("_rbkt",
+        conv(substring(col("_sk"), 1, 3), 16, 10).cast("long"))
+    val wLocal = Window.partitionBy(col("_rbkt"))
+      .orderBy(col("_sk").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.partitionBy(lit(0)).orderBy(col("_rbkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("_rbkt"))
+      .agg(sum(col("_w")).as("_bw"))
+      .withColumn("_boff", coalesce(sum("_bw").over(wOff), lit(0L)))
+      .select(col("_rbkt"), col("_boff"))
+    val total = keyed.agg(greatest(sum(col("_w")), lit(1L)).as("_tot"))
+    keyed
+      .withColumn("_lb", coalesce(sum(col("_w")).over(wLocal), lit(0L)))
+      .join(broadcast(offsets), Seq("_rbkt"))
+      .crossJoin(broadcast(total))
+      .withColumn("shard",
+        least(lit(numShards - 1),
+          expr(s"((_boff + _lb) * ${numShards}L) div _tot")).cast("int"))
+      .drop("_sk", "_w", "_rbkt", "_lb", "_boff", "_tot")
+  }
+
   /** Physically export [[shardForTraining]]'s assignment as one directory
     * per shard (`shard=K/`), rows ordered by `pos` within each shard file
     * — the layout a data loader streams sequentially. One shuffle

@@ -82,6 +82,33 @@ class TrainingExportSpec extends SparkSpec {
       .filter(col("pos") =!= col("p3")).count() > 0)
   }
 
+  test("shardByTokenBudget: weight balance within one max-document bound") {
+    import spark.implicits._
+    // heavy-tailed weights: a few huge docs among many small ones
+    val d = (0 until 2000)
+      .map(i => (i.toLong, if (i % 97 == 0) 5000L else 1L + i % 7))
+      .toDF("id", "toks")
+    val n = 8
+    val sharded = Curation.shardByTokenBudget(d, "id", "toks", n, "b1")
+    val weights = sharded.groupBy("shard").agg(sum("toks").as("w"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(weights.keySet == (0 until n).toSet)
+    val total = weights.values.sum
+    val maxDoc = 5000L
+    val ideal = total / n
+    weights.values.foreach(w =>
+      assert(math.abs(w - ideal) <= maxDoc + n,
+        s"shard weight $w vs ideal $ideal exceeds the max-doc bound"))
+    // layout-independent
+    val again = Curation.shardByTokenBudget(d.repartition(13), "id", "toks",
+      n, "b1").withColumnRenamed("shard", "s2")
+    assert(sharded.join(again, "id")
+      .filter(col("shard") =!= col("s2")).count() === 0)
+    // no corpus-wide window partition in the plan
+    val plan = sharded.queryExecution.executedPlan.toString
+    assert("Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(plan).isEmpty, plan)
+  }
+
   test("exportShards writes one directory per shard, readable and ordered") {
     val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
     Curation.exportShards(docs(100), "id", numShards = 4, seed = "e", out)
