@@ -1783,6 +1783,51 @@ object SparkEntry {
              |  true AS recovers_teacher
              |FROM documents""".stripMargin)),
 
+    Q("qc2_softmax_domains",  // MULTICLASS classifier (multinomial
+      // Newton/IRLS over hashed bag-of-words) with the same planted-
+      // teacher self-oracle as qc1, lifted to K=4: label = argmax of four
+      // fixed hyperplanes in the feature space — exactly softmax-
+      // realizable, so recovery is guaranteed-achievable. Invariants:
+      // bit-identical refit after an adversarial repartition (Fixed128
+      // exact sums), loss decrease, ≥90% teacher recovery, and every
+      // class actually predicted (a collapsed model recovers ~the
+      // majority share, never per-class coverage)
+      (s, dir) => {
+        val dim = 16; val numK = 4
+        val u = Array.tabulate(numK, dim)((k, j) =>
+          (((j + 1) * (2 * k + 3)) % 17 - 8).toDouble)
+        val feats = t(s, dir, "documents").select(col("doc_id"),
+          graft.llm.TextAnalysis.hashEmbedding(col("text"), dim)
+            .cast("array<double>").as("x"))
+        val dots = array(u.map(uk => aggregate(
+          zip_with(col("x"), lit(uk), (a, b) => a * b),
+          lit(0.0d), (acc, v) => acc + v)): _*)
+        val docs = feats.withColumn("y",
+          (array_position(dots, array_max(dots)) - 1).cast("double"))
+        def fit(d: org.apache.spark.sql.DataFrame) =
+          graft.llm.Classifier.softmaxFit(d, "y", "x", dim, numK, iters = 8)
+        val m = fit(docs)
+        val m2 = fit(docs.repartition(7))
+        val deterministic =
+          m.weights.zip(m2.weights).forall(p => p._1.sameElements(p._2)) &&
+            m.biases.sameElements(m2.biases)
+        val lossDecreased = m.lossHistory.last < m.lossHistory.head
+        val agreement = graft.llm.Classifier.softmaxAccuracy(docs, "y", "x", m)
+        val classesPredicted = docs.select(
+          graft.llm.Classifier.softmaxPredict(col("x"), m).as("c"))
+          .distinct().count()
+        docs.agg(count(lit(1)).as("n_docs"))
+          .select(col("n_docs"),
+            lit(deterministic).as("fit_deterministic"),
+            lit(lossDecreased).as("loss_decreased"),
+            lit(agreement >= 0.90).as("recovers_teacher"),
+            lit(classesPredicted == numK).as("all_classes_predicted"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  true AS fit_deterministic, true AS loss_decreased,
+             |  true AS recovers_teacher, true AS all_classes_predicted
+             |FROM documents""".stripMargin)),
+
     // ---- DD*: deduplication suite over `documents` ----
     Q("dd10_line_dedup",  // corpus-wide keep-first line dedup
       // (RefinedWeb-style): planted boilerplate lines survive only in the

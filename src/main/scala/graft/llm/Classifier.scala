@@ -300,6 +300,113 @@ object Classifier {
     LrModel(w, r.getDouble(2), r.getSeq[Double](3).toArray)
   }
 
+  /** A fitted multiclass linear model: `probs(x) = softmax(Wx + b)`. */
+  case class SoftmaxModel(weights: Array[Array[Double]],
+                          biases: Array[Double],
+                          lossHistory: Array[Double]) {
+    def k: Int = weights.length
+    def dim: Int = weights(0).length
+  }
+
+  /**
+   * Multinomial (softmax) logistic regression by Newton/IRLS — the
+   * MULTICLASS companion to [[lrFitNewton]] for domain/source
+   * classification (the decision input for [[Curation.domainMix]]-style
+   * weighting when domains are unlabeled). Each iteration is one corpus
+   * pass through [[SoftmaxNewtonStats]] (fused kernel, Fixed128 exact
+   * sums — bit-deterministic across layouts) followed by one driver-side
+   * (K·(dim+1))-square solve. The block Hessian is PSD for softmax, made
+   * definite by the L2 ridge (which also pins the softmax's shift
+   * redundancy). Labels are 0-based class indexes in [0, numClasses);
+   * out-of-range labels are skipped.
+   *
+   * The per-row kernel and driver solve are O((K·dim)²) — intended for
+   * modest K·dim (a few hundred). Beyond that, run K one-vs-rest
+   * [[lrFitNewton]] fits instead.
+   */
+  def softmaxFit(df: DataFrame, labelCol: String, vecCol: String, dim: Int,
+                 numClasses: Int, iters: Int = 8,
+                 l2: Double = 1e-4): SoftmaxModel = {
+    require(dim > 0 && numClasses >= 2 && iters >= 1,
+      "need dim > 0, numClasses >= 2, iters >= 1")
+    val data = widen(df.select(col(labelCol).cast("double").as("_y"),
+        col(vecCol).cast("array<double>").as("_x")))
+      .localCheckpoint(true)
+    val n = data.count().toDouble
+    require(n > 0, "softmaxFit needs a non-empty corpus")
+    val d1 = dim + 1
+    val kd = numClasses * d1
+    val w = Array.fill(numClasses)(new Array[Double](dim))
+    val b = new Array[Double](numClasses)
+    val losses = new Array[Double](iters)
+    var it = 0
+    while (it < iters) {
+      val agg = SoftmaxNewtonStats(
+        Glue.expression(col("_x")), Glue.expression(col("_y")),
+        w.map(_.clone()), b.clone())
+      val flat = data
+        .select(Glue.column(agg.toAggregateExpression()).as("s"))
+        .head().getSeq[Double](0).toArray
+      val g = new Array[Double](kd)
+      var m = 0
+      while (m < kd) {
+        val i = m % d1
+        g(m) = flat(1 + m) / n +
+          (if (i < dim) l2 * w(m / d1)(i) else 0.0)
+        m += 1
+      }
+      val h = Array.ofDim[Double](kd, kd)
+      var off = 1 + kd
+      var m1 = 0
+      while (m1 < kd) {
+        var m2 = m1
+        while (m2 < kd) {
+          val v = flat(off) / n
+          h(m1)(m2) = v; h(m2)(m1) = v
+          off += 1; m2 += 1
+        }
+        h(m1)(m1) += (if (m1 % d1 < dim) l2 else 0.0) + 1e-9
+        m1 += 1
+      }
+      val step = solveSymmetric(h, g)
+      m = 0
+      while (m < kd) {
+        val k = m / d1; val i = m % d1
+        if (i < dim) w(k)(i) -= step(m) else b(k) -= step(m)
+        m += 1
+      }
+      var reg = 0.0
+      var k = 0
+      while (k < numClasses) {
+        var i = 0
+        while (i < dim) { reg += w(k)(i) * w(k)(i); i += 1 }
+        k += 1
+      }
+      losses(it) = flat(0) / n + l2 / 2.0 * reg
+      it += 1
+    }
+    SoftmaxModel(w, b, losses)
+  }
+
+  /** Map-side class probabilities over the model's K classes. */
+  def softmaxProbs(vec: Column, m: SoftmaxModel): Column =
+    Glue.column(SoftmaxProbsExpr(Glue.expression(vec), m))
+
+  /** Hard 0-based class prediction (first argmax on ties). */
+  def softmaxPredict(vec: Column, m: SoftmaxModel): Column = {
+    val p = softmaxProbs(vec, m)
+    (array_position(p, array_max(p)) - 1).cast("int")
+  }
+
+  /** Fraction of rows where [[softmaxPredict]] equals the class label —
+    * decimal-staged, order-independent. */
+  def softmaxAccuracy(df: DataFrame, labelCol: String, vecCol: String,
+                      m: SoftmaxModel): Double =
+    df.agg((xsum(when(softmaxPredict(col(vecCol), m) ===
+        col(labelCol).cast("int"), 1.0).otherwise(0.0)) /
+      count(lit(1))).as("acc"))
+      .head().getDouble(0)
+
   /** The composed corpus operator: fit a quality model on labeled rows
     * (Newton — few passes), score EVERY row map-side, and return
     * `(df.*, quality_score)`. The label can cover a subset (e.g. a
@@ -309,6 +416,65 @@ object Classifier {
                         l2: Double = 1e-4): DataFrame = {
     val m = lrFitNewton(labeled, labelCol, vecCol, dim, iters, l2)
     df.withColumn("quality_score", lrScore(col(vecCol), m))
+  }
+}
+
+
+/** Shared exact fixed-point accumulation for the fit aggregates: per-row
+  * doubles quantize to 2⁻⁴⁰ (`Math.round(v·2⁴⁰)` — deterministic) and sum
+  * in 128-bit two's-complement integer arithmetic stored as (hi, lo) long
+  * pairs — exact, associative, commutative, so totals are identical under
+  * any partitioning and merge order. */
+private[llm] object Fixed128 {
+  final val Scale = 1099511627776.0 // 2^40
+
+  /** buf[2k]=hi, buf[2k+1]=lo. */
+  def add(buf: Array[Long], k: Int, v: Double): Unit = {
+    val q = Math.round(v * Scale)
+    val lo = buf(2 * k + 1)
+    val newLo = lo + q
+    val carry = ((lo & q) | ((lo | q) & ~newLo)) >>> 63
+    buf(2 * k) += (q >> 63) + carry
+    buf(2 * k + 1) = newLo
+  }
+
+  def mergeInto(a: Array[Long], b: Array[Long], nStats: Int): Unit = {
+    var k = 0
+    while (k < nStats) {
+      val lo = a(2 * k + 1)
+      val q = b(2 * k + 1)
+      val newLo = lo + q
+      val carry = ((lo & q) | ((lo | q) & ~newLo)) >>> 63
+      a(2 * k) += b(2 * k) + carry
+      a(2 * k + 1) = newLo
+      k += 1
+    }
+  }
+
+  /** Correctly-rounded double of each 128-bit sum, scaled back by 2⁻⁴⁰. */
+  def toDoubles(buf: Array[Long], nStats: Int): Array[Any] = {
+    val mask = java.math.BigInteger.ONE.shiftLeft(64)
+      .subtract(java.math.BigInteger.ONE)
+    val out = new Array[Any](nStats)
+    var k = 0
+    while (k < nStats) {
+      val v = java.math.BigInteger.valueOf(buf(2 * k)).shiftLeft(64)
+        .add(java.math.BigInteger.valueOf(buf(2 * k + 1)).and(mask))
+      out(k) = v.doubleValue() / Scale
+      k += 1
+    }
+    out
+  }
+
+  def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
   }
 }
 
@@ -343,7 +509,6 @@ case class LrNewtonStats(left: Expression, right: Expression,
   private def dim = weights.length
   private def d1 = dim + 1
   private def nStats = 1 + d1 + (if (withHessian) d1 * (d1 + 1) / 2 else 0)
-  private final val Scale = 1099511627776.0 // 2^40
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = false
@@ -358,16 +523,6 @@ case class LrNewtonStats(left: Expression, right: Expression,
     }
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](2 * nStats)
-
-  /** 128-bit accumulate: buf[2k]=hi, buf[2k+1]=lo (two's complement). */
-  private def add128(buf: Array[Long], k: Int, q: Long): Unit = {
-    val lo = buf(2 * k + 1)
-    val newLo = lo + q
-    // unsigned carry out of the low word
-    val carry = ((lo & q) | ((lo | q) & ~newLo)) >>> 63
-    buf(2 * k) += (q >> 63) + carry
-    buf(2 * k + 1) = newLo
-  }
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val xv = left.eval(input)
@@ -389,10 +544,10 @@ case class LrNewtonStats(left: Expression, right: Expression,
     // stable log-loss: log1p(exp(-|z|)) + max(z,0) − y·z
     val loss = math.log1p(math.exp(-math.abs(z))) +
       (if (z > 0) (1.0 - label) * z else -label * z)
-    add128(buf, 0, Math.round(loss * Scale))
+    Fixed128.add(buf, 0, loss)
     i = 0
     while (i < d1) {
-      add128(buf, 1 + i, Math.round(err * xb(i) * Scale))
+      Fixed128.add(buf, 1 + i, err * xb(i))
       i += 1
     }
     if (withHessian) {
@@ -402,7 +557,7 @@ case class LrNewtonStats(left: Expression, right: Expression,
         val wxi = wt * xb(i)
         var j = i
         while (j < d1) {
-          add128(buf, k, Math.round(wxi * xb(j) * Scale))
+          Fixed128.add(buf, k, wxi * xb(j))
           k += 1; j += 1
         }
         i += 1
@@ -412,44 +567,17 @@ case class LrNewtonStats(left: Expression, right: Expression,
   }
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-    var k = 0
-    while (k < nStats) {
-      // 128-bit add of b's (hi, lo) into a
-      val lo = a(2 * k + 1)
-      val q = b(2 * k + 1)
-      val newLo = lo + q
-      val carry = ((lo & q) | ((lo | q) & ~newLo)) >>> 63
-      a(2 * k) += b(2 * k) + carry
-      a(2 * k + 1) = newLo
-      k += 1
-    }
-    a
+    Fixed128.mergeInto(a, b, nStats); a
   }
 
-  override def eval(buf: Array[Long]): Any = {
-    val mask = java.math.BigInteger.ONE.shiftLeft(64)
-      .subtract(java.math.BigInteger.ONE)
-    val out = new Array[Any](nStats)
-    var k = 0
-    while (k < nStats) {
-      val v = java.math.BigInteger.valueOf(buf(2 * k)).shiftLeft(64)
-        .add(java.math.BigInteger.valueOf(buf(2 * k + 1)).and(mask))
-      out(k) = v.doubleValue() / Scale // exact power-of-two scaling
-      k += 1
-    }
-    new GenericArrayData(out)
-  }
+  override def eval(buf: Array[Long]): Any =
+    new GenericArrayData(Fixed128.toDoubles(buf, nStats))
 
-  override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
-    buf.foreach(bb.putLong)
-    bb.array()
-  }
+  override def serialize(buf: Array[Long]): Array[Byte] =
+    Fixed128.serialize(buf)
 
-  override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    Array.fill(bytes.length / 8)(bb.getLong)
-  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    Fixed128.deserialize(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): LrNewtonStats =
     copy(mutableAggBufferOffset = newOffset)
@@ -458,4 +586,187 @@ case class LrNewtonStats(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression) =
     copy(left = newLeft, right = newRight)
+}
+
+/**
+ * Fused multinomial (softmax) Newton statistics for
+ * [[Classifier.softmaxFit]]: per row computes the stable softmax over
+ * `z_k = W_k·x + b_k`, then accumulates `[−log p_y, gradient (K·(dim+1)),
+ * upper-tri block Hessian ((δ_kl·p_k − p_k·p_l)·x_i·x_j)]` into the
+ * shared [[Fixed128]] fixed-point buffer. Parameter index `m = k·(dim+1)
+ * + i` (i = dim ⇒ the class bias). The per-row kernel is O((K·dim)²) —
+ * multinomial IRLS is the modest-K/modest-dim fast path, exactly like the
+ * binary Newton; at large K·dim use one-vs-rest binary fits instead.
+ */
+case class SoftmaxNewtonStats(left: Expression, right: Expression,
+                              weights: Array[Array[Double]],
+                              biases: Array[Double],
+                              mutableAggBufferOffset: Int = 0,
+                              inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with BinaryLike[Expression] {
+
+  private def numK = weights.length
+  private def dim = weights(0).length
+  private def d1 = dim + 1
+  private def kd = numK * d1
+  private def nStats = 1 + kd + kd * (kd + 1) / 2
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "softmax_newton_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (xs, ys) => TypeCheckResult.TypeCheckFailure(
+        s"softmax_newton_stats requires (array<double>, double), got ($xs, $ys)")
+    }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](2 * nStats)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val xv = left.eval(input)
+    val yv = right.eval(input)
+    if (xv == null || yv == null) return buf
+    val arr = xv.asInstanceOf[ArrayData]
+    val label = yv.asInstanceOf[Double].toInt
+    if (label < 0 || label >= numK) return buf // out-of-range label: skip
+    val xb = new Array[Double](d1)
+    var i = 0
+    val nEl = math.min(arr.numElements(), dim)
+    while (i < nEl) { xb(i) = arr.getDouble(i); i += 1 }
+    xb(dim) = 1.0
+    // stable softmax
+    val z = new Array[Double](numK)
+    var zMax = Double.NegativeInfinity
+    var k = 0
+    while (k < numK) {
+      var acc = biases(k)
+      val wk = weights(k)
+      i = 0
+      while (i < dim) { acc += wk(i) * xb(i); i += 1 }
+      z(k) = acc
+      if (acc > zMax) zMax = acc
+      k += 1
+    }
+    var sumExp = 0.0
+    k = 0
+    while (k < numK) { z(k) = math.exp(z(k) - zMax); sumExp += z(k); k += 1 }
+    val p = z // reuse: now probabilities
+    k = 0
+    while (k < numK) { p(k) /= sumExp; k += 1 }
+    Fixed128.add(buf, 0, -math.log(math.max(p(label), 1e-300)))
+    // gradient: (p_k − δ_ky)·xb_i at m = k·d1 + i
+    val g = new Array[Double](kd)
+    k = 0
+    while (k < numK) {
+      val e = p(k) - (if (k == label) 1.0 else 0.0)
+      i = 0
+      while (i < d1) { g(k * d1 + i) = e * xb(i); i += 1 }
+      k += 1
+    }
+    var m = 0
+    while (m < kd) { Fixed128.add(buf, 1 + m, g(m)); m += 1 }
+    // block Hessian upper triangle: ((δ_kl·p_k − p_k·p_l)·xb_i·xb_j)
+    var off = 1 + kd
+    var m1 = 0
+    while (m1 < kd) {
+      val k1 = m1 / d1; val i1 = m1 % d1
+      var m2 = m1
+      while (m2 < kd) {
+        val k2 = m2 / d1; val i2 = m2 % d1
+        val pk = (if (k1 == k2) p(k1) else 0.0) - p(k1) * p(k2)
+        Fixed128.add(buf, off, pk * xb(i1) * xb(i2))
+        off += 1; m2 += 1
+      }
+      m1 += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    Fixed128.mergeInto(a, b, nStats); a
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new GenericArrayData(Fixed128.toDoubles(buf, nStats))
+
+  override def serialize(buf: Array[Long]): Array[Byte] =
+    Fixed128.serialize(buf)
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    Fixed128.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SoftmaxNewtonStats =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SoftmaxNewtonStats =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression) =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd map-side softmax scoring: probabilities over the model's K
+  * classes (reference-object pattern, like PcaProjectExpr). */
+case class SoftmaxProbsExpr(child: Expression,
+                            model: Classifier.SoftmaxModel)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with Serializable {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "softmax_probs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"softmax_probs requires array<float>/array<double>, got ${dt.simpleString}")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  def compute(input: Any): ArrayData = {
+    val arr = input.asInstanceOf[ArrayData]
+    val k = model.k
+    val dim = model.dim
+    val n = math.min(arr.numElements(), dim)
+    val f = isFloat
+    val z = new Array[Double](k)
+    var zMax = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      var acc = model.biases(c)
+      val wc = model.weights(c)
+      var j = 0
+      while (j < n) {
+        acc += wc(j) * (if (f) arr.getFloat(j).toDouble else arr.getDouble(j))
+        j += 1
+      }
+      z(c) = acc
+      if (acc > zMax) zMax = acc
+      c += 1
+    }
+    var s = 0.0
+    c = 0
+    while (c < k) { z(c) = math.exp(z(c) - zMax); s += z(c); c += 1 }
+    val out = new Array[Any](k)
+    c = 0
+    while (c < k) { out(c) = z(c) / s; c += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  override def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                         ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("softmaxProbs", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
 }

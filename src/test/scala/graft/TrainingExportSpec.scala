@@ -221,6 +221,34 @@ class TrainingExportSpec extends SparkSpec {
       .forall(p => p.length < 2 || p(1) <= p(0) + 1e-12))
   }
 
+  test("softmaxFit recovers a planted argmax teacher; deterministic; probs sane") {
+    import spark.implicits._
+    val dim = 12; val numK = 4
+    val u = Array.tabulate(numK, dim)((k, j) => math.sin(7.0 * k + j + 1.0))
+    val d = (0 until 800).map { r =>
+      val x = Array.tabulate(dim)(j => math.sin(r * 131.0 + j * 17.0))
+      val scores = u.map(uk => uk.zip(x).map { case (a, c) => a * c }.sum)
+      val y = scores.indexOf(scores.max).toDouble
+      (r.toLong, x, y)
+    }.toDF("id", "x", "y")
+    val m = Classifier.softmaxFit(d, "y", "x", dim, numK, iters = 8)
+    val m2 = Classifier.softmaxFit(d.repartition(9), "y", "x", dim, numK, 8)
+    assert(m.weights.zip(m2.weights).forall(p => p._1.sameElements(p._2)) &&
+      m.biases.sameElements(m2.biases), "softmax fit must be layout-deterministic")
+    assert(m.lossHistory.last < m.lossHistory.head)
+    assert(Classifier.softmaxAccuracy(d, "y", "x", m) >= 0.93,
+      s"agreement ${Classifier.softmaxAccuracy(d, "y", "x", m)}")
+    // probabilities are a distribution; prediction matches the max prob
+    val row = d.limit(5).select(
+      Classifier.softmaxProbs(col("x"), m).as("p"),
+      Classifier.softmaxPredict(col("x"), m).as("c")).collect()
+    row.foreach { r =>
+      val p = r.getSeq[Double](0)
+      assert(math.abs(p.sum - 1.0) < 1e-9 && p.forall(_ >= 0))
+      assert(p(r.getInt(1)) == p.max)
+    }
+  }
+
   test("curateCorpus optional stages: line dedup and model quality gate") {
     import spark.implicits._
     // docs share a long boilerplate line; half carry a "spammarker" body
