@@ -425,7 +425,7 @@ object Classifier {
   * in 128-bit two's-complement integer arithmetic stored as (hi, lo) long
   * pairs — exact, associative, commutative, so totals are identical under
   * any partitioning and merge order. */
-private[llm] object Fixed128 {
+private[graft] object Fixed128 {
   final val Scale = 1099511627776.0 // 2^40
 
   /** buf[2k]=hi, buf[2k+1]=lo. */

@@ -177,6 +177,57 @@ class TrainingExportSpec extends SparkSpec {
 
   // ---- Classifier ----
 
+  test("Fixed128 accumulation equals an exact BigDecimal reference under any split") {
+    // the determinism contract's foundation: quantized 128-bit sums must
+    // equal exact integer arithmetic regardless of partition grouping or
+    // merge order — including cancellation-heavy and large-magnitude mixes
+    val rnd = new scala.util.Random(42)
+    val values = Array.fill(5000)(rnd.nextInt(7) match {
+      case 0 => (rnd.nextDouble() - 0.5) * 700.0  // loss-magnitude
+      case 1 => rnd.nextGaussian() * 1e-9         // tiny
+      case _ => rnd.nextDouble() * 2.0 - 1.0      // typical contribution
+    })
+    val expect = values.map(v =>
+      java.math.BigInteger.valueOf(Math.round(v * graft.llm.Fixed128.Scale)))
+      .reduce(_ add _)
+    for (seed <- 1 to 5) {
+      val r2 = new scala.util.Random(seed)
+      val shuffled = r2.shuffle(values.toSeq)
+      // random partition split, then random-order pairwise merges
+      val parts = shuffled.grouped(1 + r2.nextInt(997)).map { chunk =>
+        val buf = new Array[Long](2)
+        chunk.foreach(v => graft.llm.Fixed128.add(buf, 0, v))
+        buf
+      }.toBuffer
+      while (parts.size > 1) {
+        val i = r2.nextInt(parts.size)
+        val b = parts.remove(i)
+        val j = r2.nextInt(parts.size)
+        graft.llm.Fixed128.mergeInto(parts(j), b, 1)
+      }
+      val got = parts.head
+      val gotBig = java.math.BigInteger.valueOf(got(0)).shiftLeft(64)
+        .add(java.math.BigInteger.valueOf(got(1)).and(
+          java.math.BigInteger.ONE.shiftLeft(64).subtract(java.math.BigInteger.ONE)))
+      assert(gotBig == expect, s"split seed $seed diverged: $gotBig vs $expect")
+    }
+  }
+
+  test("dedupLinesKeepFirst absorbs a mega-duplicated line (skew)") {
+    import spark.implicits._
+    // one line duplicated across 20k documents — the nav-bar pathology;
+    // the winner aggregate must combine map-side, not hot-spot one task
+    val d = (0 until 20000)
+      .map(i => (i.toLong, s"MEGA DUPLICATED NAVIGATION BAR\nunique line $i"))
+      .toDF("id", "text").repartition(16)
+    val out = Dedup.dedupLinesKeepFirst(d, "id", "text", minChars = 5)
+    assert(out.count() === 20000)
+    val keepers = out.filter(col("text").contains("MEGA DUPLICATED")).collect()
+    assert(keepers.length === 1 && keepers.head.getLong(0) === 0L,
+      s"winner should be doc 0, got ${keepers.map(_.getLong(0)).toSeq}")
+    assert(out.filter(!col("text").contains("unique line")).count() === 0)
+  }
+
   test("solveSymmetric solves a known SPD system") {
     val a = Array(Array(4.0, 1.0, 0.0), Array(1.0, 3.0, 1.0),
       Array(0.0, 1.0, 2.0))
