@@ -407,6 +407,39 @@ object Classifier {
       count(lit(1))).as("acc"))
       .head().getDouble(0)
 
+  /** K-row DataFrame encoding of a fitted softmax model (one row per
+    * class: `(class, weights, bias)`), the multiclass analog of
+    * [[modelToDf]] — persist to a catalog table, reload with
+    * [[softmaxModelFromDf]]. Loss history rides on class 0's row. */
+  def softmaxModelToDf(spark: org.apache.spark.sql.SparkSession,
+                       m: SoftmaxModel): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      (0 until m.k).map(k => org.apache.spark.sql.Row(
+        k, m.weights(k).toSeq, m.biases(k),
+        if (k == 0) m.lossHistory.toSeq else Seq.empty[Double])).asJava,
+      StructType(Seq(
+        StructField("class", IntegerType, nullable = false),
+        StructField("weights", ArrayType(DoubleType, containsNull = false)),
+        StructField("bias", DoubleType, nullable = false),
+        StructField("loss_history",
+          ArrayType(DoubleType, containsNull = false)))))
+  }
+
+  /** Inverse of [[softmaxModelToDf]] (K rows — metadata-scale collect). */
+  def softmaxModelFromDf(df: DataFrame): SoftmaxModel = {
+    val rows = df.select("class", "weights", "bias", "loss_history")
+      .collect().sortBy(_.getInt(0))
+    require(rows.nonEmpty, "softmax model table is empty")
+    require(rows.map(_.getInt(0)).toSeq == rows.indices,
+      "softmax model rows must cover classes 0..K-1 exactly")
+    val w = rows.map(_.getSeq[Double](1).toArray)
+    require(w.forall(_.length == w.head.length),
+      "softmax model rows disagree on dim")
+    SoftmaxModel(w, rows.map(_.getDouble(2)),
+      rows.head.getSeq[Double](3).toArray)
+  }
+
   /** The composed corpus operator: fit a quality model on labeled rows
     * (Newton — few passes), score EVERY row map-side, and return
     * `(df.*, quality_score)`. The label can cover a subset (e.g. a

@@ -468,7 +468,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     "hybrid_search", "stream_lag",
     "dedup_pairs", "dedup_clusters", "pii_redact", "chunk", "decontaminate",
     "curate", "shard_export", "domain_mix", "line_dedup", "classifier_score",
-    "classifier_fit", "contamination_report")
+    "classifier_fit", "contamination_report", "softmax_fit", "softmax_score")
 
   /** Manifest version a streaming checkpoint has durably consumed through,
     * or -1 if no batch has committed yet. Reads Spark's own checkpoint
@@ -959,6 +959,58 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
           replaceOutput(tx, args(3).asInstanceOf[String],
             graft.llm.Classifier.modelToDf(labeled.sparkSession, m))
           Seq(org.apache.spark.sql.Row(n, acc, m.lossHistory.last))
+        }
+      }
+      // multiclass versions of classifier_fit / classifier_score: labels
+      // are 0-based class indexes; the persisted model is one row per
+      // class, reloadable by softmax_score (or the Scala API)
+      case "softmax_fit" => new GraftProcedure("softmax_fit",
+          Seq(("table", StringType, None), ("text_col", StringType, None),
+            ("label_col", StringType, None),
+            ("model_table", StringType, None),
+            ("dim", IntegerType, Some("16")),
+            ("classes", IntegerType, Some("2")),
+            ("iters", IntegerType, Some("8"))),
+          StructType(Seq(StructField("n_labeled", LongType),
+            StructField("train_accuracy", DoubleType),
+            StructField("final_loss", DoubleType)))) {
+        def run(args: Seq[Any]) = inSession { tx =>
+          import org.apache.spark.sql.functions.{col => c}
+          val dim = args(4).asInstanceOf[Int]
+          val labeled = tableIn(tx, args(0).asInstanceOf[String]).select()
+            .select(c(args(2).asInstanceOf[String]).cast("double").as("_lbl"),
+              graft.llm.TextAnalysis.hashEmbedding(
+                c(args(1).asInstanceOf[String]), dim).as("_x"))
+            .filter(c("_lbl").isNotNull)
+          val n = labeled.count()
+          val m = graft.llm.Classifier.softmaxFit(labeled, "_lbl", "_x",
+            dim, args(5).asInstanceOf[Int], iters = args(6).asInstanceOf[Int])
+          val acc = graft.llm.Classifier.softmaxAccuracy(
+            labeled, "_lbl", "_x", m)
+          replaceOutput(tx, args(3).asInstanceOf[String],
+            graft.llm.Classifier.softmaxModelToDf(labeled.sparkSession, m))
+          Seq(org.apache.spark.sql.Row(n, acc, m.lossHistory.last))
+        }
+      }
+      case "softmax_score" => new GraftProcedure("softmax_score",
+          Seq(("table", StringType, None), ("id_col", StringType, None),
+            ("text_col", StringType, None),
+            ("model_table", StringType, None),
+            ("out_table", StringType, None)),
+          StructType(Seq(StructField("n_scored", LongType)))) {
+        def run(args: Seq[Any]) = inSession { tx =>
+          import org.apache.spark.sql.functions.{col => c}
+          val m = graft.llm.Classifier.softmaxModelFromDf(
+            tableIn(tx, args(3).asInstanceOf[String]).select())
+          val base = tableIn(tx, args(0).asInstanceOf[String]).select()
+          val x = graft.llm.TextAnalysis.hashEmbedding(
+            c(args(2).asInstanceOf[String]), m.dim)
+          val scored = base.select(c(args(1).asInstanceOf[String]),
+            graft.llm.Classifier.softmaxPredict(x, m).as("predicted_class"),
+            org.apache.spark.sql.functions.array_max(
+              graft.llm.Classifier.softmaxProbs(x, m)).as("confidence"))
+          Seq(org.apache.spark.sql.Row(
+            replaceOutput(tx, args(4).asInstanceOf[String], scored)))
         }
       }
       case "classifier_score" => new GraftProcedure("classifier_score",

@@ -903,6 +903,19 @@ class SqlCatalogSpec extends SparkSpec {
       "SELECT dim, size(weights) FROM graftr11.bk.m.model").head
     assert(mrow.getInt(0) == 16 && mrow.getInt(1) == 16)
 
+    // multiclass: fit a 2-class softmax on the same labels, score unseen
+    val smf = spark.sql("CALL graftr11.system.softmax_fit(" +
+      "'bk.m.d', 'text', 'lbl', 'bk.m.smodel', 16, 2, 8)").head
+    assert(smf.getLong(0) == 20 && smf.getDouble(1) >= 0.95, s"softmax_fit: $smf")
+    val sms = spark.sql("CALL graftr11.system.softmax_score(" +
+      "'bk.m.d', 'id', 'text', 'bk.m.smodel', 'bk.m.spred')").head
+    assert(sms.getLong(0) == 20)
+    val wrong = spark.sql(
+      """SELECT count(*) FROM graftr11.bk.m.spred
+        |WHERE predicted_class <> CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END"""
+        .stripMargin).head.getLong(0)
+    assert(wrong == 0, s"$wrong softmax mispredictions")
+
     // the one-call pipeline with the round-11 optional stages: line dedup
     // on, model gate from the persisted model (docs need a benchmark
     // table; reuse the corpus so decontamination is vacuous here thanks to
