@@ -358,6 +358,8 @@ object Curation {
    * `pos` (0-based position within the shard); the same (corpus, seed)
    * reproduces the same shards on any cluster layout — the property that
    * makes a training run resumable and its data order auditable.
+   * `idCol` must be unique: duplicate ids share a sort key AND its
+   * tie-break, leaving their relative positions layout-dependent.
    *
    * Scale shape: one [[scalableRank]] pass (bucketed windows + a
    * metadata-size offset join) — the cost class of a global sort, which is

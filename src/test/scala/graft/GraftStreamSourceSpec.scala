@@ -1090,4 +1090,62 @@ class GraftStreamSourceSpec extends SparkSpec {
       assert(expect == 0, "ingest-time score must equal the batch formula")
     }
   }
+
+  test("sink scoreWith: a refit between batches takes effect on the next batch") {
+    val root = Files.createTempDirectory("graft-sink-refit").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    val docSchema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    def writeModel(bias: Double): Unit = s.transaction { tx =>
+      val m = tx.bucket("bk").schema("m")
+      val model = graft.llm.Classifier.LrModel(
+        new Array[Double](8), bias, Array(0.0))
+      val df = graft.llm.Classifier.modelToDf(spark, model)
+      if (m.tables.contains("model")) m.table("model").overwrite(df)
+      else m.createTable("model", df.schema).insert(df)
+    }
+    s.transaction { tx =>
+      val m = tx.bucket("bk").createSchema("m")
+      m.createTable("raw", docSchema)
+      m.createTable("scored", StructType(docSchema.fields :+
+        StructField("quality_score", DoubleType)))
+    }
+    writeModel(bias = 0.0) // zero weights + bias 0 -> score exactly 0.5
+    val tdir = Paths.get(root, "bk", "m", "raw").toString
+    val ckpt = Files.createTempDirectory("graft-sink-refitck").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(tdir)
+        .drop("_row_id")
+        .writeStream.format("graft")
+        .option("root", root).option("bucket", "bk")
+        .option("schema", "m").option("table", "scored")
+        .option("scoreWith", "bk.m.model")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    def insertRaw(ids: Range): Unit = s.transaction { tx =>
+      val t = tx.bucket("bk").schema("m").table("raw")
+      val l = new java.util.ArrayList[Row]()
+      ids.foreach(i => l.add(Row(i.toLong, s"doc $i")))
+      t.insert(spark.createDataFrame(l, docSchema).coalesce(1))
+    }
+    insertRaw(0 until 5)
+    drain()
+    writeModel(bias = 4.0) // refit: sigmoid(4)
+    insertRaw(5 until 10)
+    drain()
+    s.transaction { tx =>
+      val out = tx.bucket("bk").schema("m").table("scored")
+        .select(Seq("id", "quality_score")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(out.size == 10)
+      (0 until 5).foreach(i => assert(out(i.toLong) == 0.5,
+        s"batch-1 rows must carry the OLD model's score, got ${out(i.toLong)}"))
+      val expectNew = 1.0 / (1.0 + math.exp(-4.0))
+      (5 until 10).foreach(i => assert(out(i.toLong) == expectNew,
+        s"batch-2 rows must carry the refit score, got ${out(i.toLong)}"))
+    }
+  }
 }

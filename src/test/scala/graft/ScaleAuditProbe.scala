@@ -31,7 +31,7 @@ object ScaleAuditProbe {
       "mm9_phash_pairs",
       // round-11 additions: training export, mixing, line dedup, report
       "cu5_shard_export", "cu6_domain_mix", "dd10_line_dedup",
-      "cu7_contamination_report").foreach(audit)
+      "cu7_contamination_report", "cu8_token_shards").foreach(audit)
     spark.stop()
   }
 }
