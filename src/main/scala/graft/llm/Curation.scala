@@ -426,13 +426,23 @@ object Curation {
     * per shard (`shard=K/`), rows ordered by `pos` within each shard file
     * — the layout a data loader streams sequentially. One shuffle
     * (repartition by shard) + in-partition sort; no global sort, no
-    * driver involvement. */
+    * driver involvement. Returns the per-shard MANIFEST (shard, n_rows,
+    * min/max pos) — the auditable record a training run stores next to
+    * its config (the assignment is checkpointed once, so the summary
+    * costs one metadata-size aggregate, not a second rank pass). */
   def exportShards(df: DataFrame, idCol: String, numShards: Int,
-                   seed: String, outDir: String): Unit =
-    shardForTraining(df, idCol, numShards, seed)
+                   seed: String, outDir: String): DataFrame = {
+    val sharded = shardForTraining(df, idCol, numShards, seed)
+      .localCheckpoint(true)
+    sharded
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    sharded.groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        min("pos").as("min_pos"), max("pos").as("max_pos"))
+      .orderBy("shard")
+  }
 
   /**
    * TEMPERATURE-BASED DOMAIN MIXING (the multilingual-corpus recipe:

@@ -111,7 +111,10 @@ class TrainingExportSpec extends SparkSpec {
 
   test("exportShards writes one directory per shard, readable and ordered") {
     val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
-    Curation.exportShards(docs(100), "id", numShards = 4, seed = "e", out)
+    val manifest = Curation.exportShards(docs(100), "id", numShards = 4,
+      seed = "e", out).collect()
+    assert(manifest.length === 4 && manifest.forall(r =>
+      r.getLong(1) === 25L && r.getLong(2) === 0L && r.getLong(3) === 24L))
     val back = spark.read.parquet(out)
     assert(back.count() === 100)
     assert(back.select("shard").distinct().count() === 4)
