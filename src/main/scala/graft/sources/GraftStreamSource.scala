@@ -714,27 +714,39 @@ private[sources] class GraftTableSink(spark: SparkSession, root: String,
   // batches and the root-dir probe runs once
   private val session = graft.api.VastSession(spark, root)
 
-  /** Ingest-time quality scoring (`scoreWith` = `bucket.schema.table` of a
-    * model table written by [[graft.llm.Classifier.modelToDf]] / CALL
-    * classifier_fit): the model row re-loads PER BATCH (one-row read — a
-    * refit between batches takes effect on the next micro-batch without a
+  /** Ingest-time scoring (`scoreWith` = `bucket.schema.table` of a model
+    * table): the model re-loads PER BATCH (metadata-size read — a refit
+    * between batches takes effect on the next micro-batch without a
     * stream restart), and the scoring itself is the codegen'd map-side
-    * column over `scoreTextCol` — the batch plan gains a projection, never
-    * a shuffle. */
+    * column over `scoreTextCol` — the batch plan gains a projection,
+    * never a shuffle. The model KIND is detected from the table's schema:
+    * a binary model ([[graft.llm.Classifier.modelToDf]] / CALL
+    * classifier_fit) appends `quality_score`; a multiclass softmax model
+    * ([[graft.llm.Classifier.softmaxModelToDf]] / CALL softmax_fit, which
+    * carries a `class` column) appends `predicted_class` + `confidence`. */
   private def applyScore(df: org.apache.spark.sql.DataFrame, tx: graft.api.Transaction)
       : org.apache.spark.sql.DataFrame = scoreWith match {
     case None => df
     case Some(qualified) =>
+      import org.apache.spark.sql.functions.{array_max, col}
       val parts = qualified.split('.')
       require(parts.length >= 3,
         s"scoreWith must be bucket.schema.table, got '$qualified'")
       val mdf = tx.bucket(parts.head)
         .schema(parts.slice(1, parts.length - 1).mkString("/"))
         .table(parts.last).select()
-      val m = graft.llm.Classifier.modelFromDf(mdf)
-      df.withColumn("quality_score", graft.llm.Classifier.lrScore(
-        graft.llm.TextAnalysis.hashEmbedding(
-          org.apache.spark.sql.functions.col(scoreTextCol), m.dim), m))
+      if (mdf.columns.contains("class")) {
+        val m = graft.llm.Classifier.softmaxModelFromDf(mdf)
+        val x = graft.llm.TextAnalysis.hashEmbedding(col(scoreTextCol), m.dim)
+        df.withColumn("predicted_class",
+            graft.llm.Classifier.softmaxPredict(x, m))
+          .withColumn("confidence",
+            array_max(graft.llm.Classifier.softmaxProbs(x, m)))
+      } else {
+        val m = graft.llm.Classifier.modelFromDf(mdf)
+        df.withColumn("quality_score", graft.llm.Classifier.lrScore(
+          graft.llm.TextAnalysis.hashEmbedding(col(scoreTextCol), m.dim), m))
+      }
   }
 
   override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {

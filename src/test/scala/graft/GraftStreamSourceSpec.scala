@@ -1148,4 +1148,57 @@ class GraftStreamSourceSpec extends SparkSpec {
         s"batch-2 rows must carry the refit score, got ${out(i.toLong)}"))
     }
   }
+  test("sink scoreWith: a softmax model table scores class + confidence on ingest") {
+    val root = Files.createTempDirectory("graft-sink-smscore").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    val docSchema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    def docText(i: Long): String =
+      if (i % 2 == 0) "alphamarker alphamarker alphamarker doc" + i
+      else "betamarker betamarker betamarker doc" + i
+    s.transaction { tx =>
+      val m = tx.bucket("bk").createSchema("m")
+      m.createTable("raw", docSchema)
+      m.createTable("classed", StructType(docSchema.fields ++ Seq(
+        StructField("predicted_class", IntegerType),
+        StructField("confidence", DoubleType))))
+      val l = new java.util.ArrayList[Row]()
+      (0L until 40L).foreach(i => l.add(Row(i, docText(i))))
+      val sample = spark.createDataFrame(l, docSchema)
+        .withColumn("y", (col("id") % 2).cast("double"))
+        .withColumn("x", graft.llm.TextAnalysis.hashEmbedding(col("text"), 16))
+      val model = graft.llm.Classifier.softmaxFit(sample, "y", "x",
+        dim = 16, numClasses = 2, iters = 6)
+      val mdf = graft.llm.Classifier.softmaxModelToDf(spark, model)
+      m.createTable("smodel", mdf.schema).insert(mdf)
+    }
+    val tdir = Paths.get(root, "bk", "m", "raw").toString
+    s.transaction { tx =>
+      val t = tx.bucket("bk").schema("m").table("raw")
+      val l = new java.util.ArrayList[Row]()
+      (100 until 120).foreach(i => l.add(Row(i.toLong, docText(i.toLong))))
+      t.insert(spark.createDataFrame(l, docSchema).coalesce(1))
+    }
+    val q = spark.readStream.format("graft").load(tdir)
+      .drop("_row_id")
+      .writeStream.format("graft")
+      .option("root", root).option("bucket", "bk")
+      .option("schema", "m").option("table", "classed")
+      .option("scoreWith", "bk.m.smodel")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sink-smck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    s.transaction { tx =>
+      val out = tx.bucket("bk").schema("m").table("classed")
+        .select(Seq("id", "predicted_class", "confidence")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      assert(out.length == 20)
+      out.foreach { case (id, cls, conf) =>
+        assert(cls == (id % 2).toInt, s"doc $id classed $cls")
+        assert(conf > 0.5 && conf <= 1.0, s"doc $id confidence $conf")
+      }
+    }
+  }
 }
