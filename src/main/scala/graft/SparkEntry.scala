@@ -1783,6 +1783,19 @@ object SparkEntry {
              |  true AS recovers_teacher
              |FROM documents""".stripMargin)),
 
+    Q("ta13_corpus_report",  // dataset-card summary: one integer-exact
+      // aggregate pass (doc/token/char totals, exact-dup cardinality,
+      // token-length envelope) — the release numbers of a corpus
+      (s, dir) => graft.llm.TextAnalysis.corpusReport(
+        t(s, dir, "documents"), "text"),
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS total_tokens,
+             |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+             |  CAST(COUNT(DISTINCT MD5(text)) AS BIGINT) AS distinct_docs,
+             |  CAST(MAX(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS max_doc_tokens,
+             |  CAST(MIN(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS min_doc_tokens
+             |FROM documents""".stripMargin)),
+
     Q("qc2_softmax_domains",  // MULTICLASS classifier (multinomial
       // Newton/IRLS over hashed bag-of-words) with the same planted-
       // teacher self-oracle as qc1, lifted to K=4: label = argmax of four

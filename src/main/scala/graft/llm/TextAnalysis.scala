@@ -359,6 +359,23 @@ object TextAnalysis {
       .orderBy("term")
   }
 
+  /** One-pass DATASET-CARD summary of a text corpus (the numbers a
+    * training-data release documents): doc/token/char totals, exact-dup
+    * cardinality, and the token-length envelope. Single aggregate with
+    * map-side partials — integer-exact, so an external engine reproduces
+    * it bit-for-bit; pair with [[analyze]] / [[topNgrams]] /
+    * `heavyHitterEstimates` for the per-doc and vocabulary views. */
+  def corpusReport(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = size(split(col(textCol), " "))
+    df.agg(
+      count(lit(1)).as("n_docs"),
+      sum(toks.cast("long")).as("total_tokens"),
+      sum(length(col(textCol)).cast("long")).as("total_chars"),
+      count_distinct(md5(col(textCol))).as("distinct_docs"),
+      max(toks.cast("long")).as("max_doc_tokens"),
+      min(toks.cast("long")).as("min_doc_tokens"))
+  }
+
   /** Per-document repetition signals (Gopher-style quality filters):
     * duplicate-word fraction and the most-frequent-bigram share. One native
     * single-pass expression per row (`RepetitionStats`) — no per-token

@@ -124,6 +124,23 @@ class TrainingExportSpec extends SparkSpec {
       .filter(col("pos") =!= col("p2")).count() === 0)
   }
 
+  test("degenerate inputs: empty corpora and more shards than rows") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("id", "domain")
+    assert(Curation.shardForTraining(empty, "id", 4, "s").count() === 0)
+    assert(Curation.domainMix(empty, "id", "domain", 10, "s").count() === 0)
+    assert(Curation.shardByTokenBudget(
+      empty.withColumn("w", lit(1L)), "id", "w", 4, "s").count() === 0)
+    // 3 rows into 8 shards: shards 0..2 get one row each, rest are empty
+    val tiny = Curation.shardForTraining(docs(3), "id", 8, "s")
+    assert(tiny.count() === 3)
+    assert(tiny.select("shard").collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(0, 1, 2))
+    assert(tiny.filter(col("pos") =!= 0L).count() === 0)
+    // domainMix with target 0 keeps nothing
+    assert(Curation.domainMix(docs(50), "id", "domain", 0, "s").count() === 0)
+  }
+
   // ---- domainMix ----
 
   test("domainMix: integer-exact quotas, deterministic, never overshoots") {
