@@ -1783,6 +1783,61 @@ object SparkEntry {
              |  true AS recovers_teacher
              |FROM documents""".stripMargin)),
 
+    Q("tp1_token_pack",  // tensor-ready sequence packing (concat-and-
+      // chunk with EOS), self-oracled on the invariants any correct
+      // packing must satisfy: sequence count = ceil(stream/L), every
+      // sequence full except possibly the last, the flattened output
+      // IS the input stream (order-exact roundtrip via a global-index
+      // anti-join), and the assignment is identical on an adversarial
+      // repartition
+      (s, dir) => {
+        val L = 256
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          transform(split(col("text"), " "), w => xxhash64(w)).as("ids"))
+        def pack(d: org.apache.spark.sql.DataFrame) =
+          graft.llm.Curation.packTokenSequences(d, "doc_id", "ids", L, -1L)
+        val packed = pack(docs).localCheckpoint(true)
+        val total = docs
+          .agg(sum(size(col("ids")) + 1).cast("long")).head().getLong(0)
+        val nSeqs = packed.count()
+        val seqCountOk = nSeqs == (total + L - 1) / L
+        val shortSeqs = packed.filter(size(col("token_ids")) =!= L).count()
+        val lengthsOk = shortSeqs <= 1 &&
+          packed.agg(sum(size(col("token_ids"))).cast("long"))
+            .head().getLong(0) == total
+        // order-exact roundtrip: the id at global index (seq_id·L + slot)
+        // must equal the id at the same index of the input stream. The
+        // naive global-window stream index is the VERIFIER here (fine at
+        // gate scale; the operator itself never builds one — that's the
+        // point being verified)
+        val outIdx = packed.select(col("seq_id"),
+            posexplode(col("token_ids")).as(Seq("_slot", "_id")))
+          .select((col("seq_id") * L + col("_slot")).as("_g"), col("_id"))
+        val wStream = org.apache.spark.sql.expressions.Window
+          .orderBy(col("doc_id").asc, col("_p").asc)
+        val inIdx = docs.select(col("doc_id"),
+            posexplode(concat(col("ids"), array(lit(-1L))))
+              .as(Seq("_p", "_id2")))
+          .withColumn("_g", row_number().over(wStream).cast("long") - 1L)
+          .select("_g", "_id2")
+        val mismatches = outIdx.join(inIdx, Seq("_g"), "full")
+          .filter(col("_id").isNull || col("_id2").isNull ||
+            col("_id") =!= col("_id2")).count()
+        val packed2 = pack(docs.repartition(7))
+        val assignDiff = packed.select("seq_id", "token_ids")
+          .exceptAll(packed2.select("seq_id", "token_ids")).count()
+        docs.agg(count(lit(1)).as("n_docs"))
+          .select(col("n_docs"),
+            lit(seqCountOk).as("seq_count_matches"),
+            lit(lengthsOk).as("lengths_exact"),
+            lit(mismatches == 0L).as("stream_roundtrip_exact"),
+            lit(assignDiff == 0).as("layout_deterministic"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  true AS seq_count_matches, true AS lengths_exact,
+             |  true AS stream_roundtrip_exact, true AS layout_deterministic
+             |FROM documents""".stripMargin)),
+
     Q("ta13_corpus_report",  // dataset-card summary: one integer-exact
       // aggregate pass (doc/token/char totals, exact-dup cardinality,
       // token-length envelope) — the release numbers of a corpus

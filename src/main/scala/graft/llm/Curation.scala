@@ -422,6 +422,65 @@ object Curation {
       .drop("_sk", "_w", "_rbkt", "_lb", "_boff", "_tot")
   }
 
+  /**
+   * TENSOR-READY SEQUENCE PACKING (the GPT pre-training "concat and
+   * chunk" move): append an EOS id to every document's token-id array,
+   * concatenate the corpus in `idCol` order into one logical token
+   * stream, and cut it into consecutive sequences of exactly `seqLen`
+   * ids (the final sequence may be short; documents are never padded,
+   * and a document can span a sequence boundary — the training-time
+   * norm). Output: `(seq_id, token_ids)` with `seq_id` 0-based in stream
+   * order.
+   *
+   * Scale shape: the per-document stream offsets come from a bucketed
+   * two-phase prefix sum (value-range buckets on the numeric `idCol` —
+   * order-consistent by construction; per-bucket windows + one row per
+   * bucket of offsets), then tokens explode with a global index and
+   * regroup by `seq_id` — every group is ≤ seqLen ids, so no unbounded
+   * collect_list. Deterministic on any layout: every number is integer
+   * arithmetic on (id, position).
+   *
+   * `idCol` must be unique integers (the document order key).
+   */
+  def packTokenSequences(df: DataFrame, idCol: String, tokensCol: String,
+                         seqLen: Int, eosId: Long): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val docs = df.select(col(idCol).cast("long").as("_did"),
+        concat(col(tokensCol).cast("array<long>"),
+          array(lit(eosId))).as("_t"))
+      .withColumn("_n", size(col("_t")).cast("long"))
+    val b = docs.agg(min(col("_did")).as("lo"), max(col("_did")).as("hi")).head()
+    if (b.isNullAt(0))
+      return docs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("seq_id"),
+          lit(Array.empty[Long]).as("token_ids")).limit(0)
+    val lo = b.getLong(0); val hi = b.getLong(1)
+    // value-range buckets: width chosen so ~1024 buckets span the id range
+    // (dense ids ⇒ even buckets); integer division keeps bucket order ==
+    // id order exactly
+    val width = math.max(1L, (hi - lo) / 1024L + 1L)
+    val withB = docs.withColumn("_pbkt",
+      expr(s"(_did - ${lo}L) div ${width}L"))
+    val wLocal = Window.partitionBy(col("_pbkt")).orderBy(col("_did").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.partitionBy(lit(0)).orderBy(col("_pbkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withB.groupBy(col("_pbkt"))
+      .agg(sum(col("_n")).as("_bn"))
+      .withColumn("_boff", coalesce(sum("_bn").over(wOff), lit(0L)))
+      .select(col("_pbkt"), col("_boff"))
+    withB
+      .withColumn("_lb", coalesce(sum(col("_n")).over(wLocal), lit(0L)))
+      .join(broadcast(offsets), Seq("_pbkt"))
+      .select((col("_boff") + col("_lb")).as("_start"),
+        posexplode(col("_t")).as(Seq("_pos", "_id")))
+      .withColumn("_g", col("_start") + col("_pos"))
+      .withColumn("seq_id", expr(s"_g div ${seqLen}L"))
+      .groupBy("seq_id")
+      .agg(transform(array_sort(collect_list(struct(col("_g"), col("_id")))),
+        x => x.getField("_id")).as("token_ids"))
+  }
+
   /** Physically export [[shardForTraining]]'s assignment as one directory
     * per shard (`shard=K/`), rows ordered by `pos` within each shard file
     * — the layout a data loader streams sequentially. One shuffle

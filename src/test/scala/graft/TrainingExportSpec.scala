@@ -167,6 +167,44 @@ class TrainingExportSpec extends SparkSpec {
     assert(again.except(mixed.select("id")).count() === 0)
   }
 
+  // ---- packTokenSequences ----
+
+  test("packTokenSequences: hand-computed packing, determinism, roundtrip") {
+    import spark.implicits._
+    // docs 10/11/12 with 3/2/4 tokens (+1 EOS each) = 12-token stream;
+    // seqLen 5 -> seqs [0..4],[5..9],[10..11]
+    val d = Seq(
+      (10L, Seq(1L, 2L, 3L)),
+      (11L, Seq(4L, 5L)),
+      (12L, Seq(6L, 7L, 8L, 9L))).toDF("id", "toks")
+    val packed = Curation.packTokenSequences(d, "id", "toks",
+      seqLen = 5, eosId = -1L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(packed(0L) == Seq(1L, 2L, 3L, -1L, 4L))
+    assert(packed(1L) == Seq(5L, -1L, 6L, 7L, 8L))
+    assert(packed(2L) == Seq(9L, -1L))
+    // layout independence
+    val again = Curation.packTokenSequences(d.repartition(7), "id", "toks",
+      5, -1L).collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(again == packed)
+    // larger roundtrip: flattened output equals the flattened input stream
+    val big = (0 until 500)
+      .map(i => (i.toLong, (0 until (1 + i % 13)).map(j => (i * 100 + j).toLong)))
+      .toDF("id", "toks")
+    val out = Curation.packTokenSequences(big, "id", "toks", 128, -1L)
+    val flatOut = out.orderBy("seq_id")
+      .collect().flatMap(_.getSeq[Long](1))
+    val flatIn = big.orderBy("id").collect()
+      .flatMap(r => r.getSeq[Long](1) :+ -1L)
+    assert(flatOut.toSeq == flatIn.toSeq, "packing must be lossless in order")
+    val sizes = out.select(size(col("token_ids"))).collect().map(_.getInt(0))
+    assert(sizes.count(_ != 128) <= 1 && sizes.sum == flatIn.length)
+    // empty corpus
+    assert(Curation.packTokenSequences(
+      Seq.empty[(Long, Seq[Long])].toDF("id", "toks"), "id", "toks",
+      128, -1L).count() === 0)
+  }
+
   // ---- dedupLinesKeepFirst ----
 
   test("dedupLinesKeepFirst: first occurrence survives, short lines exempt") {
