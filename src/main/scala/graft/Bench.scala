@@ -201,6 +201,12 @@ object Bench {
         mat(docs.select(col("doc_id"),
           graft.llm.Classifier.lrScore(col("x"), m).as("score")))
       }),
+      // concat-and-chunk sequence packing: two-phase prefix sum + explode
+      // + bounded regroup — the curated-text → training-tensors last mile
+      "token_pack" -> (() => mat(graft.llm.Curation.packTokenSequences(
+        t("documents").select(col("doc_id"),
+          transform(split(col("text"), " "), w => xxhash64(w)).as("ids")),
+        "doc_id", "ids", seqLen = 512, eosId = -1L))),
       // corpus-wide keep-first line dedup: explode → winner agg → join →
       // reassemble, all hash-keyed shuffles
       "line_dedup" -> (() => mat(graft.llm.Dedup.dedupLinesKeepFirst(
