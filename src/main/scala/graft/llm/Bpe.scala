@@ -47,6 +47,32 @@ object Bpe {
     trainLocal(sample, numMerges)
   }
 
+  /** DataFrame encoding of a trained merge table (one row per merge, in
+    * application order) — the persistence format that lets a tokenizer be
+    * fit once (CALL bpe_fit) and reused across sessions, procedures, and
+    * the packing pipeline. */
+  def mergesToDf(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[Merge]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      merges.zipWithIndex.map { case ((l, r), i) =>
+        org.apache.spark.sql.Row(i, l, r) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("left",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("right",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+  }
+
+  /** Inverse of [[mergesToDf]] (merge tables are vocabulary-sized —
+    * metadata-scale collect, same bound as training itself). */
+  def mergesFromDf(df: DataFrame): Seq[Merge] =
+    df.select("rank", "left", "right").collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
   /** The classic merge loop, exposed for spec-level parity testing. */
   def trainLocal(docs: Seq[String], numMerges: Int): Seq[Merge] = {
     // word -> frequency; each word as a mutable symbol sequence

@@ -468,7 +468,8 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     "hybrid_search", "stream_lag",
     "dedup_pairs", "dedup_clusters", "pii_redact", "chunk", "decontaminate",
     "curate", "shard_export", "domain_mix", "line_dedup", "classifier_score",
-    "classifier_fit", "contamination_report", "softmax_fit", "softmax_score")
+    "classifier_fit", "contamination_report", "softmax_fit", "softmax_score",
+    "bpe_fit", "tokenize_pack")
 
   /** Manifest version a streaming checkpoint has durably consumed through,
     * or -1 if no batch has committed yet. Reads Spark's own checkpoint
@@ -964,6 +965,56 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
       // multiclass versions of classifier_fit / classifier_score: labels
       // are 0-based class indexes; the persisted model is one row per
       // class, reloadable by softmax_score (or the Scala API)
+      // tokenizer persistence + the text→tensors last mile in SQL:
+      // bpe_fit learns a merge table (bounded sample, like the Scala API);
+      // tokenize_pack loads it, BPE-encodes every document map-side
+      // (subword ids = xxhash64 of the subword — no dense vocab table
+      // needed for packing), and cuts exact seq_len sequences
+      case "bpe_fit" => new GraftProcedure("bpe_fit",
+          Seq(("table", StringType, None), ("text_col", StringType, None),
+            ("model_table", StringType, None),
+            ("num_merges", IntegerType, Some("200")),
+            ("sample_docs", IntegerType, Some("1000"))),
+          StructType(Seq(StructField("n_merges", LongType)))) {
+        def run(args: Seq[Any]) = inSession { tx =>
+          val merges = graft.llm.Bpe.train(
+            tableIn(tx, args(0).asInstanceOf[String]).select(),
+            args(1).asInstanceOf[String], args(3).asInstanceOf[Int],
+            args(4).asInstanceOf[Int])
+          val spark = org.apache.spark.sql.SparkSession.active
+          replaceOutput(tx, args(2).asInstanceOf[String],
+            graft.llm.Bpe.mergesToDf(spark, merges))
+          Seq(org.apache.spark.sql.Row(merges.length.toLong))
+        }
+      }
+      case "tokenize_pack" => new GraftProcedure("tokenize_pack",
+          Seq(("table", StringType, None), ("id_col", StringType, None),
+            ("text_col", StringType, None),
+            ("bpe_table", StringType, None),
+            ("out_table", StringType, None),
+            ("seq_len", IntegerType, Some("512")),
+            ("eos_id", LongType, Some("-1L"))),
+          StructType(Seq(StructField("n_sequences", LongType),
+            StructField("n_tokens", LongType)))) {
+        def run(args: Seq[Any]) = inSession { tx =>
+          import org.apache.spark.sql.functions.{col => c, size => asize,
+            sum => asum, transform => atransform, xxhash64 => ahash}
+          val merges = graft.llm.Bpe.mergesFromDf(
+            tableIn(tx, args(3).asInstanceOf[String]).select())
+          val idCol = args(1).asInstanceOf[String]
+          val docs = tableIn(tx, args(0).asInstanceOf[String]).select()
+            .select(c(idCol),
+              atransform(graft.llm.Bpe.encode(
+                c(args(2).asInstanceOf[String]), merges),
+                w => ahash(w)).as("_ids"))
+          val packed = graft.llm.Curation.packTokenSequences(docs, idCol,
+            "_ids", args(5).asInstanceOf[Int], args(6).asInstanceOf[Long])
+          val n = replaceOutput(tx, args(4).asInstanceOf[String], packed)
+          val toks = tableIn(tx, args(4).asInstanceOf[String]).select()
+            .agg(asum(asize(c("token_ids"))).cast("long")).head().getLong(0)
+          Seq(org.apache.spark.sql.Row(n, toks))
+        }
+      }
       case "softmax_fit" => new GraftProcedure("softmax_fit",
           Seq(("table", StringType, None), ("text_col", StringType, None),
             ("label_col", StringType, None),

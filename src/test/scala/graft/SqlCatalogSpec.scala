@@ -903,6 +903,20 @@ class SqlCatalogSpec extends SparkSpec {
       "SELECT dim, size(weights) FROM graftr11.bk.m.model").head
     assert(mrow.getInt(0) == 16 && mrow.getInt(1) == 16)
 
+    // text -> tensors in SQL: fit a tokenizer, pack exact-length sequences
+    val bf = spark.sql("CALL graftr11.system.bpe_fit(" +
+      "'bk.m.d', 'text', 'bk.m.bpe', 50, 100)").head
+    assert(bf.getLong(0) > 0)
+    val tp = spark.sql("CALL graftr11.system.tokenize_pack(" +
+      "'bk.m.d', 'id', 'text', 'bk.m.bpe', 'bk.m.seqs', 16, -1L)").head
+    val nTok = tp.getLong(1)
+    assert(tp.getLong(0) == (nTok + 15) / 16,
+      s"sequences ${tp.getLong(0)} vs tokens $nTok")
+    val lens = spark.sql(
+      "SELECT size(token_ids) AS l FROM graftr11.bk.m.seqs").collect()
+      .map(_.getInt(0))
+    assert(lens.count(_ != 16) <= 1 && lens.sum == nTok)
+
     // multiclass: fit a 2-class softmax on the same labels, score unseen
     val smf = spark.sql("CALL graftr11.system.softmax_fit(" +
       "'bk.m.d', 'text', 'lbl', 'bk.m.smodel', 16, 2, 8)").head
