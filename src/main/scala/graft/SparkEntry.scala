@@ -1744,6 +1744,37 @@ object SparkEntry {
              |SELECT r.doc_id, r.source FROM r JOIN q USING (source)
              |WHERE rk < quota ORDER BY doc_id""".stripMargin)),
 
+    Q("cu9_domain_mix_tokens",  // token-budget domain mixing: per-domain
+      // TOKEN quota (BIGINT-exact, integerized α=0.5 over token counts),
+      // keep docs in md5 order while the domain's token prefix-sum stays
+      // under quota — DuckDB reproduces quota and membership bit-for-bit
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "source", "n_chars")
+        val target = docs.agg(sum(col("n_chars")).cast("long"))
+          .head().getLong(0) / 2
+        graft.llm.Curation.domainMixTokens(docs, "doc_id", "source",
+            "n_chars", targetTokens = target, seed = "mt")
+          .select("doc_id", "source").orderBy("doc_id")
+      },
+      Some("""WITH n AS (
+             |  SELECT source, SUM(n_chars) AS n_s FROM documents GROUP BY source
+             |), w AS (
+             |  SELECT source, CAST(FLOOR(SQRT(n_s)) AS BIGINT) AS w_s FROM n
+             |), tw AS (SELECT SUM(w_s) AS sw FROM w),
+             |tgt AS (SELECT SUM(n_chars) // 2 AS t FROM documents),
+             |q AS (
+             |  SELECT source, CAST((t * w_s) // sw AS BIGINT) AS quota
+             |  FROM w, tw, tgt
+             |), r AS (
+             |  SELECT doc_id, source,
+             |    COALESCE(SUM(n_chars) OVER (PARTITION BY source
+             |      ORDER BY MD5('mt:' || CAST(doc_id AS VARCHAR)), doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+             |  FROM documents
+             |)
+             |SELECT r.doc_id, r.source FROM r JOIN q USING (source)
+             |WHERE cb < quota ORDER BY doc_id""".stripMargin)),
+
     Q("qc1_lr_quality",  // distributed quality classifier (fasttext
       // recipe: hashed bag-of-words → linear model), planted-teacher
       // self-oracle: label every document by a KNOWN fixed hyperplane in

@@ -350,6 +350,66 @@ object Curation {
       .drop("_rbkt", "_lrn", "_boff")
   }
 
+  /** Scale-correct EXCLUSIVE PREFIX SUM of `weightCol` in `(keyCol,
+    * tieCol)` order within each `partCols` group — the weighted
+    * generalization of [[scalableRank]] (same bucketed two-phase shape:
+    * hex-prefix range buckets of the md5 key, per-bucket windows, offsets
+    * from ONE ROW PER (part, bucket)). Adds `_cumBefore`. */
+  def scalablePrefixSum(df: DataFrame, partCols: Seq[String], keyCol: String,
+                        tieCol: String, weightCol: String,
+                        hexPrefix: Int = 3): DataFrame = {
+    require(hexPrefix >= 1 && hexPrefix <= 8, "hexPrefix in [1,8]")
+    val bkt = conv(substring(col(keyCol), 1, hexPrefix), 16, 10).cast("long")
+    val withB = df.withColumn("_rbkt", bkt)
+      .withColumn("_w", col(weightCol).cast("long"))
+    val pcols = partCols.map(col)
+    val wLocal = Window.partitionBy((pcols :+ col("_rbkt")): _*)
+      .orderBy(col(keyCol).asc, col(tieCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = (if (partCols.isEmpty) Window.partitionBy(lit(0))
+                else Window.partitionBy(pcols: _*))
+      .orderBy(col("_rbkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withB.groupBy((pcols :+ col("_rbkt")): _*)
+      .agg(sum(col("_w")).as("_bn"))
+      .withColumn("_boff", coalesce(sum("_bn").over(wOff), lit(0L)))
+      .select((pcols :+ col("_rbkt") :+ col("_boff")): _*)
+    withB
+      .withColumn("_lb", coalesce(sum(col("_w")).over(wLocal), lit(0L)))
+      .join(broadcast(offsets), partCols :+ "_rbkt")
+      .withColumn("_cumBefore", col("_boff") + col("_lb"))
+      .drop("_rbkt", "_w", "_lb", "_boff")
+  }
+
+  /**
+   * TOKEN-BUDGET DOMAIN MIXING — [[domainMix]] with quotas in TOKENS, the
+   * unit mixture recipes are actually specified in: per-domain token
+   * quota `q_s = (targetTokens · floor(sqrt(n_tokens_s))) div Σw` (pure
+   * BIGINT, integerized α=0.5 over TOKEN counts), then keep each domain's
+   * documents in md5 order while the domain's token prefix-sum stays
+   * under the quota (a document straddling the boundary is kept — quotas
+   * are met-or-barely-exceeded, never starved by a huge head document).
+   * Deterministic and engine-reproducible like its row-quota sibling.
+   */
+  def domainMixTokens(df: DataFrame, idCol: String, domainCol: String,
+                      weightCol: String, targetTokens: Long,
+                      seed: String): DataFrame = {
+    require(targetTokens >= 0, "targetTokens must be non-negative")
+    val counts = df.groupBy(col(domainCol))
+      .agg(sum(col(weightCol).cast("long")).as("_n"))
+      .withColumn("_dw", floor(sqrt(col("_n"))).cast("long"))
+    val totW = counts.agg(sum("_dw").as("_sw"))
+    val quotas = counts.crossJoin(broadcast(totW))
+      .withColumn("_quota", expr(s"(${targetTokens}L * _dw) div _sw"))
+      .select(col(domainCol), col("_quota"))
+    val keyed = df.withColumn("_mk",
+      md5(concat_ws(":", lit(seed), col(idCol).cast("string"))))
+    scalablePrefixSum(keyed, Seq(domainCol), "_mk", idCol, weightCol)
+      .join(broadcast(quotas), Seq(domainCol))
+      .filter(col("_cumBefore") < col("_quota"))
+      .drop("_mk", "_cumBefore", "_quota")
+  }
+
   /**
    * TRAINING-SHARD EXPORT: the last-mile operator between a curated corpus
    * and a training run — a deterministic global shuffle (order by

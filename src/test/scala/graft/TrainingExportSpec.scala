@@ -167,6 +167,31 @@ class TrainingExportSpec extends SparkSpec {
     assert(again.except(mixed.select("id")).count() === 0)
   }
 
+  test("domainMixTokens: token quotas met-or-barely-exceeded, deterministic") {
+    import spark.implicits._
+    // heavy domain (many tokens) vs light domain
+    val d = ((0 until 500).map(i => (i.toLong, "big", 100L)) ++
+      (500 until 560).map(i => (i.toLong, "small", 10L)))
+      .toDF("id", "domain", "toks")
+    val target = 20000L
+    val mixed = Curation.domainMixTokens(d, "id", "domain", "toks",
+      target, "m")
+    val kept = mixed.groupBy("domain")
+      .agg(sum("toks").as("w"), count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // w = floor(sqrt(tokens)): big floor(sqrt(50000))=223, small
+    // floor(sqrt(600))=24 -> quotas 20000*223/247=18056, 20000*24/247=1943
+    val qBig = target * 223 / 247; val qSmall = target * 24 / 247
+    assert(kept("big")._1 >= qBig && kept("big")._1 < qBig + 100,
+      s"big kept ${kept("big")}")
+    // small domain has only 600 tokens; quota 1943 > 600 keeps everything
+    assert(kept("small") == ((600L, 60L)), s"small kept ${kept("small")}")
+    val again = Curation.domainMixTokens(d.repartition(11), "id", "domain",
+      "toks", target, "m").select("id")
+    assert(mixed.select("id").exceptAll(again).count() === 0)
+    assert(again.exceptAll(mixed.select("id")).count() === 0)
+  }
+
   // ---- packTokenSequences ----
 
   test("packTokenSequences: hand-computed packing, determinism, roundtrip") {
