@@ -457,30 +457,18 @@ object Curation {
   def shardByTokenBudget(df: DataFrame, idCol: String, weightCol: String,
                          numShards: Int, seed: String): DataFrame = {
     require(numShards >= 1, "numShards must be positive")
-    val keyed = df
-      .withColumn("_sk", md5(concat_ws(":", lit(seed), col(idCol).cast("string"))))
-      .withColumn("_w", col(weightCol).cast("long"))
-      .withColumn("_rbkt",
-        conv(substring(col("_sk"), 1, 3), 16, 10).cast("long"))
-    val wLocal = Window.partitionBy(col("_rbkt"))
-      .orderBy(col("_sk").asc, col(idCol).asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wOff = Window.partitionBy(lit(0)).orderBy(col("_rbkt").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = keyed.groupBy(col("_rbkt"))
-      .agg(sum(col("_w")).as("_bw"))
-      .withColumn("_boff", coalesce(sum("_bw").over(wOff), lit(0L)))
-      .select(col("_rbkt"), col("_boff"))
-    val total = keyed.agg(greatest(sum(col("_w")), lit(1L)).as("_tot"))
-    keyed
-      .withColumn("_lb", coalesce(sum(col("_w")).over(wLocal), lit(0L)))
-      .join(broadcast(offsets), Seq("_rbkt"))
+    val keyed = df.withColumn("_sk",
+      md5(concat_ws(":", lit(seed), col(idCol).cast("string"))))
+    val total = keyed
+      .agg(greatest(sum(col(weightCol).cast("long")), lit(1L)).as("_tot"))
+    scalablePrefixSum(keyed, Seq.empty, "_sk", idCol, weightCol)
       .crossJoin(broadcast(total))
       .withColumn("shard",
         least(lit(numShards - 1),
-          expr(s"((_boff + _lb) * ${numShards}L) div _tot")).cast("int"))
-      .drop("_sk", "_w", "_rbkt", "_lb", "_boff", "_tot")
+          expr(s"(_cumBefore * ${numShards}L) div _tot")).cast("int"))
+      .drop("_sk", "_cumBefore", "_tot")
   }
+
 
   /**
    * TENSOR-READY SEQUENCE PACKING (the GPT pre-training "concat and
