@@ -44,5 +44,16 @@ object GraftSession {
       .config("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
         "false")
       .config("spark.sql.ui.explainMode", "formatted")
+      // Spark 4's EliminateWindowPartitions strips foldable partition specs,
+      // turning the deliberate `partitionBy(lit(0))` spelling on the
+      // metadata-bounded single-partition windows (scalableRank bucket
+      // offsets, top-k rankers) back into an UNpartitioned window — same
+      // execution, but WindowExec then logs its "no partition" warning and
+      // plan pins can no longer distinguish intentional from accidental
+      // global windows. Excluding the rule keeps the explicit single-bucket
+      // hash distribution; the cost is identical either way (one exchange
+      // of the already-tiny input).
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions")
       .config("spark.ui.enabled", "false")
 }

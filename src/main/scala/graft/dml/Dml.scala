@@ -66,7 +66,7 @@ object Dml {
     * (zipWithIndex-style) instead, which scales. */
   def withRowIds(df: DataFrame, orderCols: Seq[String]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(orderCols.map(col): _*)
+      .partitionBy(lit(0)).orderBy(orderCols.map(col): _*)
     df.withColumn(RowIdColumn, row_number().over(w).cast("long") - 1)
   }
 }

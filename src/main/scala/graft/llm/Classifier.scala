@@ -118,14 +118,16 @@ object Classifier {
         .select(Glue.column(agg.toAggregateExpression()).as("s"))
         .head().getSeq[Double](0).toArray
       val loss = flat(0)
+      // reg term from the SAME weights the aggregate pass used (pre-step),
+      // so lossHistory entries are f(w_it) exactly and monotonicity checks
+      // compare like with like
+      losses(it) = loss / n + l2 / 2.0 * w.map(x => x * x).sum
       var i = 0
       while (i < dim) {
         w(i) -= lr * (flat(1 + i) / n + l2 * w(i))
         i += 1
       }
       b -= lr * (flat(1 + dim) / n)
-      losses(it) = loss / n +
-        l2 / 2.0 * w.map(x => x * x).sum // reg term for monotonicity checks
       it += 1
     }
     LrModel(w, b, losses)
@@ -200,11 +202,12 @@ object Classifier {
         h(i)(i) += (if (i < dim) l2 else 0.0) + 1e-12
         i += 1
       }
+      // loss at the weights the pass evaluated (pre-step) — see lrFit
+      losses(it) = loss + l2 / 2.0 * w.map(x => x * x).sum
       val step = solveSymmetric(h, g)
       i = 0
       while (i < dim) { w(i) -= step(i); i += 1 }
       b -= step(dim)
-      losses(it) = loss + l2 / 2.0 * w.map(x => x * x).sum
       it += 1
     }
     LrModel(w, b, losses)
@@ -368,13 +371,7 @@ object Classifier {
         h(m1)(m1) += (if (m1 % d1 < dim) l2 else 0.0) + 1e-9
         m1 += 1
       }
-      val step = solveSymmetric(h, g)
-      m = 0
-      while (m < kd) {
-        val k = m / d1; val i = m % d1
-        if (i < dim) w(k)(i) -= step(m) else b(k) -= step(m)
-        m += 1
-      }
+      // loss at the weights the pass evaluated (pre-step) — see lrFit
       var reg = 0.0
       var k = 0
       while (k < numClasses) {
@@ -383,6 +380,13 @@ object Classifier {
         k += 1
       }
       losses(it) = flat(0) / n + l2 / 2.0 * reg
+      val step = solveSymmetric(h, g)
+      m = 0
+      while (m < kd) {
+        val kk = m / d1; val i = m % d1
+        if (i < dim) w(kk)(i) -= step(m) else b(kk) -= step(m)
+        m += 1
+      }
       it += 1
     }
     SoftmaxModel(w, b, losses)
@@ -461,8 +465,19 @@ object Classifier {
 private[graft] object Fixed128 {
   final val Scale = 1099511627776.0 // 2^40
 
+  /** Largest |contribution| whose 2⁴⁰-scaled quantization fits a long:
+    * 2⁶³⁻⁴⁰ = 2²³ ≈ 8.4e6. Math.round would SATURATE (and map NaN to 0)
+    * past this, silently corrupting the fit — so the quantizer throws
+    * instead. L2-normalized features (hashEmbedding) sit orders of
+    * magnitude below the bound; raw-count features must be scaled first. */
+  final val MaxAbs = 8388608.0 // 2^23
+
   /** buf[2k]=hi, buf[2k+1]=lo. */
   def add(buf: Array[Long], k: Int, v: Double): Unit = {
+    if (!(Math.abs(v) < MaxAbs)) // inverted compare also rejects NaN
+      throw new IllegalArgumentException(
+        s"Fixed128: |contribution| $v exceeds the 2^23 fixed-point range; " +
+          "scale/normalize the feature vectors (e.g. L2-normalize) before fitting")
     val q = Math.round(v * Scale)
     val lo = buf(2 * k + 1)
     val newLo = lo + q

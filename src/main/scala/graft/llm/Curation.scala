@@ -23,6 +23,36 @@ object Curation {
                             afterLineDedup: Long = -1L,
                             afterClassifier: Long = -1L)
 
+  /** Where [[curateCorpus]] materializes stage boundaries. Every stage has
+    * 2+ consumers (its accounting count plus the next stage), so WITHOUT a
+    * boundary the quality pass and the minhash chain re-run several times
+    * over (measured 1.75× end-to-end). Two shapes:
+    *  - [[LocalCheckpointStore]] (default): eager executor-local
+    *    checkpoint — fast, but each stage holds a corpus copy in executor
+    *    storage that dies with an executor. The gate-scale/single-job shape.
+    *  - a durable store (`graft.api.CatalogStageStore`): stage outputs land
+    *    in catalog TABLES — they survive executor loss, are independently
+    *    queryable/time-travelable afterwards, and the row accounting comes
+    *    from the insert's returned row-id range, so NO extra count()
+    *    actions run. The 100-TB shape.
+    */
+  trait StageStore {
+    /** Materialize `df` as stage `name`; return the re-readable frame and
+      * its row count (derived from the materialization itself — an
+      * implementation must not spend a second corpus pass counting). */
+    def materialize(name: String, df: DataFrame): (DataFrame, Long)
+  }
+
+  /** Eager executor-local checkpoint boundary (see [[StageStore]]).
+    * The count() here is near-free: it scans the just-checkpointed blocks,
+    * not the stage lineage. */
+  object LocalCheckpointStore extends StageStore {
+    def materialize(name: String, df: DataFrame): (DataFrame, Long) = {
+      val c = df.localCheckpoint(true)
+      (c, c.count())
+    }
+  }
+
   /**
    * The standard web-corpus curation pipeline as ONE call — normalize →
    * [corpus-wide line dedup] → heuristic quality gate → [model quality
@@ -52,14 +82,16 @@ object Curation {
                    contaminationN: Int = 5,
                    dedupLines: Boolean = false,
                    qualityModel: Option[Classifier.LrModel] = None,
-                   minModelScore: Double = 0.5): (DataFrame, CurationReport) = {
-    // Stage boundaries materialize once (eager localCheckpoint): every
-    // stage has 2+ consumers (its accounting count plus the next stage —
-    // exact feeds both the pair join and the representative filter), so
-    // without materialization the token-stats quality pass and the
-    // minhash chain re-run several times over (measured 1.75x end-to-end).
-    // At true corpus scale, persist stage outputs to catalog tables
-    // instead (executor-local checkpoint storage holds a corpus copy).
+                   minModelScore: Double = 0.5,
+                   stageStore: StageStore = LocalCheckpointStore)
+      : (DataFrame, CurationReport) = {
+    // Stage boundaries materialize once through `stageStore` (see
+    // [[StageStore]]): every stage has 2+ consumers (its accounting count
+    // plus the next stage — exact feeds both the pair join and the
+    // representative filter), so without materialization the token-stats
+    // quality pass and the minhash chain re-run several times over
+    // (measured 1.75x end-to-end). At true corpus scale pass a durable
+    // catalog-backed store (`graft.api.CatalogStageStore`).
     val input = df.count()
     val normalized = df.withColumn(textCol,
       TextAnalysis.normalizeText(col(textCol)))
@@ -69,35 +101,35 @@ object Curation {
       else {
         // line dedup REWRITES text (rows survive, possibly emptied); the
         // quality gate right after is what drops gutted documents
-        val ld = Dedup.dedupLinesKeepFirst(normalized, idCol, textCol)
-          .localCheckpoint(true)
-        (ld, ld.count())
+        val (ld, n) = stageStore.materialize("line_dedup", normalized
+          .transform(Dedup.dedupLinesKeepFirst(_, idCol, textCol)))
+        (ld, n)
       }
     val heuristic = qualityGate(lineDeduped,
       TextAnalysis.qualityScore(col(textCol)), minQuality)
-    val (quality, afterClassifier) = qualityModel match {
-      case None => (heuristic.localCheckpoint(true), -1L)
+    val (quality, afterQuality, afterClassifier) = qualityModel match {
+      case None =>
+        val (q, n) = stageStore.materialize("quality", heuristic)
+        (q, n, -1L)
       case Some(m) =>
-        val gated = heuristic.filter(Classifier.lrScore(
-          TextAnalysis.hashEmbedding(col(textCol), m.dim), m)
-          >= minModelScore).localCheckpoint(true)
-        (gated, gated.count())
+        // heuristic count is a plain action (not a boundary: single
+        // consumer) — the model gate right after is the boundary
+        val nHeuristic = heuristic.count()
+        val (gated, nGated) = stageStore.materialize("model_gate",
+          heuristic.filter(Classifier.lrScore(
+            TextAnalysis.hashEmbedding(col(textCol), m.dim), m)
+            >= minModelScore))
+        (gated, nHeuristic, nGated)
     }
-    val afterQuality =
-      if (qualityModel.isEmpty) quality.count()
-      else heuristic.count()
-    val exact = Dedup.exactKeepFirst(quality, textCol, idCol)
-      .localCheckpoint(true)
-    val afterExact = exact.count()
-    val near = Dedup.keepClusterRepresentatives(exact, idCol,
-      Dedup.minhashPairs(exact, idCol, textCol,
-        threshold = nearDupThreshold))
-      .localCheckpoint(true)
-    val afterNear = near.count()
-    val clean = decontaminate(near, idCol, textCol,
-      bench, benchTextCol, n = contaminationN)
-      .localCheckpoint(true)
-    val afterDecon = clean.count()
+    val (exact, afterExact) = stageStore.materialize("exact_dedup",
+      Dedup.exactKeepFirst(quality, textCol, idCol))
+    val (near, afterNear) = stageStore.materialize("near_dedup",
+      Dedup.keepClusterRepresentatives(exact, idCol,
+        Dedup.minhashPairs(exact, idCol, textCol,
+          threshold = nearDupThreshold)))
+    val (clean, afterDecon) = stageStore.materialize("decontaminated",
+      decontaminate(near, idCol, textCol,
+        bench, benchTextCol, n = contaminationN))
     (clean, CurationReport(input, afterNormalize, afterQuality,
       afterExact, afterNear, afterDecon,
       afterLineDedup = afterLineDedup, afterClassifier = afterClassifier))
@@ -280,7 +312,11 @@ object Curation {
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = withB.withColumn("_before",
       coalesce(sum(col(tokensCol)).over(wLocal), lit(0L)))
-    val wBuckets = Window.orderBy("_bkt")
+    // partitionBy(lit(0)): same single-partition semantics over the
+    // metadata-sized bucket summary (≤ ~4096 rows), but an EXPLICIT
+    // partition spec — no WindowExec "no partition defined" warning, and
+    // the plan-pin spec can assert every Window carries a partition spec.
+    val wBuckets = Window.partitionBy(lit(0)).orderBy("_bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
     val lead = col(orderCols.head)
     val offsets = withB.groupBy("_bkt")
@@ -293,7 +329,8 @@ object Curation {
       // rows that landed in different buckets). assert_true throws when the
       // offsets materialize, with the offending boundary in the message.
       .withColumn("_chk", {
-        val prevMax = lag(col("_omax"), 1).over(Window.orderBy("_bkt"))
+        val prevMax =
+          lag(col("_omax"), 1).over(Window.partitionBy(lit(0)).orderBy("_bkt"))
         assert_true(prevMax.isNull || prevMax < col("_omin"),
           concat(lit("packByBudget: bucketCol is not a coarsening of the " +
             s"leading order column '${orderCols.head}' — bucket "),
@@ -493,11 +530,22 @@ object Curation {
   def packTokenSequences(df: DataFrame, idCol: String, tokensCol: String,
                          seqLen: Int, eosId: Long): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
-    val docs = df.select(col(idCol).cast("long").as("_did"),
+    val docs = df.select(col(idCol).try_cast("long").as("_did"),
         concat(col(tokensCol).cast("array<long>"),
           array(lit(eosId))).as("_t"))
       .withColumn("_n", size(col("_t")).cast("long"))
-    val b = docs.agg(min(col("_did")).as("lo"), max(col("_did")).as("hi")).head()
+    // Contract check in the SAME pass as the range probe: a null or
+    // non-numeric id would fall out of the bucket equi-join and silently
+    // drop its document from the packed output — fail loudly instead
+    // (try_cast maps malformed ids to null so THIS check owns the error,
+    // uniformly for nulls and garbage, instead of an ANSI task failure).
+    // count(_did) < count(*) ⟺ some id was null or didn't cast to long.
+    val b = docs.agg(min(col("_did")).as("lo"), max(col("_did")).as("hi"),
+      count(lit(1)).as("n"), count(col("_did")).as("nid")).head()
+    require(b.getLong(2) == b.getLong(3),
+      s"packTokenSequences: idCol '$idCol' has ${b.getLong(2) - b.getLong(3)} " +
+        "null/non-numeric values — the contract requires unique integer ids " +
+        "(documents with unparseable ids would silently vanish from the pack)")
     if (b.isNullAt(0))
       return docs.sparkSession.emptyDataFrame
         .select(lit(0L).as("seq_id"),

@@ -74,17 +74,25 @@ object Dedup {
   def dedupLinesKeepFirst(df: DataFrame, idCol: String, textCol: String,
                           minChars: Int = 5, sep: String = "\n"): DataFrame = {
     val sepPat = java.util.regex.Pattern.quote(sep)
+    // Line identity is 128 effective bits: the shuffle key `_lh` plus an
+    // independently-salted verifier hash `_lh2` carried through the winner
+    // struct. At corpus scale (billions of distinct lines) 64-bit birthday
+    // collisions are EXPECTED (~50% at ~5e9 lines); on a collision the
+    // verifier mismatches and the losing line is KEPT (degrades to a
+    // retained duplicate) instead of silently deleted from its document.
     val lines = df
       .select(col(idCol),
         posexplode(split(col(textCol), sepPat)).as(Seq("_pos", "_line")))
       .withColumn("_lh", xxhash64(col("_line")))
+      .withColumn("_lh2", xxhash64(lit("graft-line-v1"), col("_line")))
     val firsts = lines
       .filter(length(col("_line")) >= minChars)
       .groupBy("_lh")
-      .agg(min(struct(col(idCol).as("_fid"), col("_pos").as("_fpos")))
-        .as("_first"))
+      .agg(min(struct(col(idCol).as("_fid"), col("_pos").as("_fpos"),
+        col("_lh2").as("_fh2"))).as("_first"))
     val kept = lines.join(firsts, Seq("_lh"), "left")
       .filter(length(col("_line")) < minChars ||
+        col("_first._fh2") =!= col("_lh2") ||
         (col("_first._fid") === col(idCol) && col("_first._fpos") === col("_pos")))
     val cleaned = kept.groupBy(col(idCol))
       .agg(array_join(transform(

@@ -23,9 +23,12 @@ import graft.functions.Distances
 object Search {
 
   /** Attach a dense 1-based `rank` to an ordered bounded result. The
-    * single-partition window is fine BY CONSTRUCTION: input is a top-N. */
+    * single-partition window is fine BY CONSTRUCTION: input is a top-N.
+    * `partitionBy(lit(0))` = same semantics, explicit partition spec (no
+    * WindowExec warning; plan-pin-able). */
   def ranked(df: DataFrame, orderCols: org.apache.spark.sql.Column*): DataFrame =
-    df.withColumn("rank", row_number().over(Window.orderBy(orderCols: _*)))
+    df.withColumn("rank",
+      row_number().over(Window.partitionBy(lit(0)).orderBy(orderCols: _*)))
 
   /** RRF-fuse rankings (each `(id, rank)`): top-k by fused score. */
   def rrfFuse(rankings: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame =

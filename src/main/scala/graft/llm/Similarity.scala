@@ -109,8 +109,9 @@ object Similarity {
       .select(col(idCol).as("c_src"), col(vecCol).as("c_vec"))
       .orderBy(xxhash64(col("c_src")))
       .limit(nCentroids)
-      .withColumn("centroid_id",
-        row_number().over(Window.orderBy(col("c_src"))).cast("long"))
+      .withColumn("centroid_id", // ≤ nCentroids rows; explicit spec
+        row_number().over(Window.partitionBy(lit(0)).orderBy(col("c_src")))
+          .cast("long"))
       .select("centroid_id", "c_vec")
     for (_ <- 0 until refineIters) {
       val means = assign(centroids)

@@ -806,7 +806,12 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
       }
       // dedup_lines turns on corpus-wide keep-first line dedup; a
       // non-empty model_table gates on a persisted classifier's score
-      // (CALL classifier_fit's output) — the two round-11 optional stages
+      // (CALL classifier_fit's output) — the two round-11 optional stages.
+      // persist_stages=true is the corpus-scale mode: stage boundaries
+      // land in DURABLE catalog tables `{out}_stage_{name}` next to the
+      // output (survive executor loss, independently queryable and
+      // time-travelable; row accounting from the insert itself) instead of
+      // executor-local checkpoints.
       case "curate" => new GraftProcedure("curate",
           Seq(("table", StringType, None), ("id_col", StringType, None),
             ("text_col", StringType, None),
@@ -817,7 +822,8 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             ("near_dup_threshold", DoubleType, Some("0.7")),
             ("dedup_lines", BooleanType, Some("false")),
             ("model_table", StringType, Some("''")),
-            ("min_model_score", DoubleType, Some("0.5"))),
+            ("min_model_score", DoubleType, Some("0.5")),
+            ("persist_stages", BooleanType, Some("false"))),
           StructType(Seq(StructField("n_input", LongType),
             StructField("n_after_quality", LongType),
             StructField("n_after_exact", LongType),
@@ -831,6 +837,19 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             if (modelTable == null || modelTable.isEmpty) None
             else Some(graft.llm.Classifier.modelFromDf(
               tableIn(tx, modelTable).select()))
+          val outName = args(5).asInstanceOf[String]
+          val store: graft.llm.Curation.StageStore =
+            if (!args(11).asInstanceOf[Boolean])
+              graft.llm.Curation.LocalCheckpointStore
+            else {
+              val parts = parseQualified(outName)
+              if (parts.length < 3) throw new IllegalArgumentException(
+                s"output table must be qualified bucket.schema.table, got '$outName'")
+              new graft.api.CatalogStageStore(
+                tx.bucket(parts.head)
+                  .schema(parts.slice(1, parts.length - 1).mkString("/")),
+                parts.last)
+            }
           val (clean, rep) = graft.llm.Curation.curateCorpus(
             tableIn(tx, args(0).asInstanceOf[String]).select(),
             args(1).asInstanceOf[String], args(2).asInstanceOf[String],
@@ -840,8 +859,9 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             nearDupThreshold = args(7).asInstanceOf[Double],
             dedupLines = args(8).asInstanceOf[Boolean],
             qualityModel = model,
-            minModelScore = args(10).asInstanceOf[Double])
-          replaceOutput(tx, args(5).asInstanceOf[String], clean)
+            minModelScore = args(10).asInstanceOf[Double],
+            stageStore = store)
+          replaceOutput(tx, outName, clean)
           Seq(org.apache.spark.sql.Row(rep.input, rep.afterQuality,
             rep.afterExactDedup, rep.afterNearDedup, rep.afterDecontaminate,
             rep.afterLineDedup, rep.afterClassifier))

@@ -21,6 +21,9 @@ object SparkSpec {
         .appName("graft-test")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.session.timeZone", "UTC")
+        // keep explicit partitionBy(lit(0)) specs — see GraftSession.tune
+        .config("spark.sql.optimizer.excludedRules",
+          "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       s.sparkContext.setLogLevel("ERROR")

@@ -663,6 +663,62 @@ class SqlCatalogSpec extends SparkSpec {
     assert(kept.size == rep.getLong(4))
   }
 
+  test("CALL curate persist_stages: durable stage tables, counts from writes, time travel") {
+    val root = Files.createTempDirectory("graft-sqlcu5").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    val dSchema = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType)))
+    def docText(i: Long) =
+      s"the w${i}a of w${i}b and w${i}c to w${i}d in w${i}e is " +
+        s"w${i}f it w${i}g for w${i}h on w${i}j the w${i}k"
+    s.transaction { tx =>
+      val m = tx.bucket("bk").createSchema("m")
+      val t = m.createTable("d", dSchema)
+      val l = new java.util.ArrayList[Row]()
+      (0L until 10L).foreach(i => l.add(Row(i, docText(i))))
+      l.add(Row(11L, docText(1)))
+      t.insert(spark.createDataFrame(l, dSchema).coalesce(1))
+      val b = m.createTable("bench", StructType(Seq(
+        StructField("text", StringType))))
+      b.insert(spark.createDataFrame(
+        java.util.List.of(Row(docText(5))),
+        StructType(Seq(StructField("text", StringType)))))
+    }
+    spark.conf.set("spark.sql.catalog.graftps",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.graftps.root", root)
+    def run() = spark.sql("CALL graftps.system.curate(" +
+      "'bk.m.d', 'id', 'text', 'bk.m.bench', 'text', 'bk.m.curated', " +
+      "persist_stages => true)").collect().head
+    val rep = run()
+    // identical accounting to the localCheckpoint mode — but every number
+    // came from the stage INSERT's returned row-id range, not a count()
+    assert(rep.getLong(0) == 11 && rep.getLong(1) == 11 &&
+      rep.getLong(2) == 10 && rep.getLong(3) == 10 && rep.getLong(4) == 9)
+    // stage tables are durable, queryable, and match the accounting
+    val stages = Map("quality" -> 11L, "exact_dedup" -> 10L,
+      "near_dedup" -> 10L, "decontaminated" -> 9L)
+    for ((st, n) <- stages)
+      assert(spark.sql(
+        s"SELECT COUNT(*) FROM graftps.bk.m.curated_stage_$st")
+        .head().getLong(0) == n, s"stage $st")
+    // final output equals the last stage's content
+    assert(spark.sql("SELECT COUNT(*) FROM graftps.bk.m.curated")
+      .head().getLong(0) == 9)
+    // a re-run OVERWRITES stage tables in place (new manifest version) —
+    // and the prior run's intermediate state stays time-travelable
+    val v1 = s.transaction(tx => tx.bucket("bk").schema("m")
+      .table("curated_stage_exact_dedup").manifest.version)
+    run()
+    s.transaction { tx =>
+      val t = tx.bucket("bk").schema("m").table("curated_stage_exact_dedup")
+      assert(t.manifest.version > v1, "re-run must commit a new version")
+      assert(t.selectAt(v1).count() == 10, "prior run must stay readable")
+      assert(t.select().count() == 10)
+    }
+  }
+
   test("CALL curation procedures write output tables matching the Scala API") {
     val root = Files.createTempDirectory("graft-sqlcur").toString
     val s = VastSession(spark, root)

@@ -230,6 +230,39 @@ class TrainingExportSpec extends SparkSpec {
       128, -1L).count() === 0)
   }
 
+  test("packTokenSequences / packByBudget plans: every Window has a partition spec") {
+    import spark.implicits._
+    val d = (0 until 200)
+      .map(i => (i.toLong, (0 until (1 + i % 5)).map(_.toLong)))
+      .toDF("id", "toks")
+    val planPack = Curation.packTokenSequences(d, "id", "toks", 64, -1L)
+      .queryExecution.executedPlan.toString
+    val emptyPartWindow = "Window \\[[^\\]]*\\], \\[\\]".r
+    assert(emptyPartWindow.findFirstIn(planPack).isEmpty, planPack)
+    // bucket = id div 16: contiguous id ranges, a valid coarsening of the
+    // leading order column
+    val ch = d.select(col("id"),
+      size(col("toks")).cast("long").as("n_tok"))
+    val planBudget = Curation.packByBudget(ch, expr("id div 16"),
+        Seq("id"), "n_tok", budget = 32)
+      .queryExecution.executedPlan.toString
+    assert(emptyPartWindow.findFirstIn(planBudget).isEmpty, planBudget)
+  }
+
+  test("packTokenSequences rejects null/non-numeric ids instead of dropping docs") {
+    import spark.implicits._
+    val bad = Seq(("a-uuid", Seq(1L, 2L)), ("7", Seq(3L)))
+      .toDF("id", "toks")
+    val e = intercept[IllegalArgumentException] {
+      Curation.packTokenSequences(bad, "id", "toks", 16, -1L).count()
+    }
+    assert(e.getMessage.contains("null/non-numeric"))
+    // numeric strings are fine (cast succeeds for every row)
+    val ok = Seq(("1", Seq(1L, 2L)), ("2", Seq(3L))).toDF("id", "toks")
+    assert(Curation.packTokenSequences(ok, "id", "toks", 16, -1L)
+      .count() > 0)
+  }
+
   // ---- dedupLinesKeepFirst ----
 
   test("dedupLinesKeepFirst: first occurrence survives, short lines exempt") {
@@ -294,6 +327,32 @@ class TrainingExportSpec extends SparkSpec {
           java.math.BigInteger.ONE.shiftLeft(64).subtract(java.math.BigInteger.ONE)))
       assert(gotBig == expect, s"split seed $seed diverged: $gotBig vs $expect")
     }
+  }
+
+  test("Fixed128 rejects out-of-range and NaN contributions instead of saturating") {
+    val buf = new Array[Long](2)
+    graft.llm.Fixed128.add(buf, 0, 8388607.0) // just inside 2^23
+    intercept[IllegalArgumentException] {
+      graft.llm.Fixed128.add(buf, 0, 8388608.0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.llm.Fixed128.add(buf, 0, -9e6)
+    }
+    intercept[IllegalArgumentException] {
+      graft.llm.Fixed128.add(buf, 0, Double.NaN)
+    }
+  }
+
+  test("lossHistory entries are f(w_it) at the evaluated weights (pre-step reg)") {
+    // iter 0's loss must equal the loss at the INITIAL weights (all-zero):
+    // n·ln 2 / n = ln 2 exactly, with zero reg — the post-step-reg bug this
+    // pins against added ||w_1||² to iter 0's entry
+    val d = teacherData(200, 8)
+    val m = Classifier.lrFitNewton(d, "y", "x", dim = 8, iters = 3)
+    assert(math.abs(m.lossHistory(0) - math.log(2.0)) < 1e-9,
+      s"iter-0 loss ${m.lossHistory(0)} != ln 2")
+    val g = Classifier.lrFit(d, "y", "x", dim = 8, iters = 3, lr = 0.5)
+    assert(math.abs(g.lossHistory(0) - math.log(2.0)) < 1e-9)
   }
 
   test("dedupLinesKeepFirst absorbs a mega-duplicated line (skew)") {
