@@ -49,6 +49,57 @@ object SparkEntry {
   private def DSUM(sql: String): String =
     s"CAST(SUM(CAST(($sql) AS DECIMAL(38,6))) AS DOUBLE)"
 
+  /** 60-bit md5-prefix token hash — the DUAL-ENGINE hash: Spark's
+    * `conv(substr(md5(w),1,15),16,10)` equals DuckDB's
+    * `('0x'||substr(md5(w),1,15))::BIGINT` value-for-value, so gates built
+    * on it (classifier features, packing token ids) get value-exact DuckDB
+    * oracles instead of self-certified booleans. Production paths keep the
+    * faster codegen'd xxhash64 expressions; this spelling exists for the
+    * dual-engine gate queries only. */
+  private def md5Hash60(w: Column): Column =
+    conv(substring(md5(w), 1, 15), 16, 10).cast("long")
+
+  /** Hashing-trick bag-of-words features over `md5Hash60` buckets:
+    * `x_j = Σ_tokens sign(w)·[bucket(w)=j]` with `bucket = h mod dim`
+    * (dim a power of two) and `sign = 1-2·bit_{log2 dim}(h)` — SIGNED
+    * INTEGER counts (exact in IEEE doubles), so dot products against
+    * integer weight vectors are bit-exact in both engines and the oracle
+    * can recompute teacher labels / logits with plain SQL sums. */
+  private def md5BucketFeatures(textCol: Column, dim: Int): Column = {
+    require((dim & (dim - 1)) == 0, s"dim must be a power of two, got $dim")
+    val log2 = Integer.numberOfTrailingZeros(dim)
+    val hs = transform(split(textCol, " "), w => md5Hash60(w))
+    transform(sequence(lit(0), lit(dim - 1)), j =>
+      aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(pmod(h, lit(dim.toLong)) === j.cast("long"),
+          lit(1L) - shiftright(h, log2) % 2 * 2L).otherwise(0L))
+        .cast("double"))
+  }
+
+  /** Exact dot product of an integer-valued double array column with an
+    * integer weight vector (+bias): products and the left-fold sum stay in
+    * the exact-integer range of IEEE doubles, so the result is bit-equal
+    * in any engine and under any row order. */
+  private def intDot(x: Column, u: Array[Long], bias: Double = 0.0): Column =
+    aggregate(zip_with(x, lit(u.map(_.toDouble)), (a, b) => a * b),
+      lit(bias), (acc, v) => acc + v)
+
+  /** DuckDB spelling of the `md5BucketFeatures`+`intDot` pipeline: the
+    * per-document sum `Σ_tokens u[h mod dim]·(1-2·bit(h))` over exploded
+    * tokens — mathematically `u·x` without materializing the vector. */
+  private def duckDot(u: Array[Long], dim: Int): String = {
+    val log2 = Integer.numberOfTrailingZeros(dim)
+    s"COALESCE(SUM(list_extract([${u.mkString(",")}], " +
+      s"CAST(h % $dim AS INT) + 1) * (1 - 2 * ((h >> $log2) & 1))), 0)"
+  }
+
+  /** DuckDB token-explode CTE body shared by the dual-engine classifier
+    * gates: one row per (doc_id, token-hash `h`). */
+  private val duckTokenHashes =
+    """SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+      |  FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+      |        FROM documents)""".stripMargin
+
   private case class Q(name: String,
                        fn: (SparkSession, String) => DataFrame,
                        oracle: Option[String])
@@ -1776,24 +1827,27 @@ object SparkEntry {
              |WHERE cb < quota ORDER BY doc_id""".stripMargin)),
 
     Q("qc1_lr_quality",  // distributed quality classifier (fasttext
-      // recipe: hashed bag-of-words → linear model), planted-teacher
-      // self-oracle: label every document by a KNOWN fixed hyperplane in
-      // the hashed feature space, then require the distributed Newton/IRLS
-      // fit to (a) be BIT-IDENTICAL after an adversarial repartition
-      // (decimal-staged gradient+Hessian sums — a plain double reduction
-      // fails this), (b) reduce the regularized loss from its iter-1
-      // value, and (c) recover ≥ 95% of the teacher's labels — guaranteed
-      // achievable because the classes are linearly separable in exactly
-      // the space being fit, at every scale factor
+      // recipe: hashed bag-of-words → linear model), planted-teacher gate:
+      // label every document by a KNOWN fixed hyperplane u in the hashed
+      // feature space, then require the distributed Newton/IRLS fit to
+      // (a) be BIT-IDENTICAL after an adversarial repartition (Fixed128
+      // exact sums — a plain double reduction fails this), (b) reduce the
+      // regularized loss from its iter-1 value, and (c) recover ≥ 95% of
+      // the teacher's labels — guaranteed achievable because the classes
+      // are linearly separable in exactly the space being fit.
+      // DUAL-ENGINE PART: features are md5-bucket signed integer counts,
+      // so the oracle recomputes every document's teacher label y
+      // value-exactly (the whole tokenize→hash→bucket→dot pipeline runs
+      // independently in DuckDB). The fit invariants themselves stay
+      // Spark-side booleans — a Newton fit is not SQL-computable — which
+      // is the documented residual trust (see qc3 for the value-exact
+      // scoring-path check).
       (s, dir) => {
         val dim = 32
-        val u = Array.tabulate(dim)(i => (((i + 1) * 37) % 19 - 9).toDouble)
-        val feats = t(s, dir, "documents").select(col("doc_id"),
-          graft.llm.TextAnalysis.hashEmbedding(col("text"), dim).as("x"))
-        val docs = feats.withColumn("y",
-          (aggregate(zip_with(col("x").cast("array<double>"), lit(u),
-            (a, b) => a * b), lit(0.0d), (acc, v) => acc + v) > 0)
-            .cast("double"))
+        val u = Array.tabulate(dim)(i => (((i + 1) * 37) % 19 - 9).toLong)
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          md5BucketFeatures(col("text"), dim).as("x"))
+          .withColumn("y", (intDot(col("x"), u) > 0).cast("double"))
         def fit(d: org.apache.spark.sql.DataFrame) =
           graft.llm.Classifier.lrFitNewton(d, "y", "x", dim,
             iters = 6, l2 = 1e-4)
@@ -1803,71 +1857,109 @@ object SparkEntry {
           m.bias == m2.bias
         val lossDecreased = m.lossHistory.last < m.lossHistory.head
         val agreement = graft.llm.Classifier.accuracy(docs, "y", "x", m)
-        docs.agg(count(lit(1)).as("n_docs"))
-          .select(col("n_docs"),
+        docs.select(col("doc_id"), col("y"),
             lit(deterministic).as("fit_deterministic"),
             lit(lossDecreased).as("loss_decreased"),
             lit(agreement >= 0.95).as("recovers_teacher"))
+          .orderBy("doc_id")
       },
-      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-             |  true AS fit_deterministic, true AS loss_decreased,
-             |  true AS recovers_teacher
-             |FROM documents""".stripMargin)),
+      Some({
+        val dim = 32
+        val u = Array.tabulate(dim)(i => (((i + 1) * 37) % 19 - 9).toLong)
+        s"""WITH tok AS ($duckTokenHashes)
+           |SELECT doc_id,
+           |  CAST(CASE WHEN ${duckDot(u, dim)} > 0 THEN 1 ELSE 0 END
+           |       AS DOUBLE) AS y,
+           |  true AS fit_deterministic, true AS loss_decreased,
+           |  true AS recovers_teacher
+           |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      })),
+
+    Q("qc3_lr_score_parity",  // the SHIPPED scoring path (lrScore /
+      // lrPredict — the map-side sigmoid(w·x+b) expression used by batch
+      // re-scoring, CALL classifier_score, and the streaming scoreWith
+      // sink) under a FIXED integer-weight model, dual-engine value-exact:
+      // DuckDB independently recomputes each document's logit (exact — all
+      // arithmetic stays in the integer-exact double range), its sigmoid
+      // score rounded to 6 dp, and the hard prediction. This is the
+      // value-exact complement to qc1's self-certified fit invariants:
+      // together they pin fit determinism AND scoring semantics.
+      (s, dir) => {
+        val dim = 32
+        val wFix = Array.tabulate(dim)(i => ((i * 7) % 13 - 6).toLong)
+        val m = graft.llm.Classifier.LrModel(
+          wFix.map(_.toDouble), -2.0, Array.empty)
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          md5BucketFeatures(col("text"), dim).as("x"))
+        docs.select(col("doc_id"),
+            intDot(col("x"), wFix, bias = -2.0).as("logit"),
+            round(graft.llm.Classifier.lrScore(col("x"), m), 6).as("score6"),
+            graft.llm.Classifier.lrPredict(col("x"), m).as("pred"))
+          .orderBy("doc_id")
+      },
+      Some({
+        val dim = 32
+        val wFix = Array.tabulate(dim)(i => ((i * 7) % 13 - 6).toLong)
+        s"""WITH tok AS ($duckTokenHashes),
+           |  z AS (SELECT doc_id,
+           |          CAST(${duckDot(wFix, dim)} AS DOUBLE) - 2.0 AS logit
+           |        FROM tok GROUP BY doc_id)
+           |SELECT doc_id, logit,
+           |  ROUND(1.0 / (1.0 + EXP(-logit)), 6) AS score6,
+           |  CAST(CASE WHEN 1.0 / (1.0 + EXP(-logit)) >= 0.5
+           |       THEN 1 ELSE 0 END AS INT) AS pred
+           |FROM z ORDER BY doc_id""".stripMargin
+      })),
 
     Q("tp1_token_pack",  // tensor-ready sequence packing (concat-and-
-      // chunk with EOS), self-oracled on the invariants any correct
-      // packing must satisfy: sequence count = ceil(stream/L), every
-      // sequence full except possibly the last, the flattened output
-      // IS the input stream (order-exact roundtrip via a global-index
-      // anti-join), and the assignment is identical on an adversarial
-      // repartition
+      // chunk with EOS), dual-engine VALUE-EXACT: token ids are the
+      // md5-prefix hash both engines compute identically, and DuckDB
+      // independently rebuilds the entire packing — explode every doc's
+      // tokens + EOS sentinel, global stream index via the naive global
+      // window (the oracle AFFORDS the single-partition verifier the
+      // operator itself must avoid — that asymmetry is the point), chunk
+      // into ceil(stream/L) sequences — and value-matches every
+      // `token_ids` array. Subsumes the former self-oracled invariants
+      // (count, lengths, order-exact roundtrip); the one residual
+      // Spark-side boolean is layout determinism under an adversarial
+      // repartition, which no single-engine recomputation can witness.
       (s, dir) => {
         val L = 256
         val docs = t(s, dir, "documents").select(col("doc_id"),
-          transform(split(col("text"), " "), w => xxhash64(w)).as("ids"))
+          transform(split(col("text"), " "), w => md5Hash60(w)).as("ids"))
         def pack(d: org.apache.spark.sql.DataFrame) =
           graft.llm.Curation.packTokenSequences(d, "doc_id", "ids", L, -1L)
         val packed = pack(docs).localCheckpoint(true)
-        val total = docs
-          .agg(sum(size(col("ids")) + 1).cast("long")).head().getLong(0)
-        val nSeqs = packed.count()
-        val seqCountOk = nSeqs == (total + L - 1) / L
-        val shortSeqs = packed.filter(size(col("token_ids")) =!= L).count()
-        val lengthsOk = shortSeqs <= 1 &&
-          packed.agg(sum(size(col("token_ids"))).cast("long"))
-            .head().getLong(0) == total
-        // order-exact roundtrip: the id at global index (seq_id·L + slot)
-        // must equal the id at the same index of the input stream. The
-        // naive global-window stream index is the VERIFIER here (fine at
-        // gate scale; the operator itself never builds one — that's the
-        // point being verified)
-        val outIdx = packed.select(col("seq_id"),
-            posexplode(col("token_ids")).as(Seq("_slot", "_id")))
-          .select((col("seq_id") * L + col("_slot")).as("_g"), col("_id"))
-        val wStream = org.apache.spark.sql.expressions.Window
-          .orderBy(col("doc_id").asc, col("_p").asc)
-        val inIdx = docs.select(col("doc_id"),
-            posexplode(concat(col("ids"), array(lit(-1L))))
-              .as(Seq("_p", "_id2")))
-          .withColumn("_g", row_number().over(wStream).cast("long") - 1L)
-          .select("_g", "_id2")
-        val mismatches = outIdx.join(inIdx, Seq("_g"), "full")
-          .filter(col("_id").isNull || col("_id2").isNull ||
-            col("_id") =!= col("_id2")).count()
         val packed2 = pack(docs.repartition(7))
         val assignDiff = packed.select("seq_id", "token_ids")
           .exceptAll(packed2.select("seq_id", "token_ids")).count()
-        docs.agg(count(lit(1)).as("n_docs"))
-          .select(col("n_docs"),
-            lit(seqCountOk).as("seq_count_matches"),
-            lit(lengthsOk).as("lengths_exact"),
-            lit(mismatches == 0L).as("stream_roundtrip_exact"),
+        packed.select(col("seq_id"), col("token_ids"),
             lit(assignDiff == 0).as("layout_deterministic"))
+          .orderBy("seq_id")
       },
-      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-             |  true AS seq_count_matches, true AS lengths_exact,
-             |  true AS stream_roundtrip_exact, true AS layout_deterministic
-             |FROM documents""".stripMargin)),
+      Some("""WITH n AS (
+             |  SELECT doc_id, text, LEN(STRING_SPLIT(text, ' ')) AS nt
+             |  FROM documents
+             |), tok AS (
+             |  SELECT doc_id,
+             |    UNNEST(RANGE(1, nt + 1)) AS pos,
+             |    UNNEST(STRING_SPLIT(text, ' ')) AS w
+             |  FROM n
+             |), ids AS (
+             |  SELECT doc_id, pos,
+             |    ('0x' || substr(md5(w), 1, 15))::BIGINT AS id
+             |  FROM tok
+             |  UNION ALL
+             |  SELECT doc_id, nt + 1 AS pos, -1 AS id FROM n
+             |), g AS (
+             |  SELECT ROW_NUMBER() OVER (ORDER BY doc_id, pos) - 1 AS gidx,
+             |         id
+             |  FROM ids
+             |)
+             |SELECT (gidx // 256) AS seq_id,
+             |  LIST(id ORDER BY gidx) AS token_ids,
+             |  true AS layout_deterministic
+             |FROM g GROUP BY 1 ORDER BY seq_id""".stripMargin)),
 
     Q("ta13_corpus_report",  // dataset-card summary: one integer-exact
       // aggregate pass (doc/token/char totals, exact-dup cardinality,
@@ -1884,23 +1976,23 @@ object SparkEntry {
 
     Q("qc2_softmax_domains",  // MULTICLASS classifier (multinomial
       // Newton/IRLS over hashed bag-of-words) with the same planted-
-      // teacher self-oracle as qc1, lifted to K=4: label = argmax of four
-      // fixed hyperplanes in the feature space — exactly softmax-
-      // realizable, so recovery is guaranteed-achievable. Invariants:
-      // bit-identical refit after an adversarial repartition (Fixed128
-      // exact sums), loss decrease, ≥90% teacher recovery, and every
-      // class actually predicted (a collapsed model recovers ~the
-      // majority share, never per-class coverage)
+      // teacher gate as qc1, lifted to K=4: label = argmax of four fixed
+      // hyperplanes in the feature space — exactly softmax-realizable, so
+      // recovery is guaranteed-achievable. Invariants: bit-identical refit
+      // after an adversarial repartition (Fixed128 exact sums), loss
+      // decrease, ≥90% teacher recovery, and every class actually
+      // predicted (a collapsed model recovers ~the majority share, never
+      // per-class coverage). DUAL-ENGINE PART: md5-bucket integer features
+      // make each document's teacher label y (argmax of four EXACT integer
+      // dots, first-index tie-break) independently recomputable in DuckDB;
+      // the fit invariants stay Spark-side booleans (see qc1/qc4).
       (s, dir) => {
         val dim = 16; val numK = 4
         val u = Array.tabulate(numK, dim)((k, j) =>
-          (((j + 1) * (2 * k + 3)) % 17 - 8).toDouble)
+          (((j + 1) * (2 * k + 3)) % 17 - 8).toLong)
         val feats = t(s, dir, "documents").select(col("doc_id"),
-          graft.llm.TextAnalysis.hashEmbedding(col("text"), dim)
-            .cast("array<double>").as("x"))
-        val dots = array(u.map(uk => aggregate(
-          zip_with(col("x"), lit(uk), (a, b) => a * b),
-          lit(0.0d), (acc, v) => acc + v)): _*)
+          md5BucketFeatures(col("text"), dim).as("x"))
+        val dots = array(u.map(uk => intDot(col("x"), uk)): _*)
         val docs = feats.withColumn("y",
           (array_position(dots, array_max(dots)) - 1).cast("double"))
         def fit(d: org.apache.spark.sql.DataFrame) =
@@ -1915,17 +2007,83 @@ object SparkEntry {
         val classesPredicted = docs.select(
           graft.llm.Classifier.softmaxPredict(col("x"), m).as("c"))
           .distinct().count()
-        docs.agg(count(lit(1)).as("n_docs"))
-          .select(col("n_docs"),
+        docs.select(col("doc_id"), col("y"),
             lit(deterministic).as("fit_deterministic"),
             lit(lossDecreased).as("loss_decreased"),
             lit(agreement >= 0.90).as("recovers_teacher"),
             lit(classesPredicted == numK).as("all_classes_predicted"))
+          .orderBy("doc_id")
       },
-      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-             |  true AS fit_deterministic, true AS loss_decreased,
-             |  true AS recovers_teacher, true AS all_classes_predicted
-             |FROM documents""".stripMargin)),
+      Some({
+        val dim = 16; val numK = 4
+        val u = Array.tabulate(numK, dim)((k, j) =>
+          (((j + 1) * (2 * k + 3)) % 17 - 8).toLong)
+        val dots = (0 until numK)
+          .map(k => s"${duckDot(u(k), dim)} AS s$k").mkString(", ")
+        s"""WITH tok AS ($duckTokenHashes),
+           |  d AS (SELECT doc_id, $dots
+           |  FROM tok GROUP BY doc_id)
+           |SELECT doc_id,
+           |  CAST(CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 0
+           |            WHEN s1 >= s2 AND s1 >= s3 THEN 1
+           |            WHEN s2 >= s3 THEN 2 ELSE 3 END AS DOUBLE) AS y,
+           |  true AS fit_deterministic, true AS loss_decreased,
+           |  true AS recovers_teacher, true AS all_classes_predicted
+           |FROM d ORDER BY doc_id""".stripMargin
+      })),
+
+    Q("qc4_softmax_score_parity",  // the SHIPPED multiclass scoring path
+      // (softmaxProbs / softmaxPredict — the stable-softmax native
+      // expression used by CALL softmax_score and the streaming scoreWith
+      // sink) under a FIXED integer-weight model, dual-engine: DuckDB
+      // recomputes each document's four logits EXACTLY (integer-range
+      // double arithmetic), the predicted class (argmax, first-index
+      // ties), and the winning probability through the same stable-softmax
+      // formula rounded to 6 dp. Value-exact complement to qc2's
+      // self-certified fit invariants.
+      (s, dir) => {
+        val dim = 16; val numK = 4
+        val wFix = Array.tabulate(numK, dim)((k, j) =>
+          (((j + 2) * (3 * k + 5)) % 15 - 7).toLong)
+        val biases = Array(1.0, -1.0, 0.0, 2.0)
+        val m = graft.llm.Classifier.SoftmaxModel(
+          wFix.map(_.map(_.toDouble)), biases, Array.empty)
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          md5BucketFeatures(col("text"), dim).as("x"))
+        docs.select(col("doc_id") +:
+            (0 until numK).map(k =>
+              intDot(col("x"), wFix(k), biases(k)).as(s"z$k")) :+
+            graft.llm.Classifier.softmaxPredict(col("x"), m).as("pred") :+
+            round(array_max(
+              graft.llm.Classifier.softmaxProbs(col("x"), m)), 6)
+              .as("conf6"): _*)
+          .orderBy("doc_id")
+      },
+      Some({
+        val dim = 16; val numK = 4
+        val wFix = Array.tabulate(numK, dim)((k, j) =>
+          (((j + 2) * (3 * k + 5)) % 15 - 7).toLong)
+        val biases = Array(1.0, -1.0, 0.0, 2.0)
+        val zs = (0 until numK)
+          .map(k => s"CAST(${duckDot(wFix(k), dim)} AS DOUBLE) + " +
+            s"(${biases(k)}) AS z$k")
+          .mkString(", ")
+        s"""WITH tok AS ($duckTokenHashes),
+           |  z AS (SELECT doc_id, $zs
+           |  FROM tok GROUP BY doc_id),
+           |  m AS (SELECT *,
+           |          EXP(z0 - GREATEST(z0, z1, z2, z3)) +
+           |          EXP(z1 - GREATEST(z0, z1, z2, z3)) +
+           |          EXP(z2 - GREATEST(z0, z1, z2, z3)) +
+           |          EXP(z3 - GREATEST(z0, z1, z2, z3)) AS denom
+           |        FROM z)
+           |SELECT doc_id, z0, z1, z2, z3,
+           |  CAST(CASE WHEN z0 >= z1 AND z0 >= z2 AND z0 >= z3 THEN 0
+           |            WHEN z1 >= z2 AND z1 >= z3 THEN 1
+           |            WHEN z2 >= z3 THEN 2 ELSE 3 END AS INT) AS pred,
+           |  ROUND(1.0 / denom, 6) AS conf6
+           |FROM m ORDER BY doc_id""".stripMargin
+      })),
 
     // ---- DD*: deduplication suite over `documents` ----
     Q("dd10_line_dedup",  // corpus-wide keep-first line dedup
