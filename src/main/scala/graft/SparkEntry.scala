@@ -1974,6 +1974,50 @@ object SparkEntry {
              |  CAST(MIN(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS min_doc_tokens
              |FROM documents""".stripMargin)),
 
+    Q("ta14_corpus_report_by_source",  // per-source dataset-card rows
+      // (the breakdown domainMix consumes): counts, token share of the
+      // corpus, token-length envelope, and EXACT quality-score quartiles
+      // (percentile over the 6-dp-quantized score — bounded domain, so
+      // per-group state is bounded at any corpus size). Value-exact
+      // DuckDB oracle recomputes every cell including the quartiles
+      // (QUANTILE_CONT — same linear interpolation as Spark percentile).
+      (s, dir) => graft.llm.TextAnalysis.corpusReportBySource(
+          t(s, dir, "documents"), "source", "text")
+        .orderBy("source"),
+      Some({
+        // ta2's proven quality-score spelling, quantized to 6 dp
+        val q = """ROUND(CAST(CAST(LEAST(LENGTH(text), 500) / 500.0 AS DECIMAL(18,6)) * 0.3
+                  |    + CAST(1.0 - ROUND((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[[:punct:]]', '', 'g')))
+                  |            * 1.0 / GREATEST(LENGTH(text), 1), 6) AS DECIMAL(18,6)) * 0.2
+                  |    + CAST(ROUND(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                  |          w -> w IN ('the','a','of','and','to','in','is','it','for','on')))
+                  |        * 1.0 / GREATEST(LEN(STRING_SPLIT(text, ' ')), 1), 6) AS DECIMAL(18,6)) * 0.5
+                  |    AS DOUBLE), 6)""".stripMargin
+        s"""WITH d AS (
+           |  SELECT source, text,
+           |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS nt,
+           |    CAST(ROUND(($q) * 1000000) AS BIGINT) AS qi
+           |  FROM documents
+           |), per AS (
+           |  SELECT source,
+           |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           |    CAST(COUNT(DISTINCT MD5(text)) AS BIGINT) AS distinct_docs,
+           |    CAST(MAX(nt) AS BIGINT) AS max_doc_tokens,
+           |    CAST(MIN(nt) AS BIGINT) AS min_doc_tokens,
+           |    ROUND(QUANTILE_CONT(qi, 0.25) / 1000000.0, 6) AS q25_quality,
+           |    ROUND(QUANTILE_CONT(qi, 0.50) / 1000000.0, 6) AS q50_quality,
+           |    ROUND(QUANTILE_CONT(qi, 0.75) / 1000000.0, 6) AS q75_quality
+           |  FROM d GROUP BY source
+           |)
+           |SELECT source, n_docs, total_tokens,
+           |  ROUND(CAST(total_tokens AS DOUBLE)
+           |        / SUM(total_tokens) OVER (), 6) AS token_share,
+           |  distinct_docs, max_doc_tokens, min_doc_tokens,
+           |  q25_quality, q50_quality, q75_quality
+           |FROM per ORDER BY source""".stripMargin
+      })),
+
     Q("qc2_softmax_domains",  // MULTICLASS classifier (multinomial
       // Newton/IRLS over hashed bag-of-words) with the same planted-
       // teacher gate as qc1, lifted to K=4: label = argmax of four fixed

@@ -376,6 +376,48 @@ object TextAnalysis {
       min(toks.cast("long")).as("min_doc_tokens"))
   }
 
+  /** Per-source dataset-card rows — the breakdown [[corpusReport]] totals
+    * over, and exactly the shape `Curation.domainMix` consumes when
+    * balancing sources: per source, doc/token/distinct counts, the
+    * source's share of corpus tokens, the token-length envelope, and
+    * exact quality-score quartiles.
+    *
+    * 100-TB shape: ONE hash aggregation keyed by source (map-side
+    * combine), then a metadata-sized window (one row per source) for the
+    * share denominator. The quartiles use exact `percentile` over the
+    * quality score QUANTIZED to 6 dp and SCALED to integer micro-units —
+    * a bounded domain (≤ 10⁶+1 distinct values), so the per-group
+    * percentile state stays bounded no matter how many documents a source
+    * has; and quartile interpolation over integers with quarter-valued
+    * fractions is EXACT double arithmetic, immune to the
+    * interpolation-order half-ulp that makes interpolated quantiles of
+    * raw doubles engine-dependent at rounding boundaries. */
+  def corpusReportBySource(df: DataFrame, sourceCol: String = "source",
+                           textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prepared = df.select(col(sourceCol).as("source"),
+      col(textCol).as("__text"),
+      size(split(col(textCol), " ")).cast("long").as("__nt"),
+      round(qualityScore(col(textCol)) * 1e6).cast("long").as("__qi"))
+    def quart(p: String) =
+      round(expr(s"percentile(__qi, $p)") / 1e6, 6)
+    val per = prepared.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("__nt")).as("total_tokens"),
+      count_distinct(md5(col("__text"))).as("distinct_docs"),
+      max(col("__nt")).as("max_doc_tokens"),
+      min(col("__nt")).as("min_doc_tokens"),
+      quart("0.25").as("q25_quality"),
+      quart("0.50").as("q50_quality"),
+      quart("0.75").as("q75_quality"))
+    per.withColumn("token_share",
+        round(col("total_tokens").cast("double")
+          / sum(col("total_tokens")).over(Window.partitionBy(lit(0))), 6))
+      .select("source", "n_docs", "total_tokens", "token_share",
+        "distinct_docs", "max_doc_tokens", "min_doc_tokens",
+        "q25_quality", "q50_quality", "q75_quality")
+  }
+
   /** Per-document repetition signals (Gopher-style quality filters):
     * duplicate-word fraction and the most-frequent-bigram share. One native
     * single-pass expression per row (`RepetitionStats`) — no per-token
