@@ -916,6 +916,132 @@ class GraftStreamSourceSpec extends SparkSpec {
     info(s"soak: $reads concurrent reads, $routedReads routed through the rollup")
   }
 
+  test("soak: scoreWith under continuous model churn, alternating binary/softmax swaps") {
+    // Two scoring sinks drain a 50-commit stream (one micro-batch per
+    // commit) while a churn thread OVERWRITES the model tables the whole
+    // time, alternating which kind it swaps. The sink re-reads the model
+    // inside each batch's transaction, so every scored row must carry
+    // values computed from exactly ONE committed model version:
+    //  - binary models are (zero weights, bias=v) → quality_score must be
+    //    bitwise sigmoid(v) for some committed v; a torn/blended read
+    //    lands between versions and fails membership
+    //  - softmax models are 3 class rows (zero weights; bias 6 on class
+    //    v mod 3) → a read spanning two versions either trips
+    //    softmaxModelFromDf's classes-0..K-1 require (killing the stream)
+    //    or yields a ~0.5 confidence, far from the single-version 1/(1+2e⁻⁶)
+    val root = Files.createTempDirectory("graft-sink-churn").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    val docSchema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val versionsBin = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val versionsSm = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    def writeBinary(v: Long): Unit = s.transaction { tx =>
+      val m = tx.bucket("bk").schema("m")
+      val df = graft.llm.Classifier.modelToDf(spark,
+        graft.llm.Classifier.LrModel(new Array[Double](8), v.toDouble, Array(0.0)))
+      if (m.tables.contains("model_bin")) m.table("model_bin").overwrite(df)
+      else m.createTable("model_bin", df.schema).insert(df)
+      versionsBin.add(v)
+    }
+    def writeSoftmax(v: Long): Unit = s.transaction { tx =>
+      val m = tx.bucket("bk").schema("m")
+      val biases = Array.tabulate(3)(k => if (k == (v % 3).toInt) 6.0 else 0.0)
+      val df = graft.llm.Classifier.softmaxModelToDf(spark,
+        graft.llm.Classifier.SoftmaxModel(
+          Array.fill(3)(new Array[Double](8)), biases, Array(0.0)))
+      if (m.tables.contains("model_sm")) m.table("model_sm").overwrite(df)
+      else m.createTable("model_sm", df.schema).insert(df)
+      versionsSm.add(v)
+    }
+    s.transaction { tx =>
+      val m = tx.bucket("bk").createSchema("m")
+      m.createTable("raw", docSchema)
+      m.createTable("scored_bin", StructType(docSchema.fields :+
+        StructField("quality_score", DoubleType)))
+      m.createTable("scored_sm", StructType(docSchema.fields ++ Seq(
+        StructField("predicted_class", IntegerType),
+        StructField("confidence", DoubleType))))
+    }
+    writeBinary(0); writeSoftmax(0)
+    val nBatches = 50
+    (0 until nBatches).foreach { i =>
+      s.transaction { tx =>
+        tx.bucket("bk").schema("m").table("raw").insert(
+          spark.createDataFrame(
+            java.util.List.of(Row(i.toLong, s"doc $i")), docSchema)
+            .coalesce(1))
+      }
+    }
+    @volatile var stop = false
+    @volatile var churnErr: Option[Throwable] = None
+    val churn = new Thread(() => {
+      var v = 1L
+      try while (!stop) {
+        // alternate which KIND gets swapped; retry optimistic conflicts
+        // with the concurrently-committing sinks
+        try {
+          if (v % 2 == 0) writeBinary(v) else writeSoftmax(v)
+          v += 1
+        } catch { case _: graft.api.Conflict => }
+        Thread.sleep(20)
+      } catch { case t: Throwable => churnErr = Some(t) }
+    })
+    churn.start()
+    val tdir = Paths.get(root, "bk", "m", "raw").toString
+    def drain(outTable: String, modelTable: String): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("maxFilesPerTrigger", "1").load(tdir)
+        .drop("_row_id")
+        .writeStream.format("graft")
+        .option("root", root).option("bucket", "bk")
+        .option("schema", "m").option("table", outTable)
+        .option("scoreWith", s"bk.m.$modelTable")
+        .option("checkpointLocation",
+          Files.createTempDirectory(s"graft-churn-ck-$outTable").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(480000)
+      assert(q.exception.isEmpty,
+        s"stream over $outTable died (torn model read?): ${q.exception}")
+    }
+    try {
+      drain("scored_bin", "model_bin")
+      drain("scored_sm", "model_sm")
+    } finally { stop = true; churn.join(30000) }
+    assert(churnErr.isEmpty, s"churn thread failed: $churnErr")
+    s.transaction { tx =>
+      val bin = tx.bucket("bk").schema("m").table("scored_bin")
+        .select(Seq("id", "quality_score")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1))
+      assert(bin.length == nBatches)
+      val validBin = versionsBin.toArray(Array.empty[java.lang.Long])
+        .map(v => 1.0 / (1.0 + math.exp(-v.toDouble))).toSet
+      bin.foreach { case (id, sc) =>
+        assert(validBin.contains(sc),
+          s"doc $id quality_score $sc matches NO committed binary model " +
+            s"(torn read across versions?)")
+      }
+      val sm = tx.bucket("bk").schema("m").table("scored_sm")
+        .select(Seq("id", "predicted_class", "confidence")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      assert(sm.length == nBatches)
+      val e6 = math.exp(-6.0)
+      val expectConf = 1.0 / ((1.0 + e6) + e6)
+      sm.foreach { case (id, cls, conf) =>
+        assert(cls >= 0 && cls <= 2, s"doc $id class $cls")
+        assert(math.abs(conf - expectConf) < 1e-12,
+          s"doc $id confidence $conf != single-version $expectConf " +
+            s"(torn softmax class rows?)")
+      }
+      // the churn actually moved under both drains
+      info(s"churn: ${versionsBin.size} binary + ${versionsSm.size} softmax versions; " +
+        s"${bin.map(_._2).distinct.length} distinct binary scores, " +
+        s"${sm.map(_._2).distinct.length} distinct predicted classes observed")
+      assert(versionsBin.size > 2 && versionsSm.size > 2,
+        "churn thread barely ran — soak did not exercise model swaps")
+    }
+  }
+
   test("drop tombstones never resurrect through a fresh stream or batch read") {
     val root = Files.createTempDirectory("graft-stream-tomb").toString
     val s = VastSession(spark, root)
