@@ -406,7 +406,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val cont = f"""{"load_avg":$loadAvg%.2f,"other_jvms":$otherJvms,"contended":$contended}"""
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir","contention":$cont}""")
+    val json =
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir","contention":$cont}"""
+    // stop Spark BEFORE emitting the JSON line: shutdown logging would
+    // otherwise land after it in a merged stdout/stderr capture, so a
+    // harness that parses the LAST line would read a log line instead of
+    // the result. Echo to stderr too for captures that only keep stderr.
     spark.stop()
+    Console.flush(); System.err.flush()
+    println(json)
+    System.err.println(json)
+    Console.flush(); System.err.flush()
   }
 }

@@ -469,7 +469,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     "dedup_pairs", "dedup_clusters", "pii_redact", "chunk", "decontaminate",
     "curate", "shard_export", "domain_mix", "line_dedup", "classifier_score",
     "classifier_fit", "contamination_report", "softmax_fit", "softmax_score",
-    "bpe_fit", "tokenize_pack")
+    "bpe_fit", "tokenize_pack", "corpus_report")
 
   /** Manifest version a streaming checkpoint has durably consumed through,
     * or -1 if no batch has committed yet. Reads Spark's own checkpoint
@@ -936,6 +936,35 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             args(3).asInstanceOf[Long], args(4).asInstanceOf[String])
           Seq(org.apache.spark.sql.Row(
             replaceOutput(tx, args(5).asInstanceOf[String], mixed)))
+        }
+      }
+      // dataset-card report: per-source breakdown rows (counts, corpus
+      // token share, token-length envelope, exact quality quartiles —
+      // TextAnalysis.corpusReportBySource) land in `out_table`; the
+      // returned row is the corpus-wide totals (corpusReport) plus the
+      // source count, so the release numbers and their breakdown come
+      // from ONE call
+      case "corpus_report" => new GraftProcedure("corpus_report",
+          Seq(("table", StringType, None), ("text_col", StringType, None),
+            ("out_table", StringType, None),
+            ("source_col", StringType, Some("'source'"))),
+          StructType(Seq(StructField("n_docs", LongType),
+            StructField("total_tokens", LongType),
+            StructField("total_chars", LongType),
+            StructField("distinct_docs", LongType),
+            StructField("max_doc_tokens", LongType),
+            StructField("min_doc_tokens", LongType),
+            StructField("n_sources", LongType)))) {
+        def run(args: Seq[Any]) = inSession { tx =>
+          val docs = tableIn(tx, args(0).asInstanceOf[String]).select()
+          val textCol = args(1).asInstanceOf[String]
+          val perSource = graft.llm.TextAnalysis.corpusReportBySource(
+            docs, args(3).asInstanceOf[String], textCol)
+          val n = replaceOutput(tx, args(2).asInstanceOf[String], perSource)
+          val tot = graft.llm.TextAnalysis.corpusReport(docs, textCol).head()
+          Seq(org.apache.spark.sql.Row(tot.getLong(0), tot.getLong(1),
+            tot.getLong(2), tot.getLong(3), tot.getLong(4), tot.getLong(5),
+            n))
         }
       }
       case "line_dedup" => new GraftProcedure("line_dedup",

@@ -883,6 +883,46 @@ class SqlCatalogSpec extends SparkSpec {
       assert(ids.distinct.length == ids.length, "duplicate _row_id after MERGE insert")
     }
   }
+  test("CALL corpus_report writes the per-source breakdown and returns totals") {
+    val root = Files.createTempDirectory("graft-sqlcrep").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    val docSchema = StructType(Seq(
+      StructField("id", LongType), StructField("src", StringType),
+      StructField("text", StringType)))
+    s.transaction { tx =>
+      val m = tx.bucket("bk").createSchema("m")
+      val t = m.createTable("d", docSchema)
+      val l = new java.util.ArrayList[Row]()
+      // 12 docs over 3 sources; srcB carries a duplicated text
+      (0L until 12L).foreach { i =>
+        val body = if (i == 7) "dup body the same" else s"doc $i of the corpus w$i"
+        l.add(Row(i, s"src${(i % 3).toInt}", if (i == 4) "dup body the same" else body))
+      }
+      t.insert(spark.createDataFrame(l, docSchema).coalesce(1))
+    }
+    spark.conf.set("spark.sql.catalog.gcrep",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.gcrep.root", root)
+    val tot = spark.sql("CALL gcrep.system.corpus_report(" +
+      "'bk.m.d', 'text', 'bk.m.card', source_col => 'src')").head
+    assert(tot.getLong(0) == 12, "n_docs")
+    assert(tot.getLong(3) == 11, "distinct_docs (one duplicated text)")
+    assert(tot.getLong(6) == 3, "n_sources")
+    val card = spark.sql(
+      "SELECT source, n_docs, token_share FROM gcrep.bk.m.card ORDER BY source")
+      .collect()
+    assert(card.length == 3)
+    assert(card.map(_.getLong(1)).sum == 12)
+    // shares sum to ~1 and the API result matches the CALL's table
+    assert(math.abs(card.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+    val api = graft.llm.TextAnalysis.corpusReportBySource(
+      s.transaction(tx => tx.bucket("bk").schema("m").table("d").select()),
+      "src", "text").orderBy("source").collect()
+    assert(api.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      card.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
   test("CALL shard_export / domain_mix / line_dedup / classifier_score") {
     val root = Files.createTempDirectory("graft-sqlr11").toString
     val s = VastSession(spark, root)
