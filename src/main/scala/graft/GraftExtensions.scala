@@ -50,5 +50,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("simhash64", "simhash64(tokens) - 64-bit simhash of a word array") {
       es => SimHash64(es(0))
     }
+
+    // ---- text-analysis surface for SQL-only users: the same Catalyst
+    // expression trees the Scala API composes, reachable from plain SQL.
+    // Composed columns (quality_score & co) round-trip through Glue so the
+    // injected function IS the API's tree — one implementation, two doors.
+    import org.apache.spark.sql.graftglue.Glue
+    def col(e: Expression) = Glue.column(e)
+
+    inject("hash_embedding",
+      "hash_embedding(tokens, dim) - L2-normalized hashing-trick bag-of-words embedding") {
+      es => HashEmbedding(es(0), es(1).eval().asInstanceOf[Int])
+    }
+    inject("shingle_hashes",
+      "shingle_hashes(tokens, n) - distinct xxhash64 values of the n-gram shingles") {
+      es => ShingleHashes(es(0), es(1).eval().asInstanceOf[Int])
+    }
+    inject("quality_score",
+      "quality_score(text) - composite [0,1] quality from length/punct/stopword signals") {
+      es => Glue.resolvableExpression(graft.llm.TextAnalysis.qualityScore(col(es(0))))
+    }
+    inject("langid",
+      "langid(text) - stopword-profile language id ('und' when undetermined)") {
+      es => Glue.resolvableExpression(graft.llm.TextAnalysis.langId(col(es(0))))
+    }
+    inject("doc_fingerprint",
+      "doc_fingerprint(text) - order-sensitive 64-bit rolling-hash fingerprint") {
+      es => Glue.resolvableExpression(graft.llm.TextAnalysis.fingerprint(col(es(0))))
+    }
+    inject("nfc_normalize",
+      "nfc_normalize(text) - Unicode NFC normalization") {
+      es => NfcNormalize(es(0))
+    }
+    inject("pq_adc",
+      "pq_adc(codes, lut) - asymmetric-distance lookup of PQ codes against a query LUT") {
+      es => PqAdcDistance(es(0), es(1))
+    }
   }
 }

@@ -14,6 +14,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Glue {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Column → ANALYZER-RESOLVABLE Catalyst tree. `expression` wraps the
+    * column's lazy node in a `ColumnNodeExpression`, which only a full
+    * Dataset analysis unwraps — returned from a SessionExtensions
+    * function builder it survives to codegen and dies Unevaluable. This
+    * eagerly converts the node graph to real (possibly Unresolved*)
+    * expressions the analyzer then resolves in place, which is what an
+    * injected SQL function must hand back. */
+  def resolvableExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
   def registry(spark: SparkSession): FunctionRegistry =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry

@@ -34,6 +34,28 @@ class ExtensionsSpec extends AnyFunSuite {
       // reference SQL name registered too
       assert(spark.sql("SELECT array_distance(array(0.0F), array(3.0F)) d")
         .head().getDouble(0) == 9.0)
+      // text-analysis surface: the injected trees are the Scala API's own
+      val t = spark.sql(
+        """SELECT size(hash_embedding(array('a','b'), 16)) AS hd,
+          |       size(shingle_hashes(array('a','b','c'), 2)) AS sh,
+          |       quality_score('the quick brown fox is here') AS q,
+          |       langid('the of and to in is it for on the') AS lang,
+          |       doc_fingerprint('a b c') AS fp,
+          |       nfc_normalize('café') AS nfc,
+          |       pq_adc(array(0, 1), array(array(0.5D, 1.5D), array(2.0D, 3.0D))) AS adc
+          |""".stripMargin).head()
+      assert(t.getInt(0) == 16)
+      assert(t.getInt(1) == 2)
+      assert(t.getDouble(2) > 0.0 && t.getDouble(2) <= 1.0)
+      assert(t.getString(3) == "en")
+      assert(t.getLong(4) != 0L)
+      assert(t.getString(5) == "café")
+      assert(t.getDouble(6) == 3.5)
+      // parity with the Scala API on the same input
+      import org.apache.spark.sql.functions.{col, lit}
+      val api = spark.range(1).select(graft.llm.TextAnalysis
+        .qualityScore(lit("the quick brown fox is here")).as("q")).head().getDouble(0)
+      assert(api == t.getDouble(2), "SQL door and Scala door must agree")
     } finally spark.stop()
   }
 }
