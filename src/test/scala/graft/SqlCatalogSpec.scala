@@ -663,6 +663,68 @@ class SqlCatalogSpec extends SparkSpec {
     assert(kept.size == rep.getLong(4))
   }
 
+  test("CatalogStageStore: optional stages persist too; foreign-schema table refused") {
+    val root = Files.createTempDirectory("graft-sqlcu6").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    val dSchema = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType)))
+    def docText(i: Long) =
+      s"BANNER LINE SHARED BY ALL\nthe w${i}a of w${i}b and w${i}c to " +
+        s"w${i}d in w${i}e is w${i}f it w${i}g for w${i}h on w${i}j the w${i}k"
+    s.transaction { tx =>
+      val m = tx.bucket("bk").createSchema("m")
+      val t = m.createTable("d", dSchema)
+      val l = new java.util.ArrayList[Row]()
+      (0L until 10L).foreach(i => l.add(Row(i, docText(i))))
+      t.insert(spark.createDataFrame(l, dSchema).coalesce(1))
+      m.createTable("bench", StructType(Seq(StructField("text", StringType))))
+        .insert(spark.createDataFrame(
+          java.util.List.of(Row(docText(5))),
+          StructType(Seq(StructField("text", StringType)))))
+      // a PRE-EXISTING table squatting on a stage name with a different
+      // shape: the store must refuse, not silently replace
+      m.createTable("out_stage_line_dedup", StructType(Seq(
+        StructField("unrelated", LongType)))).insert(
+        spark.createDataFrame(java.util.List.of(Row(1L)),
+          StructType(Seq(StructField("unrelated", LongType)))))
+    }
+    val e = intercept[IllegalArgumentException] {
+      s.transaction { tx =>
+        val store = new graft.api.CatalogStageStore(
+          tx.bucket("bk").schema("m"), "out")
+        graft.llm.Curation.curateCorpus(
+          tx.bucket("bk").schema("m").table("d").select(), "id", "text",
+          tx.bucket("bk").schema("m").table("bench").select(), "text",
+          dedupLines = true, stageStore = store)
+      }
+    }
+    assert(e.getMessage.contains("different"), e.getMessage)
+    // with the squatter dropped, the optional line-dedup stage persists
+    // alongside the standard ones
+    s.transaction(tx =>
+      tx.bucket("bk").schema("m").table("out_stage_line_dedup").drop())
+    val rep = s.transaction { tx =>
+      val store = new graft.api.CatalogStageStore(
+        tx.bucket("bk").schema("m"), "out")
+      graft.llm.Curation.curateCorpus(
+        tx.bucket("bk").schema("m").table("d").select(), "id", "text",
+        tx.bucket("bk").schema("m").table("bench").select(), "text",
+        dedupLines = true, stageStore = store)._2
+    }
+    assert(rep.afterLineDedup == 10)
+    s.transaction { tx =>
+      val m = tx.bucket("bk").schema("m")
+      for (st <- Seq("line_dedup", "quality", "exact_dedup", "near_dedup",
+          "decontaminated"))
+        assert(m.tables.contains(s"out_stage_$st"), s"missing stage $st")
+      // line dedup rewrote the shared banner out of all but the first doc
+      val banners = m.table("out_stage_line_dedup").select()
+        .filter(col("text").contains("BANNER LINE SHARED")).count()
+      assert(banners == 1L, s"banner kept $banners times")
+    }
+  }
+
   test("CALL curate persist_stages: durable stage tables, counts from writes, time travel") {
     val root = Files.createTempDirectory("graft-sqlcu5").toString
     val s = VastSession(spark, root)
