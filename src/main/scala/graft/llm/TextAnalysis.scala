@@ -401,15 +401,23 @@ object TextAnalysis {
       round(qualityScore(col(textCol)) * 1e6).cast("long").as("__qi"))
     def quart(p: String) =
       round(expr(s"percentile(__qi, $p)") / 1e6, 6)
+    // distinct_docs runs as its OWN aggregation and joins back on the
+    // metadata-sized per-source rows: a count_distinct in the main agg
+    // would make Catalyst expand the whole aggregation to per-(source,
+    // md5) keys, dragging the percentile buffers through one group per
+    // DISTINCT TEXT — harmless here, corpus-sized state waste at 100 TB.
+    val distincts = prepared
+      .select(col("source"), md5(col("__text")).as("__h")).distinct()
+      .groupBy("source").agg(count(lit(1)).as("distinct_docs"))
     val per = prepared.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum(col("__nt")).as("total_tokens"),
-      count_distinct(md5(col("__text"))).as("distinct_docs"),
       max(col("__nt")).as("max_doc_tokens"),
       min(col("__nt")).as("min_doc_tokens"),
       quart("0.25").as("q25_quality"),
       quart("0.50").as("q50_quality"),
       quart("0.75").as("q75_quality"))
+      .join(distincts, Seq("source"))
     per.withColumn("token_share",
         round(col("total_tokens").cast("double")
           / sum(col("total_tokens")).over(Window.partitionBy(lit(0))), 6))
