@@ -2004,6 +2004,30 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       sigs.select(col(RowIdColumn).as("id"), col("sim")), maxHamming)
   }
 
+  /** Which rows of `incoming` near-duplicate an ALREADY-INGESTED row of
+    * this table, via the persisted text dedup index on `column` — the
+    * ingest-time probe (the streaming sink's `suppressNearDups` option
+    * rides on this): incoming rows hash to signatures with the INDEX'S
+    * parameters, band-join against the corpus signatures (covered files
+    * from the index, uncovered on the fly — same freshness contract as
+    * [[dedupMinhashPairs]]), and only the bounded candidate set rejoins
+    * the wide signatures. Returns (incoming id, corpus `$row_id`,
+    * est_jaccard) per match; never corpus×corpus work. */
+  def probeNearDups(column: String, incoming: DataFrame,
+                    incomingIdCol: String,
+                    threshold: Double = 0.7): DataFrame = {
+    val (meta, sigs) = indexSignatures(column)
+    require(meta.kind == "text",
+      s"dedup index on $column is kind '${meta.kind}', not text")
+    val q = incoming.select(col(incomingIdCol).as("id"),
+      graft.functions.TextHashes.minhashFromTokens(
+        split(col(column), " "), meta.k, meta.shingleN).as("sig"))
+    graft.llm.Dedup.minhashProbeFromSigs(q,
+        sigs.select(col(RowIdColumn).as("id"), col("sig")),
+        meta.k, meta.bands, threshold)
+      .withColumnRenamed("c_id", "corpus_row_id")
+  }
+
   /** Embedding near-dup pairs from a persisted VECTOR index: covered files
     * read their LSH signatures, files inserted since the last refresh hash
     * on the fly; exact-cosine verification re-joins the vectors by row id

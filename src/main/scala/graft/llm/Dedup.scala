@@ -171,6 +171,40 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Cross-set LSH probe: which QUERY signatures have a CORPUS match at
+    * estimated jaccard ≥ threshold. Same banding as
+    * [[minhashPairsFromSigs]], but the candidate join is query×corpus —
+    * never corpus×corpus — so probing a batch of incoming documents
+    * against a 100 TB corpus index shuffles the batch's bands against the
+    * corpus bands (hash equi-join on (band, band_hash)) and the wide
+    * signature arrays only rejoin the BOUNDED candidate set. Returns
+    * (q_id, c_id, est_jaccard) rows for every match. */
+  def minhashProbeFromSigs(querySigs: DataFrame, corpusSigs: DataFrame,
+                           k: Int, bands: Int,
+                           threshold: Double): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    def banded(s: DataFrame, idAs: String) = s.select(col("id").as(idAs),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(slice(col("sig"), b * r + 1, r))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    val cand = banded(querySigs, "q_id")
+      .select(col("band"), col("band_hash"), col("q_id"))
+      .join(banded(corpusSigs, "c_id")
+        .select(col("band"), col("band_hash"), col("c_id")),
+        Seq("band", "band_hash"))
+      .select("q_id", "c_id").distinct()
+    cand
+      .join(querySigs.select(col("id").as("q_id"), col("sig").as("sig_q")),
+        Seq("q_id"))
+      .join(corpusSigs.select(col("id").as("c_id"), col("sig").as("sig_c")),
+        Seq("c_id"))
+      .select(col("q_id"), col("c_id"),
+        estJaccard(col("sig_q"), col("sig_c"), k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** 64-bit simhash of the word multiset: per-word xxhash64, bit-voting —
     * native expression (graft.functions.SimHash64) for the same reason as
     * minhashSignature. */

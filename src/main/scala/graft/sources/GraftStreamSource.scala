@@ -98,7 +98,10 @@ class GraftStreamSource extends TableProvider with DataSourceRegister
       maintainRollups = parameters.get("maintainRollups").exists(_.toBoolean),
       maintainIndexes = parameters.get("maintainIndexes").exists(_.toBoolean),
       scoreWith = parameters.get("scoreWith"),
-      scoreTextCol = parameters.getOrElse("scoreTextCol", "text"))
+      scoreTextCol = parameters.getOrElse("scoreTextCol", "text"),
+      suppressNearDups = parameters.get("suppressNearDups"),
+      suppressThreshold =
+        parameters.get("suppressThreshold").map(_.toDouble).getOrElse(0.7))
   }
 
   private def tableDir(options: CaseInsensitiveStringMap): Path =
@@ -707,7 +710,9 @@ private[sources] class GraftTableSink(spark: SparkSession, root: String,
                                       maintainRollups: Boolean = false,
                                       maintainIndexes: Boolean = false,
                                       scoreWith: Option[String] = None,
-                                      scoreTextCol: String = "text")
+                                      scoreTextCol: String = "text",
+                                      suppressNearDups: Option[String] = None,
+                                      suppressThreshold: Double = 0.7)
     extends org.apache.spark.sql.execution.streaming.Sink {
 
   // one session for the query's lifetime — tx ids stay monotonic across
@@ -749,6 +754,39 @@ private[sources] class GraftTableSink(spark: SparkSession, root: String,
       }
   }
 
+  /** Ingest-time near-dup suppression (`suppressNearDups` = text column
+    * name; requires a text dedup index on that column of the TARGET
+    * table): per batch, exact-duplicate rows within the batch collapse
+    * (`dropDuplicates` on the column), then the batch probes the
+    * persisted corpus signatures ([[graft.api.Table.probeNearDups]] —
+    * batch×corpus band join, never corpus×corpus) and rows whose
+    * estimated jaccard against ANY already-ingested row reaches
+    * `suppressThreshold` are dropped before the insert. Pair with
+    * `maintainIndexes=true` so each batch's survivors enter the index in
+    * the same transaction — the NEXT batch then probes against them with
+    * zero lag. Residual by design: two non-identical near-dups arriving
+    * in the SAME batch both survive (the probe sees only committed rows);
+    * they surface in the next offline dedup pass. Batch rows join back by
+    * a 64-bit text hash — a cross-text collision (≈2⁻⁶⁴) would at worst
+    * over-suppress one row, the safe direction for a dedup gate. */
+  private def applySuppression(df: org.apache.spark.sql.DataFrame,
+                               tx: graft.api.Transaction)
+      : org.apache.spark.sql.DataFrame = suppressNearDups match {
+    case None => df
+    case Some(column) =>
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      val t = tx.bucket(bucket).schema(schemaPath).table(table)
+      val exact = df.dropDuplicates(column)
+      val keyed = exact.withColumn("__nd_k", xxhash64(col(column)))
+      val matched = t.probeNearDups(column,
+          keyed.select(col("__nd_k"), col(column)).distinct(),
+          "__nd_k", suppressThreshold)
+        .select(col("q_id").as("__nd_hit")).distinct()
+      keyed.join(matched, keyed("__nd_k") === matched("__nd_hit"),
+          "left_anti")
+        .drop("__nd_k")
+  }
+
   override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
     // the incoming frame still carries the streaming flag; re-wrap it as a
     // batch frame over the same physical rows or the insert's own write
@@ -759,7 +797,7 @@ private[sources] class GraftTableSink(spark: SparkSession, root: String,
       val last = t.properties.get("graft.stream.lastBatchId")
         .map(_.toLong).getOrElse(-1L)
       if (batchId > last) {
-        val scored = applyScore(batch, tx)
+        val scored = applyScore(applySuppression(batch, tx), tx)
         if (complete) t.overwrite(scored) else t.insert(scored)
         // opt-in rollup maintenance: the insert just staled any rollups;
         // refreshing INSIDE the batch transaction publishes data + fresh

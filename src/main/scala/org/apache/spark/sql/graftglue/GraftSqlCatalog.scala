@@ -469,7 +469,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     "dedup_pairs", "dedup_clusters", "pii_redact", "chunk", "decontaminate",
     "curate", "shard_export", "domain_mix", "line_dedup", "classifier_score",
     "classifier_fit", "contamination_report", "softmax_fit", "softmax_score",
-    "bpe_fit", "tokenize_pack", "corpus_report")
+    "bpe_fit", "tokenize_pack", "corpus_report", "dedup_probe")
 
   /** Manifest version a streaming checkpoint has durably consumed through,
     * or -1 if no batch has committed yet. Reads Spark's own checkpoint
@@ -936,6 +936,26 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             args(3).asInstanceOf[Long], args(4).asInstanceOf[String])
           Seq(org.apache.spark.sql.Row(
             replaceOutput(tx, args(5).asInstanceOf[String], mixed)))
+        }
+      }
+      // ingest-time dedup probe as SQL: which rows of `candidates` (by
+      // `id_col`) near-duplicate an already-ingested row of `table`,
+      // via the persisted text dedup index on `column` — matches land in
+      // `out_table` as (q_id, corpus_row_id, est_jaccard) attribution rows
+      case "dedup_probe" => new GraftProcedure("dedup_probe",
+          Seq(("table", StringType, None), ("column", StringType, None),
+            ("candidates", StringType, None), ("id_col", StringType, None),
+            ("out_table", StringType, None),
+            ("threshold", DoubleType, Some("0.7"))),
+          StructType(Seq(StructField("n_matches", LongType)))) {
+        def run(args: Seq[Any]) = inSession { tx =>
+          val hits = tableIn(tx, args(0).asInstanceOf[String]).probeNearDups(
+            args(1).asInstanceOf[String],
+            tableIn(tx, args(2).asInstanceOf[String]).select(),
+            args(3).asInstanceOf[String],
+            args(5).asInstanceOf[Double])
+          Seq(org.apache.spark.sql.Row(
+            replaceOutput(tx, args(4).asInstanceOf[String], hits)))
         }
       }
       // dataset-card report: per-source breakdown rows (counts, corpus

@@ -1143,6 +1143,84 @@ class GraftStreamSourceSpec extends SparkSpec {
     drain()
     assert(lag() == ((4L, 4L, 0L, 0L, 0L)), s"post-drain lag wrong: ${lag()}")
   }
+  test("sink suppressNearDups: ingest-time near-dup suppression via the dedup index") {
+    val root = Files.createTempDirectory("graft-sink-nd").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    val docSchema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    // ~40-token docs; a near-dup changes ONE token (3-shingle jaccard
+    // ~0.93, far above the 0.7 threshold), a fresh doc shares nothing
+    def doc(tag: String, last: String = "end") =
+      (1 to 40).map(i => s"$tag$i").mkString(" ") + " " + last
+    s.transaction { tx =>
+      val m = tx.bucket("bk").createSchema("m")
+      m.createTable("raw", docSchema)
+      val t = m.createTable("corpus", docSchema)
+      t.createDedupIndex("text")
+    }
+    val tdir = Paths.get(root, "bk", "m", "raw").toString
+    val ckpt = Files.createTempDirectory("graft-sink-ndck").toString
+    def insertRaw(rows: (Long, String)*): Unit = s.transaction { tx =>
+      val l = new java.util.ArrayList[Row]()
+      rows.foreach { case (i, tx2) => l.add(Row(i, tx2)) }
+      tx.bucket("bk").schema("m").table("raw")
+        .insert(spark.createDataFrame(l, docSchema).coalesce(1))
+    }
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(tdir)
+        .drop("_row_id")
+        .writeStream.format("graft")
+        .option("root", root).option("bucket", "bk")
+        .option("schema", "m").option("table", "corpus")
+        .option("suppressNearDups", "text")
+        .option("maintainIndexes", "true")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(q.exception.isEmpty, s"sink died: ${q.exception}")
+    }
+    def corpusIds(): Set[Long] = s.transaction(tx =>
+      tx.bucket("bk").schema("m").table("corpus")
+        .select(Seq("id")).collect().map(_.getLong(0)).toSet)
+
+    insertRaw(0L -> doc("alpha"), 1L -> doc("beta"))
+    drain()
+    assert(corpusIds() == Set(0L, 1L), "first batch inserts everything")
+    // batch 2: near-dup of alpha (one-token change) -> suppressed; EXACT
+    // dup of beta -> suppressed; exact pair within the batch -> one
+    // survives; a fresh doc -> survives
+    insertRaw(2L -> doc("alpha", last = "CHANGED"),
+      3L -> doc("beta"),
+      4L -> doc("gamma"), 5L -> doc("gamma"),
+      6L -> doc("delta"))
+    drain()
+    val after2 = corpusIds()
+    assert(!after2.contains(2L), "near-dup of committed alpha must drop")
+    assert(!after2.contains(3L), "exact dup of committed beta must drop")
+    assert(after2.contains(6L), "fresh doc must survive")
+    assert(after2.count(Set(4L, 5L)) == 1,
+      s"exactly one of the intra-batch exact pair survives, got $after2")
+    // batch 3: near-dup of batch-2's gamma survivor — proves
+    // maintainIndexes made the PREVIOUS batch's survivors probe-able
+    insertRaw(7L -> doc("gamma", last = "ALSOCHANGED"), 8L -> doc("epsilon"))
+    drain()
+    val after3 = corpusIds()
+    assert(!after3.contains(7L),
+      "near-dup of the previous batch's survivor must drop (index fresh)")
+    assert(after3.contains(8L))
+    // probe API attribution: the match carries the corpus row it hit
+    s.transaction { tx =>
+      import spark.implicits._
+      val t = tx.bucket("bk").schema("m").table("corpus")
+      val hits = t.probeNearDups("text",
+        Seq((99L, doc("alpha", last = "ANOTHER"))).toDF("id", "text"), "id")
+      val got = hits.select("q_id", "est_jaccard").collect()
+      assert(got.nonEmpty && got.forall(_.getLong(0) == 99L))
+      assert(got.forall(_.getDouble(1) >= 0.7))
+    }
+  }
+
   test("sink scoreWith: ingest-time quality scoring from a persisted model") {
     val root = Files.createTempDirectory("graft-sink-score").toString
     val s = VastSession(spark, root)

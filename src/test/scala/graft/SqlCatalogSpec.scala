@@ -663,6 +663,38 @@ class SqlCatalogSpec extends SparkSpec {
     assert(kept.size == rep.getLong(4))
   }
 
+  test("CALL dedup_probe attributes incoming near-dups to corpus rows") {
+    val root = Files.createTempDirectory("graft-sqlprobe").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    val dSchema = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType)))
+    def doc(tag: String, last: String = "end") =
+      (1 to 40).map(i => s"$tag$i").mkString(" ") + " " + last
+    s.transaction { tx =>
+      val m = tx.bucket("bk").createSchema("m")
+      val t = m.createTable("corpus", dSchema)
+      t.insert(spark.createDataFrame(
+        java.util.List.of(Row(0L, doc("alpha")), Row(1L, doc("beta"))),
+        dSchema).coalesce(1))
+      t.createDedupIndex("text")
+      t.refreshDedupIndex("text")
+      val c = m.createTable("cand", dSchema)
+      c.insert(spark.createDataFrame(
+        java.util.List.of(Row(10L, doc("alpha", last = "CHANGED")),
+          Row(11L, doc("unrelated"))), dSchema).coalesce(1))
+    }
+    spark.conf.set("spark.sql.catalog.gprobe",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.gprobe.root", root)
+    val n = spark.sql("CALL gprobe.system.dedup_probe(" +
+      "'bk.m.corpus', 'text', 'bk.m.cand', 'id', 'bk.m.hits')").head.getLong(0)
+    assert(n == 1L, s"expected exactly the alpha near-dup, got $n")
+    val hit = spark.sql(
+      "SELECT q_id, est_jaccard FROM gprobe.bk.m.hits").head
+    assert(hit.getLong(0) == 10L && hit.getDouble(1) >= 0.7)
+  }
+
   test("CatalogStageStore: optional stages persist too; foreign-schema table refused") {
     val root = Files.createTempDirectory("graft-sqlcu6").toString
     val s = VastSession(spark, root)
