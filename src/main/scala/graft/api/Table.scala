@@ -2011,21 +2011,41 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     * parameters, band-join against the corpus signatures (covered files
     * from the index, uncovered on the fly — same freshness contract as
     * [[dedupMinhashPairs]]), and only the bounded candidate set rejoins
-    * the wide signatures. Returns (incoming id, corpus `$row_id`,
-    * est_jaccard) per match; never corpus×corpus work. */
+    * the wide signatures. A VECTOR index probes the embedding twin
+    * (hyperplane-LSH candidates + exact-cosine verify). Returns
+    * (incoming id, corpus `$row_id`, similarity) per match — similarity
+    * is estimated jaccard for text indexes, cosine for vector ones;
+    * never corpus×corpus work. */
   def probeNearDups(column: String, incoming: DataFrame,
                     incomingIdCol: String,
                     threshold: Double = 0.7): DataFrame = {
     val (meta, sigs) = indexSignatures(column)
-    require(meta.kind == "text",
-      s"dedup index on $column is kind '${meta.kind}', not text")
-    val q = incoming.select(col(incomingIdCol).as("id"),
-      graft.functions.TextHashes.minhashFromTokens(
-        split(col(column), " "), meta.k, meta.shingleN).as("sig"))
-    graft.llm.Dedup.minhashProbeFromSigs(q,
-        sigs.select(col(RowIdColumn).as("id"), col("sig")),
-        meta.k, meta.bands, threshold)
-      .withColumnRenamed("c_id", "corpus_row_id")
+    if (meta.kind == "vector") {
+      // embedding twin: incoming vectors hash against the index's
+      // hyperplane families; exact-cosine verification over the bounded
+      // candidate set (match metric = cosine, not jaccard)
+      val q = incoming.select(col(incomingIdCol).as("id"),
+        graft.llm.Dedup.lshSignatures(col(column),
+          meta.dim, meta.planes, meta.tables).as("vsig"),
+        col(column).as("v"))
+      val corpusVecs = select(Seq(column), lit(true), internalRowId = true)
+        .select(col(RowIdColumn).as("id"), col(column).as("v"))
+      graft.llm.Dedup.embeddingProbeFromSigs(
+          q.select("id", "vsig"), q.select("id", "v"),
+          sigs.select(col(RowIdColumn).as("id"), col("vsig")), corpusVecs,
+          threshold)
+        .withColumnRenamed("c_id", "corpus_row_id")
+        .withColumnRenamed("cos", "similarity")
+    } else {
+      val q = incoming.select(col(incomingIdCol).as("id"),
+        graft.functions.TextHashes.minhashFromTokens(
+          split(col(column), " "), meta.k, meta.shingleN).as("sig"))
+      graft.llm.Dedup.minhashProbeFromSigs(q,
+          sigs.select(col(RowIdColumn).as("id"), col("sig")),
+          meta.k, meta.bands, threshold)
+        .withColumnRenamed("c_id", "corpus_row_id")
+        .withColumnRenamed("est_jaccard", "similarity")
+    }
   }
 
   /** Embedding near-dup pairs from a persisted VECTOR index: covered files

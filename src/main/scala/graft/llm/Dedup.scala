@@ -634,4 +634,30 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** Cross-set embedding probe, the vector twin of
+    * [[minhashProbeFromSigs]]: which QUERY vectors near-duplicate a
+    * CORPUS vector at cosine ≥ threshold. Query (id, vsig, v) rows
+    * band-join the corpus signatures per LSH table (query×corpus only);
+    * exact-cosine verification rejoins both vector sides over the
+    * bounded candidate set. Returns (q_id, c_id, cos). */
+  def embeddingProbeFromSigs(querySigs: DataFrame, queryVecs: DataFrame,
+                             corpusSigs: DataFrame, corpusVecs: DataFrame,
+                             threshold: Double): DataFrame = {
+    def banded(s: DataFrame, idAs: String) =
+      s.select(col("id").as(idAs), posexplode(col("vsig")))
+        .withColumnRenamed("pos", "tbl")
+        .withColumnRenamed("col", "sig")
+    val cand = banded(querySigs, "q_id")
+      .join(banded(corpusSigs, "c_id"), Seq("tbl", "sig"))
+      .select("q_id", "c_id").distinct()
+    cand
+      .join(queryVecs.select(col("id").as("q_id"), col("v").as("v_q")),
+        Seq("q_id"))
+      .join(corpusVecs.select(col("id").as("c_id"), col("v").as("v_c")),
+        Seq("c_id"))
+      .withColumn("cos", round(Distances.cosineSim(col("v_q"), col("v_c")), 6))
+      .filter(col("cos") >= threshold)
+      .select("q_id", "c_id", "cos")
+  }
 }

@@ -941,7 +941,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
       // ingest-time dedup probe as SQL: which rows of `candidates` (by
       // `id_col`) near-duplicate an already-ingested row of `table`,
       // via the persisted text dedup index on `column` — matches land in
-      // `out_table` as (q_id, corpus_row_id, est_jaccard) attribution rows
+      // `out_table` as (q_id, corpus_row_id, similarity) attribution rows
       case "dedup_probe" => new GraftProcedure("dedup_probe",
           Seq(("table", StringType, None), ("column", StringType, None),
             ("candidates", StringType, None), ("id_col", StringType, None),

@@ -111,6 +111,15 @@ class DedupIndexSpec extends SparkSpec {
         Set((3L, 120L), (7L, 230L)))
       // text-index entry points reject a vector index cleanly
       intercept[Exception] { t.dedupMinhashPairs("emb").collect() }
+      // ingest probe, vector twin: an incoming copy of vec(7) attributes
+      // to corpus row 7's and 230's row ids; a fresh vector matches nothing
+      import spark.implicits._
+      val hits = t.probeNearDups("emb",
+          Seq((900L, vec(7)), (901L, vec(9999))).toDF("id", "emb"), "id",
+          threshold = 0.999)
+        .select("q_id", "similarity").collect()
+      assert(hits.nonEmpty && hits.forall(r =>
+        r.getLong(0) == 900L && r.getDouble(1) >= 0.999), hits.mkString(","))
     }
   }
 

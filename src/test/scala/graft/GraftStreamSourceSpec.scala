@@ -1215,7 +1215,7 @@ class GraftStreamSourceSpec extends SparkSpec {
       val t = tx.bucket("bk").schema("m").table("corpus")
       val hits = t.probeNearDups("text",
         Seq((99L, doc("alpha", last = "ANOTHER"))).toDF("id", "text"), "id")
-      val got = hits.select("q_id", "est_jaccard").collect()
+      val got = hits.select("q_id", "similarity").collect()
       assert(got.nonEmpty && got.forall(_.getLong(0) == 99L))
       assert(got.forall(_.getDouble(1) >= 0.7))
     }

@@ -691,7 +691,7 @@ class SqlCatalogSpec extends SparkSpec {
       "'bk.m.corpus', 'text', 'bk.m.cand', 'id', 'bk.m.hits')").head.getLong(0)
     assert(n == 1L, s"expected exactly the alpha near-dup, got $n")
     val hit = spark.sql(
-      "SELECT q_id, est_jaccard FROM gprobe.bk.m.hits").head
+      "SELECT q_id, similarity FROM gprobe.bk.m.hits").head
     assert(hit.getLong(0) == 10L && hit.getDouble(1) >= 0.7)
   }
 
