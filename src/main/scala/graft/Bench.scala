@@ -215,6 +215,22 @@ object Bench {
             lit("SHARED BOILERPLATE FOOTER LINE")).as("text")),
         "doc_id", "text", minChars = 5))))
 
+    // ingest-probe shape: batch-vs-corpus near-dup suppression. Corpus
+    // signatures are precomputed ONCE here (exactly what the persisted
+    // dedup index stores under the manifest); the timed work is what an
+    // ingest batch pays — hash the incoming 1% + LSH band-probe the
+    // corpus signatures + est-jaccard verify over the candidates. Never
+    // corpus×corpus.
+    val sigDir = "/tmp/graft_bench_dedup_sigs"
+    def docSigs(df: DataFrame) = df.select(col("doc_id").as("id"),
+      graft.functions.TextHashes.minhashFromTokens(
+        split(col("text"), " "), 64, 3).as("sig"))
+    docSigs(t("documents")).write.mode("overwrite").parquet(sigDir)
+    val probeScans: Seq[(String, () => Unit)] = Seq(
+      "dedup_probe" -> (() => mat(graft.llm.Dedup.minhashProbeFromSigs(
+        docSigs(t("documents").filter(col("doc_id") % 100 === 0)),
+        spark.read.parquet(sigDir), k = 64, bands = 16, threshold = 0.7))))
+
     // sorted-layout comparison (Elysium write path): one range-partitioned
     // sorted copy of lineitem; the same selective range scan then prunes
     // row groups via min/max stats instead of reading everything
@@ -385,7 +401,7 @@ object Bench {
     // runs; the filter applies to measurement only)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-    val results = (queries ++ sortedScans ++ zScans ++ sqlScans ++
+    val results = (queries ++ probeScans ++ sortedScans ++ zScans ++ sqlScans ++
         rollupScans ++ spjScans)
         .filter { case (name, _) => only.forall(_.exists(name.contains)) }
         .map { case (name, fn) =>

@@ -1221,6 +1221,63 @@ class GraftStreamSourceSpec extends SparkSpec {
     }
   }
 
+  test("sink suppressNearDups + scoreWith compose: suppress first, score survivors") {
+    val root = Files.createTempDirectory("graft-sink-ndsc").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    val docSchema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    def doc(tag: String, last: String = "end") =
+      (1 to 40).map(i => s"$tag$i").mkString(" ") + " " + last
+    s.transaction { tx =>
+      val m = tx.bucket("bk").createSchema("m")
+      m.createTable("raw", docSchema)
+      val t = m.createTable("corpus", StructType(docSchema.fields :+
+        StructField("quality_score", DoubleType)))
+      t.createDedupIndex("text")
+      val model = graft.llm.Classifier.LrModel(
+        new Array[Double](8), 1.0, Array(0.0)) // score = sigmoid(1) always
+      m.createTable("model", graft.llm.Classifier
+        .modelToDf(spark, model).schema)
+        .insert(graft.llm.Classifier.modelToDf(spark, model))
+    }
+    val tdir = Paths.get(root, "bk", "m", "raw").toString
+    val ckpt = Files.createTempDirectory("graft-sink-ndscck").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(tdir)
+        .drop("_row_id")
+        .writeStream.format("graft")
+        .option("root", root).option("bucket", "bk")
+        .option("schema", "m").option("table", "corpus")
+        .option("suppressNearDups", "text")
+        .option("scoreWith", "bk.m.model")
+        .option("maintainIndexes", "true")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(q.exception.isEmpty, s"sink died: ${q.exception}")
+    }
+    def insertRaw(rows: (Long, String)*): Unit = s.transaction { tx =>
+      val l = new java.util.ArrayList[Row]()
+      rows.foreach { case (i, txt) => l.add(Row(i, txt)) }
+      tx.bucket("bk").schema("m").table("raw")
+        .insert(spark.createDataFrame(l, docSchema).coalesce(1))
+    }
+    insertRaw(0L -> doc("alpha"))
+    drain()
+    insertRaw(1L -> doc("alpha", last = "CHANGED"), 2L -> doc("beta"))
+    drain()
+    s.transaction { tx =>
+      val out = tx.bucket("bk").schema("m").table("corpus")
+        .select(Seq("id", "quality_score")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(out.keySet == Set(0L, 2L),
+        s"near-dup must drop BEFORE scoring, got ${out.keySet}")
+      val want = 1.0 / (1.0 + math.exp(-1.0))
+      assert(out.values.forall(_ == want), "survivors carry the model score")
+    }
+  }
+
   test("sink scoreWith: ingest-time quality scoring from a persisted model") {
     val root = Files.createTempDirectory("graft-sink-score").toString
     val s = VastSession(spark, root)
