@@ -221,15 +221,25 @@ object Bench {
     // ingest batch pays — hash the incoming 1% + LSH band-probe the
     // corpus signatures + est-jaccard verify over the candidates. Never
     // corpus×corpus.
-    val sigDir = "/tmp/graft_bench_dedup_sigs"
+    // per-run temp dir: a fixed path would let a concurrent bench JVM
+    // clobber the signatures mid-measurement; setup is also skipped when
+    // the subset filter excludes the probe entry
+    val benchOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    def selected(name: String) = benchOnly.forall(_.exists(name.contains))
     def docSigs(df: DataFrame) = df.select(col("doc_id").as("id"),
       graft.functions.TextHashes.minhashFromTokens(
         split(col("text"), " "), 64, 3).as("sig"))
-    docSigs(t("documents")).write.mode("overwrite").parquet(sigDir)
-    val probeScans: Seq[(String, () => Unit)] = Seq(
-      "dedup_probe" -> (() => mat(graft.llm.Dedup.minhashProbeFromSigs(
-        docSigs(t("documents").filter(col("doc_id") % 100 === 0)),
-        spark.read.parquet(sigDir), k = 64, bands = 16, threshold = 0.7))))
+    val probeScans: Seq[(String, () => Unit)] =
+      if (!selected("dedup_probe")) Seq.empty
+      else {
+        val sigDir = java.nio.file.Files
+          .createTempDirectory("graft_bench_dedup_sigs").toString
+        docSigs(t("documents")).write.mode("overwrite").parquet(sigDir)
+        Seq("dedup_probe" -> (() => mat(graft.llm.Dedup.minhashProbeFromSigs(
+          docSigs(t("documents").filter(col("doc_id") % 100 === 0)),
+          spark.read.parquet(sigDir), k = 64, bands = 16, threshold = 0.7))))
+      }
 
     // sorted-layout comparison (Elysium write path): one range-partitioned
     // sorted copy of lineitem; the same selective range scan then prunes

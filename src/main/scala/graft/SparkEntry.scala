@@ -1845,12 +1845,22 @@ object SparkEntry {
       (s, dir) => {
         val dim = 32
         val u = Array.tabulate(dim)(i => (((i + 1) * 37) % 19 - 9).toLong)
+        // the FIT runs on x/64 (a power-of-two scale is exact in doubles
+        // and sign-preserving, so the teacher label from the UNSCALED
+        // integer dot is unchanged): raw counts would sit within
+        // Fixed128's 2^23 contribution bound only until a pathological
+        // mega-document concentrates ~3k tokens in one bucket — the
+        // scaling buys 4096x headroom without touching the oracle's
+        // token-level y recomputation. l2 scales by 1/64² in step (ridge
+        // is NOT scale-invariant: optimal weights grow 64x, so the same
+        // l2 would penalize 4096x harder and collapse recovery)
         val docs = t(s, dir, "documents").select(col("doc_id"),
           md5BucketFeatures(col("text"), dim).as("x"))
           .withColumn("y", (intDot(col("x"), u) > 0).cast("double"))
+          .withColumn("x", transform(col("x"), v => v / 64.0d))
         def fit(d: org.apache.spark.sql.DataFrame) =
           graft.llm.Classifier.lrFitNewton(d, "y", "x", dim,
-            iters = 6, l2 = 1e-4)
+            iters = 6, l2 = 1e-4 / 4096)
         val m = fit(docs)
         val m2 = fit(docs.repartition(7))
         val deterministic = m.weights.sameElements(m2.weights) &&
@@ -2037,10 +2047,14 @@ object SparkEntry {
         val feats = t(s, dir, "documents").select(col("doc_id"),
           md5BucketFeatures(col("text"), dim).as("x"))
         val dots = array(u.map(uk => intDot(col("x"), uk)): _*)
+        // fit on x/64 with l2/64² — see qc1 (label from the unscaled
+        // exact dots; ridge rescaled in step)
         val docs = feats.withColumn("y",
-          (array_position(dots, array_max(dots)) - 1).cast("double"))
+            (array_position(dots, array_max(dots)) - 1).cast("double"))
+          .withColumn("x", transform(col("x"), v => v / 64.0d))
         def fit(d: org.apache.spark.sql.DataFrame) =
-          graft.llm.Classifier.softmaxFit(d, "y", "x", dim, numK, iters = 8)
+          graft.llm.Classifier.softmaxFit(d, "y", "x", dim, numK,
+            iters = 8, l2 = 1e-4 / 4096)
         val m = fit(docs)
         val m2 = fit(docs.repartition(7))
         val deterministic =

@@ -31,8 +31,12 @@ class CatalogStageStore(schema: SchemaNS, prefix: String)
   /** The table name stage `name` materializes into. */
   def stageTableName(name: String): String = s"${prefix}_stage_$name"
 
-  override def materialize(name: String, df: DataFrame): (DataFrame, Long) = {
+  override def materialize(name: String, dfIn: DataFrame): (DataFrame, Long) = {
     val tname = stageTableName(name)
+    // strip a carried $row_id: the verbatim-id insert path would return a
+    // GAPPY id range for a filtered frame (end - start overstating the
+    // stage count), and stage tables should mint their own ids anyway
+    val df = dfIn.drop(graft.types.TypeMapping.RowIdColumn)
     def shape(s: StructType) = s.fields
       .filterNot(_.name == graft.types.TypeMapping.RowIdColumn)
       .map(f => (f.name, f.dataType)).toSeq

@@ -2037,6 +2037,10 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
         .withColumnRenamed("c_id", "corpus_row_id")
         .withColumnRenamed("cos", "similarity")
     } else {
+      require(meta.kind == "text",
+        s"dedup index on $column is kind '${meta.kind}' — probeNearDups " +
+          "needs a text or vector dedup index (a PQ index stores codes, " +
+          "not near-dup signatures)")
       val q = incoming.select(col(incomingIdCol).as("id"),
         graft.functions.TextHashes.minhashFromTokens(
           split(col(column), " "), meta.k, meta.shingleN).as("sig"))

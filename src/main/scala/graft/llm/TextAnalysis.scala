@@ -417,7 +417,12 @@ object TextAnalysis {
       quart("0.25").as("q25_quality"),
       quart("0.50").as("q50_quality"),
       quart("0.75").as("q75_quality"))
-      .join(distincts, Seq("source"))
+      // null-safe: a NULL source is a legitimate report row (both aggs
+      // grouped it); a plain equi-join would silently drop it and the
+      // breakdown would no longer sum to corpusReport's totals
+      .join(distincts.withColumnRenamed("source", "__dsrc"),
+        col("source") <=> col("__dsrc"))
+      .drop("__dsrc")
     per.withColumn("token_share",
         round(col("total_tokens").cast("double")
           / sum(col("total_tokens")).over(Window.partitionBy(lit(0))), 6))

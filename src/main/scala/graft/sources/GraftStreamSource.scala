@@ -754,6 +754,14 @@ private[sources] class GraftTableSink(spark: SparkSession, root: String,
       }
   }
 
+  // suppression is append-ingest semantics: in Complete mode every batch
+  // RECOMPUTES the full result, so probing it against the rows the
+  // overwrite is about to replace would suppress the carried-over rows
+  // and silently destroy the table's contents batch over batch
+  require(!(complete && suppressNearDups.nonEmpty),
+    "suppressNearDups requires Append mode: a Complete-mode batch would " +
+      "be suppressed against the very rows its overwrite replaces")
+
   /** Ingest-time near-dup suppression (`suppressNearDups` = text column
     * name; requires a text dedup index on that column of the TARGET
     * table): per batch, exact-duplicate rows within the batch collapse

@@ -982,9 +982,10 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             docs, args(3).asInstanceOf[String], textCol)
           val n = replaceOutput(tx, args(2).asInstanceOf[String], perSource)
           val tot = graft.llm.TextAnalysis.corpusReport(docs, textCol).head()
-          Seq(org.apache.spark.sql.Row(tot.getLong(0), tot.getLong(1),
-            tot.getLong(2), tot.getLong(3), tot.getLong(4), tot.getLong(5),
-            n))
+          // empty corpus: sum/max/min aggregates are NULL — report zeros
+          def lg(i: Int) = if (tot.isNullAt(i)) 0L else tot.getLong(i)
+          Seq(org.apache.spark.sql.Row(lg(0), lg(1), lg(2), lg(3), lg(4),
+            lg(5), n))
         }
       }
       case "line_dedup" => new GraftProcedure("line_dedup",

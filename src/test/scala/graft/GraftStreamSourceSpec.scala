@@ -1221,6 +1221,40 @@ class GraftStreamSourceSpec extends SparkSpec {
     }
   }
 
+  test("sink suppressNearDups rejects Complete mode (would suppress against replaced rows)") {
+    val root = Files.createTempDirectory("graft-sink-ndcm").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    val docSchema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    s.transaction { tx =>
+      val m = tx.bucket("bk").createSchema("m")
+      m.createTable("raw", docSchema)
+      m.createTable("agg", StructType(Seq(StructField("text", StringType),
+        StructField("n", LongType)))).createDedupIndex("text")
+      tx.bucket("bk").schema("m").table("raw").insert(
+        spark.createDataFrame(java.util.List.of(Row(0L, "a doc")), docSchema)
+          .coalesce(1))
+    }
+    val q = spark.readStream.format("graft")
+      .load(Paths.get(root, "bk", "m", "raw").toString)
+      .drop("_row_id")
+      .groupBy("text").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .writeStream.format("graft")
+      .outputMode("complete")
+      .option("root", root).option("bucket", "bk")
+      .option("schema", "m").option("table", "agg")
+      .option("suppressNearDups", "text")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sink-ndcmck").toString)
+      .trigger(Trigger.AvailableNow())
+    val e = intercept[Exception] { q.start().awaitTermination(60000) }
+    assert(e.getMessage.contains("Append mode") ||
+      e.getCause != null && e.getCause.getMessage.contains("Append mode"),
+      s"expected the Append-mode guard, got: $e")
+  }
+
   test("sink suppressNearDups + scoreWith compose: suppress first, score survivors") {
     val root = Files.createTempDirectory("graft-sink-ndsc").toString
     val s = VastSession(spark, root)
