@@ -143,30 +143,40 @@ object Dedup {
     * 100 TB corpus computes signatures once, not per dedup run. */
   def minhashPairsFromSigs(sigsIn: DataFrame, k: Int, bands: Int,
                            threshold: Double): DataFrame = {
+    val sigs = materializeIfLarge(sigsIn) // reused in 3 joins
+    minhashMatches(sigs, sigs, k, bands, threshold, samePairSet = true)
+  }
+
+  /** ONE implementation of LSH banding + candidate join + est-jaccard
+    * verify, parameterized by the two sides: `samePairSet = true` is the
+    * self-join pair enumeration (ordered `id_a < id_b`, dedup within one
+    * set), false the query-vs-corpus probe. Candidate generation carries
+    * only (band, band_hash, id) — the wide signature arrays never enter
+    * the candidate shuffle, only the bounded candidate set rejoins them.
+    * Bands are statically unrolled into a literal array of native
+    * expressions — transform(sequence(...)) would be `bands` interpreted
+    * lambdas per row. */
+  private def minhashMatches(left: DataFrame, right: DataFrame,
+                             k: Int, bands: Int, threshold: Double,
+                             samePairSet: Boolean): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val sigs = materializeIfLarge(sigsIn) // reused in 3 joins
-    // candidate generation carries only (band, band_hash, id) — the wide
-    // signature arrays never enter the candidate shuffle or the distinct
-    // bands statically unrolled into a literal array of native expressions —
-    // transform(sequence(...)) would be `bands` interpreted lambdas per row
-    val banded = sigs.select(col("id"),
+    val (ida, idb) = if (samePairSet) ("id_a", "id_b") else ("q_id", "c_id")
+    def banded(s: DataFrame, idAs: String) = s.select(col("id").as(idAs),
         posexplode(array((0 until bands).map(b =>
           xxhash64(slice(col("sig"), b * r + 1, r))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
-    val pairs = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("band_hash"), col("id").as("id_b")),
-        Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    val joined = banded(left, ida)
+      .join(banded(right, idb), Seq("band", "band_hash"))
+    val cand = (if (samePairSet) joined.filter(col(ida) < col(idb)) else joined)
+      .select(ida, idb).distinct()
     // estimation: join signatures back by id (key-partitioned equi-joins;
-    // broadcast automatically when the signature table is small)
-    pairs
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
+    // broadcast automatically when a signature table is small)
+    cand
+      .join(left.select(col("id").as(ida), col("sig").as("sig_a")), Seq(ida))
+      .join(right.select(col("id").as(idb), col("sig").as("sig_b")), Seq(idb))
+      .select(col(ida), col(idb),
         estJaccard(col("sig_a"), col("sig_b"), k).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
@@ -181,29 +191,9 @@ object Dedup {
     * (q_id, c_id, est_jaccard) rows for every match. */
   def minhashProbeFromSigs(querySigs: DataFrame, corpusSigs: DataFrame,
                            k: Int, bands: Int,
-                           threshold: Double): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
-    val r = k / bands
-    def banded(s: DataFrame, idAs: String) = s.select(col("id").as(idAs),
-        posexplode(array((0 until bands).map(b =>
-          xxhash64(slice(col("sig"), b * r + 1, r))): _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
-    val cand = banded(querySigs, "q_id")
-      .select(col("band"), col("band_hash"), col("q_id"))
-      .join(banded(corpusSigs, "c_id")
-        .select(col("band"), col("band_hash"), col("c_id")),
-        Seq("band", "band_hash"))
-      .select("q_id", "c_id").distinct()
-    cand
-      .join(querySigs.select(col("id").as("q_id"), col("sig").as("sig_q")),
-        Seq("q_id"))
-      .join(corpusSigs.select(col("id").as("c_id"), col("sig").as("sig_c")),
-        Seq("c_id"))
-      .select(col("q_id"), col("c_id"),
-        estJaccard(col("sig_q"), col("sig_c"), k).as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
-  }
+                           threshold: Double): DataFrame =
+    minhashMatches(querySigs, corpusSigs, k, bands, threshold,
+      samePairSet = false)
 
   /** 64-bit simhash of the word multiset: per-word xxhash64, bit-voting —
     * native expression (graft.functions.SimHash64) for the same reason as
@@ -618,21 +608,33 @@ object Dedup {
   def embeddingLshPairsFromSigs(sigsIn: DataFrame, vecs: DataFrame,
                                 threshold: Double): DataFrame = {
     val sigs = materializeIfLarge(sigsIn)
-    val banded = sigs.select(col("id"), posexplode(col("vsig")))
-      .withColumnRenamed("pos", "tbl")
-      .withColumnRenamed("col", "sig")
-    val pairs = banded.select(col("tbl"), col("sig"), col("id").as("id_a"))
-      .join(banded.select(col("tbl"), col("sig"), col("id").as("id_b")),
-        Seq("tbl", "sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    pairs
-      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
-      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+    embeddingMatches(sigs, vecs, sigs, vecs, threshold, samePairSet = true)
+  }
+
+  /** ONE implementation of hyperplane-LSH banding + candidate join +
+    * exact-cosine verify, parameterized by the two sides — the vector
+    * twin of [[minhashMatches]] (`samePairSet = true`: pair enumeration
+    * within one set; false: query-vs-corpus probe). Only the bounded
+    * candidate set rejoins the vectors. */
+  private def embeddingMatches(leftSigs: DataFrame, leftVecs: DataFrame,
+                               rightSigs: DataFrame, rightVecs: DataFrame,
+                               threshold: Double,
+                               samePairSet: Boolean): DataFrame = {
+    val (ida, idb) = if (samePairSet) ("id_a", "id_b") else ("q_id", "c_id")
+    def banded(s: DataFrame, idAs: String) =
+      s.select(col("id").as(idAs), posexplode(col("vsig")))
+        .withColumnRenamed("pos", "tbl")
+        .withColumnRenamed("col", "sig")
+    val joined = banded(leftSigs, ida).join(banded(rightSigs, idb),
+      Seq("tbl", "sig"))
+    val cand = (if (samePairSet) joined.filter(col(ida) < col(idb)) else joined)
+      .select(ida, idb).distinct()
+    cand
+      .join(leftVecs.select(col("id").as(ida), col("v").as("v_a")), Seq(ida))
+      .join(rightVecs.select(col("id").as(idb), col("v").as("v_b")), Seq(idb))
       .withColumn("cos", round(Distances.cosineSim(col("v_a"), col("v_b")), 6))
       .filter(col("cos") >= threshold)
-      .select("id_a", "id_b", "cos")
+      .select(ida, idb, "cos")
   }
 
   /** Cross-set embedding probe, the vector twin of
@@ -643,21 +645,7 @@ object Dedup {
     * bounded candidate set. Returns (q_id, c_id, cos). */
   def embeddingProbeFromSigs(querySigs: DataFrame, queryVecs: DataFrame,
                              corpusSigs: DataFrame, corpusVecs: DataFrame,
-                             threshold: Double): DataFrame = {
-    def banded(s: DataFrame, idAs: String) =
-      s.select(col("id").as(idAs), posexplode(col("vsig")))
-        .withColumnRenamed("pos", "tbl")
-        .withColumnRenamed("col", "sig")
-    val cand = banded(querySigs, "q_id")
-      .join(banded(corpusSigs, "c_id"), Seq("tbl", "sig"))
-      .select("q_id", "c_id").distinct()
-    cand
-      .join(queryVecs.select(col("id").as("q_id"), col("v").as("v_q")),
-        Seq("q_id"))
-      .join(corpusVecs.select(col("id").as("c_id"), col("v").as("v_c")),
-        Seq("c_id"))
-      .withColumn("cos", round(Distances.cosineSim(col("v_q"), col("v_c")), 6))
-      .filter(col("cos") >= threshold)
-      .select("q_id", "c_id", "cos")
-  }
+                             threshold: Double): DataFrame =
+    embeddingMatches(querySigs, queryVecs, corpusSigs, corpusVecs, threshold,
+      samePairSet = false)
 }
