@@ -1826,6 +1826,55 @@ object SparkEntry {
              |SELECT r.doc_id, r.source FROM r JOIN q USING (source)
              |WHERE cb < quota ORDER BY doc_id""".stripMargin)),
 
+    Q("cu10_epoch_mix",  // EPOCH-AWARE domain mixing (the data-recipe
+      // "small domain × N epochs" move): target = 2× the corpus tokens
+      // with maxEpochs=3, so every domain must repeat — full-corpus
+      // copies at epochs 0..f-1 plus an md5-ordered partial epoch under
+      // the BIGINT remainder quota. DuckDB recomputes quotas, epoch
+      // counts, and partial-epoch membership bit-for-bit
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "source", "n_chars")
+        val target = docs.agg(sum(col("n_chars")).cast("long"))
+          .head().getLong(0) * 2
+        graft.llm.Curation.domainMixEpochs(docs, "doc_id", "source",
+            "n_chars", targetTokens = target, maxEpochs = 3, seed = "em")
+          .select(col("doc_id"), col("source"), col("epoch"))
+          .orderBy("doc_id", "epoch")
+      },
+      Some("""WITH n AS (
+             |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_s
+             |  FROM documents GROUP BY source
+             |), w AS (
+             |  SELECT source, n_s, CAST(FLOOR(SQRT(n_s)) AS BIGINT) AS w_s
+             |  FROM n WHERE n_s > 0
+             |), tw AS (SELECT SUM(w_s) AS sw FROM w),
+             |tgt AS (SELECT CAST(SUM(n_chars) * 2 AS BIGINT) AS t FROM documents),
+             |q AS (
+             |  SELECT source, n_s,
+             |    LEAST(CAST((t * w_s) // sw AS BIGINT), n_s * 3) AS quota
+             |  FROM w, tw, tgt
+             |), q2 AS (
+             |  SELECT source, quota // n_s AS f,
+             |         quota - (quota // n_s) * n_s AS rem
+             |  FROM q
+             |), r AS (
+             |  SELECT doc_id, source,
+             |    COALESCE(SUM(n_chars) OVER (PARTITION BY source
+             |      ORDER BY MD5('em:' || CAST(doc_id AS VARCHAR)), doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+             |  FROM documents
+             |), fe AS (
+             |  SELECT r.doc_id, r.source, UNNEST(RANGE(0, f)) AS epoch
+             |  FROM r JOIN q2 USING (source) WHERE f > 0
+             |), pe AS (
+             |  SELECT r.doc_id, r.source, f AS epoch
+             |  FROM r JOIN q2 USING (source) WHERE cb < rem
+             |)
+             |SELECT doc_id, source, CAST(epoch AS INT) AS epoch FROM fe
+             |UNION ALL
+             |SELECT doc_id, source, CAST(epoch AS INT) AS epoch FROM pe
+             |ORDER BY doc_id, epoch""".stripMargin)),
+
     Q("qc1_lr_quality",  // distributed quality classifier (fasttext
       // recipe: hashed bag-of-words → linear model), planted-teacher gate:
       // label every document by a KNOWN fixed hyperplane u in the hashed

@@ -448,6 +448,67 @@ object Curation {
   }
 
   /**
+   * EPOCH-AWARE DOMAIN MIXING — the data-recipe move mixture papers
+   * actually ship: a domain whose temperature share EXCEEDS its size is
+   * REPEATED up to `maxEpochs` times instead of silently starving the
+   * budget (the "Wikipedia × 4 epochs" pattern). [[domainMixTokens]]
+   * caps every domain at one pass; this variant emits full-corpus copies
+   * plus one md5-ordered partial epoch, each row tagged with its 0-based
+   * `epoch`.
+   *
+   * Per domain, pure BIGINT end to end (bit-reproducible by any engine):
+   * `n_s = Σ tokens`, `w_s = floor(sqrt(n_s))` (exact on IEEE doubles),
+   * `ideal_s = (targetTokens · w_s) div Σw`,
+   * `quota_s = min(ideal_s, n_s · maxEpochs)`,
+   * `fullEpochs_s = quota_s div n_s`, `rem_s = quota_s mod n_s`.
+   * Output = every document at epochs `0 .. fullEpochs_s-1`, plus the
+   * partial epoch `fullEpochs_s`: documents in md5 order while the token
+   * prefix-sum stays under `rem_s` (a straddling document is kept —
+   * met-or-barely-exceeded, same convention as [[domainMixTokens]]).
+   * Zero-token domains contribute nothing. The total may undershoot
+   * `targetTokens` when domains cap out at `maxEpochs` — single-pass by
+   * design (published recipes fix per-domain epoch counts rather than
+   * re-flowing leftover budget).
+   *
+   * 100-TB shape: the quota table is one row per domain (broadcast); the
+   * prefix-sum is the bucketed two-phase [[scalablePrefixSum]]; full
+   * epochs are a map-side `explode(sequence)` — no shuffle grows with
+   * `maxEpochs`, only output rows.
+   */
+  def domainMixEpochs(df: DataFrame, idCol: String, domainCol: String,
+                      weightCol: String, targetTokens: Long,
+                      maxEpochs: Int, seed: String): DataFrame = {
+    require(targetTokens >= 0, "targetTokens must be non-negative")
+    require(maxEpochs >= 1, "maxEpochs must be at least 1")
+    val counts = df.groupBy(col(domainCol))
+      .agg(sum(col(weightCol).cast("long")).as("_n"))
+      .withColumn("_dw", floor(sqrt(col("_n"))).cast("long"))
+    val totW = counts.agg(sum("_dw").as("_sw"))
+    val quotas = counts.crossJoin(broadcast(totW))
+      .withColumn("_ideal",
+        when(col("_sw") > 0, expr(s"(${targetTokens}L * _dw) div _sw"))
+          .otherwise(lit(0L)))
+      .withColumn("_quota",
+        least(col("_ideal"), col("_n") * lit(maxEpochs.toLong)))
+      .withColumn("_full",
+        when(col("_n") > 0, expr("_quota div _n")).otherwise(lit(0L)))
+      .withColumn("_rem", col("_quota") - col("_full") * col("_n"))
+      .select(col(domainCol), col("_full"), col("_rem"))
+    val keyed = df.withColumn("_mk",
+      md5(concat_ws(":", lit(seed), col(idCol).cast("string"))))
+    val pre = scalablePrefixSum(keyed, Seq(domainCol), "_mk", idCol,
+        weightCol)
+      .join(broadcast(quotas), Seq(domainCol))
+    val full = pre.filter(col("_full") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("_full") - 1L)))
+      .withColumn("epoch", col("epoch").cast("int"))
+    val partial = pre.filter(col("_cumBefore") < col("_rem"))
+      .withColumn("epoch", col("_full").cast("int"))
+    full.unionByName(partial)
+      .drop("_mk", "_cumBefore", "_full", "_rem")
+  }
+
+  /**
    * TRAINING-SHARD EXPORT: the last-mile operator between a curated corpus
    * and a training run — a deterministic global shuffle (order by
    * `md5(seed ‖ id)`) dealt round-robin into `numShards` EXACTLY balanced

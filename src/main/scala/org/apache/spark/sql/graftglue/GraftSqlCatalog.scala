@@ -469,7 +469,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     "dedup_pairs", "dedup_clusters", "pii_redact", "chunk", "decontaminate",
     "curate", "shard_export", "domain_mix", "line_dedup", "classifier_score",
     "classifier_fit", "contamination_report", "softmax_fit", "softmax_score",
-    "bpe_fit", "tokenize_pack", "corpus_report", "dedup_probe")
+    "bpe_fit", "tokenize_pack", "corpus_report", "dedup_probe", "epoch_mix")
 
   /** Manifest version a streaming checkpoint has durably consumed through,
     * or -1 if no batch has committed yet. Reads Spark's own checkpoint
@@ -936,6 +936,29 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             args(3).asInstanceOf[Long], args(4).asInstanceOf[String])
           Seq(org.apache.spark.sql.Row(
             replaceOutput(tx, args(5).asInstanceOf[String], mixed)))
+        }
+      }
+      // epoch-aware domain mixing (the data-recipe "small domain x N
+      // epochs" move): rows land in `out_table` with a 0-based `epoch`
+      // column — full-corpus copies plus one md5-ordered partial epoch
+      // per domain, all quotas in exact BIGINT arithmetic
+      case "epoch_mix" => new GraftProcedure("epoch_mix",
+          Seq(("table", StringType, None), ("id_col", StringType, None),
+            ("domain_col", StringType, None),
+            ("weight_col", StringType, None),
+            ("target_tokens", LongType, None),
+            ("seed", StringType, None),
+            ("out_table", StringType, None),
+            ("max_epochs", IntegerType, Some("4"))),
+          StructType(Seq(StructField("n_rows", LongType)))) {
+        def run(args: Seq[Any]) = inSession { tx =>
+          val mixed = graft.llm.Curation.domainMixEpochs(
+            tableIn(tx, args(0).asInstanceOf[String]).select(),
+            args(1).asInstanceOf[String], args(2).asInstanceOf[String],
+            args(3).asInstanceOf[String], args(4).asInstanceOf[Long],
+            args(7).asInstanceOf[Int], args(5).asInstanceOf[String])
+          Seq(org.apache.spark.sql.Row(
+            replaceOutput(tx, args(6).asInstanceOf[String], mixed)))
         }
       }
       // ingest-time dedup probe as SQL: which rows of `candidates` (by

@@ -1056,6 +1056,29 @@ class SqlCatalogSpec extends SparkSpec {
     // 2 equal domains, w=floor(sqrt(10))=3 each, quota = 10*3/6 = 5 each
     assert(dm.getLong(0) == 10)
 
+    // epoch mixing matches the Scala API row-for-row
+    s.transaction { tx =>
+      val m = tx.bucket("bk").schema("m")
+      val src = m.table("d").select()
+        .withColumn("nt", org.apache.spark.sql.functions.length(col("text")).cast("long"))
+      val t2 = m.createTable("dnt", org.apache.spark.sql.types.StructType(
+        src.schema.fields.filterNot(_.name == "_row_id")))
+      t2.insert(src.drop("_row_id"))
+    }
+    val em = spark.sql("CALL graftr11.system.epoch_mix(" +
+      "'bk.m.dnt', 'id', 'dom', 'nt', 2000L, 'ep', 'bk.m.epochs', 2)").head
+    val apiRows = s.transaction { tx =>
+      graft.llm.Curation.domainMixEpochs(
+        tx.bucket("bk").schema("m").table("dnt").select(),
+        "id", "dom", "nt", 2000L, 2, "ep")
+        .select("id", "epoch").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    }
+    assert(em.getLong(0) == apiRows.size)
+    val tableRows = spark.sql("SELECT id, epoch FROM graftr11.bk.m.epochs")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(tableRows == apiRows)
+
     val ld = spark.sql("CALL graftr11.system.line_dedup(" +
       "'bk.m.d', 'id', 'text', 'bk.m.clean')").head
     assert(ld.getLong(0) == 20)

@@ -263,6 +263,41 @@ class TrainingExportSpec extends SparkSpec {
       .count() > 0)
   }
 
+  // ---- domainMixEpochs ----
+
+  test("domainMixEpochs: hand-computed quotas, epoch counts, partial-epoch membership") {
+    import spark.implicits._
+    // two domains: A = 4 docs x 25 tokens (n=100, w=10), B = 1 doc x 400
+    // tokens (n=400, w=20). target=600, maxEpochs=3:
+    //   A: ideal = 600*10/30 = 200 -> quota 200 (< 300 cap), full=2, rem=0
+    //   B: ideal = 600*20/30 = 400 -> quota 400 (< 1200), full=1, rem=0
+    val d = (Seq((1L, "A", 25L), (2L, "A", 25L), (3L, "A", 25L),
+      (4L, "A", 25L), (10L, "B", 400L))).toDF("id", "dom", "nt")
+    val out = Curation.domainMixEpochs(d, "id", "dom", "nt",
+      targetTokens = 600L, maxEpochs = 3, seed = "s")
+    val got = out.select("id", "epoch").as[(Long, Int)].collect().toSet
+    assert(got == Set((1L, 0), (2L, 0), (3L, 0), (4L, 0),
+      (1L, 1), (2L, 1), (3L, 1), (4L, 1), (10L, 0)), got.toString)
+    // partial epoch: target=350 -> A ideal = 116, full=1, rem=16: one
+    // 25-token doc straddles (cumBefore 0 < 16) -> exactly 1 partial doc
+    val out2 = Curation.domainMixEpochs(d, "id", "dom", "nt",
+      targetTokens = 350L, maxEpochs = 3, seed = "s")
+    val a2 = out2.filter(col("dom") === "A")
+      .groupBy("epoch").count().as[(Int, Long)].collect().toMap
+    assert(a2(0) == 4 && a2(1) == 1, a2.toString)
+    // maxEpochs cap binds: huge target -> every domain at exactly 3 full
+    // epochs, no partial (rem = 0)
+    val out3 = Curation.domainMixEpochs(d, "id", "dom", "nt",
+      targetTokens = 100000L, maxEpochs = 3, seed = "s")
+    assert(out3.count() == 15, "5 docs x 3 epochs")
+    assert(out3.agg(max(col("epoch"))).head().getInt(0) == 2)
+    // deterministic under adversarial repartition
+    val out2b = Curation.domainMixEpochs(d.repartition(7), "id", "dom",
+      "nt", targetTokens = 350L, maxEpochs = 3, seed = "s")
+    assert(out2.select("id", "epoch").exceptAll(
+      out2b.select("id", "epoch")).count() == 0)
+  }
+
   // ---- dedupLinesKeepFirst ----
 
   test("dedupLinesKeepFirst: first occurrence survives, short lines exempt") {
