@@ -442,7 +442,12 @@ object Curation {
     val keyed = df.withColumn("_mk",
       md5(concat_ws(":", lit(seed), col(idCol).cast("string"))))
     scalablePrefixSum(keyed, Seq(domainCol), "_mk", idCol, weightCol)
-      .join(broadcast(quotas), Seq(domainCol))
+      // null-safe: a NULL domain is a legitimate group (both the quota agg
+      // and the prefix sum keyed it); a plain equi-join would silently
+      // drop its documents from the mix
+      .join(broadcast(quotas.withColumnRenamed(domainCol, "__qdom")),
+        col(domainCol) <=> col("__qdom"))
+      .drop("__qdom")
       .filter(col("_cumBefore") < col("_quota"))
       .drop("_mk", "_cumBefore", "_quota")
   }
@@ -498,7 +503,12 @@ object Curation {
       md5(concat_ws(":", lit(seed), col(idCol).cast("string"))))
     val pre = scalablePrefixSum(keyed, Seq(domainCol), "_mk", idCol,
         weightCol)
-      .join(broadcast(quotas), Seq(domainCol))
+      // null-safe: a NULL domain is a legitimate group (both the quota agg
+      // and the prefix sum keyed it); a plain equi-join would silently
+      // drop its documents from the mix
+      .join(broadcast(quotas.withColumnRenamed(domainCol, "__qdom")),
+        col(domainCol) <=> col("__qdom"))
+      .drop("__qdom")
     val full = pre.filter(col("_full") > 0)
       .withColumn("epoch", explode(sequence(lit(0L), col("_full") - 1L)))
       .withColumn("epoch", col("epoch").cast("int"))
@@ -694,7 +704,12 @@ object Curation {
     val keyed = df.withColumn("_mk",
       md5(concat_ws(":", lit(seed), col(idCol).cast("string"))))
     scalableRank(keyed, Seq(domainCol), "_mk", idCol)
-      .join(broadcast(quotas), Seq(domainCol))
+      // null-safe: a NULL domain is a legitimate group (both the quota agg
+      // and the prefix sum keyed it); a plain equi-join would silently
+      // drop its documents from the mix
+      .join(broadcast(quotas.withColumnRenamed(domainCol, "__qdom")),
+        col(domainCol) <=> col("__qdom"))
+      .drop("__qdom")
       .filter(col("_rank") < col("_quota"))
       .drop("_mk", "_rank", "_quota")
   }
