@@ -364,6 +364,22 @@ object Curation {
    * `keyCol` must be a lowercase-hex string (md5 output); `tieCol` breaks
    * exact key collisions deterministically.
    */
+  /** Null-safe broadcast equi-join on (partCols, _rbkt): partition
+    * columns may legitimately be NULL (a NULL domain is a real group —
+    * the windows and aggregations above all key it), and a plain
+    * equi-join would silently drop those rows. */
+  private def joinOffsets(left: DataFrame, offsets: DataFrame,
+                          partCols: Seq[String]): DataFrame = {
+    val renamed = partCols.foldLeft(
+        offsets.withColumnRenamed("_rbkt", "__o_rbkt"))(
+      (d, c) => d.withColumnRenamed(c, s"__o_$c"))
+    val cond = partCols.foldLeft(col("_rbkt") === col("__o_rbkt"))(
+      (acc, c) => acc && (col(c) <=> col(s"__o_$c")))
+    partCols.foldLeft(
+        left.join(broadcast(renamed), cond).drop("__o_rbkt"))(
+      (d, c) => d.drop(s"__o_$c"))
+  }
+
   def scalableRank(df: DataFrame, partCols: Seq[String], keyCol: String,
                    tieCol: String, hexPrefix: Int = 3): DataFrame = {
     require(hexPrefix >= 1 && hexPrefix <= 8, "hexPrefix in [1,8]")
@@ -380,9 +396,9 @@ object Curation {
       .agg(count(lit(1)).as("_bn"))
       .withColumn("_boff", coalesce(sum("_bn").over(wOff), lit(0L)))
       .select((pcols :+ col("_rbkt") :+ col("_boff")): _*)
-    withB
-      .withColumn("_lrn", row_number().over(wLocal).cast("long") - 1L)
-      .join(broadcast(offsets), partCols :+ "_rbkt")
+    joinOffsets(withB
+        .withColumn("_lrn", row_number().over(wLocal).cast("long") - 1L),
+        offsets, partCols)
       .withColumn("_rank", col("_boff") + col("_lrn"))
       .drop("_rbkt", "_lrn", "_boff")
   }
@@ -411,9 +427,9 @@ object Curation {
       .agg(sum(col("_w")).as("_bn"))
       .withColumn("_boff", coalesce(sum("_bn").over(wOff), lit(0L)))
       .select((pcols :+ col("_rbkt") :+ col("_boff")): _*)
-    withB
-      .withColumn("_lb", coalesce(sum(col("_w")).over(wLocal), lit(0L)))
-      .join(broadcast(offsets), partCols :+ "_rbkt")
+    joinOffsets(withB
+        .withColumn("_lb", coalesce(sum(col("_w")).over(wLocal), lit(0L))),
+        offsets, partCols)
       .withColumn("_cumBefore", col("_boff") + col("_lb"))
       .drop("_rbkt", "_w", "_lb", "_boff")
   }

@@ -298,6 +298,25 @@ class TrainingExportSpec extends SparkSpec {
       out2b.select("id", "epoch")).count() == 0)
   }
 
+  test("domain mixers keep NULL-domain documents (null-safe quota join)") {
+    import spark.implicits._
+    val d = Seq((1L, Some("A"), 10L), (2L, Some("A"), 10L),
+      (3L, None, 10L), (4L, None, 10L)).toDF("id", "dom", "nt")
+    // row mixer: generous target keeps everything, incl. the NULL group
+    val rows = Curation.domainMix(d, "id", "dom", targetRows = 100L,
+      seed = "n")
+    assert(rows.count() == 4, "null-domain rows must not vanish")
+    assert(rows.filter(col("dom").isNull).count() == 2)
+    // token mixer
+    val toks = Curation.domainMixTokens(d, "id", "dom", "nt",
+      targetTokens = 1000L, seed = "n")
+    assert(toks.filter(col("dom").isNull).count() == 2)
+    // epoch mixer
+    val ep = Curation.domainMixEpochs(d, "id", "dom", "nt",
+      targetTokens = 1000L, maxEpochs = 2, seed = "n")
+    assert(ep.filter(col("dom").isNull).count() == 4, "2 docs x 2 epochs")
+  }
+
   // ---- dedupLinesKeepFirst ----
 
   test("dedupLinesKeepFirst: first occurrence survives, short lines exempt") {
