@@ -213,7 +213,13 @@ object Bench {
         t("documents").select(col("doc_id"),
           concat_ws("\n", lit("SHARED BOILERPLATE HEADER LINE"), col("text"),
             lit("SHARED BOILERPLATE FOOTER LINE")).as("text")),
-        "doc_id", "text", minChars = 5))))
+        "doc_id", "text", minChars = 5))),
+      // DSIR selection: gram explode + two ≤4096-row broadcast count
+      // tables + id-keyed weight sum + range-bucketed two-phase rank —
+      // the data-selection pass a 100 TB pretraining pipeline runs
+      "dsir_select" -> (() => mat(graft.llm.Selection.dsirSelect(
+        t("documents"), t("documents").filter(col("doc_id") % 10 === 0),
+        "doc_id", k = 500))))
 
     // ingest-probe shape: batch-vs-corpus near-dup suppression. Corpus
     // signatures are precomputed ONCE here (exactly what the persisted

@@ -100,6 +100,40 @@ object SparkEntry {
       |  FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
       |        FROM documents)""".stripMargin
 
+  /** DuckDB recomputation of the DSIR weight model used by the se* gates
+    * (raw = all documents, target = doc_id < 120, 256 buckets, add-1
+    * smoothing): gram explode → md5-bucket counts → 6-dp DECIMAL
+    * log-ratio table over the full bucket domain → per-doc exact sum.
+    * Ends with the `w(doc_id, n_grams, wdec)` CTE, no trailing comma. */
+  private val duckDsirWeights =
+    """WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS l FROM documents),
+      |g AS (
+      |  SELECT doc_id, UNNEST(l) AS gram FROM d
+      |  UNION ALL
+      |  SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(l)),
+      |    i -> l[i] || ' ' || l[i+1])) AS gram FROM d
+      |), gb AS (
+      |  SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT % 256 AS b
+      |  FROM g
+      |), rawc AS (SELECT b, COUNT(*) AS nr FROM gb GROUP BY b),
+      |tgtc AS (SELECT b, COUNT(*) AS nt FROM gb WHERE doc_id < 120 GROUP BY b),
+      |tots AS (SELECT (SELECT SUM(nr) FROM rawc) AS tr,
+      |                (SELECT COALESCE(SUM(nt), 0) FROM tgtc) AS tt),
+      |lrt AS (
+      |  SELECT dom.b,
+      |    CAST(ROUND(LN((COALESCE(nt, 0) + 1.0) / (tt + 256.0)), 6) AS DECIMAL(18,6))
+      |    - CAST(ROUND(LN((COALESCE(nr, 0) + 1.0) / (tr + 256.0)), 6) AS DECIMAL(18,6)) AS lr
+      |  FROM (SELECT UNNEST(RANGE(0, 256)) AS b) dom
+      |  LEFT JOIN rawc ON dom.b = rawc.b
+      |  LEFT JOIN tgtc ON dom.b = tgtc.b
+      |  CROSS JOIN tots
+      |), w AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, SUM(lr) AS wdec
+      |  FROM gb JOIN lrt USING (b)
+      |  GROUP BY doc_id
+      |)
+      |""".stripMargin
+
   private case class Q(name: String,
                        fn: (SparkSession, String) => DataFrame,
                        oracle: Option[String])
@@ -2191,6 +2225,130 @@ object SparkEntry {
            |  ROUND(1.0 / denom, 6) AS conf6
            |FROM m ORDER BY doc_id""".stripMargin
       })),
+
+    // ---- SE*: DSIR importance-resampling data selection ----
+    Q("se1_dsir_weights",  // DSIR (Xie et al. 2023) hashed-ngram log
+      // importance weights of every document against a target slice:
+      // DuckDB rebuilds the ENTIRE model — unigram+bigram gram explode,
+      // md5-bucket counts for raw and target, add-1 smoothing, 6-dp
+      // DECIMAL log-ratio table over the full bucket domain, per-doc
+      // exact sum — and must match weight-for-weight
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        graft.llm.Selection.dsirWeights(d, d.filter(col("doc_id") < 120),
+            "doc_id", buckets = 256, gramHash = md5Hash60)
+          .select("doc_id", "n_grams", "dsir_logweight")
+          .orderBy("doc_id")
+      },
+      Some(duckDsirWeights +
+        """SELECT doc_id, n_grams, CAST(wdec AS DOUBLE) AS dsir_logweight
+          |FROM w ORDER BY doc_id""".stripMargin)),
+
+    Q("se2_dsir_select",  // deterministic DSIR top-k selection: the
+      // range-bucketed two-phase rank (rankBySort — weights are NOT
+      // md5-uniform, so the rank buckets come from engine range sampling)
+      // must equal DuckDB's naive ROW_NUMBER over (weight DESC, id)
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        graft.llm.Selection.dsirSelect(d, d.filter(col("doc_id") < 120),
+            "doc_id", k = 150, buckets = 256, gramHash = md5Hash60)
+          .orderBy("sel_rank")
+      },
+      Some(duckDsirWeights +
+        """, sel AS (
+          |  SELECT doc_id, n_grams, wdec,
+          |    ROW_NUMBER() OVER (ORDER BY wdec DESC, doc_id) - 1 AS r
+          |  FROM w)
+          |SELECT doc_id, n_grams, CAST(wdec AS DOUBLE) AS dsir_logweight,
+          |  CAST(r AS BIGINT) AS sel_rank
+          |FROM sel WHERE r < 150 ORDER BY r""".stripMargin)),
+
+    Q("se3_dsir_gumbel",  // seeded Gumbel-top-k RESAMPLING (the paper's
+      // sampling mode, P(select) ∝ exp(weight)): the perturbation
+      // −ln(−ln u) draws u = (2h+1)/2^53 from the md5 hash of seed|id —
+      // an exact dyadic rational both engines agree on — and rounds to
+      // 6-dp DECIMAL, so DuckDB recomputes the exact perturbed ranking
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        graft.llm.Selection.dsirSelect(d, d.filter(col("doc_id") < 120),
+            "doc_id", k = 150, buckets = 256, gumbelSeed = Some(42L),
+            gramHash = md5Hash60)
+          .orderBy("sel_rank")
+      },
+      Some(duckDsirWeights +
+        """, gk AS (
+          |  SELECT doc_id, n_grams, wdec,
+          |    wdec + CAST(ROUND(-LN(-LN(
+          |      (((('0x'||substr(md5('42|' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+          |         % 4503599627370496) * 2.0 + 1.0) / 9007199254740992.0))), 6)
+          |      AS DECIMAL(18,6)) AS gkey
+          |  FROM w),
+          |sel AS (
+          |  SELECT doc_id, n_grams, wdec,
+          |    ROW_NUMBER() OVER (ORDER BY gkey DESC, doc_id) - 1 AS r
+          |  FROM gk)
+          |SELECT doc_id, n_grams, CAST(wdec AS DOUBLE) AS dsir_logweight,
+          |  CAST(r AS BIGINT) AS sel_rank
+          |FROM sel WHERE r < 150 ORDER BY r""".stripMargin)),
+
+    Q("dd11_keep_best",  // keep-BEST-per-cluster canonical selection:
+      // same tripled corpus and jaccard edge set as dd6, but the survivor
+      // maximizes LENGTH(text) (tie → smallest id) — DuckDB recomputes the
+      // clusters via recursive CTE and the winner election per component
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+        val base = docs.filter(col("doc_id") < 250)
+          .unionByName(docs.filter(col("doc_id") < 20)
+            .select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
+              col("text")))
+          .unionByName(docs.filter(col("doc_id") < 20)
+            .select((col("doc_id") + 2000000).as("doc_id"), col("lang"),
+              concat(col("text"), lit(" padded tail")).as("text")))
+        val pairs = graft.llm.Dedup.ngramJaccardPairs(base, "doc_id",
+          "text", blockCol = "lang", threshold = 0.6)
+        graft.llm.Dedup.keepBestInClusters(base, "doc_id", pairs,
+            length(col("text")))
+          .select(col("doc_id"),
+            length(col("text")).cast("long").as("text_len"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE base AS (
+             |  SELECT doc_id, lang, text FROM documents WHERE doc_id < 250
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, lang, text FROM documents WHERE doc_id < 20
+             |  UNION ALL
+             |  SELECT doc_id + 2000000, lang, text || ' padded tail'
+             |  FROM documents WHERE doc_id < 20
+             |), sets AS (
+             |  SELECT doc_id, lang, LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS st
+             |  FROM base
+             |), pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |  WHERE ROUND(CAST(LEN(LIST_INTERSECT(a.st, b.st)) AS DOUBLE)
+             |      / (LEN(a.st) + LEN(b.st) - LEN(LIST_INTERSECT(a.st, b.st))), 6) >= 0.6
+             |), edges AS (
+             |  SELECT id_a AS u, id_b AS v FROM pairs
+             |  UNION
+             |  SELECT id_b, id_a FROM pairs
+             |), reach(id, r) AS (
+             |  SELECT u, v FROM edges
+             |  UNION
+             |  SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.id
+             |), comp AS (
+             |  SELECT id, MIN(LEAST(id, r)) AS component FROM reach GROUP BY id
+             |), allc AS (
+             |  SELECT b.doc_id AS id,
+             |         COALESCE(c.component, b.doc_id) AS component,
+             |         LENGTH(b.text) AS len
+             |  FROM base b LEFT JOIN comp c ON b.doc_id = c.id
+             |), win AS (
+             |  SELECT id, len,
+             |    ROW_NUMBER() OVER (PARTITION BY component
+             |                       ORDER BY len DESC, id) AS rn
+             |  FROM allc)
+             |SELECT CAST(id AS BIGINT) AS doc_id, CAST(len AS BIGINT) AS text_len
+             |FROM win WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
     // ---- DD*: deduplication suite over `documents` ----
     Q("dd10_line_dedup",  // corpus-wide keep-first line dedup

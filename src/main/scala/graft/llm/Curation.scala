@@ -403,6 +403,35 @@ object Curation {
       .drop("_rbkt", "_lrn", "_boff")
   }
 
+  /** Scale-correct global 0-based RANK for an ARBITRARY total order —
+    * the sibling of [[scalableRank]] for keys that are NOT md5-uniform
+    * (e.g. model scores, importance weights, any skewed numeric).
+    * [[scalableRank]] buckets by hex prefix, which assumes the key is
+    * uniform; here the engine's own `repartitionByRange` SAMPLES the key
+    * distribution (Spark's RangePartitioner — the same machinery behind
+    * a global sort) and `spark_partition_id` becomes the range bucket:
+    * per-bucket window rank + metadata-sized bucket offsets, never a
+    * single-partition window. The rank is independent of the sampled
+    * boundaries as long as `order` is a TOTAL order (include a unique
+    * tiebreaker): boundaries only move rows between buckets, and the
+    * offset accounting is exact either way. Adds `_rank`. */
+  def rankBySort(df: DataFrame, order: Seq[Column]): DataFrame = {
+    require(order.nonEmpty, "rankBySort needs at least one sort expression")
+    val parts = df.repartitionByRange(order: _*)
+      .withColumn("_rbkt", spark_partition_id().cast("long"))
+    val wLocal = Window.partitionBy(col("_rbkt")).orderBy(order: _*)
+    val wOff = Window.partitionBy(lit(0)).orderBy(col("_rbkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy("_rbkt").agg(count(lit(1)).as("_bn"))
+      .withColumn("_boff", coalesce(sum("_bn").over(wOff), lit(0L)))
+      .select(col("_rbkt").as("__o_rbkt"), col("_boff"))
+    parts
+      .withColumn("_lrn", row_number().over(wLocal).cast("long") - 1L)
+      .join(broadcast(offsets), col("_rbkt") === col("__o_rbkt"))
+      .withColumn("_rank", col("_boff") + col("_lrn"))
+      .drop("_rbkt", "__o_rbkt", "_lrn", "_boff")
+  }
+
   /** Scale-correct EXCLUSIVE PREFIX SUM of `weightCol` in `(keyCol,
     * tieCol)` order within each `partCols` group — the weighted
     * generalization of [[scalableRank]] (same bucketed two-phase shape:

@@ -523,6 +523,42 @@ object Dedup {
     df.join(dupes, Seq(idCol), "left_anti")
   }
 
+  /** Keep-BEST-per-cluster dedup: within each near-duplicate cluster keep
+    * the row maximizing `scoreCol` (ties → smallest id) instead of the
+    * smallest id — "keep the longest / highest-quality copy", the
+    * canonical-document selection pass production dedup pipelines run
+    * after clustering. Rows never surfacing in `pairs` survive untouched;
+    * `scoreCol` must be numeric and non-null on clustered rows (a null
+    * score loses every comparison). Ids follow [[connectedComponents]]'
+    * integral-or-castable contract — `try_cast` here too, so a malformed
+    * id (which that layer already degraded to its partner's singleton)
+    * passes through unclustered instead of throwing under ANSI mode.
+    *
+    * Scale shape: winner election is a per-component `min(struct(-score,
+    * id))` AGGREGATE (map-side combine, skew-absorbing — never a window
+    * over the corpus) followed by a semi-join on the winner ids; the
+    * component labels come from [[connectedComponents]]' star-forest
+    * rounds. */
+  def keepBestInClusters(df: DataFrame, idCol: String, pairs: DataFrame,
+                         scoreCol: Column): DataFrame = {
+    val comp = connectedComponents(pairs)
+      .withColumnRenamed("id", "__kb_id")
+    val clustered = df
+      .join(comp, col(idCol).try_cast("long") === col("__kb_id"))
+    val winners = clustered
+      .withColumn("__kb_key",
+        struct((-scoreCol.cast("double")).as("ns"),
+          col(idCol).try_cast("long").as("id")))
+      .groupBy(col("component"))
+      .agg(min(col("__kb_key")).as("__kb_w"))
+      .select(col("__kb_w.id").as("__kb_keep"))
+    val losers = clustered
+      .join(winners, col("__kb_id") === col("__kb_keep"), "left_anti")
+      .select(col("__kb_id").as("__kb_lose"))
+    df.join(losers, col(idCol).try_cast("long") === col("__kb_lose"),
+      "left_anti")
+  }
+
   /**
    * Semantic deduplication (SemDeDup, Abbas et al. 2023): k-means-cluster
    * the embedding space, find cosine near-duplicates WITHIN each cluster,

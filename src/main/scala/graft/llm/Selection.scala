@@ -1,0 +1,154 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Data selection via importance resampling (DSIR — Xie et al., "Data
+ * Selection for Language Models via Importance Resampling", NeurIPS
+ * 2023): score every raw document by how much more likely its hashed
+ * n-gram bag is under a TARGET distribution (the high-quality corpus you
+ * want more of) than under the RAW distribution it came from, then keep
+ * the top-k — deterministically, or Gumbel-perturbed to SAMPLE with
+ * probability ∝ exp(weight) as the paper prescribes.
+ *
+ * The model is two bag-of-buckets multinomials with add-λ smoothing over
+ * `buckets` hashed unigram+bigram features:
+ *
+ *   log w(doc) = Σ_{grams g} [ ln p̂_target(b(g)) − ln p̂_raw(b(g)) ]
+ *   p̂(b)      = (n_b + λ) / (T + λ·B)
+ *
+ * Every per-bucket log term rounds to 6 dp into DECIMAL before the
+ * per-document sum (the [[TextAnalysis.unigramLogProb]] contract), so
+ * weights are exact, partition-order independent, and engine-reproducible
+ * — the selection a dual-engine oracle can recompute value-for-value.
+ *
+ * 100-TB shape: gram extraction is map-side array work; both count
+ * tables aggregate to ≤ `buckets` rows (map-side combine) and broadcast
+ * back onto the document stream; one id-keyed shuffle sums the weights;
+ * ranking is [[Curation.scalableRank]]'s bucketed two-phase rank (the
+ * cost class of a global sort, which is the floor for an exact global
+ * top-k) — no corpus-wide window, no collect, no cross join.
+ *
+ * The reference engine (/root/reference/vastdb) has no selection
+ * operator; this extends the training-data surface past it.
+ */
+object Selection {
+
+  /** Production gram hash: codegen'd xxhash64. Gate queries inject the
+    * md5-based spelling DuckDB can recompute (`SparkEntry.md5Hash60`). */
+  val defaultGramHash: Column => Column = (c: Column) => xxhash64(c)
+
+  /** Unigrams plus space-joined bigrams of a whitespace-tokenized text —
+    * the DSIR hashed-ngram feature set, map-side (no shuffle). */
+  def gramStrings(text: Column): Column = {
+    val toks = split(text, " ")
+    val n = greatest(size(toks) - 1, lit(0))
+    val bg = zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
+      (a, b) => concat(a, lit(" "), b))
+    concat(toks, bg)
+  }
+
+  /** Bucket ids of [[gramStrings]]: `pmod(hash(gram), buckets)`. */
+  def gramBuckets(text: Column, buckets: Int,
+                  gramHash: Column => Column = defaultGramHash): Column =
+    transform(gramStrings(text), g => pmod(gramHash(g), lit(buckets.toLong)))
+
+  /** The ≤ `buckets`-row smoothed log-ratio table ln p̂_t(b) − ln p̂_r(b),
+    * one row per bucket in [0, buckets) (missing buckets get the pure
+    * smoothing mass) — metadata-sized, built to be broadcast. Both log
+    * terms round to 6 dp DECIMAL independently so the difference is exact
+    * and each side matches a DuckDB recomputation bit-for-bit. */
+  private def logRatioTable(raw: DataFrame, target: DataFrame,
+                            textCol: String, buckets: Int, lambda: Double,
+                            gramHash: Column => Column): DataFrame = {
+    def bucketCounts(df: DataFrame): DataFrame =
+      df.select(explode(gramBuckets(col(textCol), buckets, gramHash)).as("_b"))
+        .groupBy("_b").agg(count(lit(1)).as("_n"))
+    def total(counts: DataFrame, name: String): DataFrame =
+      counts.agg(coalesce(sum(col("_n")), lit(0L)).as(name))
+    val rawC = bucketCounts(raw)
+    val tgtC = bucketCounts(target)
+    val dom = raw.sparkSession.range(buckets).select(col("id").as("_b"))
+    def smoothedLogP(n: Column, t: Column): Column =
+      round(log((coalesce(n, lit(0L)).cast("double") + lit(lambda))
+        / (t.cast("double") + lit(lambda * buckets))), 6)
+        .cast("decimal(18,6)")
+    dom
+      .join(rawC.withColumnRenamed("_n", "_nr"), Seq("_b"), "left")
+      .join(tgtC.withColumnRenamed("_n", "_nt"), Seq("_b"), "left")
+      .crossJoin(broadcast(total(rawC, "_tr")))
+      .crossJoin(broadcast(total(tgtC, "_tt")))
+      .select(col("_b"),
+        (smoothedLogP(col("_nt"), col("_tt"))
+          - smoothedLogP(col("_nr"), col("_tr"))).as("_lr"))
+  }
+
+  /**
+   * Per-document DSIR log importance weight of every `raw` row against
+   * the `target` corpus. Returns `(idCol, n_grams, _wdec, dsir_logweight)`
+   * where `_wdec` is the exact DECIMAL(28,6) sum ([[dsirSelect]] ranks on
+   * it) and `dsir_logweight` is its double rendering.
+   */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String = "text", buckets: Int = 4096,
+                  lambda: Double = 1.0,
+                  gramHash: Column => Column = defaultGramHash): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    require(lambda > 0.0, "lambda must be positive (add-λ smoothing)")
+    val tbl = logRatioTable(raw, target, textCol, buckets, lambda, gramHash)
+    raw
+      .select(col(idCol),
+        explode(gramBuckets(col(textCol), buckets, gramHash)).as("_b"))
+      .join(broadcast(tbl), Seq("_b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("_lr")).as("_wdec"))
+      .withColumn("dsir_logweight", col("_wdec").cast("double"))
+  }
+
+  /**
+   * Select `k` documents from `raw` by DSIR weight. `gumbelSeed = None`
+   * is the deterministic top-k (greedy selection); `Some(seed)` adds a
+   * seeded Gumbel(0,1) perturbation `−ln(−ln u)` per document — the
+   * paper's importance RESAMPLING, drawing k docs with probability
+   * ∝ exp(weight) without replacement (Gumbel-top-k), yet still fully
+   * deterministic given the seed: `u = (2·h + 1) / 2^53` from the gram
+   * hash of `seed|id` is an exact dyadic rational both engines agree on,
+   * and the perturbation rounds to 6 dp DECIMAL like every other term.
+   *
+   * Returns the selected rows as `(idCol, n_grams, dsir_logweight,
+   * sel_rank)` with `sel_rank` ∈ [0, k). Ranking is
+   * [[Curation.rankBySort]] — weights are NOT md5-uniform (they cluster
+   * in a narrow band), so the rank buckets come from the engine's own
+   * range sampling, not a hex prefix; ties break on ascending id. No
+   * single-partition window at any size.
+   */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String = "text", k: Long = 1000L,
+                 buckets: Int = 4096, lambda: Double = 1.0,
+                 gumbelSeed: Option[Long] = None,
+                 gramHash: Column => Column = defaultGramHash): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = dsirWeights(raw, target, idCol, textCol, buckets, lambda, gramHash)
+    val selKey = gumbelSeed match {
+      case None => col("_wdec")
+      case Some(seed) =>
+        // h ∈ [0, 2^52): u = (2h+1)/2^53 ∈ (0,1) is an EXACT dyadic
+        // rational (inside double's integer range, so every engine
+        // computes the identical u); −ln(−ln u) is the Gumbel(0,1)
+        // inverse-CDF draw, rounded to 6 dp DECIMAL like every other
+        // term so the perturbed key stays exact and order-stable.
+        val h = pmod(gramHash(concat(lit(seed.toString), lit("|"),
+          col(idCol).cast("string"))), lit(1L << 52))
+        val u = (h.cast("double") * 2d + 1d) / lit(Math.pow(2, 53))
+        (col("_wdec") + round(-log(-log(u)), 6).cast("decimal(18,6)"))
+          .cast("decimal(28,6)")
+    }
+    val keyed = w.withColumn("_selkey", selKey)
+    Curation.rankBySort(keyed, Seq(col("_selkey").desc, col(idCol).asc))
+      .filter(col("_rank") < k)
+      .select(col(idCol), col("n_grams"), col("dsir_logweight"),
+        col("_rank").as("sel_rank"))
+  }
+}

@@ -469,7 +469,8 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     "dedup_pairs", "dedup_clusters", "pii_redact", "chunk", "decontaminate",
     "curate", "shard_export", "domain_mix", "line_dedup", "classifier_score",
     "classifier_fit", "contamination_report", "softmax_fit", "softmax_score",
-    "bpe_fit", "tokenize_pack", "corpus_report", "dedup_probe", "epoch_mix")
+    "bpe_fit", "tokenize_pack", "corpus_report", "dedup_probe", "epoch_mix",
+    "dsir_select", "keep_best")
 
   /** Manifest version a streaming checkpoint has durably consumed through,
     * or -1 if no batch has committed yet. Reads Spark's own checkpoint
@@ -1023,6 +1024,64 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             args(4).asInstanceOf[Int])
           Seq(org.apache.spark.sql.Row(
             replaceOutput(tx, args(3).asInstanceOf[String], deduped)))
+        }
+      }
+      // DSIR data selection (Xie et al. 2023): score every row of `table`
+      // by hashed-ngram importance against `target_table`'s distribution
+      // and keep the top `k` — deterministically, or Gumbel-resampled when
+      // `gumbel_seed` is non-empty (P(select) ∝ exp(weight), seeded and
+      // reproducible). Selected documents (full rows + `dsir_logweight` +
+      // `sel_rank`) land in `out_table`.
+      case "dsir_select" => new GraftProcedure("dsir_select",
+          Seq(("table", StringType, None), ("target_table", StringType, None),
+            ("id_col", StringType, None), ("out_table", StringType, None),
+            ("text_col", StringType, Some("'text'")),
+            ("k", LongType, Some("1000")),
+            ("buckets", IntegerType, Some("4096")),
+            ("gumbel_seed", StringType, Some("''"))),
+          StructType(Seq(StructField("n_selected", LongType)))) {
+        def run(args: Seq[Any]) = inSession { tx =>
+          import org.apache.spark.sql.functions.col
+          val idCol = args(2).asInstanceOf[String]
+          val raw = tableIn(tx, args(0).asInstanceOf[String]).select()
+          val seedS = args(7).asInstanceOf[String]
+          val sel = graft.llm.Selection.dsirSelect(raw,
+            tableIn(tx, args(1).asInstanceOf[String]).select(),
+            idCol, args(4).asInstanceOf[String],
+            k = args(5).asInstanceOf[Long],
+            buckets = args(6).asInstanceOf[Int],
+            gumbelSeed = if (seedS.isEmpty) None else Some(seedS.toLong))
+          val out = raw.join(
+            sel.select(col(idCol), col("dsir_logweight"), col("sel_rank")),
+            Seq(idCol))
+          Seq(org.apache.spark.sql.Row(
+            replaceOutput(tx, args(3).asInstanceOf[String], out)))
+        }
+      }
+      // keep-BEST-per-cluster dedup: minhash near-dup clusters over
+      // `text_col`, but each cluster's survivor maximizes `score_col`
+      // (default: text length; ties → smallest id) instead of being the
+      // smallest id — the canonical-copy selection pass. Survivors (full
+      // rows) land in `out_table`.
+      case "keep_best" => new GraftProcedure("keep_best",
+          Seq(("table", StringType, None), ("id_col", StringType, None),
+            ("text_col", StringType, None), ("out_table", StringType, None),
+            ("threshold", DoubleType, Some("0.7")),
+            ("score_col", StringType, Some("''"))),
+          StructType(Seq(StructField("n_kept", LongType)))) {
+        def run(args: Seq[Any]) = inSession { tx =>
+          import org.apache.spark.sql.functions.{col, length}
+          val df = tableIn(tx, args(0).asInstanceOf[String]).select()
+          val textCol = args(2).asInstanceOf[String]
+          val scoreS = args(5).asInstanceOf[String]
+          val score = if (scoreS.isEmpty) length(col(textCol)) else col(scoreS)
+          val pairs = graft.llm.Dedup.minhashPairs(df,
+            args(1).asInstanceOf[String], textCol,
+            threshold = args(4).asInstanceOf[Double])
+          val kept = graft.llm.Dedup.keepBestInClusters(df,
+            args(1).asInstanceOf[String], pairs, score)
+          Seq(org.apache.spark.sql.Row(
+            replaceOutput(tx, args(3).asInstanceOf[String], kept)))
         }
       }
       // fit a quality model on the rows of `table` whose `label_col` is

@@ -1157,4 +1157,83 @@ class SqlCatalogSpec extends SparkSpec {
       "WHERE text LIKE '%SHARED BANNER LINE HERE%'").head.getLong(0)
     assert(banner2 <= 1, s"banner in $banner2 curated docs")
   }
+
+  test("CALL dsir_select / keep_best match their Scala APIs") {
+    val root = Files.createTempDirectory("graft-sqlr12").toString
+    val s = new VastSession(spark, root)
+    s.createBucket("bk")
+    val docSchema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val code = Seq("defx", "classx", "valx", "matchx", "casex", "objectx")
+    val web = Seq("click", "buy", "sale", "offer", "free", "now")
+    def mixDoc(words: Seq[String], salt: Int): String =
+      (0 until 30).map(i => words((i * 7 + salt) % words.size)).mkString(" ")
+    // 5 near-dup pairs (2g, 2g+1): the odd twin is the PADDED (longer) copy;
+    // ids 100-104 are unrelated singletons
+    def grpDoc(g: Int): String =
+      (0 until 30).map(j => s"g${g}tok$j").mkString(" ")
+    s.transaction { tx =>
+      val m = tx.bucket("bk").createSchema("m")
+      val raw = m.createTable("raw", docSchema)
+      val l = new java.util.ArrayList[Row]()
+      (0 until 60).foreach(i =>
+        l.add(Row(i.toLong, mixDoc(if (i % 2 == 0) code else web, i))))
+      raw.insert(spark.createDataFrame(l, docSchema).coalesce(1))
+      val tgt = m.createTable("tgt", docSchema)
+      val lt = new java.util.ArrayList[Row]()
+      (0 until 10).foreach(i => lt.add(Row(1000L + i, mixDoc(code, i * 3))))
+      tgt.insert(spark.createDataFrame(lt, docSchema).coalesce(1))
+      val dup = m.createTable("dup", docSchema)
+      val ld = new java.util.ArrayList[Row]()
+      (0 until 5).foreach { g =>
+        ld.add(Row((2 * g).toLong, grpDoc(g)))
+        ld.add(Row((2 * g + 1).toLong, grpDoc(g) + " tailx taily"))
+      }
+      (100 until 105).foreach(i => ld.add(Row(i.toLong, grpDoc(i))))
+      dup.insert(spark.createDataFrame(ld, docSchema).coalesce(1))
+    }
+    spark.conf.set("spark.sql.catalog.graftr12",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.graftr12.root", root)
+
+    // deterministic top-k: only target-vocabulary (even-id) docs selected,
+    // and the CALL's table equals the Scala API's selection
+    val ds = spark.sql("CALL graftr12.system.dsir_select(" +
+      "'bk.m.raw', 'bk.m.tgt', 'id', 'bk.m.sel', k => 20L, buckets => 256)")
+      .head
+    assert(ds.getLong(0) == 20)
+    val selRows = spark.sql(
+      "SELECT id, dsir_logweight, sel_rank FROM graftr12.bk.m.sel").collect()
+    val selIds = selRows.map(_.getLong(0)).toSet
+    assert(selIds.size == 20 && selIds.forall(_ % 2 == 0),
+      s"only code-vocab docs should be selected: $selIds")
+    val apiIds = s.transaction { tx =>
+      val m = tx.bucket("bk").schema("m")
+      graft.llm.Selection.dsirSelect(m.table("raw").select(),
+          m.table("tgt").select(), "id", k = 20, buckets = 256)
+        .collect().map(_.getAs[Long]("id")).toSet
+    }
+    assert(selIds == apiIds)
+
+    // gumbel mode: seeded and reproducible (identical output both runs)
+    def gumbelIds(out: String): Set[Long] = {
+      val n = spark.sql("CALL graftr12.system.dsir_select(" +
+        s"'bk.m.raw', 'bk.m.tgt', 'id', '$out', k => 20L, buckets => 256, " +
+        "gumbel_seed => '42')").head.getLong(0)
+      assert(n == 20)
+      spark.sql(s"SELECT id FROM graftr12.$out").collect()
+        .map(_.getLong(0)).toSet
+    }
+    assert(gumbelIds("bk.m.selg1") == gumbelIds("bk.m.selg2"))
+
+    // keep_best: each near-dup cluster keeps its LONGEST member (the
+    // padded odd twin); singletons pass through untouched
+    val kb = spark.sql("CALL graftr12.system.keep_best(" +
+      "'bk.m.dup', 'id', 'text', 'bk.m.best')").head
+    assert(kb.getLong(0) == 10, s"expected 10 survivors, got $kb")
+    val kept = spark.sql("SELECT id FROM graftr12.bk.m.best").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 5L, 7L, 9L, 100L, 101L, 102L, 103L, 104L),
+      s"survivors: $kept")
+  }
 }
