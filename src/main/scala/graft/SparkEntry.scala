@@ -2291,6 +2291,57 @@ object SparkEntry {
           |  CAST(r AS BIGINT) AS sel_rank
           |FROM sel WHERE r < 150 ORDER BY r""".stripMargin)),
 
+    Q("se5_dsir_score_model",  // fit-once / score-anywhere parity: the
+      // PERSISTED-model scoring path (dsirFit table → literal-LUT
+      // map-side DECIMAL fold, no shuffle, no join — what an ingest
+      // batch pays) must equal the corpus-weights path; DuckDB
+      // recomputes every weight from scratch as in se1
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val model = graft.llm.Selection.dsirFit(d,
+          d.filter(col("doc_id") < 120), buckets = 256,
+          gramHash = md5Hash60)
+        graft.llm.Selection.dsirScoreFromModel(
+            d.select("doc_id", "text"), model, gramHash = md5Hash60)
+          .select("doc_id", "dsir_logweight")
+          .orderBy("doc_id")
+      },
+      Some(duckDsirWeights +
+        """SELECT doc_id, CAST(wdec AS DOUBLE) AS dsir_logweight
+          |FROM w ORDER BY doc_id""".stripMargin)),
+
+    Q("se4_weighted_sample",  // Efraimidis-Spirakis weighted sampling
+      // WITHOUT replacement (P ∝ token count): the race key ln(u)/w draws
+      // u from the same exact dyadic construction as se3, so DuckDB
+      // redraws the entire sample and must match rank-for-rank
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        graft.llm.Selection.weightedSample(d, "doc_id", col("n_tokens"),
+            k = 200, seed = 7L, hash = md5Hash60)
+          .select(col("doc_id"), col("n_tokens"), col("sample_rank"))
+          .orderBy("sample_rank")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+             |  FROM documents
+             |), kd AS (
+             |  SELECT doc_id, n_tokens,
+             |    ROUND(LN(
+             |      (((('0x'||substr(md5('7|' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+             |         % 4503599627370496) * 2.0 + 1.0) / 9007199254740992.0))
+             |      / n_tokens, 6) AS skey
+             |  FROM d WHERE n_tokens > 0
+             |), sel AS (
+             |  SELECT doc_id, n_tokens,
+             |    ROW_NUMBER() OVER (ORDER BY skey DESC, doc_id) - 1 AS r
+             |  FROM kd)
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(r AS BIGINT) AS sample_rank
+             |FROM sel WHERE r < 200 ORDER BY r""".stripMargin)),
+
     Q("dd11_keep_best",  // keep-BEST-per-cluster canonical selection:
       // same tripled corpus and jaccard edge set as dd6, but the survivor
       // maximizes LENGTH(text) (tie → smallest id) — DuckDB recomputes the

@@ -54,7 +54,7 @@ object Selection {
                   gramHash: Column => Column = defaultGramHash): Column =
     transform(gramStrings(text), g => pmod(gramHash(g), lit(buckets.toLong)))
 
-  /** The ≤ `buckets`-row smoothed log-ratio table ln p̂_t(b) − ln p̂_r(b),
+  /** The `buckets`-row smoothed log-ratio table ln p̂_t(b) − ln p̂_r(b),
     * one row per bucket in [0, buckets) (missing buckets get the pure
     * smoothing mass) — metadata-sized, built to be broadcast. Both log
     * terms round to 6 dp DECIMAL independently so the difference is exact
@@ -82,6 +82,61 @@ object Selection {
       .select(col("_b"),
         (smoothedLogP(col("_nt"), col("_tt"))
           - smoothedLogP(col("_nr"), col("_tr"))).as("_lr"))
+  }
+
+  /**
+   * FIT the DSIR importance model: the persisted form is the full
+   * `(bucket, log_ratio)` table — `buckets` rows of DECIMAL(18,6), small
+   * enough to live in a catalog table and reload per ingest batch. The
+   * "fit once, score everywhere" entry: persist this, then
+   * [[dsirScoreFromModel]] scores any batch map-side with NO access to
+   * the original corpora. [[dsirWeights]]`(raw, target, …)` ≡
+   * [[dsirScoreFromModel]]`(raw, dsirFit(raw, target, …), …)` exactly
+   * (both sum the same DECIMAL terms).
+   */
+  def dsirFit(raw: DataFrame, target: DataFrame, textCol: String = "text",
+              buckets: Int = 4096, lambda: Double = 1.0,
+              gramHash: Column => Column = defaultGramHash): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    require(lambda > 0.0, "lambda must be positive (add-λ smoothing)")
+    logRatioTable(raw, target, textCol, buckets, lambda, gramHash)
+      .select(col("_b").as("bucket"), col("_lr").as("log_ratio"))
+  }
+
+  /**
+   * Score rows against a PERSISTED DSIR model (a [[dsirFit]] table) —
+   * adds `dsir_logweight`, computed entirely MAP-SIDE: the model's
+   * `buckets` log-ratios collapse to a literal lookup array riding the
+   * plan (one metadata-sized collect here, the same shape as reloading a
+   * classifier model), and each row folds its gram buckets through it
+   * with exact DECIMAL addition — identical to the [[dsirWeights]]
+   * groupBy sum term-for-term, but with NO shuffle and NO join, so an
+   * ingest micro-batch pays a projection only. Null text scores the
+   * empty-gram weight of `""` (one gram, like the explode path sees).
+   */
+  def dsirScoreFromModel(df: DataFrame, model: DataFrame,
+                         textCol: String = "text",
+                         gramHash: Column => Column = defaultGramHash)
+      : DataFrame = {
+    val rows = model.select(col("bucket").cast("int"),
+      col("log_ratio").cast("decimal(18,6)")).collect()
+    val buckets = rows.length
+    require(buckets > 0, "empty DSIR model table")
+    val lr = new Array[java.math.BigDecimal](buckets)
+    rows.foreach { r =>
+      val b = r.getInt(0)
+      require(b >= 0 && b < buckets,
+        s"model bucket $b outside [0, $buckets) — not a dense dsirFit table")
+      lr(b) = r.getDecimal(1)
+    }
+    require(lr.forall(_ != null), "model table is missing buckets")
+    val lut = array(lr.toSeq.map(d => lit(d).cast("decimal(18,6)")): _*)
+    val w = aggregate(
+      gramBuckets(coalesce(col(textCol), lit("")), buckets, gramHash),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(28,6)"),
+      (acc, b) => (acc + element_at(lut, (b + lit(1L)).cast("int")))
+        .cast("decimal(28,6)"))
+    df.withColumn("dsir_logweight", w.cast("double"))
   }
 
   /**
@@ -150,5 +205,40 @@ object Selection {
       .filter(col("_rank") < k)
       .select(col(idCol), col("n_grams"), col("dsir_logweight"),
         col("_rank").as("sel_rank"))
+  }
+
+  /**
+   * Weighted sampling WITHOUT replacement: draw `k` rows with inclusion
+   * probability ∝ `weightCol` (Efraimidis & Spirakis 2006 A-Res — the
+   * quality-weighted subset draw between [[dsirSelect]]'s two modes,
+   * which sample ∝ exp(weight)). Each row gets the race key
+   * `ln(u) / w` (u ~ U(0,1); all keys negative, heavier rows rise toward
+   * 0) and the k LARGEST keys win — one map-side expression plus
+   * [[Curation.rankBySort]], no corpus-wide window, no collect.
+   *
+   * Fully deterministic given `seed`: u = (2·h + 1) / 2^53 from the hash
+   * of `seed|id` is an exact dyadic rational, and the key rounds to 6-dp
+   * DECIMAL (id tiebreak), so any engine recomputes the identical draw.
+   *
+   * Rows whose weight is NULL or ≤ 0 are excluded from the draw — that IS
+   * the semantics (P ∝ w = 0) — so `k ≥ #positive` returns exactly the
+   * positive-weight rows. Returns the sampled rows (all input columns)
+   * plus `sample_rank` ∈ [0, k).
+   */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+                     k: Long, seed: Long,
+                     hash: Column => Column = defaultGramHash): DataFrame = {
+    require(k > 0, "k must be positive")
+    val pos = df.filter(weightCol.cast("double") > 0d)
+    val h = pmod(hash(concat(lit(seed.toString), lit("|"),
+      col(idCol).cast("string"))), lit(1L << 52))
+    val u = (h.cast("double") * 2d + 1d) / lit(Math.pow(2, 53))
+    val key = round(log(u) / weightCol.cast("double"), 6)
+      .cast("decimal(18,6)")
+    Curation.rankBySort(pos.withColumn("_skey", key),
+        Seq(col("_skey").desc, col(idCol).asc))
+      .filter(col("_rank") < k)
+      .withColumn("sample_rank", col("_rank"))
+      .drop("_skey", "_rank")
   }
 }

@@ -728,7 +728,11 @@ private[sources] class GraftTableSink(spark: SparkSession, root: String,
     * a binary model ([[graft.llm.Classifier.modelToDf]] / CALL
     * classifier_fit) appends `quality_score`; a multiclass softmax model
     * ([[graft.llm.Classifier.softmaxModelToDf]] / CALL softmax_fit, which
-    * carries a `class` column) appends `predicted_class` + `confidence`. */
+    * carries a `class` column) appends `predicted_class` + `confidence`;
+    * a DSIR importance model ([[graft.llm.Selection.dsirFit]] / CALL
+    * dsir_fit, which carries a `log_ratio` column) appends
+    * `dsir_logweight` — ingest-time data selection against a target
+    * distribution, same per-batch model reload. */
   private def applyScore(df: org.apache.spark.sql.DataFrame, tx: graft.api.Transaction)
       : org.apache.spark.sql.DataFrame = scoreWith match {
     case None => df
@@ -747,6 +751,8 @@ private[sources] class GraftTableSink(spark: SparkSession, root: String,
             graft.llm.Classifier.softmaxPredict(x, m))
           .withColumn("confidence",
             array_max(graft.llm.Classifier.softmaxProbs(x, m)))
+      } else if (mdf.columns.contains("log_ratio")) {
+        graft.llm.Selection.dsirScoreFromModel(df, mdf, scoreTextCol)
       } else {
         val m = graft.llm.Classifier.modelFromDf(mdf)
         df.withColumn("quality_score", graft.llm.Classifier.lrScore(

@@ -470,7 +470,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     "curate", "shard_export", "domain_mix", "line_dedup", "classifier_score",
     "classifier_fit", "contamination_report", "softmax_fit", "softmax_score",
     "bpe_fit", "tokenize_pack", "corpus_report", "dedup_probe", "epoch_mix",
-    "dsir_select", "keep_best")
+    "dsir_select", "keep_best", "weighted_sample", "dsir_fit", "dsir_score")
 
   /** Manifest version a streaming checkpoint has durably consumed through,
     * or -1 if no batch has committed yet. Reads Spark's own checkpoint
@@ -1082,6 +1082,63 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             args(1).asInstanceOf[String], pairs, score)
           Seq(org.apache.spark.sql.Row(
             replaceOutput(tx, args(3).asInstanceOf[String], kept)))
+        }
+      }
+      // fit the DSIR importance model (raw vs target gram distributions)
+      // and PERSIST it: the model IS the dense (bucket, log_ratio) table —
+      // `buckets` rows of DECIMAL(18,6) in `model_table`, reloadable by
+      // CALL dsir_score and by the streaming sink's scoreWith option for
+      // ingest-time data selection
+      case "dsir_fit" => new GraftProcedure("dsir_fit",
+          Seq(("table", StringType, None), ("target_table", StringType, None),
+            ("text_col", StringType, None), ("model_table", StringType, None),
+            ("buckets", IntegerType, Some("4096")),
+            ("lambda", DoubleType, Some("1.0"))),
+          StructType(Seq(StructField("n_buckets", LongType)))) {
+        def run(args: Seq[Any]) = inSession { tx =>
+          val model = graft.llm.Selection.dsirFit(
+            tableIn(tx, args(0).asInstanceOf[String]).select(),
+            tableIn(tx, args(1).asInstanceOf[String]).select(),
+            args(2).asInstanceOf[String], args(4).asInstanceOf[Int],
+            args(5).asInstanceOf[Double])
+          Seq(org.apache.spark.sql.Row(
+            replaceOutput(tx, args(3).asInstanceOf[String], model)))
+        }
+      }
+      // score every row of `table` against a persisted dsir_fit model —
+      // map-side literal-LUT fold, no shuffle; rows + `dsir_logweight`
+      // land in `out_table`
+      case "dsir_score" => new GraftProcedure("dsir_score",
+          Seq(("table", StringType, None), ("model_table", StringType, None),
+            ("text_col", StringType, None), ("out_table", StringType, None)),
+          StructType(Seq(StructField("n_rows", LongType)))) {
+        def run(args: Seq[Any]) = inSession { tx =>
+          val scored = graft.llm.Selection.dsirScoreFromModel(
+            tableIn(tx, args(0).asInstanceOf[String]).select(),
+            tableIn(tx, args(1).asInstanceOf[String]).select(),
+            args(2).asInstanceOf[String])
+          Seq(org.apache.spark.sql.Row(
+            replaceOutput(tx, args(3).asInstanceOf[String], scored)))
+        }
+      }
+      // Efraimidis-Spirakis weighted sampling without replacement: k rows
+      // of `table` with inclusion probability ∝ `weight_col` (NULL/≤0
+      // weights are never drawn), seeded-reproducible; the sampled rows
+      // (+ `sample_rank`) land in `out_table`
+      case "weighted_sample" => new GraftProcedure("weighted_sample",
+          Seq(("table", StringType, None), ("id_col", StringType, None),
+            ("weight_col", StringType, None), ("k", LongType, None),
+            ("seed", LongType, None), ("out_table", StringType, None)),
+          StructType(Seq(StructField("n_sampled", LongType)))) {
+        def run(args: Seq[Any]) = inSession { tx =>
+          import org.apache.spark.sql.functions.col
+          val sampled = graft.llm.Selection.weightedSample(
+            tableIn(tx, args(0).asInstanceOf[String]).select(),
+            args(1).asInstanceOf[String],
+            col(args(2).asInstanceOf[String]),
+            args(3).asInstanceOf[Long], args(4).asInstanceOf[Long])
+          Seq(org.apache.spark.sql.Row(
+            replaceOutput(tx, args(5).asInstanceOf[String], sampled)))
         }
       }
       // fit a quality model on the rows of `table` whose `label_col` is

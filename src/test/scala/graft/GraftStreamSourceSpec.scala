@@ -1386,6 +1386,69 @@ class GraftStreamSourceSpec extends SparkSpec {
     }
   }
 
+  test("sink scoreWith: a DSIR model table scores importance on ingest") {
+    val root = Files.createTempDirectory("graft-sink-dsir").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    val docSchema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    def docText(i: Long): String =
+      if (i % 2 == 0) s"alpha beta gamma alpha beta gamma tail$i"
+      else s"spam offer click spam offer click tail$i"
+    s.transaction { tx =>
+      val m = tx.bucket("bk").createSchema("m")
+      m.createTable("raw", docSchema)
+      m.createTable("scoredout", StructType(docSchema.fields :+
+        StructField("dsir_logweight", DoubleType)))
+      // fit the importance model on a historical sample whose target
+      // slice is the even-id (alpha-vocab) half, and persist it
+      val l = new java.util.ArrayList[Row]()
+      (0L until 40L).foreach(i => l.add(Row(i, docText(i))))
+      val rawDf = spark.createDataFrame(l, docSchema)
+      val model = graft.llm.Selection.dsirFit(rawDf,
+        rawDf.filter(col("id") % 2 === 0), buckets = 64)
+      m.createTable("model", model.schema).insert(model)
+    }
+    val tdir = Paths.get(root, "bk", "m", "raw").toString
+    val ckpt = Files.createTempDirectory("graft-sink-dsirck").toString
+    s.transaction { tx =>
+      val t = tx.bucket("bk").schema("m").table("raw")
+      val l = new java.util.ArrayList[Row]()
+      (100 until 110).foreach(i => l.add(Row(i.toLong, docText(i.toLong))))
+      t.insert(spark.createDataFrame(l, docSchema).coalesce(1))
+    }
+    val q = spark.readStream.format("graft").load(tdir)
+      .drop("_row_id")
+      .writeStream.format("graft")
+      .option("root", root).option("bucket", "bk")
+      .option("schema", "m").option("table", "scoredout")
+      .option("scoreWith", "bk.m.model")
+      .option("scoreTextCol", "text")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    s.transaction { tx =>
+      val out = tx.bucket("bk").schema("m").table("scoredout")
+        .select(Seq("id", "text", "dsir_logweight")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      assert(out.length == 10)
+      // target-vocab (even) UNSEEN docs outweigh off-target ones
+      val evenMin = out.collect { case (i, _, w) if i % 2 == 0 => w }.min
+      val oddMax = out.collect { case (i, _, w) if i % 2 == 1 => w }.max
+      assert(evenMin > oddMax,
+        s"target-like min $evenMin should exceed off-target max $oddMax")
+      // ingest-time score equals the batch scoring path exactly
+      val mdf = tx.bucket("bk").schema("m").table("model").select()
+      val mismatch = graft.llm.Selection.dsirScoreFromModel(
+          tx.bucket("bk").schema("m").table("scoredout")
+            .select(Seq("id", "text", "dsir_logweight"))
+            .withColumnRenamed("dsir_logweight", "ingest_w"),
+          mdf)
+        .filter(col("ingest_w") =!= col("dsir_logweight")).count()
+      assert(mismatch == 0, "ingest score must equal the batch LUT fold")
+    }
+  }
+
   test("sink scoreWith: a refit between batches takes effect on the next batch") {
     val root = Files.createTempDirectory("graft-sink-refit").toString
     val s = VastSession(spark, root)

@@ -96,6 +96,61 @@ class SelectionSpec extends SparkSpec {
       isnan(col("dsir_logweight"))).count() == 0)
   }
 
+  test("persisted-model scoring equals the corpus-weights path bit-for-bit") {
+    val (raw, target) = corpora
+    val model = Selection.dsirFit(raw, target, buckets = 128)
+    assert(model.count() == 128, "model must cover the full bucket domain")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "dsir_logweight").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val scored = asMap(Selection.dsirScoreFromModel(raw, model))
+    val weights = asMap(Selection.dsirWeights(raw, target, "id", buckets = 128))
+    assert(scored == weights,
+      "LUT fold and groupBy sum must agree on every document")
+    // null text scores like empty text; a sparse model table is refused
+    val edge = Seq((500L, null.asInstanceOf[String]), (501L, ""))
+      .toDF("id", "text")
+    val ns = asMap(Selection.dsirScoreFromModel(edge, model))
+    assert(ns(500L) == ns(501L))
+    intercept[IllegalArgumentException] {
+      Selection.dsirScoreFromModel(raw, model.filter(col("bucket") =!= 5))
+    }
+  }
+
+  test("weightedSample: P ∝ weight, seeded-deterministic, non-positive excluded") {
+    // one heavyweight among featherweights: with w=5000 vs 199×1, the
+    // heavy row's inclusion probability in ANY k=20 draw is ≈ 1
+    val df = (0 until 200)
+      .map(i => (i.toLong, if (i == 77) 5000.0 else 1.0))
+      .toDF("id", "w")
+    def draw(seed: Long) =
+      Selection.weightedSample(df, "id", col("w"), k = 20, seed = seed)
+        .collect().map(_.getAs[Long]("id")).toSet
+    val seeds = (1L to 8L)
+    val draws = seeds.map(draw)
+    assert(draws.forall(_.contains(77L)),
+      "the 5000x-weight row must appear in every draw")
+    assert(draws.forall(_.size == 20))
+    assert(draws.distinct.size > 1, "different seeds draw different samples")
+    assert(draw(3L) == draw(3L), "same seed reproduces the same sample")
+    // ranks are dense 0..k-1
+    val ranked = Selection.weightedSample(df, "id", col("w"), 20, 1L)
+      .collect().map(_.getAs[Long]("sample_rank")).sorted.toSeq
+    assert(ranked == (0L until 20L))
+  }
+
+  test("weightedSample: zero/null weights never drawn; k >= positives returns all") {
+    val rows = Seq((1L, Some(2.0)), (2L, Some(0.0)), (3L, None),
+      (4L, Some(-1.0)), (5L, Some(1.0)))
+    val df = rows.toDF("id", "w")
+    val all = Selection.weightedSample(df, "id", col("w"), k = 100, seed = 9L)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(all == Set(1L, 5L), s"only positive-weight rows drawable: $all")
+    intercept[IllegalArgumentException] {
+      Selection.weightedSample(df, "id", col("w"), k = 0, seed = 9L)
+    }
+  }
+
   test("bigram features are real: scrambled token order changes the weight") {
     val target = Seq((1L, "alpha beta alpha beta alpha beta alpha beta"))
       .toDF("id", "text")

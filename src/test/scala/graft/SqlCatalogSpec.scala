@@ -1235,5 +1235,45 @@ class SqlCatalogSpec extends SparkSpec {
       .map(_.getLong(0)).toSet
     assert(kept == Set(1L, 3L, 5L, 7L, 9L, 100L, 101L, 102L, 103L, 104L),
       s"survivors: $kept")
+
+    // weighted_sample: seeded draw to a table; P ∝ w (a 9999x row is in
+    // every draw, a zero-weight row in none), reproducible
+    s.transaction { tx =>
+      val m = tx.bucket("bk").schema("m")
+      val wtSchema = StructType(Seq(
+        StructField("id", LongType), StructField("w", DoubleType)))
+      val wt = m.createTable("wt", wtSchema)
+      val lw = new java.util.ArrayList[Row]()
+      (0 until 50).foreach(i =>
+        lw.add(Row(i.toLong, if (i == 7) 9999.0 else 1.0)))
+      lw.add(Row(50L, 0.0))
+      wt.insert(spark.createDataFrame(lw, wtSchema).coalesce(1))
+    }
+    def sampIds(out: String): Set[Long] = {
+      val n = spark.sql("CALL graftr12.system.weighted_sample(" +
+        s"'bk.m.wt', 'id', 'w', 10L, 5L, '$out')").head.getLong(0)
+      assert(n == 10)
+      spark.sql(s"SELECT id FROM graftr12.$out").collect()
+        .map(_.getLong(0)).toSet
+    }
+    val s1 = sampIds("bk.m.ws1")
+    assert(s1.contains(7L), "heavy row must be drawn")
+    assert(!s1.contains(50L), "zero-weight row must never be drawn")
+    assert(s1 == sampIds("bk.m.ws2"), "same seed reproduces the draw")
+
+    // dsir_fit persists the dense (bucket, log_ratio) model; dsir_score
+    // reloads it and scores map-side — target-vocab docs outweigh rest
+    val fit = spark.sql("CALL graftr12.system.dsir_fit(" +
+      "'bk.m.raw', 'bk.m.tgt', 'text', 'bk.m.dsmodel', 64)").head
+    assert(fit.getLong(0) == 64)
+    val sc = spark.sql("CALL graftr12.system.dsir_score(" +
+      "'bk.m.raw', 'bk.m.dsmodel', 'text', 'bk.m.dsscored')").head
+    assert(sc.getLong(0) == 60)
+    val sep2 = spark.sql(
+      """SELECT min(CASE WHEN id % 2 = 0 THEN dsir_logweight END) AS mn,
+        |       max(CASE WHEN id % 2 = 1 THEN dsir_logweight END) AS mx
+        |FROM graftr12.bk.m.dsscored""".stripMargin).head
+    assert(sep2.getDouble(0) > sep2.getDouble(1),
+      "code-vocab docs must outweigh web-vocab docs under the model")
   }
 }
