@@ -2247,12 +2247,20 @@ object SparkEntry {
     Q("se2_dsir_select",  // deterministic DSIR top-k selection: the
       // range-bucketed two-phase rank (rankBySort — weights are NOT
       // md5-uniform, so the rank buckets come from engine range sampling)
-      // must equal DuckDB's naive ROW_NUMBER over (weight DESC, id)
+      // must equal DuckDB's naive ROW_NUMBER over (weight DESC, id).
+      // The top-k threshold is forced to 1 while BUILDING the plan so
+      // this gate pins the LARGE-k rankBySort regime; se3/se4 cover the
+      // default TakeOrderedAndProject regime
       (s, dir) => {
         val d = t(s, dir, "documents")
-        graft.llm.Selection.dsirSelect(d, d.filter(col("doc_id") < 120),
-            "doc_id", k = 150, buckets = 256, gramHash = md5Hash60)
-          .orderBy("sel_rank")
+        val key = "spark.sql.execution.topKSortFallbackThreshold"
+        val old = s.conf.get(key, "10000")
+        s.conf.set(key, "1")
+        try
+          graft.llm.Selection.dsirSelect(d, d.filter(col("doc_id") < 120),
+              "doc_id", k = 150, buckets = 256, gramHash = md5Hash60)
+            .orderBy("sel_rank")
+        finally s.conf.set(key, old)
       },
       Some(duckDsirWeights +
         """, sel AS (

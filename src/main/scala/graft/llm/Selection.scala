@@ -39,6 +39,36 @@ object Selection {
     * md5-based spelling DuckDB can recompute (`SparkEntry.md5Hash60`). */
   val defaultGramHash: Column => Column = (c: Column) => xxhash64(c)
 
+  /** Global 0-based `_rank` over `order`, truncated to the top `k` rows.
+    * Two regimes, picked by Spark's own top-k planning threshold
+    * (`spark.sql.execution.topKSortFallbackThreshold`, default 10000 —
+    * the same bound under which the engine compiles ORDER BY + LIMIT to
+    * `TakeOrderedAndProject`):
+    *
+    *  - `k` within the threshold: `orderBy(...).limit(k)` — per-partition
+    *    heap top-k merged on one reducer, ONE pass over the input, no
+    *    range shuffle, no boundary-sampling re-read; the final rank is a
+    *    window over the ≤ k survivors (bounded single bucket — the
+    *    partitionBy(lit(0)) contract).
+    *  - larger `k`: [[Curation.rankBySort]]'s range-bucketed two-phase
+    *    rank — the cost class of a global sort, which is the floor for
+    *    an exact global rank of unbounded k.
+    *
+    * Both produce the identical ranking for a TOTAL `order` (spec-pinned).
+    */
+  private def topKRanked(df: DataFrame, order: Seq[Column], k: Long)
+      : DataFrame = {
+    val threshold = df.sparkSession.conf
+      .get("spark.sql.execution.topKSortFallbackThreshold", "10000").toLong
+    if (k <= threshold && k <= Int.MaxValue) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(0)).orderBy(order: _*)
+      df.orderBy(order: _*).limit(k.toInt)
+        .withColumn("_rank", row_number().over(w).cast("long") - 1L)
+    } else
+      Curation.rankBySort(df, order).filter(col("_rank") < k)
+  }
+
   /** Unigrams plus space-joined bigrams of a whitespace-tokenized text —
     * the DSIR hashed-ngram feature set, map-side (no shuffle). */
   def gramStrings(text: Column): Column = {
@@ -75,8 +105,8 @@ object Selection {
         / (t.cast("double") + lit(lambda * buckets))), 6)
         .cast("decimal(18,6)")
     dom
-      .join(rawC.withColumnRenamed("_n", "_nr"), Seq("_b"), "left")
-      .join(tgtC.withColumnRenamed("_n", "_nt"), Seq("_b"), "left")
+      .join(broadcast(rawC.withColumnRenamed("_n", "_nr")), Seq("_b"), "left")
+      .join(broadcast(tgtC.withColumnRenamed("_n", "_nt")), Seq("_b"), "left")
       .crossJoin(broadcast(total(rawC, "_tr")))
       .crossJoin(broadcast(total(tgtC, "_tt")))
       .select(col("_b"),
@@ -173,11 +203,13 @@ object Selection {
    * and the perturbation rounds to 6 dp DECIMAL like every other term.
    *
    * Returns the selected rows as `(idCol, n_grams, dsir_logweight,
-   * sel_rank)` with `sel_rank` ∈ [0, k). Ranking is
-   * [[Curation.rankBySort]] — weights are NOT md5-uniform (they cluster
-   * in a narrow band), so the rank buckets come from the engine's own
-   * range sampling, not a hex prefix; ties break on ascending id. No
-   * single-partition window at any size.
+   * sel_rank)` with `sel_rank` ∈ [0, k). Ranking is [[topKRanked]]:
+   * heap top-k (`TakeOrderedAndProject` regime) when k is within the
+   * engine's own top-k threshold, else [[Curation.rankBySort]] — weights
+   * are NOT md5-uniform (they cluster in a narrow band), so the rank
+   * buckets come from the engine's range sampling, not a hex prefix;
+   * ties break on ascending id. No unbounded single-partition window at
+   * any size.
    */
   def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
                  textCol: String = "text", k: Long = 1000L,
@@ -201,8 +233,7 @@ object Selection {
           .cast("decimal(28,6)")
     }
     val keyed = w.withColumn("_selkey", selKey)
-    Curation.rankBySort(keyed, Seq(col("_selkey").desc, col(idCol).asc))
-      .filter(col("_rank") < k)
+    topKRanked(keyed, Seq(col("_selkey").desc, col(idCol).asc), k)
       .select(col(idCol), col("n_grams"), col("dsir_logweight"),
         col("_rank").as("sel_rank"))
   }
@@ -235,9 +266,8 @@ object Selection {
     val u = (h.cast("double") * 2d + 1d) / lit(Math.pow(2, 53))
     val key = round(log(u) / weightCol.cast("double"), 6)
       .cast("decimal(18,6)")
-    Curation.rankBySort(pos.withColumn("_skey", key),
-        Seq(col("_skey").desc, col(idCol).asc))
-      .filter(col("_rank") < k)
+    topKRanked(pos.withColumn("_skey", key),
+        Seq(col("_skey").desc, col(idCol).asc), k)
       .withColumn("sample_rank", col("_rank"))
       .drop("_skey", "_rank")
   }

@@ -31,7 +31,12 @@ object ScaleAuditProbe {
       "mm9_phash_pairs",
       // round-11 additions: training export, mixing, line dedup, report
       "cu5_shard_export", "cu6_domain_mix", "dd10_line_dedup",
-      "cu7_contamination_report", "cu8_token_shards").foreach(audit)
+      "cu7_contamination_report", "cu8_token_shards",
+      // round-12 additions: DSIR selection (weights join must broadcast
+      // the bucket table; model scoring must add ZERO exchanges over a
+      // scan), weighted sampling, keep-best clusters
+      "se1_dsir_weights", "se2_dsir_select", "se4_weighted_sample",
+      "se5_dsir_score_model", "dd11_keep_best").foreach(audit)
     spark.stop()
   }
 }

@@ -139,6 +139,36 @@ class SelectionSpec extends SparkSpec {
     assert(ranked == (0L until 20L))
   }
 
+  test("top-k regimes agree: heap fast path ≡ rankBySort slow path") {
+    val (raw, target) = corpora
+    val key = "spark.sql.execution.topKSortFallbackThreshold"
+    def withThreshold[T](v: String)(body: => T): T = {
+      val old = spark.conf.get(key, "10000")
+      spark.conf.set(key, v)
+      try body finally spark.conf.set(key, old)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "sel_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2).toSeq
+    def sampRows(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "sample_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2).toSeq
+    // plan regime is chosen at BUILD time, so toggling the conf around
+    // construction pins each path; results must be identical
+    val fastSel = withThreshold("10000")(rows(
+      Selection.dsirSelect(raw, target, "id", k = 60, buckets = 128)))
+    val slowSel = withThreshold("1")(rows(
+      Selection.dsirSelect(raw, target, "id", k = 60, buckets = 128)))
+    assert(fastSel == slowSel)
+    val fastW = withThreshold("10000")(sampRows(Selection.weightedSample(
+      raw.withColumn("w", (col("id") % 7 + 1).cast("double")),
+      "id", col("w"), k = 40, seed = 11L)))
+    val slowW = withThreshold("1")(sampRows(Selection.weightedSample(
+      raw.withColumn("w", (col("id") % 7 + 1).cast("double")),
+      "id", col("w"), k = 40, seed = 11L)))
+    assert(fastW == slowW)
+  }
+
   test("weightedSample: zero/null weights never drawn; k >= positives returns all") {
     val rows = Seq((1L, Some(2.0)), (2L, Some(0.0)), (3L, None),
       (4L, Some(-1.0)), (5L, Some(1.0)))
