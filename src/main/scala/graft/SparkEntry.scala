@@ -2111,6 +2111,64 @@ object SparkEntry {
            |FROM per ORDER BY source""".stripMargin
       })),
 
+    Q("ta15_gopher_rules",  // Gopher rule-based quality flags (Rae et
+      // al. 2021 §A1.1): per-document named booleans for each published
+      // rule plus the conjunction, all map-side integer/integer ratios —
+      // DuckDB recomputes every rule from the raw text and must agree
+      // flag-for-flag
+      (s, dir) => {
+        val g = graft.llm.TextAnalysis.gopherRules(col("text"))
+        t(s, dir, "documents")
+          .withColumn("g", g)
+          .select(col("doc_id"), col("g.*"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, text,
+             |    STRING_SPLIT(text, ' ') AS toks,
+             |    STRING_SPLIT(text, chr(10)) AS lns
+             |  FROM documents
+             |), m AS (
+             |  SELECT doc_id, LEN(toks) AS nt,
+             |    LIST_SUM(LIST_TRANSFORM(toks, t -> LEN(t)))::DOUBLE
+             |      / LEN(toks) AS mean_len,
+             |    ((LEN(text) - LEN(REPLACE(text, '#', '')))
+             |     + (LEN(text) - LEN(REPLACE(text, '...', ''))) / 3
+             |     + (LEN(text) - LEN(REPLACE(text, '…', ''))))::DOUBLE
+             |      / LEN(toks) AS sym_ratio,
+             |    LEN(LIST_FILTER(lns, l -> starts_with(LTRIM(l), '-')
+             |      OR starts_with(LTRIM(l), '*')
+             |      OR starts_with(LTRIM(l), '•')))::DOUBLE
+             |      / LEN(lns) AS bullet_ratio,
+             |    LEN(LIST_FILTER(lns, l -> ends_with(RTRIM(l), '...')
+             |      OR ends_with(RTRIM(l), '…')))::DOUBLE
+             |      / LEN(lns) AS ell_ratio,
+             |    LEN(LIST_FILTER(toks,
+             |      t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE
+             |      / LEN(toks) AS alpha_ratio,
+             |    LEN(LIST_INTERSECT(
+             |      LIST_DISTINCT(LIST_TRANSFORM(toks, t -> LOWER(t))),
+             |      ['the','be','to','of','and','that','have','with']))
+             |      AS stop_hits
+             |  FROM d
+             |), r AS (
+             |  SELECT doc_id,
+             |    (nt BETWEEN 50 AND 100000) AS word_count_ok,
+             |    (mean_len >= 3.0 AND mean_len <= 10.0) AS mean_word_len_ok,
+             |    (sym_ratio <= 0.1) AS symbol_ratio_ok,
+             |    (bullet_ratio <= 0.1) AS bullet_lines_ok,
+             |    (ell_ratio <= 0.3) AS ellipsis_lines_ok,
+             |    (alpha_ratio >= 0.8) AS alpha_word_ok,
+             |    (stop_hits >= 2) AS has_stopwords
+             |  FROM m)
+             |SELECT doc_id, word_count_ok, mean_word_len_ok,
+             |  symbol_ratio_ok, bullet_lines_ok, ellipsis_lines_ok,
+             |  alpha_word_ok, has_stopwords,
+             |  (word_count_ok AND mean_word_len_ok AND symbol_ratio_ok
+             |   AND bullet_lines_ok AND ellipsis_lines_ok
+             |   AND alpha_word_ok AND has_stopwords) AS passes
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
     Q("qc2_softmax_domains",  // MULTICLASS classifier (multinomial
       // Newton/IRLS over hashed bag-of-words) with the same planted-
       // teacher gate as qc1, lifted to K=4: label = argmax of four fixed

@@ -79,6 +79,69 @@ object TextAnalysis {
     * `TokenStats.langProfiles`. */
   def langId(text: Column): Column = tokenStats(text).getField("lang")
 
+  /** The Gopher stop set (Rae et al. 2021 §A1.1): a document must contain
+    * at least two DISTINCT of these to pass `has_stopwords`. */
+  val gopherStopSet: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * Gopher rule-based quality flags (Rae et al. 2021, "Scaling Language
+   * Models" §A1.1 — the pre-model filter every published pretraining
+   * pipeline since applies in some form): one named boolean per rule plus
+   * the conjunction, all MAP-SIDE over whitespace tokens and newline
+   * lines (no shuffle, codegen-friendly string ops; ratios are
+   * integer/integer doubles, exact in IEEE, so any engine computing the
+   * same formula agrees bit-for-bit):
+   *
+   *  - `word_count_ok`   50 ≤ n_tokens ≤ 100000
+   *  - `mean_word_len_ok` mean token length in [3, 10]
+   *  - `symbol_ratio_ok` (# count + "..." count + '…' count)/n ≤ 0.1
+   *  - `bullet_lines_ok` ≤ 10% of lines start with a bullet (-, *, •)
+   *  - `ellipsis_lines_ok` ≤ 30% of lines end with "..." or '…'
+   *  - `alpha_word_ok`   ≥ 80% of tokens contain an alphabetic char
+   *  - `has_stopwords`   ≥ 2 distinct of [[gopherStopSet]]
+   *  - `passes`          all of the above
+   */
+  def gopherRules(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("double")
+    def substrCount(c: Column, pat: String): Column =
+      ((length(c) - length(replace(c, lit(pat), lit(""))))
+        / pat.length).cast("double")
+    val meanLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
+      .cast("double") / n
+    val symbols = substrCount(text, "#") + substrCount(text, "...") +
+      substrCount(text, "…")
+    val bulletLines = size(filter(lines, l =>
+      startswith(ltrim(l), lit("-")) || startswith(ltrim(l), lit("*")) ||
+        startswith(ltrim(l), lit("•")))).cast("double")
+    val ellipsisLines = size(filter(lines, l =>
+      endswith(rtrim(l), lit("...")) || endswith(rtrim(l), lit("…"))))
+      .cast("double")
+    val alphaToks = size(filter(toks, t => t.rlike("[A-Za-z]")))
+      .cast("double")
+    val stopHits = size(array_intersect(
+      array_distinct(transform(toks, t => lower(t))),
+      array(gopherStopSet.map(lit): _*)))
+    val rules = Seq(
+      "word_count_ok" -> (size(toks) >= 50 && size(toks) <= 100000),
+      "mean_word_len_ok" -> (meanLen >= 3.0 && meanLen <= 10.0),
+      "symbol_ratio_ok" -> (symbols / n <= 0.1),
+      "bullet_lines_ok" -> (bulletLines / nLines <= 0.1),
+      "ellipsis_lines_ok" -> (ellipsisLines / nLines <= 0.3),
+      "alpha_word_ok" -> (alphaToks / n >= 0.8),
+      "has_stopwords" -> (stopHits >= 2))
+    struct((rules.map { case (nm, c) => c.as(nm) } :+
+      rules.map(_._2).reduce(_ && _).as("passes")): _*)
+  }
+
+  /** Keep only rows whose `textCol` passes every [[gopherRules]] check —
+    * a pure map-side filter (pushes to the scan where possible). */
+  def gopherFilter(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.filter(gopherRules(col(textCol)).getField("passes"))
+
   /** Order-sensitive document fingerprint: rolling hash chaining each word
     * into the accumulator (Karp-Rabin shape, overflow-free under ANSI mode).
     * Same text → same 64-bit fingerprint; any reordering changes it

@@ -286,6 +286,44 @@ class OperatorsSpec extends SparkSpec {
     assert(stats.getInt(0) == 3)
   }
 
+  test("gopher rules: each rule falsifies independently; filter keeps clean doc") {
+    import spark.implicits._
+    val base = Seq.fill(5)(
+      "the quick brown fox jumps over lazy sleeping dogs of green field")
+      .mkString(" ")
+    val docs = Seq(
+      (0L, base, "passes"),
+      (1L, "the quick brown fox of", "word_count_ok"),
+      (2L, (Seq.fill(58)("ab") ++ Seq("the", "of")).mkString(" "),
+        "mean_word_len_ok"),
+      (3L, base + " " + Seq.fill(10)("#").mkString(" "), "symbol_ratio_ok"),
+      (4L, base + "\n- bullet item\n- another bullet", "bullet_lines_ok"),
+      (5L, base + "\nto be continued...\nand then more..." +
+        "\nyet more waiting...\nhello there", "ellipsis_lines_ok"),
+      (6L, base + " " + Seq.fill(20)("123").mkString(" "), "alpha_word_ok"),
+      (7L, Seq.fill(5)("zebra lion tiger eagle shark puma deer crane " +
+        "mouse otter bison camel").mkString(" "), "has_stopwords"))
+    val df = docs.map(d => (d._1, d._2)).toDF("id", "text")
+    val flags = df.withColumn("g", TextAnalysis.gopherRules($"text"))
+      .select(col("id"), col("g.*")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val names = Seq("word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+      "bullet_lines_ok", "ellipsis_lines_ok", "alpha_word_ok",
+      "has_stopwords")
+    assert(flags(0L).getAs[Boolean]("passes"))
+    names.foreach(nm =>
+      assert(flags(0L).getAs[Boolean](nm), s"base must pass $nm"))
+    docs.drop(1).foreach { case (id, _, broken) =>
+      assert(!flags(id).getAs[Boolean](broken), s"doc $id must fail $broken")
+      assert(!flags(id).getAs[Boolean]("passes"), s"doc $id must not pass")
+      names.filterNot(_ == broken).foreach(nm =>
+        assert(flags(id).getAs[Boolean](nm),
+          s"doc $id must still pass $nm (only $broken may fail)"))
+    }
+    val kept = TextAnalysis.gopherFilter(df).collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(0L), s"filter must keep exactly the clean doc: $kept")
+  }
+
   // ---------------------------------------------------------- multimodal
 
   test("multimodal feature extraction plumbing (stubbed decoder)") {
