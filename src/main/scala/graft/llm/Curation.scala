@@ -21,7 +21,8 @@ object Curation {
                             afterQuality: Long, afterExactDedup: Long,
                             afterNearDedup: Long, afterDecontaminate: Long,
                             afterLineDedup: Long = -1L,
-                            afterClassifier: Long = -1L)
+                            afterClassifier: Long = -1L,
+                            afterGopher: Long = -1L)
 
   /** Where [[curateCorpus]] materializes stage boundaries. Every stage has
     * 2+ consumers (its accounting count plus the next stage), so WITHOUT a
@@ -67,13 +68,17 @@ object Curation {
    * only over quality survivors.
    *
    * The bracketed stages are opt-in (default off): `dedupLines` enables
-   * keep-first line dedup; `qualityModel` gates on a FITTED
+   * keep-first line dedup; `gopherRules` applies the published Gopher
+   * rule checklist ([[TextAnalysis.gopherRules]]) as a map-side gate
+   * BEFORE the heuristic score (rules first, scores second — the
+   * published stage order); `qualityModel` gates on a FITTED
    * [[Classifier]] score (`≥ minModelScore`) — the fasttext-style
    * model-assisted filter, applied AFTER the heuristic gate so the model
-   * only scores rows the cheap gate already admitted. Both preserve the
-   * pipeline's determinism (hash-based dedup; a fixed model scores
-   * identically on any layout). `afterLineDedup`/`afterClassifier` report
-   * -1 when their stage is off (no count action is spent on a no-op).
+   * only scores rows the cheap gate already admitted. All preserve the
+   * pipeline's determinism (hash-based dedup; rules and a fixed model
+   * evaluate identically on any layout). `afterLineDedup`/
+   * `afterClassifier`/`afterGopher` report -1 when their stage is off
+   * (no count action is spent on a no-op).
    */
   def curateCorpus(df: DataFrame, idCol: String, textCol: String,
                    bench: DataFrame, benchTextCol: String,
@@ -83,6 +88,7 @@ object Curation {
                    dedupLines: Boolean = false,
                    qualityModel: Option[Classifier.LrModel] = None,
                    minModelScore: Double = 0.5,
+                   gopherRules: Boolean = false,
                    stageStore: StageStore = LocalCheckpointStore)
       : (DataFrame, CurationReport) = {
     // Stage boundaries materialize once through `stageStore` (see
@@ -105,7 +111,16 @@ object Curation {
           .transform(Dedup.dedupLinesKeepFirst(_, idCol, textCol)))
         (ld, n)
       }
-    val heuristic = qualityGate(lineDeduped,
+    val (gophered, afterGopher) =
+      if (!gopherRules) (lineDeduped, -1L)
+      else {
+        // map-side rule gate, single consumer — a plain count action (the
+        // heuristic stage right after is the materialization boundary)
+        val g = lineDeduped.filter(
+          TextAnalysis.gopherRules(col(textCol)).getField("passes"))
+        (g, g.count())
+      }
+    val heuristic = qualityGate(gophered,
       TextAnalysis.qualityScore(col(textCol)), minQuality)
     val (quality, afterQuality, afterClassifier) = qualityModel match {
       case None =>
@@ -132,7 +147,8 @@ object Curation {
         bench, benchTextCol, n = contaminationN))
     (clean, CurationReport(input, afterNormalize, afterQuality,
       afterExact, afterNear, afterDecon,
-      afterLineDedup = afterLineDedup, afterClassifier = afterClassifier))
+      afterLineDedup = afterLineDedup, afterClassifier = afterClassifier,
+      afterGopher = afterGopher))
   }
 
   def hashSplit(df: DataFrame, idCol: String,

@@ -824,14 +824,16 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             ("dedup_lines", BooleanType, Some("false")),
             ("model_table", StringType, Some("''")),
             ("min_model_score", DoubleType, Some("0.5")),
-            ("persist_stages", BooleanType, Some("false"))),
+            ("persist_stages", BooleanType, Some("false")),
+            ("gopher_rules", BooleanType, Some("false"))),
           StructType(Seq(StructField("n_input", LongType),
             StructField("n_after_quality", LongType),
             StructField("n_after_exact", LongType),
             StructField("n_after_near", LongType),
             StructField("n_kept", LongType),
             StructField("n_after_line_dedup", LongType),
-            StructField("n_after_model_gate", LongType)))) {
+            StructField("n_after_model_gate", LongType),
+            StructField("n_after_gopher", LongType)))) {
         def run(args: Seq[Any]) = inSession { tx =>
           val modelTable = args(9).asInstanceOf[String]
           val model =
@@ -861,11 +863,12 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             dedupLines = args(8).asInstanceOf[Boolean],
             qualityModel = model,
             minModelScore = args(10).asInstanceOf[Double],
+            gopherRules = args(12).asInstanceOf[Boolean],
             stageStore = store)
           replaceOutput(tx, outName, clean)
           Seq(org.apache.spark.sql.Row(rep.input, rep.afterQuality,
             rep.afterExactDedup, rep.afterNearDedup, rep.afterDecontaminate,
-            rep.afterLineDedup, rep.afterClassifier))
+            rep.afterLineDedup, rep.afterClassifier, rep.afterGopher))
         }
       }
       case "decontaminate" => new GraftProcedure("decontaminate",

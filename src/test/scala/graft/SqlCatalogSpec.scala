@@ -1275,5 +1275,27 @@ class SqlCatalogSpec extends SparkSpec {
         |FROM graftr12.bk.m.dsscored""".stripMargin).head
     assert(sep2.getDouble(0) > sep2.getDouble(1),
       "code-vocab docs must outweigh web-vocab docs under the model")
+
+    // CALL curate with the gopher stage on: the rule-violating doc drops
+    // and n_after_gopher lands in the report row (arg-position pin)
+    s.transaction { tx =>
+      val m = tx.bucket("bk").schema("m")
+      val cd = m.createTable("cdocs", docSchema)
+      val lc = new java.util.ArrayList[Row]()
+      (0 until 8).foreach { i =>
+        val body = (0 until 54).map(j => s"w${i}x$j").mkString(" ")
+        lc.add(Row(i.toLong, s"$body the of and with that have"))
+      }
+      lc.add(Row(99L, "the short one"))
+      cd.insert(spark.createDataFrame(lc, docSchema).coalesce(1))
+      m.createTable("nobench2",
+        StructType(Seq(StructField("text", StringType))))
+    }
+    val cu = spark.sql("CALL graftr12.system.curate(" +
+      "'bk.m.cdocs', 'id', 'text', 'bk.m.nobench2', 'text', 'bk.m.curg', " +
+      "0.0, 0.7, false, '', 0.5, false, true)").head
+    assert(cu.getLong(0) == 9, s"n_input: $cu")
+    assert(cu.getLong(7) == 8, s"n_after_gopher: $cu")
+    assert(cu.getLong(4) == 8, s"n_kept: $cu")
   }
 }

@@ -527,6 +527,27 @@ class TrainingExportSpec extends SparkSpec {
     // default-off path reports -1 and is unchanged
     val (_, rep0) = Curation.curateCorpus(d, "id", "text", bench, "text")
     assert(rep0.afterLineDedup == -1L && rep0.afterClassifier == -1L)
+    assert(rep0.afterGopher == -1L)
+  }
+
+  test("curateCorpus gopher stage: rule violators drop before scoring") {
+    import spark.implicits._
+    // 30 clean 60-token docs (distinct vocab per doc, so the near-dup
+    // stage keeps them apart) + 10 too-short docs (Gopher word-count rule)
+    def goodDoc(i: Int) = (0 until 54).map(j => s"w${i}x$j").mkString(" ") +
+      " the of and with that have"
+    val d = ((0 until 30).map(i => (i.toLong, goodDoc(i)))
+      ++ (100 until 110).map(i => (i.toLong, s"the short one $i")))
+      .toDF("id", "text")
+    val bench = Seq.empty[String].toDF("text")
+    val (clean, rep) = Curation.curateCorpus(d, "id", "text", bench, "text",
+      minQuality = 0.0, gopherRules = true)
+    assert(rep.afterGopher == 30, s"gopher stage count: ${rep.afterGopher}")
+    assert(clean.filter(col("id") >= 100).count() == 0,
+      "rule-violating docs must not survive")
+    assert(clean.count() == 30)
+    // monotone accounting: gopher sits between input and quality
+    assert(rep.input == 40 && rep.afterQuality <= rep.afterGopher)
   }
 
   test("qualityClassifier scores every row map-side in (0,1)") {
