@@ -2169,6 +2169,64 @@ object SparkEntry {
              |   AND alpha_word_ok AND has_stopwords) AS passes
              |FROM r ORDER BY doc_id""".stripMargin)),
 
+    Q("ta16_c4_clean",  // C4 corpus cleaning (Raffel et al. 2020 §2.2):
+      // line structure is PLANTED deterministically from each document's
+      // tokens (kept sentence-like lines, a too-short line, a javascript
+      // line; every 10th doc gets a brace line, every 17th a lorem-ipsum
+      // line) and DuckDB rebuilds the identical pages, applies the same
+      // rules, and must match surviving doc set and cleaned text exactly
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val built = concat_ws("\n",
+          concat(concat_ws(" ", slice(toks, 1, 5)), lit(".")),
+          concat_ws(" ", slice(toks, 6, 2)),
+          lit("please enable javascript to view."),
+          concat(concat_ws(" ", slice(toks, 8, 6)), lit("?")),
+          concat_ws(" ", slice(toks, 14, 4)))
+        val planted = when(col("doc_id") % 10 === 0,
+            concat(built, lit("\nbad { brace line.")))
+          .when(col("doc_id") % 17 === 0,
+            concat(built, lit("\nthis has lorem ipsum inside.")))
+          .otherwise(built)
+        graft.llm.Curation.c4Filter(
+            t(s, dir, "documents").select(col("doc_id"),
+              planted.as("text")),
+            minLines = 2)
+          .select(col("doc_id"), col("text").as("text_clean"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents
+             |), built AS (
+             |  SELECT doc_id, ARRAY_TO_STRING(LIST_VALUE(
+             |      ARRAY_TO_STRING(tk[1:5], ' ') || '.',
+             |      ARRAY_TO_STRING(tk[6:7], ' '),
+             |      'please enable javascript to view.',
+             |      ARRAY_TO_STRING(tk[8:13], ' ') || '?',
+             |      ARRAY_TO_STRING(tk[14:17], ' ')), chr(10)) AS t0
+             |  FROM d
+             |), planted AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 10 = 0
+             |           THEN t0 || chr(10) || 'bad { brace line.'
+             |         WHEN doc_id % 17 = 0
+             |           THEN t0 || chr(10) || 'this has lorem ipsum inside.'
+             |         ELSE t0 END AS t
+             |  FROM built
+             |), cleaned AS (
+             |  SELECT doc_id, t,
+             |    LIST_FILTER(STRING_SPLIT(t, chr(10)), l ->
+             |      (ends_with(RTRIM(l), '.') OR ends_with(RTRIM(l), '!')
+             |       OR ends_with(RTRIM(l), '?') OR ends_with(RTRIM(l), '"'))
+             |      AND LEN(STRING_SPLIT(l, ' ')) >= 3
+             |      AND NOT contains(LOWER(l), 'javascript')) AS keep
+             |  FROM planted)
+             |SELECT doc_id, ARRAY_TO_STRING(keep, chr(10)) AS text_clean
+             |FROM cleaned
+             |WHERE NOT contains(LOWER(t), 'lorem ipsum')
+             |  AND NOT contains(t, '{') AND LEN(keep) >= 2
+             |ORDER BY doc_id""".stripMargin)),
+
     Q("qc2_softmax_domains",  // MULTICLASS classifier (multinomial
       // Newton/IRLS over hashed bag-of-words) with the same planted-
       // teacher gate as qc1, lifted to K=4: label = argmax of four fixed

@@ -177,6 +177,39 @@ object Curation {
   def qualityGate(df: DataFrame, scoreCol: Column, minScore: Double): DataFrame =
     df.filter(scoreCol >= minScore)
 
+  /** The retained lines of a text under the C4 line rules (Raffel et al.
+    * 2020 §2.2): a line survives iff it ends in terminal punctuation
+    * (`.` `!` `?` `"` — checked on the right-trimmed line), has at least
+    * 3 words, and does not contain the word "javascript" (case-folded).
+    * Map-side array expression — the building block [[c4Filter]] and a
+    * caller-side rewrite (`concat_ws("\n", c4KeptLines(...))`) share. */
+  def c4KeptLines(text: Column): Column =
+    filter(split(text, "\n"), l =>
+      (endswith(rtrim(l), lit(".")) || endswith(rtrim(l), lit("!")) ||
+        endswith(rtrim(l), lit("?")) || endswith(rtrim(l), lit("\""))) &&
+        size(split(l, " ")) >= 3 &&
+        !contains(lower(l), lit("javascript")))
+
+  /**
+   * C4 corpus cleaning (Raffel et al. 2020 §2.2) as one operator: drop
+   * whole documents containing "lorem ipsum" (case-folded) or a curly
+   * brace (code leakage), rewrite the survivors to their [[c4KeptLines]],
+   * and drop documents retaining fewer than `minLines` lines (the
+   * paper's ≥-5-sentences page rule at line granularity). Entirely
+   * map-side — document drops and line rewrites are one projection +
+   * filter over the scan, no shuffle at any corpus size.
+   */
+  def c4Filter(df: DataFrame, textCol: String = "text",
+               minLines: Int = 5): DataFrame = {
+    require(minLines >= 0, "minLines must be non-negative")
+    df.filter(!contains(lower(col(textCol)), lit("lorem ipsum")) &&
+        !contains(col(textCol), lit("{")))
+      .withColumn("_c4k", c4KeptLines(col(textCol)))
+      .filter(size(col("_c4k")) >= minLines)
+      .withColumn(textCol, concat_ws("\n", col("_c4k")))
+      .drop("_c4k")
+  }
+
   /** Benchmark DECONTAMINATION: drop corpus documents sharing ≥ `minShared`
     * distinct word n-grams with ANY benchmark document — the step that keeps
     * eval sets out of training data.

@@ -530,6 +530,25 @@ class TrainingExportSpec extends SparkSpec {
     assert(rep0.afterGopher == -1L)
   }
 
+  test("c4Filter: line rules, page drops, and the minLines floor") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "good first sentence here.\nok\nthis line has javascript code." +
+        "\nanother valid question line?\ntail words no punct"),
+      (2L, "contains lorem ipsum filler.\nreal sentence stays here."),
+      (3L, "some { braces } here.\nreal sentence stays here."),
+      (4L, "only one good sentence."),
+      (5L, "first good line.\nsecond good line!\nthird \"quoted line\""))
+    val out = Curation.c4Filter(docs.toDF("id", "text"), minLines = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // lorem-ipsum and brace pages drop whole; doc 4 misses the line floor
+    assert(out.keySet == Set(1L, 5L), s"survivors: ${out.keySet}")
+    assert(out(1L) ==
+      "good first sentence here.\nanother valid question line?")
+    assert(out(5L) ==
+      "first good line.\nsecond good line!\nthird \"quoted line\"")
+  }
+
   test("curateCorpus gopher stage: rule violators drop before scoring") {
     import spark.implicits._
     // 30 clean 60-token docs (distinct vocab per doc, so the near-dup
