@@ -219,7 +219,16 @@ object Bench {
       // the data-selection pass a 100 TB pretraining pipeline runs
       "dsir_select" -> (() => mat(graft.llm.Selection.dsirSelect(
         t("documents"), t("documents").filter(col("doc_id") % 10 === 0),
-        "doc_id", k = 500))))
+        "doc_id", k = 500))),
+      // published rule filters, pure map-side: Gopher checklist flags +
+      // C4 line rules over synthesized page structure — measures the
+      // per-document string/regex/HOF cost that every corpus pays once
+      "rule_filters" -> (() => mat(graft.llm.Curation.c4Filter(
+        graft.llm.TextAnalysis.gopherFilter(
+          t("documents").select(col("doc_id"),
+            concat_ws("\n", col("text"), lit("tail sentence line here."),
+              lit("second tail line stays too!")).as("text"))),
+        minLines = 1))))
 
     // ingest-probe shape: batch-vs-corpus near-dup suppression. Corpus
     // signatures are precomputed ONCE here (exactly what the persisted

@@ -22,7 +22,8 @@ object Curation {
                             afterNearDedup: Long, afterDecontaminate: Long,
                             afterLineDedup: Long = -1L,
                             afterClassifier: Long = -1L,
-                            afterGopher: Long = -1L)
+                            afterGopher: Long = -1L,
+                            afterC4: Long = -1L)
 
   /** Where [[curateCorpus]] materializes stage boundaries. Every stage has
     * 2+ consumers (its accounting count plus the next stage), so WITHOUT a
@@ -67,11 +68,13 @@ object Curation {
    * cheap map-side gates before shuffling ones, the near-dup pair join
    * only over quality survivors.
    *
-   * The bracketed stages are opt-in (default off): `dedupLines` enables
-   * keep-first line dedup; `gopherRules` applies the published Gopher
-   * rule checklist ([[TextAnalysis.gopherRules]]) as a map-side gate
-   * BEFORE the heuristic score (rules first, scores second — the
-   * published stage order); `qualityModel` gates on a FITTED
+   * The bracketed stages are opt-in (default off): `c4Clean` applies the
+   * [[c4Filter]] line rules + page drops right after normalization
+   * (structural cleaning belongs before any content hashing);
+   * `dedupLines` enables keep-first line dedup; `gopherRules` applies
+   * the published Gopher rule checklist ([[TextAnalysis.gopherRules]])
+   * as a map-side gate BEFORE the heuristic score (rules first, scores
+   * second — the published stage order); `qualityModel` gates on a FITTED
    * [[Classifier]] score (`≥ minModelScore`) — the fasttext-style
    * model-assisted filter, applied AFTER the heuristic gate so the model
    * only scores rows the cheap gate already admitted. All preserve the
@@ -89,6 +92,8 @@ object Curation {
                    qualityModel: Option[Classifier.LrModel] = None,
                    minModelScore: Double = 0.5,
                    gopherRules: Boolean = false,
+                   c4Clean: Boolean = false,
+                   c4MinLines: Int = 5,
                    stageStore: StageStore = LocalCheckpointStore)
       : (DataFrame, CurationReport) = {
     // Stage boundaries materialize once through `stageStore` (see
@@ -102,12 +107,20 @@ object Curation {
     val normalized = df.withColumn(textCol,
       TextAnalysis.normalizeText(col(textCol)))
     val afterNormalize = input // normalization rewrites, never drops
+    val (c4ed, afterC4) =
+      if (!c4Clean) (normalized, -1L)
+      else {
+        // map-side page drops + line rewrite, single consumer — plain
+        // count action (the next boundary materializes the rewrite)
+        val c = c4Filter(normalized, textCol, c4MinLines)
+        (c, c.count())
+      }
     val (lineDeduped, afterLineDedup) =
-      if (!dedupLines) (normalized, -1L)
+      if (!dedupLines) (c4ed, -1L)
       else {
         // line dedup REWRITES text (rows survive, possibly emptied); the
         // quality gate right after is what drops gutted documents
-        val (ld, n) = stageStore.materialize("line_dedup", normalized
+        val (ld, n) = stageStore.materialize("line_dedup", c4ed
           .transform(Dedup.dedupLinesKeepFirst(_, idCol, textCol)))
         (ld, n)
       }
@@ -148,7 +161,7 @@ object Curation {
     (clean, CurationReport(input, afterNormalize, afterQuality,
       afterExact, afterNear, afterDecon,
       afterLineDedup = afterLineDedup, afterClassifier = afterClassifier,
-      afterGopher = afterGopher))
+      afterGopher = afterGopher, afterC4 = afterC4))
   }
 
   def hashSplit(df: DataFrame, idCol: String,

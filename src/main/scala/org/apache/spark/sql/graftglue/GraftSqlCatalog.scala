@@ -825,7 +825,9 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             ("model_table", StringType, Some("''")),
             ("min_model_score", DoubleType, Some("0.5")),
             ("persist_stages", BooleanType, Some("false")),
-            ("gopher_rules", BooleanType, Some("false"))),
+            ("gopher_rules", BooleanType, Some("false")),
+            ("c4_clean", BooleanType, Some("false")),
+            ("c4_min_lines", IntegerType, Some("5"))),
           StructType(Seq(StructField("n_input", LongType),
             StructField("n_after_quality", LongType),
             StructField("n_after_exact", LongType),
@@ -833,7 +835,8 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             StructField("n_kept", LongType),
             StructField("n_after_line_dedup", LongType),
             StructField("n_after_model_gate", LongType),
-            StructField("n_after_gopher", LongType)))) {
+            StructField("n_after_gopher", LongType),
+            StructField("n_after_c4", LongType)))) {
         def run(args: Seq[Any]) = inSession { tx =>
           val modelTable = args(9).asInstanceOf[String]
           val model =
@@ -864,11 +867,14 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             qualityModel = model,
             minModelScore = args(10).asInstanceOf[Double],
             gopherRules = args(12).asInstanceOf[Boolean],
+            c4Clean = args(13).asInstanceOf[Boolean],
+            c4MinLines = args(14).asInstanceOf[Int],
             stageStore = store)
           replaceOutput(tx, outName, clean)
           Seq(org.apache.spark.sql.Row(rep.input, rep.afterQuality,
             rep.afterExactDedup, rep.afterNearDedup, rep.afterDecontaminate,
-            rep.afterLineDedup, rep.afterClassifier, rep.afterGopher))
+            rep.afterLineDedup, rep.afterClassifier, rep.afterGopher,
+            rep.afterC4))
         }
       }
       case "decontaminate" => new GraftProcedure("decontaminate",

@@ -1297,5 +1297,6 @@ class SqlCatalogSpec extends SparkSpec {
     assert(cu.getLong(0) == 9, s"n_input: $cu")
     assert(cu.getLong(7) == 8, s"n_after_gopher: $cu")
     assert(cu.getLong(4) == 8, s"n_kept: $cu")
+    assert(cu.getLong(8) == -1L, s"n_after_c4 off by default: $cu")
   }
 }

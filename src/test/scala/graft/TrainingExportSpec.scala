@@ -549,6 +549,28 @@ class TrainingExportSpec extends SparkSpec {
       "first good line.\nsecond good line!\nthird \"quoted line\"")
   }
 
+  test("curateCorpus c4 stage: page drops and line rewrite before dedup") {
+    import spark.implicits._
+    def page(i: Int) = {
+      val s1 = (0 until 8).map(j => s"p${i}a$j").mkString(" ") + " the of."
+      val s2 = (0 until 8).map(j => s"p${i}b$j").mkString(" ") + " and that!"
+      s"$s1\nnoise no punct line\n$s2"
+    }
+    val d = ((0 until 10).map(i => (i.toLong, page(i)))
+      ++ Seq((100L, page(100) + "\nbad { brace line.")))
+      .toDF("id", "text")
+    val bench = Seq.empty[String].toDF("text")
+    val (clean, rep) = Curation.curateCorpus(d, "id", "text", bench, "text",
+      minQuality = 0.0, c4Clean = true, c4MinLines = 2)
+    assert(rep.afterC4 == 10, s"c4 stage count: ${rep.afterC4}")
+    assert(clean.count() == 10, "brace page must drop")
+    assert(clean.filter(col("text").contains("noise no punct")).count() == 0,
+      "punctuation-less lines must be rewritten away")
+    val (_, rep0) = Curation.curateCorpus(d, "id", "text", bench, "text",
+      minQuality = 0.0)
+    assert(rep0.afterC4 == -1L)
+  }
+
   test("curateCorpus gopher stage: rule violators drop before scoring") {
     import spark.implicits._
     // 30 clean 60-token docs (distinct vocab per doc, so the near-dup
