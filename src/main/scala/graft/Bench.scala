@@ -214,12 +214,24 @@ object Bench {
           concat_ws("\n", lit("SHARED BOILERPLATE HEADER LINE"), col("text"),
             lit("SHARED BOILERPLATE FOOTER LINE")).as("text")),
         "doc_id", "text", minChars = 5))),
-      // DSIR selection: gram explode + two ≤4096-row broadcast count
-      // tables + id-keyed weight sum + range-bucketed two-phase rank —
-      // the data-selection pass a 100 TB pretraining pipeline runs
+      // DSIR selection, default regime: gram explode + two ≤4096-row
+      // broadcast count tables + id-keyed weight sum + heap top-k
+      // (k=500 is under the engine threshold → TakeOrderedAndProject)
       "dsir_select" -> (() => mat(graft.llm.Selection.dsirSelect(
         t("documents"), t("documents").filter(col("doc_id") % 10 === 0),
         "doc_id", k = 500))),
+      // same selection FORCED through the large-k rankBySort regime
+      // (range shuffle + bucketed two-phase rank) so a regression in the
+      // path LIMITS.md reasons about for unbounded k stays visible
+      "dsir_select_rank" -> (() => {
+        val key = "spark.sql.execution.topKSortFallbackThreshold"
+        val old = spark.conf.get(key, "10000")
+        spark.conf.set(key, "1")
+        try mat(graft.llm.Selection.dsirSelect(
+          t("documents"), t("documents").filter(col("doc_id") % 10 === 0),
+          "doc_id", k = 500))
+        finally spark.conf.set(key, old)
+      }),
       // published rule filters, pure map-side: Gopher checklist flags +
       // C4 line rules over synthesized page structure — measures the
       // per-document string/regex/HOF cost that every corpus pays once

@@ -2132,10 +2132,11 @@ object SparkEntry {
              |  SELECT doc_id, LEN(toks) AS nt,
              |    LIST_SUM(LIST_TRANSFORM(toks, t -> LEN(t)))::DOUBLE
              |      / LEN(toks) AS mean_len,
-             |    ((LEN(text) - LEN(REPLACE(text, '#', '')))
-             |     + (LEN(text) - LEN(REPLACE(text, '...', ''))) / 3
+             |    (LEN(text) - LEN(REPLACE(text, '#', '')))::DOUBLE
+             |      / LEN(toks) AS hash_ratio,
+             |    ((LEN(text) - LEN(REPLACE(text, '...', ''))) / 3
              |     + (LEN(text) - LEN(REPLACE(text, '…', ''))))::DOUBLE
-             |      / LEN(toks) AS sym_ratio,
+             |      / LEN(toks) AS ell_sym_ratio,
              |    LEN(LIST_FILTER(lns, l -> starts_with(LTRIM(l), '-')
              |      OR starts_with(LTRIM(l), '*')
              |      OR starts_with(LTRIM(l), '•')))::DOUBLE
@@ -2155,8 +2156,9 @@ object SparkEntry {
              |  SELECT doc_id,
              |    (nt BETWEEN 50 AND 100000) AS word_count_ok,
              |    (mean_len >= 3.0 AND mean_len <= 10.0) AS mean_word_len_ok,
-             |    (sym_ratio <= 0.1) AS symbol_ratio_ok,
-             |    (bullet_ratio <= 0.1) AS bullet_lines_ok,
+             |    (hash_ratio <= 0.1 AND ell_sym_ratio <= 0.1)
+             |      AS symbol_ratio_ok,
+             |    (bullet_ratio <= 0.9) AS bullet_lines_ok,
              |    (ell_ratio <= 0.3) AS ellipsis_lines_ok,
              |    (alpha_ratio >= 0.8) AS alpha_word_ok,
              |    (stop_hits >= 2) AS has_stopwords

@@ -238,3 +238,163 @@ object RepetitionStats {
   def repetitionStats(text: Column): Column =
     Glue.column(RepetitionStats(Glue.expression(text)))
 }
+
+/**
+ * Single-pass Gopher-rule statistics (Rae et al. 2021 §A1.1 inputs): token
+ * count, summed token character lengths, `#` and ellipsis occurrence
+ * counts, alphabetic-token count, distinct stop-set hits, and the line
+ * counters (total / bullet-led / ellipsis-ended) — one compiled pass per
+ * row (same reference-object codegen pattern as [[TokenStats]]) instead of
+ * the four interpreted HOF token loops (aggregate + filter·rlike +
+ * transform·lower + array_intersect) the column formulation costs.
+ *
+ * Every counter is defined to be BIT-IDENTICAL to the column formula it
+ * replaces (TextAnalysis.gopherRules' original spelling, which the ta15
+ * DuckDB oracle mirrors):
+ *  - tokens = `split(text, " ")` (limit -1); token length counts
+ *    CHARACTERS (`length(t)` / DuckDB `LEN`), not bytes;
+ *  - n_hash = occurrences of `#`; n_ellipsis = non-overlapping
+ *    left-to-right "..." occurrences (the `(len-len(replace))/3` count)
+ *    plus '…' occurrences — summed, the rule tests them as ONE ellipsis
+ *    symbol;
+ *  - n_alpha_tokens counts tokens matching `rlike("[A-Za-z]")` (ASCII
+ *    letters; UTF-8 continuation bytes can't false-positive a byte scan);
+ *  - n_stop_hits counts DISTINCT stop-set members among lowercased
+ *    tokens (`array_intersect(array_distinct(transform(lower)))` size);
+ *  - lines = `split(text, "\n")` (limit -1 — trailing empties kept):
+ *    bullet lines start with `-`/`*`/`•` after leading-space trim,
+ *    ellipsis lines end with "..." or '…' after trailing-space trim.
+ */
+case class GopherStats(child: Expression) extends UnaryExpression {
+  import GopherStats._
+
+  override def dataType: DataType = schema
+  override def prettyName: String = "gopher_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gopher_stats requires string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gopherStats", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.compute($c);")
+  }
+
+  def compute(text: UTF8String): InternalRow = {
+    // whole-text symbol scan: '#' directly; "..." via non-overlapping
+    // left-to-right run counting (a 5-dot run counts once, like REPLACE);
+    // '…' = U+2026 = E2 80 A6 in UTF-8
+    var nHash = 0
+    var nEllipsis = 0
+    val nBytes = text.numBytes()
+    var b = 0
+    var dotRun = 0
+    while (b < nBytes) {
+      val c = text.getByte(b) & 0xFF
+      if (c == '.') { dotRun += 1; if (dotRun == 3) { nEllipsis += 1; dotRun = 0 } }
+      else dotRun = 0
+      if (c == '#') nHash += 1
+      if (c == 0xE2 && b + 2 < nBytes &&
+          (text.getByte(b + 1) & 0xFF) == 0x80 &&
+          (text.getByte(b + 2) & 0xFF) == 0xA6) nEllipsis += 1
+      b += 1
+    }
+
+    val tokens = text.split(space, -1)
+    var sumLen = 0L
+    var nAlpha = 0
+    var stopHits = 0
+    val seen = new Array[Boolean](stopWords.length)
+    var j = 0
+    while (j < tokens.length) {
+      val w = tokens(j)
+      if (w != null) {
+        sumLen += w.numChars()
+        var alpha = false
+        val wb = w.numBytes()
+        var i = 0
+        while (i < wb && !alpha) {
+          val c = w.getByte(i) & 0xFF
+          alpha = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+          i += 1
+        }
+        if (alpha) nAlpha += 1
+        val idx = stopIndex.get(w.toLowerCase)
+        if (idx != null && !seen(idx.intValue())) {
+          seen(idx.intValue()) = true
+          stopHits += 1
+        }
+      }
+      j += 1
+    }
+
+    val lines = text.split(newline, -1)
+    var nBullet = 0
+    var nEllLines = 0
+    var li = 0
+    while (li < lines.length) {
+      val l = lines(li)
+      if (l != null) {
+        val lb = l.numBytes()
+        // leading-space trim (ltrim trims ' ' only), then first char
+        var s = 0
+        while (s < lb && l.getByte(s) == ' ') s += 1
+        if (s < lb) {
+          val c = l.getByte(s) & 0xFF
+          if (c == '-' || c == '*' ||
+              (c == 0xE2 && s + 2 < lb && (l.getByte(s + 1) & 0xFF) == 0x80 &&
+                (l.getByte(s + 2) & 0xFF) == 0xA2)) nBullet += 1
+        }
+        // trailing-space trim, then suffix check
+        var e = lb
+        while (e > 0 && l.getByte(e - 1) == ' ') e -= 1
+        val dots = e >= 3 && l.getByte(e - 1) == '.' &&
+          l.getByte(e - 2) == '.' && l.getByte(e - 3) == '.'
+        val hellip = e >= 3 && (l.getByte(e - 3) & 0xFF) == 0xE2 &&
+          (l.getByte(e - 2) & 0xFF) == 0x80 && (l.getByte(e - 1) & 0xFF) == 0xA6
+        if (dots || hellip) nEllLines += 1
+      }
+      li += 1
+    }
+
+    InternalRow(tokens.length, sumLen, nHash, nEllipsis, nAlpha, stopHits,
+      lines.length, nBullet, nEllLines)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object GopherStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("sum_token_chars", LongType, nullable = false),
+    StructField("n_hash", IntegerType, nullable = false),
+    StructField("n_ellipsis", IntegerType, nullable = false),
+    StructField("n_alpha_tokens", IntegerType, nullable = false),
+    StructField("n_stop_hits", IntegerType, nullable = false),
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("n_bullet_lines", IntegerType, nullable = false),
+    StructField("n_ellipsis_lines", IntegerType, nullable = false)))
+
+  private val space = UTF8String.fromString(" ")
+  private val newline = UTF8String.fromString("\n")
+
+  /** Same list as TextAnalysis.gopherStopSet (lowercased membership). */
+  val stopWords: Array[UTF8String] =
+    Array("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(UTF8String.fromString)
+
+  private val stopIndex: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer]()
+    stopWords.zipWithIndex.foreach { case (w, i) => m.put(w, i) }
+    m
+  }
+
+  def gopherStats(text: Column): Column =
+    Glue.column(GopherStats(Glue.expression(text)))
+}

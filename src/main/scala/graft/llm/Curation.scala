@@ -479,8 +479,17 @@ object Curation {
     * offset accounting is exact either way. Adds `_rank`. */
   def rankBySort(df: DataFrame, order: Seq[Column]): DataFrame = {
     require(order.nonEmpty, "rankBySort needs at least one sort expression")
+    // eager local checkpoint: `spark_partition_id` is NOT a pure function
+    // of the row, and this frame has two consumers (offset aggregate +
+    // windowed local rank) — without the pin, offset+rank correctness
+    // would silently ride on exchange reuse deduplicating the two
+    // subplans (an optimizer behavior, not a contract; a re-evaluated
+    // RangePartitioner may even sample different boundaries). Callers
+    // should project to rank-relevant columns first to keep the
+    // checkpointed copy narrow.
     val parts = df.repartitionByRange(order: _*)
       .withColumn("_rbkt", spark_partition_id().cast("long"))
+      .localCheckpoint(true)
     val wLocal = Window.partitionBy(col("_rbkt")).orderBy(order: _*)
     val wOff = Window.partitionBy(lit(0)).orderBy(col("_rbkt").asc)
       .rowsBetween(Window.unboundedPreceding, -1)

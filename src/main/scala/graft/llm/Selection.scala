@@ -92,8 +92,12 @@ object Selection {
   private def logRatioTable(raw: DataFrame, target: DataFrame,
                             textCol: String, buckets: Int, lambda: Double,
                             gramHash: Column => Column): DataFrame = {
+    // coalesce: a NULL text contributes the empty-gram bucket (one ""
+    // unigram), matching what the per-row scoring fold sees — without it
+    // the explode silently drops NULL rows and the two paths diverge
     def bucketCounts(df: DataFrame): DataFrame =
-      df.select(explode(gramBuckets(col(textCol), buckets, gramHash)).as("_b"))
+      df.select(explode(gramBuckets(coalesce(col(textCol), lit("")),
+          buckets, gramHash)).as("_b"))
         .groupBy("_b").agg(count(lit(1)).as("_n"))
     def total(counts: DataFrame, name: String): DataFrame =
       counts.agg(coalesce(sum(col("_n")), lit(0L)).as(name))
@@ -184,7 +188,11 @@ object Selection {
     val tbl = logRatioTable(raw, target, textCol, buckets, lambda, gramHash)
     raw
       .select(col(idCol),
-        explode(gramBuckets(col(textCol), buckets, gramHash)).as("_b"))
+        // coalesce: NULL-text rows keep a row in the output (the
+        // empty-gram weight), exactly like [[dsirScoreFromModel]] — see
+        // that method's null-text contract
+        explode(gramBuckets(coalesce(col(textCol), lit("")),
+          buckets, gramHash)).as("_b"))
       .join(broadcast(tbl), Seq("_b"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
@@ -260,15 +268,26 @@ object Selection {
                      k: Long, seed: Long,
                      hash: Column => Column = defaultGramHash): DataFrame = {
     require(k > 0, "k must be positive")
-    val pos = df.filter(weightCol.cast("double") > 0d)
+    // !isnan too: Spark's ordering places NaN above every double, so
+    // `NaN > 0` is TRUE — without the guard a NaN weight slips into the
+    // draw (its race key nulls out and it wins whenever k exceeds the
+    // real-weight count)
+    val wd = weightCol.cast("double")
+    val pos = df.filter(wd > 0d && !isnan(wd))
     val h = pmod(hash(concat(lit(seed.toString), lit("|"),
       col(idCol).cast("string"))), lit(1L << 52))
     val u = (h.cast("double") * 2d + 1d) / lit(Math.pow(2, 53))
     val key = round(log(u) / weightCol.cast("double"), 6)
       .cast("decimal(18,6)")
-    topKRanked(pos.withColumn("_skey", key),
-        Seq(col("_skey").desc, col(idCol).asc), k)
-      .withColumn("sample_rank", col("_rank"))
-      .drop("_skey", "_rank")
+    // rank a NARROW (id, key) frame — the slow path pins its input with
+    // a local checkpoint, so the materialized copy must not carry the
+    // full row — then join the k winners back by the (unique) id
+    val ranked = topKRanked(
+      pos.select(col(idCol).as("__ws_id"), key.as("_skey")),
+      Seq(col("_skey").desc, col("__ws_id").asc), k)
+    df.join(ranked.select(col("__ws_id"),
+        col("_rank").as("sample_rank")),
+      col(idCol) === col("__ws_id"))
+      .drop("__ws_id")
   }
 }

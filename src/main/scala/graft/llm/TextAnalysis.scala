@@ -95,44 +95,41 @@ object TextAnalysis {
    *
    *  - `word_count_ok`   50 ≤ n_tokens ≤ 100000
    *  - `mean_word_len_ok` mean token length in [3, 10]
-   *  - `symbol_ratio_ok` (# count + "..." count + '…' count)/n ≤ 0.1
-   *  - `bullet_lines_ok` ≤ 10% of lines start with a bullet (-, *, •)
+   *  - `symbol_ratio_ok` hash-to-word ratio ≤ 0.1 AND ellipsis-to-word
+   *    ratio ≤ 0.1 — each symbol tested SEPARATELY, as the paper's
+   *    "greater than 0.1 for either the hash symbol or the ellipsis"
+   *    prescribes ("..." and '…' both count as the ellipsis symbol)
+   *  - `bullet_lines_ok` ≤ 90% of lines start with a bullet (-, *, •) —
+   *    the paper removes only bullet-DOMINATED pages
    *  - `ellipsis_lines_ok` ≤ 30% of lines end with "..." or '…'
    *  - `alpha_word_ok`   ≥ 80% of tokens contain an alphabetic char
    *  - `has_stopwords`   ≥ 2 distinct of [[gopherStopSet]]
    *  - `passes`          all of the above
    */
   def gopherRules(text: Column): Column = {
-    val toks = tokens(text)
-    val n = size(toks).cast("double")
-    val lines = split(text, "\n")
-    val nLines = size(lines).cast("double")
-    def substrCount(c: Column, pat: String): Column =
-      ((length(c) - length(replace(c, lit(pat), lit(""))))
-        / pat.length).cast("double")
-    val meanLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
-      .cast("double") / n
-    val symbols = substrCount(text, "#") + substrCount(text, "...") +
-      substrCount(text, "…")
-    val bulletLines = size(filter(lines, l =>
-      startswith(ltrim(l), lit("-")) || startswith(ltrim(l), lit("*")) ||
-        startswith(ltrim(l), lit("•")))).cast("double")
-    val ellipsisLines = size(filter(lines, l =>
-      endswith(rtrim(l), lit("...")) || endswith(rtrim(l), lit("…"))))
-      .cast("double")
-    val alphaToks = size(filter(toks, t => t.rlike("[A-Za-z]")))
-      .cast("double")
-    val stopHits = size(array_intersect(
-      array_distinct(transform(toks, t => lower(t))),
-      array(gopherStopSet.map(lit): _*)))
+    // one compiled pass per row (graft.functions.GopherStats — the four
+    // interpreted HOF token loops this replaces cost ~1µs per lambda,
+    // the exact outlier shape TokenStats removed from text_analyze);
+    // codegen-level subexpression elimination collapses the repeated
+    // struct references to a single compute() call
+    val gs = graft.functions.GopherStats.gopherStats(text)
+    val n = gs.getField("n_tokens").cast("double")
+    val nLines = gs.getField("n_lines").cast("double")
+    val meanLen = gs.getField("sum_token_chars").cast("double") / n
     val rules = Seq(
-      "word_count_ok" -> (size(toks) >= 50 && size(toks) <= 100000),
+      "word_count_ok" -> (gs.getField("n_tokens") >= 50 &&
+        gs.getField("n_tokens") <= 100000),
       "mean_word_len_ok" -> (meanLen >= 3.0 && meanLen <= 10.0),
-      "symbol_ratio_ok" -> (symbols / n <= 0.1),
-      "bullet_lines_ok" -> (bulletLines / nLines <= 0.1),
-      "ellipsis_lines_ok" -> (ellipsisLines / nLines <= 0.3),
-      "alpha_word_ok" -> (alphaToks / n >= 0.8),
-      "has_stopwords" -> (stopHits >= 2))
+      "symbol_ratio_ok" ->
+        (gs.getField("n_hash").cast("double") / n <= 0.1 &&
+          gs.getField("n_ellipsis").cast("double") / n <= 0.1),
+      "bullet_lines_ok" ->
+        (gs.getField("n_bullet_lines").cast("double") / nLines <= 0.9),
+      "ellipsis_lines_ok" ->
+        (gs.getField("n_ellipsis_lines").cast("double") / nLines <= 0.3),
+      "alpha_word_ok" ->
+        (gs.getField("n_alpha_tokens").cast("double") / n >= 0.8),
+      "has_stopwords" -> (gs.getField("n_stop_hits") >= 2))
     struct((rules.map { case (nm, c) => c.as(nm) } :+
       rules.map(_._2).reduce(_ && _).as("passes")): _*)
   }

@@ -297,7 +297,10 @@ class OperatorsSpec extends SparkSpec {
       (2L, (Seq.fill(58)("ab") ++ Seq("the", "of")).mkString(" "),
         "mean_word_len_ok"),
       (3L, base + " " + Seq.fill(10)("#").mkString(" "), "symbol_ratio_ok"),
-      (4L, base + "\n- bullet item\n- another bullet", "bullet_lines_ok"),
+      // bullet rule removes bullet-DOMINATED pages (>90% of lines):
+      // 10 bullet lines out of 11 = 0.909
+      (4L, base + (1 to 10).map(i => s"\n- bullet item number$i").mkString,
+        "bullet_lines_ok"),
       (5L, base + "\nto be continued...\nand then more..." +
         "\nyet more waiting...\nhello there", "ellipsis_lines_ok"),
       (6L, base + " " + Seq.fill(20)("123").mkString(" "), "alpha_word_ok"),
@@ -322,6 +325,54 @@ class OperatorsSpec extends SparkSpec {
     }
     val kept = TextAnalysis.gopherFilter(df).collect().map(_.getLong(0)).toSeq
     assert(kept == Seq(0L), s"filter must keep exactly the clean doc: $kept")
+    // separate-symbol semantics: hash 4/68≈0.059 and ellipsis 4/68≈0.059
+    // (combined 0.118) must PASS — the paper tests each symbol alone
+    val sym = Seq((8L, base + " ... ... ... ... # # # #")).toDF("id", "text")
+      .select(TextAnalysis.gopherRules($"text").getField("passes"))
+      .head.getBoolean(0)
+    assert(sym, "sub-threshold per-symbol ratios must pass the symbol rule")
+  }
+
+  test("GopherStats native pass equals the HOF column formulation") {
+    import spark.implicits._
+    val docs = Seq(
+      "", " ", "the quick brown fox.", "a  b   c",
+      "línea única con acentos…",
+      "- bullet\n* star\n• dot bullet\n  - indented",
+      "ends with dots...\nends with hellip…\nno end\nspaced dots...  ",
+      "#### #hash# tags", ".....", "..", "…", "a…b...c", "..…..",
+      "trailing newline\n", "\n\nleading empties",
+      "THE BE TO OF AND THAT HAVE WITH extra the",
+      "中文 字符 测试 the of", "tab\tseparated tokens here")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("id", "text")
+    // the HOF reference spelling — exactly what the ta15 oracle mirrors
+    val toks = split(col("text"), " ")
+    val lines = split(col("text"), "\n")
+    def substrCount(c: org.apache.spark.sql.Column, pat: String) =
+      (length(c) - length(replace(c, lit(pat), lit("")))) / pat.length
+    val ref = df.select(col("id"),
+      size(toks).as("n_tokens"),
+      aggregate(toks, lit(0L), (a, t) => a + length(t))
+        .as("sum_token_chars"),
+      substrCount(col("text"), "#").cast("int").as("n_hash"),
+      (substrCount(col("text"), "...") + substrCount(col("text"), "…"))
+        .cast("int").as("n_ellipsis"),
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).as("n_alpha_tokens"),
+      size(array_intersect(array_distinct(transform(toks, t => lower(t))),
+        array(TextAnalysis.gopherStopSet.map(lit): _*))).as("n_stop_hits"),
+      size(lines).as("n_lines"),
+      size(filter(lines, l => startswith(ltrim(l), lit("-")) ||
+        startswith(ltrim(l), lit("*")) || startswith(ltrim(l), lit("•"))))
+        .as("n_bullet_lines"),
+      size(filter(lines, l => endswith(rtrim(l), lit("...")) ||
+        endswith(rtrim(l), lit("…")))).as("n_ellipsis_lines"))
+    val nat = df.select(col("id"),
+        graft.functions.GopherStats.gopherStats(col("text")).as("g"))
+      .select(col("id"), col("g.*"))
+    val r = ref.collect().sortBy(_.getLong(0)).map(_.toSeq).toSeq
+    val n = nat.collect().sortBy(_.getLong(0)).map(_.toSeq).toSeq
+    assert(n == r, s"native vs HOF mismatch:\n native=$n\n ref=$r")
   }
 
   // ---------------------------------------------------------- multimodal

@@ -169,9 +169,11 @@ class SelectionSpec extends SparkSpec {
     assert(fastW == slowW)
   }
 
-  test("weightedSample: zero/null weights never drawn; k >= positives returns all") {
+  test("weightedSample: zero/null/NaN weights never drawn; k >= positives returns all") {
+    // NaN included: Spark's ordering puts NaN above every double, so a
+    // bare `w > 0` filter would admit it — pinned here
     val rows = Seq((1L, Some(2.0)), (2L, Some(0.0)), (3L, None),
-      (4L, Some(-1.0)), (5L, Some(1.0)))
+      (4L, Some(-1.0)), (5L, Some(1.0)), (6L, Some(Double.NaN)))
     val df = rows.toDF("id", "w")
     val all = Selection.weightedSample(df, "id", col("w"), k = 100, seed = 9L)
       .collect().map(_.getAs[Long]("id")).toSet
