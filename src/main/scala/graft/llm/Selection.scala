@@ -108,9 +108,13 @@ object Selection {
       round(log((coalesce(n, lit(0L)).cast("double") + lit(lambda))
         / (t.cast("double") + lit(lambda * buckets))), 6)
         .cast("decimal(18,6)")
+    // no broadcast hint on the outer joins: Catalyst swaps the sides
+    // (tiny dom becomes the build side of a right-outer, which build-right
+    // can't serve) and logs a hint error; both count tables are ≤ buckets
+    // rows, so AQE broadcasts them unhinted
     dom
-      .join(broadcast(rawC.withColumnRenamed("_n", "_nr")), Seq("_b"), "left")
-      .join(broadcast(tgtC.withColumnRenamed("_n", "_nt")), Seq("_b"), "left")
+      .join(rawC.withColumnRenamed("_n", "_nr"), Seq("_b"), "left")
+      .join(tgtC.withColumnRenamed("_n", "_nt"), Seq("_b"), "left")
       .crossJoin(broadcast(total(rawC, "_tr")))
       .crossJoin(broadcast(total(tgtC, "_tt")))
       .select(col("_b"),

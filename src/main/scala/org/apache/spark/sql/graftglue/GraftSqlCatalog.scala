@@ -464,13 +464,14 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private val procedureNames = Array("history", "maintain", "vacuum_versions",
-    "zorder", "bucket_layout", "vector_search", "text_search", "pq_search",
-    "hybrid_search", "stream_lag",
+    "zorder", "bucket_layout", "agg_projection", "vector_search",
+    "text_search", "pq_search", "hybrid_search", "stream_lag",
     "dedup_pairs", "dedup_clusters", "pii_redact", "chunk", "decontaminate",
     "curate", "shard_export", "domain_mix", "line_dedup", "classifier_score",
     "classifier_fit", "contamination_report", "softmax_fit", "softmax_score",
     "bpe_fit", "tokenize_pack", "corpus_report", "dedup_probe", "epoch_mix",
-    "dsir_select", "keep_best", "weighted_sample", "dsir_fit", "dsir_score")
+    "dsir_select", "keep_best", "weighted_sample", "dsir_fit", "dsir_score",
+    "gopher_filter", "c4_filter")
 
   /** Manifest version a streaming checkpoint has durably consumed through,
     * or -1 if no batch has committed yet. Reads Spark's own checkpoint
@@ -1091,6 +1092,35 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             args(1).asInstanceOf[String], pairs, score)
           Seq(org.apache.spark.sql.Row(
             replaceOutput(tx, args(3).asInstanceOf[String], kept)))
+        }
+      }
+      // Gopher rule filter standalone: survivors (rows passing every
+      // published rule) land in `out_table`
+      case "gopher_filter" => new GraftProcedure("gopher_filter",
+          Seq(("table", StringType, None), ("out_table", StringType, None),
+            ("text_col", StringType, Some("'text'"))),
+          StructType(Seq(StructField("n_kept", LongType)))) {
+        def run(args: Seq[Any]) = inSession { tx =>
+          val kept = graft.llm.TextAnalysis.gopherFilter(
+            tableIn(tx, args(0).asInstanceOf[String]).select(),
+            args(2).asInstanceOf[String])
+          Seq(org.apache.spark.sql.Row(
+            replaceOutput(tx, args(1).asInstanceOf[String], kept)))
+        }
+      }
+      // C4 cleaning standalone: page drops + line rewrite; survivors
+      // (with rewritten text) land in `out_table`
+      case "c4_filter" => new GraftProcedure("c4_filter",
+          Seq(("table", StringType, None), ("out_table", StringType, None),
+            ("text_col", StringType, Some("'text'")),
+            ("min_lines", IntegerType, Some("5"))),
+          StructType(Seq(StructField("n_kept", LongType)))) {
+        def run(args: Seq[Any]) = inSession { tx =>
+          val kept = graft.llm.Curation.c4Filter(
+            tableIn(tx, args(0).asInstanceOf[String]).select(),
+            args(2).asInstanceOf[String], args(3).asInstanceOf[Int])
+          Seq(org.apache.spark.sql.Row(
+            replaceOutput(tx, args(1).asInstanceOf[String], kept)))
         }
       }
       // fit the DSIR importance model (raw vs target gram distributions)

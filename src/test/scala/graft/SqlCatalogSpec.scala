@@ -1298,5 +1298,19 @@ class SqlCatalogSpec extends SparkSpec {
     assert(cu.getLong(7) == 8, s"n_after_gopher: $cu")
     assert(cu.getLong(4) == 8, s"n_kept: $cu")
     assert(cu.getLong(8) == -1L, s"n_after_c4 off by default: $cu")
+
+    // standalone rule-filter doors
+    val gf = spark.sql("CALL graftr12.system.gopher_filter(" +
+      "'bk.m.cdocs', 'bk.m.gkept')").head
+    assert(gf.getLong(0) == 8, s"gopher_filter kept: $gf")
+    val c4 = spark.sql("CALL graftr12.system.c4_filter(" +
+      "'bk.m.cdocs', 'bk.m.ckept', 'text', 0)").head
+    // no doc has terminal-punctuation lines → all texts rewrite to empty,
+    // but min_lines=0 keeps every page (rewrite-only mode)
+    assert(c4.getLong(0) == 9, s"c4_filter kept: $c4")
+    val emptied = spark.sql(
+      "SELECT count(*) FROM graftr12.bk.m.ckept WHERE text = ''")
+      .head.getLong(0)
+    assert(emptied == 9, "c4 rewrite must strip punctuation-less lines")
   }
 }
