@@ -86,5 +86,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "pq_adc(codes, lut) - asymmetric-distance lookup of PQ codes against a query LUT") {
       es => PqAdcDistance(es(0), es(1))
     }
+    inject("gopher_rules",
+      "gopher_rules(text) - struct of Gopher quality-rule booleans + passes") {
+      es => Glue.resolvableExpression(graft.llm.TextAnalysis.gopherRules(col(es(0))))
+    }
+    inject("c4_clean",
+      "c4_clean(text) - text rewritten to its C4-retained lines") {
+      es => Glue.resolvableExpression(
+        org.apache.spark.sql.functions.concat_ws("\n",
+          graft.llm.Curation.c4KeptLines(col(es(0)))))
+    }
   }
 }

@@ -56,6 +56,15 @@ class ExtensionsSpec extends AnyFunSuite {
       val api = spark.range(1).select(graft.llm.TextAnalysis
         .qualityScore(lit("the quick brown fox is here")).as("q")).head().getDouble(0)
       assert(api == t.getDouble(2), "SQL door and Scala door must agree")
+      // rule filters (round 12): struct flags + line rewrite
+      val g = spark.sql(
+        """SELECT gopher_rules('the quick fox').has_stopwords AS hs,
+          |       gopher_rules('the quick fox').word_count_ok AS wc,
+          |       c4_clean('keep this line.\nno punct here\nthis kept too!') AS c4
+          |""".stripMargin).head()
+      assert(!g.getBoolean(0), "one distinct stopword < 2")
+      assert(!g.getBoolean(1), "3 tokens < 50")
+      assert(g.getString(2) == "keep this line.\nthis kept too!")
     } finally spark.stop()
   }
 }
