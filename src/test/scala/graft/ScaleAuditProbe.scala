@@ -36,7 +36,10 @@ object ScaleAuditProbe {
       // the bucket table; model scoring must add ZERO exchanges over a
       // scan), weighted sampling, keep-best clusters
       "se1_dsir_weights", "se2_dsir_select", "se4_weighted_sample",
-      "se5_dsir_score_model", "dd11_keep_best").foreach(audit)
+      "se5_dsir_score_model", "dd11_keep_best",
+      // rule filters must stay pure map-side: only the gate's orderBy
+      // exchange is acceptable
+      "ta15_gopher_rules", "ta16_c4_clean").foreach(audit)
     spark.stop()
   }
 }

@@ -183,6 +183,47 @@ class SelectionSpec extends SparkSpec {
     }
   }
 
+  test("weightedSample equals a driver-side brute-force draw on random inputs") {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 5) {
+      val n = 30 + rnd.nextInt(120)
+      val rows = (0 until n).map { i =>
+        val w = rnd.nextInt(5) match {
+          case 0 => 0.0
+          case 1 => -rnd.nextDouble()
+          case _ => rnd.nextDouble() * math.pow(10, rnd.nextInt(4))
+        }
+        (i.toLong, w)
+      }
+      val k = 1 + rnd.nextInt(n)
+      val seed = rnd.nextLong()
+      val got = Selection.weightedSample(rows.toDF("id", "w"), "id",
+          col("w"), k, seed)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("sample_rank")))
+        .sortBy(_._2).toSeq
+      // independent recomposition of the whole draw: xxhash64(seed|id,
+      // seed 42) → pmod 2^52 → exact dyadic u → ln(u)/w → 6-dp HALF_UP
+      // key → (key desc, id asc) top-k
+      val expect = rows.filter(r => r._2 > 0 && !r._2.isNaN)
+        .map { case (id, w) =>
+          val h0 = XxHash64Function.hash(
+            UTF8String.fromString(s"$seed|$id"), StringType, 42L)
+          val m = 1L << 52
+          val h = ((h0 % m) + m) % m
+          val u = (h.toDouble * 2d + 1d) / math.pow(2, 53)
+          val key = BigDecimal(java.math.BigDecimal.valueOf(math.log(u) / w)
+            .setScale(6, java.math.RoundingMode.HALF_UP))
+          (id, key)
+        }
+        .sortBy { case (id, key) => (-key, id) }
+        .take(k).zipWithIndex.map { case ((id, _), r) => (id, r.toLong) }
+      assert(got == expect, s"trial $trial (n=$n k=$k seed=$seed)")
+    }
+  }
+
   test("bigram features are real: scrambled token order changes the weight") {
     val target = Seq((1L, "alpha beta alpha beta alpha beta alpha beta"))
       .toDF("id", "text")
