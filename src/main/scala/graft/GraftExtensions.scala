@@ -90,6 +90,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "gopher_rules(text) - struct of Gopher quality-rule booleans + passes") {
       es => Glue.resolvableExpression(graft.llm.TextAnalysis.gopherRules(col(es(0))))
     }
+    inject("gopher_repetition",
+      "gopher_repetition(text) - struct of Gopher repetition-rule booleans + passes") {
+      es => Glue.resolvableExpression(
+        graft.llm.TextAnalysis.gopherRepetitionRules(col(es(0))))
+    }
     inject("c4_clean",
       "c4_clean(text) - text rewritten to its C4-retained lines") {
       es => Glue.resolvableExpression(

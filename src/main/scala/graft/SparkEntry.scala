@@ -2229,6 +2229,146 @@ object SparkEntry {
              |  AND NOT contains(t, '{') AND LEN(keep) >= 2
              |ORDER BY doc_id""".stripMargin)),
 
+    Q("ta17_gopher_repetition",  // Gopher repetition-removal flags (Rae
+      // et al. 2021 §A1.1 second half): duplicate-line fractions, top
+      // 2/3/4-gram char masses, duplicated 5..10-gram char coverages —
+      // line structure planted (a banner line repeated 2×, 3× on every
+      // 5th doc); DuckDB recomputes EVERY counter (line groups, gram
+      // count/length maxima with the same tie-break, position-marked
+      // duplicate coverage) and must agree flag-for-flag
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val base = concat_ws("\n", lit("repeated banner line"),
+          concat_ws(" ", slice(toks, 1, 40)),
+          lit("repeated banner line"),
+          concat_ws(" ", slice(toks, 41, 60)))
+        val planted = when(col("doc_id") % 5 === 0,
+          concat(base, lit("\nrepeated banner line"))).otherwise(base)
+        t(s, dir, "documents").select(col("doc_id"), planted.as("text"))
+          .withColumn("g",
+            graft.llm.TextAnalysis.gopherRepetitionRules(col("text")))
+          .select(col("doc_id"), col("g.*"))
+          .orderBy("doc_id")
+      },
+      Some {
+        // per-n CTE blocks are generated: same window/count/tie-break
+        // formulas for every n, only the threshold differs
+        def topCte(n: Int) =
+          s""", g$n AS (
+             |  SELECT doc_id, UNNEST(LIST_TRANSFORM(
+             |    RANGE(1, LEN(tk) - $n + 2),
+             |    i -> ARRAY_TO_STRING(tk[i:i+${n - 1}], ' '))) AS gram
+             |  FROM d WHERE LEN(tk) >= $n
+             |), gc$n AS (
+             |  SELECT doc_id, gram, COUNT(*) AS c,
+             |    CAST(LEN(gram) - ${n - 1} AS BIGINT) AS glen
+             |  FROM g$n GROUP BY doc_id, gram
+             |), mx$n AS (
+             |  SELECT doc_id, MAX(c) AS bc FROM gc$n GROUP BY doc_id
+             |), top$n AS (
+             |  SELECT g.doc_id, MAX(g.c * g.glen) AS mass
+             |  FROM gc$n g JOIN mx$n m ON g.doc_id = m.doc_id AND g.c = m.bc
+             |  GROUP BY g.doc_id
+             |)""".stripMargin
+        def dupCte(n: Int) =
+          s""", gp$n AS (
+             |  SELECT doc_id, i,
+             |    ARRAY_TO_STRING(tk[i:i+${n - 1}], ' ') AS gram
+             |  FROM (SELECT doc_id, tk, UNNEST(RANGE(1, LEN(tk) - $n + 2)) AS i
+             |        FROM d WHERE LEN(tk) >= $n)
+             |), dg$n AS (
+             |  SELECT doc_id, gram FROM gp$n
+             |  GROUP BY doc_id, gram HAVING COUNT(*) >= 2
+             |), cov$n AS (
+             |  SELECT DISTINCT doc_id, q FROM (
+             |    SELECT g.doc_id AS doc_id, UNNEST(RANGE(g.i, g.i + $n)) AS q
+             |    FROM gp$n g JOIN dg$n x
+             |      ON g.doc_id = x.doc_id AND g.gram = x.gram)
+             |), dc$n AS (
+             |  SELECT c.doc_id,
+             |    SUM(CAST(LEN(d.tk[CAST(c.q AS INT)]) AS BIGINT)) AS chars
+             |  FROM cov$n c JOIN d ON c.doc_id = d.doc_id
+             |  GROUP BY c.doc_id
+             |)""".stripMargin
+        val tops = Seq(2, 3, 4).map(topCte).mkString
+        val dups = Seq(5, 6, 7, 8, 9, 10).map(dupCte).mkString
+        val topRules = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16).map { case (n, t) =>
+          s"""  (CASE WHEN token_chars = 0 THEN 0.0
+             |    ELSE CAST(COALESCE(top$n.mass, 0) AS DOUBLE) / token_chars
+             |   END <= $t) AS top${n}gram_ok,""".stripMargin
+        }.mkString("\n")
+        val dupRules = Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
+          9 -> 0.11, 10 -> 0.10).map { case (n, t) =>
+          s"""  (CASE WHEN token_chars = 0 THEN 0.0
+             |    ELSE CAST(COALESCE(dc$n.chars, 0) AS DOUBLE) / token_chars
+             |   END <= $t) AS dup${n}gram_ok,""".stripMargin
+        }.mkString("\n")
+        val joins = (Seq(2, 3, 4).map(n => s"LEFT JOIN top$n USING (doc_id)")
+          ++ Seq(5, 6, 7, 8, 9, 10).map(n => s"LEFT JOIN dc$n USING (doc_id)"))
+          .mkString("\n")
+        s"""WITH d0 AS (
+           |  SELECT doc_id, STRING_SPLIT(text, ' ') AS tk0 FROM documents
+           |), built AS (
+           |  -- COALESCE: a slice START beyond the list length is NULL in
+           |  -- DuckDB (Spark's slice gives an empty array → '' line)
+           |  SELECT doc_id,
+           |    'repeated banner line' || chr(10) ||
+           |    COALESCE(ARRAY_TO_STRING(tk0[1:40], ' '), '') || chr(10) ||
+           |    'repeated banner line' || chr(10) ||
+           |    COALESCE(ARRAY_TO_STRING(tk0[41:100], ' '), '') ||
+           |    CASE WHEN doc_id % 5 = 0
+           |         THEN chr(10) || 'repeated banner line' ELSE '' END AS t
+           |  FROM d0
+           |), d AS (
+           |  SELECT doc_id, STRING_SPLIT(t, ' ') AS tk,
+           |    STRING_SPLIT(t, chr(10)) AS lns
+           |  FROM built
+           |), lin AS (
+           |  SELECT doc_id, LEN(lns) AS n_lines,
+           |    LEN(lns) - LEN(LIST_DISTINCT(lns)) AS n_dup,
+           |    LIST_SUM(LIST_TRANSFORM(lns,
+           |      l -> CAST(LEN(l) AS BIGINT))) AS line_chars
+           |  FROM d
+           |), dlc AS (
+           |  SELECT doc_id, SUM((cnt - 1) * len) AS dup_line_chars FROM (
+           |    SELECT doc_id, COUNT(*) AS cnt,
+           |      CAST(LEN(l) AS BIGINT) AS len
+           |    FROM (SELECT doc_id, UNNEST(lns) AS l FROM d)
+           |    GROUP BY doc_id, l)
+           |  GROUP BY doc_id
+           |), tc AS (
+           |  SELECT doc_id, LIST_SUM(LIST_TRANSFORM(tk,
+           |    x -> CAST(LEN(x) AS BIGINT))) AS token_chars
+           |  FROM d
+           |)$tops$dups
+           |SELECT lin.doc_id,
+           |  (CAST(n_dup AS DOUBLE) / n_lines <= 0.30) AS dup_line_frac_ok,
+           |  (CASE WHEN line_chars = 0 THEN 0.0
+           |    ELSE CAST(COALESCE(dup_line_chars, 0) AS DOUBLE) / line_chars
+           |   END <= 0.20) AS dup_line_char_frac_ok,
+           |$topRules
+           |$dupRules
+           |  (CAST(n_dup AS DOUBLE) / n_lines <= 0.30
+           |   AND CASE WHEN line_chars = 0 THEN 0.0
+           |     ELSE CAST(COALESCE(dup_line_chars, 0) AS DOUBLE) / line_chars
+           |    END <= 0.20
+           |${Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16).map { case (n, t) =>
+               s"""   AND CASE WHEN token_chars = 0 THEN 0.0
+                  |     ELSE CAST(COALESCE(top$n.mass, 0) AS DOUBLE) / token_chars
+                  |    END <= $t""".stripMargin }.mkString("\n")}
+           |${Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11,
+               10 -> 0.10).map { case (n, t) =>
+               s"""   AND CASE WHEN token_chars = 0 THEN 0.0
+                  |     ELSE CAST(COALESCE(dc$n.chars, 0) AS DOUBLE) / token_chars
+                  |    END <= $t""".stripMargin }.mkString("\n")}
+           |  ) AS passes
+           |FROM lin
+           |LEFT JOIN dlc USING (doc_id)
+           |JOIN tc USING (doc_id)
+           |$joins
+           |ORDER BY lin.doc_id""".stripMargin
+      }),
+
     Q("qc2_softmax_domains",  // MULTICLASS classifier (multinomial
       // Newton/IRLS over hashed bag-of-words) with the same planted-
       // teacher gate as qc1, lifted to K=4: label = argmax of four fixed

@@ -398,3 +398,192 @@ object GopherStats {
   def gopherStats(text: Column): Column =
     Glue.column(GopherStats(Glue.expression(text)))
 }
+
+/**
+ * Single-pass Gopher REPETITION statistics (Rae et al. 2021 §A1.1, the
+ * repetition-removal half): duplicate-line counts, the top n-gram
+ * character masses (n = 2..4), and the duplicated-n-gram character
+ * coverages (n = 5..10) — one compiled pass per row with per-document
+ * hash maps (bounded by the document, never a shuffle; the explode +
+ * self-join formulation would move every n-gram of a 100 TB corpus).
+ *
+ * All outputs are exact INTEGER numerators/denominators so the rule
+ * ratios are integer/integer IEEE doubles any engine reproduces:
+ *  - lines = `split(text, "\n")` (limit -1); `n_dup_lines` =
+ *    n_lines − n_distinct_lines; `dup_line_chars` = Σ over distinct
+ *    lines of (occurrences−1)·numChars(line); `line_chars` = Σ
+ *    numChars(line) over all lines;
+ *  - tokens = `split(text, " ")`; `token_chars` = Σ numChars(token);
+ *  - `top{2,3,4}_chars` = for word n-grams (windows of n consecutive
+ *    tokens; gram identity = tokens joined by one space; gram char
+ *    length = Σ token numChars, NO separators — consistent with the
+ *    `token_chars` denominator): max occurrence count, times the char
+ *    length of the LONGEST gram attaining that count (deterministic
+ *    tie-break both engines can express);
+ *  - `dup{5..10}_chars` = Σ numChars of tokens at positions covered by
+ *    at least one occurrence of an n-gram appearing ≥ 2 times
+ *    (positions marked, overlaps counted once).
+ */
+case class GopherRepetition(child: Expression) extends UnaryExpression {
+  import GopherRepetition._
+
+  override def dataType: DataType = schema
+  override def prettyName: String = "gopher_repetition"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gopher_repetition requires string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gopherRepetition", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.compute($c);")
+  }
+
+  def compute(text: UTF8String): InternalRow = {
+    // lines
+    val lines = text.split(newline, -1)
+    var lineChars = 0L
+    val lineCounts = new java.util.HashMap[String, Array[Long]]()
+    var i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      val chars = if (l == null) 0L else l.numChars().toLong
+      lineChars += chars
+      val key = if (l == null) "" else l.toString
+      val e = lineCounts.get(key)
+      if (e == null) lineCounts.put(key, Array(1L, chars))
+      else e(0) += 1
+      i += 1
+    }
+    var dupLines = 0L
+    var dupLineChars = 0L
+    val it = lineCounts.values().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e(0) > 1) { dupLines += e(0) - 1; dupLineChars += (e(0) - 1) * e(1) }
+    }
+
+    // tokens
+    val tokens = text.split(space, -1)
+    val m = tokens.length
+    val tokLen = new Array[Int](m)
+    var tokenChars = 0L
+    i = 0
+    while (i < m) {
+      tokLen(i) = if (tokens(i) == null) 0 else tokens(i).numChars()
+      tokenChars += tokLen(i)
+      i += 1
+    }
+    def gram(p: Int, n: Int): String = {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        if (tokens(p + j) != null) sb.append(tokens(p + j).toString)
+        j += 1
+      }
+      sb.toString
+    }
+    // top n-gram char mass, n = 2..4: gram char length = Σ token chars
+    // (no separators — consistent with the token_chars denominator);
+    // max count, tie-broken toward the larger char length
+    val top = new Array[Long](3)
+    var ni = 0
+    while (ni < 3) {
+      val n = ni + 2
+      if (m >= n) {
+        val counts = new java.util.HashMap[String, Array[Long]]()
+        var p = 0
+        while (p <= m - n) {
+          val g = gram(p, n)
+          val e = counts.get(g)
+          if (e == null) {
+            var s = 0L
+            var j = p
+            while (j < p + n) { s += tokLen(j); j += 1 }
+            counts.put(g, Array(1L, s))
+          } else e(0) += 1
+          p += 1
+        }
+        var bestCount = 0L
+        var bestLen = 0L
+        val gi = counts.values().iterator()
+        while (gi.hasNext) {
+          val e = gi.next()
+          if (e(0) > bestCount || (e(0) == bestCount && e(1) > bestLen)) {
+            bestCount = e(0); bestLen = e(1)
+          }
+        }
+        top(ni) = bestCount * bestLen
+      }
+      ni += 1
+    }
+    // duplicated n-gram coverage, n = 5..10: mark token positions under
+    // any occurrence of a gram appearing >= 2 times; overlaps count once
+    val dup = new Array[Long](6)
+    ni = 0
+    while (ni < 6) {
+      val n = ni + 5
+      if (m >= n) {
+        val counts = new java.util.HashMap[String, Integer]()
+        var p = 0
+        while (p <= m - n) {
+          val g = gram(p, n)
+          val c = counts.get(g)
+          counts.put(g, if (c == null) 1 else c.intValue() + 1)
+          p += 1
+        }
+        val marked = new Array[Boolean](m)
+        p = 0
+        while (p <= m - n) {
+          if (counts.get(gram(p, n)).intValue() >= 2) {
+            var j = p
+            while (j < p + n) { marked(j) = true; j += 1 }
+          }
+          p += 1
+        }
+        var s = 0L
+        var q = 0
+        while (q < m) { if (marked(q)) s += tokLen(q); q += 1 }
+        dup(ni) = s
+      }
+      ni += 1
+    }
+
+    InternalRow(lines.length, dupLines, lineChars, dupLineChars,
+      m, tokenChars, top(0), top(1), top(2),
+      dup(0), dup(1), dup(2), dup(3), dup(4), dup(5))
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object GopherRepetition {
+  val schema: StructType = StructType(Seq(
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("n_dup_lines", LongType, nullable = false),
+    StructField("line_chars", LongType, nullable = false),
+    StructField("dup_line_chars", LongType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("token_chars", LongType, nullable = false),
+    StructField("top2_chars", LongType, nullable = false),
+    StructField("top3_chars", LongType, nullable = false),
+    StructField("top4_chars", LongType, nullable = false),
+    StructField("dup5_chars", LongType, nullable = false),
+    StructField("dup6_chars", LongType, nullable = false),
+    StructField("dup7_chars", LongType, nullable = false),
+    StructField("dup8_chars", LongType, nullable = false),
+    StructField("dup9_chars", LongType, nullable = false),
+    StructField("dup10_chars", LongType, nullable = false)))
+
+  private val space = UTF8String.fromString(" ")
+  private val newline = UTF8String.fromString("\n")
+
+  def gopherRepetition(text: Column): Column =
+    Glue.column(GopherRepetition(Glue.expression(text)))
+}

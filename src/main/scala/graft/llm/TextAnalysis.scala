@@ -139,6 +139,58 @@ object TextAnalysis {
   def gopherFilter(df: DataFrame, textCol: String = "text"): DataFrame =
     df.filter(gopherRules(col(textCol)).getField("passes"))
 
+  /**
+   * Gopher REPETITION-removal flags (Rae et al. 2021 §A1.1, table A1 —
+   * the second half of the published filter, complementing
+   * [[gopherRules]]): one named boolean per rule plus the conjunction,
+   * from ONE compiled pass (graft.functions.GopherRepetition). All
+   * fractions are exact-integer numerator/denominator IEEE doubles
+   * (0 when the denominator is 0), so any engine agrees flag-for-flag:
+   *
+   *  - `dup_line_frac_ok`      (n_lines − n_distinct)/n_lines ≤ 0.30
+   *  - `dup_line_char_frac_ok` chars in repeated line occurrences /
+   *    total line chars ≤ 0.20
+   *  - `top{2,3,4}gram_ok`     top n-gram char mass / token chars ≤
+   *    0.20 / 0.18 / 0.16
+   *  - `dup{5..10}gram_ok`     chars under duplicated n-grams / token
+   *    chars ≤ 0.15 / 0.14 / 0.13 / 0.12 / 0.11 / 0.10
+   *  - `passes`                all of the above
+   *
+   * The paper's separate PARAGRAPH rules are not distinct here: this
+   * engine's line-based document model has no paragraph marker, so the
+   * line rules stand in for both (documented in LIMITS.md).
+   */
+  def gopherRepetitionRules(text: Column): Column = {
+    val rs = graft.functions.GopherRepetition.gopherRepetition(text)
+    def frac(num: Column, den: Column): Column =
+      when(den === 0, lit(0.0))
+        .otherwise(num.cast("double") / den.cast("double"))
+    val nLines = rs.getField("n_lines")
+    val lineChars = rs.getField("line_chars")
+    val tokChars = rs.getField("token_chars")
+    val thresholds = Seq(
+      ("top2gram_ok", "top2_chars", 0.20), ("top3gram_ok", "top3_chars", 0.18),
+      ("top4gram_ok", "top4_chars", 0.16), ("dup5gram_ok", "dup5_chars", 0.15),
+      ("dup6gram_ok", "dup6_chars", 0.14), ("dup7gram_ok", "dup7_chars", 0.13),
+      ("dup8gram_ok", "dup8_chars", 0.12), ("dup9gram_ok", "dup9_chars", 0.11),
+      ("dup10gram_ok", "dup10_chars", 0.10))
+    val rules =
+      Seq("dup_line_frac_ok" ->
+            (frac(rs.getField("n_dup_lines"), nLines) <= 0.30),
+          "dup_line_char_frac_ok" ->
+            (frac(rs.getField("dup_line_chars"), lineChars) <= 0.20)) ++
+        thresholds.map { case (nm, f, t) =>
+          nm -> (frac(rs.getField(f), tokChars) <= t)
+        }
+    struct((rules.map { case (nm, c) => c.as(nm) } :+
+      rules.map(_._2).reduce(_ && _).as("passes")): _*)
+  }
+
+  /** Keep rows passing every [[gopherRepetitionRules]] check. */
+  def gopherRepetitionFilter(df: DataFrame,
+                             textCol: String = "text"): DataFrame =
+    df.filter(gopherRepetitionRules(col(textCol)).getField("passes"))
+
   /** Order-sensitive document fingerprint: rolling hash chaining each word
     * into the accumulator (Karp-Rabin shape, overflow-free under ANSI mode).
     * Same text → same 64-bit fingerprint; any reordering changes it
@@ -410,9 +462,12 @@ object TextAnalysis {
     val est = terms.map(t =>
       t -> cms.estimateCount(t.getBytes("UTF-8"))).toMap
     val estDf = est.toSeq.toDF("w", "cms_estimate")
-    tok.filter(col("w").isin(terms: _*))
-      .groupBy("w").agg(count(lit(1)).as("exact_count"))
-      .join(broadcast(estDf), Seq("w"), "right")
+    // estDf (the preserved side) on the LEFT, counts broadcast on the
+    // right: a broadcast hint on the preserved side of an outer join is
+    // unsupported (build-right for right-outer) and logs a hint error
+    estDf
+      .join(broadcast(tok.filter(col("w").isin(terms: _*))
+        .groupBy("w").agg(count(lit(1)).as("exact_count"))), Seq("w"), "left")
       .select(col("w").as("term"),
         coalesce(col("exact_count"), lit(0L)).as("exact_count"),
         col("cms_estimate"))

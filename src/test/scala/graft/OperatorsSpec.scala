@@ -333,6 +333,34 @@ class OperatorsSpec extends SparkSpec {
     assert(sym, "sub-threshold per-symbol ratios must pass the symbol rule")
   }
 
+  test("gopher repetition rules: dup lines, top n-grams, dup-gram coverage") {
+    import spark.implicits._
+    def flags(text: String) = Seq((1L, text)).toDF("id", "text")
+      .select(TextAnalysis.gopherRepetitionRules($"text").as("g"))
+      .select(col("g.*")).head
+    val distinctDoc = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val clean = flags(distinctDoc +
+      "\nsecond line unique\nthird line different")
+    assert(clean.getAs[Boolean]("passes"), s"clean doc must pass: $clean")
+    // 2 of 4 lines duplicate the first (0.5 > 0.30)
+    val dl = flags("same line here\nsame line here\nsame line here\n"
+      + distinctDoc)
+    assert(!dl.getAs[Boolean]("dup_line_frac_ok"))
+    assert(!dl.getAs[Boolean]("passes"))
+    // bigram-dominated text: "x y" covers every other window
+    val tb = flags(Seq.fill(30)("x y").mkString(" "))
+    assert(!tb.getAs[Boolean]("top2gram_ok"))
+    // one repeated 5-gram (coverage 20/70 > 0.15) and NO repeated 6-gram
+    val five = "a1 a2 a3 a4 a5 " +
+      (0 until 20).map(i => s"b$i").mkString(" ") + " a1 a2 a3 a4 a5"
+    val f5 = flags(five)
+    assert(!f5.getAs[Boolean]("dup5gram_ok"))
+    assert(f5.getAs[Boolean]("dup6gram_ok"),
+      "the repeated run is exactly 5 tokens — 6-gram coverage must be clean")
+    // empty text: zero denominators read as zero fractions → passes
+    assert(flags("").getAs[Boolean]("passes"))
+  }
+
   test("GopherStats native pass equals the HOF column formulation") {
     import spark.implicits._
     val docs = Seq(
