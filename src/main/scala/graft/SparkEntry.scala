@@ -1130,6 +1130,70 @@ object SparkEntry {
              |  CAST(SUM(nls) AS DOUBLE) AS neg_logp_sum
              |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    Q("ta18_ccnet_buckets",  // CCNet perplexity bucketing: docs >= 400
+      // scored against the LM of docs < 400, split per LANGUAGE into
+      // head/middle/tail thirds by exact integer micro-nats-per-bigram with
+      // RANK-arithmetic boundaries ((rank*3) div m — never an interpolated
+      // quantile cut value); DuckDB rebuilds the whole LM (the ta10 CTEs)
+      // plus the per-language ranking and must agree bucket-for-bucket
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        graft.llm.TextAnalysis.ccnetBuckets(
+            d.filter(col("doc_id") < 400), d.filter(col("doc_id") >= 400),
+            "doc_id", groupCol = Some("lang"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS l FROM documents
+             |), c1 AS (
+             |  SELECT w, COUNT(*) AS c1 FROM (
+             |    SELECT UNNEST(l) AS w FROM d WHERE doc_id < 400
+             |  ) GROUP BY w
+             |), n AS (SELECT SUM(c1) AS n_corpus FROM c1),
+             |c2 AS (
+             |  SELECT g.w1 AS w1, g.w2 AS w2, COUNT(*) AS c2 FROM (
+             |    SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(l)),
+             |      i -> struct_pack(w1 := l[i], w2 := l[i+1]))) AS g
+             |    FROM d WHERE doc_id < 400
+             |  ) GROUP BY 1, 2
+             |), bg AS (
+             |  SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM (
+             |    SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(l)),
+             |      i -> struct_pack(w1 := l[i], w2 := l[i+1]))) AS g
+             |    FROM d WHERE doc_id >= 400
+             |  )
+             |), p AS (
+             |  SELECT bg.doc_id, c2.c2,
+             |    CAST(ROUND(-LN(CASE WHEN c2.c2 IS NOT NULL
+             |      THEN c2.c2 * 1.0 / p1.c1
+             |      ELSE 0.4 * COALESCE(p2.c1, 1) / n.n_corpus END), 6)
+             |      AS DECIMAL(18,6)) AS nls
+             |  FROM bg
+             |  LEFT JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+             |  LEFT JOIN c1 p1 ON bg.w1 = p1.w
+             |  LEFT JOIN c1 p2 ON bg.w2 = p2.w
+             |  CROSS JOIN n
+             |), lm AS (
+             |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |    CAST(SUM(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_backoff,
+             |    CAST(SUM(nls) AS DOUBLE) AS neg_logp_sum,
+             |    CAST(SUM(nls) * 1000000 AS BIGINT)
+             |      // CAST(COUNT(*) AS BIGINT) AS ppt_micro
+             |  FROM p GROUP BY doc_id
+             |), ranked AS (
+             |  SELECT lm.*, d.lang AS "group",
+             |    ROW_NUMBER() OVER (PARTITION BY d.lang
+             |      ORDER BY ppt_micro, lm.doc_id) - 1 AS wr,
+             |    COUNT(*) OVER (PARTITION BY d.lang) AS m
+             |  FROM lm JOIN d ON lm.doc_id = d.doc_id
+             |)
+             |SELECT doc_id, "group", n_bigrams, n_backoff, neg_logp_sum,
+             |  ppt_micro,
+             |  CASE (wr * 3) // m WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+             |    ELSE 'tail' END AS bucket
+             |FROM ranked ORDER BY doc_id""".stripMargin)),
+
     Q("ta11_heavy_hitters",  // count-min-sketch frequency estimates vs the
       // exact counts: seed-fixed CMS is fully deterministic, and on this
       // corpus's vocabulary the 2718-counter rows are collision-free, so
@@ -2699,6 +2763,64 @@ object SparkEntry {
              |  SELECT doc_id, pos, line FROM l WHERE LENGTH(line) < 5
              |), agg AS (
              |  SELECT doc_id, STRING_AGG(line, CHR(10) ORDER BY pos) AS t2
+             |  FROM kept GROUP BY doc_id
+             |)
+             |SELECT d.doc_id, COALESCE(agg.t2, '') AS text
+             |FROM d LEFT JOIN agg USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    Q("dd12_span_dedup",  // exact-substring span REMOVAL keep-first (Lee
+      // et al. ExactSubstr): a 12-token license passage planted into every
+      // doc_id % 5 == 0 document survives only at its globally-first
+      // occurrence; natural 8-token repeats dedup too. DuckDB recomputes
+      // the identical cut set by grouping windows on their TEXT (no hash
+      // in the oracle, so the gate also witnesses that Spark's md5 window
+      // identity never cross-links distinct spans) and value-matches the
+      // reassembled documents.
+      (s, dir) => {
+        val planted = lit("Licensed under the Apache License Version 2.0 " +
+          "see the NOTICE file")
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat_ws(" ", planted, col("text")))
+            .otherwise(col("text")).as("text"))
+        graft.llm.Dedup.dedupSpansKeepFirst(docs, "doc_id", "text",
+            spanTokens = 8, stride = 1)
+          .select("doc_id", "text").orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+             |    THEN 'Licensed under the Apache License Version 2.0 ' ||
+             |         'see the NOTICE file ' || text
+             |    ELSE text END AS text
+             |  FROM documents
+             |), toks AS (
+             |  SELECT doc_id,
+             |    UNNEST(STRING_SPLIT(text, ' ')) AS tok,
+             |    UNNEST(RANGE(0, LEN(STRING_SPLIT(text, ' ')))) AS tp
+             |  FROM d
+             |), w AS (
+             |  SELECT d.doc_id, p.p AS wp,
+             |    ARRAY_TO_STRING(LIST_SLICE(STRING_SPLIT(d.text, ' '),
+             |      p.p + 1, p.p + 8), ' ') AS win
+             |  FROM d, LATERAL (SELECT UNNEST(RANGE(0,
+             |    LEN(STRING_SPLIT(d.text, ' ')) - 8 + 1)) AS p) p
+             |  WHERE LEN(STRING_SPLIT(d.text, ' ')) >= 8
+             |), ranked AS (
+             |  SELECT doc_id, wp,
+             |    ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, wp) AS rn,
+             |    COUNT(*) OVER (PARTITION BY win) AS n
+             |  FROM w
+             |), cut AS (
+             |  SELECT DISTINCT doc_id, wp + o.o AS tp
+             |  FROM ranked, LATERAL (SELECT UNNEST(RANGE(0, 8)) AS o) o
+             |  WHERE n >= 2 AND rn > 1
+             |), kept AS (
+             |  SELECT t.doc_id, t.tp, t.tok
+             |  FROM toks t LEFT JOIN cut c
+             |    ON t.doc_id = c.doc_id AND t.tp = c.tp
+             |  WHERE c.doc_id IS NULL
+             |), agg AS (
+             |  SELECT doc_id, STRING_AGG(tok, ' ' ORDER BY tp) AS t2
              |  FROM kept GROUP BY doc_id
              |)
              |SELECT d.doc_id, COALESCE(agg.t2, '') AS text

@@ -339,6 +339,81 @@ object Dedup {
   private def windowAt(txt: Column, p: Column, len: Int): Column =
     txt.substr(p + 1, lit(len))
 
+  /**
+   * EXACT-SUBSTRING span REMOVAL, keep-first (Lee et al. 2022,
+   * "Deduplicating Training Data Makes Language Models Better" — the
+   * ExactSubstr pass: duplicated training spans, not just whole-document
+   * duplicates, measurably degrade models, so all but one occurrence of
+   * every repeated span is CUT from the corpus). Token-granular: any
+   * window of `spanTokens` whitespace tokens occurring more than once in
+   * the corpus keeps only its globally FIRST occurrence in
+   * `(idCol, token position)` order; the tokens under every other
+   * occurrence are removed from their documents. With `stride = 1` (the
+   * default) this exactly covers all duplicated token spans of length ≥
+   * `spanTokens`: a longer duplicated span is tiled by duplicated windows
+   * at every offset, so the whole span is cut (while the keep-first copy
+   * survives intact). `stride > 1` trades recall for an
+   * `spanTokens/stride`-fold cheaper window pass, same as
+   * [[duplicateSpans]].
+   *
+   * The paper's suffix-array machinery becomes a hash equi-join here
+   * (the same re-expression as [[duplicateSpans]], plus the removal):
+   *  1. map-side: each document emits `md5(window)` per window — 128-bit
+   *    identity, so a hash collision can't cross-link two different spans
+   *    and delete real content (the [[dedupLinesKeepFirst]] lesson; at
+   *    corpus scale 64-bit birthday collisions are expected);
+   *  2. ONE combiner-friendly shuffle on the 16-byte hash elects the
+   *    first occurrence per duplicated window (`min(struct(id, pos))` —
+   *    an aggregate, never a corpus-wide window function);
+   *  3. non-first occurrences explode to covered token positions; the
+   *    token stream anti-joins them and reassembles per document
+   *    (id-keyed shuffles, all linear in corpus size).
+   *
+   * Documents reassemble with single-space joins, so runs of whitespace
+   * collapse only where a cut span removed the intervening tokens; a
+   * document whose every token is cut comes back as "" (the
+   * [[dedupLinesKeepFirst]] convention).
+   */
+  def dedupSpansKeepFirst(df: DataFrame, idCol: String, textCol: String,
+                          spanTokens: Int = 50, stride: Int = 1): DataFrame = {
+    require(spanTokens > 0 && stride > 0,
+      "spanTokens and stride must be positive")
+    val base = df.select(col(idCol), split(col(textCol), " ").as("_toks"))
+    // (id, window start, md5(window text)) per sampled window — the hash is
+    // computed map-side from the token slice; raw text never shuffles
+    val wins = base
+      .filter(size(col("_toks")) >= spanTokens)
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), size(col("_toks")) - spanTokens, lit(stride)),
+          i => md5(concat_ws(" ", slice(col("_toks"), i + 1, lit(spanTokens)))))))
+      .select(col(idCol), (col("pos") * stride).as("_wp"), col("col").as("_wh"))
+    val firsts = wins.groupBy("_wh")
+      .agg(count(lit(1)).as("_n"),
+        min(struct(col(idCol).as("_fid"), col("_wp").as("_fp"))).as("_first"))
+      .filter(col("_n") >= 2)
+      .select("_wh", "_first")
+    // covered token positions of every NON-first occurrence of a
+    // duplicated window (distinct: overlapping windows mark a position once)
+    val cut = wins.join(firsts, Seq("_wh"))
+      .filter(!(col("_first._fid") === col(idCol) &&
+        col("_first._fp") === col("_wp")))
+      .select(col(idCol),
+        explode(sequence(col("_wp"), col("_wp") + (spanTokens - 1))).as("_tp"))
+      .distinct()
+    val toks = base.select(col(idCol),
+      posexplode(col("_toks")).as(Seq("_tp", "_tok")))
+    val rebuilt = toks.join(cut, Seq(idCol, "_tp"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("_tp"), col("_tok")))),
+        x => x.getField("_tok")), " ").as("_clean"))
+    df.drop(textCol)
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("_clean"), lit("")))
+      .drop("_clean")
+  }
+
   /** Partition-local pre-contraction: hash-shuffle edges on `u`, run a
     * union-find inside each partition, and emit each LOCAL component as a
     * star (member → local minimum), INCLUDING the root's own `(root, root)`

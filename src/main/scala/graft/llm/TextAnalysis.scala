@@ -346,6 +346,75 @@ object TextAnalysis {
   }
 
   /**
+   * CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+   * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+   * score each document against a reference LM trained on a trusted slice
+   * — here the Stupid-Backoff bigram LM of [[bigramLogProb]] standing in
+   * for CCNet's KenLM 5-gram — and split every group (CCNet: language)
+   * into `head` / `middle` / `tail` thirds by per-token negative
+   * log-probability. Head is the most in-distribution (lowest-perplexity)
+   * third; CCNet pretrains on head+middle and drops tail.
+   *
+   * Determinism and dual-engine parity: the per-token score is an exact
+   * integer — `ppt_micro = (neg_logp_sum in micro-nats) div n_bigrams`,
+   * pure BIGINT from the 6-dp DECIMAL sum — and bucket boundaries are
+   * RANK arithmetic (`(rank·3) div m`), never interpolated quantile cut
+   * VALUES, which are half-ulp engine-dependent. Any engine recomputing
+   * the same formula agrees bucket-for-bucket.
+   *
+   * Scale shape: LM count tables broadcast ([[bigramLogProb]]); the
+   * per-group ranking is [[Curation.rankBySort]] — range-partitioned
+   * two-phase rank, so a 100-TB language never serializes through one
+   * window partition; group offsets/sizes are one metadata-sized
+   * aggregate broadcast back.
+   *
+   * Contract: only documents with ≥ 1 bigram (≥ 2 tokens) are scored —
+   * shorter documents have no LM evidence and are absent from the output
+   * (filter or pass them through upstream). `idCol` must be unique.
+   * Returns (idCol, group, n_bigrams, n_backoff, neg_logp_sum, ppt_micro,
+   * bucket).
+   */
+  def ccnetBuckets(train: DataFrame, score: DataFrame, idCol: String,
+                   textCol: String = "text",
+                   groupCol: Option[String] = None,
+                   alpha: Double = 0.4): DataFrame = {
+    val lm = bigramLogProb(train, score, idCol, textCol, alpha)
+    val grouped = groupCol match {
+      case Some(g) => lm.join(
+        score.select(col(idCol), col(g).cast("string").as("group")), Seq(idCol))
+      case None => lm.withColumn("group", lit("all"))
+    }
+    val scored = grouped
+      .withColumn("ppt_micro",
+        expr("cast(round(neg_logp_sum * 1e6) as bigint) div n_bigrams"))
+    val ranked = Curation.rankBySort(
+      scored.select(col(idCol), col("group"), col("n_bigrams"),
+        col("n_backoff"), col("neg_logp_sum"), col("ppt_micro")),
+      Seq(col("group").asc, col("ppt_micro").asc, col(idCol).asc))
+    // one row per group: the group's global-rank base and size (the rank
+    // is contiguous per group because `group` leads the total order)
+    val gstats = ranked.groupBy(col("group").as("__g"))
+      .agg(min(col("_rank")).as("__g0"), count(lit(1)).as("__gm"))
+    ranked.join(broadcast(gstats), col("group") <=> col("__g"))
+      .withColumn("bucket",
+        expr("CASE ((_rank - __g0) * 3) div __gm WHEN 0 THEN 'head' " +
+          "WHEN 1 THEN 'middle' ELSE 'tail' END"))
+      .select(col(idCol), col("group"), col("n_bigrams"), col("n_backoff"),
+        col("neg_logp_sum"), col("ppt_micro"), col("bucket"))
+  }
+
+  /** Keep only the `head` + `middle` buckets of [[ccnetBuckets]] — the
+    * CCNet pretraining selection. Documents too short to score (< 2
+    * tokens) are dropped with the tail: no LM evidence, no keep. */
+  def ccnetFilter(train: DataFrame, df: DataFrame, idCol: String,
+                  textCol: String = "text",
+                  groupCol: Option[String] = None,
+                  alpha: Double = 0.4): DataFrame =
+    df.join(ccnetBuckets(train, df, idCol, textCol, groupCol, alpha)
+        .filter(col("bucket") =!= "tail").select(col(idCol)),
+      Seq(idCol), "left_semi")
+
+  /**
    * Per-document top-k terms by TF-IDF — keyword extraction / topical
    * fingerprinting. idf = ln((N+1)/(df_t+1)) rounded to 6 dp as DECIMAL;
    * score = tf × idf stays exact decimal, so ranking ties break

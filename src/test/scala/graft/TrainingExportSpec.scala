@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * domain mixing, corpus-wide keep-first line dedup, and the distributed
   * logistic-regression quality classifier. */
 class TrainingExportSpec extends SparkSpec {
-  import graft.llm.{Classifier, Curation, Dedup}
+  import graft.llm.{Classifier, Curation, Dedup, TextAnalysis}
 
   private def docs(n: Int): DataFrame = {
     import spark.implicits._
@@ -343,6 +343,112 @@ class TrainingExportSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(1L) === "SHARED LINE")
     assert(out(2L) === "")
+  }
+
+  // ---- dedupSpansKeepFirst (exact-substring removal) ----
+
+  test("dedupSpansKeepFirst: first span occurrence survives, later ones cut") {
+    import spark.implicits._
+    // 4-token span "a b c d" duplicated across docs and within doc 3
+    val d = Seq(
+      (1L, "a b c d tail one"),
+      (2L, "head two a b c d"),
+      (3L, "a b c d mid a b c d")
+    ).toDF("id", "text")
+    val out = Dedup.dedupSpansKeepFirst(d, "id", "text", spanTokens = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 holds the globally-first occurrence (id 1, pos 0) — intact
+    assert(out(1L) === "a b c d tail one")
+    // doc 2's copy is cut, the rest of the doc survives
+    assert(out(2L) === "head two")
+    // doc 3: BOTH its occurrences are non-first (doc 1 won), both cut
+    assert(out(3L) === "mid")
+  }
+
+  test("dedupSpansKeepFirst: stride=1 tiles and cuts spans longer than the window") {
+    import spark.implicits._
+    // duplicated span of 6 tokens with spanTokens=4: every offset's window
+    // duplicates, so the WHOLE span vanishes from the second doc
+    val span = "w1 w2 w3 w4 w5 w6"
+    val d = Seq(
+      (1L, s"$span uniq1"),
+      (2L, s"uniq2 $span")
+    ).toDF("id", "text")
+    val out = Dedup.dedupSpansKeepFirst(d, "id", "text", spanTokens = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === s"$span uniq1")
+    assert(out(2L) === "uniq2")
+  }
+
+  test("dedupSpansKeepFirst: short documents and unique text pass through") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "too short"),                 // < spanTokens tokens: no windows
+      (2L, "all of these tokens differ entirely")
+    ).toDF("id", "text")
+    val out = Dedup.dedupSpansKeepFirst(d, "id", "text", spanTokens = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "too short")
+    assert(out(2L) === "all of these tokens differ entirely")
+  }
+
+  test("dedupSpansKeepFirst: identical whole documents keep exactly one copy") {
+    import spark.implicits._
+    val d = Seq((2L, "x y z w"), (1L, "x y z w"), (3L, "x y z w"))
+      .toDF("id", "text")
+    val out = Dedup.dedupSpansKeepFirst(d, "id", "text", spanTokens = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "x y z w") // smallest id wins, not input order
+    assert(out(2L) === "")
+    assert(out(3L) === "")
+  }
+
+  // ---- ccnetBuckets (perplexity head/middle/tail) ----
+
+  test("ccnetBuckets: thirds per group by rank arithmetic, repartition-stable") {
+    import spark.implicits._
+    val train = Seq((0L, "g", "the cat sat on the mat the cat sat"))
+      .toDF("id", "lang", "text")
+    // 6 scored docs in one group: fluent (training-like) text must land in
+    // head, rare-bigram soup in tail; 6 rows → exactly 2 per bucket
+    val score = Seq(
+      (1L, "g", "the cat sat on the mat"),
+      (2L, "g", "the cat sat on the mat the cat"),
+      (3L, "g", "the cat zzz qqq"),
+      (4L, "g", "qqq zzz vvv uuu"),
+      (5L, "g", "on the mat"),
+      (6L, "g", "zzz the cat")
+    ).toDF("id", "lang", "text")
+    val out = TextAnalysis.ccnetBuckets(train, score, "id",
+      groupCol = Some("lang"))
+    val buckets = out.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("bucket")).toMap
+    assert(buckets.size == 6)
+    assert(Seq("head", "middle", "tail").forall(b =>
+      buckets.values.count(_ == b) == 2), s"even thirds: $buckets")
+    assert(buckets(1L) == "head")
+    assert(buckets(4L) == "tail")
+    // determinism: the bucketed result is identical under repartition
+    val again = TextAnalysis.ccnetBuckets(train, score.repartition(7), "id",
+      groupCol = Some("lang"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("bucket")).toMap
+    assert(again == buckets)
+  }
+
+  test("ccnetFilter keeps head+middle and drops tail and too-short docs") {
+    import spark.implicits._
+    val train = Seq((0L, "the cat sat on the mat")).toDF("id", "text")
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat"),
+      (3L, "qqq zzz vvv"),
+      (4L, "single")  // < 2 tokens: no LM evidence, dropped
+    ).toDF("id", "text")
+    val kept = TextAnalysis.ccnetFilter(train, docs, "id")
+      .select("id").as[Long].collect().toSet
+    assert(!kept.contains(4L), "unscorable doc must not be kept")
+    assert(kept.contains(1L), "most in-distribution doc must survive")
+    assert(!kept.contains(3L), "the worst third is the tail")
   }
 
   // ---- Classifier ----
