@@ -232,6 +232,19 @@ object Bench {
           "doc_id", k = 500))
         finally spark.conf.set(key, old)
       }),
+      // exact-substring span removal end-to-end: window-hash shuffle +
+      // keep-first winner aggregate + covered-position anti-join + per-doc
+      // reassembly — a planted shared header makes the cut path real
+      "span_dedup" -> (() => mat(graft.llm.Dedup.dedupSpansKeepFirst(
+        t("documents").select(col("doc_id"),
+          concat_ws(" ", lit("shared license header sentence that applies " +
+            "to every document"), col("text")).as("text")),
+        "doc_id", "text", spanTokens = 8, stride = 1))),
+      // CCNet perplexity bucketing: broadcast bigram-LM scoring + the
+      // range-partitioned two-phase per-language rank
+      "ccnet_bucket" -> (() => mat(graft.llm.TextAnalysis.ccnetBuckets(
+        t("documents").filter(col("doc_id") % 10 === 0), t("documents"),
+        "doc_id", groupCol = Some("lang")))),
       // published rule filters, pure map-side: Gopher checklist flags +
       // C4 line rules over synthesized page structure — measures the
       // per-document string/regex/HOF cost that every corpus pays once

@@ -79,6 +79,78 @@ case class MinHashSignature(child: Expression, k: Int, shingleN: Int = 1)
 }
 
 /**
+ * POSITIONAL window hash pairs of a token array: for each window of `n`
+ * consecutive tokens starting at 0, stride, 2·stride, … (full windows
+ * only — a document shorter than `n` tokens yields an empty array), the
+ * xxhash64 of the space-joined window text under TWO independent seeds,
+ * as one array<struct<h1,h2>> aligned with the window index. The
+ * exact-substring span-dedup pass ([[graft.llm.Dedup.dedupSpansKeepFirst]])
+ * shuffles on `h1` (8 bytes) and verifies winners on `h2` — 128 effective
+ * identity bits, so a 64-bit birthday collision (expected at corpus
+ * scale) degrades to a KEPT duplicate instead of deleted content.
+ *
+ * Exists for throughput, like [[ShingleHashes]]: the declarative
+ * equivalent (`md5(concat_ws(' ', slice(toks, i+1, n)))` per window)
+ * materializes a window string column and pays interpreted-lambda +
+ * digest cost per window; this runs the whole loop in Java at hash
+ * speed with one reused buffer.
+ */
+case class WindowHashPairs(child: Expression, n: Int, stride: Int)
+    extends UnaryExpression {
+  require(n >= 1 && stride >= 1, "window size and stride must be positive")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "window_hash_pairs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"window_hash_pairs requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("windowHashPairs", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);")
+  }
+
+  def compute(arr: ArrayData): ArrayData = {
+    val nTok = arr.numElements()
+    if (nTok < n) return new GenericArrayData(Array.empty[Any])
+    val nWin = (nTok - n) / stride + 1
+    val out = new Array[Any](nWin)
+    val sb = new java.lang.StringBuilder(64)
+    var w = 0
+    while (w < nWin) {
+      val j = w * stride
+      sb.setLength(0)
+      var m = 0
+      var first = true
+      while (m < n) {
+        // concat_ws semantics: null elements are skipped entirely
+        if (!arr.isNullAt(j + m)) {
+          if (!first) sb.append(' ')
+          sb.append(arr.getUTF8String(j + m).toString)
+          first = false
+        }
+        m += 1
+      }
+      val s = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      out(w) = org.apache.spark.sql.catalyst.InternalRow(
+        XxHash64Function.hash(s, StringType, 42L),
+        XxHash64Function.hash(s, StringType, 0x9E3779B97F4A7CL))
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/**
  * DISTINCT shingle hashes of a token array: the fused equivalent of
  * `array_distinct(transform(idx, i → concat_ws(' ', slice(toks, …))))`
  * followed by `xxhash64` — same windows (n consecutive tokens, short tail
@@ -382,4 +454,7 @@ object TextHashes {
   /** Distinct xxhash64(seed 42) values of a token array's n-shingles. */
   def shingleHashes(tokens: Column, n: Int): Column =
     Glue.column(ShingleHashes(Glue.expression(tokens), n))
+  /** Positional (h1, h2) hash pairs of n-token windows every `stride`. */
+  def windowHashPairs(tokens: Column, n: Int, stride: Int): Column =
+    Glue.column(WindowHashPairs(Glue.expression(tokens), n, stride))
 }

@@ -358,16 +358,20 @@ object Dedup {
    *
    * The paper's suffix-array machinery becomes a hash equi-join here
    * (the same re-expression as [[duplicateSpans]], plus the removal):
-   *  1. map-side: each document emits `md5(window)` per window — 128-bit
-   *    identity, so a hash collision can't cross-link two different spans
-   *    and delete real content (the [[dedupLinesKeepFirst]] lesson; at
-   *    corpus scale 64-bit birthday collisions are expected);
-   *  2. ONE combiner-friendly shuffle on the 16-byte hash elects the
-   *    first occurrence per duplicated window (`min(struct(id, pos))` —
-   *    an aggregate, never a corpus-wide window function);
-   *  3. non-first occurrences explode to covered token positions; the
-   *    token stream anti-joins them and reassembles per document
-   *    (id-keyed shuffles, all linear in corpus size).
+   *  1. map-side: each document emits an (h1, h2) hash pair per window —
+   *    one fused native pass (`graft.functions.WindowHashPairs`), so the
+   *    shuffle carries 8-byte keys and raw text never moves;
+   *  2. ONE combiner-friendly shuffle on h1 elects the first occurrence
+   *    per duplicated window (`min(struct(id, pos, h2))` — an aggregate,
+   *    never a corpus-wide window function);
+   *  3. non-first occurrences whose independently-seeded h2 MATCHES the
+   *    winner's explode to covered token positions; the token stream
+   *    anti-joins them and reassembles per document (id-keyed shuffles,
+   *    all linear in corpus size). The h2 check gives 128 effective
+   *    identity bits: on a 64-bit h1 birthday collision (expected at
+   *    ~5e9 distinct windows) the verifier mismatches and the losing
+   *    span is KEPT — a retained duplicate, never deleted content (the
+   *    [[dedupLinesKeepFirst]] degrade contract).
    *
    * Documents reassemble with single-space joins, so runs of whitespace
    * collapse only where a cut span removed the intervening tokens; a
@@ -379,25 +383,25 @@ object Dedup {
     require(spanTokens > 0 && stride > 0,
       "spanTokens and stride must be positive")
     val base = df.select(col(idCol), split(col(textCol), " ").as("_toks"))
-    // (id, window start, md5(window text)) per sampled window — the hash is
-    // computed map-side from the token slice; raw text never shuffles
     val wins = base
-      .filter(size(col("_toks")) >= spanTokens)
       .select(col(idCol),
-        posexplode(transform(
-          sequence(lit(0), size(col("_toks")) - spanTokens, lit(stride)),
-          i => md5(concat_ws(" ", slice(col("_toks"), i + 1, lit(spanTokens)))))))
-      .select(col(idCol), (col("pos") * stride).as("_wp"), col("col").as("_wh"))
+        posexplode(graft.functions.TextHashes.windowHashPairs(
+          col("_toks"), spanTokens, stride)))
+      .select(col(idCol), (col("pos") * stride).as("_wp"),
+        col("col.h1").as("_wh"), col("col.h2").as("_wh2"))
     val firsts = wins.groupBy("_wh")
       .agg(count(lit(1)).as("_n"),
-        min(struct(col(idCol).as("_fid"), col("_wp").as("_fp"))).as("_first"))
+        min(struct(col(idCol).as("_fid"), col("_wp").as("_fp"),
+          col("_wh2").as("_fh2"))).as("_first"))
       .filter(col("_n") >= 2)
       .select("_wh", "_first")
     // covered token positions of every NON-first occurrence of a
-    // duplicated window (distinct: overlapping windows mark a position once)
+    // duplicated window (distinct: overlapping windows mark a position
+    // once); the h2 equality keeps collision casualties instead
     val cut = wins.join(firsts, Seq("_wh"))
-      .filter(!(col("_first._fid") === col(idCol) &&
-        col("_first._fp") === col("_wp")))
+      .filter(col("_first._fh2") === col("_wh2") &&
+        !(col("_first._fid") === col(idCol) &&
+          col("_first._fp") === col("_wp")))
       .select(col(idCol),
         explode(sequence(col("_wp"), col("_wp") + (spanTokens - 1))).as("_tp"))
       .distinct()

@@ -471,7 +471,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     "classifier_fit", "contamination_report", "softmax_fit", "softmax_score",
     "bpe_fit", "tokenize_pack", "corpus_report", "dedup_probe", "epoch_mix",
     "dsir_select", "keep_best", "weighted_sample", "dsir_fit", "dsir_score",
-    "gopher_filter", "c4_filter")
+    "gopher_filter", "c4_filter", "span_dedup", "ccnet_bucket")
 
   /** Manifest version a streaming checkpoint has durably consumed through,
     * or -1 if no batch has committed yet. Reads Spark's own checkpoint
@@ -1034,6 +1034,53 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             args(4).asInstanceOf[Int])
           Seq(org.apache.spark.sql.Row(
             replaceOutput(tx, args(3).asInstanceOf[String], deduped)))
+        }
+      }
+      // exact-substring span REMOVAL keep-first (Lee et al. ExactSubstr):
+      // any `span_tokens`-token window occurring more than once in the
+      // corpus survives only at its globally-first (id, position)
+      // occurrence; the cut-and-reassembled documents land in `out_table`
+      case "span_dedup" => new GraftProcedure("span_dedup",
+          Seq(("table", StringType, None), ("id_col", StringType, None),
+            ("text_col", StringType, None), ("out_table", StringType, None),
+            ("span_tokens", IntegerType, Some("50")),
+            ("stride", IntegerType, Some("1"))),
+          StructType(Seq(StructField("n_rows", LongType)))) {
+        def run(args: Seq[Any]) = inSession { tx =>
+          val deduped = graft.llm.Dedup.dedupSpansKeepFirst(
+            tableIn(tx, args(0).asInstanceOf[String]).select(),
+            args(1).asInstanceOf[String], args(2).asInstanceOf[String],
+            args(4).asInstanceOf[Int], args(5).asInstanceOf[Int])
+          Seq(org.apache.spark.sql.Row(
+            replaceOutput(tx, args(3).asInstanceOf[String], deduped)))
+        }
+      }
+      // CCNet perplexity bucketing (Wenzek et al. 2020): score `table`
+      // against the bigram LM of `train_table` and split each `group_col`
+      // group into head/middle/tail thirds by per-token negative
+      // log-probability; scored rows (id, group, LM stats, bucket) land in
+      // `out_table` — only the head+middle when `drop_tail` (the CCNet
+      // pretraining selection). Docs under 2 tokens have no LM evidence
+      // and are absent either way.
+      case "ccnet_bucket" => new GraftProcedure("ccnet_bucket",
+          Seq(("table", StringType, None), ("train_table", StringType, None),
+            ("id_col", StringType, None), ("out_table", StringType, None),
+            ("text_col", StringType, Some("'text'")),
+            ("group_col", StringType, Some("''")),
+            ("drop_tail", BooleanType, Some("false"))),
+          StructType(Seq(StructField("n_rows", LongType)))) {
+        def run(args: Seq[Any]) = inSession { tx =>
+          import org.apache.spark.sql.functions.col
+          val grpS = args(5).asInstanceOf[String]
+          val bucketed = graft.llm.TextAnalysis.ccnetBuckets(
+            tableIn(tx, args(1).asInstanceOf[String]).select(),
+            tableIn(tx, args(0).asInstanceOf[String]).select(),
+            args(2).asInstanceOf[String], args(4).asInstanceOf[String],
+            groupCol = if (grpS.isEmpty) None else Some(grpS))
+          val out = if (args(6).asInstanceOf[Boolean])
+            bucketed.filter(col("bucket") =!= "tail") else bucketed
+          Seq(org.apache.spark.sql.Row(
+            replaceOutput(tx, args(3).asInstanceOf[String], out)))
         }
       }
       // DSIR data selection (Xie et al. 2023): score every row of `table`

@@ -1313,4 +1313,62 @@ class SqlCatalogSpec extends SparkSpec {
       .head.getLong(0)
     assert(emptied == 9, "c4 rewrite must strip punctuation-less lines")
   }
+
+  test("CALL span_dedup / ccnet_bucket match their Scala APIs") {
+    val root = Files.createTempDirectory("graft-sqlr12b").toString
+    val s = new VastSession(spark, root)
+    s.createBucket("bk")
+    val docSchema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    s.transaction { tx =>
+      val m = tx.bucket("bk").createSchema("m")
+      val d = m.createTable("docs", docSchema)
+      val l = new java.util.ArrayList[Row]()
+      // ids 0/1 share a 6-token span; 2 is unique
+      l.add(Row(0L, "s1 s2 s3 s4 s5 s6 only in zero"))
+      l.add(Row(1L, "one has s1 s2 s3 s4 s5 s6"))
+      l.add(Row(2L, "entirely distinct tokens here now yes"))
+      d.insert(spark.createDataFrame(l, docSchema).coalesce(1))
+      // ccnet: train slice + scored docs (fluent vs rare-bigram soup)
+      val tr = m.createTable("train", docSchema)
+      val lt = new java.util.ArrayList[Row]()
+      lt.add(Row(100L, "the cat sat on the mat the cat sat"))
+      tr.insert(spark.createDataFrame(lt, docSchema).coalesce(1))
+      val sc = m.createTable("scored", docSchema)
+      val ls = new java.util.ArrayList[Row]()
+      ls.add(Row(0L, "the cat sat on the mat"))
+      ls.add(Row(1L, "the cat sat qqq"))
+      ls.add(Row(2L, "qqq zzz vvv uuu"))
+      sc.insert(spark.createDataFrame(ls, docSchema).coalesce(1))
+    }
+    spark.conf.set("spark.sql.catalog.graftr12b",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.graftr12b.root", root)
+
+    val sd = spark.sql("CALL graftr12b.system.span_dedup(" +
+      "'bk.m.docs', 'id', 'text', 'bk.m.spanout', span_tokens => 4)").head
+    assert(sd.getLong(0) == 3, s"span_dedup rows: $sd")
+    val texts = spark.sql("SELECT id, text FROM graftr12b.bk.m.spanout")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(texts(0L) == "s1 s2 s3 s4 s5 s6 only in zero")
+    assert(texts(1L) == "one has", s"cut copy: ${texts(1L)}")
+    assert(texts(2L) == "entirely distinct tokens here now yes")
+
+    // bucketed rows land with LM stats; drop_tail keeps head+middle only
+    val cb = spark.sql("CALL graftr12b.system.ccnet_bucket(" +
+      "'bk.m.scored', 'bk.m.train', 'id', 'bk.m.buckets')").head
+    assert(cb.getLong(0) == 3, s"ccnet_bucket rows: $cb")
+    val buckets = spark.sql(
+      "SELECT id, bucket FROM graftr12b.bk.m.buckets").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(buckets == Map(0L -> "head", 1L -> "middle", 2L -> "tail"),
+      s"buckets: $buckets")
+    val cbd = spark.sql("CALL graftr12b.system.ccnet_bucket(" +
+      "'bk.m.scored', 'bk.m.train', 'id', 'bk.m.kept', " +
+      "drop_tail => true)").head
+    assert(cbd.getLong(0) == 2, s"drop_tail rows: $cbd")
+    val keptIds = spark.sql("SELECT id FROM graftr12b.bk.m.kept").collect()
+      .map(_.getLong(0)).toSet
+    assert(keptIds == Set(0L, 1L), s"kept: $keptIds")
+  }
 }
