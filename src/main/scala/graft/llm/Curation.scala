@@ -23,7 +23,8 @@ object Curation {
                             afterLineDedup: Long = -1L,
                             afterClassifier: Long = -1L,
                             afterGopher: Long = -1L,
-                            afterC4: Long = -1L)
+                            afterC4: Long = -1L,
+                            afterSpanDedup: Long = -1L)
 
   /** Where [[curateCorpus]] materializes stage boundaries. Every stage has
     * 2+ consumers (its accounting count plus the next stage), so WITHOUT a
@@ -77,11 +78,15 @@ object Curation {
    * second — the published stage order); `qualityModel` gates on a FITTED
    * [[Classifier]] score (`≥ minModelScore`) — the fasttext-style
    * model-assisted filter, applied AFTER the heuristic gate so the model
-   * only scores rows the cheap gate already admitted. All preserve the
-   * pipeline's determinism (hash-based dedup; rules and a fixed model
-   * evaluate identically on any layout). `afterLineDedup`/
-   * `afterClassifier`/`afterGopher` report -1 when their stage is off
-   * (no count action is spent on a no-op).
+   * only scores rows the cheap gate already admitted; `spanDedupTokens >
+   * 0` runs exact-substring span removal ([[Dedup.dedupSpansKeepFirst]],
+   * Lee et al. ExactSubstr) after line dedup — another text REWRITE, so
+   * it too sits before content hashing and before the quality gate that
+   * drops gutted documents. All preserve the pipeline's determinism
+   * (hash-based dedup; rules and a fixed model evaluate identically on
+   * any layout). `afterLineDedup`/`afterClassifier`/`afterGopher`/
+   * `afterSpanDedup` report -1 when their stage is off (no count action
+   * is spent on a no-op).
    */
   def curateCorpus(df: DataFrame, idCol: String, textCol: String,
                    bench: DataFrame, benchTextCol: String,
@@ -94,6 +99,7 @@ object Curation {
                    gopherRules: Boolean = false,
                    c4Clean: Boolean = false,
                    c4MinLines: Int = 5,
+                   spanDedupTokens: Int = 0,
                    stageStore: StageStore = LocalCheckpointStore)
       : (DataFrame, CurationReport) = {
     // Stage boundaries materialize once through `stageStore` (see
@@ -124,12 +130,23 @@ object Curation {
           .transform(Dedup.dedupLinesKeepFirst(_, idCol, textCol)))
         (ld, n)
       }
+    val (spanDeduped, afterSpanDedup) =
+      if (spanDedupTokens <= 0) (lineDeduped, -1L)
+      else {
+        // exact-substring removal (Lee et al. ExactSubstr) — rewrites like
+        // line dedup, so it also sits BEFORE content hashing and before the
+        // quality gate that drops gutted documents
+        val (sd, n) = stageStore.materialize("span_dedup", lineDeduped
+          .transform(Dedup.dedupSpansKeepFirst(_, idCol, textCol,
+            spanTokens = spanDedupTokens)))
+        (sd, n)
+      }
     val (gophered, afterGopher) =
-      if (!gopherRules) (lineDeduped, -1L)
+      if (!gopherRules) (spanDeduped, -1L)
       else {
         // map-side rule gate, single consumer — a plain count action (the
         // heuristic stage right after is the materialization boundary)
-        val g = lineDeduped.filter(
+        val g = spanDeduped.filter(
           TextAnalysis.gopherRules(col(textCol)).getField("passes"))
         (g, g.count())
       }
@@ -161,7 +178,8 @@ object Curation {
     (clean, CurationReport(input, afterNormalize, afterQuality,
       afterExact, afterNear, afterDecon,
       afterLineDedup = afterLineDedup, afterClassifier = afterClassifier,
-      afterGopher = afterGopher, afterC4 = afterC4))
+      afterGopher = afterGopher, afterC4 = afterC4,
+      afterSpanDedup = afterSpanDedup))
   }
 
   def hashSplit(df: DataFrame, idCol: String,

@@ -828,7 +828,8 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             ("persist_stages", BooleanType, Some("false")),
             ("gopher_rules", BooleanType, Some("false")),
             ("c4_clean", BooleanType, Some("false")),
-            ("c4_min_lines", IntegerType, Some("5"))),
+            ("c4_min_lines", IntegerType, Some("5")),
+            ("span_dedup_tokens", IntegerType, Some("0"))),
           StructType(Seq(StructField("n_input", LongType),
             StructField("n_after_quality", LongType),
             StructField("n_after_exact", LongType),
@@ -837,7 +838,8 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             StructField("n_after_line_dedup", LongType),
             StructField("n_after_model_gate", LongType),
             StructField("n_after_gopher", LongType),
-            StructField("n_after_c4", LongType)))) {
+            StructField("n_after_c4", LongType),
+            StructField("n_after_span_dedup", LongType)))) {
         def run(args: Seq[Any]) = inSession { tx =>
           val modelTable = args(9).asInstanceOf[String]
           val model =
@@ -870,12 +872,13 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             gopherRules = args(12).asInstanceOf[Boolean],
             c4Clean = args(13).asInstanceOf[Boolean],
             c4MinLines = args(14).asInstanceOf[Int],
+            spanDedupTokens = args(15).asInstanceOf[Int],
             stageStore = store)
           replaceOutput(tx, outName, clean)
           Seq(org.apache.spark.sql.Row(rep.input, rep.afterQuality,
             rep.afterExactDedup, rep.afterNearDedup, rep.afterDecontaminate,
             rep.afterLineDedup, rep.afterClassifier, rep.afterGopher,
-            rep.afterC4))
+            rep.afterC4, rep.afterSpanDedup))
         }
       }
       case "decontaminate" => new GraftProcedure("decontaminate",

@@ -403,6 +403,32 @@ class TrainingExportSpec extends SparkSpec {
     assert(out(3L) === "")
   }
 
+  test("curateCorpus spanDedupTokens stage cuts repeated spans before hashing") {
+    import spark.implicits._
+    val span = "p1 p2 p3 p4"
+    def body(i: Int) =
+      (0 until 60).map(j => s"doc${i}word$j").mkString(" ")
+    // span planted into docs 1 and 2 — doc 2's copy must be cut by the
+    // stage; all docs otherwise unique and high-quality enough to survive
+    val d = Seq(
+      (1L, s"$span ${body(1)}"),
+      (2L, s"${body(2)} $span"),
+      (3L, body(3))
+    ).toDF("id", "text")
+    val bench = Seq("zzz www").toDF("text")
+    val (clean, rep) = Curation.curateCorpus(d, "id", "text", bench, "text",
+      minQuality = 0.0, spanDedupTokens = 4)
+    assert(rep.afterSpanDedup == 3, s"stage accounting: $rep")
+    val out = clean.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L).contains(span), "keep-first copy survives")
+    assert(!out(2L).contains(span), "later copy is cut in the pipeline")
+    assert(out(3L) == body(3))
+    // off by default: no accounting action spent
+    val (_, repOff) = Curation.curateCorpus(d, "id", "text", bench, "text",
+      minQuality = 0.0)
+    assert(repOff.afterSpanDedup == -1L)
+  }
+
   // ---- ccnetBuckets (perplexity head/middle/tail) ----
 
   test("ccnetBuckets: thirds per group by rank arithmetic, repartition-stable") {
