@@ -2774,9 +2774,9 @@ object SparkEntry {
       // doc_id % 5 == 0 document survives only at its globally-first
       // occurrence; natural 8-token repeats dedup too. DuckDB recomputes
       // the identical cut set by grouping windows on their TEXT (no hash
-      // in the oracle, so the gate also witnesses that Spark's md5 window
-      // identity never cross-links distinct spans) and value-matches the
-      // reassembled documents.
+      // in the oracle, so the gate also witnesses that Spark's xxhash64
+      // (h1, h2) window identity never cross-links distinct spans) and
+      // value-matches the reassembled documents.
       (s, dir) => {
         val planted = lit("Licensed under the Apache License Version 2.0 " +
           "see the NOTICE file")

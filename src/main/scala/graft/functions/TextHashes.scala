@@ -141,7 +141,9 @@ case class WindowHashPairs(child: Expression, n: Int, stride: Int)
       val s = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
       out(w) = org.apache.spark.sql.catalyst.InternalRow(
         XxHash64Function.hash(s, StringType, 42L),
-        XxHash64Function.hash(s, StringType, 0x9E3779B97F4A7CL))
+        // h2 seed: any constant independent of h1's 42 works (the value
+        // is arbitrary and nothing persists these hashes) — golden ratio
+        XxHash64Function.hash(s, StringType, 0x9E3779B97F4A7C15L))
       w += 1
     }
     new GenericArrayData(out)

@@ -94,12 +94,23 @@ object Dedup {
       .filter(length(col("_line")) < minChars ||
         col("_first._fh2") =!= col("_lh2") ||
         (col("_first._fid") === col(idCol) && col("_first._fpos") === col("_pos")))
-    val cleaned = kept.groupBy(col(idCol))
+    reassembleText(df, idCol, textCol, kept, "_pos", "_line", sep)
+  }
+
+  /** Shared keep-first finish: reassemble per-document text from the kept
+    * (id, position, piece) rows in position order and join it back onto
+    * `df` — a document whose every piece was cut comes back as "" (the
+    * degrade convention the line- and span-level keep-first operators
+    * share; a change here changes BOTH). */
+  private def reassembleText(df: DataFrame, idCol: String, textCol: String,
+                             kept: DataFrame, posCol: String,
+                             pieceCol: String, sep: String): DataFrame = {
+    val rebuilt = kept.groupBy(col(idCol))
       .agg(array_join(transform(
-        array_sort(collect_list(struct(col("_pos"), col("_line")))),
-        x => x.getField("_line")), sep).as("_clean"))
+        array_sort(collect_list(struct(col(posCol), col(pieceCol)))),
+        x => x.getField(pieceCol)), sep).as("_clean"))
     df.drop(textCol)
-      .join(cleaned, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
       .withColumn(textCol, coalesce(col("_clean"), lit("")))
       .drop("_clean")
   }
@@ -383,12 +394,17 @@ object Dedup {
     require(spanTokens > 0 && stride > 0,
       "spanTokens and stride must be positive")
     val base = df.select(col(idCol), split(col(textCol), " ").as("_toks"))
-    val wins = base
+    // materialized when big (plan-stats probe): `wins` feeds both the
+    // winner aggregate and the candidate join — without a pin, whether the
+    // fused window-hash pass (the dominant map-side cost) runs once or
+    // twice would ride on exchange reuse, an optimizer behavior, not a
+    // contract
+    val wins = materializeIfLarge(base
       .select(col(idCol),
         posexplode(graft.functions.TextHashes.windowHashPairs(
-          col("_toks"), spanTokens, stride)))
-      .select(col(idCol), (col("pos") * stride).as("_wp"),
-        col("col.h1").as("_wh"), col("col.h2").as("_wh2"))
+          col("_toks"), spanTokens, stride)).as(Seq("_widx", "_hp")))
+      .select(col(idCol), (col("_widx") * stride).as("_wp"),
+        col("_hp.h1").as("_wh"), col("_hp.h2").as("_wh2")))
     val firsts = wins.groupBy("_wh")
       .agg(count(lit(1)).as("_n"),
         min(struct(col(idCol).as("_fid"), col("_wp").as("_fp"),
@@ -407,15 +423,8 @@ object Dedup {
       .distinct()
     val toks = base.select(col(idCol),
       posexplode(col("_toks")).as(Seq("_tp", "_tok")))
-    val rebuilt = toks.join(cut, Seq(idCol, "_tp"), "left_anti")
-      .groupBy(col(idCol))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("_tp"), col("_tok")))),
-        x => x.getField("_tok")), " ").as("_clean"))
-    df.drop(textCol)
-      .join(rebuilt, Seq(idCol), "left")
-      .withColumn(textCol, coalesce(col("_clean"), lit("")))
-      .drop("_clean")
+    reassembleText(df, idCol, textCol,
+      toks.join(cut, Seq(idCol, "_tp"), "left_anti"), "_tp", "_tok", " ")
   }
 
   /** Partition-local pre-contraction: hash-shuffle edges on `u`, run a
