@@ -1973,6 +1973,72 @@ object SparkEntry {
              |SELECT doc_id, source, CAST(epoch AS INT) AS epoch FROM pe
              |ORDER BY doc_id, epoch""".stripMargin)),
 
+    Q("cu11_url_filter",  // URL-domain blocklist gate (RefinedWeb/UT1
+      // mechanism): synthesized URLs with userinfo/port/mixed case; a row
+      // drops iff its HOST equals or sits under a blocked domain (label-
+      // boundary suffix). DuckDB rebuilds host extraction (same RE2
+      // pattern), the suffix chain, and the anti-join value-exactly.
+      (s, dir) => {
+        import s.implicits._
+        val hosts = array(lit("ads.example.com"), lit("Sub.Tracker.NET"),
+          lit("good.org"), lit("shop.example.co.uk"), lit("news.site.io"))
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          concat(lit("https://user:p@"),
+            element_at(hosts, (col("doc_id") % 5 + 1).cast("int")),
+            lit(":8080/p/"), col("doc_id")).as("url"))
+        val bl = Seq("example.com", "tracker.net").toDF("domain")
+        graft.llm.Curation.urlBlocklistFilter(docs, "doc_id", "url", bl)
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, 'https://user:p@' ||
+             |    CASE doc_id % 5 WHEN 0 THEN 'ads.example.com'
+             |      WHEN 1 THEN 'Sub.Tracker.NET' WHEN 2 THEN 'good.org'
+             |      WHEN 3 THEN 'shop.example.co.uk'
+             |      ELSE 'news.site.io' END || ':8080/p/' || doc_id AS url
+             |  FROM documents
+             |), h AS (
+             |  SELECT doc_id, url,
+             |    REGEXP_REPLACE(LOWER(REGEXP_EXTRACT(url,
+             |      '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#:]*).*$',
+             |      1)), '\.$', '') AS host
+             |  FROM d
+             |), sfx AS (
+             |  SELECT doc_id,
+             |    UNNEST(LIST_TRANSFORM(
+             |      RANGE(1, LEN(STRING_SPLIT(host, '.')) + 1),
+             |      i -> ARRAY_TO_STRING(STRING_SPLIT(host, '.')[i:], '.')))
+             |      AS s
+             |  FROM h
+             |)
+             |SELECT doc_id, url FROM d
+             |WHERE doc_id NOT IN (SELECT doc_id FROM sfx
+             |  WHERE s IN ('example.com', 'tracker.net'))
+             |ORDER BY doc_id""".stripMargin)),
+
+    Q("cu12_badword_filter",  // term blocklist gate (C4 bad-words
+      // mechanism, list caller-supplied): a planted case-variant token
+      // drops its documents under case-folded exact-token match; DuckDB
+      // recomputes the survivor set via LIST_INTERSECT
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 4 === 0, concat(col("text"), lit(" BadWord1")))
+            .otherwise(col("text")).as("text"))
+        val terms = Seq("badword1", "badword2").toDF("term")
+        graft.llm.Curation.termBlocklistFilter(docs, "doc_id", "text", terms)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, CASE WHEN doc_id % 4 = 0
+             |    THEN text || ' BadWord1' ELSE text END AS text
+             |  FROM documents
+             |)
+             |SELECT doc_id FROM d
+             |WHERE LEN(LIST_INTERSECT(STRING_SPLIT(LOWER(text), ' '),
+             |  ['badword1', 'badword2'])) = 0
+             |ORDER BY doc_id""".stripMargin)),
+
     Q("qc1_lr_quality",  // distributed quality classifier (fasttext
       // recipe: hashed bag-of-words → linear model), planted-teacher gate:
       // label every document by a KNOWN fixed hyperplane u in the hashed

@@ -182,6 +182,74 @@ object Curation {
       afterSpanDedup = afterSpanDedup))
   }
 
+  /** Host of a URL: optional scheme and userinfo stripped, port/path/query
+    * dropped, lowercased, trailing dot removed — pure string ops with
+    * RE2-compatible syntax, so any regex engine computes the identical
+    * host. No public-suffix list is consulted: [[urlBlocklistFilter]]'s
+    * suffix semantics make one unnecessary (the blocklist entry decides
+    * the granularity). */
+  def urlHost(url: Column): Column =
+    regexp_replace(lower(regexp_extract(url,
+      "^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#:]*).*$", 1)),
+      "\\.$", "")
+
+  /** The dot-suffix chain of a host: "a.b.co" → ["a.b.co", "b.co", "co"] —
+    * map-side array work, ≤ label-count entries per row. */
+  private def hostSuffixes(host: Column): Column = {
+    val parts = split(host, "\\.")
+    transform(sequence(lit(1), size(parts)),
+      i => array_join(slice(parts, i, size(parts) - i + 1), "."))
+  }
+
+  /**
+   * URL-domain blocklist filtering (the RefinedWeb/CCNet pre-text gate:
+   * adult/fraud/tracker domain lists — UT1 and friends — applied BEFORE
+   * any text processing): drop every row whose URL's host equals a
+   * blocked domain or sits under one (`ads.example.com` is blocked by
+   * `example.com` but `notexample.com` is not — label-boundary suffix
+   * match, which is exactly how published pipelines apply these lists
+   * and why no public-suffix list is needed: the ENTRY fixes the match
+   * depth). The list is caller-supplied (one `domainCol` string per row,
+   * case-folded here).
+   *
+   * 100 TB shape: hosts and their ≤ label-count suffix chains derive
+   * map-side; the chain equi-joins the blocklist — broadcast at real
+   * list sizes (UT1 ~ millions of rows ≈ tens of MB) — and matched ids
+   * anti-join back. No regex scan per (row × entry), never a cross join.
+   */
+  def urlBlocklistFilter(df: DataFrame, idCol: String, urlCol: String,
+                         blocklist: DataFrame,
+                         domainCol: String = "domain"): DataFrame = {
+    val blocked = blocklist
+      .select(lower(col(domainCol)).as("__bl_dom")).distinct()
+    val dropped = df
+      .select(col(idCol),
+        explode(hostSuffixes(urlHost(col(urlCol)))).as("__sfx"))
+      .join(broadcast(blocked), col("__sfx") === col("__bl_dom"))
+      .select(col(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /**
+   * Term blocklist filtering (the C4 "bad words" gate, mechanism only —
+   * the published list is caller-supplied): drop every document
+   * containing any blocked term as a whitespace TOKEN (case-folded
+   * exact-token match; multi-word or substring patterns want a regex
+   * gate upstream — documented in LIMITS.md). Same scale shape as the
+   * URL filter: tokens explode map-side, the term table broadcasts,
+   * matched ids anti-join back.
+   */
+  def termBlocklistFilter(df: DataFrame, idCol: String, textCol: String,
+                          terms: DataFrame,
+                          termCol: String = "term"): DataFrame = {
+    val blocked = terms.select(lower(col(termCol)).as("__bl_term")).distinct()
+    val dropped = df
+      .select(col(idCol), explode(split(lower(col(textCol)), " ")).as("__w"))
+      .join(broadcast(blocked), col("__w") === col("__bl_term"))
+      .select(col(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   def hashSplit(df: DataFrame, idCol: String,
                 testPermille: Int = 100): DataFrame = {
     require(testPermille >= 0 && testPermille <= 1000, "testPermille in [0,1000]")

@@ -471,7 +471,8 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     "classifier_fit", "contamination_report", "softmax_fit", "softmax_score",
     "bpe_fit", "tokenize_pack", "corpus_report", "dedup_probe", "epoch_mix",
     "dsir_select", "keep_best", "weighted_sample", "dsir_fit", "dsir_score",
-    "gopher_filter", "c4_filter", "span_dedup", "ccnet_bucket")
+    "gopher_filter", "c4_filter", "span_dedup", "ccnet_bucket",
+    "url_filter", "badword_filter")
 
   /** Manifest version a streaming checkpoint has durably consumed through,
     * or -1 if no batch has committed yet. Reads Spark's own checkpoint
@@ -1037,6 +1038,47 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             args(4).asInstanceOf[Int])
           Seq(org.apache.spark.sql.Row(
             replaceOutput(tx, args(3).asInstanceOf[String], deduped)))
+        }
+      }
+      // URL-domain blocklist gate (RefinedWeb/UT1 mechanism): drop rows
+      // whose URL host equals or sits under any domain in
+      // `blocklist_table`.`domain_col` (label-boundary suffix match);
+      // survivors land in `out_table`
+      case "url_filter" => new GraftProcedure("url_filter",
+          Seq(("table", StringType, None), ("id_col", StringType, None),
+            ("url_col", StringType, None),
+            ("blocklist_table", StringType, None),
+            ("out_table", StringType, None),
+            ("domain_col", StringType, Some("'domain'"))),
+          StructType(Seq(StructField("n_kept", LongType)))) {
+        def run(args: Seq[Any]) = inSession { tx =>
+          val kept = graft.llm.Curation.urlBlocklistFilter(
+            tableIn(tx, args(0).asInstanceOf[String]).select(),
+            args(1).asInstanceOf[String], args(2).asInstanceOf[String],
+            tableIn(tx, args(3).asInstanceOf[String]).select(),
+            args(5).asInstanceOf[String])
+          Seq(org.apache.spark.sql.Row(
+            replaceOutput(tx, args(4).asInstanceOf[String], kept)))
+        }
+      }
+      // term blocklist gate (C4 bad-words mechanism): drop rows whose
+      // text contains any `terms_table`.`term_col` entry as a
+      // case-folded whitespace token; survivors land in `out_table`
+      case "badword_filter" => new GraftProcedure("badword_filter",
+          Seq(("table", StringType, None), ("id_col", StringType, None),
+            ("text_col", StringType, None),
+            ("terms_table", StringType, None),
+            ("out_table", StringType, None),
+            ("term_col", StringType, Some("'term'"))),
+          StructType(Seq(StructField("n_kept", LongType)))) {
+        def run(args: Seq[Any]) = inSession { tx =>
+          val kept = graft.llm.Curation.termBlocklistFilter(
+            tableIn(tx, args(0).asInstanceOf[String]).select(),
+            args(1).asInstanceOf[String], args(2).asInstanceOf[String],
+            tableIn(tx, args(3).asInstanceOf[String]).select(),
+            args(5).asInstanceOf[String])
+          Seq(org.apache.spark.sql.Row(
+            replaceOutput(tx, args(4).asInstanceOf[String], kept)))
         }
       }
       // exact-substring span REMOVAL keep-first (Lee et al. ExactSubstr):

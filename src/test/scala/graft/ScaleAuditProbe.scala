@@ -39,7 +39,11 @@ object ScaleAuditProbe {
       "se5_dsir_score_model", "dd11_keep_best",
       // rule filters must stay pure map-side: only the gate's orderBy
       // exchange is acceptable
-      "ta15_gopher_rules", "ta16_c4_clean").foreach(audit)
+      "ta15_gopher_rules", "ta16_c4_clean",
+      // round-12b: span removal (hash-keyed shuffles only, no cartesian,
+      // no single-partition window) and CCNet bucketing (LM tables must
+      // BROADCAST; ranking exchanges are range/hash, bounded count)
+      "dd12_span_dedup", "ta18_ccnet_buckets").foreach(audit)
     spark.stop()
   }
 }

@@ -1370,5 +1370,35 @@ class SqlCatalogSpec extends SparkSpec {
     val keptIds = spark.sql("SELECT id FROM graftr12b.bk.m.kept").collect()
       .map(_.getLong(0)).toSet
     assert(keptIds == Set(0L, 1L), s"kept: $keptIds")
+
+    // blocklist doors: URL suffix semantics + token badwords
+    s.transaction { tx =>
+      val m = tx.bucket("bk").schema("m")
+      val uSchema = StructType(Seq(
+        StructField("id", LongType), StructField("url", StringType)))
+      val u = m.createTable("urls", uSchema)
+      val lu = new java.util.ArrayList[Row]()
+      lu.add(Row(1L, "https://ads.blocked.com/x"))
+      lu.add(Row(2L, "https://fine.org/y"))
+      u.insert(spark.createDataFrame(lu, uSchema).coalesce(1))
+      val bSchema = StructType(Seq(StructField("domain", StringType)))
+      val b = m.createTable("bl", bSchema)
+      val lb = new java.util.ArrayList[Row]()
+      lb.add(Row("blocked.com"))
+      b.insert(spark.createDataFrame(lb, bSchema).coalesce(1))
+      val tSchema = StructType(Seq(StructField("term", StringType)))
+      val tt = m.createTable("badwords", tSchema)
+      val ltm = new java.util.ArrayList[Row]()
+      ltm.add(Row("qqq"))
+      tt.insert(spark.createDataFrame(ltm, tSchema).coalesce(1))
+    }
+    val uf = spark.sql("CALL graftr12b.system.url_filter(" +
+      "'bk.m.urls', 'id', 'url', 'bk.m.bl', 'bk.m.ukept')").head
+    assert(uf.getLong(0) == 1, s"url_filter kept: $uf")
+    assert(spark.sql("SELECT id FROM graftr12b.bk.m.ukept").head.getLong(0) == 2L)
+    val bf = spark.sql("CALL graftr12b.system.badword_filter(" +
+      "'bk.m.scored', 'id', 'text', 'bk.m.badwords', 'bk.m.bkept')").head
+    assert(bf.getLong(0) == 1, s"badword_filter kept: $bf")
+    assert(spark.sql("SELECT id FROM graftr12b.bk.m.bkept").head.getLong(0) == 0L)
   }
 }

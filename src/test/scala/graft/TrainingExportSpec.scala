@@ -429,6 +429,36 @@ class TrainingExportSpec extends SparkSpec {
     assert(repOff.afterSpanDedup == -1L)
   }
 
+  // ---- blocklist filters (URL domains, terms) ----
+
+  test("urlBlocklistFilter: label-boundary suffix match, host normalization") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "https://ads.example.com/banner"),       // under example.com
+      (2L, "http://user:pw@EXAMPLE.COM:8080/x?q=1"), // equals, case+port+auth
+      (3L, "https://notexample.com/ok"),            // suffix but NOT at label
+      (4L, "example.com./trailing-dot"),            // scheme-less + root dot
+      (5L, "https://safe.org/fine")
+    ).toDF("id", "url")
+    val bl = Seq("example.com").toDF("domain")
+    val kept = Curation.urlBlocklistFilter(d, "id", "url", bl)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(3L, 5L), s"kept: $kept")
+  }
+
+  test("termBlocklistFilter: case-folded exact-token match only") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "clean text entirely"),
+      (2L, "contains BLOCKED token"),
+      (3L, "substring blockedish is not a hit")
+    ).toDF("id", "text")
+    val terms = Seq("Blocked").toDF("term")
+    val kept = Curation.termBlocklistFilter(d, "id", "text", terms)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), s"kept: $kept")
+  }
+
   // ---- ccnetBuckets (perplexity head/middle/tail) ----
 
   test("ccnetBuckets: thirds per group by rank arithmetic, repartition-stable") {
