@@ -2893,6 +2893,53 @@ object SparkEntry {
              |FROM d LEFT JOIN agg USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)),
 
+    Q("dd13_span_stats",  // per-document duplicated-text mass (the
+      // ExactSubstr measurement pass): tokens under ANY >1x-occurring
+      // 8-token window, both copies counted; same planted header as dd12
+      // so every 5th doc carries a guaranteed duplicated span. DuckDB
+      // recomputes window groups by TEXT and the distinct covered
+      // positions per document.
+      (s, dir) => {
+        val planted = lit("Licensed under the Apache License Version 2.0 " +
+          "see the NOTICE file")
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat_ws(" ", planted, col("text")))
+            .otherwise(col("text")).as("text"))
+        graft.llm.Dedup.spanDuplicationStats(docs, "doc_id", "text",
+            spanTokens = 8, stride = 1)
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+             |    THEN 'Licensed under the Apache License Version 2.0 ' ||
+             |         'see the NOTICE file ' || text
+             |    ELSE text END AS text
+             |  FROM documents
+             |), w AS (
+             |  SELECT d.doc_id, p.p AS wp,
+             |    ARRAY_TO_STRING(LIST_SLICE(STRING_SPLIT(d.text, ' '),
+             |      p.p + 1, p.p + 8), ' ') AS win
+             |  FROM d, LATERAL (SELECT UNNEST(RANGE(0,
+             |    LEN(STRING_SPLIT(d.text, ' ')) - 8 + 1)) AS p) p
+             |  WHERE LEN(STRING_SPLIT(d.text, ' ')) >= 8
+             |), dupw AS (
+             |  SELECT doc_id, wp FROM (
+             |    SELECT doc_id, wp, COUNT(*) OVER (PARTITION BY win) AS n
+             |    FROM w) WHERE n >= 2
+             |), cov AS (
+             |  SELECT doc_id, COUNT(*) AS dup_tokens FROM (
+             |    SELECT DISTINCT doc_id, wp + o.o AS tp
+             |    FROM dupw, LATERAL (SELECT UNNEST(RANGE(0, 8)) AS o) o
+             |  ) GROUP BY doc_id
+             |)
+             |SELECT d.doc_id,
+             |  CAST(LEN(STRING_SPLIT(d.text, ' ')) AS BIGINT) AS n_tokens,
+             |  CAST(COALESCE(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+             |  ROUND(COALESCE(cov.dup_tokens, 0) * 1.0 /
+             |    GREATEST(LEN(STRING_SPLIT(d.text, ' ')), 1), 6) AS dup_frac
+             |FROM d LEFT JOIN cov USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
     Q("dd1_exact_groups",
       (s, dir) => t(s, dir, "documents")
         .groupBy(md5(col("text")).as("content_hash"))

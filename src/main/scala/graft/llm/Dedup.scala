@@ -97,6 +97,49 @@ object Dedup {
     reassembleText(df, idCol, textCol, kept, "_pos", "_line", sep)
   }
 
+  /**
+   * Per-document SPAN-DUPLICATION statistics — the measurement pass run
+   * before (or instead of) [[dedupSpansKeepFirst]]: for each document,
+   * how many of its tokens sit under a window of `spanTokens` tokens
+   * that occurs more than once corpus-wide (BOTH copies count — this
+   * measures duplicated text MASS, the "fraction of tokens in duplicated
+   * 50-grams" number the ExactSubstr paper reports per corpus), plus the
+   * 6-dp fraction. Same window pass and shuffle shape as the removal
+   * operator; duplicated-window identity is the full (h1, h2) pair (128
+   * bits), so collisions can't inflate the count.
+   *
+   * Returns (idCol, n_tokens, dup_tokens, dup_frac); documents shorter
+   * than `spanTokens` tokens report 0 dup_tokens by construction.
+   */
+  def spanDuplicationStats(df: DataFrame, idCol: String, textCol: String,
+                           spanTokens: Int = 50,
+                           stride: Int = 1): DataFrame = {
+    require(spanTokens > 0 && stride > 0,
+      "spanTokens and stride must be positive")
+    val base = df.select(col(idCol), split(col(textCol), " ").as("_toks"))
+    val wins = materializeIfLarge(base
+      .select(col(idCol),
+        posexplode(graft.functions.TextHashes.windowHashPairs(
+          col("_toks"), spanTokens, stride)).as(Seq("_widx", "_hp")))
+      .select(col(idCol), (col("_widx") * stride).as("_wp"),
+        col("_hp.h1").as("_wh"), col("_hp.h2").as("_wh2")))
+    val dupWins = wins.groupBy("_wh", "_wh2")
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= 2)
+      .select("_wh", "_wh2")
+    val covered = wins.join(dupWins, Seq("_wh", "_wh2"))
+      .select(col(idCol),
+        explode(sequence(col("_wp"), col("_wp") + (spanTokens - 1))).as("_tp"))
+      .distinct()
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("dup_tokens"))
+    base.select(col(idCol), size(col("_toks")).cast("long").as("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .withColumn("dup_frac", round(col("dup_tokens").cast("double")
+        / greatest(col("n_tokens"), lit(1L)), 6))
+  }
+
   /** Shared keep-first finish: reassemble per-document text from the kept
     * (id, position, piece) rows in position order and join it back onto
     * `df` — a document whose every piece was cut comes back as "" (the

@@ -429,6 +429,21 @@ class TrainingExportSpec extends SparkSpec {
     assert(repOff.afterSpanDedup == -1L)
   }
 
+  test("spanDuplicationStats counts both copies' covered tokens, 0 for unique") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d x1 x2"),   // 6 tokens, 4 under the shared span
+      (2L, "y1 a b c d"),      // 5 tokens, 4 covered
+      (3L, "all unique tokens here")
+    ).toDF("id", "text")
+    val out = Dedup.spanDuplicationStats(d, "id", "text", spanTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(out(0) == ((1L, 6L, 4L, 0.666667)))
+    assert(out(1) == ((2L, 5L, 4L, 0.8)))
+    assert(out(2) == ((3L, 4L, 0L, 0.0)))
+  }
+
   // ---- blocklist filters (URL domains, terms) ----
 
   test("urlBlocklistFilter: label-boundary suffix match, host normalization") {
