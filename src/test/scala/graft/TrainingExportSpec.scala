@@ -429,6 +429,54 @@ class TrainingExportSpec extends SparkSpec {
     assert(repOff.afterSpanDedup == -1L)
   }
 
+  test("dedupSpansKeepFirst + spanDuplicationStats equal a naive reference on random corpora") {
+    // tiny vocabulary forces heavy window duplication, so the keep-first
+    // election, overlap handling, and within-doc repetition paths all
+    // exercise far beyond the planted gate cases
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val L = 3
+    for (trial <- 0 until 3) {
+      val vocab = Array("a", "b", "c", "d")
+      val docs = (0 until 40).map(i => (i.toLong,
+        (0 until (3 + rnd.nextInt(12)))
+          .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+      // naive reference: enumerate windows, elect (id, pos)-first per
+      // distinct window TEXT, cut covered positions of the rest
+      case class Occ(id: Long, pos: Int)
+      val wins = scala.collection.mutable.LinkedHashMap[String, Vector[Occ]]()
+      for ((id, text) <- docs) {
+        val toks = text.split(" ", -1)
+        if (toks.length >= L) for (p <- 0 to toks.length - L)
+          wins.updateWith(toks.slice(p, p + L).mkString(" "))(v =>
+            Some(v.getOrElse(Vector.empty) :+ Occ(id, p)))
+      }
+      val cut = scala.collection.mutable.Set[(Long, Int)]()
+      val dup = scala.collection.mutable.Set[(Long, Int)]()
+      for ((_, occs) <- wins if occs.size >= 2) {
+        val first = occs.minBy(o => (o.id, o.pos))
+        for (o <- occs; k <- o.pos until o.pos + L) {
+          dup += ((o.id, k))
+          if (o != first) cut += ((o.id, k))
+        }
+      }
+      val expectText = docs.map { case (id, text) =>
+        val toks = text.split(" ", -1)
+        id -> toks.zipWithIndex.collect {
+          case (t, i) if !cut((id, i)) => t }.mkString(" ")
+      }.toMap
+      val df = docs.toDF("id", "text")
+      val got = Dedup.dedupSpansKeepFirst(df, "id", "text", spanTokens = L)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == expectText, s"trial $trial text mismatch")
+      val gotStats = Dedup.spanDuplicationStats(df, "id", "text", spanTokens = L)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val expectDup = docs.map { case (id, _) =>
+        id -> dup.count(_._1 == id).toLong }.toMap
+      assert(gotStats == expectDup, s"trial $trial stats mismatch")
+    }
+  }
+
   test("spanDuplicationStats counts both copies' covered tokens, 0 for unique") {
     import spark.implicits._
     val d = Seq(
