@@ -472,7 +472,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     "bpe_fit", "tokenize_pack", "corpus_report", "dedup_probe", "epoch_mix",
     "dsir_select", "keep_best", "weighted_sample", "dsir_fit", "dsir_score",
     "gopher_filter", "c4_filter", "span_dedup", "ccnet_bucket",
-    "url_filter", "badword_filter")
+    "url_filter", "badword_filter", "span_stats")
 
   /** Manifest version a streaming checkpoint has durably consumed through,
     * or -1 if no batch has committed yet. Reads Spark's own checkpoint
@@ -1098,6 +1098,24 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             args(4).asInstanceOf[Int], args(5).asInstanceOf[Int])
           Seq(org.apache.spark.sql.Row(
             replaceOutput(tx, args(3).asInstanceOf[String], deduped)))
+        }
+      }
+      // per-document span-duplication statistics (the measurement twin of
+      // span_dedup): (id, n_tokens, dup_tokens, dup_frac) rows land in
+      // `out_table`
+      case "span_stats" => new GraftProcedure("span_stats",
+          Seq(("table", StringType, None), ("id_col", StringType, None),
+            ("text_col", StringType, None), ("out_table", StringType, None),
+            ("span_tokens", IntegerType, Some("50")),
+            ("stride", IntegerType, Some("1"))),
+          StructType(Seq(StructField("n_rows", LongType)))) {
+        def run(args: Seq[Any]) = inSession { tx =>
+          val stats = graft.llm.Dedup.spanDuplicationStats(
+            tableIn(tx, args(0).asInstanceOf[String]).select(),
+            args(1).asInstanceOf[String], args(2).asInstanceOf[String],
+            args(4).asInstanceOf[Int], args(5).asInstanceOf[Int])
+          Seq(org.apache.spark.sql.Row(
+            replaceOutput(tx, args(3).asInstanceOf[String], stats)))
         }
       }
       // CCNet perplexity bucketing (Wenzek et al. 2020): score `table`

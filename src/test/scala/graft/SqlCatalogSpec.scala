@@ -1400,5 +1400,15 @@ class SqlCatalogSpec extends SparkSpec {
       "'bk.m.scored', 'id', 'text', 'bk.m.badwords', 'bk.m.bkept')").head
     assert(bf.getLong(0) == 1, s"badword_filter kept: $bf")
     assert(spark.sql("SELECT id FROM graftr12b.bk.m.bkept").head.getLong(0) == 0L)
+
+    // span_stats door: docs 0/1 share the 6-token span (4-token windows
+    // tile it: 6 covered tokens each); doc 2 is unique
+    val st = spark.sql("CALL graftr12b.system.span_stats(" +
+      "'bk.m.docs', 'id', 'text', 'bk.m.spanstats', span_tokens => 4)").head
+    assert(st.getLong(0) == 3, s"span_stats rows: $st")
+    val stats = spark.sql(
+      "SELECT id, dup_tokens FROM graftr12b.bk.m.spanstats").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats == Map(0L -> 6L, 1L -> 6L, 2L -> 0L), s"stats: $stats")
   }
 }
