@@ -91,9 +91,15 @@ case class MinHashSignature(child: Expression, k: Int, shingleN: Int = 1)
  *
  * Exists for throughput, like [[ShingleHashes]]: the declarative
  * equivalent (`md5(concat_ws(' ', slice(toks, i+1, n)))` per window)
- * materializes a window string column and pays interpreted-lambda +
- * digest cost per window; this runs the whole loop in Java at hash
- * speed with one reused buffer.
+ * materializes a window string column and pays per-window digest cost
+ * over n tokens — O(n·bytes) per token at stride 1. Here each token
+ * hashes ONCE (two seeds) and windows combine token hashes with a
+ * degree-n polynomial ROLLING hash in wrapping 64-bit arithmetic —
+ * O(bytes) total, O(1) per window step. Window equality ⇔ equal token
+ * hash sequences, so two windows collide only through a token-level or
+ * polynomial 64-bit collision — the same 2⁻⁶⁴-per-pair class as direct
+ * window hashing, and the independent h2 lane still catches h1
+ * collisions (the caller's degrade contract).
  */
 case class WindowHashPairs(child: Expression, n: Int, stride: Int)
     extends UnaryExpression {
@@ -117,34 +123,56 @@ case class WindowHashPairs(child: Expression, n: Int, stride: Int)
       s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);")
   }
 
+  // odd multipliers (distinct per lane) — wrapping multiplication by an
+  // odd constant is a bijection on Z/2^64, so no entropy is lost as the
+  // window rolls; B^(n-1) is precomputed for the remove-leading-token step
+  private val B1 = 0x9E3779B97F4A7C15L | 1L
+  private val B2 = 0xC2B2AE3D27D4EB4FL | 1L
+  private def pow(b: Long, e: Int): Long = {
+    var r = 1L; var i = 0
+    while (i < e) { r *= b; i += 1 }
+    r
+  }
+  private val b1Top = pow(B1, n - 1)
+  private val b2Top = pow(B2, n - 1)
+
   def compute(arr: ArrayData): ArrayData = {
     val nTok = arr.numElements()
     if (nTok < n) return new GenericArrayData(Array.empty[Any])
+    // per-token hashes, two independent seeds (null tokens — which
+    // split() never produces — hash as a fixed sentinel)
+    val t1 = new Array[Long](nTok)
+    val t2 = new Array[Long](nTok)
+    var i = 0
+    while (i < nTok) {
+      if (arr.isNullAt(i)) { t1(i) = 0x5851F42DL; t2(i) = 0x14057B7EL }
+      else {
+        val s = arr.getUTF8String(i)
+        t1(i) = XxHash64Function.hash(s, StringType, 42L)
+        t2(i) = XxHash64Function.hash(s, StringType, 0x9E3779B97F4A7C15L)
+      }
+      i += 1
+    }
     val nWin = (nTok - n) / stride + 1
     val out = new Array[Any](nWin)
-    val sb = new java.lang.StringBuilder(64)
+    // rolling window hashes over every start position; grid positions
+    // (0, stride, …) are emitted
+    var h1 = 0L
+    var h2 = 0L
+    var m = 0
+    while (m < n) { h1 = h1 * B1 + t1(m); h2 = h2 * B2 + t2(m); m += 1 }
+    var j = 0
     var w = 0
     while (w < nWin) {
-      val j = w * stride
-      sb.setLength(0)
-      var m = 0
-      var first = true
-      while (m < n) {
-        // concat_ws semantics: null elements are skipped entirely
-        if (!arr.isNullAt(j + m)) {
-          if (!first) sb.append(' ')
-          sb.append(arr.getUTF8String(j + m).toString)
-          first = false
-        }
-        m += 1
+      if (j % stride == 0 && j / stride == w) {
+        out(w) = org.apache.spark.sql.catalyst.InternalRow(h1, h2)
+        w += 1
       }
-      val s = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
-      out(w) = org.apache.spark.sql.catalyst.InternalRow(
-        XxHash64Function.hash(s, StringType, 42L),
-        // h2 seed: any constant independent of h1's 42 works (the value
-        // is arbitrary and nothing persists these hashes) — golden ratio
-        XxHash64Function.hash(s, StringType, 0x9E3779B97F4A7C15L))
-      w += 1
+      if (j + n < nTok) {
+        h1 = (h1 - t1(j) * b1Top) * B1 + t1(j + n)
+        h2 = (h2 - t2(j) * b2Top) * B2 + t2(j + n)
+      }
+      j += 1
     }
     new GenericArrayData(out)
   }
