@@ -101,5 +101,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         org.apache.spark.sql.functions.concat_ws("\n",
           graft.llm.Curation.c4KeptLines(col(es(0)))))
     }
+    inject("window_hash_pairs",
+      "window_hash_pairs(tokens, n, stride) - (h1, h2) rolling-hash pairs per n-token window") {
+      es => WindowHashPairs(es(0), es(1).eval().asInstanceOf[Int],
+        es(2).eval().asInstanceOf[Int])
+    }
+    inject("url_host",
+      "url_host(url) - normalized host (scheme/userinfo/port/path stripped, case-folded)") {
+      es => Glue.resolvableExpression(graft.llm.Curation.urlHost(col(es(0))))
+    }
   }
 }

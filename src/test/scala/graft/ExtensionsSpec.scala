@@ -65,6 +65,15 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(!g.getBoolean(0), "one distinct stopword < 2")
       assert(!g.getBoolean(1), "3 tokens < 50")
       assert(g.getString(2) == "keep this line.\nthis kept too!")
+      // round-12b: window hash pairs + URL host normalization
+      val w = spark.sql(
+        """SELECT size(window_hash_pairs(array('a','b','c','d'), 3, 1)) AS nw,
+          |       window_hash_pairs(array('a','b'), 3, 1) AS short,
+          |       url_host('https://u:p@Ads.Example.COM:8080/x?q=1') AS host
+          |""".stripMargin).head()
+      assert(w.getInt(0) == 2, "two 3-token windows of a 4-token array")
+      assert(w.getSeq[Any](1).isEmpty, "short doc yields no windows")
+      assert(w.getString(2) == "ads.example.com")
     } finally spark.stop()
   }
 }
