@@ -649,6 +649,23 @@ class TrainingExportSpec extends SparkSpec {
     assert(out.filter(!col("text").contains("unique line")).count() === 0)
   }
 
+  test("dedupSpansKeepFirst absorbs a mega-duplicated span (skew)") {
+    import spark.implicits._
+    // one 5-token license header shared by 20k documents — the hottest
+    // window hash carries 20k occurrences; the winner aggregate must
+    // combine map-side, not hot-spot one task
+    val d = (0 until 20000)
+      .map(i => (i.toLong, s"w1 w2 w3 w4 w5 unique$i trailing$i"))
+      .toDF("id", "text").repartition(16)
+    val out = Dedup.dedupSpansKeepFirst(d, "id", "text", spanTokens = 5)
+    assert(out.count() === 20000)
+    val keepers = out.filter(col("text").contains("w1 w2 w3 w4 w5")).collect()
+    assert(keepers.length === 1 && keepers.head.getLong(0) === 0L,
+      s"winner should be doc 0, got ${keepers.map(_.getLong(0)).toSeq}")
+    // every doc keeps its unique tail (the cut never reaches past the span)
+    assert(out.filter(!col("text").contains("unique")).count() === 0)
+  }
+
   test("solveSymmetric solves a known SPD system") {
     val a = Array(Array(4.0, 1.0, 0.0), Array(1.0, 3.0, 1.0),
       Array(0.0, 1.0, 2.0))
