@@ -1883,6 +1883,30 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       dir = s"_dedupidx/$column-${UUID.randomUUID().toString.take(8)}"))
   }
 
+  /** Declare + build a persisted SPAN-HASH index on a text column: one
+    * (row, window position, h1, h2) row per `spanTokens`-token window
+    * (rolling-hash pairs, `graft.functions.WindowHashPairs`), hive-
+    * partitioned by source-file basename under the same file-granular
+    * incremental model as the signature indexes — refresh hashes only
+    * uncovered files. This is the exact-substring (Lee et al. ExactSubstr)
+    * twin of the minhash index: where signatures answer "is this document
+    * NEAR a corpus document", window hashes answer "does this document
+    * CONTAIN a span the corpus already has" ([[probeDupSpans]] — the
+    * ingest-time pre-screen). Size note (the honest trade, same class as
+    * the paper's suffix array): ~24 bytes per window, so stride 1 stores
+    * index rows proportional to corpus tokens; raise `stride` to sample
+    * (alignment-sensitive — see LIMITS.md). Meta reuses `DedupIndexMeta`
+    * with kind="span" (k = spanTokens, bands = stride). */
+  def createSpanIndex(column: String, spanTokens: Int = 50,
+                      stride: Int = 1): Unit = {
+    require(spanTokens > 0 && stride > 0,
+      "spanTokens and stride must be positive")
+    installDedupIndex(column, DedupIndexMeta(column, kind = "span",
+      k = spanTokens, bands = stride,
+      dir = s"_spanidx/$column-${UUID.randomUUID().toString.take(8)}"),
+      replaceKinds = Set("span"))
+  }
+
   /** Declare + build a persisted full-text (inverted) index on a text
     * column: postings `($row_id, term, tf)` plus per-document token counts,
     * hive-partitioned by source-file basename under the SAME file-granular
@@ -2095,9 +2119,19 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     if (meta.kind == "fts") return buildMissingPostings(meta, missing)
     if (meta.kind == "pq") return buildMissingPqCodes(meta, missing)
     val idxDir = dir.resolve(meta.dir)
-    readEntries(missing, manifest.schema)
-      .select(col(RowIdColumn) +: signatureCols(meta) :+
-        element_at(split(input_file_name(), "/"), -1).as("__src"): _*)
+    val perRow =
+      if (meta.kind == "span")
+        // one row per WINDOW, not per source row: (row id, window start,
+        // rolling-hash pair) — spanWindows is shared with the probe-side
+        // on-the-fly path so persisted and fresh hashes agree
+        spanWindows(readEntries(missing, manifest.schema)
+          .select(col(RowIdColumn), col(meta.column),
+            element_at(split(input_file_name(), "/"), -1).as("__src")),
+          RowIdColumn, meta, extraCols = Seq("__src"))
+      else readEntries(missing, manifest.schema)
+        .select(col(RowIdColumn) +: signatureCols(meta) :+
+          element_at(split(input_file_name(), "/"), -1).as("__src"): _*)
+    perRow
       .write.mode("append").partitionBy("__src").parquet(idxDir.toString)
     // rollback cleanup for exactly the partitions this tx created
     missing.foreach { f =>
@@ -2269,10 +2303,97 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
   /** Index-backed signature table for the CURRENT manifest: persisted
     * partitions (static `__src` partition pruning) unioned with on-the-fly
     * signatures for not-yet-refreshed files. */
+  /** The per-window rows a span index stores: (idCol, wp, h1, h2) plus
+    * `extraCols` carried through — ONE implementation for the persisted
+    * build, the refresh delta, and every on-the-fly path, so hashes agree
+    * by construction. */
+  private def spanWindows(rows: DataFrame, idCol: String,
+                          meta: DedupIndexMeta,
+                          extraCols: Seq[String] = Nil): DataFrame =
+    rows.select((Seq(col(idCol)) ++ extraCols.map(col) :+
+        posexplode(graft.functions.TextHashes.windowHashPairs(
+          split(col(meta.column), " "), meta.k, meta.bands))
+          .as(Seq("_widx", "_hp"))): _*)
+      .select((Seq(col(idCol), (col("_widx") * meta.bands).as("wp"),
+        col("_hp.h1").as("h1"), col("_hp.h2").as("h2")) ++
+        extraCols.map(col)): _*)
+
+  /** The corpus window-hash table of the span index on `column`: covered
+    * files read their persisted rows (never re-hashed), files inserted
+    * since the last refresh hash on the fly — the same freshness contract
+    * as [[dedupMinhashPairs]]. Returns ($row_id, wp, h1, h2). */
+  private def spanIndexWindows(column: String): (DedupIndexMeta, DataFrame) = {
+    val m = manifest
+    val meta = m.dedupIndexes.find(x => x.column == column && x.kind == "span")
+      .getOrElse(throw NotSupportedCommand(s"no span index on $column"))
+    val idxDir = dir.resolve(meta.dir)
+    val winSchema = StructType(Seq(
+      StructField(RowIdColumn, LongType, nullable = false),
+      StructField("wp", IntegerType, nullable = false),
+      StructField("h1", LongType, nullable = false),
+      StructField("h2", LongType, nullable = false)))
+    val current = m.files.map(f => srcName(f.path)).toSet
+    val covered = coveredSrcs(idxDir).intersect(current)
+    val persisted =
+      if (covered.isEmpty) None
+      else Some(spark.read
+        .schema(winSchema.add(StructField("__src", StringType)))
+        .parquet(idxDir.toString)
+        .filter(col("__src").isin(covered.toSeq: _*))
+        .drop("__src"))
+    val uncovered = m.files.filterNot(f => covered(srcName(f.path)))
+    val fresh =
+      if (uncovered.isEmpty) None
+      else Some(spanWindows(readEntries(uncovered, m.schema)
+        .select(col(RowIdColumn), col(meta.column)), RowIdColumn, meta))
+    val wins = (persisted.toSeq ++ fresh.toSeq)
+      .reduceOption(_.unionByName(_))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], winSchema))
+    (meta, wins)
+  }
+
+  /** Which spans of `incoming` the corpus ALREADY CONTAINS, via the span
+    * index on `column` — the exact-substring ingest pre-screen (the
+    * ExactSubstr twin of [[probeNearDups]]): each incoming row reports how
+    * many of its tokens sit under a window whose (h1, h2) rolling-hash
+    * pair exists in the corpus index. Returns (incoming id, n_tokens,
+    * dup_tokens, dup_frac) for EVERY incoming row (0 for clean ones).
+    *
+    * Scale shape: the incoming batch's windows derive map-side and
+    * BROADCAST against the corpus window table (batch ≪ corpus always
+    * holds at ingest; covered files stream their 24-byte persisted rows,
+    * uncovered hash on the fly) — the corpus side never shuffles, and the
+    * matched set is bounded by the batch's window count. */
+  def probeDupSpans(column: String, incoming: DataFrame,
+                    incomingIdCol: String): DataFrame = {
+    val (meta, corpus) = spanIndexWindows(column)
+    val q = spanWindows(
+      incoming.select(col(incomingIdCol).as("__q_id"), col(column)),
+      "__q_id", meta)
+    val matched = corpus.select("h1", "h2")
+      .join(broadcast(q), Seq("h1", "h2"))
+      .select(col("__q_id"),
+        explode(sequence(col("wp"), col("wp") + (meta.k - 1))).as("_tp"))
+      .distinct()
+      .groupBy("__q_id").agg(count(lit(1)).as("dup_tokens"))
+    incoming
+      .select(col(incomingIdCol).as("__q_id"),
+        size(split(col(column), " ")).cast("long").as("n_tokens"))
+      .join(matched, Seq("__q_id"), "left")
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .withColumn("dup_frac", round(col("dup_tokens").cast("double")
+        / greatest(col("n_tokens"), lit(1L)), 6))
+      .withColumnRenamed("__q_id", incomingIdCol)
+  }
+
   private def indexSignatures(column: String): (DedupIndexMeta, DataFrame) = {
     val m = manifest
-    // fts indexes share the meta list but not the signature layout
-    val meta = m.dedupIndexes.find(x => x.column == column && x.kind != "fts")
+    // fts and span indexes share the meta list but not the signature
+    // layout (span stores per-WINDOW rows — spanIndexWindows reads those),
+    // so a coexisting one must never shadow the text/vector signatures
+    val meta = m.dedupIndexes.find(x => x.column == column &&
+        x.kind != "fts" && x.kind != "span")
       .getOrElse(throw NotSupportedCommand(s"no dedup index on $column"))
     val idxDir = dir.resolve(meta.dir)
     val sigSchema =

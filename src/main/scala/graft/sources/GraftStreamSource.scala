@@ -101,7 +101,10 @@ class GraftStreamSource extends TableProvider with DataSourceRegister
       scoreTextCol = parameters.getOrElse("scoreTextCol", "text"),
       suppressNearDups = parameters.get("suppressNearDups"),
       suppressThreshold =
-        parameters.get("suppressThreshold").map(_.toDouble).getOrElse(0.7))
+        parameters.get("suppressThreshold").map(_.toDouble).getOrElse(0.7),
+      suppressDupSpans = parameters.get("suppressDupSpans"),
+      suppressSpanFrac =
+        parameters.get("suppressSpanFrac").map(_.toDouble).getOrElse(0.5))
   }
 
   private def tableDir(options: CaseInsensitiveStringMap): Path =
@@ -712,7 +715,9 @@ private[sources] class GraftTableSink(spark: SparkSession, root: String,
                                       scoreWith: Option[String] = None,
                                       scoreTextCol: String = "text",
                                       suppressNearDups: Option[String] = None,
-                                      suppressThreshold: Double = 0.7)
+                                      suppressThreshold: Double = 0.7,
+                                      suppressDupSpans: Option[String] = None,
+                                      suppressSpanFrac: Double = 0.5)
     extends org.apache.spark.sql.execution.streaming.Sink {
 
   // one session for the query's lifetime — tx ids stay monotonic across
@@ -767,6 +772,9 @@ private[sources] class GraftTableSink(spark: SparkSession, root: String,
   require(!(complete && suppressNearDups.nonEmpty),
     "suppressNearDups requires Append mode: a Complete-mode batch would " +
       "be suppressed against the very rows its overwrite replaces")
+  require(!(complete && suppressDupSpans.nonEmpty),
+    "suppressDupSpans requires Append mode: a Complete-mode batch would " +
+      "be suppressed against the very rows its overwrite replaces")
 
   /** Ingest-time near-dup suppression (`suppressNearDups` = text column
     * name; requires a text dedup index on that column of the TARGET
@@ -801,6 +809,35 @@ private[sources] class GraftTableSink(spark: SparkSession, root: String,
         .drop("__nd_k")
   }
 
+  /** Ingest-time exact-substring suppression (`suppressDupSpans` = text
+    * column; requires a SPAN index on that column of the target table —
+    * [[graft.api.Table.createSpanIndex]]): per batch, each row probes the
+    * persisted corpus window hashes ([[graft.api.Table.probeDupSpans]] —
+    * the batch side broadcasts, corpus never shuffles) and rows whose
+    * fraction of tokens already covered by corpus spans reaches
+    * `suppressSpanFrac` are dropped before the insert — the copied-
+    * boilerplate / re-crawl gate that near-dup signatures miss when the
+    * surrounding document differs. Composable with `suppressNearDups`
+    * (near-dup gate runs first) and `maintainIndexes` (survivors'
+    * windows are probe-able by the NEXT batch). Same residual as the
+    * near-dup gate: same-batch duplicates survive (the probe sees only
+    * committed rows). */
+  private def applySpanSuppression(df: org.apache.spark.sql.DataFrame,
+                                   tx: graft.api.Transaction)
+      : org.apache.spark.sql.DataFrame = suppressDupSpans match {
+    case None => df
+    case Some(column) =>
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      val t = tx.bucket(bucket).schema(schemaPath).table(table)
+      val keyed = df.withColumn("__sp_k", xxhash64(col(column)))
+      val hit = t.probeDupSpans(column,
+          keyed.select(col("__sp_k"), col(column)).distinct(), "__sp_k")
+        .filter(col("dup_frac") >= suppressSpanFrac)
+        .select(col("__sp_k").as("__sp_hit")).distinct()
+      keyed.join(hit, keyed("__sp_k") === hit("__sp_hit"), "left_anti")
+        .drop("__sp_k")
+  }
+
   override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
     // the incoming frame still carries the streaming flag; re-wrap it as a
     // batch frame over the same physical rows or the insert's own write
@@ -811,7 +848,8 @@ private[sources] class GraftTableSink(spark: SparkSession, root: String,
       val last = t.properties.get("graft.stream.lastBatchId")
         .map(_.toLong).getOrElse(-1L)
       if (batchId > last) {
-        val scored = applyScore(applySuppression(batch, tx), tx)
+        val scored = applyScore(
+          applySpanSuppression(applySuppression(batch, tx), tx), tx)
         if (complete) t.overwrite(scored) else t.insert(scored)
         // opt-in rollup maintenance: the insert just staled any rollups;
         // refreshing INSIDE the batch transaction publishes data + fresh

@@ -472,7 +472,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     "bpe_fit", "tokenize_pack", "corpus_report", "dedup_probe", "epoch_mix",
     "dsir_select", "keep_best", "weighted_sample", "dsir_fit", "dsir_score",
     "gopher_filter", "c4_filter", "span_dedup", "ccnet_bucket",
-    "url_filter", "badword_filter", "span_stats")
+    "url_filter", "badword_filter", "span_stats", "span_probe")
 
   /** Manifest version a streaming checkpoint has durably consumed through,
     * or -1 if no batch has committed yet. Reads Spark's own checkpoint
@@ -994,6 +994,23 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             args(5).asInstanceOf[Double])
           Seq(org.apache.spark.sql.Row(
             replaceOutput(tx, args(4).asInstanceOf[String], hits)))
+        }
+      }
+      // exact-substring ingest probe: per-candidate covered-token
+      // accounting against `table`'s persisted SPAN index — (id, n_tokens,
+      // dup_tokens, dup_frac) rows land in `out_table`
+      case "span_probe" => new GraftProcedure("span_probe",
+          Seq(("table", StringType, None), ("column", StringType, None),
+            ("candidates", StringType, None), ("id_col", StringType, None),
+            ("out_table", StringType, None)),
+          StructType(Seq(StructField("n_rows", LongType)))) {
+        def run(args: Seq[Any]) = inSession { tx =>
+          val stats = tableIn(tx, args(0).asInstanceOf[String]).probeDupSpans(
+            args(1).asInstanceOf[String],
+            tableIn(tx, args(2).asInstanceOf[String]).select(),
+            args(3).asInstanceOf[String])
+          Seq(org.apache.spark.sql.Row(
+            replaceOutput(tx, args(4).asInstanceOf[String], stats)))
         }
       }
       // dataset-card report: per-source breakdown rows (counts, corpus

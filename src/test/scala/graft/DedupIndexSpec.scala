@@ -123,6 +123,73 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("span index: persisted window hashes, ingest probe, delta refresh") {
+    val root = Files.createTempDirectory("graft-sidx").toString
+    val s = VastSession(spark, root)
+    s.createBucket("b")
+    val span = "alpha beta gamma delta epsilon"  // 5 tokens, spanTokens=4
+    s.transaction { tx =>
+      val t = tx.bucket("b").createSchema("m").createTable("d", schema)
+      insertBatch(t, (0L until 50L).map(i =>
+        (i, if (i == 7L) s"$span tail${i}" else doc(i))))
+      insertBatch(t, (50L until 100L).map(i => (i, doc(i))))
+      t.createSpanIndex("text", spanTokens = 4, stride = 1)
+    }
+
+    var idxDir: Path = null
+    s.transaction { tx =>
+      val t = tx.bucket("b").schema("m").table("d")
+      val meta = t.manifest.dedupIndexes.find(_.kind == "span").get
+      idxDir = Paths.get(root, "b", "m", "d").resolve(meta.dir)
+      assert(partState(idxDir).size == t.manifest.files.size)
+      // probe: an incoming doc CONTAINING the corpus span reports its
+      // covered tokens; a clean doc reports 0; windows never cross the
+      // probe rows
+      val incoming = spark.createDataFrame(java.util.List.of(
+        Row(901L, s"prefix $span suffix word"),
+        Row(902L, "totally novel incoming text right here")), schema)
+      val probe = t.probeDupSpans("text", incoming, "doc_id")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      // "prefix alpha beta gamma delta epsilon suffix word": the 5 span
+      // tokens sit under corpus windows (alpha..delta, beta..epsilon)
+      assert(probe(901L) == ((8L, 5L, 0.625)), s"got ${probe(901L)}")
+      assert(probe(902L) == ((6L, 0L, 0.0)))
+    }
+    val afterCreate = partState(idxDir)
+    assert(afterCreate.size == 2)
+
+    // delta insert carrying the span: probe sees it BEFORE refresh (on-the-
+    // fly hash of the uncovered file); refresh persists only the delta
+    s.transaction { tx =>
+      val t = tx.bucket("b").schema("m").table("d")
+      insertBatch(t, Seq((100L, s"another copy $span lives here")))
+      val probe = t.probeDupSpans("text",
+        spark.createDataFrame(java.util.List.of(
+          Row(903L, s"copy $span lives here too")), schema), "doc_id")
+        .head()
+      assert(probe.getLong(2) > 0L, "pre-refresh freshness")
+      t.refreshDedupIndex("text")
+    }
+    val afterDelta = partState(idxDir)
+    assert(afterDelta.size == 3)
+    afterCreate.foreach { case (part, files) =>
+      assert(afterDelta(part) == files,
+        s"refresh rewrote already-covered partition $part")
+    }
+
+    // a text (minhash) index coexists on the same column and still serves
+    // its own kind — neither shadows the other
+    s.transaction { tx =>
+      val t = tx.bucket("b").schema("m").table("d")
+      t.createDedupIndex("text", k = 64, bands = 16)
+      assert(pairSet(t.dedupMinhashPairs("text")).isEmpty)
+      assert(t.probeDupSpans("text", spark.createDataFrame(
+        java.util.List.of(Row(904L, s"x $span y")), schema), "doc_id")
+        .head().getLong(2) == 5L)
+    }
+  }
+
   test("incremental refresh: delta-only recompute, DML orphan cleanup") {
     val root = Files.createTempDirectory("graft-didx").toString
     val s = VastSession(spark, root)

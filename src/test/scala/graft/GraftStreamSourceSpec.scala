@@ -1221,6 +1221,83 @@ class GraftStreamSourceSpec extends SparkSpec {
     }
   }
 
+  test("sink suppressDupSpans: ingest-time exact-substring suppression via the span index") {
+    val root = Files.createTempDirectory("graft-sink-sp").toString
+    val s = VastSession(spark, root)
+    s.createBucket("bk")
+    val docSchema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    def block(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    s.transaction { tx =>
+      val m = tx.bucket("bk").createSchema("m")
+      m.createTable("raw", docSchema)
+      val t = m.createTable("corpus", docSchema)
+      t.createSpanIndex("text", spanTokens = 8, stride = 1)
+    }
+    val tdir = Paths.get(root, "bk", "m", "raw").toString
+    val ckpt = Files.createTempDirectory("graft-sink-spck").toString
+    def insertRaw(rows: (Long, String)*): Unit = s.transaction { tx =>
+      val l = new java.util.ArrayList[Row]()
+      rows.foreach { case (i, tx2) => l.add(Row(i, tx2)) }
+      tx.bucket("bk").schema("m").table("raw")
+        .insert(spark.createDataFrame(l, docSchema).coalesce(1))
+    }
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(tdir)
+        .drop("_row_id")
+        .writeStream.format("graft")
+        .option("root", root).option("bucket", "bk")
+        .option("schema", "m").option("table", "corpus")
+        .option("suppressDupSpans", "text")
+        .option("suppressSpanFrac", "0.5")
+        .option("maintainIndexes", "true")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(q.exception.isEmpty, s"sink died: ${q.exception}")
+    }
+    def corpusIds(): Set[Long] = s.transaction(tx =>
+      tx.bucket("bk").schema("m").table("corpus")
+        .select(Seq("id")).collect().map(_.getLong(0)).toSet)
+
+    insertRaw(0L -> (block("alpha", 40) + " " + block("atail", 4)),
+      1L -> block("beta", 40))
+    drain()
+    assert(corpusIds() == Set(0L, 1L), "first batch inserts everything")
+    // batch 2: a re-crawl copying alpha's 40-token block into new framing
+    // (40 of 50 tokens covered = 0.8 >= 0.5) drops; a doc quoting only a
+    // 10-token slice of beta (10 of 40 = 0.25) survives; fresh survives
+    insertRaw(
+      2L -> (block("new", 5) + " " + block("alpha", 40) + " " + block("more", 5)),
+      3L -> (block("fresh", 30) + " " +
+        (1 to 10).map(i => s"beta$i").mkString(" ")),
+      4L -> block("gamma", 40))
+    drain()
+    val after2 = corpusIds()
+    assert(!after2.contains(2L), "mostly-copied re-crawl must drop")
+    assert(after2.contains(3L), "small quoted slice survives (0.25 < 0.5)")
+    assert(after2.contains(4L), "fresh doc survives")
+    // batch 3: a copy of batch-2's gamma survivor drops — maintainIndexes
+    // made the previous batch's windows probe-able
+    insertRaw(5L -> (block("gamma", 40) + " " + block("pad", 3)),
+      6L -> block("delta", 40))
+    drain()
+    val after3 = corpusIds()
+    assert(!after3.contains(5L),
+      "copy of the previous batch's survivor must drop (index fresh)")
+    assert(after3.contains(6L))
+    // probe attribution: per-row covered-token accounting
+    s.transaction { tx =>
+      import spark.implicits._
+      val t = tx.bucket("bk").schema("m").table("corpus")
+      val p = t.probeDupSpans("text",
+        Seq((99L, block("delta", 20) + " " + block("zz", 20)))
+          .toDF("id", "text"), "id").head()
+      assert(p.getLong(1) == 40L && p.getLong(2) == 20L &&
+        p.getDouble(3) == 0.5, s"got $p")
+    }
+  }
+
   test("sink suppressNearDups rejects Complete mode (would suppress against replaced rows)") {
     val root = Files.createTempDirectory("graft-sink-ndcm").toString
     val s = VastSession(spark, root)

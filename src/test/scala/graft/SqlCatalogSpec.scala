@@ -1410,5 +1410,25 @@ class SqlCatalogSpec extends SparkSpec {
       "SELECT id, dup_tokens FROM graftr12b.bk.m.spanstats").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(stats == Map(0L -> 6L, 1L -> 6L, 2L -> 0L), s"stats: $stats")
+
+    // span_probe door: a candidate quoting doc 2's text reports coverage
+    // against the persisted span index
+    s.transaction { tx =>
+      val m = tx.bucket("bk").schema("m")
+      m.table("docs").createSpanIndex("text", spanTokens = 4)
+      val cand = m.createTable("cands", docSchema)
+      val lc = new java.util.ArrayList[Row]()
+      lc.add(Row(500L, "entirely distinct tokens here now yes plus extra"))
+      lc.add(Row(501L, "nothing shared whatsoever in this candidate row"))
+      cand.insert(spark.createDataFrame(lc, docSchema).coalesce(1))
+    }
+    val sp = spark.sql("CALL graftr12b.system.span_probe(" +
+      "'bk.m.docs', 'text', 'bk.m.cands', 'id', 'bk.m.probed')").head
+    assert(sp.getLong(0) == 2, s"span_probe rows: $sp")
+    val probed = spark.sql(
+      "SELECT id, dup_tokens FROM graftr12b.bk.m.probed").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(probed(500L) == 6L, s"quoted six-token prefix covered: $probed")
+    assert(probed(501L) == 0L)
   }
 }
