@@ -2000,7 +2000,7 @@ object SparkEntry {
              |), h AS (
              |  SELECT doc_id, url,
              |    REGEXP_REPLACE(LOWER(REGEXP_EXTRACT(url,
-             |      '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#:]*).*$',
+             |      '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#:]*)',
              |      1)), '\.$', '') AS host
              |  FROM d
              |), sfx AS (
@@ -2017,25 +2017,32 @@ object SparkEntry {
              |ORDER BY doc_id""".stripMargin)),
 
     Q("cu12_badword_filter",  // term blocklist gate (C4 bad-words
-      // mechanism, list caller-supplied): a planted case-variant token
-      // drops its documents under case-folded exact-token match; DuckDB
-      // recomputes the survivor set via LIST_INTERSECT
+      // mechanism, list caller-supplied): a planted case-variant token —
+      // NEWLINE-adjacent on doc_id % 8 == 0, the line-boundary case a
+      // single-space split would miss — drops its documents under
+      // case-folded whitespace-token match; DuckDB recomputes the
+      // survivor set with the same \s+ split
       (s, dir) => {
         import s.implicits._
         val docs = t(s, dir, "documents").select(col("doc_id"),
-          when(col("doc_id") % 4 === 0, concat(col("text"), lit(" BadWord1")))
+          when(col("doc_id") % 8 === 0, concat(col("text"), lit("\nBadWord1\nmore")))
+            .when(col("doc_id") % 4 === 0, concat(col("text"), lit(" BadWord1")))
             .otherwise(col("text")).as("text"))
         val terms = Seq("badword1", "badword2").toDF("term")
         graft.llm.Curation.termBlocklistFilter(docs, "doc_id", "text", terms)
           .select("doc_id").orderBy("doc_id")
       },
       Some("""WITH d AS (
-             |  SELECT doc_id, CASE WHEN doc_id % 4 = 0
-             |    THEN text || ' BadWord1' ELSE text END AS text
+             |  SELECT doc_id, CASE
+             |    WHEN doc_id % 8 = 0 THEN text || CHR(10) || 'BadWord1' ||
+             |      CHR(10) || 'more'
+             |    WHEN doc_id % 4 = 0 THEN text || ' BadWord1'
+             |    ELSE text END AS text
              |  FROM documents
              |)
              |SELECT doc_id FROM d
-             |WHERE LEN(LIST_INTERSECT(STRING_SPLIT(LOWER(text), ' '),
+             |WHERE LEN(LIST_INTERSECT(
+             |  REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\s+'),
              |  ['badword1', 'badword2'])) = 0
              |ORDER BY doc_id""".stripMargin)),
 

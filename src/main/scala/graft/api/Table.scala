@@ -2120,15 +2120,28 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     if (meta.kind == "pq") return buildMissingPqCodes(meta, missing)
     val idxDir = dir.resolve(meta.dir)
     val perRow =
-      if (meta.kind == "span")
+      if (meta.kind == "span") {
         // one row per WINDOW, not per source row: (row id, window start,
         // rolling-hash pair) — spanWindows is shared with the probe-side
-        // on-the-fly path so persisted and fresh hashes agree
-        spanWindows(readEntries(missing, manifest.schema)
+        // on-the-fly path so persisted and fresh hashes agree. A sentinel
+        // (wp = -1) row per file keeps the file COVERED even when every
+        // row is shorter than spanTokens (zero windows): without it such
+        // a file would re-hash on every probe and re-run the build job on
+        // every refresh, forever. Readers filter wp >= 0.
+        val wins = spanWindows(readEntries(missing, manifest.schema)
           .select(col(RowIdColumn), col(meta.column),
             element_at(split(input_file_name(), "/"), -1).as("__src")),
           RowIdColumn, meta, extraCols = Seq("__src"))
-      else readEntries(missing, manifest.schema)
+        val sentinels = spark.createDataFrame(
+          missing.map(f => Row(-1L, -1, 0L, 0L, srcName(f.path))).asJava,
+          StructType(Seq(
+            StructField(RowIdColumn, LongType, nullable = false),
+            StructField("wp", IntegerType, nullable = false),
+            StructField("h1", LongType, nullable = false),
+            StructField("h2", LongType, nullable = false),
+            StructField("__src", StringType))))
+        wins.unionByName(sentinels)
+      } else readEntries(missing, manifest.schema)
         .select(col(RowIdColumn) +: signatureCols(meta) :+
           element_at(split(input_file_name(), "/"), -1).as("__src"): _*)
     perRow
@@ -2340,6 +2353,8 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
         .schema(winSchema.add(StructField("__src", StringType)))
         .parquet(idxDir.toString)
         .filter(col("__src").isin(covered.toSeq: _*))
+        // wp = -1 rows are coverage sentinels for zero-window files
+        .filter(col("wp") >= 0)
         .drop("__src"))
     val uncovered = m.files.filterNot(f => covered(srcName(f.path)))
     val fresh =
@@ -2373,13 +2388,22 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
       "__q_id", meta)
     val matched = corpus.select("h1", "h2")
       .join(broadcast(q), Seq("h1", "h2"))
+      // a corpus window duplicated C times matches C rows per batch
+      // window — collapse to the batch's window set BEFORE the k-way
+      // position explode, or the documented "bounded by the batch's
+      // window count" breaks on exactly the boilerplate this targets
+      .select("__q_id", "wp").dropDuplicates("__q_id", "wp")
       .select(col("__q_id"),
         explode(sequence(col("wp"), col("wp") + (meta.k - 1))).as("_tp"))
       .distinct()
       .groupBy("__q_id").agg(count(lit(1)).as("dup_tokens"))
     incoming
       .select(col(incomingIdCol).as("__q_id"),
-        size(split(col(column), " ")).cast("long").as("n_tokens"))
+        // size(split(NULL)) is -1 under legacy sizeOfNull: a null text is
+        // 0 tokens in this contract, not a negative count
+        when(col(column).isNull, lit(0L))
+          .otherwise(size(split(col(column), " ")).cast("long"))
+          .as("n_tokens"))
       .join(matched, Seq("__q_id"), "left")
       .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
       .withColumn("dup_frac", round(col("dup_tokens").cast("double")

@@ -189,8 +189,12 @@ object Curation {
     * suffix semantics make one unnecessary (the blocklist entry decides
     * the granularity). */
   def urlHost(url: Column): Column =
+    // no trailing .*$: regexp_extract is a substring FIND in both engines,
+    // and a tail that must consume the rest of the string would fail the
+    // whole match on URLs containing a newline (dot doesn't cross \n) —
+    // the gate would then FAIL OPEN with host "", the unsafe direction
     regexp_replace(lower(regexp_extract(url,
-      "^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#:]*).*$", 1)),
+      "^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#:]*)", 1)),
       "\\.$", "")
 
   /** The dot-suffix chain of a host: "a.b.co" → ["a.b.co", "b.co", "co"] —
@@ -243,8 +247,12 @@ object Curation {
                           terms: DataFrame,
                           termCol: String = "term"): DataFrame = {
     val blocked = terms.select(lower(col(termCol)).as("__bl_term")).distinct()
+    // \s+ split, not single-space: a blocked term at a line boundary
+    // ("...\nbadword\n...") must still match — the documented
+    // whitespace-TOKEN semantics
     val dropped = df
-      .select(col(idCol), explode(split(lower(col(textCol)), " ")).as("__w"))
+      .select(col(idCol),
+        explode(split(lower(col(textCol)), "\\s+")).as("__w"))
       .join(broadcast(blocked), col("__w") === col("__bl_term"))
       .select(col(idCol)).distinct()
     df.join(dropped, Seq(idCol), "left_anti")

@@ -133,7 +133,11 @@ object Dedup {
       .distinct()
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("dup_tokens"))
-    base.select(col(idCol), size(col("_toks")).cast("long").as("n_tokens"))
+    // size(NULL) is -1 under legacy sizeOfNull: a null text reports 0
+    // tokens, matching the reassembly operators' empty-string convention
+    base.select(col(idCol),
+        when(col("_toks").isNull, lit(0L))
+          .otherwise(size(col("_toks")).cast("long")).as("n_tokens"))
       .join(covered, Seq(idCol), "left")
       .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
       .withColumn("dup_frac", round(col("dup_tokens").cast("double")

@@ -188,6 +188,30 @@ class DedupIndexSpec extends SparkSpec {
         java.util.List.of(Row(904L, s"x $span y")), schema), "doc_id")
         .head().getLong(2) == 5L)
     }
+
+    // a file whose every row is shorter than spanTokens still gets a
+    // coverage partition (sentinel row): a second refresh must be a no-op
+    // — without the sentinel the file would re-run the build job forever
+    s.transaction { tx =>
+      val t = tx.bucket("b").schema("m").table("d")
+      insertBatch(t, Seq((200L, "tiny"), (201L, "also tiny")))
+      t.refreshDedupIndex("text")
+    }
+    val afterShort = partState(idxDir)
+    assert(afterShort.size == afterDelta.size + 1,
+      "zero-window file must still be covered")
+    s.transaction { tx =>
+      tx.bucket("b").schema("m").table("d").refreshDedupIndex("text")
+    }
+    assert(partState(idxDir) == afterShort,
+      "second refresh must not rewrite any partition")
+    // null-safe probe contract: null text reports (0, 0, 0.0)
+    s.transaction { tx =>
+      val t = tx.bucket("b").schema("m").table("d")
+      val p = t.probeDupSpans("text", spark.createDataFrame(
+        java.util.List.of(Row(905L, null)), schema), "doc_id").head()
+      assert(p.getLong(1) == 0L && p.getLong(2) == 0L && p.getDouble(3) == 0.0)
+    }
   }
 
   test("incremental refresh: delta-only recompute, DML orphan cleanup") {

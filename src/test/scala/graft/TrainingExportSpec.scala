@@ -501,7 +501,8 @@ class TrainingExportSpec extends SparkSpec {
       (2L, "http://user:pw@EXAMPLE.COM:8080/x?q=1"), // equals, case+port+auth
       (3L, "https://notexample.com/ok"),            // suffix but NOT at label
       (4L, "example.com./trailing-dot"),            // scheme-less + root dot
-      (5L, "https://safe.org/fine")
+      (5L, "https://safe.org/fine"),
+      (6L, "https://ads.example.com/x\n")           // newline must NOT fail open
     ).toDF("id", "url")
     val bl = Seq("example.com").toDF("domain")
     val kept = Curation.urlBlocklistFilter(d, "id", "url", bl)
@@ -509,12 +510,13 @@ class TrainingExportSpec extends SparkSpec {
     assert(kept == Set(3L, 5L), s"kept: $kept")
   }
 
-  test("termBlocklistFilter: case-folded exact-token match only") {
+  test("termBlocklistFilter: case-folded exact-token match, any whitespace") {
     import spark.implicits._
     val d = Seq(
       (1L, "clean text entirely"),
       (2L, "contains BLOCKED token"),
-      (3L, "substring blockedish is not a hit")
+      (3L, "substring blockedish is not a hit"),
+      (4L, "line one\nBlocked\nline three")  // newline-adjacent must match
     ).toDF("id", "text")
     val terms = Seq("Blocked").toDF("term")
     val kept = Curation.termBlocklistFilter(d, "id", "text", terms)
