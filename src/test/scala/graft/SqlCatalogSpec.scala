@@ -1430,5 +1430,23 @@ class SqlCatalogSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(probed(500L) == 6L, s"quoted six-token prefix covered: $probed")
     assert(probed(501L) == 0L)
+
+    // CALL curate span stage: full-positional call pins span_dedup_tokens
+    // at arg 16 and n_after_span_dedup at field 10
+    s.transaction { tx =>
+      tx.bucket("bk").schema("m").createTable("nob",
+        StructType(Seq(StructField("text", StringType))))
+    }
+    val cu = spark.sql("CALL graftr12b.system.curate(" +
+      "'bk.m.docs', 'id', 'text', 'bk.m.nob', 'text', 'bk.m.cur1', " +
+      "0.0, 0.7, false, '', 0.5, false, false, false, 5, 4)").head
+    assert(cu.getLong(0) == 3 && cu.getLong(9) == 3,
+      s"span accounting: $cu")
+    val curTexts = spark.sql(
+      "SELECT id, text FROM graftr12b.bk.m.cur1").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(curTexts(0L).contains("s1 s2 s3 s4"), "keep-first copy survives")
+    assert(!curTexts(1L).contains("s1 s2 s3 s4"),
+      s"span cut in the pipeline: ${curTexts(1L)}")
   }
 }
