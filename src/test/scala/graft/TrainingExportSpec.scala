@@ -556,6 +556,57 @@ class TrainingExportSpec extends SparkSpec {
     assert(again == buckets)
   }
 
+  test("ccnetBuckets equals a naive reference LM + rank-thirds on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Array("the", "cat", "sat", "mat", "zz", "qq")
+    def randDoc(len: Int) =
+      (0 until len).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    for (trial <- 0 until 2) {
+      val train = (0 until 30).map(i => (1000L + i, randDoc(6 + rnd.nextInt(10))))
+      val score = (0 until 40).map(i =>
+        (i.toLong, s"g${i % 3}", randDoc(1 + rnd.nextInt(10))))
+      // naive reference: full Stupid-Backoff LM + 6-dp decimal sums +
+      // integer micro-nats + per-group (ppt, id) rank thirds
+      val toks = train.flatMap(_._2.split(" ", -1))
+      val c1 = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val nCorpus = toks.size.toLong
+      val c2 = train.flatMap { case (_, t) =>
+        val a = t.split(" ", -1); a.zip(a.drop(1)) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val scored = score.flatMap { case (id, grp, text) =>
+        val a = text.split(" ", -1)
+        val bgs = a.zip(a.drop(1))
+        if (bgs.isEmpty) None
+        else {
+          val sum = bgs.map { case (w1, w2) =>
+            val s = c2.get((w1, w2)) match {
+              case Some(c) => c.toDouble / c1(w1)
+              case None => 0.4 * c1.getOrElse(w2, 1L) / nCorpus
+            }
+            BigDecimal(-math.log(s))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          }.sum
+          Some((id, grp, (sum * 1000000).toLongExact / bgs.length))
+        }
+      }
+      val expect = scored.groupBy(_._2).flatMap { case (_, rows) =>
+        val sorted = rows.sortBy(r => (r._3, r._1))
+        val m = sorted.size
+        sorted.zipWithIndex.map { case ((id, _, _), i) =>
+          id -> (((i.toLong * 3) / m) match {
+            case 0 => "head"; case 1 => "middle"; case _ => "tail" })
+        }
+      }
+      val got = TextAnalysis.ccnetBuckets(
+          train.toDF("id", "text"), score.toDF("id", "grp", "text"),
+          "id", groupCol = Some("grp"))
+        .collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[String]("bucket")).toMap
+      assert(got == expect, s"trial $trial: $got vs $expect")
+    }
+  }
+
   test("ccnetFilter keeps head+middle and drops tail and too-short docs") {
     import spark.implicits._
     val train = Seq((0L, "the cat sat on the mat")).toDF("id", "text")
