@@ -271,7 +271,7 @@ object Bench {
       graft.functions.TextHashes.minhashFromTokens(
         split(col("text"), " "), 64, 3).as("sig"))
     val probeScans: Seq[(String, () => Unit)] =
-      if (!selected("dedup_probe")) Seq.empty
+      (if (!selected("dedup_probe")) Seq.empty[(String, () => Unit)]
       else {
         val sigDir = java.nio.file.Files
           .createTempDirectory("graft_bench_dedup_sigs").toString
@@ -279,7 +279,23 @@ object Bench {
         Seq("dedup_probe" -> (() => mat(graft.llm.Dedup.minhashProbeFromSigs(
           docSigs(t("documents").filter(col("doc_id") % 100 === 0)),
           spark.read.parquet(sigDir), k = 64, bands = 16, threshold = 0.7))))
-      }
+      }) ++
+      // span-probe twin: corpus window hashes precomputed once (what the
+      // persisted span index stores); the timed work is the 1% batch's
+      // window pass + broadcast probe + covered-token accounting
+      (if (!selected("span_probe")) Seq.empty[(String, () => Unit)]
+      else {
+        val winDir = java.nio.file.Files
+          .createTempDirectory("graft_bench_span_wins").toString
+        t("documents").select(
+            posexplode(graft.functions.TextHashes.windowHashPairs(
+              split(col("text"), " "), 8, 1)).as(Seq("_widx", "_hp")))
+          .select(col("_hp.h1").as("h1"), col("_hp.h2").as("h2"))
+          .write.mode("overwrite").parquet(winDir)
+        Seq("span_probe" -> (() => mat(graft.llm.Dedup.spanProbeStats(
+          t("documents").filter(col("doc_id") % 100 === 0), "doc_id", "text",
+          spark.read.parquet(winDir), spanTokens = 8, stride = 1))))
+      })
 
     // sorted-layout comparison (Elysium write path): one range-partitioned
     // sorted copy of lineitem; the same selective range scan then prunes

@@ -2383,32 +2383,12 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
   def probeDupSpans(column: String, incoming: DataFrame,
                     incomingIdCol: String): DataFrame = {
     val (meta, corpus) = spanIndexWindows(column)
-    val q = spanWindows(
-      incoming.select(col(incomingIdCol).as("__q_id"), col(column)),
-      "__q_id", meta)
-    val matched = corpus.select("h1", "h2")
-      .join(broadcast(q), Seq("h1", "h2"))
-      // a corpus window duplicated C times matches C rows per batch
-      // window — collapse to the batch's window set BEFORE the k-way
-      // position explode, or the documented "bounded by the batch's
-      // window count" breaks on exactly the boilerplate this targets
-      .select("__q_id", "wp").dropDuplicates("__q_id", "wp")
-      .select(col("__q_id"),
-        explode(sequence(col("wp"), col("wp") + (meta.k - 1))).as("_tp"))
-      .distinct()
-      .groupBy("__q_id").agg(count(lit(1)).as("dup_tokens"))
-    incoming
-      .select(col(incomingIdCol).as("__q_id"),
-        // size(split(NULL)) is -1 under legacy sizeOfNull: a null text is
-        // 0 tokens in this contract, not a negative count
-        when(col(column).isNull, lit(0L))
-          .otherwise(size(split(col(column), " ")).cast("long"))
-          .as("n_tokens"))
-      .join(matched, Seq("__q_id"), "left")
-      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
-      .withColumn("dup_frac", round(col("dup_tokens").cast("double")
-        / greatest(col("n_tokens"), lit(1L)), 6))
-      .withColumnRenamed("__q_id", incomingIdCol)
+    // the probe kernel is graft.llm.Dedup.spanProbeStats (one
+    // implementation for the index path and ad-hoc window tables);
+    // meta.k/meta.bands are the index's spanTokens/stride, so incoming
+    // windows hash exactly like the persisted ones
+    graft.llm.Dedup.spanProbeStats(incoming, incomingIdCol, column,
+      corpus, meta.k, meta.bands)
   }
 
   private def indexSignatures(column: String): (DedupIndexMeta, DataFrame) = {

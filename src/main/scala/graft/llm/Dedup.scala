@@ -144,6 +144,52 @@ object Dedup {
         / greatest(col("n_tokens"), lit(1L)), 6))
   }
 
+  /**
+   * Batch-vs-corpus span probe: for each `incoming` row, how many of its
+   * tokens sit under a `spanTokens`-token window whose (h1, h2) pair
+   * appears in `corpusWins` — the kernel behind
+   * `graft.api.Table.probeDupSpans` (which feeds it the persisted span
+   * index) and directly usable against any precomputed window table.
+   * Returns (idCol, n_tokens, dup_tokens, dup_frac) for every incoming
+   * row; null text counts 0 tokens.
+   *
+   * Scale shape: the incoming batch's windows derive map-side and
+   * BROADCAST against the corpus window table (batch ≪ corpus at
+   * ingest); matches collapse to the batch's window set BEFORE the
+   * k-way position explode, so a corpus window duplicated C times costs
+   * nothing extra.
+   */
+  def spanProbeStats(incoming: DataFrame, idCol: String, textCol: String,
+                     corpusWins: DataFrame, spanTokens: Int,
+                     stride: Int = 1): DataFrame = {
+    require(spanTokens > 0 && stride > 0,
+      "spanTokens and stride must be positive")
+    val q = incoming
+      .select(col(idCol).as("__q_id"),
+        posexplode(graft.functions.TextHashes.windowHashPairs(
+          split(col(textCol), " "), spanTokens, stride))
+          .as(Seq("_widx", "_hp")))
+      .select(col("__q_id"), (col("_widx") * stride).as("wp"),
+        col("_hp.h1").as("h1"), col("_hp.h2").as("h2"))
+    val matched = corpusWins.select("h1", "h2")
+      .join(broadcast(q), Seq("h1", "h2"))
+      .select("__q_id", "wp").dropDuplicates("__q_id", "wp")
+      .select(col("__q_id"),
+        explode(sequence(col("wp"), col("wp") + (spanTokens - 1))).as("_tp"))
+      .distinct()
+      .groupBy("__q_id").agg(count(lit(1)).as("dup_tokens"))
+    incoming
+      .select(col(idCol).as("__q_id"),
+        when(col(textCol).isNull, lit(0L))
+          .otherwise(size(split(col(textCol), " ")).cast("long"))
+          .as("n_tokens"))
+      .join(matched, Seq("__q_id"), "left")
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .withColumn("dup_frac", round(col("dup_tokens").cast("double")
+        / greatest(col("n_tokens"), lit(1L)), 6))
+      .withColumnRenamed("__q_id", idCol)
+  }
+
   /** Shared keep-first finish: reassemble per-document text from the kept
     * (id, position, piece) rows in position order and join it back onto
     * `df` — a document whose every piece was cut comes back as "" (the
