@@ -510,6 +510,30 @@ class TrainingExportSpec extends SparkSpec {
     assert(kept == Set(3L, 5L), s"kept: $kept")
   }
 
+  test("urlBlocklistFilter equals a naive suffix reference on random URLs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val labels = Array("a", "bb", "ccc", "example", "com", "net", "org", "x")
+    val urls = (0 until 200).map { i =>
+      val h = (0 until 1 + rnd.nextInt(4))
+        .map(_ => labels(rnd.nextInt(labels.length))).mkString(".")
+      val scheme = if (rnd.nextBoolean()) "https://" else ""
+      val user = if (rnd.nextInt(4) == 0) "u:p@" else ""
+      val port = if (rnd.nextInt(3) == 0) ":8080" else ""
+      val cased = if (rnd.nextBoolean()) h.toUpperCase else h
+      (i.toLong, s"$scheme$user$cased$port/p$i", h)
+    }
+    val blocked = Set("example.com", "x.org", "bb")
+    def naive(h: String) = blocked.exists(b => h == b || h.endsWith("." + b))
+    val expect = urls.filterNot(u => naive(u._3)).map(_._1).toSet
+    val got = Curation.urlBlocklistFilter(
+        urls.map(u => (u._1, u._2)).toDF("id", "url"), "id", "url",
+        blocked.toSeq.toDF("domain"))
+      .select("id").as[Long].collect().toSet
+    assert(got == expect,
+      s"diff: ${(got diff expect) ++ (expect diff got)}")
+  }
+
   test("termBlocklistFilter: case-folded exact-token match, any whitespace") {
     import spark.implicits._
     val d = Seq(
