@@ -2380,6 +2380,22 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
     * holds at ingest; covered files stream their 24-byte persisted rows,
     * uncovered hash on the fly) — the corpus side never shuffles, and the
     * matched set is bounded by the batch's window count. */
+  /** Offline exact-substring dedup from the persisted span index: the
+    * keep-first removal ([[graft.llm.Dedup.dedupSpansKeepFirst]]
+    * semantics, `$row_id` as the identity/order key) with the window-hash
+    * pass — the dominant map-side cost — READ from the index for covered
+    * files instead of recomputed (uncovered files hash on the fly; same
+    * freshness contract as [[dedupMinhashPairs]]). Returns the table's
+    * rows (with `$row_id`) and the `column` text rewritten; feed it to
+    * `update`/`overwrite` to persist the cut. */
+  def dedupSpans(column: String): DataFrame = {
+    val (meta, wins) = spanIndexWindows(column)
+    val rows = select(Nil, lit(true), internalRowId = true)
+    graft.llm.Dedup.dedupSpansFromWins(rows, RowIdColumn, column,
+      wins.select(col(RowIdColumn), col("wp").as("_wp"),
+        col("h1").as("_wh"), col("h2").as("_wh2")), meta.k)
+  }
+
   def probeDupSpans(column: String, incoming: DataFrame,
                     incomingIdCol: String): DataFrame = {
     val (meta, corpus) = spanIndexWindows(column)

@@ -498,6 +498,18 @@ object Dedup {
           col("_toks"), spanTokens, stride)).as(Seq("_widx", "_hp")))
       .select(col(idCol), (col("_widx") * stride).as("_wp"),
         col("_hp.h1").as("_wh"), col("_hp.h2").as("_wh2")))
+    dedupSpansFromWins(df, idCol, textCol, wins, spanTokens)
+  }
+
+  /** The removal tail of [[dedupSpansKeepFirst]] over PRECOMPUTED window
+    * rows `(idCol, _wp, _wh, _wh2)` — the path a persisted span-hash index
+    * takes (`graft.api.Table.dedupSpans`), so a covered corpus never
+    * re-hashes its windows for an offline dedup run. `wins` must carry
+    * every window of every `df` row at the stride the hashes were built
+    * with (the index's contract). */
+  def dedupSpansFromWins(df: DataFrame, idCol: String, textCol: String,
+                         wins: DataFrame, spanTokens: Int): DataFrame = {
+    val base = df.select(col(idCol), split(col(textCol), " ").as("_toks"))
     val firsts = wins.groupBy("_wh")
       .agg(count(lit(1)).as("_n"),
         min(struct(col(idCol).as("_fid"), col("_wp").as("_fp"),

@@ -212,6 +212,26 @@ class DedupIndexSpec extends SparkSpec {
         java.util.List.of(Row(905L, null)), schema), "doc_id").head()
       assert(p.getLong(1) == 0L && p.getLong(2) == 0L && p.getDouble(3) == 0.0)
     }
+
+    // offline index-backed dedup equals the recompute-everything operator
+    // (keyed by $row_id on both sides) — the covered files' window pass
+    // reads the index instead of re-hashing
+    s.transaction { tx =>
+      val t = tx.bucket("b").schema("m").table("d")
+      // plant a second copy of the span so the cut path is non-trivial
+      insertBatch(t, Seq((300L, s"trailing copy of $span here")))
+      val fromIndex = t.dedupSpans("text")
+        .select(col("_row_id"), col("text")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val recompute = graft.llm.Dedup.dedupSpansKeepFirst(
+          t.select(Nil, internalRowId = true), "_row_id", "text",
+          spanTokens = 4)
+        .select(col("_row_id"), col("text")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(fromIndex == recompute, "index-backed dedup must equal recompute")
+      assert(fromIndex.values.count(_.contains(span)) == 1,
+        "exactly one copy of the planted span survives")
+    }
   }
 
   test("incremental refresh: delta-only recompute, DML orphan cleanup") {
