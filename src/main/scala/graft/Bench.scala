@@ -494,7 +494,14 @@ object Bench {
     // otherwise land after it in a merged stdout/stderr capture, so a
     // harness that parses the LAST line would read a log line instead of
     // the result. Echo to stderr too for captures that only keep stderr.
+    // ALSO land the JSON in a file — 12 rounds of tail-regex fishing left
+    // the driver's `parsed` field null (sbt's "[success] Total time" line
+    // trails the last stdout line); a file is unambiguous.
     spark.stop()
+    val outFile = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json"))
+    java.nio.file.Files.write(outFile,
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Console.flush(); System.err.flush()
     println(json)
     System.err.println(json)

@@ -1638,6 +1638,36 @@ object SparkEntry {
              |  true AS all_lossless, true AS compressed
              |FROM documents""".stripMargin)),
 
+    Q("bpe3_byte_level",  // byte-level BPE (the GPT-2/tiktoken shape:
+      // regex pre-tokenization + byte→unicode alphabet + byte fallback),
+      // encoded with a PLANTED merge table so the oracle's token strings
+      // are hand-derived from the published algorithm: "the theme" splits
+      // ["the"," theme"], space maps to Ġ, merges (t,h)<(th,e) rebuild
+      // "the" inside both pre-tokens; "don't" exercises the contraction
+      // alternates ('t splits off); " 12" the digit branch; "café" the
+      // byte fallback (é → 0xC3 0xA9 → "Ã©", rebuilt by the planted
+      // (Ã,©) merge); "a  b" the \s+(?!\S) lookahead (first space alone,
+      // second glued to "b"). A wrong regex branch, byte table entry, or
+      // merge order changes the strings and fails the gate.
+      (s, dir) => {
+        import s.implicits._
+        val docs = Seq((1L, "the theme"), (2L, "don't stop"),
+          (3L, "ab 12x café"), (4L, "a  b")).toDF("id", "text")
+        val merges: Seq[graft.llm.Bpe.Merge] =
+          Seq(("t", "h"), ("th", "e"), ("Ġ", "s"), ("Ã", "©"))
+        docs.select($"id",
+            array_join(graft.llm.Bpe.encodeByteLevel($"text", merges), "|")
+              .as("toks"),
+            graft.llm.Bpe.tokenCountByteLevel($"text", merges).as("n_tokens"))
+          .orderBy("id")
+      },
+      Some(("""SELECT * FROM (VALUES
+             |  (CAST(1 AS BIGINT), 'the|Ġ|the|m|e', 5),
+             |  (CAST(2 AS BIGINT), 'd|o|n|''|t|Ġs|t|o|p', 9),
+             |  (CAST(3 AS BIGINT), 'a|b|Ġ|1|2|x|Ġ|c|a|f|Ã©', 11),
+             |  (CAST(4 AS BIGINT), 'a|Ġ|Ġ|b', 4)) AS t(id, toks, n_tokens)
+             |ORDER BY id""").stripMargin)),
+
     Q("ss3_ann_pq",  // product-quantized ANN (ADC shortlist + exact
       // rerank), self-oracled by planted-neighbor containment: an identical
       // planted vector's codes are the per-subspace argmins of the query's
@@ -2046,6 +2076,32 @@ object SparkEntry {
              |  ['badword1', 'badword2'])) = 0
              |ORDER BY doc_id""".stripMargin)),
 
+    Q("cu13_sample_per_domain",  // stratified per-domain uniform sample
+      // (the bounded eyeball export for the dataset-report path): ≤ 5 docs
+      // from EVERY source, racing on the exact integer md5 hash of
+      // `seed|id` — the same dyadic-u construction as se4 with no float in
+      // the key at all — so DuckDB redraws every stratum rank-for-rank
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "source")
+        graft.llm.Selection.samplePerDomain(docs, "doc_id", "source",
+            k = 5, seed = 7L, hash = md5Hash60)
+          .select(col("doc_id"), col("source"), col("sample_rank"))
+          .orderBy("source", "sample_rank")
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id, source,
+             |    (('0x'||substr(md5('7|' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+             |      % 4503599627370496) AS race
+             |  FROM documents
+             |), rk AS (
+             |  SELECT doc_id, source,
+             |    ROW_NUMBER() OVER (PARTITION BY source
+             |                       ORDER BY race, doc_id) - 1 AS r
+             |  FROM r)
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+             |  CAST(r AS BIGINT) AS sample_rank
+             |FROM rk WHERE r < 5 ORDER BY source, sample_rank""".stripMargin)),
+
     Q("qc1_lr_quality",  // distributed quality classifier (fasttext
       // recipe: hashed bag-of-words → linear model), planted-teacher gate:
       // label every document by a KNOWN fixed hyperplane u in the hashed
@@ -2149,10 +2205,14 @@ object SparkEntry {
       // window (the oracle AFFORDS the single-partition verifier the
       // operator itself must avoid — that asymmetry is the point), chunk
       // into ceil(stream/L) sequences — and value-matches every
-      // `token_ids` array. Subsumes the former self-oracled invariants
-      // (count, lengths, order-exact roundtrip); the one residual
-      // Spark-side boolean is layout determinism under an adversarial
-      // repartition, which no single-engine recomputation can witness.
+      // sequence's full token stream. Subsumes the former self-oracled
+      // invariants (count, lengths, order-exact roundtrip); the one
+      // residual Spark-side boolean is layout determinism under an
+      // adversarial repartition, which no single-engine recomputation can
+      // witness. The gate output is deliberately SCALAR — the comma-joined
+      // token stream plus its length — because the driver's checker sorts
+      // result rows cell-wise and cannot hash/sort array cells (r12's one
+      // red row); joining to CSV loses no value-exactness per sequence.
       (s, dir) => {
         val L = 256
         val docs = t(s, dir, "documents").select(col("doc_id"),
@@ -2163,7 +2223,10 @@ object SparkEntry {
         val packed2 = pack(docs.repartition(7))
         val assignDiff = packed.select("seq_id", "token_ids")
           .exceptAll(packed2.select("seq_id", "token_ids")).count()
-        packed.select(col("seq_id"), col("token_ids"),
+        packed.select(col("seq_id"),
+            array_join(transform(col("token_ids"),
+              x => x.cast("string")), ",").as("token_csv"),
+            size(col("token_ids")).as("n_tokens"),
             lit(assignDiff == 0).as("layout_deterministic"))
           .orderBy("seq_id")
       },
@@ -2187,7 +2250,8 @@ object SparkEntry {
              |  FROM ids
              |)
              |SELECT (gidx // 256) AS seq_id,
-             |  LIST(id ORDER BY gidx) AS token_ids,
+             |  ARRAY_TO_STRING(LIST(id ORDER BY gidx), ',') AS token_csv,
+             |  CAST(COUNT(id) AS INT) AS n_tokens,
              |  true AS layout_deterministic
              |FROM g GROUP BY 1 ORDER BY seq_id""".stripMargin)),
 

@@ -2391,9 +2391,14 @@ class Table private[api] (val schemaNS: SchemaNS, val name: String, val dir: Pat
   def dedupSpans(column: String): DataFrame = {
     val (meta, wins) = spanIndexWindows(column)
     val rows = select(Nil, lit(true), internalRowId = true)
+    // dedupSpansFromWins consumes `wins` twice (winner aggregate + cut
+    // join) — the same materialize pin dedupSpansKeepFirst applies, so the
+    // uncovered files' window-hash pass and the index scan run once by
+    // contract, not by exchange-reuse luck
     graft.llm.Dedup.dedupSpansFromWins(rows, RowIdColumn, column,
-      wins.select(col(RowIdColumn), col("wp").as("_wp"),
-        col("h1").as("_wh"), col("h2").as("_wh2")), meta.k)
+      graft.llm.Dedup.materializeIfLarge(
+        wins.select(col(RowIdColumn), col("wp").as("_wp"),
+          col("h1").as("_wh"), col("h2").as("_wh2"))), meta.k)
   }
 
   def probeDupSpans(column: String, incoming: DataFrame,

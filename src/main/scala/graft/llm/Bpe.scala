@@ -80,6 +80,15 @@ object Bpe {
     docs.foreach(_.split(' ').foreach { w =>
       if (w.nonEmpty) wordFreq.update(w, wordFreq.getOrElse(w, 0L) + 1L)
     })
+    trainFromWordFreq(wordFreq, numMerges)
+  }
+
+  /** The merge-selection loop shared by the whitespace and byte-level
+    * trainers: greedy argmax pair count with the (count desc, pair asc)
+    * deterministic tie-break. */
+  private def trainFromWordFreq(
+      wordFreq: scala.collection.mutable.LinkedHashMap[String, Long],
+      numMerges: Int): Seq[Merge] = {
     var words: Vector[(Array[String], Long)] =
       wordFreq.toVector.map { case (w, f) =>
         (w.map(_.toString).toArray, f)
@@ -154,20 +163,114 @@ object Bpe {
     * `TextAnalysis.bpeTokenEstimate`). */
   def tokenCount(text: Column, merges: Seq[Merge]): Column =
     size(encode(text, merges))
+
+  // ------------------------------------------------------------ byte level
+
+  /** The GPT-2 pre-tokenization split (Radford et al. 2019, public in the
+    * gpt-2 repo and every tiktoken port): contractions, optionally
+    * space-prefixed letter/digit/punctuation runs, and a whitespace rule
+    * whose lookahead leaves the last space attached to the next word.
+    * Compiled with UNICODE_CHARACTER_CLASS so `\p{L}`/`\p{N}`/`\s` match
+    * the same character classes the Python `regex` module uses. */
+  private[llm] val ByteLevelPattern: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(
+      """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""",
+      java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+
+  /** GPT-2's byte↔unicode table: the 188 printable latin-1 bytes map to
+    * themselves; the other 68 (controls, space, DEL, …) map to 256+n so
+    * every byte is a visible single char and merges stay string pairs
+    * (space → 'Ġ' U+0120, newline → 'Ċ'). Bijective, so decoding is exact
+    * byte recovery. */
+  private[graft] val byteToUnicode: Array[Char] = {
+    val out = new Array[Char](256)
+    var n = 0
+    for (b <- 0 until 256) {
+      val printable = (b >= '!' && b <= '~') || (b >= 0xA1 && b <= 0xAC) ||
+        (b >= 0xAE && b <= 0xFF)
+      if (printable) out(b) = b.toChar
+      else { out(b) = (256 + n).toChar; n += 1 }
+    }
+    out
+  }
+
+  private[graft] val unicodeToByte: Map[Char, Int] =
+    byteToUnicode.zipWithIndex.map { case (c, b) => c -> b }.toMap
+
+  /** Regex pre-tokens of `text`, each re-expressed in the mapped byte
+    * alphabet (UTF-8 bytes → single chars). Non-ASCII chars become
+    * multi-symbol byte sequences — the byte-fallback property: every
+    * string is encodable with no unknown-token escape hatch. */
+  def byteLevelPretokens(text: String): Array[String] = {
+    val m = ByteLevelPattern.matcher(text)
+    val out = Array.newBuilder[String]
+    while (m.find()) {
+      val bytes = m.group().getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val sb = new java.lang.StringBuilder(bytes.length)
+      bytes.foreach(b => sb.append(byteToUnicode(b & 0xFF)))
+      out += sb.toString
+    }
+    out.result()
+  }
+
+  /** Exact inverse of the byte-level token alphabet: mapped chars → bytes
+    * → UTF-8 string. Concatenating the decoded tokens of a document
+    * reproduces it byte-for-byte (whitespace included — unlike the
+    * whitespace mode, byte-level encoding is FULLY lossless). */
+  def byteLevelDecode(tokens: Seq[String]): String = {
+    val bytes = Array.newBuilder[Byte]
+    tokens.foreach(_.foreach(c => bytes += unicodeToByte(c).toByte))
+    new String(bytes.result(), java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Learn byte-level merges (GPT-2 style) from the same bounded
+    * deterministic sample as [[train]]. Merges never cross pre-token
+    * boundaries, matching the published tokenizers. */
+  def trainByteLevel(df: DataFrame, textCol: String, numMerges: Int,
+                     sampleDocs: Int = 1000): Seq[Merge] = {
+    val sample = df.select(col(textCol).cast("string").as("t"))
+      .where(col("t").isNotNull)
+      .orderBy(xxhash64(col("t")), col("t"))
+      .limit(sampleDocs)
+      .collect().map(_.getString(0))
+    trainLocalByteLevel(sample.toIndexedSeq, numMerges)
+  }
+
+  /** Local byte-level trainer (spec parity twin of [[trainLocal]]). */
+  def trainLocalByteLevel(docs: Seq[String], numMerges: Int): Seq[Merge] = {
+    val wordFreq = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    docs.foreach(d => byteLevelPretokens(d).foreach { w =>
+      if (w.nonEmpty) wordFreq.update(w, wordFreq.getOrElse(w, 0L) + 1L)
+    })
+    trainFromWordFreq(wordFreq, numMerges)
+  }
+
+  /** Column of byte-level BPE tokens (array<string>, mapped-alphabet
+    * strings like "Ġthe") — the tiktoken-shaped sibling of [[encode]]. */
+  def encodeByteLevel(text: Column, merges: Seq[Merge]): Column =
+    Glue.column(BpeEncodeExpr(Glue.expression(text), merges,
+      byteLevel = true))
+
+  /** Exact byte-level subword count. */
+  def tokenCountByteLevel(text: Column, merges: Seq[Merge]): Column =
+    size(encodeByteLevel(text, merges))
 }
 
 /**
- * Distributed BPE encoding: whitespace pre-tokenize, then merge-by-rank
- * per word. The merge table rides in the serialized plan (a few thousand
+ * Distributed BPE encoding: pre-tokenize (whitespace, or the GPT-2 regex
+ * + byte→unicode alphabet when `byteLevel`), then merge-by-rank per
+ * pre-token. The merge table rides in the serialized plan (a few thousand
  * short string pairs) and the per-row work is pure map-side compute —
  * whole-stage codegen calls straight into [[compute]] via the
  * reference-object pattern, same as TokenStats.
  */
-case class BpeEncodeExpr(child: Expression, merges: Seq[Bpe.Merge])
+case class BpeEncodeExpr(child: Expression, merges: Seq[Bpe.Merge],
+                         byteLevel: Boolean = false)
     extends UnaryExpression with Serializable {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "bpe_encode"
+  override def prettyName: String =
+    if (byteLevel) "bpe_encode_bytes" else "bpe_encode"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -180,7 +283,10 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[Bpe.Merge])
 
   def compute(text: UTF8String): ArrayData = {
     val out = Array.newBuilder[UTF8String]
-    text.toString.split(' ').foreach { w =>
+    val words =
+      if (byteLevel) Bpe.byteLevelPretokens(text.toString)
+      else text.toString.split(' ')
+    words.foreach { w =>
       if (w.nonEmpty)
         Bpe.encodeWord(w, ranks).foreach(t => out += UTF8String.fromString(t))
     }

@@ -33,8 +33,10 @@ object Dedup {
     * maintains under the manifest, which survives executors AND runs).
     * Below the size cutoff the trade inverts — recomputing a map-side
     * signature pass 2-3× is cheaper than writing the blocks — so small
-    * inputs keep pure lineage. Plan-time statistics only; no job is run. */
-  private def materializeIfLarge(df: DataFrame): DataFrame = {
+    * inputs keep pure lineage. Plan-time statistics only; no job is run.
+    * `private[graft]` so `Table.dedupSpans` can apply the same pin to the
+    * persisted∪fresh window frame it hands [[dedupSpansFromWins]]. */
+  private[graft] def materializeIfLarge(df: DataFrame): DataFrame = {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (bytes < BigInt(256L << 20)) df else df.localCheckpoint(eager = false)
   }
@@ -157,7 +159,13 @@ object Dedup {
    * BROADCAST against the corpus window table (batch ≪ corpus at
    * ingest); matches collapse to the batch's window set BEFORE the
    * k-way position explode, so a corpus window duplicated C times costs
-   * nothing extra.
+   * nothing extra. The hint is GUARDED: `CALL span_probe` feeds this an
+   * arbitrary user candidates table, and at stride 1 the exploded window
+   * set is ~28 bytes per batch TOKEN — a large batch would blow the
+   * broadcast limit or OOM the driver. Above a plan-stats size cutoff on
+   * the un-exploded batch the hint is dropped and the probe degrades to
+   * a plain hash equi-join (AQE may still broadcast if the exploded side
+   * turns out small). Plan-time statistics only; no job is run.
    */
   def spanProbeStats(incoming: DataFrame, idCol: String, textCol: String,
                      corpusWins: DataFrame, spanTokens: Int,
@@ -171,8 +179,14 @@ object Dedup {
           .as(Seq("_widx", "_hp")))
       .select(col("__q_id"), (col("_widx") * stride).as("wp"),
         col("_hp.h1").as("h1"), col("_hp.h2").as("h2"))
+    // ~64 MB of batch text → ≲ a few hundred MB of exploded windows: safe
+    // to broadcast; beyond that, let the planner shuffle
+    val qHinted =
+      if (incoming.queryExecution.optimizedPlan.stats.sizeInBytes
+          < BigInt(64L << 20)) broadcast(q)
+      else q
     val matched = corpusWins.select("h1", "h2")
-      .join(broadcast(q), Seq("h1", "h2"))
+      .join(qHinted, Seq("h1", "h2"))
       .select("__q_id", "wp").dropDuplicates("__q_id", "wp")
       .select(col("__q_id"),
         explode(sequence(col("wp"), col("wp") + (spanTokens - 1))).as("_tp"))
@@ -428,8 +442,11 @@ object Dedup {
       .agg(countDistinct(col("id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select("h")
-    // candidates are tiny by construction — broadcast, no second big shuffle
-    hashed.join(broadcast(candidates), Seq("h"))
+    // NO broadcast hint: candidates = every hash in ≥minDocs docs, which is
+    // O(corpus) on a boilerplate-heavy crawl — a forced broadcast would OOM
+    // the executors at 100 TB. A plain equi-join lets AQE broadcast only
+    // when the aggregate output is actually small.
+    hashed.join(candidates, Seq("h"))
       .join(docs, Seq("id"))
       .select(windowAt(col("txt"), col("p"), windowLen).as("dup_text"),
         col("id"))
@@ -455,8 +472,13 @@ object Dedup {
    * occurrence are removed from their documents. With `stride = 1` (the
    * default) this exactly covers all duplicated token spans of length ≥
    * `spanTokens`: a longer duplicated span is tiled by duplicated windows
-   * at every offset, so the whole span is cut (while the keep-first copy
-   * survives intact). `stride > 1` trades recall for an
+   * at every offset, so the whole span is cut. The keep-first copy
+   * survives intact provided the duplicated span does not overlap ITSELF
+   * (no period shorter than `spanTokens`): periodic text like "x x x x"
+   * with `spanTokens = 2` has non-first duplicate windows starting inside
+   * the first occurrence, so the first copy is partially cut too — one
+   * period survives, matching the DuckDB oracle (see LIMITS.md).
+   * `stride > 1` trades recall for an
    * `spanTokens/stride`-fold cheaper window pass, same as
    * [[duplicateSpans]].
    *

@@ -294,4 +294,42 @@ object Selection {
       col(idCol) === col("__ws_id"))
       .drop("__ws_id")
   }
+
+  /**
+   * STRATIFIED per-domain uniform sample: up to `k` rows from EVERY
+   * distinct value of `domainCol` (a bounded eyeball/export sample per
+   * source for the dataset-report path — the per-domain sibling of
+   * [[weightedSample]]'s global draw). Deterministic given `seed`: each
+   * row races on the exact integer hash of `seed|id` (the same
+   * dyadic-uniform construction as [[weightedSample]] — ordering by the
+   * integer hash IS ordering by u, no float in the key at all), id
+   * tiebreak, so any engine recomputes the identical per-domain draw.
+   *
+   * 100-TB shape: the race runs over a NARROW (id, domain, hash) frame;
+   * the rank-≤-k filter over `row_number` triggers Spark's
+   * InferWindowGroupLimit, so every map task keeps only a k-heap per
+   * domain BEFORE the shuffle (WindowGroupLimit — plan-audited in
+   * SelectionSpec) and the exchange carries O(partitions × domains × k)
+   * rows, not the corpus; winners semi-join back by unique id. A NULL
+   * domain is its own stratum; `idCol` must be non-null and unique (the
+   * join-back contract, same as [[weightedSample]]).
+   */
+  def samplePerDomain(df: DataFrame, idCol: String, domainCol: String,
+                      k: Int, seed: Long,
+                      hash: Column => Column = defaultGramHash): DataFrame = {
+    require(k > 0, "k must be positive")
+    val race = pmod(hash(concat(lit(seed.toString), lit("|"),
+      col(idCol).cast("string"))), lit(1L << 52))
+    val narrow = df.select(col(idCol).as("__sd_id"),
+      col(domainCol).as("__sd_dom"), race.as("_race"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__sd_dom"))
+      .orderBy(col("_race").asc, col("__sd_id").asc)
+    val picked = narrow.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+    df.join(picked.select(col("__sd_id"),
+        (col("_rn") - 1).cast("long").as("sample_rank")),
+      col(idCol) === col("__sd_id"))
+      .drop("__sd_id")
+  }
 }

@@ -472,7 +472,8 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     "bpe_fit", "tokenize_pack", "corpus_report", "dedup_probe", "epoch_mix",
     "dsir_select", "keep_best", "weighted_sample", "dsir_fit", "dsir_score",
     "gopher_filter", "c4_filter", "span_dedup", "ccnet_bucket",
-    "url_filter", "badword_filter", "span_stats", "span_probe")
+    "url_filter", "badword_filter", "span_stats", "span_probe",
+    "sample_per_domain")
 
   /** Manifest version a streaming checkpoint has durably consumed through,
     * or -1 if no batch has committed yet. Reads Spark's own checkpoint
@@ -1307,6 +1308,24 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             replaceOutput(tx, args(5).asInstanceOf[String], sampled)))
         }
       }
+      // stratified per-domain uniform sample: ≤ k rows from every distinct
+      // domain value, deterministic per seed — the bounded eyeball export
+      // next to CALL corpus_report's per-source breakdown
+      case "sample_per_domain" => new GraftProcedure("sample_per_domain",
+          Seq(("table", StringType, None), ("id_col", StringType, None),
+            ("domain_col", StringType, None), ("out_table", StringType, None),
+            ("k", IntegerType, Some("100")),
+            ("seed", LongType, Some("0L"))),
+          StructType(Seq(StructField("n_sampled", LongType)))) {
+        def run(args: Seq[Any]) = inSession { tx =>
+          val sampled = graft.llm.Selection.samplePerDomain(
+            tableIn(tx, args(0).asInstanceOf[String]).select(),
+            args(1).asInstanceOf[String], args(2).asInstanceOf[String],
+            args(4).asInstanceOf[Int], args(5).asInstanceOf[Long])
+          Seq(org.apache.spark.sql.Row(
+            replaceOutput(tx, args(3).asInstanceOf[String], sampled)))
+        }
+      }
       // fit a quality model on the rows of `table` whose `label_col` is
       // non-null (0/1) and PERSIST it to `model_table` — downstream scoring
       // (CALL classifier_score's refit-free sibling, the streaming sink's
@@ -1349,10 +1368,17 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
           Seq(("table", StringType, None), ("text_col", StringType, None),
             ("model_table", StringType, None),
             ("num_merges", IntegerType, Some("200")),
-            ("sample_docs", IntegerType, Some("1000"))),
+            ("sample_docs", IntegerType, Some("1000")),
+            // byte_level => GPT-2 regex pre-tokens + byte→unicode alphabet
+            // (byte fallback, whitespace-lossless); the merge-table format
+            // is shared, so pass the SAME flag to tokenize_pack
+            ("byte_level", BooleanType, Some("false"))),
           StructType(Seq(StructField("n_merges", LongType)))) {
         def run(args: Seq[Any]) = inSession { tx =>
-          val merges = graft.llm.Bpe.train(
+          val fit =
+            if (args(5).asInstanceOf[Boolean]) graft.llm.Bpe.trainByteLevel _
+            else graft.llm.Bpe.train _
+          val merges = fit(
             tableIn(tx, args(0).asInstanceOf[String]).select(),
             args(1).asInstanceOf[String], args(3).asInstanceOf[Int],
             args(4).asInstanceOf[Int])
@@ -1368,7 +1394,8 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             ("bpe_table", StringType, None),
             ("out_table", StringType, None),
             ("seq_len", IntegerType, Some("512")),
-            ("eos_id", LongType, Some("-1L"))),
+            ("eos_id", LongType, Some("-1L")),
+            ("byte_level", BooleanType, Some("false"))),
           StructType(Seq(StructField("n_sequences", LongType),
             StructField("n_tokens", LongType)))) {
         def run(args: Seq[Any]) = inSession { tx =>
@@ -1377,11 +1404,13 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
           val merges = graft.llm.Bpe.mergesFromDf(
             tableIn(tx, args(3).asInstanceOf[String]).select())
           val idCol = args(1).asInstanceOf[String]
+          val enc =
+            if (args(7).asInstanceOf[Boolean])
+              graft.llm.Bpe.encodeByteLevel(
+                c(args(2).asInstanceOf[String]), merges)
+            else graft.llm.Bpe.encode(c(args(2).asInstanceOf[String]), merges)
           val docs = tableIn(tx, args(0).asInstanceOf[String]).select()
-            .select(c(idCol),
-              atransform(graft.llm.Bpe.encode(
-                c(args(2).asInstanceOf[String]), merges),
-                w => ahash(w)).as("_ids"))
+            .select(c(idCol), atransform(enc, w => ahash(w)).as("_ids"))
           val packed = graft.llm.Curation.packTokenSequences(docs, idCol,
             "_ids", args(5).asInstanceOf[Int], args(6).asInstanceOf[Long])
           val n = replaceOutput(tx, args(4).asInstanceOf[String], packed)

@@ -1509,6 +1509,55 @@ class OperatorsSpec extends SparkSpec {
     assert(nToks < nChars)
   }
 
+  test("bpe byte-level: GPT-2 regex pre-tokens, byte table, decode inverse") {
+    import graft.llm.Bpe
+    // contraction split, space-attachment, digit/letter branch split
+    assert(Bpe.byteLevelPretokens("don't stop").toSeq ==
+      Seq("don", "'t", "Ġstop"))
+    assert(Bpe.byteLevelPretokens("ab 12x").toSeq == Seq("ab", "Ġ12", "x"))
+    // \s+(?!\S): in a run of spaces the LAST one glues to the next word
+    assert(Bpe.byteLevelPretokens("a  b").toSeq == Seq("a", "Ġ", "Ġb"))
+    // trailing whitespace takes the bare \s+ branch (nothing follows)
+    assert(Bpe.byteLevelPretokens("a \n").toSeq == Seq("a", "ĠĊ"))
+    // byte fallback: é → 0xC3 0xA9 → "Ã©"; table is a bijection
+    assert(Bpe.byteLevelPretokens("café").toSeq == Seq("cafÃ©"))
+    assert(Bpe.byteToUnicode.toSet.size == 256)
+    assert(Bpe.byteToUnicode(' '.toInt) == 'Ġ' && Bpe.byteToUnicode(10) == 'Ċ')
+    // decode is the exact inverse INCLUDING whitespace (full losslessness,
+    // unlike the whitespace mode) and multi-byte unicode
+    for (s <- Seq("the theme", "don't  stop\tnow\n", "café ☕ №42", "",
+        "  leading and trailing  ")) {
+      assert(Bpe.byteLevelDecode(Bpe.byteLevelPretokens(s).toSeq) == s)
+    }
+  }
+
+  test("bpe byte-level: train + distributed encode parity, full roundtrip") {
+    import spark.implicits._
+    import graft.llm.Bpe
+    val docs = Seq("the cat sat on the mat", "the bat, the rat — don't!",
+      "café 99 times", "scattered   matter\nnewline").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val merges = Bpe.trainByteLevel(docs, "text", numMerges = 25,
+      sampleDocs = 10)
+    assert(merges.nonEmpty)
+    // merges never cross pre-token boundaries: no merged symbol may
+    // contain a NON-LEADING Ġ (a leading Ġ is the attached space)
+    merges.foreach { case (l, r) =>
+      assert(!(l + r).drop(1).contains('Ġ'), s"boundary-crossing merge ($l,$r)")
+    }
+    val ranks = merges.zipWithIndex.toMap
+    val rows = docs.select($"id", $"text",
+      Bpe.encodeByteLevel($"text", merges).as("toks")).collect()
+    rows.foreach { r =>
+      val text = r.getString(1)
+      val got = r.getSeq[String](2)
+      val want = Bpe.byteLevelPretokens(text)
+        .flatMap(w => Bpe.encodeWord(w, ranks)).toSeq
+      assert(got == want, s"distributed/local mismatch on '$text'")
+      assert(Bpe.byteLevelDecode(got) == text, "byte-exact roundtrip")
+    }
+  }
+
   // --------------------------------------------------- product quantization
 
   test("pq: codebook shape, code-range invariants, 16x compression layout") {

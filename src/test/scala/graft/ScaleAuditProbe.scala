@@ -43,7 +43,11 @@ object ScaleAuditProbe {
       // round-12b: span removal (hash-keyed shuffles only, no cartesian,
       // no single-partition window) and CCNet bucketing (LM tables must
       // BROADCAST; ranking exchanges are range/hash, bounded count)
-      "dd12_span_dedup", "ta18_ccnet_buckets").foreach(audit)
+      "dd12_span_dedup", "ta18_ccnet_buckets",
+      // round-13: duplicate-passage detection — hint-free since r13 (the
+      // candidate set is O(corpus) on boilerplate-heavy crawls; AQE may
+      // still broadcast when actually small, which is the point)
+      "dd8_dup_passages").foreach(audit)
     spark.stop()
   }
 }

@@ -238,4 +238,43 @@ class SelectionSpec extends SparkSpec {
     assert(w(1L) > w(2L),
       "matching bigram order must outweigh scrambled order")
   }
+
+  test("samplePerDomain: ≤k per stratum, deterministic, null-domain stratum") {
+    import org.apache.spark.sql.functions.{col, count}
+    val df = ((0L until 40L).map(i => (i, if (i % 3 == 0) "a"
+        else if (i % 3 == 1) "b" else null)) :+ (100L, "tiny"))
+      .toDF("id", "dom")
+    def run() = Selection.samplePerDomain(df, "id", "dom", k = 4, seed = 9L)
+    val got = run().collect()
+    // per-stratum caps: a/b/null have ≥4 members → exactly 4; "tiny" has 1
+    val byDom = got.groupBy(r => Option(r.getString(1)).getOrElse("∅"))
+      .view.mapValues(_.length).toMap
+    assert(byDom == Map("a" -> 4, "b" -> 4, "∅" -> 4, "tiny" -> 1))
+    // ranks are dense 0..n-1 within each stratum
+    got.groupBy(r => Option(r.getString(1))).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("sample_rank")).sorted.toSeq ==
+        (0L until rows.length.toLong))
+    }
+    // same seed → identical draw; this seed pair → different draw
+    // (deterministic: both draws are pure functions of (ids, seed))
+    assert(run().collect().map(_.toSeq).toSet == got.map(_.toSeq).toSet)
+    val other = Selection.samplePerDomain(df, "id", "dom", k = 4, seed = 10L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(other != got.map(_.getLong(0)).toSet)
+    // k ≥ stratum size returns every row exactly once
+    val all = Selection.samplePerDomain(df, "id", "dom", k = 1000, seed = 1L)
+    assert(all.count() == df.count())
+    assert(all.select("id").distinct().count() == df.count())
+  }
+
+  test("samplePerDomain plan: WindowGroupLimit heap runs before the shuffle") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Selection.samplePerDomain(df, "doc_id", "source", 5, 7L)
+      .queryExecution.executedPlan.toString
+    // InferWindowGroupLimit must kick in: every map task keeps a k-heap
+    // per domain BEFORE the exchange, so the shuffle carries
+    // O(tasks × domains × k) narrow rows, not the corpus
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-≤-k filter did not trigger WindowGroupLimit:\n$plan")
+  }
 }

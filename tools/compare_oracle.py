@@ -19,10 +19,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # canonicalize cell values: decimals->float, lists->tuples, tz-naive µs ts
+    # Sort RAW frames first — the driver's checker does pandas sort_values
+    # over the raw cells, which CRASHES on list/ndarray cells (r12's red
+    # tp1 row). Reproducing that strictness here means any non-scalar gate
+    # output fails locally exactly the way it fails at the driver.
+    if len(df) > 0:
+        df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    # canonicalize cell values: decimals->str, tz-naive µs ts
     def canon(v):
-        if isinstance(v, (list,)) or str(type(v)).endswith("ndarray'>"):
-            return tuple(round(float(x), 6) for x in v)
         if hasattr(v, "as_tuple"):  # Decimal — keep exact repr incl. trailing
             return str(v)           # zeros ("230.50"), the driver is strict
         if isinstance(v, float):
@@ -34,8 +38,6 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         df[c] = df[c].map(canon)
     # uniform string dtype so int32/int64/hugeint etc. compare by value
     df = df.astype(str)
-    if len(df) > 0:
-        df = df.sort_values(by=list(df.columns))
     return df.reset_index(drop=True)
 
 
