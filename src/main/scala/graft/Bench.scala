@@ -253,7 +253,21 @@ object Bench {
           t("documents").select(col("doc_id"),
             concat_ws("\n", col("text"), lit("tail sentence line here."),
               lit("second tail line stays too!")).as("text"))),
-        minLines = 1))))
+        minLines = 1))),
+      // stratified per-domain draw: narrow-frame race + WindowGroupLimit
+      // map-side k-heaps + id join-back — the per-source eyeball export
+      "sample_per_domain" -> (() => mat(graft.llm.Selection.samplePerDomain(
+        t("documents"), "doc_id", "source", k = 100, seed = 7L))),
+      // byte-level BPE dense-id encode over the corpus: regex pre-tokens +
+      // byte alphabet + merge-by-rank, one codegen'd map-side pass (the
+      // tokenize_pack(byte_level) hot path without the packing shuffle)
+      "bpe_encode_bytes" -> {
+        lazy val merges = graft.llm.Bpe.trainByteLevel(
+          t("documents"), "text", numMerges = 200, sampleDocs = 300)
+        () => mat(t("documents").select(col("doc_id"),
+          size(graft.llm.Bpe.encodeByteLevelIds(col("text"), merges))
+            .as("n")))
+      })
 
     // ingest-probe shape: batch-vs-corpus near-dup suppression. Corpus
     // signatures are precomputed ONCE here (exactly what the persisted

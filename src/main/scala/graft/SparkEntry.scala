@@ -1668,6 +1668,34 @@ object SparkEntry {
              |  (CAST(4 AS BIGINT), 'a|Ġ|Ġ|b', 4)) AS t(id, toks, n_tokens)
              |ORDER BY id""").stripMargin)),
 
+    Q("bpe4_byte_ids",  // DENSE byte-level vocab ids (GPT-2 id shape:
+      // base ids = byte values 0-255, merged symbols take 256+rank in
+      // merge order): same planted table and fixtures as bpe3, oracle ids
+      // HAND-DERIVED — 'the'=257 (second merge), 'Ġs'=258, 'Ã©'=259,
+      // base bytes t=116 h=104 e=101 Ġ=32 (space byte) '=39 etc. A wrong
+      // base-id order, rank offset, or first-occurrence-wins rule shifts
+      // every id and fails the gate
+      (s, dir) => {
+        import s.implicits._
+        val docs = Seq((1L, "the theme"), (2L, "don't stop"),
+          (3L, "ab 12x café"), (4L, "a  b")).toDF("id", "text")
+        val merges: Seq[graft.llm.Bpe.Merge] =
+          Seq(("t", "h"), ("th", "e"), ("Ġ", "s"), ("Ã", "©"))
+        docs.select($"id",
+            array_join(transform(
+              graft.llm.Bpe.encodeByteLevelIds($"text", merges),
+              i => i.cast("string")), ",").as("ids"),
+            size(graft.llm.Bpe.encodeByteLevelIds($"text", merges))
+              .as("n_tokens"))
+          .orderBy("id")
+      },
+      Some(("""SELECT * FROM (VALUES
+             |  (CAST(1 AS BIGINT), '257,32,257,109,101', 5),
+             |  (CAST(2 AS BIGINT), '100,111,110,39,116,258,116,111,112', 9),
+             |  (CAST(3 AS BIGINT), '97,98,32,49,50,120,32,99,97,102,259', 11),
+             |  (CAST(4 AS BIGINT), '97,32,32,98', 4)) AS t(id, ids, n_tokens)
+             |ORDER BY id""").stripMargin)),
+
     Q("ss3_ann_pq",  // product-quantized ANN (ADC shortlist + exact
       // rerank), self-oracled by planted-neighbor containment: an identical
       // planted vector's codes are the per-subspace argmins of the query's

@@ -254,6 +254,38 @@ object Bpe {
   /** Exact byte-level subword count. */
   def tokenCountByteLevel(text: Column, merges: Seq[Merge]): Column =
     size(encodeByteLevel(text, merges))
+
+  /** GPT-2-style DENSE id table for the byte-level mode: ids 0-255 are
+    * the single-byte symbols in byte order (so the id of a base token is
+    * its byte value), then each merge in rank order contributes its
+    * merged string at the next free id. Distinct merges can produce the
+    * same string — e.g. (a,bc) and (ab,c) both yield "abc" — and the
+    * FIRST occurrence wins, matching vocab-by-string semantics.
+    * Total vocab ≤ 256 + numMerges; deterministic, engine-reproducible. */
+  def byteLevelVocab(merges: Seq[Merge]): Map[String, Int] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    for (b <- 0 until 256) m.update(byteToUnicode(b).toString, b)
+    merges.foreach { case (l, r) =>
+      val s = l + r
+      if (!m.contains(s)) m.update(s, m.size)
+    }
+    m.toMap
+  }
+
+  /** Column of DENSE byte-level token ids (array<int>) — the id stream
+    * real pipelines persist, with no hash ids. Lookup can never miss:
+    * every post-encode symbol is either a single mapped byte (a base id)
+    * or the output string of some merge (in the vocab by construction). */
+  def encodeByteLevelIds(text: Column, merges: Seq[Merge]): Column =
+    Glue.column(BpeEncodeIdsExpr(Glue.expression(text), merges))
+
+  /** Exact inverse of [[encodeByteLevelIds]] given the same merge table:
+    * ids → vocab strings → bytes → UTF-8 (byte-exact, whitespace
+    * included). Driver-side helper for specs and exports. */
+  def byteLevelDecodeIds(ids: Seq[Int], merges: Seq[Merge]): String = {
+    val inv = byteLevelVocab(merges).map(_.swap)
+    byteLevelDecode(ids.map(inv))
+  }
 }
 
 /**
@@ -298,6 +330,52 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[Bpe.Merge],
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bpeEncode", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+/**
+ * Byte-level BPE encode straight to DENSE vocab ids (array<int>): the
+ * GPT-2-shaped id stream — base ids 0-255 are byte values, merged symbols
+ * take ids in merge-rank order ([[Bpe.byteLevelVocab]]). Same
+ * reference-object codegen shape as [[BpeEncodeExpr]]; the vocab map
+ * (≤ 256 + numMerges entries) rides in the serialized plan.
+ */
+case class BpeEncodeIdsExpr(child: Expression, merges: Seq[Bpe.Merge])
+    extends UnaryExpression with Serializable {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "bpe_encode_ids"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode_ids requires string input, got ${dt.simpleString}")
+  }
+
+  @transient private lazy val ranks: Map[Bpe.Merge, Int] =
+    merges.zipWithIndex.toMap
+  @transient private lazy val vocab: Map[String, Int] =
+    Bpe.byteLevelVocab(merges)
+
+  def compute(text: UTF8String): ArrayData = {
+    val out = Array.newBuilder[Int]
+    Bpe.byteLevelPretokens(text.toString).foreach { w =>
+      if (w.nonEmpty)
+        Bpe.encodeWord(w, ranks).foreach(t => out += vocab(t))
+    }
+    new GenericArrayData(out.result())
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncodeIds", this)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);")
   }

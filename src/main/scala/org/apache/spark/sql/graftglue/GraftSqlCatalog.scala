@@ -1404,13 +1404,17 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
           val merges = graft.llm.Bpe.mergesFromDf(
             tableIn(tx, args(3).asInstanceOf[String]).select())
           val idCol = args(1).asInstanceOf[String]
-          val enc =
+          // byte_level packs DENSE GPT-2-shaped vocab ids (base bytes
+          // 0-255 + merge ranks — byteLevelVocab); whitespace mode has no
+          // dense table, so subword ids stay xxhash64 of the subword
+          val ids =
             if (args(7).asInstanceOf[Boolean])
-              graft.llm.Bpe.encodeByteLevel(
-                c(args(2).asInstanceOf[String]), merges)
-            else graft.llm.Bpe.encode(c(args(2).asInstanceOf[String]), merges)
+              atransform(graft.llm.Bpe.encodeByteLevelIds(
+                c(args(2).asInstanceOf[String]), merges), i => i.cast("long"))
+            else atransform(graft.llm.Bpe.encode(
+              c(args(2).asInstanceOf[String]), merges), w => ahash(w))
           val docs = tableIn(tx, args(0).asInstanceOf[String]).select()
-            .select(c(idCol), atransform(enc, w => ahash(w)).as("_ids"))
+            .select(c(idCol), ids.as("_ids"))
           val packed = graft.llm.Curation.packTokenSequences(docs, idCol,
             "_ids", args(5).asInstanceOf[Int], args(6).asInstanceOf[Long])
           val n = replaceOutput(tx, args(4).asInstanceOf[String], packed)

@@ -234,6 +234,92 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("span index churn soak: probe always equals a from-scratch recompute") {
+    // DmlFuzzSpec-style interleaving over the SPAN index lifecycle: a
+    // seeded sequence of insert / update-by-rowid / delete-by-rowid ×
+    // refresh, and after EVERY step probeDupSpans (covered files read
+    // persisted windows, uncovered hash on the fly) must equal a probe
+    // against windows recomputed from scratch over the current table —
+    // the index is an optimization, never a semantic input
+    import graft.types.TypeMapping.RowIdColumn
+    val root = Files.createTempDirectory("graft-schurn").toString
+    val s = VastSession(spark, root)
+    s.createBucket("b")
+    val spanA = "alpha beta gamma delta epsilon"
+    val spanB = "zeta eta theta iota kappa"
+    val k = 4
+    val rnd = new scala.util.Random(7771)
+    val incoming = spark.createDataFrame(java.util.List.of(
+      Row(900L, s"carrier of $spanA today"),
+      Row(901L, s"other text with $spanB inside"),
+      Row(902L, "wholly original incoming words w900x w900y w900z")), schema)
+    s.transaction { tx =>
+      val t = tx.bucket("b").createSchema("m").createTable("d", schema)
+      insertBatch(t, (0L until 30L).map(i =>
+        (i, if (i == 3L) s"corpus seed $spanA here" else doc(i))))
+      t.createSpanIndex("text", spanTokens = k, stride = 1)
+    }
+    var nextId = 30L
+    var sawSpanBInsert = false
+    for (step <- 1 to 12) {
+      s.transaction { tx =>
+        val t = tx.bucket("b").schema("m").table("d")
+        rnd.nextInt(4) match {
+          case 0 =>
+            val n = rnd.nextInt(3) + 1
+            insertBatch(t, (0 until n).map { j =>
+              val id = nextId + j
+              (id, rnd.nextInt(3) match {
+                case 0 => s"inserted copy $spanA here t$id"
+                case 1 => sawSpanBInsert = true; s"$spanB inserted t$id"
+                case _ => doc(id)
+              })
+            })
+            nextId += n
+          case 1 =>
+            val ids = t.select(Nil, internalRowId = true)
+              .select(RowIdColumn).collect().map(_.getLong(0)).toSeq
+            val pick = rnd.shuffle(ids).take(rnd.nextInt(2) + 1)
+            val l = new java.util.ArrayList[Row]()
+            pick.foreach(id => l.add(Row(id,
+              if (rnd.nextBoolean()) s"updated now holds $spanA u$id"
+              else s"updated clean text u$id unique words")))
+            t.update(spark.createDataFrame(l, StructType(Seq(
+              StructField(RowIdColumn, LongType),
+              StructField("text", StringType)))))
+          case 2 =>
+            val ids = t.select(Nil, internalRowId = true)
+              .select(RowIdColumn).collect().map(_.getLong(0)).toSeq
+            val pick = rnd.shuffle(ids).take(rnd.nextInt(2) + 1)
+            val l = new java.util.ArrayList[Row]()
+            pick.foreach(id => l.add(Row(id)))
+            t.delete(spark.createDataFrame(l, StructType(Seq(
+              StructField(RowIdColumn, LongType)))))
+          case 3 => t.refreshDedupIndex("text")
+        }
+      }
+      s.transaction { tx =>
+        val t = tx.bucket("b").schema("m").table("d")
+        val got = t.probeDupSpans("text", incoming, "doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3))).toSet
+        val scratch = t.select()
+          .select(posexplode(graft.functions.TextHashes.windowHashPairs(
+            split(col("text"), " "), k, 1)).as(Seq("_w", "_hp")))
+          .select(col("_hp.h1").as("h1"), col("_hp.h2").as("h2"))
+        val want = graft.llm.Dedup.spanProbeStats(incoming, "doc_id",
+            "text", scratch, k, 1).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3))).toSet
+        assert(got == want, s"step $step: index probe diverged from scratch")
+        // the clean probe row never reports coverage
+        assert(got.exists(r => r._1 == 902L && r._3 == 0L))
+      }
+    }
+    assert(nextId > 30L && sawSpanBInsert,
+      "seeded sequence must actually exercise inserts incl. a spanB copy")
+  }
+
   test("incremental refresh: delta-only recompute, DML orphan cleanup") {
     val root = Files.createTempDirectory("graft-didx").toString
     val s = VastSession(spark, root)

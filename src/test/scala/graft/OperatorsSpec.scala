@@ -1558,6 +1558,33 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("bpe byte-level dense ids: vocab layout, dup-string merges, roundtrip") {
+    import spark.implicits._
+    import graft.llm.Bpe
+    // base layer: id of a single-byte symbol IS the byte value
+    val v0 = Bpe.byteLevelVocab(Nil)
+    assert(v0.size == 256 && v0("a") == 'a'.toInt && v0("Ġ") == 32)
+    // merged symbols take 256+rank; a second merge producing an ALREADY
+    // SEEN string does not burn an id (first occurrence wins)
+    val dup = Seq(("a", "b"), ("ab", "c"), ("b", "c"), ("a", "bc"))
+    val v = Bpe.byteLevelVocab(dup)                // "abc" formed twice
+    assert(v("ab") == 256 && v("abc") == 257 && v("bc") == 258)
+    assert(v.size == 256 + 3, "duplicate merged string must not take an id")
+    // distributed dense-id encode: ids invert byte-exactly through the
+    // same merge table, including whitespace runs and multi-byte chars
+    val docs = Seq((1L, "the cat — don't stop"), (2L, "café  99\n"))
+      .toDF("id", "text")
+    val merges = Bpe.trainByteLevel(docs, "text", numMerges = 15,
+      sampleDocs = 10)
+    val rows = docs.select($"id", $"text",
+      Bpe.encodeByteLevelIds($"text", merges).as("ids")).collect()
+    rows.foreach { r =>
+      val ids = r.getSeq[Int](2)
+      assert(ids.forall(i => i >= 0 && i < 256 + merges.length))
+      assert(Bpe.byteLevelDecodeIds(ids, merges) == r.getString(1))
+    }
+  }
+
   // --------------------------------------------------- product quantization
 
   test("pq: codebook shape, code-range invariants, 16x compression layout") {

@@ -1449,4 +1449,61 @@ class SqlCatalogSpec extends SparkSpec {
     assert(!curTexts(1L).contains("s1 s2 s3 s4"),
       s"span cut in the pipeline: ${curTexts(1L)}")
   }
+
+  test("CALL sample_per_domain / byte-level bpe_fit+tokenize_pack doors") {
+    val root = Files.createTempDirectory("graft-sqlr13").toString
+    val s = new VastSession(spark, root)
+    s.createBucket("bk")
+    val docSchema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType),
+      StructField("dom", StringType)))
+    s.transaction { tx =>
+      val m = tx.bucket("bk").createSchema("m")
+      val d = m.createTable("docs", docSchema)
+      val l = new java.util.ArrayList[Row]()
+      (0 until 20).foreach(i =>
+        l.add(Row(i.toLong, s"the cat sat on mat $i don't stop café",
+          if (i % 2 == 0) "even.org" else "odd.net")))
+      l.add(Row(99L, "lone domain row", "solo.io"))
+      d.insert(spark.createDataFrame(l, docSchema).coalesce(1))
+    }
+    spark.conf.set("spark.sql.catalog.graftr13",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.graftr13.root", root)
+
+    // stratified sample: ≤3 per domain, the 1-row domain fully included,
+    // same seed reproduces the draw
+    def draw(out: String): Map[String, Set[Long]] = {
+      val n = spark.sql("CALL graftr13.system.sample_per_domain(" +
+        s"'bk.m.docs', 'id', 'dom', '$out', k => 3, seed => 5L)")
+        .head.getLong(0)
+      assert(n == 7, s"expected 3+3+1 sampled rows, got $n")
+      spark.sql(s"SELECT dom, id FROM graftr13.$out").collect()
+        .groupBy(_.getString(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+    }
+    val d1 = draw("bk.m.samp1")
+    assert(d1("even.org").size == 3 && d1("odd.net").size == 3 &&
+      d1("solo.io") == Set(99L), s"draw: $d1")
+    assert(d1 == draw("bk.m.samp2"), "same seed must reproduce the draw")
+
+    // byte-level fit + pack: merges persist, dense ids stay inside the
+    // vocab bound [0, 256+n_merges) ∪ {eos}, and packing is exact-length
+    val bf = spark.sql("CALL graftr13.system.bpe_fit(" +
+      "'bk.m.docs', 'text', 'bk.m.bpe', 30, 100, byte_level => true)").head
+    val nMerges = bf.getLong(0)
+    assert(nMerges > 0 && nMerges <= 30)
+    val tp = spark.sql("CALL graftr13.system.tokenize_pack(" +
+      "'bk.m.docs', 'id', 'text', 'bk.m.bpe', 'bk.m.seqs', 16, -1L, " +
+      "byte_level => true)").head
+    val nTok = tp.getLong(1)
+    assert(tp.getLong(0) == (nTok + 15) / 16,
+      s"sequences ${tp.getLong(0)} vs tokens $nTok")
+    val idRange = spark.sql(
+      """SELECT min(i) AS mn, max(i) AS mx
+        |FROM (SELECT explode(token_ids) AS i FROM graftr13.bk.m.seqs)
+        |WHERE i <> -1""".stripMargin).head
+    assert(idRange.getLong(0) >= 0 && idRange.getLong(1) < 256 + nMerges,
+      s"dense ids out of vocab range: $idRange (vocab < ${256 + nMerges})")
+  }
 }
