@@ -512,13 +512,19 @@ object Bench {
     // the driver's `parsed` field null (sbt's "[success] Total time" line
     // trails the last stdout line); a file is unambiguous.
     spark.stop()
-    val outFile = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json"))
-    java.nio.file.Files.write(outFile,
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Console.flush(); System.err.flush()
     println(json)
     System.err.println(json)
     Console.flush(); System.err.flush()
+    // file write LAST and non-fatal: a read-only cwd or bad
+    // SPARK_GRAFT_BENCH_OUT must never discard the stdout result
+    try {
+      val outFile = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json"))
+      java.nio.file.Files.write(outFile,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] result file write failed: ${e.getMessage}")
+    }
   }
 }

@@ -36,34 +36,45 @@ object Bpe {
     * of `sampleDocs` documents. Words are whitespace pre-tokens; merges
     * never cross word boundaries. */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-            sampleDocs: Int = 1000): Seq[Merge] = {
-    // bounded driver collect BY DESIGN (see scaladoc): sampleDocs rows of
-    // text, hash-ordered for determinism + corpus coverage
-    val sample = df.select(col(textCol).cast("string").as("t"))
+            sampleDocs: Int = 1000): Seq[Merge] =
+    trainLocal(sampleTexts(df, textCol, sampleDocs), numMerges)
+
+  /** The bounded deterministic training sample BOTH trainers share —
+    * driver collect BY DESIGN (see scaladoc): sampleDocs rows of text,
+    * hash-ordered for determinism + corpus coverage. One definition, so
+    * the whitespace and byte-level modes can never diverge on the
+    * sampling contract. */
+  private def sampleTexts(df: DataFrame, textCol: String,
+                          sampleDocs: Int): Seq[String] =
+    df.select(col(textCol).cast("string").as("t"))
       .where(col("t").isNotNull)
       .orderBy(xxhash64(col("t")), col("t"))
       .limit(sampleDocs)
-      .collect().map(_.getString(0))
-    trainLocal(sample, numMerges)
-  }
+      .collect().map(_.getString(0)).toIndexedSeq
 
   /** DataFrame encoding of a trained merge table (one row per merge, in
     * application order) — the persistence format that lets a tokenizer be
     * fit once (CALL bpe_fit) and reused across sessions, procedures, and
-    * the packing pipeline. */
+    * the packing pipeline. The PRE-TOKENIZATION MODE travels WITH the
+    * table (`byte_level` column, constant per table): a merge table is
+    * meaningless without the alphabet it was fit over, and persisting it
+    * makes a fit/encode mode mismatch impossible instead of
+    * caller-policed. */
   def mergesToDf(spark: org.apache.spark.sql.SparkSession,
-                 merges: Seq[Merge]): DataFrame = {
+                 merges: Seq[Merge], byteLevel: Boolean = false): DataFrame = {
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(
       merges.zipWithIndex.map { case ((l, r), i) =>
-        org.apache.spark.sql.Row(i, l, r) }.asJava,
+        org.apache.spark.sql.Row(i, l, r, byteLevel) }.asJava,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("rank",
           org.apache.spark.sql.types.IntegerType, nullable = false),
         org.apache.spark.sql.types.StructField("left",
           org.apache.spark.sql.types.StringType, nullable = false),
         org.apache.spark.sql.types.StructField("right",
-          org.apache.spark.sql.types.StringType, nullable = false))))
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("byte_level",
+          org.apache.spark.sql.types.BooleanType, nullable = false))))
   }
 
   /** Inverse of [[mergesToDf]] (merge tables are vocabulary-sized —
@@ -72,6 +83,16 @@ object Bpe {
     df.select("rank", "left", "right").collect()
       .sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** The persisted pre-tokenization mode of a merge table, or `default`
+    * for tables written before the `byte_level` column existed (or built
+    * by hand without one). */
+  def byteLevelFromDf(df: DataFrame, default: Boolean = false): Boolean =
+    if (!df.columns.contains("byte_level")) default
+    else df.select("byte_level").limit(1).collect().headOption match {
+      case Some(r) if !r.isNullAt(0) => r.getBoolean(0)
+      case _ => default  // empty table / null cell: fall back to caller
+    }
 
   /** The classic merge loop, exposed for spec-level parity testing. */
   def trainLocal(docs: Seq[String], numMerges: Int): Seq[Merge] = {
@@ -227,14 +248,8 @@ object Bpe {
     * deterministic sample as [[train]]. Merges never cross pre-token
     * boundaries, matching the published tokenizers. */
   def trainByteLevel(df: DataFrame, textCol: String, numMerges: Int,
-                     sampleDocs: Int = 1000): Seq[Merge] = {
-    val sample = df.select(col(textCol).cast("string").as("t"))
-      .where(col("t").isNotNull)
-      .orderBy(xxhash64(col("t")), col("t"))
-      .limit(sampleDocs)
-      .collect().map(_.getString(0))
-    trainLocalByteLevel(sample.toIndexedSeq, numMerges)
-  }
+                     sampleDocs: Int = 1000): Seq[Merge] =
+    trainLocalByteLevel(sampleTexts(df, textCol, sampleDocs), numMerges)
 
   /** Local byte-level trainer (spec parity twin of [[trainLocal]]). */
   def trainLocalByteLevel(docs: Seq[String], numMerges: Int): Seq[Merge] = {

@@ -1375,16 +1375,19 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             ("byte_level", BooleanType, Some("false"))),
           StructType(Seq(StructField("n_merges", LongType)))) {
         def run(args: Seq[Any]) = inSession { tx =>
+          val byteLevel = args(5).asInstanceOf[Boolean]
           val fit =
-            if (args(5).asInstanceOf[Boolean]) graft.llm.Bpe.trainByteLevel _
+            if (byteLevel) graft.llm.Bpe.trainByteLevel _
             else graft.llm.Bpe.train _
           val merges = fit(
             tableIn(tx, args(0).asInstanceOf[String]).select(),
             args(1).asInstanceOf[String], args(3).asInstanceOf[Int],
             args(4).asInstanceOf[Int])
           val spark = org.apache.spark.sql.SparkSession.active
+          // the mode is persisted IN the model table (byte_level column),
+          // so tokenize_pack can never encode with the wrong alphabet
           replaceOutput(tx, args(2).asInstanceOf[String],
-            graft.llm.Bpe.mergesToDf(spark, merges))
+            graft.llm.Bpe.mergesToDf(spark, merges, byteLevel))
           Seq(org.apache.spark.sql.Row(merges.length.toLong))
         }
       }
@@ -1401,14 +1404,21 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
         def run(args: Seq[Any]) = inSession { tx =>
           import org.apache.spark.sql.functions.{col => c, size => asize,
             sum => asum, transform => atransform, xxhash64 => ahash}
-          val merges = graft.llm.Bpe.mergesFromDf(
-            tableIn(tx, args(3).asInstanceOf[String]).select())
+          val model = tableIn(tx, args(3).asInstanceOf[String]).select()
+          val merges = graft.llm.Bpe.mergesFromDf(model)
           val idCol = args(1).asInstanceOf[String]
-          // byte_level packs DENSE GPT-2-shaped vocab ids (base bytes
-          // 0-255 + merge ranks — byteLevelVocab); whitespace mode has no
-          // dense table, so subword ids stay xxhash64 of the subword
+          // the encode alphabet FOLLOWS the model table's persisted mode
+          // (bpe_fit stamps a byte_level column) — the procedure's own
+          // byte_level arg is only the fallback for hand-built tables
+          // without the column, so a fit/pack mode mismatch cannot
+          // silently corrupt the ids. byte_level packs DENSE GPT-2-shaped
+          // vocab ids (base bytes 0-255 + merge ranks — byteLevelVocab);
+          // whitespace mode has no dense table, so subword ids stay
+          // xxhash64 of the subword
+          val byteLevel = graft.llm.Bpe.byteLevelFromDf(model,
+            default = args(7).asInstanceOf[Boolean])
           val ids =
-            if (args(7).asInstanceOf[Boolean])
+            if (byteLevel)
               atransform(graft.llm.Bpe.encodeByteLevelIds(
                 c(args(2).asInstanceOf[String]), merges), i => i.cast("long"))
             else atransform(graft.llm.Bpe.encode(

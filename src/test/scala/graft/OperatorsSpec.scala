@@ -1540,10 +1540,15 @@ class OperatorsSpec extends SparkSpec {
     val merges = Bpe.trainByteLevel(docs, "text", numMerges = 25,
       sampleDocs = 10)
     assert(merges.nonEmpty)
-    // merges never cross pre-token boundaries: no merged symbol may
-    // contain a NON-LEADING Ġ (a leading Ġ is the attached space)
+    // merges never cross pre-token boundaries — checked EXACTLY: every
+    // merged string must occur inside some corpus pre-token (a "no
+    // interior Ġ" shortcut would false-fail on legitimate merges within
+    // whitespace-run pre-tokens like "ĠĠ")
+    val pretokens = docs.collect().flatMap(r =>
+      Bpe.byteLevelPretokens(r.getString(1))).toSet
     merges.foreach { case (l, r) =>
-      assert(!(l + r).drop(1).contains('Ġ'), s"boundary-crossing merge ($l,$r)")
+      assert(pretokens.exists(_.contains(l + r)),
+        s"merge ($l,$r) -> '${l + r}' crosses a pre-token boundary")
     }
     val ranks = merges.zipWithIndex.toMap
     val rows = docs.select($"id", $"text",

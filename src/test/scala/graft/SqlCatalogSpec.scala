@@ -1487,15 +1487,20 @@ class SqlCatalogSpec extends SparkSpec {
       d1("solo.io") == Set(99L), s"draw: $d1")
     assert(d1 == draw("bk.m.samp2"), "same seed must reproduce the draw")
 
-    // byte-level fit + pack: merges persist, dense ids stay inside the
-    // vocab bound [0, 256+n_merges) ∪ {eos}, and packing is exact-length
+    // byte-level fit + pack: merges persist WITH their mode (byte_level
+    // column), dense ids stay inside the vocab bound [0, 256+n_merges) ∪
+    // {eos}, and packing is exact-length. tokenize_pack deliberately
+    // OMITS byte_level here: the mode must be inferred from the model
+    // table, so a caller forgetting the flag can no longer silently pack
+    // wrong-alphabet hash ids
     val bf = spark.sql("CALL graftr13.system.bpe_fit(" +
       "'bk.m.docs', 'text', 'bk.m.bpe', 30, 100, byte_level => true)").head
     val nMerges = bf.getLong(0)
     assert(nMerges > 0 && nMerges <= 30)
+    assert(spark.sql("SELECT bool_and(byte_level) FROM graftr13.bk.m.bpe")
+      .head.getBoolean(0), "fit must stamp the mode into the model table")
     val tp = spark.sql("CALL graftr13.system.tokenize_pack(" +
-      "'bk.m.docs', 'id', 'text', 'bk.m.bpe', 'bk.m.seqs', 16, -1L, " +
-      "byte_level => true)").head
+      "'bk.m.docs', 'id', 'text', 'bk.m.bpe', 'bk.m.seqs', 16, -1L)").head
     val nTok = tp.getLong(1)
     assert(tp.getLong(0) == (nTok + 15) / 16,
       s"sequences ${tp.getLong(0)} vs tokens $nTok")
