@@ -1696,6 +1696,40 @@ object SparkEntry {
              |  (CAST(4 AS BIGINT), '97,32,32,98', 4)) AS t(id, ids, n_tokens)
              |ORDER BY id""").stripMargin)),
 
+    Q("bpe5_special_tokens",  // tiktoken allowed_special semantics: a
+      // LISTED special is atomic wherever it sits (id = vocabSize + slot:
+      // 256 + 4 distinct merges → <|endoftext|> = 260, the GPT-2 layout
+      // where 50256 = 256 + 50000), an UNLISTED special-looking string is
+      // plain text — its bytes regex-split and MERGE like any others
+      // ('other' rebuilds 'the' inside: o=111, the=257, r=114). Oracle ids
+      // hand-derived; a wrong split order (regex before specials), a
+      // missed longest-match, or a special id off-by-one fails the gate
+      (s, dir) => {
+        import s.implicits._
+        val docs = Seq(
+          (1L, "the<|endoftext|>don't"),
+          (2L, "a<|endoftext|><|endoftext|> b"),
+          (3L, "the theme"),
+          (4L, "x<|other|>y")).toDF("id", "text")
+        val merges: Seq[graft.llm.Bpe.Merge] =
+          Seq(("t", "h"), ("th", "e"), ("Ġ", "s"), ("Ã", "©"))
+        val specials = Seq("<|endoftext|>")
+        docs.select($"id",
+            array_join(transform(
+              graft.llm.Bpe.encodeByteLevelIds($"text", merges, specials),
+              i => i.cast("string")), ",").as("ids"),
+            size(graft.llm.Bpe.encodeByteLevelIds($"text", merges, specials))
+              .as("n_tokens"))
+          .orderBy("id")
+      },
+      Some(("""SELECT * FROM (VALUES
+             |  (CAST(1 AS BIGINT), '257,260,100,111,110,39,116', 7),
+             |  (CAST(2 AS BIGINT), '97,260,260,32,98', 5),
+             |  (CAST(3 AS BIGINT), '257,32,257,109,101', 5),
+             |  (CAST(4 AS BIGINT), '120,60,124,111,257,114,124,62,121', 9))
+             |  AS t(id, ids, n_tokens)
+             |ORDER BY id""").stripMargin)),
+
     Q("ss3_ann_pq",  // product-quantized ANN (ADC shortlist + exact
       // rerank), self-oracled by planted-neighbor containment: an identical
       // planted vector's codes are the per-subspace argmins of the query's

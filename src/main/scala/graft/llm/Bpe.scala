@@ -290,16 +290,78 @@ object Bpe {
   /** Column of DENSE byte-level token ids (array<int>) — the id stream
     * real pipelines persist, with no hash ids. Lookup can never miss:
     * every post-encode symbol is either a single mapped byte (a base id)
-    * or the output string of some merge (in the vocab by construction). */
-  def encodeByteLevelIds(text: Column, merges: Seq[Merge]): Column =
-    Glue.column(BpeEncodeIdsExpr(Glue.expression(text), merges))
+    * or the output string of some merge (in the vocab by construction).
+    *
+    * `specials` is the tiktoken `allowed_special` mechanism: each listed
+    * string is recognized as an ATOMIC token wherever it occurs in the
+    * text (longest-match when one special prefixes another), emitted as
+    * its own id above the merge vocabulary — id = vocabSize + position in
+    * `specials` (GPT-2's layout: <|endoftext|> = 256 + 50000 merges =
+    * 50256). An UNLISTED special-looking string is plain text and round-
+    * trips through the regex + byte alphabet like any other characters —
+    * exactly tiktoken's allowed/disallowed split, minus the
+    * raise-on-disallowed policy (a filter concern, not an encode one). */
+  def encodeByteLevelIds(text: Column, merges: Seq[Merge],
+                         specials: Seq[String] = Nil): Column =
+    Glue.column(BpeEncodeIdsExpr(Glue.expression(text), merges, specials))
 
-  /** Exact inverse of [[encodeByteLevelIds]] given the same merge table:
-    * ids → vocab strings → bytes → UTF-8 (byte-exact, whitespace
-    * included). Driver-side helper for specs and exports. */
-  def byteLevelDecodeIds(ids: Seq[Int], merges: Seq[Merge]): String = {
+  /** Id table of the special tokens: dense ids directly above the merge
+    * vocabulary, in `specials` order. */
+  def specialIds(merges: Seq[Merge], specials: Seq[String]): Map[String, Int] = {
+    val base = byteLevelVocab(merges).size
+    specials.zipWithIndex.map { case (s, i) => s -> (base + i) }.toMap
+  }
+
+  /** Split `text` around occurrences of the allowed specials
+    * (longest-match at each position), yielding Left(plain segment) /
+    * Right(special) parts in order. */
+  private[graft] def splitSpecials(text: String, specials: Seq[String])
+      : Seq[Either[String, String]] = {
+    if (specials.isEmpty) return Seq(Left(text))
+    val byLen = specials.filter(_.nonEmpty).distinct.sortBy(-_.length)
+    val out = Seq.newBuilder[Either[String, String]]
+    val plain = new java.lang.StringBuilder
+    var i = 0
+    while (i < text.length) {
+      byLen.find(s => text.startsWith(s, i)) match {
+        case Some(s) =>
+          if (plain.length > 0) { out += Left(plain.toString); plain.setLength(0) }
+          out += Right(s)
+          i += s.length
+        case None =>
+          plain.append(text.charAt(i)); i += 1
+      }
+    }
+    if (plain.length > 0) out += Left(plain.toString)
+    out.result()
+  }
+
+  /** Exact inverse of [[encodeByteLevelIds]] given the same merge table
+    * and specials: ids → vocab strings → bytes → UTF-8 (byte-exact,
+    * whitespace included; special ids reproduce their literal string).
+    * Consecutive non-special ids decode as ONE byte run — a multi-byte
+    * char whose bytes landed in different tokens (é → 0xC3, 0xA9 as two
+    * base ids) must reassemble before the UTF-8 decode, or each lone
+    * byte turns into a replacement char. Driver-side helper for specs
+    * and exports. */
+  def byteLevelDecodeIds(ids: Seq[Int], merges: Seq[Merge],
+                         specials: Seq[String] = Nil): String = {
     val inv = byteLevelVocab(merges).map(_.swap)
-    byteLevelDecode(ids.map(inv))
+    val spInv = specialIds(merges, specials).map(_.swap)
+    val sb = new java.lang.StringBuilder
+    val run = Seq.newBuilder[String]
+    def flush(): Unit = {
+      val r = run.result()
+      if (r.nonEmpty) { sb.append(byteLevelDecode(r)); run.clear() }
+    }
+    ids.foreach { i =>
+      spInv.get(i) match {
+        case Some(s) => flush(); sb.append(s)
+        case None => run += inv(i)
+      }
+    }
+    flush()
+    sb.toString
   }
 }
 
@@ -356,11 +418,13 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[Bpe.Merge],
 /**
  * Byte-level BPE encode straight to DENSE vocab ids (array<int>): the
  * GPT-2-shaped id stream — base ids 0-255 are byte values, merged symbols
- * take ids in merge-rank order ([[Bpe.byteLevelVocab]]). Same
- * reference-object codegen shape as [[BpeEncodeExpr]]; the vocab map
- * (≤ 256 + numMerges entries) rides in the serialized plan.
+ * take ids in merge-rank order ([[Bpe.byteLevelVocab]]), allowed special
+ * tokens atomic ids above the vocabulary. Same reference-object codegen
+ * shape as [[BpeEncodeExpr]]; the vocab map (≤ 256 + numMerges +
+ * specials entries) rides in the serialized plan.
  */
-case class BpeEncodeIdsExpr(child: Expression, merges: Seq[Bpe.Merge])
+case class BpeEncodeIdsExpr(child: Expression, merges: Seq[Bpe.Merge],
+                            specials: Seq[String] = Nil)
     extends UnaryExpression with Serializable {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -376,12 +440,18 @@ case class BpeEncodeIdsExpr(child: Expression, merges: Seq[Bpe.Merge])
     merges.zipWithIndex.toMap
   @transient private lazy val vocab: Map[String, Int] =
     Bpe.byteLevelVocab(merges)
+  @transient private lazy val spIds: Map[String, Int] =
+    Bpe.specialIds(merges, specials)
 
   def compute(text: UTF8String): ArrayData = {
     val out = Array.newBuilder[Int]
-    Bpe.byteLevelPretokens(text.toString).foreach { w =>
-      if (w.nonEmpty)
-        Bpe.encodeWord(w, ranks).foreach(t => out += vocab(t))
+    Bpe.splitSpecials(text.toString, specials).foreach {
+      case Right(sp) => out += spIds(sp)
+      case Left(seg) =>
+        Bpe.byteLevelPretokens(seg).foreach { w =>
+          if (w.nonEmpty)
+            Bpe.encodeWord(w, ranks).foreach(t => out += vocab(t))
+        }
     }
     new GenericArrayData(out.result())
   }

@@ -1398,7 +1398,12 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             ("out_table", StringType, None),
             ("seq_len", IntegerType, Some("512")),
             ("eos_id", LongType, Some("-1L")),
-            ("byte_level", BooleanType, Some("false"))),
+            ("byte_level", BooleanType, Some("false")),
+            // byte-level only: treat this string as an atomic special
+            // token inline (tiktoken allowed_special) AND use its dense id
+            // (vocabSize + 0) as the document separator instead of eos_id
+            // — the GPT-2 packing layout, <|endoftext|>-joined
+            ("eos_special", StringType, Some("''"))),
           StructType(Seq(StructField("n_sequences", LongType),
             StructField("n_tokens", LongType)))) {
         def run(args: Seq[Any]) = inSession { tx =>
@@ -1417,16 +1422,24 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
           // xxhash64 of the subword
           val byteLevel = graft.llm.Bpe.byteLevelFromDf(model,
             default = args(7).asInstanceOf[Boolean])
+          val eosSpecial = args(8).asInstanceOf[String]
+          require(eosSpecial.isEmpty || byteLevel,
+            "eos_special needs a byte-level merge table (dense id space)")
+          val specials = if (eosSpecial.isEmpty) Nil else Seq(eosSpecial)
+          val eosId =
+            if (eosSpecial.isEmpty) args(6).asInstanceOf[Long]
+            else graft.llm.Bpe.specialIds(merges, specials)(eosSpecial).toLong
           val ids =
             if (byteLevel)
               atransform(graft.llm.Bpe.encodeByteLevelIds(
-                c(args(2).asInstanceOf[String]), merges), i => i.cast("long"))
+                c(args(2).asInstanceOf[String]), merges, specials),
+                i => i.cast("long"))
             else atransform(graft.llm.Bpe.encode(
               c(args(2).asInstanceOf[String]), merges), w => ahash(w))
           val docs = tableIn(tx, args(0).asInstanceOf[String]).select()
             .select(c(idCol), ids.as("_ids"))
           val packed = graft.llm.Curation.packTokenSequences(docs, idCol,
-            "_ids", args(5).asInstanceOf[Int], args(6).asInstanceOf[Long])
+            "_ids", args(5).asInstanceOf[Int], eosId)
           val n = replaceOutput(tx, args(4).asInstanceOf[String], packed)
           val toks = tableIn(tx, args(4).asInstanceOf[String]).select()
             .agg(asum(asize(c("token_ids"))).cast("long")).head().getLong(0)

@@ -1590,6 +1590,66 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("bpe special tokens: longest-match split, atomic ids, roundtrip") {
+    import graft.llm.Bpe
+    val specials = Seq("<|eot|>", "<|eot|><|pad|>", "<|pad|>")
+    // longest-match at each position: the compound special wins over its
+    // prefix; adjacent occurrences split independently after it
+    assert(Bpe.splitSpecials("a<|eot|><|pad|>b", specials) ==
+      Seq(Left("a"), Right("<|eot|><|pad|>"), Left("b")))
+    assert(Bpe.splitSpecials("<|pad|>x<|eot|>", specials) ==
+      Seq(Right("<|pad|>"), Left("x"), Right("<|eot|>")))
+    // no specials / unlisted specials: the text is one plain segment
+    assert(Bpe.splitSpecials("a<|eot|>b", Nil) == Seq(Left("a<|eot|>b")))
+    assert(Bpe.splitSpecials("a<|huh|>b", specials) ==
+      Seq(Left("a<|huh|>b")))
+    // ids sit directly above the merge vocab, in list order
+    val merges: Seq[Bpe.Merge] = Seq(("a", "b"))
+    assert(Bpe.specialIds(merges, specials) ==
+      Map("<|eot|>" -> 257, "<|eot|><|pad|>" -> 258, "<|pad|>" -> 259))
+    // decode inverts ids INCLUDING specials, byte-exactly
+    import spark.implicits._
+    val docs = Seq((1L, "ab<|eot|>ab cd<|pad|>"), (2L, "no specials here"))
+      .toDF("id", "text")
+    val rows = docs.select($"id", $"text",
+      Bpe.encodeByteLevelIds($"text", merges, specials).as("ids")).collect()
+    rows.foreach { r =>
+      assert(Bpe.byteLevelDecodeIds(r.getSeq[Int](2), merges, specials) ==
+        r.getString(1))
+    }
+    // empty specials list behaves exactly like the pre-specials encode
+    val plain = docs.select(
+      Bpe.encodeByteLevelIds($"text", merges).as("a"),
+      Bpe.encodeByteLevelIds($"text", merges, Nil).as("b")).collect()
+    plain.foreach(r => assert(r.getSeq[Int](0) == r.getSeq[Int](1)))
+    // randomized property: specials spliced at arbitrary positions into
+    // arbitrary unicode-ish text always round-trip byte-exactly, and the
+    // special id count equals the number of splices
+    val rnd = new scala.util.Random(99)
+    val alphabet = "ab cd\n\té☕' 01"
+    for (trial <- 1 to 40) {
+      val base = (0 until rnd.nextInt(30)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      val nSp = rnd.nextInt(4)
+      val text = (0 until nSp).foldLeft(base) { (t, _) =>
+        val p = rnd.nextInt(t.length + 1)
+        t.take(p) + specials(rnd.nextInt(specials.length)) + t.drop(p)
+      }
+      val ids = spark.range(1).select(
+        Bpe.encodeByteLevelIds(lit(text), merges, specials).as("ids"))
+        .head().getSeq[Int](0)
+      assert(Bpe.byteLevelDecodeIds(ids, merges, specials) == text,
+        s"trial $trial roundtrip failed for: $text")
+      // recognized count can legitimately drop below the splice count
+      // (adjacent splices collapse into the compound special; a splice
+      // landing INSIDE an earlier special destroys it) but the newest
+      // splice always survives intact, so ≥1 whenever any were spliced
+      val spCount = ids.count(_ > 256)
+      assert(spCount <= nSp && (nSp == 0 || spCount >= 1),
+        s"trial $trial: $nSp spliced, $spCount recognized in: $text")
+    }
+  }
+
   // --------------------------------------------------- product quantization
 
   test("pq: codebook shape, code-range invariants, 16x compression layout") {

@@ -46,8 +46,10 @@ object ScaleAuditProbe {
       "dd12_span_dedup", "ta18_ccnet_buckets",
       // round-13: duplicate-passage detection — hint-free since r13 (the
       // candidate set is O(corpus) on boilerplate-heavy crawls; AQE may
-      // still broadcast when actually small, which is the point)
-      "dd8_dup_passages").foreach(audit)
+      // still broadcast when actually small, which is the point) — and
+      // the stratified per-domain draw (narrow race frame; the rank
+      // filter's WindowGroupLimit heap is asserted in SelectionSpec)
+      "dd8_dup_passages", "cu13_sample_per_domain").foreach(audit)
     spark.stop()
   }
 }

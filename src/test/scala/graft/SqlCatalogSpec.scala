@@ -1510,5 +1510,32 @@ class SqlCatalogSpec extends SparkSpec {
         |WHERE i <> -1""".stripMargin).head
     assert(idRange.getLong(0) >= 0 && idRange.getLong(1) < 256 + nMerges,
       s"dense ids out of vocab range: $idRange (vocab < ${256 + nMerges})")
+
+    // eos_special: documents joined by the SPECIAL's dense id (vocabSize),
+    // not the sentinel — GPT-2's <|endoftext|> packing layout. One eos per
+    // document lands in the stream; no -1 sentinel appears
+    val vocabSize = spark.sql(
+      "SELECT 256 + count(DISTINCT left || right) FROM graftr13.bk.m.bpe")
+      .head.getLong(0)
+    spark.sql("CALL graftr13.system.tokenize_pack(" +
+      "'bk.m.docs', 'id', 'text', 'bk.m.bpe', 'bk.m.seqs2', 16, " +
+      "eos_special => '<|endoftext|>')")
+    val eos = spark.sql(
+      s"""SELECT
+         |  sum(CASE WHEN i = $vocabSize THEN 1 ELSE 0 END) AS n_eos,
+         |  sum(CASE WHEN i = -1 THEN 1 ELSE 0 END) AS n_sentinel
+         |FROM (SELECT explode(token_ids) AS i FROM graftr13.bk.m.seqs2)"""
+        .stripMargin).head
+    assert(eos.getLong(0) == 21 && eos.getLong(1) == 0,
+      s"eos_special layout: $eos (want 21 docs' eos ids, zero sentinels)")
+    // eos_special on a whitespace-mode table is refused, not silent
+    spark.sql("CALL graftr13.system.bpe_fit(" +
+      "'bk.m.docs', 'text', 'bk.m.bpews', 10, 100)")
+    val err = intercept[Exception] {
+      spark.sql("CALL graftr13.system.tokenize_pack(" +
+        "'bk.m.docs', 'id', 'text', 'bk.m.bpews', 'bk.m.seqs3', 16, " +
+        "eos_special => '<|endoftext|>')")
+    }
+    assert(err.getMessage.contains("byte-level"), err.getMessage)
   }
 }
