@@ -305,20 +305,37 @@ object Bpe {
                          specials: Seq[String] = Nil): Column =
     Glue.column(BpeEncodeIdsExpr(Glue.expression(text), merges, specials))
 
+  /** The one normalization every specials consumer shares: empty strings
+    * out (an empty special can never match), duplicates collapsed to the
+    * FIRST occurrence — so id assignment and matching always agree on
+    * the same effective list. */
+  private[graft] def normalizeSpecials(specials: Seq[String]): Seq[String] =
+    specials.filter(_.nonEmpty).distinct
+
   /** Id table of the special tokens: dense ids directly above the merge
-    * vocabulary, in `specials` order. */
+    * vocabulary, in NORMALIZED `specials` order (empty entries dropped,
+    * duplicates collapsed — otherwise a duplicate would silently shift
+    * later ids and leave a hole no encode can emit). */
   def specialIds(merges: Seq[Merge], specials: Seq[String]): Map[String, Int] = {
     val base = byteLevelVocab(merges).size
-    specials.zipWithIndex.map { case (s, i) => s -> (base + i) }.toMap
+    normalizeSpecials(specials).zipWithIndex
+      .map { case (s, i) => s -> (base + i) }.toMap
   }
 
   /** Split `text` around occurrences of the allowed specials
     * (longest-match at each position), yielding Left(plain segment) /
     * Right(special) parts in order. */
   private[graft] def splitSpecials(text: String, specials: Seq[String])
+      : Seq[Either[String, String]] =
+    splitSpecialsSorted(text, normalizeSpecials(specials).sortBy(-_.length))
+
+  /** The scan itself over a pre-normalized longest-first list — the
+    * per-row hot path ([[BpeEncodeIdsExpr]] hoists the sort into a
+    * transient lazy val so a billion-row encode sorts the list once per
+    * executor, not once per row). */
+  private[llm] def splitSpecialsSorted(text: String, byLen: Seq[String])
       : Seq[Either[String, String]] = {
-    if (specials.isEmpty) return Seq(Left(text))
-    val byLen = specials.filter(_.nonEmpty).distinct.sortBy(-_.length)
+    if (byLen.isEmpty) return Seq(Left(text))
     val out = Seq.newBuilder[Either[String, String]]
     val plain = new java.lang.StringBuilder
     var i = 0
@@ -442,10 +459,12 @@ case class BpeEncodeIdsExpr(child: Expression, merges: Seq[Bpe.Merge],
     Bpe.byteLevelVocab(merges)
   @transient private lazy val spIds: Map[String, Int] =
     Bpe.specialIds(merges, specials)
+  @transient private lazy val spByLen: Seq[String] =
+    Bpe.normalizeSpecials(specials).sortBy(-_.length)
 
   def compute(text: UTF8String): ArrayData = {
     val out = Array.newBuilder[Int]
-    Bpe.splitSpecials(text.toString, specials).foreach {
+    Bpe.splitSpecialsSorted(text.toString, spByLen).foreach {
       case Right(sp) => out += spIds(sp)
       case Left(seg) =>
         Bpe.byteLevelPretokens(seg).foreach { w =>

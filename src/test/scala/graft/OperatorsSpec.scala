@@ -1607,6 +1607,10 @@ class OperatorsSpec extends SparkSpec {
     val merges: Seq[Bpe.Merge] = Seq(("a", "b"))
     assert(Bpe.specialIds(merges, specials) ==
       Map("<|eot|>" -> 257, "<|eot|><|pad|>" -> 258, "<|pad|>" -> 259))
+    // duplicates and empty entries normalize away BEFORE id assignment —
+    // a duplicate must not shift later ids or leave an unreachable hole
+    assert(Bpe.specialIds(merges, Seq("<|a|>", "", "<|a|>", "<|b|>")) ==
+      Map("<|a|>" -> 257, "<|b|>" -> 258))
     // decode inverts ids INCLUDING specials, byte-exactly
     import spark.implicits._
     val docs = Seq((1L, "ab<|eot|>ab cd<|pad|>"), (2L, "no specials here"))
