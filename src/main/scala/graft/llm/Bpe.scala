@@ -96,10 +96,13 @@ object Bpe {
 
   /** The classic merge loop, exposed for spec-level parity testing. */
   def trainLocal(docs: Seq[String], numMerges: Int): Seq[Merge] = {
-    // word -> frequency; each word as a mutable symbol sequence
+    // word -> frequency; each word as a mutable symbol sequence (words
+    // beyond the encode cap chunk exactly like the encode path, so the
+    // trainer never learns a merge the encoder cannot reach)
     val wordFreq = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     docs.foreach(_.split(' ').foreach { w =>
-      if (w.nonEmpty) wordFreq.update(w, wordFreq.getOrElse(w, 0L) + 1L)
+      if (w.nonEmpty) w.grouped(MaxPretokenSymbols).foreach(c =>
+        wordFreq.update(c, wordFreq.getOrElse(c, 0L) + 1L))
     })
     trainFromWordFreq(wordFreq, numMerges)
   }
@@ -222,6 +225,23 @@ object Bpe {
     * alphabet (UTF-8 bytes → single chars). Non-ASCII chars become
     * multi-symbol byte sequences — the byte-fallback property: every
     * string is encodable with no unknown-token escape hatch. */
+  /** Encode-cost guard: [[encodeWord]] is O(len²·lookups) per pre-token
+    * (each merge pass rescans all adjacent pairs), so ONE pathological
+    * pre-token — a megabyte base64 blob, a DNA string, minified JS with
+    * no separators, all real crawl content and all single letter-runs
+    * under the GPT-2 regex — would burn 10¹⁰+ ops and hang its task at
+    * corpus scale. Pre-tokens longer than this many mapped symbols split
+    * into cap-sized chunks before encoding (merges never cross the cut,
+    * same as a pre-token boundary; bytes concatenate, so decode stays
+    * exact). 4096 bounds the worst chunk at ~16M pair-visits (~ms) while
+    * being far beyond any natural-language pre-token. */
+  private[llm] val MaxPretokenSymbols = 4096
+
+  private def chunked(out: scala.collection.mutable.ArrayBuilder[String],
+                      s: String): Unit =
+    if (s.length <= MaxPretokenSymbols) out += s
+    else s.grouped(MaxPretokenSymbols).foreach(out += _)
+
   def byteLevelPretokens(text: String): Array[String] = {
     val m = ByteLevelPattern.matcher(text)
     val out = Array.newBuilder[String]
@@ -229,7 +249,7 @@ object Bpe {
       val bytes = m.group().getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val sb = new java.lang.StringBuilder(bytes.length)
       bytes.foreach(b => sb.append(byteToUnicode(b & 0xFF)))
-      out += sb.toString
+      chunked(out, sb.toString)
     }
     out.result()
   }
@@ -410,11 +430,18 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[Bpe.Merge],
   def compute(text: UTF8String): ArrayData = {
     val out = Array.newBuilder[UTF8String]
     val words =
-      if (byteLevel) Bpe.byteLevelPretokens(text.toString)
+      if (byteLevel) Bpe.byteLevelPretokens(text.toString)  // cap applied
       else text.toString.split(' ')
     words.foreach { w =>
-      if (w.nonEmpty)
-        Bpe.encodeWord(w, ranks).foreach(t => out += UTF8String.fromString(t))
+      // whitespace mode caps here (byte-level pre-tokens arrive capped):
+      // encodeWord is quadratic, so one unbounded blob-word would hang
+      // the task — see Bpe.MaxPretokenSymbols
+      if (w.nonEmpty) {
+        if (w.length <= Bpe.MaxPretokenSymbols)
+          Bpe.encodeWord(w, ranks).foreach(t => out += UTF8String.fromString(t))
+        else w.grouped(Bpe.MaxPretokenSymbols).foreach(c =>
+          Bpe.encodeWord(c, ranks).foreach(t => out += UTF8String.fromString(t)))
+      }
     }
     new GenericArrayData(out.result().asInstanceOf[Array[Any]])
   }

@@ -1590,6 +1590,35 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("bpe pre-token cap: a 200k-char blob encodes bounded and roundtrips") {
+    import spark.implicits._
+    import graft.llm.Bpe
+    // one 200k-char letter run = ONE pre-token under the GPT-2 regex (a
+    // base64 blob / DNA string / minified JS — real crawl content);
+    // without the MaxPretokenSymbols cap the quadratic encodeWord would
+    // spend ~4e10 pair-visits on it and hang the task
+    val blob = {
+      val rnd = new scala.util.Random(5)
+      (0 until 200000).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    }
+    assert(Bpe.byteLevelPretokens(blob).forall(_.length <= 4096))
+    val docs = Seq((1L, s"prefix $blob suffix")).toDF("id", "text")
+    val merges = Bpe.trainByteLevel(docs, "text", numMerges = 10,
+      sampleDocs = 5)
+    val t0 = System.nanoTime()
+    val row = docs.select($"text",
+      Bpe.encodeByteLevelIds($"text", merges).as("ids"),
+      Bpe.encode($"text", merges).as("ws_toks")).head()
+    val dt = (System.nanoTime() - t0) / 1e9
+    assert(dt < 30.0, f"capped encode took $dt%.1f s — cap not effective")
+    // byte-level dense ids roundtrip byte-exactly across chunk cuts
+    assert(Bpe.byteLevelDecodeIds(row.getSeq[Int](1), merges) ==
+      row.getString(0))
+    // whitespace mode: chunk concatenation reproduces the blob
+    assert(row.getSeq[String](2).mkString("") ==
+      row.getString(0).replace(" ", ""))
+  }
+
   test("bpe special tokens: longest-match split, atomic ids, roundtrip") {
     import graft.llm.Bpe
     val specials = Seq("<|eot|>", "<|eot|><|pad|>", "<|pad|>")
