@@ -267,6 +267,42 @@ class SelectionSpec extends SparkSpec {
     assert(all.select("id").distinct().count() == df.count())
   }
 
+  test("samplePerDomain equals a driver-side brute-force draw on random inputs") {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 5) {
+      val n = 30 + rnd.nextInt(120)
+      val nDoms = 1 + rnd.nextInt(6)
+      val rows = (0 until n).map { i =>
+        val dom = if (rnd.nextInt(8) == 0) null else s"d${rnd.nextInt(nDoms)}"
+        (i.toLong, dom)
+      }
+      val k = 1 + rnd.nextInt(12)
+      val seed = rnd.nextLong()
+      val got = Selection.samplePerDomain(rows.toDF("id", "dom"), "id",
+          "dom", k, seed)
+        .collect()
+        .map(r => (Option(r.getString(1)), r.getAs[Long]("id"),
+          r.getAs[Long]("sample_rank"))).toSet
+      // independent recomposition: xxhash64(seed|id, seed 42) → pmod 2^52
+      // race key, (race asc, id asc) within each stratum (null its own),
+      // ranks 0..min(k,|stratum|)-1
+      val expect = rows.groupBy(_._2).flatMap { case (dom, members) =>
+        members.map { case (id, _) =>
+          val h0 = XxHash64Function.hash(
+            UTF8String.fromString(s"$seed|$id"), StringType, 42L)
+          val m = 1L << 52
+          (id, ((h0 % m) + m) % m)
+        }.sortBy { case (id, h) => (h, id) }
+          .take(k).zipWithIndex
+          .map { case ((id, _), r) => (Option(dom), id, r.toLong) }
+      }.toSet
+      assert(got == expect, s"trial $trial (n=$n domains=$nDoms k=$k seed=$seed)")
+    }
+  }
+
   test("samplePerDomain plan: WindowGroupLimit heap runs before the shuffle") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = Selection.samplePerDomain(df, "doc_id", "source", 5, 7L)
