@@ -2164,6 +2164,38 @@ object SparkEntry {
              |  CAST(r AS BIGINT) AS sample_rank
              |FROM rk WHERE r < 5 ORDER BY source, sample_rank""".stripMargin)),
 
+    Q("cu14_regex_filter",  // regex/phrase blocklist gate (the substring
+      // sibling of cu12's exact-token gate — the "regex gate upstream"
+      // LIMITS.md pointed to): multi-word phrase across whitespace
+      // variations (\s+), case-insensitive via confined (?i), and a
+      // substring hit inside a longer token; DuckDB recomputes survivors
+      // with the same two patterns per-pattern (dialect-safe: both
+      // engines confine inline flags to their group)
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 9 === 0,
+            concat(col("text"), lit("\nFree   MONEY inside")))
+            .when(col("doc_id") % 6 === 0,
+              concat(col("text"), lit(" unsubscribenow!")))
+            .otherwise(col("text")).as("text"))
+        graft.llm.Curation.regexBlocklistFilter(docs, "text",
+            Seq("(?i)free\\s+money", "unsubscribe"))
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, CASE
+             |    WHEN doc_id % 9 = 0 THEN text || CHR(10) ||
+             |      'Free   MONEY inside'
+             |    WHEN doc_id % 6 = 0 THEN text || ' unsubscribenow!'
+             |    ELSE text END AS text
+             |  FROM documents
+             |)
+             |SELECT doc_id FROM d
+             |WHERE NOT regexp_matches(text, '(?i)free\s+money')
+             |  AND NOT regexp_matches(text, 'unsubscribe')
+             |ORDER BY doc_id""".stripMargin)),
+
     Q("qc1_lr_quality",  // distributed quality classifier (fasttext
       // recipe: hashed bag-of-words → linear model), planted-teacher gate:
       // label every document by a KNOWN fixed hyperplane u in the hashed

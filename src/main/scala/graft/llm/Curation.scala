@@ -258,6 +258,33 @@ object Curation {
     df.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /**
+   * Regex blocklist filtering — the phrase/substring gate
+   * [[termBlocklistFilter]]'s token semantics defer to (LIMITS.md's
+   * "multi-word or substring patterns want a regex gate upstream" — this
+   * is that gate): drop every document where ANY caller pattern finds a
+   * match. Patterns are Java regexes; prefix `(?i)` inside a pattern for
+   * case-insensitivity (the flag stays confined to its pattern after
+   * combination).
+   *
+   * Scale shape: the pattern list is CONFIG-scale (the published lists
+   * are hundreds of entries) and compiles into ONE alternation
+   * `(?:p1)|(?:p2)|…` evaluated map-side per row via codegen'd `rlike` —
+   * never a row×pattern join, never a shuffle beyond the scan. An empty
+   * list keeps everything.
+   */
+  def regexBlocklistFilter(df: DataFrame, textCol: String,
+                           patterns: Seq[String]): DataFrame = {
+    val ps = patterns.filter(_.nonEmpty)
+    if (ps.isEmpty) df
+    else {
+      val combined = ps.map(p => s"(?:$p)").mkString("|")
+      // null text cannot match anything → survives (the anti-join gates'
+      // null semantics; a bare !rlike would null out and drop the row)
+      df.filter(col(textCol).isNull || !col(textCol).rlike(combined))
+    }
+  }
+
   def hashSplit(df: DataFrame, idCol: String,
                 testPermille: Int = 100): DataFrame = {
     require(testPermille >= 0 && testPermille <= 1000, "testPermille in [0,1000]")

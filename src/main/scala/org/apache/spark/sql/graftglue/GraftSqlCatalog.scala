@@ -473,7 +473,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     "dsir_select", "keep_best", "weighted_sample", "dsir_fit", "dsir_score",
     "gopher_filter", "c4_filter", "span_dedup", "ccnet_bucket",
     "url_filter", "badword_filter", "span_stats", "span_probe",
-    "sample_per_domain")
+    "sample_per_domain", "regex_filter")
 
   /** Manifest version a streaming checkpoint has durably consumed through,
     * or -1 if no batch has committed yet. Reads Spark's own checkpoint
@@ -1306,6 +1306,29 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             args(3).asInstanceOf[Long], args(4).asInstanceOf[Long])
           Seq(org.apache.spark.sql.Row(
             replaceOutput(tx, args(5).asInstanceOf[String], sampled)))
+        }
+      }
+      // regex/phrase blocklist gate: drop docs matching ANY pattern from a
+      // caller table (config-scale list → one combined map-side rlike)
+      case "regex_filter" => new GraftProcedure("regex_filter",
+          Seq(("table", StringType, None), ("id_col", StringType, None),
+            ("text_col", StringType, None),
+            ("patterns_table", StringType, None),
+            ("out_table", StringType, None),
+            ("pattern_col", StringType, Some("'pattern'"))),
+          StructType(Seq(StructField("n_kept", LongType)))) {
+        def run(args: Seq[Any]) = inSession { tx =>
+          import org.apache.spark.sql.functions.{col => c}
+          // blocklists are config-scale by contract (hundreds of rows —
+          // the same bound the published lists have); bounded collect
+          val patterns = tableIn(tx, args(3).asInstanceOf[String]).select()
+            .select(c(args(5).asInstanceOf[String]).cast("string"))
+            .collect().map(_.getString(0)).toSeq
+          val kept = graft.llm.Curation.regexBlocklistFilter(
+            tableIn(tx, args(0).asInstanceOf[String]).select(),
+            args(2).asInstanceOf[String], patterns)
+          Seq(org.apache.spark.sql.Row(
+            replaceOutput(tx, args(4).asInstanceOf[String], kept)))
         }
       }
       // stratified per-domain uniform sample: ≤ k rows from every distinct

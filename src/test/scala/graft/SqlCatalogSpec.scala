@@ -1537,5 +1537,22 @@ class SqlCatalogSpec extends SparkSpec {
         "eos_special => '<|endoftext|>')")
     }
     assert(err.getMessage.contains("byte-level"), err.getMessage)
+
+    // regex_filter door: phrase patterns from a caller table gate the
+    // corpus map-side; the phrase-carrying docs drop
+    s.transaction { tx =>
+      val m = tx.bucket("bk").schema("m")
+      val pSchema = StructType(Seq(StructField("pattern", StringType)))
+      val pt = m.createTable("pats", pSchema)
+      val lp = new java.util.ArrayList[Row]()
+      lp.add(Row("(?i)don't\\s+stop"))
+      pt.insert(spark.createDataFrame(lp, pSchema).coalesce(1))
+    }
+    val rf = spark.sql("CALL graftr13.system.regex_filter(" +
+      "'bk.m.docs', 'id', 'text', 'bk.m.pats', 'bk.m.rkept')").head
+    // every generated doc carries "don't stop" except the lone-domain row
+    assert(rf.getLong(0) == 1, s"regex_filter kept: $rf")
+    assert(spark.sql("SELECT id FROM graftr13.bk.m.rkept").head
+      .getLong(0) == 99L)
   }
 }

@@ -548,6 +548,25 @@ class TrainingExportSpec extends SparkSpec {
     assert(kept == Set(1L, 3L), s"kept: $kept")
   }
 
+  test("regexBlocklistFilter: phrases, confined (?i), null text, empty list") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "clean text entirely"),
+      (2L, "FREE    money across spaces"),      // (?i) + \s+ phrase hit
+      (3L, "free lunch, money later"),           // words apart: no hit
+      (4L, "mid-token unsubscribenow embedded"), // substring hit
+      (5L, null.asInstanceOf[String]),           // null text survives
+      (6L, "case UNSUBSCRIBE miss")              // (?i) confined to p1 only
+    ).toDF("id", "text")
+    val kept = Curation.regexBlocklistFilter(d, "text",
+        Seq("(?i)free\\s+money", "unsubscribe"))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L, 6L), s"kept: $kept")
+    // empty / all-empty pattern lists keep everything
+    assert(Curation.regexBlocklistFilter(d, "text", Nil).count() == 6)
+    assert(Curation.regexBlocklistFilter(d, "text", Seq("", "")).count() == 6)
+  }
+
   // ---- ccnetBuckets (perplexity head/middle/tail) ----
 
   test("ccnetBuckets: thirds per group by rank arithmetic, repartition-stable") {
