@@ -101,7 +101,7 @@ object Bpe {
     // trainer never learns a merge the encoder cannot reach)
     val wordFreq = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     docs.foreach(_.split(' ').foreach { w =>
-      if (w.nonEmpty) w.grouped(MaxPretokenSymbols).foreach(c =>
+      if (w.nonEmpty) capChunks(w).foreach(c =>
         wordFreq.update(c, wordFreq.getOrElse(c, 0L) + 1L))
     })
     trainFromWordFreq(wordFreq, numMerges)
@@ -110,12 +110,29 @@ object Bpe {
   /** The merge-selection loop shared by the whitespace and byte-level
     * trainers: greedy argmax pair count with the (count desc, pair asc)
     * deterministic tie-break. */
+  /** Base symbols of a word: one per Unicode CODE POINT, not per UTF-16
+    * unit — a per-char split would make every astral char (emoji, rare
+    * CJK) two lone-surrogate symbols that UTF8String corrupts to '?' on
+    * emission. Byte-level mode never reaches this concern (its alphabet
+    * is all BMP singles); whitespace mode and its trainer both use this,
+    * so segmentation granularity cannot diverge between them. */
+  private def codePointSymbols(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
   private def trainFromWordFreq(
       wordFreq: scala.collection.mutable.LinkedHashMap[String, Long],
       numMerges: Int): Seq[Merge] = {
     var words: Vector[(Array[String], Long)] =
       wordFreq.toVector.map { case (w, f) =>
-        (w.map(_.toString).toArray, f)
+        (codePointSymbols(w), f)
       }
     val merges = Vector.newBuilder[Merge]
     var i = 0
@@ -160,7 +177,7 @@ object Bpe {
     * reproduces training's merge sequence exactly). */
   def encodeWord(word: String,
                               ranks: Map[Merge, Int]): Array[String] = {
-    var syms: Array[String] = word.map(_.toString).toArray
+    var syms: Array[String] = codePointSymbols(word)
     var continue = syms.length >= 2
     while (continue) {
       var bestRank = Int.MaxValue
@@ -235,12 +252,33 @@ object Bpe {
     * same as a pre-token boundary; bytes concatenate, so decode stays
     * exact). 4096 bounds the worst chunk at ~16M pair-visits (~ms) while
     * being far beyond any natural-language pre-token. */
-  private[llm] val MaxPretokenSymbols = 4096
+  private[graft] val MaxPretokenSymbols = 4096
+
+  /** THE one cap implementation (trainer + both encode modes share it,
+    * so the trainer-never-learns-an-unreachable-merge invariant cannot
+    * drift): split `s` into ≤ cap-sized chunks, never cutting a
+    * surrogate pair — a UTF-16 cut mid-astral-char would strand lone
+    * surrogates that UTF8String later corrupts to '?'. (The byte-level
+    * path's mapped alphabet is all BMP singles, so the guard is inert
+    * there — but one shared helper beats three hand-rolled copies.) */
+  private[graft] def capChunks(s: String): Seq[String] = {
+    if (s.length <= MaxPretokenSymbols) return Seq(s)
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      var end = math.min(i + MaxPretokenSymbols, s.length)
+      if (end < s.length && Character.isHighSurrogate(s.charAt(end - 1)))
+        end -= 1
+      out += s.substring(i, end)
+      i = end
+    }
+    out.result()
+  }
 
   private def chunked(out: scala.collection.mutable.ArrayBuilder[String],
                       s: String): Unit =
     if (s.length <= MaxPretokenSymbols) out += s
-    else s.grouped(MaxPretokenSymbols).foreach(out += _)
+    else capChunks(s).foreach(out += _)
 
   def byteLevelPretokens(text: String): Array[String] = {
     val m = ByteLevelPattern.matcher(text)
@@ -436,12 +474,8 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[Bpe.Merge],
       // whitespace mode caps here (byte-level pre-tokens arrive capped):
       // encodeWord is quadratic, so one unbounded blob-word would hang
       // the task — see Bpe.MaxPretokenSymbols
-      if (w.nonEmpty) {
-        if (w.length <= Bpe.MaxPretokenSymbols)
-          Bpe.encodeWord(w, ranks).foreach(t => out += UTF8String.fromString(t))
-        else w.grouped(Bpe.MaxPretokenSymbols).foreach(c =>
-          Bpe.encodeWord(c, ranks).foreach(t => out += UTF8String.fromString(t)))
-      }
+      if (w.nonEmpty) Bpe.capChunks(w).foreach(c =>
+        Bpe.encodeWord(c, ranks).foreach(t => out += UTF8String.fromString(t)))
     }
     new GenericArrayData(out.result().asInstanceOf[Array[Any]])
   }

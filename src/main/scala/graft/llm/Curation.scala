@@ -271,17 +271,26 @@ object Curation {
    * are hundreds of entries) and compiles into ONE alternation
    * `(?:p1)|(?:p2)|…` evaluated map-side per row via codegen'd `rlike` —
    * never a row×pattern join, never a shuffle beyond the scan. An empty
-   * list keeps everything.
+   * list (null/empty entries are dropped) keeps everything.
+   *
+   * Backreference caveat: combining renumbers capturing groups, which
+   * would silently break any pattern using `\1`-style backreferences —
+   * so when ANY pattern contains one, the gate falls back to per-pattern
+   * `rlike`s OR-ed together (still one map-side pass, N regex evals per
+   * row instead of one alternation — correctness over the fast path).
    */
   def regexBlocklistFilter(df: DataFrame, textCol: String,
                            patterns: Seq[String]): DataFrame = {
-    val ps = patterns.filter(_.nonEmpty)
+    val ps = patterns.filter(p => p != null && p.nonEmpty)
     if (ps.isEmpty) df
     else {
-      val combined = ps.map(p => s"(?:$p)").mkString("|")
+      val hasBackref = ps.exists(p => """\\[1-9]""".r.findFirstIn(p).isDefined)
+      val matched =
+        if (hasBackref) ps.map(p => col(textCol).rlike(p)).reduce(_ || _)
+        else col(textCol).rlike(ps.map(p => s"(?:$p)").mkString("|"))
       // null text cannot match anything → survives (the anti-join gates'
       // null semantics; a bare !rlike would null out and drop the row)
-      df.filter(col(textCol).isNull || !col(textCol).rlike(combined))
+      df.filter(col(textCol).isNull || !matched)
     }
   }
 

@@ -1311,8 +1311,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
       // regex/phrase blocklist gate: drop docs matching ANY pattern from a
       // caller table (config-scale list → one combined map-side rlike)
       case "regex_filter" => new GraftProcedure("regex_filter",
-          Seq(("table", StringType, None), ("id_col", StringType, None),
-            ("text_col", StringType, None),
+          Seq(("table", StringType, None), ("text_col", StringType, None),
             ("patterns_table", StringType, None),
             ("out_table", StringType, None),
             ("pattern_col", StringType, Some("'pattern'"))),
@@ -1320,15 +1319,17 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
         def run(args: Seq[Any]) = inSession { tx =>
           import org.apache.spark.sql.functions.{col => c}
           // blocklists are config-scale by contract (hundreds of rows —
-          // the same bound the published lists have); bounded collect
-          val patterns = tableIn(tx, args(3).asInstanceOf[String]).select()
-            .select(c(args(5).asInstanceOf[String]).cast("string"))
-            .collect().map(_.getString(0)).toSeq
+          // the same bound the published lists have); bounded collect.
+          // NULL pattern rows drop here (the siblings' null semantics:
+          // a null entry never matches anything)
+          val patterns = tableIn(tx, args(2).asInstanceOf[String]).select()
+            .select(c(args(4).asInstanceOf[String]).cast("string"))
+            .collect().flatMap(r => Option(r.getString(0))).toSeq
           val kept = graft.llm.Curation.regexBlocklistFilter(
             tableIn(tx, args(0).asInstanceOf[String]).select(),
-            args(2).asInstanceOf[String], patterns)
+            args(1).asInstanceOf[String], patterns)
           Seq(org.apache.spark.sql.Row(
-            replaceOutput(tx, args(4).asInstanceOf[String], kept)))
+            replaceOutput(tx, args(3).asInstanceOf[String], kept)))
         }
       }
       // stratified per-domain uniform sample: ≤ k rows from every distinct

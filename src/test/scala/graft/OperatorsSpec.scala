@@ -1617,6 +1617,18 @@ class OperatorsSpec extends SparkSpec {
     // whitespace mode: chunk concatenation reproduces the blob
     assert(row.getSeq[String](2).mkString("") ==
       row.getString(0).replace(" ", ""))
+    // the cap never cuts a surrogate pair: a >4096-char astral-only word
+    // (each emoji is TWO UTF-16 units, so the naive cut at 4096 lands
+    // mid-pair) must chunk to valid strings that concatenate back
+    val emojiWord = "😀".repeat(2500)          // 5000 chars
+    val chunks = Bpe.capChunks(emojiWord)
+    assert(chunks.mkString == emojiWord)
+    assert(chunks.forall(c => c.length <= 4096 &&
+      !Character.isHighSurrogate(c.last) && !Character.isLowSurrogate(c.head)))
+    val eRow = Seq((1L, emojiWord)).toDF("id", "text")
+      .select(Bpe.encode($"text", merges).as("toks")).head()
+    assert(eRow.getSeq[String](0).mkString("") == emojiWord,
+      "whitespace-mode chunking corrupted an astral char")
   }
 
   test("bpe special tokens: longest-match split, atomic ids, roundtrip") {

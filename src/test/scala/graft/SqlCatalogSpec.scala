@@ -1549,7 +1549,7 @@ class SqlCatalogSpec extends SparkSpec {
       pt.insert(spark.createDataFrame(lp, pSchema).coalesce(1))
     }
     val rf = spark.sql("CALL graftr13.system.regex_filter(" +
-      "'bk.m.docs', 'id', 'text', 'bk.m.pats', 'bk.m.rkept')").head
+      "'bk.m.docs', 'text', 'bk.m.pats', 'bk.m.rkept')").head
     // every generated doc carries "don't stop" except the lone-domain row
     assert(rf.getLong(0) == 1, s"regex_filter kept: $rf")
     assert(spark.sql("SELECT id FROM graftr13.bk.m.rkept").head

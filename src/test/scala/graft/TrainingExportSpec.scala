@@ -562,9 +562,18 @@ class TrainingExportSpec extends SparkSpec {
         Seq("(?i)free\\s+money", "unsubscribe"))
       .select("id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L, 5L, 6L), s"kept: $kept")
-    // empty / all-empty pattern lists keep everything
+    // empty / all-empty / null pattern lists keep everything
     assert(Curation.regexBlocklistFilter(d, "text", Nil).count() == 6)
-    assert(Curation.regexBlocklistFilter(d, "text", Seq("", "")).count() == 6)
+    assert(Curation.regexBlocklistFilter(d, "text",
+      Seq("", null)).count() == 6)
+    // backreference patterns: combining would renumber capture groups and
+    // silently never match — the gate must fall back to per-pattern evals
+    val q = Seq((1L, "say \"spam\" now"), (2L, "no quotes here"),
+      (3L, "an (aa) hit")).toDF("id", "text")
+    val keptQ = Curation.regexBlocklistFilter(q, "text",
+        Seq("(a)\\1", "(['\"]).*?\\1"))
+      .select("id").as[Long].collect().toSet
+    assert(keptQ == Set(2L), s"backref fallback kept: $keptQ")
   }
 
   // ---- ccnetBuckets (perplexity head/middle/tail) ----
