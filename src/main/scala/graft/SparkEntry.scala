@@ -1668,6 +1668,34 @@ object SparkEntry {
              |  (CAST(4 AS BIGINT), 'a|Ġ|Ġ|b', 4)) AS t(id, toks, n_tokens)
              |ORDER BY id""").stripMargin)),
 
+    Q("bpe6_byte_roundtrip",  // byte-level BPE over the REAL corpus,
+      // self-oracled on the mode's defining invariants (bpe2's sibling,
+      // but STRONGER: byte-level is fully lossless INCLUDING whitespace):
+      // (a) merges never change the byte stream — the token concat under
+      // the learned table equals the token concat under NO merges (the
+      // raw mapped-alphabet text), row by row; (b) 200 learned merges
+      // compress corpus-wide. Both hold for any correct byte-level BPE
+      // regardless of the engine's exact merge table
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val merges = graft.llm.Bpe.trainByteLevel(docs, "text",
+          numMerges = 200, sampleDocs = 300)
+        val enc = graft.llm.Bpe.encodeByteLevel(col("text"), merges)
+        val base = graft.llm.Bpe.encodeByteLevel(col("text"),
+          Seq.empty[graft.llm.Bpe.Merge])
+        docs.select(
+            concat_ws("", enc).as("_joined"),
+            concat_ws("", base).as("_raw"),
+            size(enc).as("_n"), size(base).as("_nb"))
+          .agg(count(lit(1)).as("n_docs"),
+            (sum(when(col("_joined") === col("_raw"), 0).otherwise(1)) === 0)
+              .as("all_lossless"),
+            (sum(col("_n")) < sum(col("_nb"))).as("compressed"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  true AS all_lossless, true AS compressed
+             |FROM documents""".stripMargin)),
+
     Q("bpe4_byte_ids",  // DENSE byte-level vocab ids (GPT-2 id shape:
       // base ids = byte values 0-255, merged symbols take 256+rank in
       // merge order): same planted table and fixtures as bpe3, oracle ids
