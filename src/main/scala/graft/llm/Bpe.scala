@@ -107,9 +107,6 @@ object Bpe {
     trainFromWordFreq(wordFreq, numMerges)
   }
 
-  /** The merge-selection loop shared by the whitespace and byte-level
-    * trainers: greedy argmax pair count with the (count desc, pair asc)
-    * deterministic tie-break. */
   /** Base symbols of a word: one per Unicode CODE POINT, not per UTF-16
     * unit — a per-char split would make every astral char (emoji, rare
     * CJK) two lone-surrogate symbols that UTF8String corrupts to '?' on
@@ -127,6 +124,9 @@ object Bpe {
     out.result()
   }
 
+  /** The merge-selection loop shared by the whitespace and byte-level
+    * trainers: greedy argmax pair count with the (count desc, pair asc)
+    * deterministic tie-break. */
   private def trainFromWordFreq(
       wordFreq: scala.collection.mutable.LinkedHashMap[String, Long],
       numMerges: Int): Seq[Merge] = {
@@ -411,6 +411,18 @@ object Bpe {
     out.result()
   }
 
+  /** DISTRIBUTED inverse of [[encodeByteLevelIds]]: a column of dense
+    * byte-level ids (array<int> or array<long> — packed shards store
+    * longs) decodes map-side back to text, the shard-audit tool that
+    * makes packed training data human-readable in SQL. Ids outside the
+    * vocab∪specials space (the `-1` eos sentinel, foreign ids) decode to
+    * nothing — documented skip, never a crash, so any packed table
+    * detokenizes. Whitespace-mode ids are xxhash64 digests and are NOT
+    * invertible; this is a byte-level-only door. */
+  def decodeByteLevelIdsCol(ids: Column, merges: Seq[Merge],
+                            specials: Seq[String] = Nil): Column =
+    Glue.column(BpeDecodeIdsExpr(Glue.expression(ids), merges, specials))
+
   /** Exact inverse of [[encodeByteLevelIds]] given the same merge table
     * and specials: ids → vocab strings → bytes → UTF-8 (byte-exact,
     * whitespace included; special ids reproduce their literal string).
@@ -543,6 +555,84 @@ case class BpeEncodeIdsExpr(child: Expression, merges: Seq[Bpe.Merge],
     val ref = ctx.addReferenceObj("bpeEncodeIds", this)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+/**
+ * Distributed byte-level DETOKENIZER: dense id arrays (int or long
+ * element type — packed shards store longs) decode map-side back to
+ * UTF-8 text via the inverse vocab, specials to their literal string,
+ * unknown ids (eos sentinels, foreign ids) skipped. Consecutive
+ * non-special ids reassemble into one byte run before the UTF-8 decode
+ * (the [[Bpe.byteLevelDecodeIds]] multi-byte-char contract). Same
+ * reference-object codegen shape as the encoders.
+ */
+case class BpeDecodeIdsExpr(child: Expression, merges: Seq[Bpe.Merge],
+                            specials: Seq[String] = Nil)
+    extends UnaryExpression with Serializable {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def prettyName: String = "bpe_decode_ids"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType | LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"bpe_decode_ids requires array<int|bigint> input, got ${dt.simpleString}")
+  }
+
+  // lazy: reading child.dataType at construction would throw on a
+  // not-yet-resolved child (withNewChildInternal runs pre-analysis)
+  @transient private lazy val elementIsLong: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  @transient private lazy val inv: Map[Int, String] =
+    Bpe.byteLevelVocab(merges).map(_.swap)
+  @transient private lazy val spInv: Map[Int, String] =
+    Bpe.specialIds(merges, specials).map(_.swap)
+
+  def compute(ids: ArrayData): UTF8String = {
+    val sb = new java.lang.StringBuilder
+    val run = Seq.newBuilder[String]
+    def flush(): Unit = {
+      val r = run.result()
+      if (r.nonEmpty) { sb.append(Bpe.byteLevelDecode(r)); run.clear() }
+    }
+    var i = 0
+    val n = ids.numElements()
+    while (i < n) {
+      if (!ids.isNullAt(i)) {
+        val raw = if (elementIsLong) ids.getLong(i) else ids.getInt(i).toLong
+        // ids beyond Int range are definitionally foreign — skip
+        if (raw >= Int.MinValue && raw <= Int.MaxValue) {
+          val id = raw.toInt
+          spInv.get(id) match {
+            case Some(s) => flush(); sb.append(s)
+            case None => inv.get(id) match {
+              case Some(tok) => run += tok
+              case None => () // unknown id (eos sentinel, foreign): skip
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    flush()
+    UTF8String.fromString(sb.toString)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeDecodeIds", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression) =

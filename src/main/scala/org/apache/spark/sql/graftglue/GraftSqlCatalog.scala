@@ -473,7 +473,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     "dsir_select", "keep_best", "weighted_sample", "dsir_fit", "dsir_score",
     "gopher_filter", "c4_filter", "span_dedup", "ccnet_bucket",
     "url_filter", "badword_filter", "span_stats", "span_probe",
-    "sample_per_domain", "regex_filter")
+    "sample_per_domain", "regex_filter", "detokenize")
 
   /** Manifest version a streaming checkpoint has durably consumed through,
     * or -1 if no batch has committed yet. Reads Spark's own checkpoint
@@ -1306,6 +1306,38 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             args(3).asInstanceOf[Long], args(4).asInstanceOf[Long])
           Seq(org.apache.spark.sql.Row(
             replaceOutput(tx, args(5).asInstanceOf[String], sampled)))
+        }
+      }
+      // shard auditing: decode packed dense-id sequences back to readable
+      // text map-side (byte-level models only — whitespace ids are
+      // xxhash64 digests, not invertible); eos/foreign ids skip, an
+      // eos_special decodes to its literal string. Per-ROW decode: a
+      // multi-byte char whose byte-ids straddle a sequence cut renders as
+      // U+FFFD at that row's edge (exact recovery across cuts would need
+      // the concatenated id stream) — fine for eyeballing, the purpose
+      case "detokenize" => new GraftProcedure("detokenize",
+          Seq(("table", StringType, None), ("ids_col", StringType, None),
+            ("bpe_table", StringType, None),
+            ("out_table", StringType, None),
+            ("eos_special", StringType, Some("''"))),
+          StructType(Seq(StructField("n_rows", LongType)))) {
+        def run(args: Seq[Any]) = inSession { tx =>
+          import org.apache.spark.sql.functions.{col => c}
+          val model = tableIn(tx, args(2).asInstanceOf[String]).select()
+          require(graft.llm.Bpe.byteLevelFromDf(model),
+            "detokenize needs a byte-level merge table (whitespace-mode " +
+              "subword ids are hash digests and cannot be inverted)")
+          val merges = graft.llm.Bpe.mergesFromDf(model)
+          val sp = args(4).asInstanceOf[String] match {
+            case "" => Nil
+            case s => Seq(s)
+          }
+          val idsCol = args(1).asInstanceOf[String]
+          val decoded = tableIn(tx, args(0).asInstanceOf[String]).select()
+            .withColumn("text", graft.llm.Bpe.decodeByteLevelIdsCol(
+              c(idsCol), merges, sp))
+          Seq(org.apache.spark.sql.Row(
+            replaceOutput(tx, args(3).asInstanceOf[String], decoded)))
         }
       }
       // regex/phrase blocklist gate: drop docs matching ANY pattern from a

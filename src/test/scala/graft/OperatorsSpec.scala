@@ -1667,6 +1667,21 @@ class OperatorsSpec extends SparkSpec {
       Bpe.encodeByteLevelIds($"text", merges).as("a"),
       Bpe.encodeByteLevelIds($"text", merges, Nil).as("b")).collect()
     plain.foreach(r => assert(r.getSeq[Int](0) == r.getSeq[Int](1)))
+    // DISTRIBUTED decode: encode → decode in one plan reproduces the text
+    // byte-exactly (specials to their literal); long-element arrays (the
+    // packed-shard type) decode too, with foreign ids (-1 eos) skipped
+    val rt = docs.select($"text",
+      Bpe.decodeByteLevelIdsCol(
+        Bpe.encodeByteLevelIds($"text", merges, specials),
+        merges, specials).as("rt"),
+      Bpe.decodeByteLevelIdsCol(
+        concat(transform(Bpe.encodeByteLevelIds($"text", merges, specials),
+          i => i.cast("long")), array(lit(-1L))),
+        merges, specials).as("rt_long")).collect()
+    rt.foreach { r =>
+      assert(r.getString(1) == r.getString(0), "int-array decode")
+      assert(r.getString(2) == r.getString(0), "long-array decode skips eos")
+    }
     // randomized property: specials spliced at arbitrary positions into
     // arbitrary unicode-ish text always round-trip byte-exactly, and the
     // special id count equals the number of splices

@@ -1461,8 +1461,13 @@ class SqlCatalogSpec extends SparkSpec {
       val m = tx.bucket("bk").createSchema("m")
       val d = m.createTable("docs", docSchema)
       val l = new java.util.ArrayList[Row]()
+      // ASCII corpus: the eos_special detokenize check below concatenates
+      // PER-SEQUENCE decodes, and a multi-byte char whose two byte-ids
+      // straddle a sequence cut would decode as U+FFFD on both sides (the
+      // documented per-sequence-decode caveat; exact recovery across cuts
+      // means decoding the concatenated id stream, not the strings)
       (0 until 20).foreach(i =>
-        l.add(Row(i.toLong, s"the cat sat on mat $i don't stop café",
+        l.add(Row(i.toLong, s"the cat sat on mat $i don't stop now",
           if (i % 2 == 0) "even.org" else "odd.net")))
       l.add(Row(99L, "lone domain row", "solo.io"))
       d.insert(spark.createDataFrame(l, docSchema).coalesce(1))
@@ -1528,6 +1533,22 @@ class SqlCatalogSpec extends SparkSpec {
         .stripMargin).head
     assert(eos.getLong(0) == 21 && eos.getLong(1) == 0,
       s"eos_special layout: $eos (want 21 docs' eos ids, zero sentinels)")
+    // detokenize: the packed eos_special shards decode back to readable
+    // text — concatenating the decoded sequences reproduces the original
+    // corpus stream, documents joined by the literal special
+    spark.sql("CALL graftr13.system.detokenize(" +
+      "'bk.m.seqs2', 'token_ids', 'bk.m.bpe', 'bk.m.readable', " +
+      "eos_special => '<|endoftext|>')")
+    val stream = spark.sql(
+      "SELECT text FROM graftr13.bk.m.readable ORDER BY seq_id")
+      .collect().map(_.getString(0)).mkString
+    val origStream = spark.sql(
+      "SELECT text FROM graftr13.bk.m.docs ORDER BY id")
+      .collect().map(_.getString(0)).mkString("", "<|endoftext|>",
+        "<|endoftext|>")
+    assert(stream == origStream,
+      s"detokenized stream diverges:\n got=${stream.take(120)}…\nwant=${origStream.take(120)}…")
+
     // eos_special on a whitespace-mode table is refused, not silent
     spark.sql("CALL graftr13.system.bpe_fit(" +
       "'bk.m.docs', 'text', 'bk.m.bpews', 10, 100)")
