@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout/stderr through UN-PREFIXED: the default
+// LoggedOutput decorates every stdout line with "[info] ", which is why a
+// harness tail-parsing `sbt runMain graft.Bench` output for the bare JSON
+// result line has never matched (13 rounds of `parsed: null`). With
+// StdoutOutput the JSON line lands verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

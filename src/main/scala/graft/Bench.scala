@@ -469,6 +469,30 @@ object Bench {
     mat(t("embeddings").limit(1))
     mat(t("orders").limit(1))
 
+    // machine-calibration probe: a FIXED workload with ZERO graft code —
+    // a deterministic generated frame (same 20M rows every round, every
+    // machine) written to parquet once untimed, then scan + filter +
+    // hash-agg timed best-of-5. Identical bytes and identical plan each
+    // round, so its time moves ONLY with machine state (CPU contention,
+    // page cache, thermal). Readers divide query times by `calibration`
+    // to separate ambient drift from code regressions — three consecutive
+    // rounds of NOTES burned space adjudicating 1.1-1.4× machine drift on
+    // untouched queries; this turns that forensics into one division.
+    val calDir = java.nio.file.Files
+      .createTempDirectory("graft_bench_cal").toString
+    spark.range(0L, 20000000L, 1L, 32)
+      .select(col("id"), pmod(col("id"), lit(1000L)).as("k"),
+        pmod(col("id") * 2654435761L, lit(1000003L)).as("v"))
+      .write.mode("overwrite").parquet(calDir)
+    def calOnce(): Double = {
+      val t0 = System.nanoTime()
+      mat(spark.read.parquet(calDir).filter(pmod(col("v"), lit(7L)) === 0L)
+        .groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("n")))
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibration = (1 to 5).map(_ => calOnce()).min
+    System.err.println(f"[bench] calibration: $calibration%.3fs")
+
     // best of 3 runs per query — 5 when the query runs in seconds-or-less,
     // where scheduler jitter is a large fraction of the runtime and
     // best-of-3 swung ±60% round-over-round with zero code change (queries
@@ -503,7 +527,7 @@ object Bench {
     val total = results.map(_._2).sum
     val cont = f"""{"load_avg":$loadAvg%.2f,"other_jvms":$otherJvms,"contended":$contended}"""
     val json =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir","contention":$cont}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration":$calibration%.4f,"contention":$cont}"""
     // stop Spark BEFORE emitting the JSON line: shutdown logging would
     // otherwise land after it in a merged stdout/stderr capture, so a
     // harness that parses the LAST line would read a log line instead of
@@ -523,7 +547,10 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json"))
       java.nio.file.Files.write(outFile,
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case e: java.io.IOException =>
+    } catch { case scala.util.control.NonFatal(e) =>
+      // NonFatal, not just IOException: a malformed SPARK_GRAFT_BENCH_OUT
+      // makes Paths.get throw InvalidPathException (a RuntimeException),
+      // which must not crash the run after the result is already printed
       System.err.println(s"[bench] result file write failed: ${e.getMessage}")
     }
   }

@@ -86,12 +86,24 @@ object Bpe {
 
   /** The persisted pre-tokenization mode of a merge table, or `default`
     * for tables written before the `byte_level` column existed (or built
-    * by hand without one). */
+    * by hand without one). The mode is constant-per-table BY CONTRACT
+    * ([[mergesToDf]] stamps one value): a hand-built/corrupted table with
+    * MIXED byte_level values is an error here, not a nondeterministic
+    * limit(1) pick — encoding half a merge table under the wrong alphabet
+    * would silently corrupt every id. */
   def byteLevelFromDf(df: DataFrame, default: Boolean = false): Boolean =
     if (!df.columns.contains("byte_level")) default
-    else df.select("byte_level").limit(1).collect().headOption match {
-      case Some(r) if !r.isNullAt(0) => r.getBoolean(0)
-      case _ => default  // empty table / null cell: fall back to caller
+    else {
+      val modes = df.select("byte_level")
+        .where(col("byte_level").isNotNull).distinct()
+        .collect().map(_.getBoolean(0)).toSeq.sorted
+      modes match {
+        case Seq(m) => m
+        case Seq() => default  // empty table / all-null: fall back to caller
+        case _ => throw new IllegalArgumentException(
+          "merge table mixes byte_level=true and byte_level=false rows — " +
+            "the mode is constant per table (one alphabet per merge table)")
+      }
     }
 
   /** The classic merge loop, exposed for spec-level parity testing. */

@@ -275,16 +275,21 @@ object Curation {
    *
    * Backreference caveat: combining renumbers capturing groups, which
    * would silently break any pattern using `\1`-style backreferences —
-   * so when ANY pattern contains one, the gate falls back to per-pattern
-   * `rlike`s OR-ed together (still one map-side pass, N regex evals per
-   * row instead of one alternation — correctness over the fast path).
+   * and combining two patterns that each define the SAME named group
+   * `(?<name>…)` is a compile error, while a `\k<name>` backreference
+   * could silently rebind across pattern boundaries. So when ANY pattern
+   * contains a numeric/named backreference or defines a named group, the
+   * gate falls back to per-pattern `rlike`s OR-ed together (still one
+   * map-side pass, N regex evals per row instead of one alternation —
+   * correctness over the fast path).
    */
   def regexBlocklistFilter(df: DataFrame, textCol: String,
                            patterns: Seq[String]): DataFrame = {
     val ps = patterns.filter(p => p != null && p.nonEmpty)
     if (ps.isEmpty) df
     else {
-      val hasBackref = ps.exists(p => """\\[1-9]""".r.findFirstIn(p).isDefined)
+      val hasBackref = ps.exists(p =>
+        """\\[1-9]|\\k<|\(\?<[A-Za-z]""".r.findFirstIn(p).isDefined)
       val matched =
         if (hasBackref) ps.map(p => col(textCol).rlike(p)).reduce(_ || _)
         else col(textCol).rlike(ps.map(p => s"(?:$p)").mkString("|"))

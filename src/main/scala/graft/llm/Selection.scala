@@ -318,6 +318,12 @@ object Selection {
                       k: Int, seed: Long,
                       hash: Column => Column = defaultGramHash): DataFrame = {
     require(k > 0, "k must be positive")
+    // `sample_rank` is this operator's OUTPUT column (same reserved-name
+    // contract as weightedSample's outputs): joining it back onto a frame
+    // that already has one would yield a duplicate/ambiguous column
+    require(!df.columns.contains("sample_rank"),
+      "input already has a 'sample_rank' column — it is samplePerDomain's " +
+        "reserved output name; rename or drop it first")
     val race = pmod(hash(concat(lit(seed.toString), lit("|"),
       col(idCol).cast("string"))), lit(1L << 52))
     val narrow = df.select(col(idCol).as("__sd_id"),
