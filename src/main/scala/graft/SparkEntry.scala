@@ -1629,13 +1629,15 @@ object SparkEntry {
             graft.llm.Bpe.encode(col("text"), merges).as("toks"),
             regexp_replace(col("text"), " ", "").as("squashed"))
           .agg(count(lit(1)).as("n_docs"),
-            (sum(when(concat_ws("", col("toks")) === col("squashed"), 0)
-              .otherwise(1)) === 0).as("all_lossless"),
+            // count, not boolean (same sharpening as bpe6): a lossy row
+            // shows up as a nonzero count, not a whole-gate hash flip
+            sum(when(concat_ws("", col("toks")) === col("squashed"), 0)
+              .otherwise(1)).cast("long").as("n_lossy"),
             (sum(size(col("toks"))) < sum(length(col("squashed"))))
               .as("compressed"))
       },
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-             |  true AS all_lossless, true AS compressed
+             |  CAST(0 AS BIGINT) AS n_lossy, true AS compressed
              |FROM documents""".stripMargin)),
 
     Q("bpe3_byte_level",  // byte-level BPE (the GPT-2/tiktoken shape:
@@ -1688,12 +1690,20 @@ object SparkEntry {
             concat_ws("", base).as("_raw"),
             size(enc).as("_n"), size(base).as("_nb"))
           .agg(count(lit(1)).as("n_docs"),
-            (sum(when(col("_joined") === col("_raw"), 0).otherwise(1)) === 0)
-              .as("all_lossless"),
+            // counts, not booleans, so a regression localizes to rows
+            // instead of flipping a whole-gate hash: n_lossy = docs whose
+            // token concat diverges from the raw byte stream, n_worse =
+            // docs where merging INCREASED the token count (impossible
+            // for a correct merge pass) — both invariantly 0
+            sum(when(col("_joined") === col("_raw"), 0).otherwise(1))
+              .cast("long").as("n_lossy"),
+            sum(when(col("_n") > col("_nb"), 1).otherwise(0))
+              .cast("long").as("n_worse"),
             (sum(col("_n")) < sum(col("_nb"))).as("compressed"))
       },
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-             |  true AS all_lossless, true AS compressed
+             |  CAST(0 AS BIGINT) AS n_lossy, CAST(0 AS BIGINT) AS n_worse,
+             |  true AS compressed
              |FROM documents""".stripMargin)),
 
     Q("bpe4_byte_ids",  // DENSE byte-level vocab ids (GPT-2 id shape:
@@ -1756,6 +1766,39 @@ object SparkEntry {
              |  (CAST(3 AS BIGINT), '257,32,257,109,101', 5),
              |  (CAST(4 AS BIGINT), '120,60,124,111,257,114,124,62,121', 9))
              |  AS t(id, ids, n_tokens)
+             |ORDER BY id""").stripMargin)),
+
+    Q("bpe7_ws_ids_roundtrip",  // DENSE whitespace-mode vocab ids + the
+      // distributed detokenizer over them: same training fixture as bpe1
+      // (merges (a,a),(a,b),(aa,ab) — hand-derived there), alphabet from
+      // the fit sample {a,b} → vocab 0=SEP 1=UNK a=2 b=3 aa=4 ab=5
+      // aaab=6. Oracle ids and decoded text HAND-DERIVED: doc1 'aaab' is
+      // one full-merge token (6), words separated by SEP(0); doc4's 'c'
+      // was never in the fit sample → UNK(1), decoding to U+FFFD while
+      // the rest of the word survives. A wrong reserved-slot layout,
+      // alphabet order, first-occurrence rule, or separator placement
+      // shifts ids or breaks the roundtrip and fails the gate
+      (s, dir) => {
+        import s.implicits._
+        val fit = Seq((1L, "aaab aaab"), (2L, "aab"), (3L, "ab b aab"))
+          .toDF("id", "text")
+        val docs = fit.union(Seq((4L, "ab cab")).toDF("id", "text"))
+        val (merges, alphabet) = graft.llm.Bpe.trainWithAlphabet(
+          fit, "text", numMerges = 3, sampleDocs = 10)
+        val ids = graft.llm.Bpe.encodeWhitespaceIds($"text", merges, alphabet)
+        docs.select($"id",
+            array_join(transform(ids, i => i.cast("string")), ",").as("ids"),
+            graft.llm.Bpe.decodeWhitespaceIdsCol(ids, merges, alphabet)
+              .as("decoded"),
+            size(ids).as("n_tokens"))
+          .orderBy("id")
+      },
+      Some(("""SELECT * FROM (VALUES
+             |  (CAST(1 AS BIGINT), '6,0,6', 'aaab aaab', 3),
+             |  (CAST(2 AS BIGINT), '4,3', 'aab', 2),
+             |  (CAST(3 AS BIGINT), '5,0,3,0,4,3', 'ab b aab', 6),
+             |  (CAST(4 AS BIGINT), '5,0,1,5', 'ab �ab', 4))
+             |  AS t(id, ids, decoded, n_tokens)
              |ORDER BY id""").stripMargin)),
 
     Q("ss3_ann_pq",  // product-quantized ANN (ADC shortlist + exact

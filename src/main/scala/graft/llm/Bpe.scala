@@ -59,13 +59,31 @@ object Bpe {
     * table (`byte_level` column, constant per table): a merge table is
     * meaningless without the alphabet it was fit over, and persisting it
     * makes a fit/encode mode mismatch impossible instead of
-    * caller-policed. */
+    * caller-policed.
+    *
+    * `alphabet` (whitespace mode only) persists the fit sample's base
+    * code-point symbols as NEGATIVE-rank rows — rank -(i+1) carries
+    * alphabet slot i in `left`, `right` empty — which is what gives the
+    * whitespace mode a DENSE invertible id space ([[whitespaceVocab]]):
+    * unlike byte-level's fixed 256-byte base alphabet, the whitespace
+    * base symbols are an open set, so the table must pin the observed
+    * ones for ids to be stable across sessions. Tables written without
+    * one (pre-alphabet fits, hand-built tables) still read fine: merges
+    * are the rank ≥ 0 rows either way, and their encode path keeps the
+    * legacy xxhash64 subword ids. */
   def mergesToDf(spark: org.apache.spark.sql.SparkSession,
-                 merges: Seq[Merge], byteLevel: Boolean = false): DataFrame = {
+                 merges: Seq[Merge], byteLevel: Boolean = false,
+                 alphabet: Seq[String] = Nil): DataFrame = {
     import scala.jdk.CollectionConverters._
+    require(alphabet.isEmpty || !byteLevel,
+      "alphabet rows are whitespace-mode only (byte-level's base alphabet " +
+        "is the fixed 256-byte table)")
+    val alphaRows = alphabet.zipWithIndex.map { case (s, i) =>
+      org.apache.spark.sql.Row(-(i + 1), s, "", byteLevel) }
+    val mergeRows = merges.zipWithIndex.map { case ((l, r), i) =>
+      org.apache.spark.sql.Row(i, l, r, byteLevel) }
     spark.createDataFrame(
-      merges.zipWithIndex.map { case ((l, r), i) =>
-        org.apache.spark.sql.Row(i, l, r, byteLevel) }.asJava,
+      (alphaRows ++ mergeRows).asJava,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("rank",
           org.apache.spark.sql.types.IntegerType, nullable = false),
@@ -78,11 +96,21 @@ object Bpe {
   }
 
   /** Inverse of [[mergesToDf]] (merge tables are vocabulary-sized —
-    * metadata-scale collect, same bound as training itself). */
+    * metadata-scale collect, same bound as training itself). Negative
+    * ranks are alphabet rows, not merges — excluded here. */
   def mergesFromDf(df: DataFrame): Seq[Merge] =
-    df.select("rank", "left", "right").collect()
+    df.select("rank", "left", "right").where(col("rank") >= 0).collect()
       .sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** The persisted whitespace-mode base alphabet of a merge table (the
+    * negative-rank rows of [[mergesToDf]], in slot order), or empty for
+    * tables written without one — the signal that a table predates dense
+    * whitespace ids and its packed ids are legacy xxhash64 digests. */
+  def alphabetFromDf(df: DataFrame): Seq[String] =
+    df.select("rank", "left").where(col("rank") < 0).collect()
+      .sortBy(r => -r.getInt(0))
+      .map(_.getString(1)).toSeq
 
   /** The persisted pre-tokenization mode of a merge table, or `default`
     * for tables written before the `byte_level` column existed (or built
@@ -216,6 +244,92 @@ object Bpe {
     * `TextAnalysis.bpeTokenEstimate`). */
   def tokenCount(text: Column, merges: Seq[Merge]): Column =
     size(encode(text, merges))
+
+  // ------------------------------------------- whitespace-mode dense ids
+
+  /** Reserved ids of the whitespace-mode dense vocabulary: the word
+    * SEPARATOR (encode emits one between consecutive words; decodes to a
+    * single space) and UNKNOWN (an alphabet miss — a code point the fit
+    * sample never saw; decodes to U+FFFD). Byte-level mode needs neither:
+    * its fixed 256-byte base alphabet makes every string encodable and
+    * whitespace is just bytes, so its vocab starts at 0 with no reserved
+    * slots ([[byteLevelVocab]]). */
+  val WsSepId: Int = 0
+  val WsUnkId: Int = 1
+
+  /** Whitespace-mode fit that ALSO returns the base alphabet — the
+    * distinct code-point symbols of the (capped) sample words, sorted —
+    * which is the extra piece a DENSE id table needs beyond the merges.
+    * Persist both via [[mergesToDf]] and the table becomes invertible:
+    * `CALL detokenize` accepts its packed ids (up to the mode's inherent
+    * whitespace normalization — see [[encodeWhitespaceIds]]). */
+  def trainWithAlphabet(df: DataFrame, textCol: String, numMerges: Int,
+                        sampleDocs: Int = 1000): (Seq[Merge], Seq[String]) =
+    trainLocalWithAlphabet(sampleTexts(df, textCol, sampleDocs), numMerges)
+
+  /** Local twin of [[trainWithAlphabet]] (spec parity, same contract as
+    * [[trainLocal]]). */
+  def trainLocalWithAlphabet(docs: Seq[String], numMerges: Int)
+      : (Seq[Merge], Seq[String]) = {
+    val alphabet = scala.collection.mutable.SortedSet.empty[String]
+    docs.foreach(_.split(' ').foreach { w =>
+      if (w.nonEmpty) capChunks(w).foreach(c =>
+        codePointSymbols(c).foreach(alphabet += _))
+    })
+    (trainLocal(docs, numMerges), alphabet.toSeq)
+  }
+
+  /** Dense id table for the WHITESPACE mode — the [[byteLevelVocab]]
+    * sibling: ids 0/1 are the reserved separator/unknown slots, the fit
+    * alphabet takes 2..(2+|alphabet|) in persisted order, then each
+    * merge's output string in rank order (first-occurrence-wins on
+    * duplicate merged strings, same rule as byte-level). Deterministic
+    * given the persisted table, so any session rebuilds identical ids. */
+  def whitespaceVocab(merges: Seq[Merge],
+                      alphabet: Seq[String]): Map[String, Int] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    alphabet.foreach(s => if (!m.contains(s)) m.update(s, m.size + 2))
+    merges.foreach { case (l, r) =>
+      val s = l + r
+      if (!m.contains(s)) m.update(s, m.size + 2)
+    }
+    m.toMap
+  }
+
+  /** Column of DENSE whitespace-mode token ids (array<int>): per-word
+    * subwords under the merge table, each mapped through
+    * [[whitespaceVocab]] (alphabet miss → [[WsUnkId]]), with [[WsSepId]]
+    * emitted between consecutive words. Invertibility contract: decoding
+    * reproduces the text with every whitespace RUN collapsed to one
+    * space (the split-on-space pre-tokenization is exactly that lossy —
+    * single-space-separated text round-trips byte-exactly; byte-level
+    * mode is the fully-lossless door). */
+  def encodeWhitespaceIds(text: Column, merges: Seq[Merge],
+                          alphabet: Seq[String]): Column =
+    Glue.column(BpeEncodeWsIdsExpr(Glue.expression(text), merges, alphabet))
+
+  /** Distributed inverse of [[encodeWhitespaceIds]] (array<int|long> —
+    * packed shards store longs): separator ids become one space, unknown
+    * ids U+FFFD, ids outside the vocab (the eos sentinel, foreign ids)
+    * decode to nothing — same skip-not-crash contract as
+    * [[decodeByteLevelIdsCol]], so any packed table detokenizes. */
+  def decodeWhitespaceIdsCol(ids: Column, merges: Seq[Merge],
+                             alphabet: Seq[String]): Column =
+    Glue.column(BpeDecodeWsIdsExpr(Glue.expression(ids), merges, alphabet))
+
+  /** Driver-side inverse for specs and exports (the whitespace sibling of
+    * [[byteLevelDecodeIds]]). */
+  def whitespaceDecodeIds(ids: Seq[Int], merges: Seq[Merge],
+                          alphabet: Seq[String]): String = {
+    val inv = whitespaceVocab(merges, alphabet).map(_.swap)
+    val sb = new java.lang.StringBuilder
+    ids.foreach {
+      case WsSepId => sb.append(' ')
+      case WsUnkId => sb.append('�')
+      case i => inv.get(i).foreach(sb.append(_: String))
+    }
+    sb.toString
+  }
 
   // ------------------------------------------------------------ byte level
 
@@ -582,6 +696,129 @@ case class BpeEncodeIdsExpr(child: Expression, merges: Seq[Bpe.Merge],
  * (the [[Bpe.byteLevelDecodeIds]] multi-byte-char contract). Same
  * reference-object codegen shape as the encoders.
  */
+/**
+ * Whitespace-mode BPE encode straight to DENSE vocab ids (array<int>):
+ * per-word merge-by-rank subwords mapped through [[Bpe.whitespaceVocab]]
+ * (reserved separator id between words, unknown id on an alphabet miss).
+ * Same reference-object codegen shape as [[BpeEncodeIdsExpr]]; the vocab
+ * (alphabet + merge outputs, metadata-scale) rides in the serialized plan.
+ */
+case class BpeEncodeWsIdsExpr(child: Expression, merges: Seq[Bpe.Merge],
+                              alphabet: Seq[String])
+    extends UnaryExpression with Serializable {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "bpe_encode_ws_ids"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode_ws_ids requires string input, got ${dt.simpleString}")
+  }
+
+  @transient private lazy val ranks: Map[Bpe.Merge, Int] =
+    merges.zipWithIndex.toMap
+  @transient private lazy val vocab: Map[String, Int] =
+    Bpe.whitespaceVocab(merges, alphabet)
+
+  def compute(text: UTF8String): ArrayData = {
+    val out = Array.newBuilder[Int]
+    var first = true
+    text.toString.split(' ').foreach { w =>
+      if (w.nonEmpty) {
+        if (!first) out += Bpe.WsSepId
+        first = false
+        // cap before encode, exactly like the string-token path: chunks
+        // of one word concatenate with NO separator id between them
+        Bpe.capChunks(w).foreach(c =>
+          Bpe.encodeWord(c, ranks).foreach { t =>
+            // an unmapped token is always a LONE unseen code point: merges
+            // only produce fit-time strings (all in the vocab), so a miss
+            // can never swallow more than one symbol
+            out += vocab.getOrElse(t, Bpe.WsUnkId)
+          })
+      }
+    }
+    new GenericArrayData(out.result())
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncodeWsIds", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+/**
+ * Distributed whitespace-mode DETOKENIZER — [[BpeDecodeIdsExpr]]'s
+ * sibling over the dense whitespace vocab: separator ids decode to one
+ * space, unknown ids to U+FFFD, out-of-vocab ids (eos sentinels, foreign
+ * ids) skip. No byte-run reassembly needed: whitespace-mode tokens are
+ * already character strings, not mapped bytes.
+ */
+case class BpeDecodeWsIdsExpr(child: Expression, merges: Seq[Bpe.Merge],
+                              alphabet: Seq[String])
+    extends UnaryExpression with Serializable {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def prettyName: String = "bpe_decode_ws_ids"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType | LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"bpe_decode_ws_ids requires array<int|bigint> input, got ${dt.simpleString}")
+  }
+
+  @transient private lazy val elementIsLong: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  @transient private lazy val inv: Map[Int, String] =
+    Bpe.whitespaceVocab(merges, alphabet).map(_.swap)
+
+  def compute(ids: ArrayData): UTF8String = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    val n = ids.numElements()
+    while (i < n) {
+      if (!ids.isNullAt(i)) {
+        val raw = if (elementIsLong) ids.getLong(i) else ids.getInt(i).toLong
+        if (raw >= Int.MinValue && raw <= Int.MaxValue) {
+          val id = raw.toInt
+          if (id == Bpe.WsSepId) sb.append(' ')
+          else if (id == Bpe.WsUnkId) sb.append('�')
+          else inv.get(id) match {
+            case Some(tok) => sb.append(tok)
+            case None => () // unknown id (eos sentinel, foreign): skip
+          }
+        }
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeDecodeWsIds", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
 case class BpeDecodeIdsExpr(child: Expression, merges: Seq[Bpe.Merge],
                             specials: Seq[String] = Nil)
     extends UnaryExpression with Serializable {

@@ -1309,12 +1309,15 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
         }
       }
       // shard auditing: decode packed dense-id sequences back to readable
-      // text map-side (byte-level models only — whitespace ids are
-      // xxhash64 digests, not invertible); eos/foreign ids skip, an
-      // eos_special decodes to its literal string. Per-ROW decode: a
-      // multi-byte char whose byte-ids straddle a sequence cut renders as
-      // U+FFFD at that row's edge (exact recovery across cuts would need
-      // the concatenated id stream) — fine for eyeballing, the purpose
+      // text map-side. Byte-level models decode byte-exactly; whitespace
+      // models decode through the persisted alphabet's dense vocab (up to
+      // the mode's inherent whitespace-run collapse) — only alphabet-less
+      // legacy whitespace tables refuse (their ids are xxhash64 digests,
+      // not invertible). Eos/foreign ids skip, an eos_special decodes to
+      // its literal string. Per-ROW decode: a multi-byte char whose
+      // byte-ids straddle a sequence cut renders as U+FFFD at that row's
+      // edge (exact recovery across cuts would need the concatenated id
+      // stream) — fine for eyeballing, the purpose
       case "detokenize" => new GraftProcedure("detokenize",
           Seq(("table", StringType, None), ("ids_col", StringType, None),
             ("bpe_table", StringType, None),
@@ -1324,18 +1327,31 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
         def run(args: Seq[Any]) = inSession { tx =>
           import org.apache.spark.sql.functions.{col => c}
           val model = tableIn(tx, args(2).asInstanceOf[String]).select()
-          require(graft.llm.Bpe.byteLevelFromDf(model),
-            "detokenize needs a byte-level merge table (whitespace-mode " +
-              "subword ids are hash digests and cannot be inverted)")
+          val byteLevel = graft.llm.Bpe.byteLevelFromDf(model)
+          val wsAlphabet =
+            if (byteLevel) Seq.empty[String]
+            else graft.llm.Bpe.alphabetFromDf(model)
+          require(byteLevel || wsAlphabet.nonEmpty,
+            "detokenize needs a byte-level merge table or a whitespace " +
+              "table with a persisted alphabet — legacy alphabet-less " +
+              "whitespace ids are hash digests and cannot be inverted")
           val merges = graft.llm.Bpe.mergesFromDf(model)
           val sp = args(4).asInstanceOf[String] match {
             case "" => Nil
             case s => Seq(s)
           }
+          require(sp.isEmpty || byteLevel,
+            "eos_special decoding needs a byte-level merge table " +
+              "(whitespace packing uses the plain eos_id sentinel)")
           val idsCol = args(1).asInstanceOf[String]
+          val decodeCol =
+            if (byteLevel)
+              graft.llm.Bpe.decodeByteLevelIdsCol(c(idsCol), merges, sp)
+            else
+              graft.llm.Bpe.decodeWhitespaceIdsCol(c(idsCol), merges,
+                wsAlphabet)
           val decoded = tableIn(tx, args(0).asInstanceOf[String]).select()
-            .withColumn("text", graft.llm.Bpe.decodeByteLevelIdsCol(
-              c(idsCol), merges, sp))
+            .withColumn("text", decodeCol)
           Seq(org.apache.spark.sql.Row(
             replaceOutput(tx, args(3).asInstanceOf[String], decoded)))
         }
@@ -1432,18 +1448,23 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
           StructType(Seq(StructField("n_merges", LongType)))) {
         def run(args: Seq[Any]) = inSession { tx =>
           val byteLevel = args(5).asInstanceOf[Boolean]
-          val fit =
-            if (byteLevel) graft.llm.Bpe.trainByteLevel _
-            else graft.llm.Bpe.train _
-          val merges = fit(
-            tableIn(tx, args(0).asInstanceOf[String]).select(),
-            args(1).asInstanceOf[String], args(3).asInstanceOf[Int],
-            args(4).asInstanceOf[Int])
+          val src = tableIn(tx, args(0).asInstanceOf[String]).select()
+          // whitespace mode also persists the fit alphabet (negative-rank
+          // rows) so its packed ids are DENSE and invertible; byte-level's
+          // base alphabet is the fixed 256-byte table, nothing to persist
+          val (merges, alphabet) =
+            if (byteLevel)
+              (graft.llm.Bpe.trainByteLevel(src, args(1).asInstanceOf[String],
+                args(3).asInstanceOf[Int], args(4).asInstanceOf[Int]),
+                Seq.empty[String])
+            else graft.llm.Bpe.trainWithAlphabet(src,
+              args(1).asInstanceOf[String], args(3).asInstanceOf[Int],
+              args(4).asInstanceOf[Int])
           val spark = org.apache.spark.sql.SparkSession.active
           // the mode is persisted IN the model table (byte_level column),
           // so tokenize_pack can never encode with the wrong alphabet
           replaceOutput(tx, args(2).asInstanceOf[String],
-            graft.llm.Bpe.mergesToDf(spark, merges, byteLevel))
+            graft.llm.Bpe.mergesToDf(spark, merges, byteLevel, alphabet))
           Seq(org.apache.spark.sql.Row(merges.length.toLong))
         }
       }
@@ -1474,10 +1495,16 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
           // without the column, so a fit/pack mode mismatch cannot
           // silently corrupt the ids. byte_level packs DENSE GPT-2-shaped
           // vocab ids (base bytes 0-255 + merge ranks — byteLevelVocab);
-          // whitespace mode has no dense table, so subword ids stay
-          // xxhash64 of the subword
+          // whitespace mode packs DENSE whitespaceVocab ids when the model
+          // table persists an alphabet (every bpe_fit since alphabets
+          // exist), falling back to legacy xxhash64 subword digests for
+          // alphabet-less tables — those ids still pack and dedupe fine,
+          // they just can't detokenize
           val byteLevel = graft.llm.Bpe.byteLevelFromDf(model,
             default = args(7).asInstanceOf[Boolean])
+          val wsAlphabet =
+            if (byteLevel) Seq.empty[String]
+            else graft.llm.Bpe.alphabetFromDf(model)
           val eosSpecial = args(8).asInstanceOf[String]
           require(eosSpecial.isEmpty || byteLevel,
             "eos_special needs a byte-level merge table (dense id space)")
@@ -1489,6 +1516,10 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
             if (byteLevel)
               atransform(graft.llm.Bpe.encodeByteLevelIds(
                 c(args(2).asInstanceOf[String]), merges, specials),
+                i => i.cast("long"))
+            else if (wsAlphabet.nonEmpty)
+              atransform(graft.llm.Bpe.encodeWhitespaceIds(
+                c(args(2).asInstanceOf[String]), merges, wsAlphabet),
                 i => i.cast("long"))
             else atransform(graft.llm.Bpe.encode(
               c(args(2).asInstanceOf[String]), merges), w => ahash(w))

@@ -1710,6 +1710,139 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("bpe whitespace dense ids: vocab layout, unknowns, parity, roundtrip") {
+    import spark.implicits._
+    import graft.llm.Bpe
+    // vocab layout: reserved 0/1, alphabet from 2 in order, merges after,
+    // duplicate merged strings don't burn an id (byteLevelVocab's rule)
+    val dup = Seq(("a", "b"), ("ab", "c"), ("b", "c"), ("a", "bc"))
+    val v = Bpe.whitespaceVocab(dup, Seq("a", "b", "c"))
+    assert(v("a") == 2 && v("b") == 3 && v("c") == 4)
+    assert(v("ab") == 5 && v("abc") == 6 && v("bc") == 7)
+    assert(v.size == 3 + 3, "duplicate merged string must not take an id")
+    // alphabet is code-point-granular: an astral char is ONE symbol
+    val (_, alpha) = Bpe.trainLocalWithAlphabet(Seq("😀a 😀b"), 2)
+    assert(alpha.contains("😀") && alpha.contains("a") && alpha.contains("b"))
+    assert(alpha.forall(s => s.codePointCount(0, s.length) == 1))
+    // distributed parity + roundtrip on random corpora: decode reproduces
+    // the text with whitespace runs collapsed to one space (the mode's
+    // documented loss); unseen code points surface as U+FFFD, never crash
+    val rnd = new scala.util.Random(41)
+    val alphabet = "abé☕ 01"
+    val fitDocs = (0 until 30).map(i => (i.toLong,
+      (0 until 20).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString))
+    val fitDf = fitDocs.toDF("id", "text")
+    val (merges, alpha2) = Bpe.trainWithAlphabet(fitDf, "text", 15, 100)
+    val ranks = merges.zipWithIndex.toMap
+    val vocab = Bpe.whitespaceVocab(merges, alpha2)
+    val evalDocs = fitDocs ++ Seq((97L, "a  b   é"), (98L, " x a "),
+      (99L, "zz unseen😀 a"))
+    val rows = evalDocs.toDF("id", "text").select($"id", $"text",
+      Bpe.encodeWhitespaceIds($"text", merges, alpha2).as("ids"),
+      Bpe.decodeWhitespaceIdsCol(
+        Bpe.encodeWhitespaceIds($"text", merges, alpha2),
+        merges, alpha2).as("rt")).collect()
+    rows.foreach { r =>
+      val text = r.getString(1)
+      val ids = r.getSeq[Int](2)
+      // local-reference parity
+      val want = {
+        val out = Seq.newBuilder[Int]
+        var first = true
+        text.split(' ').foreach { w =>
+          if (w.nonEmpty) {
+            if (!first) out += Bpe.WsSepId
+            first = false
+            Bpe.capChunks(w).foreach(c => Bpe.encodeWord(c, ranks)
+              .foreach(t => out += vocab.getOrElse(t, Bpe.WsUnkId)))
+          }
+        }
+        out.result()
+      }
+      assert(ids == want, s"distributed/local mismatch on '$text'")
+      // roundtrip: single space between words, unseen code points → U+FFFD
+      val norm = text.split(' ').filter(_.nonEmpty).mkString(" ")
+        .map(c => if (c == ' ' || alpha2.contains(c.toString) ||
+          Character.isHighSurrogate(c) || Character.isLowSurrogate(c)) c
+          else '�')
+      // astral chars: both surrogate halves of an unseen emoji collapse
+      // into ONE UNK (the symbol is one code point) — normalize via the
+      // driver-side decoder instead of per-char mapping for those
+      val wantRt = Bpe.whitespaceDecodeIds(want, merges, alpha2)
+      assert(r.getString(3) == wantRt, s"decode parity on '$text'")
+      if (!text.exists(Character.isHighSurrogate))
+        assert(r.getString(3) == norm, s"roundtrip normalization on '$text'")
+    }
+    // long-element arrays (packed-shard type) decode too; -1 eos skips
+    val lr = Seq((1L, "a b")).toDF("id", "text").select(
+      Bpe.decodeWhitespaceIdsCol(
+        concat(transform(Bpe.encodeWhitespaceIds($"text", merges, alpha2),
+          i => i.cast("long")), array(lit(-1L))),
+        merges, alpha2).as("rt")).head()
+    assert(lr.getString(0) == "a b", "long-array decode skips the sentinel")
+  }
+
+  test("bpe detokenizer property: shard cuts, multi-byte edges, id widths") {
+    import spark.implicits._
+    import graft.llm.Bpe
+    // the documented per-shard caveat, pinned EXACTLY: a multi-byte char
+    // whose byte-ids straddle a shard cut decodes as one U+FFFD per
+    // broken edge — 'é' is bytes 0xC3 0xA9 = base ids 195,169; cut apart
+    // each lone byte is invalid UTF-8
+    assert(Bpe.byteLevelDecodeIds(Seq(195, 169), Nil) == "é")
+    assert(Bpe.byteLevelDecodeIds(Seq(195), Nil) == "�" &&
+      Bpe.byteLevelDecodeIds(Seq(169), Nil) == "�",
+      "a broken multi-byte edge must render as U+FFFD, not crash")
+    // randomized: encode a corpus (multi-byte chars + specials), cut the
+    // id stream at random shard boundaries (what packTokenSequences
+    // does), decode every shard DISTRIBUTED in both int and long widths.
+    // Invariants: (a) distributed == driver-side reference per shard;
+    // (b) a U+FFFD-free concat equals the full-stream decode — cuts never
+    // corrupt anything except a straddled multi-byte char; (c) pure-ASCII
+    // corpora concat back byte-exactly under EVERY cut
+    val specials = Seq("<|eot|>")
+    val merges: Seq[Bpe.Merge] = Seq(("t", "h"), ("th", "e"), ("Ġ", "s"))
+    val rnd = new scala.util.Random(17)
+    val alphabet = "the cats\né☕'01"
+    for (trial <- 1 to 30) {
+      val ascii = trial % 2 == 0
+      val base = (0 until (5 + rnd.nextInt(40))).map { _ =>
+        val c = alphabet(rnd.nextInt(if (ascii) 9 else alphabet.length))
+        c
+      }.mkString + "<|eot|>"
+      val full = spark.range(1).select(
+        Bpe.encodeByteLevelIds(lit(base), merges, specials).as("ids"))
+        .head().getSeq[Int](0)
+      // random cut points → shards (1..len each)
+      val shards = {
+        val cuts = (0 until rnd.nextInt(4))
+          .map(_ => 1 + rnd.nextInt(math.max(1, full.length - 1)))
+          .distinct.sorted
+        (Seq(0) ++ cuts ++ Seq(full.length)).sliding(2)
+          .filter(p => p(1) > p(0)).map(p => full.slice(p(0), p(1))).toSeq
+      }
+      val shardDf = shards.zipWithIndex.map { case (s, i) =>
+        (i.toLong, s.toArray) }.toDF("i", "ids")
+      val decoded = shardDf.select($"i", $"ids",
+          Bpe.decodeByteLevelIdsCol($"ids", merges, specials).as("d_int"),
+          Bpe.decodeByteLevelIdsCol(
+            transform($"ids", x => x.cast("long")), merges, specials)
+            .as("d_long"))
+        .orderBy("i").collect()
+      decoded.foreach { r =>
+        val ref = Bpe.byteLevelDecodeIds(r.getSeq[Int](1), merges, specials)
+        assert(r.getString(2) == ref, s"trial $trial: int-width parity")
+        assert(r.getString(3) == ref, s"trial $trial: long-width parity")
+      }
+      val concat = decoded.map(_.getString(2)).mkString
+      if (!concat.contains('�'))
+        assert(concat == base, s"trial $trial: FFFD-free concat must be exact")
+      if (ascii)
+        assert(concat == base,
+          s"trial $trial: ASCII corpus must survive every cut, got '$concat'")
+    }
+  }
+
   // --------------------------------------------------- product quantization
 
   test("pq: codebook shape, code-range invariants, 16x compression layout") {

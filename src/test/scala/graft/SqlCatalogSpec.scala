@@ -1576,4 +1576,91 @@ class SqlCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT id FROM graftr13.bk.m.rkept").head
       .getLong(0) == 99L)
   }
+
+  test("whitespace dense ids: fit persists alphabet, pack + detokenize invert") {
+    val root = Files.createTempDirectory("graft-sqlr14").toString
+    val s = new VastSession(spark, root)
+    s.createBucket("bk")
+    val docSchema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    s.transaction { tx =>
+      val m = tx.bucket("bk").createSchema("m")
+      val d = m.createTable("docs", docSchema)
+      val l = new java.util.ArrayList[Row]()
+      // single-space ASCII corpus: whitespace-mode detokenize is exact on
+      // it (the mode's only loss is whitespace-run collapse)
+      (0 until 12).foreach(i =>
+        l.add(Row(i.toLong, s"the cat sat on the mat $i again and again")))
+      d.insert(spark.createDataFrame(l, docSchema).coalesce(1))
+    }
+    spark.conf.set("spark.sql.catalog.graftr14",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.graftr14.root", root)
+
+    // whitespace fit now persists the alphabet as negative-rank rows; the
+    // merges stay the rank ≥ 0 rows
+    val bf = spark.sql("CALL graftr14.system.bpe_fit(" +
+      "'bk.m.docs', 'text', 'bk.m.bpe', 20, 100)").head
+    val nMerges = bf.getLong(0)
+    val counts = spark.sql(
+      """SELECT sum(CASE WHEN rank < 0 THEN 1 ELSE 0 END) AS n_alpha,
+        |       sum(CASE WHEN rank >= 0 THEN 1 ELSE 0 END) AS n_merges
+        |FROM graftr14.bk.m.bpe""".stripMargin).head
+    val nAlpha = counts.getLong(0)
+    assert(nAlpha > 0, "fit must persist the alphabet")
+    assert(counts.getLong(1) == nMerges)
+
+    // tokenize_pack packs DENSE ids on an alphabet-carrying table: every
+    // non-sentinel id sits inside [0, 2 + |alphabet| + n_merges)
+    val tp = spark.sql("CALL graftr14.system.tokenize_pack(" +
+      "'bk.m.docs', 'id', 'text', 'bk.m.bpe', 'bk.m.seqs', 16, -1L)").head
+    assert(tp.getLong(0) == (tp.getLong(1) + 15) / 16)
+    val idRange = spark.sql(
+      """SELECT min(i) AS mn, max(i) AS mx
+        |FROM (SELECT explode(token_ids) AS i FROM graftr14.bk.m.seqs)
+        |WHERE i <> -1""".stripMargin).head
+    assert(idRange.getLong(0) >= 0 && idRange.getLong(1) < 2 + nAlpha + nMerges,
+      s"dense ids out of range: $idRange (vocab < ${2 + nAlpha + nMerges})")
+
+    // detokenize now ACCEPTS the whitespace table: the concatenated
+    // per-sequence decodes reproduce the original single-space stream
+    // (eos sentinels decode to nothing, so documents fuse at boundaries)
+    spark.sql("CALL graftr14.system.detokenize(" +
+      "'bk.m.seqs', 'token_ids', 'bk.m.bpe', 'bk.m.readable')")
+    val stream = spark.sql(
+      "SELECT text FROM graftr14.bk.m.readable ORDER BY seq_id")
+      .collect().map(_.getString(0)).mkString
+    val origStream = spark.sql(
+      "SELECT text FROM graftr14.bk.m.docs ORDER BY id")
+      .collect().map(_.getString(0)).mkString
+    assert(stream == origStream,
+      s"ws detokenized stream diverges:\n got=${stream.take(120)}…\n" +
+        s"want=${origStream.take(120)}…")
+
+    // a LEGACY alphabet-less whitespace table still packs (xxhash64
+    // digests) and still refuses detokenize — the old contract, scoped to
+    // exactly the tables that predate dense ids
+    val legacyMerges = spark.sql(
+      "SELECT rank, `left`, `right`, byte_level FROM graftr14.bk.m.bpe " +
+        "WHERE rank >= 0")
+    s.transaction { tx =>
+      val m = tx.bucket("bk").schema("m")
+      val lt = m.createTable("bpe_legacy", legacyMerges.schema)
+      lt.insert(legacyMerges.coalesce(1))
+    }
+    spark.sql("CALL graftr14.system.tokenize_pack(" +
+      "'bk.m.docs', 'id', 'text', 'bk.m.bpe_legacy', 'bk.m.seqs_legacy', " +
+      "16, -1L)")
+    val legacyMax = spark.sql(
+      """SELECT max(i) FROM
+        |(SELECT explode(token_ids) AS i FROM graftr14.bk.m.seqs_legacy)"""
+        .stripMargin).head.getLong(0)
+    assert(legacyMax >= 2 + nAlpha + nMerges,
+      s"legacy path must keep hash-digest ids, got max=$legacyMax")
+    val err = intercept[Exception] {
+      spark.sql("CALL graftr14.system.detokenize(" +
+        "'bk.m.seqs_legacy', 'token_ids', 'bk.m.bpe_legacy', 'bk.m.nope')")
+    }
+    assert(err.getMessage.contains("alphabet"), err.getMessage)
+  }
 }
