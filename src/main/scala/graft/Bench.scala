@@ -267,7 +267,18 @@ object Bench {
         () => mat(t("documents").select(col("doc_id"),
           size(graft.llm.Bpe.encodeByteLevelIds(col("text"), merges))
             .as("n")))
-      })
+      },
+      // regex blocklist gate: 200 patterns combined into ONE map-side
+      // alternation (the published-blocklist scale) + a few that actually
+      // match — measures how rlike alternation cost scales with the
+      // pattern-list size every corpus pays per row
+      "regex_filter" -> (() => {
+        val pats = (0 until 200).map(i =>
+          s"(?i)forbidden${i}phrase\\s+x$i") ++
+          Seq("vector", "quer(y|ies)", "\\bstream\\b")
+        mat(graft.llm.Curation.regexBlocklistFilter(
+          t("documents").select("doc_id", "text"), "text", pats))
+      }))
 
     // ingest-probe shape: batch-vs-corpus near-dup suppression. Corpus
     // signatures are precomputed ONCE here (exactly what the persisted
@@ -297,6 +308,59 @@ object Bench {
       // span-probe twin: corpus window hashes precomputed once (what the
       // persisted span index stores); the timed work is the 1% batch's
       // window pass + broadcast probe + covered-token accounting
+      // dense-id detokenize over packed shards: the corpus is encoded and
+      // packed ONCE here (what tokenize_pack persists); the timed work is
+      // the shard-audit hot path — one codegen'd map-side decode pass over
+      // the packed id arrays
+      (if (!selected("detokenize")) Seq.empty[(String, () => Unit)]
+      else {
+        val dtkMerges = graft.llm.Bpe.trainByteLevel(
+          t("documents"), "text", numMerges = 200, sampleDocs = 300)
+        val packDir = java.nio.file.Files
+          .createTempDirectory("graft_bench_packed").toString
+        graft.llm.Curation.packTokenSequences(
+          t("documents").select(col("doc_id"),
+            transform(graft.llm.Bpe.encodeByteLevelIds(col("text"),
+              dtkMerges), i => i.cast("long")).as("ids")),
+          "doc_id", "ids", seqLen = 512, eosId = -1L)
+          .write.mode("overwrite").parquet(packDir)
+        Seq("detokenize" -> (() => mat(spark.read.parquet(packDir)
+          .select(col("seq_id"), graft.llm.Bpe.decodeByteLevelIdsCol(
+            col("token_ids"), dtkMerges).as("text")))))
+      }) ++
+      // changefeed drain: the graft table is committed in 8 versions ONCE
+      // here; each timed run drains the full feed from a FRESH checkpoint
+      // through an AvailableNow noop sink — version-delta planning + file
+      // re-emission end-to-end — plus the per-batch stream_lag metadata
+      // probe every incremental consumer calls
+      (if (!selected("stream_drain")) Seq.empty[(String, () => Unit)]
+      else {
+        val sroot = java.nio.file.Files
+          .createTempDirectory("graft_bench_stream").toString
+        val svs = graft.api.VastSession(spark, sroot)
+        svs.createBucket("sb")
+        val ev = t("events")
+        svs.transaction(tx => tx.bucket("sb").createSchema("m")
+          .createTable("ev", ev.schema))
+        (0 until 8).foreach { i =>
+          svs.transaction(tx => tx.bucket("sb").schema("m").table("ev")
+            .insert(ev.filter(pmod(col("event_id"), lit(8)) === i)))
+        }
+        val tdir = java.nio.file.Paths.get(sroot, "sb", "m", "ev").toString
+        Seq("stream_drain" -> (() => {
+          val ckpt = java.nio.file.Files
+            .createTempDirectory("graft_bench_stream_ck").toString
+          val q = spark.readStream.format("graft").load(tdir)
+            .writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination(600000)
+          svs.transaction(tx => tx.bucket("sb").schema("m").table("ev")
+            .streamLag(-1L))
+          ()
+        }))
+      }) ++
       (if (!selected("span_probe")) Seq.empty[(String, () => Unit)]
       else {
         val winDir = java.nio.file.Files
