@@ -1801,6 +1801,35 @@ object SparkEntry {
              |  AS t(id, ids, decoded, n_tokens)
              |ORDER BY id""").stripMargin)),
 
+    Q("bpe8_exact_edges",  // EXACT cross-shard detokenization: the packed
+      // stream of 'café'+eos+'naïve'+eos under NO merges (ids = raw byte
+      // values) cut at seqLen 3 puts é's two bytes inside one shard but
+      // splits ï (0xC3 0xAF = 195,175) across shards s2/s3. Oracle texts
+      // HAND-DERIVED from the ownership rule (a char belongs to the shard
+      // its FIRST byte is in): s2 completes 'ï' from s3's head bytes →
+      // 'naï', s3 defers its leading continuation byte 175 → 've', the
+      // eos-only tail shard decodes empty — so the concat is byte-exact
+      // where the plain per-row decode would emit U+FFFD at both edges.
+      // A wrong ownership rule, continuation-byte count, or neighbor-join
+      // key shifts a char between rows and fails the gate
+      (s, dir) => {
+        import s.implicits._
+        val shards = Seq(
+          (0L, Seq(99, 97, 102)), (1L, Seq(195, 169, -1)),
+          (2L, Seq(110, 97, 195)), (3L, Seq(175, 118, 101)),
+          (4L, Seq(-1))).toDF("seq_id", "token_ids")
+        graft.llm.Bpe.decodeShardsExact(shards, "seq_id", "token_ids",
+            merges = Nil)
+          .select($"seq_id", $"text")
+          .orderBy("seq_id")
+      },
+      Some(("""SELECT * FROM (VALUES
+             |  (CAST(0 AS BIGINT), 'caf'), (CAST(1 AS BIGINT), 'é'),
+             |  (CAST(2 AS BIGINT), 'naï'), (CAST(3 AS BIGINT), 've'),
+             |  (CAST(4 AS BIGINT), ''))
+             |  AS t(seq_id, text)
+             |ORDER BY seq_id""").stripMargin)),
+
     Q("ss3_ann_pq",  // product-quantized ANN (ADC shortlist + exact
       // rerank), self-oracled by planted-neighbor containment: an identical
       // planted vector's codes are the per-subspace argmins of the query's

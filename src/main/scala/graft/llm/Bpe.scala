@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
@@ -549,6 +549,40 @@ object Bpe {
                             specials: Seq[String] = Nil): Column =
     Glue.column(BpeDecodeIdsExpr(Glue.expression(ids), merges, specials))
 
+  /** EXACT distributed detokenization of packed shards — the cross-cut
+    * upgrade of [[decodeByteLevelIdsCol]]: per-row decode renders a
+    * multi-byte char whose byte-ids straddle a sequence cut as U+FFFD at
+    * both edges, because neither row alone holds the full byte sequence.
+    * This variant joins each row with the FIRST ≤3 ids of the NEXT row
+    * (one hash equi-join on `seqCol`+1 — no window, no single partition,
+    * broadcastable by AQE when the id frame is small) and decodes with
+    * edge awareness: a char is emitted by exactly the row whose bytes it
+    * STARTS in — leading continuation bytes defer to the previous row
+    * (UTF-8 is self-synchronizing), trailing incomplete chars complete
+    * from the neighbor's head bytes. Concatenating the per-row texts in
+    * `seqCol` order is then byte-exact for any well-formed packed stream
+    * with `seqLen ≥ 3` (below that a single char could span three rows;
+    * real shards are 512+). Unknown ids (eos sentinels) skip without
+    * breaking byte runs, and specials decode literally — both exactly as
+    * the per-row decoder does. */
+  def decodeShardsExact(packed: DataFrame, seqCol: String, idsCol: String,
+                        merges: Seq[Merge], specials: Seq[String] = Nil,
+                        textCol: String = "text"): DataFrame = {
+    val heads = packed.select((col(seqCol) - 1).as("__seq_m1"),
+      slice(col(idsCol), 1, 3).as("__next_head"))
+    packed.join(heads, col(seqCol) === col("__seq_m1"), "left")
+      .drop("__seq_m1")
+      .withColumn(textCol, Glue.column(BpeDecodeIdsEdgeExpr(
+        Glue.expression(col(idsCol)),
+        // the LAST row has no successor: coalesce to an empty array OF
+        // THE SAME ELEMENT TYPE (a zero-length slice of the ids column)
+        // so the expression never sees a null child
+        Glue.expression(coalesce(col("__next_head"),
+          slice(col(idsCol), 1, 0))),
+        merges, specials)))
+      .drop("__next_head")
+  }
+
   /** Exact inverse of [[encodeByteLevelIds]] given the same merge table
     * and specials: ids → vocab strings → bytes → UTF-8 (byte-exact,
     * whitespace included; special ids reproduce their literal string).
@@ -886,4 +920,179 @@ case class BpeDecodeIdsExpr(child: Expression, merges: Seq[Bpe.Merge],
 
   override protected def withNewChildInternal(newChild: Expression) =
     copy(child = newChild)
+}
+
+/**
+ * Edge-aware shard detokenizer ([[Bpe.decodeShardsExact]]'s kernel): decodes
+ * one packed row's ids given the first ≤3 ids of the NEXT row, emitting
+ * exactly the characters that START in this row's bytes. Leading UTF-8
+ * continuation bytes (≤3) are deferred — the previous row emits that char
+ * using ITS neighbor head — and a trailing incomplete char completes from
+ * the neighbor bytes. The byte walker is offset-aware by construction
+ * (UTF-8 lead bytes carry their length), so ownership of a straddling char
+ * is unambiguous. Invalid sequences render U+FFFD per byte, matching the
+ * per-row decoder's behavior on corrupt input; exactness is guaranteed
+ * only for well-formed streams, which is what the encoder produces.
+ * Same reference-object codegen shape as the other decode expressions.
+ */
+case class BpeDecodeIdsEdgeExpr(ids: Expression, nextHead: Expression,
+                                merges: Seq[Bpe.Merge],
+                                specials: Seq[String] = Nil)
+    extends BinaryExpression with Serializable {
+  override def left: Expression = ids
+  override def right: Expression = nextHead
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def prettyName: String = "bpe_decode_ids_edge"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (ids.dataType, nextHead.dataType) match {
+      case (ArrayType(IntegerType | LongType, _),
+            ArrayType(IntegerType | LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"bpe_decode_ids_edge requires array<int|bigint> inputs, got " +
+          s"${l.simpleString} / ${r.simpleString}")
+    }
+
+  @transient private lazy val idsIsLong: Boolean = ids.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  @transient private lazy val headIsLong: Boolean = nextHead.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  @transient private lazy val inv: Map[Int, String] =
+    Bpe.byteLevelVocab(merges).map(_.swap)
+  @transient private lazy val spInv: Map[Int, String] =
+    Bpe.specialIds(merges, specials).map(_.swap)
+
+  /** Mapped-alphabet token string → raw bytes. */
+  private def tokenBytes(tok: String, out: java.io.ByteArrayOutputStream)
+      : Unit =
+    tok.foreach(c => out.write(Bpe.unicodeToByte(c)))
+
+  private def idAt(a: ArrayData, i: Int, isLong: Boolean): Option[Int] =
+    if (a.isNullAt(i)) None
+    else {
+      val raw = if (isLong) a.getLong(i) else a.getInt(i).toLong
+      if (raw >= Int.MinValue && raw <= Int.MaxValue) Some(raw.toInt)
+      else None
+    }
+
+  /** Emit the chars of `own ++ ext` that START at byte offsets
+    * [from, own.length): valid sequences as their code point (even when
+    * they complete inside `ext`), invalid/incomplete ones as one U+FFFD
+    * per lead byte — the same per-byte degradation the plain decoder's
+    * java.lang.String fallback produces on corrupt input. */
+  private def emitOwned(own: Array[Byte], ext: Array[Byte], from: Int,
+                        sb: java.lang.StringBuilder): Unit = {
+    val n = own.length
+    val total = n + ext.length
+    def byteAt(i: Int): Int =
+      (if (i < n) own(i) else ext(i - n)) & 0xFF
+    var pos = from
+    while (pos < n) {
+      val b = byteAt(pos)
+      val len =
+        if (b < 0x80) 1
+        else if ((b & 0xE0) == 0xC0) 2
+        else if ((b & 0xF0) == 0xE0) 3
+        else if ((b & 0xF8) == 0xF0) 4
+        else -1 // continuation or invalid lead byte
+      var ok = len > 0 && pos + len <= total
+      if (ok) {
+        var j = 1
+        while (j < len && ok) {
+          ok = (byteAt(pos + j) & 0xC0) == 0x80
+          j += 1
+        }
+      }
+      if (!ok) { sb.append('�'); pos += 1 }
+      else {
+        var cp = len match {
+          case 1 => b
+          case 2 => b & 0x1F
+          case 3 => b & 0x0F
+          case _ => b & 0x07
+        }
+        var j = 1
+        while (j < len) { cp = (cp << 6) | (byteAt(pos + j) & 0x3F); j += 1 }
+        // overlong/surrogate/out-of-range code points are corrupt input:
+        // degrade like the plain decoder (replacement), never crash
+        if (cp > 0x10FFFF || (cp >= 0xD800 && cp <= 0xDFFF)) sb.append('�')
+        else sb.appendCodePoint(cp)
+        pos += len
+      }
+    }
+  }
+
+  def compute(own: ArrayData, head: ArrayData): UTF8String = {
+    // neighbor context: bytes of the next row's LEADING byte tokens —
+    // unknown ids skip without breaking the run (stream semantics), a
+    // special stops the scan (it flushes the byte run in a full-stream
+    // decode, so bytes beyond it can never complete this row's char)
+    val nextBytes = {
+      val out = new java.io.ByteArrayOutputStream(16)
+      var i = 0
+      var stop = false
+      val n = head.numElements()
+      while (i < n && !stop && out.size < 4) {
+        idAt(head, i, headIsLong) match {
+          case Some(id) if spInv.contains(id) => stop = true
+          case Some(id) => inv.get(id).foreach(tokenBytes(_, out))
+          case None => ()
+        }
+        i += 1
+      }
+      out.toByteArray
+    }
+    val sb = new java.lang.StringBuilder
+    val run = new java.io.ByteArrayOutputStream(64)
+    var firstRun = true // only the row-initial byte run defers its
+                        // leading continuation bytes to the previous row
+    var i = 0
+    val n = own.numElements()
+    def flush(isLast: Boolean): Unit = {
+      if (run.size() > 0 || (isLast && firstRun)) {
+        val bytes = run.toByteArray
+        var from = 0
+        if (firstRun) {
+          // defer ≤3 leading continuation bytes (a char has at most 3);
+          // a 4th is corrupt input and renders U+FFFD below
+          while (from < bytes.length && from < 3 &&
+            (bytes(from) & 0xC0) == 0x80) from += 1
+        }
+        emitOwned(bytes, if (isLast) nextBytes else Array.emptyByteArray,
+          from, sb)
+        run.reset()
+      }
+      firstRun = false
+    }
+    while (i < n) {
+      idAt(own, i, idsIsLong) match {
+        case Some(id) if spInv.contains(id) =>
+          flush(isLast = false)
+          sb.append(spInv(id))
+        case Some(id) => inv.get(id).foreach(tokenBytes(_, run))
+        case None => () // unknown id (eos sentinel, foreign): skip
+      }
+      i += 1
+    }
+    flush(isLast = true)
+    UTF8String.fromString(sb.toString)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeDecodeIdsEdge", this)
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $ref.compute($l, $r);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression) = copy(ids = newLeft, nextHead = newRight)
 }

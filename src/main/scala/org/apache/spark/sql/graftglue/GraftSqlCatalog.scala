@@ -1314,15 +1314,23 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
       // the mode's inherent whitespace-run collapse) — only alphabet-less
       // legacy whitespace tables refuse (their ids are xxhash64 digests,
       // not invertible). Eos/foreign ids skip, an eos_special decodes to
-      // its literal string. Per-ROW decode: a multi-byte char whose
-      // byte-ids straddle a sequence cut renders as U+FFFD at that row's
-      // edge (exact recovery across cuts would need the concatenated id
-      // stream) — fine for eyeballing, the purpose
+      // its literal string. Per-ROW decode by default: a multi-byte char
+      // whose byte-ids straddle a sequence cut renders as U+FFFD at that
+      // row's edge — fine for eyeballing. `exact_edges => true` upgrades
+      // byte-level tables to EXACT cross-cut recovery: each row joins the
+      // next row's first ≤3 ids (one hash equi-join on seq_col — no
+      // window, no single partition) and every char is emitted by the row
+      // it STARTS in, so concatenating the per-row texts in seq_col order
+      // is byte-exact (Bpe.decodeShardsExact). Whitespace-mode dense ids
+      // never split a char, so their per-row decode already concatenates
+      // exactly and the flag is unnecessary there
       case "detokenize" => new GraftProcedure("detokenize",
           Seq(("table", StringType, None), ("ids_col", StringType, None),
             ("bpe_table", StringType, None),
             ("out_table", StringType, None),
-            ("eos_special", StringType, Some("''"))),
+            ("eos_special", StringType, Some("''")),
+            ("exact_edges", BooleanType, Some("false")),
+            ("seq_col", StringType, Some("'seq_id'"))),
           StructType(Seq(StructField("n_rows", LongType)))) {
         def run(args: Seq[Any]) = inSession { tx =>
           import org.apache.spark.sql.functions.{col => c}
@@ -1343,15 +1351,23 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
           require(sp.isEmpty || byteLevel,
             "eos_special decoding needs a byte-level merge table " +
               "(whitespace packing uses the plain eos_id sentinel)")
+          val exactEdges = args(5).asInstanceOf[Boolean]
+          require(!exactEdges || byteLevel,
+            "exact_edges applies to byte-level tables only (whitespace " +
+              "dense ids never split a character across rows)")
           val idsCol = args(1).asInstanceOf[String]
-          val decodeCol =
-            if (byteLevel)
-              graft.llm.Bpe.decodeByteLevelIdsCol(c(idsCol), merges, sp)
+          val src = tableIn(tx, args(0).asInstanceOf[String]).select()
+          val decoded =
+            if (exactEdges)
+              graft.llm.Bpe.decodeShardsExact(src,
+                args(6).asInstanceOf[String], idsCol, merges, sp)
+            else if (byteLevel)
+              src.withColumn("text",
+                graft.llm.Bpe.decodeByteLevelIdsCol(c(idsCol), merges, sp))
             else
-              graft.llm.Bpe.decodeWhitespaceIdsCol(c(idsCol), merges,
-                wsAlphabet)
-          val decoded = tableIn(tx, args(0).asInstanceOf[String]).select()
-            .withColumn("text", decodeCol)
+              src.withColumn("text",
+                graft.llm.Bpe.decodeWhitespaceIdsCol(c(idsCol), merges,
+                  wsAlphabet))
           Seq(org.apache.spark.sql.Row(
             replaceOutput(tx, args(3).asInstanceOf[String], decoded)))
         }

@@ -1843,6 +1843,64 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("bpe exact-edges detokenize: shard concat byte-exact under every cut") {
+    import spark.implicits._
+    import graft.llm.Bpe
+    val specials = Seq("<|eot|>")
+    val merges: Seq[Bpe.Merge] = Seq(("t", "h"), ("th", "e"), ("Ġ", "s"))
+    val rnd = new scala.util.Random(23)
+    // BMP-only random alphabet (a randomly drawn half of a surrogate pair
+    // would be invalid text before any shard logic runs); the astral
+    // 4-byte case is pinned deterministically below
+    val alphabet = "the cats\né☕'01"
+    for (trial <- 1 to 30) {
+      // corpus stream: random unicode-ish docs joined by the special,
+      // eos sentinels (-1) spliced like packTokenSequences does
+      val docs = (0 until (2 + rnd.nextInt(3))).map(_ =>
+        (0 until (3 + rnd.nextInt(25))).map(_ =>
+          alphabet(rnd.nextInt(alphabet.length))).mkString)
+      val stream = docs.mkString("<|eot|>") + "<|eot|>"
+      val full = spark.range(1).select(
+        Bpe.encodeByteLevelIds(lit(stream), merges, specials).as("ids"))
+        .head().getSeq[Int](0) ++ Seq(-1)
+      // random seqLen ≥ 3 (the documented exactness bound)
+      val seqLen = 3 + rnd.nextInt(6)
+      val shards = full.grouped(seqLen).zipWithIndex
+        .map { case (s, i) => (i.toLong, s.toArray) }.toSeq
+      // int-typed and long-typed (packed-shard) element widths
+      val intDf = shards.toDF("seq_id", "token_ids")
+      val longDf = intDf.select($"seq_id",
+        transform($"token_ids", x => x.cast("long")).as("token_ids"))
+      for ((df, width) <- Seq((intDf, "int"), (longDf, "long"))) {
+        val got = Bpe.decodeShardsExact(df, "seq_id", "token_ids",
+            merges, specials)
+          .orderBy("seq_id").collect().map(_.getAs[String]("text")).mkString
+        assert(got == stream,
+          s"trial $trial ($width, seqLen=$seqLen): exact concat diverged\n" +
+            s" got=$got\nwant=$stream")
+      }
+      // the plain per-row decode concatenates EXACTLY when no multi-byte
+      // char straddles a cut — exact-edges must agree with it there
+      val plain = intDf.select($"seq_id",
+          Bpe.decodeByteLevelIdsCol($"token_ids", merges, specials).as("t"))
+        .orderBy("seq_id").collect().map(_.getString(1)).mkString
+      if (!plain.contains('�')) assert(plain == stream)
+    }
+    // astral char (4-byte UTF-8) split 1|3 and 3|1 across shards: the
+    // worst legal cut needs all 3 neighbor bytes
+    val eIds = spark.range(1).select(
+      Bpe.encodeByteLevelIds(lit("😀"), Nil).as("ids")).head().getSeq[Int](0)
+    assert(eIds.length == 4)
+    for (cut <- 1 to 3) {
+      val df = Seq((0L, eIds.take(cut).toArray), (1L, eIds.drop(cut).toArray))
+        .toDF("seq_id", "token_ids")
+      val got = Bpe.decodeShardsExact(df, "seq_id", "token_ids", Nil)
+        .orderBy("seq_id").collect().map(_.getAs[String]("text"))
+      assert(got(0) == "😀" && got(1) == "",
+        s"cut at $cut: got ${got.toSeq}")
+    }
+  }
+
   // --------------------------------------------------- product quantization
 
   test("pq: codebook shape, code-range invariants, 16x compression layout") {

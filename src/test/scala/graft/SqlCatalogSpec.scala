@@ -1663,4 +1663,67 @@ class SqlCatalogSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("alphabet"), err.getMessage)
   }
+
+  test("CALL detokenize exact_edges: multi-byte chars survive shard cuts") {
+    val root = Files.createTempDirectory("graft-sqlr14e").toString
+    val s = new VastSession(spark, root)
+    s.createBucket("bk")
+    val docSchema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val modelSchema = StructType(Seq(
+      StructField("rank", IntegerType, nullable = false),
+      StructField("left", StringType, nullable = false),
+      StructField("right", StringType, nullable = false),
+      StructField("byte_level", BooleanType, nullable = false)))
+    s.transaction { tx =>
+      val m = tx.bucket("bk").createSchema("m")
+      val d = m.createTable("docs", docSchema)
+      val l = new java.util.ArrayList[Row]()
+      // each doc is three 2-byte chars = 6 byte ids + 1 special id: with
+      // seq_len 5 the cuts are GUARANTEED to land mid-char repeatedly
+      (0 until 6).foreach(i => l.add(Row(i.toLong, "ééé")))
+      d.insert(spark.createDataFrame(l, docSchema).coalesce(1))
+      // hand-built model: one irrelevant merge, byte_level stamped — ids
+      // stay raw byte values so the cut geometry is fully deterministic
+      val mt = m.createTable("bpe", modelSchema)
+      mt.insert(spark.createDataFrame(
+        java.util.List.of(Row(0, "t", "h", true)), modelSchema))
+    }
+    spark.conf.set("spark.sql.catalog.graftr14e",
+      "org.apache.spark.sql.graftglue.GraftSqlCatalog")
+    spark.conf.set("spark.sql.catalog.graftr14e.root", root)
+    spark.sql("CALL graftr14e.system.tokenize_pack(" +
+      "'bk.m.docs', 'id', 'text', 'bk.m.bpe', 'bk.m.seqs', 5, " +
+      "eos_special => '<|eot|>')")
+    def concat(out: String): String = spark.sql(
+      s"SELECT text FROM graftr14e.$out ORDER BY seq_id")
+      .collect().map(_.getString(0)).mkString
+    val want = (0 until 6).map(_ => "ééé<|eot|>").mkString
+    // per-row decode: the mid-char cuts MUST show as U+FFFD (this pins
+    // that the fixture really exercises broken edges)
+    spark.sql("CALL graftr14e.system.detokenize(" +
+      "'bk.m.seqs', 'token_ids', 'bk.m.bpe', 'bk.m.plain', " +
+      "eos_special => '<|eot|>')")
+    assert(concat("bk.m.plain").contains('�'),
+      "fixture did not split any char — cut geometry changed?")
+    // exact_edges: byte-exact concat, no replacement chars
+    spark.sql("CALL graftr14e.system.detokenize(" +
+      "'bk.m.seqs', 'token_ids', 'bk.m.bpe', 'bk.m.exact', " +
+      "eos_special => '<|eot|>', exact_edges => true)")
+    assert(concat("bk.m.exact") == want)
+    // whitespace tables refuse the flag (their ids never split a char)
+    s.transaction { tx =>
+      val m = tx.bucket("bk").schema("m")
+      val wt = m.createTable("bpews", modelSchema)
+      wt.insert(spark.createDataFrame(
+        java.util.List.of(Row(-1, "é", "", false), Row(0, "é", "é", false)),
+        modelSchema))
+    }
+    val err = intercept[Exception] {
+      spark.sql("CALL graftr14e.system.detokenize(" +
+        "'bk.m.seqs', 'token_ids', 'bk.m.bpews', 'bk.m.nope', " +
+        "exact_edges => true)")
+    }
+    assert(err.getMessage.contains("byte-level"), err.getMessage)
+  }
 }
