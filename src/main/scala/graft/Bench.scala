@@ -17,8 +17,28 @@ import org.apache.spark.sql.types.DecimalType
  */
 object Bench {
 
-  private def mat(df: DataFrame): Unit =
+  /** When SPARK_GRAFT_BENCH_EXPLAIN names a directory, every materialized
+    * frame's `explain("formatted")` is ALSO dumped there as
+    * `<query>[_k].txt` — the plan-evidence capture for optimization rounds
+    * (guide §1: record plan shape next to the numbers). Off by default and
+    * meant for a separate capture run: stringifying plans inside the timed
+    * region would pollute the measurement. */
+  private val explainDir = sys.env.get("SPARK_GRAFT_BENCH_EXPLAIN")
+  @volatile private var currentQuery: Option[String] = None
+  private val matSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def mat(df: DataFrame): Unit = {
+    for (dir <- explainDir; q <- currentQuery) {
+      val k = matSeq.incrementAndGet()
+      val suffix = if (k == 1) "" else s"_$k"
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, s"$q$suffix.txt"),
+        plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     df.write.format("noop").mode("overwrite").save()
+  }
 
   private def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast(DecimalType(38, 6))).cast("double")
@@ -574,10 +594,12 @@ object Bench {
         .filter { case (name, _) => only.forall(_.exists(name.contains)) }
         .map { case (name, fn) =>
       def once(): Double = {
+        currentQuery = Some(name); matSeq.set(0)
         val t0 = System.nanoTime()
         try fn() catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
+        currentQuery = None
         (System.nanoTime() - t0) / 1e9
       }
       var times = (1 to 3).map(_ => once())

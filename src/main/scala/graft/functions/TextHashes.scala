@@ -463,6 +463,79 @@ case class HashEmbedding(child: Expression, dim: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/**
+ * Fused DSIR gram-bucket pass: unigram + space-joined-bigram xxhash64
+ * buckets of a token array, WITH multiplicity and in gram order (all
+ * unigrams in token order, then all bigrams) — element-for-element equal to
+ * the declarative `transform(concat(toks, zip_with(...)), g =>
+ * pmod(xxhash64(g), buckets))` pipeline `Selection.gramBuckets` builds, but
+ * with no interpreted lambdas: the HOF spelling pays ~1µs per gram per
+ * lambda (two lambdas deep) and re-evaluates `split()` up to six times
+ * inside one Generate, which made the three corpus-wide gram passes the
+ * dominant cost of the DSIR queries. Unlike [[ShingleHashes]] this keeps
+ * duplicates (DSIR counts gram mass, not gram sets).
+ *
+ * Bigram hash input is `tok[i] + ' ' + tok[i+1]` — byte-identical to the
+ * `concat(a, ' ', b)` strings of the HOF path. A null token (which split()
+ * never produces) contributes concat's null-propagation semantics: the HOF
+ * path nulls the bigram and `pmod(xxhash64(null))` nulls the bucket, which
+ * `transform` keeps as a null ELEMENT; this fused form mirrors that with a
+ * null element so the two paths stay interchangeable on any input.
+ */
+case class GramBucketHashes(child: Expression, buckets: Long)
+    extends UnaryExpression {
+  require(buckets > 0, s"buckets must be positive, got $buckets")
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "gram_bucket_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gram_bucket_hashes requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramBucketHashes", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);")
+  }
+
+  private val SPACE = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val nBi = math.max(0, n - 1)
+    val out = new Array[Any](n + nBi)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (arr.isNullAt(i)) null
+        else {
+          val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+          ((h % buckets) + buckets) % buckets
+        }
+      i += 1
+    }
+    i = 0
+    while (i < nBi) {
+      out(n + i) =
+        if (arr.isNullAt(i) || arr.isNullAt(i + 1)) null
+        else {
+          val g = org.apache.spark.unsafe.types.UTF8String.concat(
+            arr.getUTF8String(i), SPACE, arr.getUTF8String(i + 1))
+          val h = XxHash64Function.hash(g, StringType, 42L)
+          ((h % buckets) + buckets) % buckets
+        }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object TextHashes {
   /** Signature over pre-built shingle strings (shingleN = 1). */
   def minhashSignature(shingles: Column, k: Int): Column =
@@ -487,4 +560,7 @@ object TextHashes {
   /** Positional (h1, h2) hash pairs of n-token windows every `stride`. */
   def windowHashPairs(tokens: Column, n: Int, stride: Int): Column =
     Glue.column(WindowHashPairs(Glue.expression(tokens), n, stride))
+  /** Unigram+bigram xxhash64 buckets of a token array, with multiplicity. */
+  def gramBucketHashes(tokens: Column, buckets: Long): Column =
+    Glue.column(GramBucketHashes(Glue.expression(tokens), buckets))
 }

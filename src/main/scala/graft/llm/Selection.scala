@@ -79,10 +79,23 @@ object Selection {
     concat(toks, bg)
   }
 
-  /** Bucket ids of [[gramStrings]]: `pmod(hash(gram), buckets)`. */
+  /** Bucket ids of [[gramStrings]]: `pmod(hash(gram), buckets)`.
+    *
+    * The default-hash path runs the fused native
+    * [[graft.functions.TextHashes.gramBucketHashes]] pass — element-for-
+    * element equal to the declarative spelling (spec-pinned in
+    * SelectionSpec), but one expression call per row instead of two
+    * interpreted lambdas per gram and six `split()` re-evaluations per row
+    * inside a Generate (the dominant cost of the three corpus-wide DSIR
+    * gram passes). An injected `gramHash` (the md5 spelling the dual-engine
+    * gates use) keeps the declarative path. */
   def gramBuckets(text: Column, buckets: Int,
                   gramHash: Column => Column = defaultGramHash): Column =
-    transform(gramStrings(text), g => pmod(gramHash(g), lit(buckets.toLong)))
+    if (gramHash eq defaultGramHash)
+      graft.functions.TextHashes.gramBucketHashes(split(text, " "),
+        buckets.toLong)
+    else
+      transform(gramStrings(text), g => pmod(gramHash(g), lit(buckets.toLong)))
 
   /** The `buckets`-row smoothed log-ratio table ln p̂_t(b) − ln p̂_r(b),
     * one row per bucket in [0, buckets) (missing buckets get the pure

@@ -391,10 +391,18 @@ object TextAnalysis {
       scored.select(col(idCol), col("group"), col("n_bigrams"),
         col("n_backoff"), col("neg_logp_sum"), col("ppt_micro")),
       Seq(col("group").asc, col("ppt_micro").asc, col(idCol).asc))
-    // one row per group: the group's global-rank base and size (the rank
-    // is contiguous per group because `group` leads the total order)
+    // one row per group: the group's global-rank base and size. The rank is
+    // contiguous per group because `group` leads the total order, so the
+    // base is the EXCLUSIVE running sum of group sizes in group order —
+    // arithmetic over one row per group. (min(_rank) computes the same
+    // number but re-evaluates ranked's whole window+offset-join subtree for
+    // the aggregate consumer — a second corpus-frame sort the plan audit
+    // caught; counting needs no rank, so the window prunes away here.)
+    val wg = Window.partitionBy(lit(0)).orderBy(col("__g").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val gstats = ranked.groupBy(col("group").as("__g"))
-      .agg(min(col("_rank")).as("__g0"), count(lit(1)).as("__gm"))
+      .agg(count(lit(1)).as("__gm"))
+      .withColumn("__g0", coalesce(sum(col("__gm")).over(wg), lit(0L)))
     ranked.join(broadcast(gstats), col("group") <=> col("__g"))
       .withColumn("bucket",
         expr("CASE ((_rank - __g0) * 3) div __gm WHEN 0 THEN 'head' " +

@@ -768,6 +768,9 @@ class OperatorsSpec extends SparkSpec {
 
   test("connectedComponents: one driver action per round, no eager checkpoint pass") {
     import spark.implicits._
+    // pin the distributed star loop: this input is far below the r14
+    // small-graph cutoff and would otherwise finish on the driver
+    spark.conf.set("spark.graft.cc.localEdgeCutoff", "0")
     // 40-node chain: the deterministic worst case — 7 large-star/small-star
     // rounds to convergence detection (data-dependent but fixed per input)
     val pairs = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
@@ -815,6 +818,7 @@ class OperatorsSpec extends SparkSpec {
     assert(allExecs.get() <= 2 * sigActions.get() + 4,
       s"${allExecs.get()} executions for ${sigActions.get()} rounds: more " +
         "than one materializing action per round is running again")
+    spark.conf.unset("spark.graft.cc.localEdgeCutoff")
   }
 
   test("connectedComponents: pre-contraction cuts rounds on LSH-shaped clusters") {
@@ -828,6 +832,8 @@ class OperatorsSpec extends SparkSpec {
       for (a <- ids; b <- ids if a < b) yield (a, b)
     }.toDF("id_a", "id_b")
     pairs.count() // warm the scan path outside the counted window
+    // pin the distributed star loop (below the r14 small-graph cutoff)
+    spark.conf.set("spark.graft.cc.localEdgeCutoff", "0")
     val sigActions = new java.util.concurrent.atomic.AtomicInteger(0)
     val l = new org.apache.spark.scheduler.SparkListener {
       override def onOtherEvent(
@@ -858,6 +864,31 @@ class OperatorsSpec extends SparkSpec {
     assert(sigActions.get() <= 4,
       s"${sigActions.get()} rounds on pre-contractable clusters: the " +
         "partition-local union-find stopped doing its job")
+    spark.conf.unset("spark.graft.cc.localEdgeCutoff")
+  }
+
+  test("connectedComponents: driver fast path equals the star loop") {
+    import spark.implicits._
+    // r14 small-graph path: a contracted edge set under the cutoff finishes
+    // with a driver union-find + broadcast component map. Same labels as
+    // the distributed loop on a random graph, by construction — pinned here
+    val rnd = new scala.util.Random(23)
+    val redges = (0 until 300)
+      .map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    val pairs = redges.toDF("id_a", "id_b")
+    val fast = graft.llm.Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    spark.conf.set("spark.graft.cc.localEdgeCutoff", "0")
+    val loop =
+      try graft.llm.Dedup.connectedComponents(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      finally spark.conf.unset("spark.graft.cc.localEdgeCutoff")
+    assert(fast == loop)
+    // the fast path ran zero star rounds: fewer SQL executions than one
+    // round would need is implied by the other two listener tests; here the
+    // pinned contract is value equality plus the singleton convention
+    assert(fast.keySet == redges.flatMap(e => Seq(e._1, e._2)).toSet)
   }
 
   test("connectedComponents reliable=true survives through the checkpoint dir") {

@@ -313,4 +313,46 @@ class SelectionSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       s"rank-≤-k filter did not trigger WindowGroupLimit:\n$plan")
   }
+
+  test("gramBuckets: native fused pass equals the declarative HOF spelling") {
+    import org.apache.spark.sql.functions._
+    // the pre-r14 declarative path, inlined: the optimization contract is
+    // element-for-element equality (order AND multiplicity), so the fused
+    // native expression can replace it under any downstream consumer
+    def legacy(text: org.apache.spark.sql.Column, buckets: Int) = {
+      val toks = split(text, " ")
+      val n = greatest(size(toks) - 1, lit(0))
+      val bg = zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
+        (a, b) => concat(a, lit(" "), b))
+      transform(concat(toks, bg), g => pmod(xxhash64(g), lit(buckets.toLong)))
+    }
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (900001L, ""), (900002L, "one"), (900003L, "a  b   c"),
+        (900004L, " lead trail "), (900005L, "x\ty unicode \u00e9 mix\u00e9"),
+        (900006L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val cmp = docs.select(col("doc_id"),
+        legacy(coalesce(col("text"), lit("")), 4096).as("h"),
+        graft.llm.Selection.gramBuckets(coalesce(col("text"), lit("")), 4096)
+          .as("n"))
+    assert(cmp.filter(!(col("h") <=> col("n"))).count() === 0)
+    // null array propagates as null through both paths
+    val nulls = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      .select(legacy(col("text"), 64).as("h"),
+        graft.llm.Selection.gramBuckets(col("text"), 64).as("n"))
+      .head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
+  test("gramBuckets native path plans with zero lambda functions") {
+    import org.apache.spark.sql.functions._
+    // parquet-backed input: a LocalTableScan constant-folds the projection
+    // away and the plan would show nothing to assert on
+    val df = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select(graft.llm.Selection.gramBuckets(col("text"), 256).as("b"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("gram_bucket_hashes"), plan)
+    assert(!plan.contains("lambdafunction"), plan)
+  }
 }
