@@ -34,6 +34,15 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // let AQE rewrite a planned sort-merge join into a shuffled hash join
+      // when every post-shuffle partition sits under the advisory partition
+      // size (so the per-partition build side is bounded — memory-safe at
+      // any scale, unlike a blanket preferSortMergeJoin=false): skips two
+      // per-partition sorts on every id-keyed join the planner can't
+      // broadcast. Default is 0 (off); the advisory size is the canonical
+      // pairing. Overridable like every spark.* conf via system properties.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "64m")
       // dynamic file pruning beyond broadcast reuse: when the dim side of a
       // star join is too big to broadcast (so the plan is a shuffle join),
       // still run the dim filter as its own subquery and ship the surviving

@@ -38,7 +38,10 @@ object Dedup {
     * persisted∪fresh window frame it hands [[dedupSpansFromWins]]. */
   private[graft] def materializeIfLarge(df: DataFrame): DataFrame = {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes < BigInt(256L << 20)) df else df.localCheckpoint(eager = false)
+    val threshold = df.sparkSession.conf
+      .get("spark.graft.materialize.thresholdBytes", (256L << 20).toString)
+      .toLong
+    if (bytes < BigInt(threshold)) df else df.localCheckpoint(eager = false)
   }
 
   /** Lexicographic (id, pos) packed into one DECIMAL(38,0) —
