@@ -169,10 +169,45 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/**
+ * IEEE-754 bits of a double as a sortable long — `Double.doubleToLongBits`
+ * (canonical NaN), pure codegen. For NON-NEGATIVE doubles (and NaN) the
+ * bit pattern is order-isomorphic to Spark's double ordering: bits grow
+ * monotonically from +0.0 through +Inf, and canonical NaN bits sit above
+ * +Inf, matching Spark's NaN-greatest ordering. That makes `(d, id)`
+ * winner elections packable into one DECIMAL(38,0) HashAggregate key
+ * (`bits·2³¹ + id`) instead of a `min(struct)` that plans as SortAggregate
+ * — see `Similarity.ivfAssign` / `Quantization.pqEncode`. NOT valid for
+ * negative doubles (their bit patterns sort reversed) — callers use it on
+ * squared distances only.
+ */
+case class DoubleSortBits(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "double_sort_bits"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"double_sort_bits requires double, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"Double.doubleToLongBits($c)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object Distances {
   /** Squared L2 distance between two float/double array columns. */
   def l2sq(a: Column, b: Column): Column =
     Glue.column(L2SquaredDistance(Glue.expression(a), Glue.expression(b)))
+  /** Sortable IEEE bits of a non-negative double (see [[DoubleSortBits]]). */
+  def sortBits(d: Column): Column =
+    Glue.column(DoubleSortBits(Glue.expression(d)))
   /** Inner product (higher = more similar). */
   def ip(a: Column, b: Column): Column =
     Glue.column(InnerProduct(Glue.expression(a), Glue.expression(b)))

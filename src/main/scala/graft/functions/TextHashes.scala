@@ -536,6 +536,92 @@ case class GramBucketHashes(child: Expression, buckets: Long)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/**
+ * Fused DSIR model scoring: the [[GramBucketHashes]] gram/bucket pass and
+ * the per-document exact-DECIMAL log-ratio fold in ONE expression call —
+ * token array in, DECIMAL(28,6) weight out. Replaces the
+ * `aggregate(gramBuckets(...), 0, (acc, b) => acc + element_at(lut, b+1))`
+ * HOF spelling on `Selection.dsirScoreFromModel`'s default-hash path: the
+ * fold lambda alone costs ~1µs per gram interpreted, which caps map-side
+ * ingest scoring around a million grams per second per core — this runs at
+ * hash speed and allocates nothing per gram (unscaled-long accumulation
+ * with exact-overflow fallback to BigDecimal; both are the same exact sum
+ * the DECIMAL fold computes, spec-pinned against the HOF spelling).
+ *
+ * `lut(b)` must be the model's log-ratio at bucket b with scale 6
+ * (`buckets` = lut.length). Null tokens (which split() never produces)
+ * null the affected gram's bucket, and the HOF fold nulls the whole sum on
+ * the first null term — mirrored here. Sums beyond DECIMAL(28,6) would
+ * need |Σ| > 9.2e12 log-nats and cannot arise from a real model; the
+ * BigDecimal fallback covers the arithmetic anyway.
+ */
+case class DsirModelScore(child: Expression, lut: Array[Decimal])
+    extends UnaryExpression {
+  require(lut.nonEmpty, "empty DSIR model LUT")
+  private val buckets: Long = lut.length.toLong
+  override def dataType: DataType = DecimalType(28, 6)
+  override def prettyName: String = "dsir_model_score"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"dsir_model_score requires array<string>, got ${other.simpleString}")
+  }
+
+  // unscaled micro-units (scale 6) of every LUT entry, for the fast path
+  private val lutMicro: Array[Long] =
+    lut.map(d => d.toJavaBigDecimal.setScale(6).unscaledValue().longValueExact())
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dsirModelScore", this)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object r = $ref.compute($c);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.types.Decimal) r; }""")
+  }
+
+  private val SPACE = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  private def bucketOf(h: Long): Int = (((h % buckets) + buckets) % buckets).toInt
+
+  def compute(arr: ArrayData): Any = {
+    val n = arr.numElements()
+    var sum = 0L
+    var overflow = false
+    var big: java.math.BigDecimal = null
+    def add(micro: Long): Unit =
+      if (!overflow) {
+        try sum = Math.addExact(sum, micro)
+        catch { case _: ArithmeticException =>
+          overflow = true
+          big = java.math.BigDecimal.valueOf(sum, 6)
+            .add(java.math.BigDecimal.valueOf(micro, 6))
+        }
+      } else big = big.add(java.math.BigDecimal.valueOf(micro, 6))
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null // null token ⇒ null fold (HOF parity)
+      add(lutMicro(bucketOf(
+        XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L))))
+      i += 1
+    }
+    i = 0
+    while (i < n - 1) {
+      val g = org.apache.spark.unsafe.types.UTF8String.concat(
+        arr.getUTF8String(i), SPACE, arr.getUTF8String(i + 1))
+      add(lutMicro(bucketOf(XxHash64Function.hash(g, StringType, 42L))))
+      i += 1
+    }
+    if (!overflow) Decimal(sum, 28, 6)
+    else if (big.precision <= 28) Decimal(big, 28, 6)
+    else null
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object TextHashes {
   /** Signature over pre-built shingle strings (shingleN = 1). */
   def minhashSignature(shingles: Column, k: Int): Column =
@@ -563,4 +649,8 @@ object TextHashes {
   /** Unigram+bigram xxhash64 buckets of a token array, with multiplicity. */
   def gramBucketHashes(tokens: Column, buckets: Long): Column =
     Glue.column(GramBucketHashes(Glue.expression(tokens), buckets))
+  /** Fused gram-bucket + exact-DECIMAL LUT fold (DSIR model scoring). */
+  def dsirModelScore(tokens: Column,
+                     lut: Array[org.apache.spark.sql.types.Decimal]): Column =
+    Glue.column(DsirModelScore(Glue.expression(tokens), lut))
 }

@@ -44,6 +44,26 @@ object Quantization {
     dim / m
   }
 
+  /** Nearest code per (id, subspace): broadcast-codebook distance scan +
+    * packed-key HashAggregate winner election — `min(bits(d)·2³¹ + code)`
+    * is order-isomorphic to lexicographic (d, code) for the non-negative
+    * squared distances ([[graft.functions.DoubleSortBits]]), where the old
+    * `min(struct(d, code))` buffered a struct and planned as SortAggregate
+    * (every task sorted its rows×k candidates before the partial agg).
+    * Returns (idCol, m, code). */
+  private def assignCodes(rows: DataFrame, idCol: String,
+                          codebook: DataFrame): DataFrame = {
+    val pk = Distances.sortBits(col("_d"))
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+      lit(2147483648L) + col("code")
+    rows.join(broadcast(codebook), Seq("m"))
+      .withColumn("_d", Distances.l2sq(col("sub_vec"), col("c_vec")))
+      .groupBy(col(idCol), col("m"))
+      .agg(min(pk).as("_bpk"))
+      .select(col(idCol), col("m"),
+        (col("_bpk") % lit(2147483648L)).cast("int").as("code"))
+  }
+
   /**
    * Train per-subspace codebooks: returns (m, code, c_vec) with
    * `m ∈ [0, m)`, `code ∈ [0, k)`. Seeds are a deterministic hash-ordered
@@ -66,14 +86,16 @@ object Quantization {
         col("sub_vec").as("c_vec"))
 
     for (_ <- 0 until iters) {
-      // assign: broadcast codebook, min-struct partial agg (map-side
-      // combine collapses the rows×k join output before the shuffle)
-      val assigned = rows.join(broadcast(codebook), Seq("m"))
-        .withColumn("_d", Distances.l2sq(col("sub_vec"), col("c_vec")))
-        .groupBy(col(idCol), col("m"))
-        .agg(min(struct(col("_d"), col("code"), col("sub_vec"))).as("_best"))
-        .select(col("m"), col("_best.code").as("code"),
-          col("_best.sub_vec").as("sub_vec"))
+      // assign: broadcast codebook + packed-key winner aggregate (map-side
+      // combine collapses the rows×k join output before the shuffle, and
+      // the bits(d)·2³¹+code DECIMAL key keeps it a HashAggregate — the
+      // min(struct(d, code, sub_vec)) spelling buffered a struct and
+      // planned as SortAggregate, sorting every task's rows×k candidates);
+      // the winner's sub_vec re-attaches by (id, m), which is unique by
+      // construction of `subvectors`
+      val best = assignCodes(rows, idCol, codebook)
+      val assigned = rows.join(best, Seq(idCol, "m"))
+        .select(col("m"), col("code"), col("sub_vec"))
       // new centroid = per-(m, code) dimension-wise mean
       val means = assigned
         .select(col("m"), col("code"), posexplode(col("sub_vec")))
@@ -97,14 +119,10 @@ object Quantization {
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
                codebook: DataFrame, dim: Int, m: Int): DataFrame = {
     val sub = requireDivisible(dim, m)
-    subvectors(corpus, idCol, vecCol, m, sub)
-      .join(broadcast(codebook), Seq("m"))
-      .withColumn("_d", Distances.l2sq(col("sub_vec"), col("c_vec")))
-      .groupBy(col(idCol), col("m"))
-      .agg(min(struct(col("_d"), col("code"))).as("_best"))
+    assignCodes(subvectors(corpus, idCol, vecCol, m, sub), idCol, codebook)
       .groupBy(col(idCol))
       .agg(transform(
-        sort_array(collect_list(struct(col("m"), col("_best.code").as("code")))),
+        sort_array(collect_list(struct(col("m"), col("code")))),
         x => x.getField("code")).as("pq_codes"))
   }
 

@@ -181,12 +181,24 @@ object Selection {
       lr(b) = r.getDecimal(1)
     }
     require(lr.forall(_ != null), "model table is missing buckets")
-    val lut = array(lr.toSeq.map(d => lit(d).cast("decimal(18,6)")): _*)
-    val w = aggregate(
-      gramBuckets(coalesce(col(textCol), lit("")), buckets, gramHash),
-      lit(java.math.BigDecimal.ZERO).cast("decimal(28,6)"),
-      (acc, b) => (acc + element_at(lut, (b + lit(1L)).cast("int")))
-        .cast("decimal(28,6)"))
+    // default-hash path: the fused native gram+fold expression — one call
+    // per row at hash speed (see graft.functions.DsirModelScore; the HOF
+    // fold below pays an interpreted lambda per gram). Exact same DECIMAL
+    // sum, spec-pinned in SelectionSpec; injected hashes (the md5 gate
+    // spelling) keep the declarative fold.
+    val w =
+      if (gramHash eq defaultGramHash)
+        graft.functions.TextHashes.dsirModelScore(
+          split(coalesce(col(textCol), lit("")), " "),
+          lr.map(d => org.apache.spark.sql.types.Decimal(d)))
+      else {
+        val lut = array(lr.toSeq.map(d => lit(d).cast("decimal(18,6)")): _*)
+        aggregate(
+          gramBuckets(coalesce(col(textCol), lit("")), buckets, gramHash),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(28,6)"),
+          (acc, b) => (acc + element_at(lut, (b + lit(1L)).cast("int")))
+            .cast("decimal(28,6)"))
+      }
     df.withColumn("dsir_logweight", w.cast("double"))
   }
 

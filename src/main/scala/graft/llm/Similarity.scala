@@ -79,23 +79,37 @@ object Similarity {
    * nprobe partitions instead of the full corpus.
    */
   /** Assign every corpus row to its nearest centroid. Nearest-centroid via
-    * min(struct(dist, centroid_id, …)): lexicographic struct-min = min
-    * distance with centroid_id tie-break — same semantics as a per-id
-    * window, but partial (map-side) aggregation collapses the n×C
-    * cross-join rows to n BEFORE the shuffle; a window would shuffle all
-    * n×C rows on id, which is the difference between feasible and not at
-    * corpus scale. Extra corpus columns (constant per id) ride along. */
+    * a packed-key aggregate: `min(bits(dist)·2³¹ + centroid_id)` over the
+    * broadcast cross join — order-isomorphic to lexicographic
+    * (dist, centroid_id) because squared distances are non-negative
+    * ([[graft.functions.DoubleSortBits]]) and centroid ids are dense
+    * positive ints — then one equi-join re-attaches the corpus row. The
+    * same semantics as a per-id window, but partial (map-side) aggregation
+    * collapses the n×C cross-join rows to n BEFORE the shuffle — and the
+    * packed DECIMAL key keeps the election a HashAggregate, where the
+    * earlier `min(struct(dist, centroid_id, payload…))` spelling buffered a
+    * struct and planned as SortAggregate: every task SORTED its n×C
+    * candidate rows (payload included) before the partial aggregate.
+    * `idCol` must be unique (the join-back contract — the old struct-min
+    * carried the payload through the aggregate instead, but per-id
+    * constancy of the payload was already this function's documented
+    * contract). */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame): DataFrame = {
     val extras = corpus.columns.toSeq.filterNot(c => c == idCol || c == vecCol)
-    val carried = vecCol +: extras
-    corpus.crossJoin(broadcast(centroids))
+    val pk = Distances.sortBits(col("_d"))
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+      lit(2147483648L) + col("centroid_id")
+    val best = corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids))
       .withColumn("_d", Distances.l2sq(col(vecCol), col("c_vec")))
       .groupBy(col(idCol))
-      .agg(min(struct((Seq(col("_d"), col("centroid_id")) ++
-        carried.map(col)): _*)).as("_best"))
-      .select(col(idCol) +: col("_best").getField("centroid_id").as("centroid_id") +:
-        carried.map(c => col("_best").getField(c).as(c)): _*)
+      .agg(min(pk).as("_bpk"))
+      .select(col(idCol),
+        (col("_bpk") % lit(2147483648L)).cast("long").as("centroid_id"))
+    corpus.join(best, Seq(idCol))
+      .select(col(idCol) +: col("centroid_id") +:
+        (vecCol +: extras).map(col): _*)
   }
 
   def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,

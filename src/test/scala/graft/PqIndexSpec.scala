@@ -176,4 +176,24 @@ class PqIndexSpec extends SparkSpec {
       }
     }
   }
+
+  test("pq/ivf winner elections plan as HashAggregate (packed key, no struct sort)") {
+    import org.apache.spark.sql.functions._
+    // r14: min(struct(d, code)) buffered a struct and planned as
+    // SortAggregate — every task sorted its rows*k candidates before the
+    // partial aggregate. The packed bits(d)*2^31+code DECIMAL key keeps the
+    // election hash-based; parity with the struct ordering is the
+    // DoubleSortBits contract (non-negative squared distances).
+    val vecs = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cb = graft.llm.Quantization.pqTrain(vecs, "vec_id", "embedding",
+      dim = 64, m = 8, k = 4, iters = 1)
+    val encPlan = graft.llm.Quantization.pqEncode(vecs, "vec_id", "embedding",
+      cb, dim = 64, m = 8).queryExecution.executedPlan.toString
+    assert(!encPlan.contains("SortAggregate"), encPlan)
+    val (_, assigned) = graft.llm.Similarity.ivfIndex(vecs, "vec_id",
+      "embedding", nCentroids = 4)
+    assert(!assigned.queryExecution.executedPlan.toString
+      .contains("SortAggregate"), "ivfAssign regressed to SortAggregate")
+  }
 }

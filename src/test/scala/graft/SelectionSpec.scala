@@ -355,4 +355,37 @@ class SelectionSpec extends SparkSpec {
     assert(plan.contains("gram_bucket_hashes"), plan)
     assert(!plan.contains("lambdafunction"), plan)
   }
+
+  test("dsirScoreFromModel: fused native fold equals the HOF fold and dsirWeights") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val target = docs.filter(col("doc_id") < 120)
+    val model = graft.llm.Selection.dsirFit(docs, target, buckets = 256)
+    // native (default hash) vs the pre-r14 HOF fold, inlined
+    val rows = model.select(col("bucket").cast("int"),
+      col("log_ratio").cast("decimal(18,6)")).collect()
+    val lr = new Array[java.math.BigDecimal](rows.length)
+    rows.foreach(r => lr(r.getInt(0)) = r.getDecimal(1))
+    val lut = array(lr.toSeq.map(d => lit(d).cast("decimal(18,6)")): _*)
+    val hof = aggregate(
+      graft.llm.Selection.gramBuckets(coalesce(col("text"), lit("")), 256),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(28,6)"),
+      (acc, b) => (acc + element_at(lut, (b + lit(1L)).cast("int")))
+        .cast("decimal(28,6)"))
+    val scored = graft.llm.Selection.dsirScoreFromModel(docs, model)
+      .withColumn("__hof", hof.cast("double"))
+    assert(scored.filter(!(col("dsir_logweight") <=> col("__hof"))).count() === 0)
+    // and the fit→score path still equals the one-shot weights path exactly
+    val viaWeights = graft.llm.Selection.dsirWeights(docs, target, "doc_id",
+      buckets = 256).select(col("doc_id"), col("dsir_logweight").as("__w"))
+    val joined = scored.select(col("doc_id"), col("dsir_logweight"))
+      .join(viaWeights, Seq("doc_id"))
+    assert(joined.filter(!(col("dsir_logweight") <=> col("__w"))).count() === 0)
+    // plan shape: one expression call, zero lambdas on the default path
+    val plan = graft.llm.Selection.dsirScoreFromModel(docs, model)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dsir_model_score"), plan)
+    assert(!plan.contains("lambdafunction"), plan)
+  }
 }
