@@ -34,15 +34,16 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
-      // let AQE rewrite a planned sort-merge join into a shuffled hash join
-      // when every post-shuffle partition sits under the advisory partition
-      // size (so the per-partition build side is bounded — memory-safe at
-      // any scale, unlike a blanket preferSortMergeJoin=false): skips two
-      // per-partition sorts on every id-keyed join the planner can't
-      // broadcast. Default is 0 (off); the advisory size is the canonical
-      // pairing. Overridable like every spark.* conf via system properties.
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        "64m")
+      // spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold is LEFT AT
+      // ITS DEFAULT (0 = no SMJ→SHJ rewrite) deliberately. Round 14
+      // measured the 64m setting the optimization guide suggests trying:
+      // isolated A/Bs on the fact-join pair looked favorable-or-neutral,
+      // but FULL-SUITE runs at sf1 regressed every query downstream of the
+      // first rewritten join by 4–15× (text_logprob 0.79→11.9 s,
+      // shard_export 2.4→18.2 s, same calibration, reproducible, gone the
+      // moment the threshold returns to 0) — the rewritten joins' build
+      // relations poison the JVM for the rest of the session. Verdict:
+      // per-query hint where profiling proves it, never session-wide.
       // dynamic file pruning beyond broadcast reuse: when the dim side of a
       // star join is too big to broadcast (so the plan is a shuffle join),
       // still run the dim filter as its own subquery and ship the surviving
