@@ -44,34 +44,18 @@ object Dedup {
     if (bytes < BigInt(threshold)) df else df.localCheckpoint(eager = false)
   }
 
-  /** Lexicographic (id, pos) packed into one DECIMAL(38,0) —
-    * `id·2³² + pos` — for the keep-first winner elections. A `min(struct)`
-    * aggregate buffers a struct, which Spark's HashAggregate cannot hold
-    * (struct buffers are not mutable types), so the winner election planned
-    * as SortAggregate: the whole exploded window/line stream SORTED per
-    * partition before the partial aggregate, the dominant cost of the
-    * span/line dedup passes. `min(pack)` + `min_by(payload, pack)` buffer
-    * only a decimal and a long, so the same election runs as a
-    * HashAggregate with map-side partial combine. Order-isomorphic to
-    * `struct(id, pos)` because positions are non-negative ints (posexplode
-    * indices): |id|·2³² + 2³¹ < 2⁹⁶ ≪ 10³⁸, exact in DECIMAL(38,0), and
-    * numeric order equals lexicographic order when 0 ≤ pos < 2³².
-    * Integral ids only — callers dispatch on the id column's type and keep
-    * the struct election for string/other ids (lexicographic string order
-    * has no packed-numeric equivalent). */
-  private def winnerPack(id: Column, pos: Column): Column =
-    id.cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
-      lit(4294967296L) + pos
-
-  /** Is this id column safe for [[winnerPack]]? */
-  private def integralId(df: DataFrame, idCol: String): Boolean =
-    df.schema(idCol).dataType match {
-      case org.apache.spark.sql.types.ByteType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.LongType => true
-      case _ => false
-    }
+  // NOTE (r14 optimization round): the span/line keep-first winner
+  // elections below deliberately KEEP the `min(struct(id, pos, h2))`
+  // SortAggregate form. A packed-key HashAggregate rewrite
+  // (`min(id·2³² + pos)` as DECIMAL + `min_by(h2, pack)`) was implemented,
+  // value-parity-pinned, and measured: 0.72× at sf0.1 — but 1.4–1.7×
+  // SLOWER at sf1 (span_dedup 4.2→7.0 s isolated, calibration-matched).
+  // Window/line hashes are mostly UNIQUE keys, so the partial hash map
+  // gets no combine benefit, outgrows aggregation memory at scale, and
+  // falls back to hash-then-sort — strictly worse than sorting once. The
+  // same packed-key election IS right where combine collapses the input
+  // (ivfAssign/pqEncode: n×C candidates → n winners); cardinality profile
+  // decides, not the operator shape.
 
   /** Exact dedup, keep-first: content-hash shuffle, row_number == 1.
     * At scale the shuffle key is md5(text) (fixed 16 bytes), so text skew
@@ -119,29 +103,15 @@ object Dedup {
         posexplode(split(col(textCol), sepPat)).as(Seq("_pos", "_line")))
       .withColumn("_lh", xxhash64(col("_line")))
       .withColumn("_lh2", xxhash64(lit("graft-line-v1"), col("_line")))
-    val eligible = lines.filter(length(col("_line")) >= minChars)
-    // winner election: HashAggregate via the packed (id, pos) key for
-    // integral ids (see [[winnerPack]] — the struct form planned as a
-    // SortAggregate that sorted the whole exploded line stream); identical
-    // winner either way, spec-pinned by the dd10 gate and OperatorsSpec
-    val firsts =
-      if (integralId(df, idCol)) {
-        val pk = winnerPack(col(idCol), col("_pos"))
-        eligible.groupBy("_lh")
-          .agg(min(pk).as("_fpk"), min_by(col("_lh2"), pk).as("_fh2"))
-      } else
-        eligible.groupBy("_lh")
-          .agg(min(struct(col(idCol).as("_fid"), col("_pos").as("_fpos"),
-            col("_lh2").as("_fh2"))).as("_first"))
-          .select(col("_lh"), col("_first._fh2").as("_fh2"),
-            col("_first._fid").as("_ffid"), col("_first._fpos").as("_ffpos"))
-    val joined = lines.join(firsts, Seq("_lh"), "left")
-    val isWinner =
-      if (integralId(df, idCol))
-        winnerPack(col(idCol), col("_pos")) === col("_fpk")
-      else col("_ffid") === col(idCol) && col("_ffpos") === col("_pos")
-    val kept = joined.filter(length(col("_line")) < minChars ||
-      col("_fh2") =!= col("_lh2") || isWinner)
+    val firsts = lines
+      .filter(length(col("_line")) >= minChars)
+      .groupBy("_lh")
+      .agg(min(struct(col(idCol).as("_fid"), col("_pos").as("_fpos"),
+        col("_lh2").as("_fh2"))).as("_first"))
+    val kept = lines.join(firsts, Seq("_lh"), "left")
+      .filter(length(col("_line")) < minChars ||
+        col("_first._fh2") =!= col("_lh2") ||
+        (col("_first._fid") === col(idCol) && col("_first._fpos") === col("_pos")))
     reassembleText(df, idCol, textCol, kept, "_pos", "_line", sep)
   }
 
@@ -578,36 +548,19 @@ object Dedup {
   def dedupSpansFromWins(df: DataFrame, idCol: String, textCol: String,
                          wins: DataFrame, spanTokens: Int): DataFrame = {
     val base = df.select(col(idCol), split(col(textCol), " ").as("_toks"))
-    // winner election: HashAggregate via the packed (id, window position)
-    // key for integral ids (see [[winnerPack]] — the struct form planned as
-    // a SortAggregate that sorted the whole window stream per partition
-    // before the partial aggregate); identical winner either way,
-    // spec-pinned by the dd12 gate and OperatorsSpec
-    val packable = integralId(wins, idCol)
-    val firsts =
-      if (packable) {
-        val pk = winnerPack(col(idCol), col("_wp"))
-        wins.groupBy("_wh")
-          .agg(count(lit(1)).as("_n"), min(pk).as("_fpk"),
-            min_by(col("_wh2"), pk).as("_fh2"))
-          .filter(col("_n") >= 2)
-          .select("_wh", "_fpk", "_fh2")
-      } else
-        wins.groupBy("_wh")
-          .agg(count(lit(1)).as("_n"),
-            min(struct(col(idCol).as("_fid"), col("_wp").as("_fp"),
-              col("_wh2").as("_fh2"))).as("_first"))
-          .filter(col("_n") >= 2)
-          .select(col("_wh"), col("_first._fh2").as("_fh2"),
-            col("_first._fid").as("_ffid"), col("_first._fp").as("_ffp"))
-    val isWinner =
-      if (packable) winnerPack(col(idCol), col("_wp")) === col("_fpk")
-      else col("_ffid") === col(idCol) && col("_ffp") === col("_wp")
+    val firsts = wins.groupBy("_wh")
+      .agg(count(lit(1)).as("_n"),
+        min(struct(col(idCol).as("_fid"), col("_wp").as("_fp"),
+          col("_wh2").as("_fh2"))).as("_first"))
+      .filter(col("_n") >= 2)
+      .select("_wh", "_first")
     // covered token positions of every NON-first occurrence of a
     // duplicated window (distinct: overlapping windows mark a position
     // once); the h2 equality keeps collision casualties instead
     val cut = wins.join(firsts, Seq("_wh"))
-      .filter(col("_fh2") === col("_wh2") && !isWinner)
+      .filter(col("_first._fh2") === col("_wh2") &&
+        !(col("_first._fid") === col(idCol) &&
+          col("_first._fp") === col("_wp")))
       .select(col(idCol),
         explode(sequence(col("_wp"), col("_wp") + (spanTokens - 1))).as("_tp"))
       .distinct()

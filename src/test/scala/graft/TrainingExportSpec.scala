@@ -949,49 +949,4 @@ class TrainingExportSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
-  // ---- r14 winner-election paths: packed HashAggregate vs legacy struct ----
-
-  test("line/span dedup: packed integral-id election equals the string-id path") {
-    import spark.implicits._
-    import org.apache.spark.sql.functions._
-    // duplicated lines AND a duplicated 4-token span across documents, plus
-    // a doc whose every line is boilerplate; ids deliberately out of order
-    val rows = Seq(
-      (7L, "shared header line here\nunique seven body\nshared footer line text"),
-      (3L, "shared header line here\nunique three body\nother text line three"),
-      (5L, "shared header line here\nshared footer line text"),
-      (9L, "alpha beta gamma delta epsilon zeta"),
-      (2L, "prefix alpha beta gamma delta tail words"))
-    val dl = rows.toDF("id", "text")
-    val ds = rows.map { case (i, t) => (i.toString, t) }.toDF("id", "text")
-    def norm(df: org.apache.spark.sql.DataFrame) =
-      df.select(col("id").cast("string"), col("text")).collect()
-        .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
-    // line dedup: long ids take the winnerPack HashAggregate election,
-    // string ids the legacy min(struct) — same keep-first output
-    assert(norm(Dedup.dedupLinesKeepFirst(dl, "id", "text", minChars = 5))
-      .sameElements(norm(Dedup.dedupLinesKeepFirst(ds, "id", "text", minChars = 5))))
-    // span dedup, 4-token windows
-    assert(norm(Dedup.dedupSpansKeepFirst(dl, "id", "text", spanTokens = 4))
-      .sameElements(norm(Dedup.dedupSpansKeepFirst(ds, "id", "text", spanTokens = 4))))
-  }
-
-  test("span/line winner election plans as HashAggregate for integral ids") {
-    import spark.implicits._
-    import org.apache.spark.sql.functions._
-    val d = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f x y"))
-      .toDF("id", "text")
-    val span = Dedup.dedupSpansKeepFirst(d, "id", "text", spanTokens = 4)
-    val line = Dedup.dedupLinesKeepFirst(d, "id", "text")
-    for ((name, df) <- Seq("span" -> span, "line" -> line)) {
-      val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("SortAggregate"),
-        s"$name winner election regressed to SortAggregate:\n$plan")
-    }
-    // string ids keep the legacy struct election (and its SortAggregate)
-    val s = Seq(("a", "a b c d e f g h")).toDF("id", "text")
-    val plan = Dedup.dedupSpansKeepFirst(s, "id", "text", spanTokens = 4)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("SortAggregate"), plan)
-  }
 }
