@@ -208,6 +208,29 @@ object Distances {
   /** Sortable IEEE bits of a non-negative double (see [[DoubleSortBits]]). */
   def sortBits(d: Column): Column =
     Glue.column(DoubleSortBits(Glue.expression(d)))
+
+  /** (distance, id) packed into ONE DECIMAL(38,0) HashAggregate key:
+    * `bits(d)·2³¹ + id` — order-isomorphic to lexicographic (d, id) under
+    * [[DoubleSortBits]]' non-negative-distance contract. GUARDED: the id
+    * must sit in [0, 2³¹) or adjacent distance slots would overlap and the
+    * unpack would silently return a wrong id — out-of-range ids fail the
+    * query instead (the in-repo centroid/code ids are dense non-negative
+    * ints by construction; the guard is for caller-supplied tables).
+    * Unpack with [[unpackPackedId]]. */
+  private val IdSlot = 2147483648L // 2^31
+  def packDistId(d: Column, id: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val checkedId = when(id >= 0L && id < IdSlot, id)
+      .otherwise(raise_error(concat(
+        lit("packDistId: id out of [0, 2^31): "), id.cast("string"))))
+    sortBits(d).cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+      lit(IdSlot) + checkedId
+  }
+  /** The id lane of a [[packDistId]] value. */
+  def unpackPackedId(pk: Column): Column = {
+    import org.apache.spark.sql.functions._
+    (pk % lit(IdSlot)).cast("long")
+  }
   /** Inner product (higher = more similar). */
   def ip(a: Column, b: Column): Column =
     Glue.column(InnerProduct(Glue.expression(a), Glue.expression(b)))

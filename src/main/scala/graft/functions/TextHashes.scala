@@ -477,15 +477,16 @@ case class HashEmbedding(child: Expression, dim: Int)
  *
  * Bigram hash input is `tok[i] + ' ' + tok[i+1]` — byte-identical to the
  * `concat(a, ' ', b)` strings of the HOF path. A null token (which split()
- * never produces) contributes concat's null-propagation semantics: the HOF
- * path nulls the bigram and `pmod(xxhash64(null))` nulls the bucket, which
- * `transform` keeps as a null ELEMENT; this fused form mirrors that with a
- * null element so the two paths stay interchangeable on any input.
+ * never produces) follows the declarative path exactly: `concat` nulls the
+ * gram, and Spark's `xxhash64(NULL)` SKIPS the null input and returns the
+ * seed (42) — never NULL — so the bucket is `pmod(42, buckets)` and no
+ * element of the output is ever null (spec-pinned with null-element arrays
+ * in SelectionSpec).
  */
 case class GramBucketHashes(child: Expression, buckets: Long)
     extends UnaryExpression {
   require(buckets > 0, s"buckets must be positive, got $buckets")
-  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "gram_bucket_hashes"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -503,6 +504,9 @@ case class GramBucketHashes(child: Expression, buckets: Long)
   }
 
   private val SPACE = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+  // xxhash64 of a NULL gram: the null input is skipped, leaving the seed —
+  // exactly what Spark's XxHash64 expression returns for xxhash64(NULL)
+  private val nullBucket: Long = ((42L % buckets) + buckets) % buckets
 
   def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
@@ -511,7 +515,7 @@ case class GramBucketHashes(child: Expression, buckets: Long)
     var i = 0
     while (i < n) {
       out(i) =
-        if (arr.isNullAt(i)) null
+        if (arr.isNullAt(i)) nullBucket
         else {
           val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
           ((h % buckets) + buckets) % buckets
@@ -521,7 +525,7 @@ case class GramBucketHashes(child: Expression, buckets: Long)
     i = 0
     while (i < nBi) {
       out(n + i) =
-        if (arr.isNullAt(i) || arr.isNullAt(i + 1)) null
+        if (arr.isNullAt(i) || arr.isNullAt(i + 1)) nullBucket
         else {
           val g = org.apache.spark.unsafe.types.UTF8String.concat(
             arr.getUTF8String(i), SPACE, arr.getUTF8String(i + 1))
@@ -550,10 +554,11 @@ case class GramBucketHashes(child: Expression, buckets: Long)
  *
  * `lut(b)` must be the model's log-ratio at bucket b with scale 6
  * (`buckets` = lut.length). Null tokens (which split() never produces)
- * null the affected gram's bucket, and the HOF fold nulls the whole sum on
- * the first null term — mirrored here. Sums beyond DECIMAL(28,6) would
- * need |Σ| > 9.2e12 log-nats and cannot arise from a real model; the
- * BigDecimal fallback covers the arithmetic anyway.
+ * follow [[GramBucketHashes]]' declarative-parity rule: `xxhash64(NULL)`
+ * is the seed (42), never NULL, so a null gram contributes
+ * `lut(pmod(42, buckets))` like the HOF fold does. Sums beyond
+ * DECIMAL(28,6) would need |Σ| > 9.2e12 log-nats and cannot arise from a
+ * real model; the BigDecimal fallback covers the arithmetic anyway.
  */
 case class DsirModelScore(child: Expression, lut: Array[Decimal])
     extends UnaryExpression {
@@ -585,6 +590,8 @@ case class DsirModelScore(child: Expression, lut: Array[Decimal])
   private val SPACE = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
 
   private def bucketOf(h: Long): Int = (((h % buckets) + buckets) % buckets).toInt
+  // xxhash64(NULL) skips the null input and returns the seed (HOF parity)
+  private val nullBucket: Int = bucketOf(42L)
 
   def compute(arr: ArrayData): Any = {
     val n = arr.numElements()
@@ -602,16 +609,21 @@ case class DsirModelScore(child: Expression, lut: Array[Decimal])
       } else big = big.add(java.math.BigDecimal.valueOf(micro, 6))
     var i = 0
     while (i < n) {
-      if (arr.isNullAt(i)) return null // null token ⇒ null fold (HOF parity)
-      add(lutMicro(bucketOf(
-        XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L))))
+      add(lutMicro(
+        if (arr.isNullAt(i)) nullBucket
+        else bucketOf(
+          XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L))))
       i += 1
     }
     i = 0
     while (i < n - 1) {
-      val g = org.apache.spark.unsafe.types.UTF8String.concat(
-        arr.getUTF8String(i), SPACE, arr.getUTF8String(i + 1))
-      add(lutMicro(bucketOf(XxHash64Function.hash(g, StringType, 42L))))
+      add(lutMicro(
+        if (arr.isNullAt(i) || arr.isNullAt(i + 1)) nullBucket
+        else {
+          val g = org.apache.spark.unsafe.types.UTF8String.concat(
+            arr.getUTF8String(i), SPACE, arr.getUTF8String(i + 1))
+          bucketOf(XxHash64Function.hash(g, StringType, 42L))
+        }))
       i += 1
     }
     if (!overflow) Decimal(sum, 28, 6)

@@ -585,30 +585,42 @@ object Dedup {
     * near-stars — typically 2-3 rounds instead of ~7. Memory is bounded by
     * one partition's node count (edges / spark.sql.shuffle.partitions), the
     * same bound any hash aggregation over the edge list needs. */
+  /** In-memory union-find over an edge iterator: returns the parent map
+    * after unioning every pair, roots labeled by the component MINIMUM by
+    * construction (a union always points the larger root at the smaller,
+    * and path compression only shortens paths, never moves roots). Shared
+    * by [[contractLocally]]'s per-partition pass and the small-graph
+    * driver fast path in [[connectedComponents]] — one implementation, one
+    * labeling invariant. Resolve labels with [[ufFind]]. */
+  private def unionFind(
+      it: Iterator[(Long, Long)]): scala.collection.mutable.HashMap[Long, Long] = {
+    val parent = new scala.collection.mutable.HashMap[Long, Long]
+    it.foreach { case (u, v) =>
+      parent.getOrElseUpdate(u, u)
+      parent.getOrElseUpdate(v, v)
+      val ru = ufFind(parent, u)
+      val rv = ufFind(parent, v)
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    parent
+  }
+
+  private def ufFind(parent: scala.collection.mutable.HashMap[Long, Long],
+                     x: Long): Long = {
+    var r = x
+    while (parent(r) != r) r = parent(r)
+    var c = x
+    while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+    r
+  }
+
   private def contractLocally(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     edges.repartition(col("u")).as[(Long, Long)]
       .mapPartitions { it =>
-        // roots stay the component minimum by construction: a union always
-        // points the larger root at the smaller, and path compression only
-        // shortens paths, never moves roots
-        val parent = new scala.collection.mutable.HashMap[Long, Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent(r) != r) r = parent(r)
-          var c = x
-          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
-        it.foreach { case (u, v) =>
-          parent.getOrElseUpdate(u, u)
-          parent.getOrElseUpdate(v, v)
-          val ru = find(u)
-          val rv = find(v)
-          if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
-        }
-        parent.keysIterator.map(n => (n, find(n)))
+        val parent = unionFind(it)
+        parent.keysIterator.map(n => (n, ufFind(parent, n)))
       }
       .toDF("u", "v")
   }
@@ -706,35 +718,25 @@ object Dedup {
       .get("spark.graft.cc.localEdgeCutoff", "100000").toLong
     val nEdges = prevSig.head match { case n: Long => n; case _ => Long.MaxValue }
     if (nEdges <= localCutoff) {
-      val parent = new scala.collection.mutable.HashMap[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent(r) != r) r = parent(r)
-        var c = x
-        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      edges.select(col("u"), col("v")).collect().foreach { row =>
-        val u = row.getLong(0); val v = row.getLong(1)
-        parent.getOrElseUpdate(u, u)
-        parent.getOrElseUpdate(v, v)
-        val ru = find(u); val rv = find(v)
-        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
-      }
-      val spark = pairs.sparkSession
-      import spark.implicits._
-      val compMap = parent.keysIterator
-        .map(n => (n, find(n))).filter { case (n, c) => n != c }.toSeq
-      // the signature action already materialized the contracted
-      // checkpoint, so the reliable-mode write-through cache (if any) can
-      // go — mirrors the star loop's finally
-      lastPersisted.foreach(_.unpersist(blocking = false))
-      val nodes = contracted.select(col("u").as("id")).distinct()
-      if (compMap.isEmpty)
-        return nodes.select(col("id"), col("id").as("component"))
-      return nodes.join(
-          broadcast(compMap.toDF("id", "component")), Seq("id"), "left")
-        .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      // finally mirrors the star loop's: the signature action already
+      // materialized the contracted checkpoint, so the reliable-mode
+      // write-through cache can go even if the collect fails mid-way
+      try {
+        val parent = unionFind(edges.select(col("u"), col("v")).collect()
+          .iterator.map(r => (r.getLong(0), r.getLong(1))))
+        val spark = pairs.sparkSession
+        import spark.implicits._
+        val compMap = parent.keysIterator
+          .map(n => (n, ufFind(parent, n)))
+          .filter { case (n, c) => n != c }.toSeq
+        val nodes = contracted.select(col("u").as("id")).distinct()
+        if (compMap.isEmpty)
+          return nodes.select(col("id"), col("id").as("component"))
+        return nodes.join(
+            broadcast(compMap.toDF("id", "component")), Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("component"), col("id")).as("component"))
+      } finally lastPersisted.foreach(_.unpersist(blocking = false))
     }
     var converged = false
     var iter = 0

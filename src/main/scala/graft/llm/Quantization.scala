@@ -45,24 +45,21 @@ object Quantization {
   }
 
   /** Nearest code per (id, subspace): broadcast-codebook distance scan +
-    * packed-key HashAggregate winner election — `min(bits(d)·2³¹ + code)`
-    * is order-isomorphic to lexicographic (d, code) for the non-negative
-    * squared distances ([[graft.functions.DoubleSortBits]]), where the old
-    * `min(struct(d, code))` buffered a struct and planned as SortAggregate
-    * (every task sorted its rows×k candidates before the partial agg).
+    * packed-key HashAggregate winner election — `Distances.packDistId` is
+    * order-isomorphic to lexicographic (d, code) for the non-negative
+    * squared distances, where the old `min(struct(d, code))` buffered a
+    * struct and planned as SortAggregate (every task sorted its rows×k
+    * candidates before the partial agg). Codes outside [0, 2³¹) in a
+    * caller-supplied codebook fail loudly (packDistId's guard).
     * Returns (idCol, m, code). */
   private def assignCodes(rows: DataFrame, idCol: String,
-                          codebook: DataFrame): DataFrame = {
-    val pk = Distances.sortBits(col("_d"))
-      .cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
-      lit(2147483648L) + col("code")
+                          codebook: DataFrame): DataFrame =
     rows.join(broadcast(codebook), Seq("m"))
       .withColumn("_d", Distances.l2sq(col("sub_vec"), col("c_vec")))
       .groupBy(col(idCol), col("m"))
-      .agg(min(pk).as("_bpk"))
+      .agg(min(Distances.packDistId(col("_d"), col("code"))).as("_bpk"))
       .select(col(idCol), col("m"),
-        (col("_bpk") % lit(2147483648L)).cast("int").as("code"))
-  }
+        Distances.unpackPackedId(col("_bpk")).cast("int").as("code"))
 
   /**
    * Train per-subspace codebooks: returns (m, code, c_vec) with

@@ -90,23 +90,27 @@ object Similarity {
     * earlier `min(struct(dist, centroid_id, payload…))` spelling buffered a
     * struct and planned as SortAggregate: every task SORTED its n×C
     * candidate rows (payload included) before the partial aggregate.
-    * `idCol` must be unique (the join-back contract — the old struct-min
-    * carried the payload through the aggregate instead, but per-id
-    * constancy of the payload was already this function's documented
-    * contract). */
+    * `idCol` must be unique, and `corpus` DETERMINISTIC under
+    * re-evaluation (the join-back contract: the frame is evaluated once
+    * for the election and once for the re-attach — pin a sampled or
+    * rand()-derived frame with a checkpoint first, the same caveat
+    * `Curation.rankBySort` documents; the old struct-min carried the
+    * payload through the aggregate instead, but per-id constancy of the
+    * payload was already this function's documented contract, and the
+    * second evaluation is a projected (id, vec)-only scan).
+    * `centroid_id` must sit in [0, 2³¹) — guarded by `packDistId`, which
+    * fails loudly on a caller-supplied table with other ids instead of
+    * silently mis-assigning. */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame): DataFrame = {
     val extras = corpus.columns.toSeq.filterNot(c => c == idCol || c == vecCol)
-    val pk = Distances.sortBits(col("_d"))
-      .cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
-      lit(2147483648L) + col("centroid_id")
     val best = corpus.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(centroids))
       .withColumn("_d", Distances.l2sq(col(vecCol), col("c_vec")))
       .groupBy(col(idCol))
-      .agg(min(pk).as("_bpk"))
+      .agg(min(Distances.packDistId(col("_d"), col("centroid_id"))).as("_bpk"))
       .select(col(idCol),
-        (col("_bpk") % lit(2147483648L)).cast("long").as("centroid_id"))
+        Distances.unpackPackedId(col("_bpk")).as("centroid_id"))
     corpus.join(best, Seq(idCol))
       .select(col(idCol) +: col("centroid_id") +:
         (vecCol +: extras).map(col): _*)

@@ -770,7 +770,10 @@ class OperatorsSpec extends SparkSpec {
     import spark.implicits._
     // pin the distributed star loop: this input is far below the r14
     // small-graph cutoff and would otherwise finish on the driver
+    // (try/finally at the end of the test restores the conf even when an
+    // assertion throws — the shared session must not leak the pin)
     spark.conf.set("spark.graft.cc.localEdgeCutoff", "0")
+    try {
     // 40-node chain: the deterministic worst case — 7 large-star/small-star
     // rounds to convergence detection (data-dependent but fixed per input)
     val pairs = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
@@ -818,7 +821,7 @@ class OperatorsSpec extends SparkSpec {
     assert(allExecs.get() <= 2 * sigActions.get() + 4,
       s"${allExecs.get()} executions for ${sigActions.get()} rounds: more " +
         "than one materializing action per round is running again")
-    spark.conf.unset("spark.graft.cc.localEdgeCutoff")
+    } finally spark.conf.unset("spark.graft.cc.localEdgeCutoff")
   }
 
   test("connectedComponents: pre-contraction cuts rounds on LSH-shaped clusters") {
@@ -832,8 +835,10 @@ class OperatorsSpec extends SparkSpec {
       for (a <- ids; b <- ids if a < b) yield (a, b)
     }.toDF("id_a", "id_b")
     pairs.count() // warm the scan path outside the counted window
-    // pin the distributed star loop (below the r14 small-graph cutoff)
+    // pin the distributed star loop (below the r14 small-graph cutoff);
+    // finally restores the conf even when an assertion throws
     spark.conf.set("spark.graft.cc.localEdgeCutoff", "0")
+    try {
     val sigActions = new java.util.concurrent.atomic.AtomicInteger(0)
     val l = new org.apache.spark.scheduler.SparkListener {
       override def onOtherEvent(
@@ -864,7 +869,7 @@ class OperatorsSpec extends SparkSpec {
     assert(sigActions.get() <= 4,
       s"${sigActions.get()} rounds on pre-contractable clusters: the " +
         "partition-local union-find stopped doing its job")
-    spark.conf.unset("spark.graft.cc.localEdgeCutoff")
+    } finally spark.conf.unset("spark.graft.cc.localEdgeCutoff")
   }
 
   test("connectedComponents: driver fast path equals the star loop") {

@@ -343,6 +343,23 @@ class SelectionSpec extends SparkSpec {
         graft.llm.Selection.gramBuckets(col("text"), 64).as("n"))
       .head()
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+    // null ELEMENTS (unreachable via split(), but the contract must hold):
+    // xxhash64(NULL) is the SEED (42), never NULL, so a null token's
+    // unigram and both adjacent bigrams bucket to pmod(42, b) on BOTH
+    // paths — the fused expression must mirror that, not emit nulls
+    def legacyArr(toks: org.apache.spark.sql.Column, buckets: Int) = {
+      val n = greatest(size(toks) - 1, lit(0))
+      val bg = zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
+        (a, b) => concat(a, lit(" "), b))
+      transform(concat(toks, bg), g => pmod(xxhash64(g), lit(buckets.toLong)))
+    }
+    val withNulls = Seq(Tuple1(Array("a", null, "b", "c")),
+        Tuple1(Array(null.asInstanceOf[String])),
+        Tuple1(Array[String]()))
+      .toDF("toks")
+      .select(legacyArr(col("toks"), 97).as("h"),
+        graft.functions.TextHashes.gramBucketHashes(col("toks"), 97).as("n"))
+    assert(withNulls.filter(!(col("h") <=> col("n"))).count() === 0)
   }
 
   test("gramBuckets native path plans with zero lambda functions") {
