@@ -605,15 +605,31 @@ object Bench {
       var times = (1 to 3).map(_ => once())
       if (times.min < 2.0) times = times ++ (1 to 2).map(_ => once())
       val dt = times.min
+      val sorted = times.sorted
+      val med =
+        if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+        else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
       System.err.println(f"[bench] $name: $dt%.2fs (runs: ${times.map(t => f"$t%.2f").mkString(",")})")
-      name -> dt
+      (name, dt, med)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
+    // calibration at END too (additions-only, r15): a mid-run ambient
+    // contention event moves the medians and the end-probe while the start
+    // probe stays clean — with only the start value such a run is
+    // indistinguishable from a code regression. min-vs-median per query
+    // serves the same purpose at query granularity.
+    val calibrationEnd = (1 to 5).map(_ => calOnce()).min
+    System.err.println(f"[bench] calibration_end: $calibrationEnd%.3fs")
+    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.4f" }
+      .mkString("{", ",", "}")
+    val qsMed = results.map { case (k, _, m) => "\"" + k + f"\":$m%.4f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val cont = f"""{"load_avg":$loadAvg%.2f,"other_jvms":$otherJvms,"contended":$contended}"""
+    // explain-capture runs stringify + write plans INSIDE the timed region;
+    // flag them so their numbers are never mistaken for measurements
+    val capture = explainDir.isDefined
     val json =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration":$calibration%.4f,"contention":$cont}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration":$calibration%.4f,"calibration_end":$calibrationEnd%.4f,"queries_median":$qsMed,"explain_capture":$capture,"contention":$cont}"""
     // stop Spark BEFORE emitting the JSON line: shutdown logging would
     // otherwise land after it in a merged stdout/stderr capture, so a
     // harness that parses the LAST line would read a log line instead of

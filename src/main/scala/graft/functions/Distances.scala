@@ -201,6 +201,49 @@ case class DoubleSortBits(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/**
+ * The sign-flip variant of [[DoubleSortBits]]: a long whose SIGNED order is
+ * isomorphic to Spark's ordering over ALL doubles — negatives included —
+ * not just non-negative ones. `bits >= 0 ? bits : bits ^ 0x7FFF…` keeps
+ * positive patterns (which already sort correctly, NaN-greatest via the
+ * canonical `doubleToLongBits` NaN above +Inf) and flips the magnitude
+ * lanes of negative patterns (raw negative-double bits sort REVERSED as
+ * signed longs; the XOR restores −Inf < … < −0.0). `-0.0` normalizes to
+ * `+0.0` first because Spark's comparator (`SQLOrderingUtil.compareDoubles`)
+ * treats them EQUAL — distinct keys there would let `-0.0` win elections
+ * Spark's own struct ordering would tie-break by id. Real doubles never map
+ * to Long.MinValue ‥ flipped(−Inf)−1, so callers can use that band for
+ * explicit sentinels (see `Distances.packScoreId`).
+ */
+case class DoubleTotalOrderBits(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "double_total_order_bits"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"double_total_order_bits requires double, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val d = v.asInstanceOf[Double]
+    val bits = java.lang.Double.doubleToLongBits(if (d == 0.0d) 0.0d else d)
+    if (bits >= 0L) bits else bits ^ 0x7FFFFFFFFFFFFFFFL
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bits = ctx.freshName("bits")
+      s"""
+         |long $bits = Double.doubleToLongBits(($c == 0.0D) ? 0.0D : $c);
+         |${ev.value} = ($bits >= 0L) ? $bits : ($bits ^ 0x7FFFFFFFFFFFFFFFL);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object Distances {
   /** Squared L2 distance between two float/double array columns. */
   def l2sq(a: Column, b: Column): Column =
@@ -230,6 +273,41 @@ object Distances {
   def unpackPackedId(pk: Column): Column = {
     import org.apache.spark.sql.functions._
     (pk % lit(IdSlot)).cast("long")
+  }
+
+  /** Sortable bits of ANY double — negatives, ±0 collapse, NaN-greatest —
+    * see [[DoubleTotalOrderBits]]. */
+  def totalOrderBits(d: Column): Column =
+    Glue.column(DoubleTotalOrderBits(Glue.expression(d)))
+
+  /** (score-like key, id) packed into ONE DECIMAL(38,0) HashAggregate key —
+    * the SIGN-CAPABLE sibling of [[packDistId]]: `totalOrderBits(d)·2⁶² +
+    * (id + 2⁶¹)`, order-isomorphic to Spark's lexicographic (d, id) for any
+    * finite-or-not double `d`. 128 bits do not fit DECIMAL(38,0), so the id
+    * lane is 62 bits: ids must sit in [−2⁶¹, 2⁶¹) or the lanes would
+    * overlap — out-of-range ids FAIL LOUDLY (a silently wrong winner is the
+    * one unacceptable outcome; full-range hashed ids keep the struct-min
+    * path). A NULL key maps into the sentinel band BELOW every real double
+    * (Long.MinValue — [[DoubleTotalOrderBits]] reserves it), matching the
+    * nulls-first field ordering `min(struct(d, id))` applies, so the packed
+    * election is value-identical to the struct election null-for-null.
+    * Unpack with [[unpackScoreId]]. */
+  private val IdHalf = 2305843009213693952L // 2^61
+  private val IdSlot62 = java.math.BigDecimal.valueOf(IdHalf).add(
+    java.math.BigDecimal.valueOf(IdHalf)) // 2^62, exact decimal
+  def packScoreId(d: Column, id: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val checkedId = when(id >= -IdHalf && id < IdHalf, id + lit(IdHalf))
+      .otherwise(raise_error(concat(
+        lit("packScoreId: id out of [-2^61, 2^61): "), id.cast("string"))))
+    val keyBits = when(d.isNull, lit(Long.MinValue)).otherwise(totalOrderBits(d))
+    keyBits.cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+      lit(IdSlot62) + checkedId
+  }
+  /** The id lane of a [[packScoreId]] value. */
+  def unpackScoreId(pk: Column): Column = {
+    import org.apache.spark.sql.functions._
+    pmod(pk, lit(IdSlot62)).cast("long") - lit(IdHalf)
   }
   /** Inner product (higher = more similar). */
   def ip(a: Column, b: Column): Column =

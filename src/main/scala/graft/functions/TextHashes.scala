@@ -566,6 +566,24 @@ case class DsirModelScore(child: Expression, lut: Array[Decimal])
   private val buckets: Long = lut.length.toLong
   override def dataType: DataType = DecimalType(28, 6)
   override def prettyName: String = "dsir_model_score"
+  // compute() can return null on a >28-digit BigDecimal sum (an extreme
+  // caller-supplied LUT) even for a non-null child — declared nullability
+  // must cover that or codegen consumers may elide the isNull check
+  // (r15, ADVICE)
+  override def nullable: Boolean = true
+  // an Array field degrades case-class equality to reference equality,
+  // defeating subexpression elimination / exchange reuse between two
+  // semantically identical scorers — compare the LUT by content (r15,
+  // ADVICE). hashCode mirrors equals per the contract.
+  override def equals(other: Any): Boolean = other match {
+    case DsirModelScore(c, l) =>
+      c == child && java.util.Arrays.equals(
+        l.asInstanceOf[Array[AnyRef]], lut.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(
+      lut.asInstanceOf[Array[AnyRef]])
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess

@@ -577,11 +577,34 @@ object Curation {
       (d, c) => d.drop(s"__o_$c"))
   }
 
+  /** Pin the keyed input that BOTH the per-bucket rank window and the
+    * bucket-offset aggregate consume — conf-gated on the existing
+    * `spark.graft.materialize.thresholdBytes` knob (default 256 MB), but in
+    * the OPPOSITE direction from [[Dedup.materializeIfLarge]]: here the pin
+    * is taken when the frame is UNDER the threshold. Rationale: without a
+    * pin the whole keyed lineage (base scan + md5 key derivation) evaluates
+    * TWICE — once for the window, once for the offsets aggregate (the
+    * r14-audited shard_export plan scans lineitem twice for exactly this
+    * reason); a bounded localCheckpoint makes it ONCE at the cost of
+    * executor-local blocks no wider than the frame the window must shuffle
+    * anyway. ABOVE the threshold (the 100 TB shape) the offsets aggregate's
+    * recompute reads a column-pruned (partCols, keyCol) projection — far
+    * cheaper than writing and re-reading a corpus-wide full-width
+    * checkpoint — so the documented no-materialize trade stays. Plan-time
+    * statistics only; no job is run. */
+  private def pinRankInputIfSmall(df: DataFrame): DataFrame = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val threshold = df.sparkSession.conf
+      .get("spark.graft.materialize.thresholdBytes", (256L << 20).toString)
+      .toLong
+    if (bytes < BigInt(threshold)) df.localCheckpoint(eager = false) else df
+  }
+
   def scalableRank(df: DataFrame, partCols: Seq[String], keyCol: String,
                    tieCol: String, hexPrefix: Int = 3): DataFrame = {
     require(hexPrefix >= 1 && hexPrefix <= 8, "hexPrefix in [1,8]")
     val bkt = conv(substring(col(keyCol), 1, hexPrefix), 16, 10).cast("long")
-    val withB = df.withColumn("_rbkt", bkt)
+    val withB = pinRankInputIfSmall(df.withColumn("_rbkt", bkt))
     val pcols = partCols.map(col)
     val wLocal = Window.partitionBy((pcols :+ col("_rbkt")): _*)
       .orderBy(col(keyCol).asc, col(tieCol).asc)
@@ -648,8 +671,9 @@ object Curation {
                         hexPrefix: Int = 3): DataFrame = {
     require(hexPrefix >= 1 && hexPrefix <= 8, "hexPrefix in [1,8]")
     val bkt = conv(substring(col(keyCol), 1, hexPrefix), 16, 10).cast("long")
-    val withB = df.withColumn("_rbkt", bkt)
-      .withColumn("_w", col(weightCol).cast("long"))
+    // same two-consumer shape as scalableRank: pin the keyed input once
+    val withB = pinRankInputIfSmall(df.withColumn("_rbkt", bkt)
+      .withColumn("_w", col(weightCol).cast("long")))
     val pcols = partCols.map(col)
     val wLocal = Window.partitionBy((pcols :+ col("_rbkt")): _*)
       .orderBy(col(keyCol).asc, col(tieCol).asc)
@@ -852,10 +876,16 @@ object Curation {
   def packTokenSequences(df: DataFrame, idCol: String, tokensCol: String,
                          seqLen: Int, eosId: Long): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
-    val docs = df.select(col(idCol).try_cast("long").as("_did"),
+    // three consumers (bounds probe, bucket offsets, window+explode) — the
+    // r14-audited token_pack plan evaluated the upstream tokenization three
+    // times over. Pin once when bounded (same knob + direction rationale as
+    // [[pinRankInputIfSmall]]); the bounds head() below materializes the
+    // lazy checkpoint as part of the action it already pays.
+    val docs = pinRankInputIfSmall(
+      df.select(col(idCol).try_cast("long").as("_did"),
         concat(col(tokensCol).cast("array<long>"),
           array(lit(eosId))).as("_t"))
-      .withColumn("_n", size(col("_t")).cast("long"))
+      .withColumn("_n", size(col("_t")).cast("long")))
     // Contract check in the SAME pass as the range probe: a null or
     // non-numeric id would fall out of the bucket equi-join and silently
     // drop its document from the packed output — fail loudly instead

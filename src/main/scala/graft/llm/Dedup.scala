@@ -807,17 +807,30 @@ object Dedup {
     * smallest id — "keep the longest / highest-quality copy", the
     * canonical-document selection pass production dedup pipelines run
     * after clustering. Rows never surfacing in `pairs` survive untouched;
-    * `scoreCol` must be numeric and non-null on clustered rows (a null
-    * score loses every comparison). Ids follow [[connectedComponents]]'
+    * `scoreCol` must be numeric (or castable) on clustered rows — a NULL
+    * score sorts FIRST in the election key (the nulls-first struct-field
+    * ordering the original `min(struct(-score, id))` spelling applied), so
+    * a null-scored member WINS its cluster; don't feed nullable scores
+    * unless that is intended. Ids follow [[connectedComponents]]'
     * integral-or-castable contract — `try_cast` here too, so a malformed
     * id (which that layer already degraded to its partner's singleton)
-    * passes through unclustered instead of throwing under ANSI mode.
+    * passes through unclustered instead of throwing under ANSI mode —
+    * and additionally must sit in [−2⁶¹, 2⁶¹) (the packed election key's
+    * id lane, `Distances.packScoreId` — out-of-range ids fail loudly).
     *
-    * Scale shape: winner election is a per-component `min(struct(-score,
-    * id))` AGGREGATE (map-side combine, skew-absorbing — never a window
-    * over the corpus) followed by a semi-join on the winner ids; the
-    * component labels come from [[connectedComponents]]' star-forest
-    * rounds. */
+    * Scale shape: winner election is a per-component
+    * `min(packScoreId(-score, id))` AGGREGATE — a DECIMAL(38,0) key whose
+    * order is isomorphic to lexicographic (−score, id) for ANY double
+    * score (sign-flip total-order bits, r15) — so it plans as a
+    * HashAggregate with map-side combine (the former `min(struct(…))`
+    * spelling buffered a struct, which is not a mutable aggregation type,
+    * and planned as SortAggregate: every task sorted its clustered rows
+    * before the partial aggregate). Combine profile qualifies: components
+    * have ≥ 2 members by construction, so the map-side partial collapses
+    * the stream (the r14 cardinality rule above — contrast the span/line
+    * elections, whose mostly-unique keys keep the struct form). Winner ids
+    * then semi-join back; component labels come from
+    * [[connectedComponents]]' star-forest rounds. */
   def keepBestInClusters(df: DataFrame, idCol: String, pairs: DataFrame,
                          scoreCol: Column): DataFrame = {
     val comp = connectedComponents(pairs)
@@ -825,12 +838,10 @@ object Dedup {
     val clustered = df
       .join(comp, col(idCol).try_cast("long") === col("__kb_id"))
     val winners = clustered
-      .withColumn("__kb_key",
-        struct((-scoreCol.cast("double")).as("ns"),
-          col(idCol).try_cast("long").as("id")))
       .groupBy(col("component"))
-      .agg(min(col("__kb_key")).as("__kb_w"))
-      .select(col("__kb_w.id").as("__kb_keep"))
+      .agg(min(Distances.packScoreId(
+        -scoreCol.cast("double"), col("__kb_id"))).as("__kb_pk"))
+      .select(Distances.unpackScoreId(col("__kb_pk")).as("__kb_keep"))
     val losers = clustered
       .join(winners, col("__kb_id") === col("__kb_keep"), "left_anti")
       .select(col("__kb_id").as("__kb_lose"))

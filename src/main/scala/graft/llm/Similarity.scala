@@ -100,9 +100,24 @@ object Similarity {
     * second evaluation is a projected (id, vec)-only scan).
     * `centroid_id` must sit in [0, 2³¹) — guarded by `packDistId`, which
     * fails loudly on a caller-supplied table with other ids instead of
-    * silently mis-assigning. */
-  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+    * silently mis-assigning. A nondeterministic corpus plan is defensively
+    * localCheckpoint-pinned before the split (r15) so both evaluations see
+    * the same rows. NULL-vector rows produce a NULL packed key for every
+    * candidate, elect centroid_id NULL, and then drop out of ivfSearch's
+    * centroid equi-join — filter them upstream if they must be assigned. */
+  def ivfAssign(corpusIn: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame): DataFrame = {
+    // defensive pin (r15, ADVICE): the election/join-back split evaluates
+    // the corpus twice, so a NONDETERMINISTIC frame (rand()/sample-derived,
+    // un-checkpointed) would silently mis-join or drop rows where the old
+    // struct-min carried the payload through one evaluation. Deterministic
+    // plans (the overwhelmingly common case) are untouched; a
+    // nondeterministic one is pinned once here instead of returning wrong
+    // assignments.
+    val corpus =
+      if (corpusIn.queryExecution.analyzed
+            .find(_.expressions.exists(!_.deterministic)).isEmpty) corpusIn
+      else corpusIn.localCheckpoint(eager = true)
     val extras = corpus.columns.toSeq.filterNot(c => c == idCol || c == vecCol)
     val best = corpus.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(centroids))

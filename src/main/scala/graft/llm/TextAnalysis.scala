@@ -266,8 +266,19 @@ object TextAnalysis {
    */
   def unigramLogProb(df: DataFrame, idCol: String,
                      textCol: String = "text"): DataFrame = {
+    // TWO tokenize passes instead of three (r15): the r14-audited plan
+    // tokenized the corpus once for the term table, AGAIN for its total
+    // (tf is consumed by both the broadcast join and the total aggregate,
+    // so its unpinned lineage re-ran end to end), and once for the scoring
+    // join. Pinning the VOCABULARY-sized tf aggregate removes the middle
+    // pass for the cost of caching one row per distinct term. (A full
+    // per-(doc, term) restructure that tokenizes ONCE was measured and
+    // rejected: its corpus-scale checkpoint + extra (id, w) exchange ran
+    // 1.2–1.75× SLOWER at both sf0.1 and sf1 — the map-side re-tokenize it
+    // saved is cheaper than materializing the token-level intermediate.)
     val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
     val tf = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
     val total = tf.agg(sum(col("c")).as("corpus_tokens"))
     val scored = tok
       .join(broadcast(tf), Seq("w"))
@@ -469,14 +480,23 @@ object TextAnalysis {
                  terms: Seq[String], k: Int,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qTerms = terms.distinct
-    // postings restricted to the query terms BEFORE the (id, w) aggregation
-    // — only query-term hits ever shuffle
+    // TWO tokenize passes instead of four (r15): the r14-audited plan
+    // tokenized the corpus for the postings, AGAIN for the per-term
+    // document frequencies (tfDf feeds two consumers inside
+    // bm25FromPostings), and TWICE more for the document lengths (join +
+    // N/avgdl aggregate). Pinning the two SMALL frames — tfDf is
+    // query-term hits only, dlDf is one (id, int) row per document —
+    // removes both repeats for megabyte-class cache cost. (A one-pass
+    // per-document restructure was measured and rejected: 1.6× slower at
+    // sf0.1 — see unigramLogProb's note; same conclusion.)
     val tfDf = df.select(col(idCol).as("id"),
         explode(tokens(col(textCol))).as("w"))
       .filter(col("w").isin(qTerms: _*))
       .groupBy("id", "w").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
     val dlDf = df.select(col(idCol).as("id"),
-      tokenCount(col(textCol)).as("dl"))
+        tokenCount(col(textCol)).as("dl"))
+      .localCheckpoint(eager = false)
     bm25FromPostings(tfDf, dlDf, terms, k, k1, b)
       .withColumnRenamed("id", idCol)
   }

@@ -2030,4 +2030,138 @@ class OperatorsSpec extends SparkSpec {
         s"query $q: planted twin not at rank 1 (got ${top(q)})")
     }
   }
+
+  test("totalOrderBits / packScoreId: order-isomorphic to Spark's (double, id)") {
+    import spark.implicits._
+    // every tricky double class: ±0, ±subnormal, ±Inf, NaN, ties, extremes
+    val ds = Seq(0.0, -0.0, 1.5, -1.5, Double.MinPositiveValue,
+      -Double.MinPositiveValue, Double.MaxValue, Double.MinValue,
+      Double.PositiveInfinity, Double.NegativeInfinity, Double.NaN,
+      3.25, 3.25, -7.125)
+    val rows = ds.zipWithIndex.map { case (d, i) =>
+      (Option(d), (i.toLong - 7L) * 1000003L) } ++
+      Seq((None, 5L), (None, -5L)) // null keys tie-break by id
+    val df = rows.toDF("d", "id")
+    val bySpark = df.orderBy(col("d").asc_nulls_first, col("id").asc)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val byPack = df.orderBy(Distances.packScoreId(col("d"), col("id")).asc)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(byPack == bySpark, s"pack order diverged:\n$byPack\n$bySpark")
+    // the id lane round-trips exactly, nulls included
+    val ids = df.select(col("id"),
+        Distances.unpackScoreId(Distances.packScoreId(col("d"), col("id")))
+          .as("u")).collect()
+    ids.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    // out-of-range id fails loudly, never packs wrong
+    val err = intercept[Exception] {
+      Seq((1.0, 1L << 61)).toDF("d", "id")
+        .select(Distances.packScoreId(col("d"), col("id"))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("packScoreId")), messages(err))
+  }
+
+  test("keepBestInClusters: packed election ≡ struct election, plans hash-agg") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // scores exercise the full double surface the sign-flip pack must order:
+    // negatives, ties across ids, ±0.0 (Spark-equal), NaN, ±Inf, nulls
+    val special = Seq(0.0, -0.0, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, -3.5, -3.5, 2.25, 2.25)
+    val n = 120
+    val rows = (0 until n).map { i =>
+      val id = i.toLong * 7919L - 400000L // spread, incl. negatives
+      val s: java.lang.Double =
+        if (i % 17 == 0) null
+        else if (i < special.size) special(i)
+        else math.floor(rnd.nextGaussian() * 4) / 2 // heavy ties
+      (id, s)
+    }
+    val df = rows.toDF("id", "score")
+    // clusters of 2-5 members over the shuffled id space
+    val ids = rows.map(_._1)
+    val pairs = ids.grouped(4).flatMap(g => g.sliding(2).filter(_.size == 2)
+      .map(p => (p(0), p(1)))).toSeq.toDF("id_a", "id_b")
+    val got = Dedup.keepBestInClusters(df, "id", pairs, col("score"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    // reference: the pre-r15 struct election, spelled inline
+    val comp = Dedup.connectedComponents(pairs).withColumnRenamed("id", "__kb_id")
+    val clustered = df.join(comp, col("id") === col("__kb_id"))
+    val winners = clustered
+      .withColumn("__kb_key", struct((-col("score").cast("double")).as("ns"),
+        col("id").as("i")))
+      .groupBy(col("component")).agg(min(col("__kb_key")).as("__kb_w"))
+      .select(col("__kb_w.i").as("__kb_keep"))
+    val losers = clustered.join(winners,
+      col("__kb_id") === col("__kb_keep"), "left_anti")
+      .select(col("__kb_id").as("__kb_lose"))
+    val want = df.join(losers, col("id") === col("__kb_lose"), "left_anti")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == want, s"packed election diverged: ${got.diff(want)} / ${want.diff(got)}")
+    // plan pin: the election is a HashAggregate (struct-min planned as
+    // SortAggregate — the r14/r15 packed-key treatment)
+    val plan = Dedup.keepBestInClusters(df, "id", pairs, col("score"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"),
+      "keepBestInClusters regressed to SortAggregate")
+  }
+
+  test("unigramLogProb/bm25Search r15 single-pass shapes match legacy values") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select($"doc_id", $"text")
+    // unigram legacy spelling (pre-r15, tokenizes thrice) inline
+    val tok = docs.select($"doc_id", explode(split($"text", " ")).as("w"))
+    val tf = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = tf.agg(sum($"c").as("corpus_tokens"))
+    val wantU = tok.join(broadcast(tf), Seq("w"))
+      .crossJoin(broadcast(total))
+      .withColumn("_nlp", round(-log($"c".cast("double") / $"corpus_tokens"), 6)
+        .cast("decimal(18,6)"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum($"_nlp").cast("double").as("neg_logp_sum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val gotU = TextAnalysis.unigramLogProb(docs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotU == wantU, "unigramLogProb diverged from the legacy spelling")
+    // bm25 legacy spelling (pre-r15, tokenizes four times) inline
+    val terms = Seq("vector", "query", "stream", "absent-term-zzz")
+    val tfDf = docs.select($"doc_id".as("id"),
+        explode(split($"text", " ")).as("w"))
+      .filter($"w".isin(terms: _*))
+      .groupBy("id", "w").agg(count(lit(1)).as("tf"))
+    val dlDf = docs.select($"doc_id".as("id"),
+      size(split($"text", " ")).as("dl"))
+    val wantB = TextAnalysis.bm25FromPostings(tfDf, dlDf, terms, 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val gotB = TextAnalysis.bm25Search(docs, "doc_id", "text", terms, 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(gotB == wantB, s"bm25Search diverged:\n$gotB\n$wantB")
+  }
+
+  test("scalableRank/packTokenSequences: pinned and unpinned shapes agree") {
+    import spark.implicits._
+    val key = "spark.graft.materialize.thresholdBytes"
+    val docs = (0L until 500L).map(i =>
+      (i, s"tok${i % 7} tok${i % 13} tok$i end")).toDF("doc_id", "text")
+      .withColumn("_sk", md5(concat_ws(":", lit("s"), $"doc_id")))
+    val tokIds = docs.select($"doc_id",
+      transform(split($"text", " "), w => xxhash64(w)).as("ids"))
+    def ranks() = graft.llm.Curation.scalableRank(docs, Seq.empty, "_sk", "doc_id")
+      .select($"doc_id", $"_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def packs() = graft.llm.Curation.packTokenSequences(
+        tokIds, "doc_id", "ids", seqLen = 64, eosId = -1L)
+      .select($"seq_id", hash($"token_ids")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val saved = spark.conf.getOption(key)
+    val (rPin, pPin) = (ranks(), packs()) // default: pinned at this scale
+    spark.conf.set(key, "0") // pin disabled: pure-lineage legacy shape
+    try {
+      assert(ranks() == rPin, "scalableRank: pin changed the ranks")
+      assert(packs() == pPin, "packTokenSequences: pin changed the packs")
+    } finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
 }
